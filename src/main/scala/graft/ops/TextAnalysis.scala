@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language
+  * identification (marker-word heuristic), and canonical document
+  * fingerprinting.
+  *
+  * Everything is a Catalyst `Column` expression over `functions._` —
+  * no UDFs — so the whole pipeline stays inside whole-stage codegen and
+  * scales linearly with input splits (no shuffle except where an operator
+  * explicitly aggregates). Beyond the reference's surface (its jobs are
+  * pure relational ETL, SURVEY §2.10); part of the 100 TB extension scope
+  * (SURVEY §7.5).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped (split on `\s+` leaves a
+    * leading "" for text starting with whitespace).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > lit(0))
+
+  /** Token count via a single regexp pass — no array materialization. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  /** Default stopword list for quality scoring. */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(toks: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
+
+  /** Length/punctuation/stopword quality signals + a composite score in
+    * [0,1]. All ratios divide by `greatest(n_tokens, 1)` so empty docs
+    * yield 0-ratios instead of nulls/divide-by-zero.
+    */
+  def qualitySignals(df: DataFrame, text: Column, stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_chars", length(text))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("_n_tok_safe", greatest(col("n_tokens"), lit(1)))
+      .withColumn("punct_ratio", punctCount(text) / col("_n_tok_safe"))
+      .withColumn("stopword_ratio", stopwordCount(toks, stopwords) / col("_n_tok_safe"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(text, "\\s+", "")) / col("_n_tok_safe"))
+      .withColumn("quality_score",
+        lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
+          lit(0.3) * (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) +
+          lit(0.3) * least(lit(1.0), col("stopword_ratio") * 5.0))
+      .drop("_n_tok_safe")
+  }
+
+  /** Marker-word sets for the language-ID heuristic: a language scores by
+    * how many of its marker words occur in the document (presence, not
+    * frequency — robust to length skew).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "est"))
+
+  private def markerScore(toks: Column, markers: Seq[String]): Column =
+    markers.map(m => array_contains(toks, m).cast("int")).reduce(_ + _)
+
+  /** Language ID: argmax of marker scores, earlier languages win ties,
+    * `und` when nothing matches. Deterministic by construction.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerScore(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), el) =>
+      when(s >= best && s > 0, lang).otherwise(el)
+    }
+  }
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token set
+    * (classic "fingerprint" key for clustering near-identical docs that
+    * differ only in word order / repetition).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
+
+  /** Word `n`-gram shingles (space-joined), distinct. Used by the dedup
+    * family (MinHash / Jaccard). Docs shorter than `n` tokens yield an
+    * empty array (the `when` guard keeps `sequence` from going negative).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    require(n >= 1 && n <= 8, "shingle size out of range")
+    val toks = tokens(lower(text))
+    val sh = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, (i + lit(o)).cast("int"))): _*))
+    array_distinct(
+      when(size(toks) >= n, sh).otherwise(array().cast("array<string>")))
+  }
+}
