@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // The driver's events.parquet carries TIMESTAMP(NANOS), which Spark 4
+      // only reads as long under this flag (see TestTables.events). Set at
+      // session construction, not inside readers (round-1 verdict #7).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def defaultCpus: Int =

@@ -20,7 +20,46 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     KpiQueries.userKpis(TestTables.enriched(spark, "/root/testdata/sf0.001"))
 
+  /** The five KPI queries over an already-built (persisted) enriched frame —
+    * bench path: one enrichment pass fans out to all five (SURVEY §4.3).
+    * Output shape identical to the corresponding `queries` entries.
+    */
+  def kpiOverEnriched(name: String, enriched: DataFrame): DataFrame = name match {
+    case "kpi_user"        => KpiQueries.userKpis(enriched)
+    case "kpi_genre_daily" => KpiQueries.genreDailyMetrics(enriched)
+    case "kpi_genre_top_songs" =>
+      KpiQueries.genreTopSongs(enriched)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+    case "kpi_genre_top_genres" =>
+      KpiQueries.genreTopGenres(enriched)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+    case "kpi_trending" => KpiQueries.trendingKpis(enriched)
+    case other          => sys.error(s"not a KPI query: $other")
+  }
+
+  /** Committed CSV fixtures (reference-data samples + crafted corrupt
+    * rows) exercising the ingest module; absolute path because `queries`
+    * receives only the testdata dir.
+    */
+  val FixturesDir = "/root/repo/fixtures"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ingest/validation module (SURVEY §2.1 S1/S2/S7, §2.2 P3/P5/P7, §2.7 U1) ----
+    "q_csv_streams" -> ((s, _) =>
+      graft.validate.Validator.processStreams(s,
+        Seq(s"$FixturesDir/streams_a.csv", s"$FixturesDir/streams_b.csv"))),
+
+    "q_csv_users" -> ((s, _) =>
+      graft.validate.Validator.processReferenceData(s, s"$FixturesDir/users.csv")
+        .withColumn("created_at", date_format(col("created_at"), "yyyy-MM-dd"))),
+
+    "q_csv_songs" -> ((s, _) =>
+      graft.validate.Validator.processReferenceData(s, s"$FixturesDir/songs.csv")
+        .select(col("id"), col("track_id"), col("track_name"),
+          col("popularity"), col("duration_ms"), col("explicit"),
+          round(col("danceability"), 4).as("danceability"),
+          round(col("tempo"), 4).as("tempo"),
+          col("time_signature"), col("track_genre"))),
     // ---- the five declared KPI queries (SURVEY §2.11) ----
     "kpi_user" -> ((s, dir) =>
       KpiQueries.userKpis(TestTables.enriched(s, dir))),
@@ -66,9 +105,13 @@ object SparkEntry {
         .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")),
 
+    // Build side filtered to a custkey subset so the anti-join output is
+    // non-empty — every customer has orders, so the unfiltered anti-join
+    // returned 0 rows and its hash check proved nothing (round-1 verdict).
     "q_join_anti" -> ((s, dir) =>
       table(s, dir, "customer")
-        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(table(s, dir, "orders").filter(col("o_custkey") % 3 === 0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
     "q_union_all" -> ((s, dir) => {
@@ -119,6 +162,50 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // Ingest parity: all-varchar CSV read + explicit try-casts mirror
+    // Spark's PERMISSIVE semantics — a row is corrupt (excluded) iff a
+    // non-null field fails its declared type/format, null-padded on short
+    // arity; `na.drop` maps to the not-null filters.
+    "q_csv_streams" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$FixturesDir/streams_a.csv',
+         |    header=true, null_padding=true, all_varchar=true)
+         |  UNION ALL
+         |  SELECT * FROM read_csv('$FixturesDir/streams_b.csv',
+         |    header=true, null_padding=true, all_varchar=true)
+         |)
+         |SELECT user_id, track_id,
+         |       try_strptime(listen_time, '%Y-%m-%d %H:%M:%S') AS listen_time
+         |FROM raw
+         |WHERE user_id IS NOT NULL AND track_id IS NOT NULL
+         |  AND try_strptime(listen_time, '%Y-%m-%d %H:%M:%S') IS NOT NULL""".stripMargin,
+
+    "q_csv_users" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$FixturesDir/users.csv',
+         |    header=true, null_padding=true, all_varchar=true)
+         |)
+         |SELECT user_id, user_name, TRY_CAST(user_age AS INTEGER) AS user_age,
+         |       user_country,
+         |       strftime(try_strptime(created_at, '%Y-%m-%d'), '%Y-%m-%d') AS created_at
+         |FROM raw
+         |WHERE NOT (user_age IS NOT NULL AND TRY_CAST(user_age AS INTEGER) IS NULL)
+         |  AND NOT (created_at IS NOT NULL AND try_strptime(created_at, '%Y-%m-%d') IS NULL)""".stripMargin,
+
+    "q_csv_songs" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$FixturesDir/songs.csv',
+         |    header=true, null_padding=true, all_varchar=true)
+         |)
+         |SELECT TRY_CAST(id AS INTEGER) AS id, track_id, track_name,
+         |       TRY_CAST(popularity AS INTEGER) AS popularity,
+         |       TRY_CAST(duration_ms AS BIGINT) AS duration_ms,
+         |       TRY_CAST(explicit AS BOOLEAN) AS explicit,
+         |       ROUND(TRY_CAST(danceability AS DOUBLE), 4) AS danceability,
+         |       ROUND(TRY_CAST(tempo AS DOUBLE), 4) AS tempo,
+         |       TRY_CAST(time_signature AS INTEGER) AS time_signature,
+         |       track_genre
+         |FROM raw""".stripMargin,
     "kpi_user" ->
       s"""$oracleBase
          |SELECT user_id, user_name, user_country,
@@ -201,7 +288,8 @@ object SparkEntry {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_custkey % 3 = 0)""".stripMargin,
 
     "q_union_all" ->
       """SELECT event_id, event_type, value FROM events WHERE value < 100

@@ -26,12 +26,12 @@ object TestTables {
     * no timestamp mapping for — read it as nanos-long and floor-convert to
     * microseconds (integer `div`, not `/`: ns epoch values overflow a
     * double's 53-bit mantissa). DuckDB's ns->us read truncates the same way.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * construction by `GraftSession` / the `Verify`/`Bench` mains.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   def streams(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem").select(

@@ -1,0 +1,86 @@
+package graft.validate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.io.{CsvSource, ParquetIO, PathUtil}
+import graft.model.Schemas
+
+/** The validation/ingest job — the reference's most-executed code path
+  * (`scripts/validate_data.py`): permissive CSV scan, corrupt-record
+  * quarantine, column-presence validation, cast + null-reject cleaning,
+  * multi-file union, and reference-data dispatch.
+  *
+  * Scale notes: each input file is an independent scan task set (no
+  * shuffle anywhere in this job — union is a plan-level concat, cleaning
+  * is per-row). The only materialization is the cached single parse pass
+  * per file that serves both the quarantine and the clean branch, instead
+  * of the reference's double read+count.
+  */
+object Validator {
+
+  /** P7 — column-presence assertion (`scripts/validate_data.py:58-70`). */
+  def validateColumns(df: DataFrame, required: Set[String], context: String): Unit = {
+    val missing = required -- df.columns.toSet
+    require(missing.isEmpty,
+      s"Missing required columns in $context: ${missing.toSeq.sorted.mkString(", ")}; " +
+        s"available: ${df.columns.sorted.mkString(", ")}")
+  }
+
+  /** P3+P5 — cast projection + any-null row rejection
+    * (`scripts/validate_data.py:135-139`).
+    */
+  def cleanStreams(df: DataFrame): DataFrame =
+    df.select(
+      col("user_id").cast("string"),
+      col("track_id").cast("string"),
+      col("listen_time").cast("timestamp"))
+      .na.drop()
+
+  /** S1+S7+P7+P3+P5+U1 — the full streams ingest
+    * (`scripts/validate_data.py:91-158`): per file, one cached permissive
+    * parse serving quarantine (JSON append) and the clean branch
+    * (validate, cast, na.drop); then a union-all fold across files.
+    * `paths` elements may be comma-separated lists.
+    */
+  def processStreams(spark: SparkSession, paths: Seq[String],
+                     quarantinePath: Option[String] = None): DataFrame = {
+    val files = paths.flatMap(PathUtil.splitPaths)
+    require(files.nonEmpty, "no stream files given")
+    val cleaned = files.map { f =>
+      val (clean, corrupt) = CsvSource.readSplit(spark, Schemas.streams, Seq(f))
+      quarantinePath.foreach(q => ParquetIO.quarantineJson(corrupt, q))
+      validateColumns(clean, Schemas.requiredStreamsColumns, s"streams file: $f")
+      cleanStreams(clean)
+    }
+    cleaned.reduce(_ unionAll _)
+  }
+
+  /** Reference-data ingest with content-based dispatch
+    * (`scripts/validate_data.py:219-249`): a frame containing `track_id`
+    * is songs, else one containing `user_id` is users. Schemas are
+    * declared (SURVEY §1.3); pass `inferSchema=true` for the reference's
+    * inference-compatibility mode.
+    */
+  def processReferenceData(spark: SparkSession, path: String,
+                           inferSchema: Boolean = false): DataFrame = {
+    val raw =
+      if (inferSchema) CsvSource.readInferred(spark, Seq(path))
+      else {
+        // Probe the header to pick the declared schema, mirroring the
+        // reference's content dispatch without paying an inference pass
+        // (header-only read: no inferSchema, so Spark reads one line).
+        val header = spark.read.option("header", "true")
+          .csv(PathUtil.cleanPath(path)).schema.fieldNames.toSet
+        val schema = if (header.contains("track_id")) Schemas.songs else Schemas.users
+        CsvSource.readSplit(spark, schema, Seq(path))._1
+      }
+    if (raw.columns.contains("track_id")) {
+      validateColumns(raw, Schemas.requiredSongsColumns, "songs")
+      raw.select(Schemas.songs.fieldNames.map(col).toSeq: _*)
+    } else {
+      validateColumns(raw, Schemas.requiredUsersColumns, "users")
+      raw.select(Schemas.users.fieldNames.map(col).toSeq: _*)
+    }
+  }
+}
