@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ParquetIO round-trips overwrite and append modes") {
+    val dir = tmpDir("pq") + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    ParquetIO.writeOverwrite(df, dir)
+    ParquetIO.read(spark, dir).count() shouldBe 2
+    ParquetIO.writeAppend(df, dir)
+    ParquetIO.read(spark, dir).count() shouldBe 4
+    ParquetIO.writeOverwrite(df, dir)
+    ParquetIO.read(spark, dir).count() shouldBe 2
+  }
+
+  test("ParquetIO partitionBy produces a prunable layout") {
+    val dir = tmpDir("pqpart") + "/t"
+    val df = Seq(("2024-06-25", 1), ("2024-06-25", 2), ("2024-06-26", 3))
+      .toDF("date", "n")
+    ParquetIO.writeOverwrite(df, dir, partitionBy = Seq("date"))
+    new java.io.File(dir).list().count(_.startsWith("date=")) shouldBe 2
+    // partition filter prunes to a single directory
+    val plan = ParquetIO.read(spark, dir).filter(col("date") === "2024-06-25")
+      .queryExecution.executedPlan.toString
+    ParquetIO.read(spark, dir).filter(col("date") === "2024-06-25").count() shouldBe 2
+  }
+
+  test("ParquetIO.read accepts multi-path and comma-separated lists") {
+    val base = tmpDir("pqmulti")
+    ParquetIO.writeOverwrite(Seq(1).toDF("n"), s"$base/a")
+    ParquetIO.writeOverwrite(Seq(2, 3).toDF("n"), s"$base/b")
+    ParquetIO.read(spark, s"$base/a", s"$base/b").count() shouldBe 3
+    ParquetIO.read(spark, s"$base/a,$base/b").count() shouldBe 3
+  }
+
+  test("FsUtil.exists probes paths") {
+    val base = tmpDir("fs")
+    FsUtil.exists(spark, base) shouldBe true
+    FsUtil.exists(spark, s"$base/nope") shouldBe false
+  }
+
+  test("FsUtil.contentChanged gates on MD5 like the reference CDC check") {
+    val base = tmpDir("cdc")
+    val f = s"$base/songs.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f), "a,b\n1,2\n")
+    val ledger = s"$base/ledger.md5"
+    FsUtil.contentChanged(spark, f, ledger) shouldBe true  // first sight
+    FsUtil.contentChanged(spark, f, ledger) shouldBe false // unchanged
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f), "a,b\n1,3\n")
+    FsUtil.contentChanged(spark, f, ledger) shouldBe true  // edited
+    FsUtil.contentChanged(spark, f, ledger) shouldBe false
+  }
+
+  test("FsUtil.archive moves files under <root>/<ts>/<kind>/ and deletes source") {
+    val base = tmpDir("arch")
+    val f = s"$base/in/streams1.csv"
+    new java.io.File(s"$base/in").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f), "x\n")
+    val out = FsUtil.archive(spark, Seq(f), s"$base/archived", "streams", "20240625T000000")
+    out.size shouldBe 1
+    new java.io.File(f).exists() shouldBe false
+    new java.io.File(s"$base/archived/20240625T000000/streams/streams1.csv").exists() shouldBe true
+  }
+
+  test("CsvSource strict timestamp parsing marks date-only values corrupt") {
+    val dir = tmpDir("csv")
+    val f = s"$dir/s.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      "user_id,track_id,listen_time\n1,t1,2024-06-25 10:00:00\n2,t2,2024-06-25\n")
+    val (clean, corrupt) =
+      CsvSource.readSplit(spark, graft.model.Schemas.streams, Seq(f))
+    clean.count() shouldBe 1
+    corrupt.count() shouldBe 1
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  private def evalCol(text: String, c: org.apache.spark.sql.Column): Any =
+    one(text).select(c.as("v")).collect().head.get(0)
+
+  test("tokens split on whitespace and drop empties") {
+    evalCol("  the quick\tbrown\n fox ", TextAnalysis.tokens(col("text")))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq shouldBe Seq("the", "quick", "brown", "fox")
+    evalCol("", TextAnalysis.tokens(col("text"))).asInstanceOf[scala.collection.Seq[String]].toSeq shouldBe Nil
+  }
+
+  test("tokenCount agrees with tokens().size without materializing arrays") {
+    for (t <- Seq("", "one", "a b  c", " x\ty z ")) {
+      evalCol(t, TextAnalysis.tokenCount(col("text"))) shouldBe
+        evalCol(t, org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("text"))))
+    }
+  }
+
+  test("punctCount counts only .,!?;: characters") {
+    evalCol("Hi, there! Really?? a.b;c: d", TextAnalysis.punctCount(col("text"))) shouldBe 7
+    evalCol("no punctuation here", TextAnalysis.punctCount(col("text"))) shouldBe 0
+  }
+
+  test("stopwordCount counts stopword tokens") {
+    evalCol("the cat and the dog", TextAnalysis.stopwordCount(
+      TextAnalysis.tokens(col("text")))) shouldBe 3
+  }
+
+  test("qualitySignals: empty docs yield zero ratios, score in [0,1]") {
+    val rows = TextAnalysis.qualitySignals(
+      Seq("", "the cat sat. on the mat!", "word " * 200).toDF("text"), col("text"))
+      .collect()
+    rows.foreach { r =>
+      val score = r.getAs[Double]("quality_score")
+      score should (be >= 0.0 and be <= 1.0)
+    }
+    val empty = rows(0)
+    empty.getAs[Int]("n_tokens") shouldBe 0
+    empty.getAs[Double]("punct_ratio") shouldBe 0.0
+    empty.getAs[Double]("stopword_ratio") shouldBe 0.0
+  }
+
+  test("languageId identifies marker languages, und otherwise") {
+    val cases = Seq(
+      "the cat and dog is here of course" -> "en",
+      "der hund und die katze das haus" -> "de",
+      "el perro y los gatos que corren" -> "es",
+      "le chien est dans les jardins des voisins" -> "fr",
+      "zyx wvu tsr qpo" -> "und")
+    cases.foreach { case (text, want) =>
+      withClue(text) {
+        evalCol(text, TextAnalysis.languageId(col("text"))) shouldBe want
+      }
+    }
+  }
+
+  test("languageId tie goes to the earlier language in LangMarkers order") {
+    // one en marker ("the") and one de marker ("und"): en is declared first
+    evalCol("the und", TextAnalysis.languageId(col("text"))) shouldBe "en"
+  }
+
+  test("fingerprint is invariant to order and repetition, sensitive to content") {
+    def fp(t: String) = evalCol(t, TextAnalysis.fingerprint(col("text")))
+    fp("alpha beta gamma") shouldBe fp("gamma beta alpha alpha")
+    fp("alpha beta gamma") should not be fp("alpha beta delta")
+  }
+
+  test("shingles produce distinct n-grams; short docs yield empty") {
+    evalCol("a b c d", TextAnalysis.shingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq.toSet shouldBe Set("a b c", "b c d")
+    evalCol("a b", TextAnalysis.shingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq shouldBe Nil
+    // repetition dedups
+    evalCol("x y x y x y", TextAnalysis.shingles(col("text"), 2))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq.toSet shouldBe Set("x y", "y x")
+  }
+}
