@@ -60,6 +60,56 @@ object SparkEntry {
           round(col("danceability"), 4).as("danceability"),
           round(col("tempo"), 4).as("tempo"),
           col("time_signature"), col("track_genre"))),
+    // ---- LLM-data-pipeline operators over documents/embeddings ----
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exactDuplicateGroups(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("fingerprint"), col("n_docs"),
+          element_at(col("doc_ids"), 1).as("doc_min"),
+          element_at(col("doc_ids"), -1).as("doc_max"))),
+
+    "q_dedup_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupPairsExact(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupPairsMinHash(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
+
+    // rows-only check (no SQL oracle): 64-bit SimHash banded pairs
+    "q_simhash_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.simHashNearDupPairs(
+        table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    "q_knn" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.ops.Similarity.knnBruteForce(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+    }),
+
+    "q_knn_topk_agg" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.ops.Similarity.topKPerQuery(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+    }),
+
+    "q_embed_dup" -> ((s, dir) =>
+      graft.ops.Similarity.nearDupCosine(
+        table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)),
+
+    "q_langid" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("predicted", graft.ops.TextAnalysis.languageId(col("text")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      graft.ops.TextAnalysis.qualitySignals(
+        table(s, dir, "documents").select("doc_id", "text"), col("text"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("quality_score"), 6).as("quality_score"))),
+
     // ---- the five declared KPI queries (SURVEY §2.11) ----
     "kpi_user" -> ((s, dir) =>
       KpiQueries.userKpis(TestTables.enriched(s, dir))),
@@ -161,7 +211,117 @@ object SparkEntry {
           countDistinct("event_type").as("n_types"))
     }))
 
+  /** Shared DuckDB CTE: tokenization identical to `TextAnalysis.tokens`
+    * (split on `\s+`, drop empties) over the documents table.
+    */
+  private val docToks =
+    """WITH d AS (
+      |  SELECT doc_id, text, lang,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB cosine similarity matching `Similarity.cosine` exactly:
+    * double-cast elements, in-order left-fold sums.
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+
+  private val dedupPairsSql =
+    s"""$docToks, s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM d WHERE len(toks) >= 3
+       |), p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |)
+       |SELECT a_id, b_id, ROUND(ni / (na + nb - ni), 6) AS jaccard
+       |FROM p WHERE ni / (na + nb - ni) >= 0.5""".stripMargin
+
+  private val knnSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |p AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+       |  FROM q, c WHERE query_id <> neighbor_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM p
+       |)
+       |SELECT query_id, neighbor_id, rn, ROUND(sim, 6) AS sim FROM r WHERE rn <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""$docToks
+         |SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+         |       COUNT(*) AS n_docs, MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+         |FROM d GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_dedup_pairs"   -> dedupPairsSql,
+    "q_dedup_minhash" -> dedupPairsSql,
+
+    "q_knn"          -> knnSql,
+    "q_knn_topk_agg" -> knnSql,
+
+    "q_embed_dup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+
+    "q_langid" ->
+      s"""$docToks, sc AS (
+         |  SELECT lang,
+         |    list_contains(toks,'the')::INT + list_contains(toks,'and')::INT
+         |      + list_contains(toks,'of')::INT + list_contains(toks,'is')::INT AS s_en,
+         |    list_contains(toks,'der')::INT + list_contains(toks,'die')::INT
+         |      + list_contains(toks,'das')::INT + list_contains(toks,'und')::INT AS s_de,
+         |    list_contains(toks,'el')::INT + list_contains(toks,'los')::INT
+         |      + list_contains(toks,'que')::INT + list_contains(toks,'y')::INT AS s_es,
+         |    list_contains(toks,'le')::INT + list_contains(toks,'les')::INT
+         |      + list_contains(toks,'des')::INT + list_contains(toks,'est')::INT AS s_fr
+         |  FROM d
+         |), pr AS (
+         |  SELECT lang, CASE
+         |    WHEN s_en >= greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |    WHEN s_es >= greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
+         |    WHEN s_fr >= greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS predicted
+         |  FROM sc
+         |)
+         |SELECT lang, predicted, COUNT(*) AS n FROM pr GROUP BY 1, 2""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    greatest(len(toks), 1) AS safe,
+        |    len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'], t))) AS stop,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nospace
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(punct / safe, 6) AS punct_ratio,
+        |  ROUND(stop / safe, 6) AS stopword_ratio,
+        |  ROUND(nospace / safe, 6) AS avg_token_len,
+        |  ROUND(0.4 * least(1.0, n_tokens / 100.0)
+        |      + 0.3 * (1.0 - least(1.0, (punct / safe) * 5.0))
+        |      + 0.3 * least(1.0, (stop / safe) * 5.0), 6) AS quality_score
+        |FROM m""".stripMargin,
     // Ingest parity: all-varchar CSV read + explicit try-casts mirror
     // Spark's PERMISSIVE semantics — a row is corrupt (excluded) iff a
     // non-null field fails its declared type/format, null-padded on short

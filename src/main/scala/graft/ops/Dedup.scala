@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact duplicates, n-gram-Jaccard near-dups via an inverted shingle
+  * index, and MinHash+LSH banded near-dups (the 100 TB path).
+  *
+  * All three are pure DataFrame/Column programs — no UDFs, no driver
+  * loops. The pair generators never do an all-pairs cross join: exact
+  * near-dup candidates come from a shingle inverted index (docs sharing
+  * at least one shingle — complete for any Jaccard > 0, so the
+  * τ-threshold answer is exact), and the MinHash path replaces even that
+  * with banded signature buckets whose size is independent of corpus
+  * size. Hot shingles/buckets are the skew risk at scale: `maxDf` drops
+  * shingles present in more than a fraction/count of docs (stopword-like
+  * n-grams), which is what bounds the inverted-index fanout on 10^9 docs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical fingerprint (md5 of the sorted
+    * distinct token set — catches reorderings/repetitions; use
+    * `md5(text)` semantics via `byRawText=true` for byte-exact groups).
+    * Output: one row per duplicate *group* with ≥2 members.
+    */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String,
+                           byRawText: Boolean = false): DataFrame = {
+    val key = if (byRawText) md5(col(textCol).cast("binary"))
+              else TextAnalysis.fingerprint(col(textCol))
+    docs.select(col(idCol).as("doc_id"), key.as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), array_sort(collect_list("doc_id")).as("doc_ids"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** (doc_id, shingles, n_shingles) — distinct word n-grams per doc. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.shingles(col(textCol), n).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+      .filter(col("n_shingles") > 0)
+
+  /** Near-duplicate pairs with exact n-gram Jaccard ≥ `tau`, candidates
+    * from the shingle inverted index. Complete (no false negatives) as
+    * long as `maxDf` is None: any pair with Jaccard > 0 shares a shingle.
+    * With `maxDf = Some(d)` shingles occurring in > d docs are dropped
+    * from the *index only* (Jaccard is still computed on full sets) —
+    * the standard scale trade: a pair sharing only stopword-grams can be
+    * missed, everything else is found.
+    *
+    * Output: (a_id, b_id, jaccard), a_id < b_id.
+    */
+  def nearDupPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, tau: Double = 0.5,
+                        maxDf: Option[Int] = None): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val indexed = maxDf match {
+      case Some(d) =>
+        // count-bounded inverted index: drop stopword-like shingles
+        val keep = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= d).select("sh")
+        posting.join(keep, "sh")
+      case None => posting
+    }
+    val a = indexed.select(col("sh"), col("doc_id").as("a_id"))
+    val b = indexed.select(col("sh"), col("doc_id").as("b_id"))
+    // shared-shingle count IS the intersection size (shingle sets are distinct)
+    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    val sizes = sets.select(col("doc_id"), col("n_shingles"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "a_id", "n_shingles" -> "n_a")), "a_id")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "b_id", "n_shingles" -> "n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic affine hash family over a base xxhash64 of the
+    * shingle. Coefficients from a fixed LCG seed — stable across runs
+    * and executors (no Random at plan time).
+    */
+  private def hashCoeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    var x = seed
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    // a ∈ [1, 2^31): with the base hash reduced to [0, 2^31), a*x < 2^62
+    // and a*x + b < 2^63 — no ANSI long overflow anywhere.
+    val as = Array.fill(numHashes)(math.abs(next()) % ((1L << 31) - 1) + 1)
+    val bs = Array.fill(numHashes)(math.abs(next()) % MersennePrime)
+    (as, bs)
+  }
+
+  /** MinHash signatures: (doc_id, sig[numHashes]). One expression tree —
+    * `sig[j] = min over shingles of ((a_j * xxhash64(s) + b_j) mod P)`
+    * (64-bit wrap on the multiply; irrelevant for min-hashing, which only
+    * needs a deterministic pseudo-uniform family).
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val (as, bs) = hashCoeffs(numHashes, seed)
+    val aArr = array(as.map(lit(_)).toIndexedSeq: _*)
+    val bArr = array(bs.map(lit(_)).toIndexedSeq: _*)
+    shingleSets(docs, idCol, textCol, n)
+      .withColumn("xs", transform(col("shingles"), s => pmod(xxhash64(s), lit(1L << 31))))
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          j => array_min(transform(col("xs"),
+            x => pmod(element_at(aArr, j + 1) * x + element_at(bArr, j + 1),
+              lit(MersennePrime))))))
+      .select(col("doc_id"), col("sig"))
+  }
+
+  /** LSH banding: explode each signature into `bands` bucket keys of
+    * `rowsPerBand` values; docs sharing any (band, bucket) are candidate
+    * pairs. Bucket cardinality, not corpus cardinality, bounds the join.
+    */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** MinHash+LSH near-dup pipeline: banded candidates, then *exact*
+    * Jaccard verification of each candidate (so false positives are
+    * impossible; recall is the banding probability, ≈1 for near-identical
+    * docs at 64 hashes / 16 bands).
+    * Output matches [[nearDupPairsExact]]: (a_id, b_id, jaccard).
+    */
+  def nearDupPairsMinHash(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, tau: Double = 0.5,
+                          numHashes: Int = 64, bands: Int = 16,
+                          seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes, seed)
+    val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"),
+        col("n_shingles").as("n_a")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"),
+        col("n_shingles").as("n_b")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash (64-bit) per doc: sign-aggregated token-hash bits packed
+    * into a long. Near-dup candidates = equal 16-bit quadrant keys
+    * (docs within Hamming distance 3 must share a quadrant — pigeonhole).
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val xs = transform(toks, t => xxhash64(t))
+    // bit j: sum over tokens of (+1 if bit set else -1) > 0. The shift
+    // amount is a lambda variable, so go through call_function (the
+    // functions.shiftright overload only takes a literal Int).
+    def shr(x: Column, j: Column): Column = call_function("shiftright", x, j)
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      when(aggregate(xs, lit(0L),
+        (acc, x) => acc + when(shr(x, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    docs.select(col(idCol).as("doc_id"),
+      aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+        (bit, j) => call_function("shiftleft", bit, j)),
+        lit(0L), (acc, v) => acc.bitwiseOR(v)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3 for the 4-quadrant
+    * scheme to be complete), candidates from quadrant buckets.
+    */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-quadrant banding is only complete for hamming <= 3")
+    val sh = simHash(docs, idCol, textCol).cache()
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("simhash"), q * 16).bitwiseAND(0xFFFFL))))
+      .toDF("doc_id", "simhash", "quad", "key")
+    val a = banded.select(col("quad"), col("key"), col("doc_id").as("a_id"),
+      col("simhash").as("sh_a"))
+    val b = banded.select(col("quad"), col("key"), col("doc_id").as("b_id"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("quad", "key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Three tiers, same result contract:
+  *   - [[knnBruteForce]]: exact top-k, broadcast query set — the
+  *     correctness baseline. One scan of the corpus, no corpus-side
+  *     shuffle; cost O(|corpus|·|queries|·dim) spread across partitions.
+  *   - [[topKPerQuery]]: the same exact result through a bounded-heap
+  *     `Aggregator` — replaces the rank-window's full per-query sort
+  *     with map-side partial heaps of size k (what survives a 10^9-row
+  *     corpus, where sorting |corpus| rows per query does not).
+  *   - [[signBuckets]]/[[knnLshBucketed]]: approximate — random
+  *     hyperplane signatures bucket the corpus so each query only scans
+  *     candidates sharing a band; recall measured in tests, not assumed.
+  *
+  * All dot products cast to double before multiplying: float
+  * accumulation is neither associative enough for cross-engine parity
+  * nor stable across partition orders.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k per query vector. Queries must be small enough to
+    * broadcast (they are, by construction of a query workload); the
+    * corpus is scanned once, map-side, and only (queries × k) rows reach
+    * the final per-query ordering.
+    * Output: (query_id, neighbor_id, rn, sim), rn 1..k by (sim desc, id).
+    */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Bounded min-heap top-k aggregator: state is never larger than k, and
+    * partial aggregation runs map-side before the per-query shuffle —
+    * the 100 TB replacement for rank-window top-k (SURVEY §7.3).
+    */
+  class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long) // best first
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+      trim(buf :+ in)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sorted(ord).take(k)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact top-k via the bounded-heap aggregator; result contract matches
+    * [[knnBruteForce]] (modulo it being an aggregation, not a window).
+    */
+  def topKPerQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[(Double, Long)])
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), cosine(col("qv"), col("cv")).as("s"),
+        col("neighbor_id").cast("long").as("nid"))
+      .groupBy("query_id")
+      .agg(topk(col("s"), col("nid")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG-seeded, unit-free —
+    * sign tests don't need normalization). One row per plane.
+    */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    var x = seed
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · r_i), packed into
+    * `nPlanes / bandBits` band keys for bucketing.
+    */
+  def signBuckets(df: DataFrame, vecCol: String, dim: Int, nPlanes: Int = 16,
+                  bandBits: Int = 8, seed: Long = 7L): DataFrame = {
+    require(nPlanes % bandBits == 0, "nPlanes must divide into bands")
+    val ps = planes(dim, nPlanes, seed)
+    val bits: Seq[Column] = ps.toIndexedSeq.map { p =>
+      val pArr = array(p.toIndexedSeq.map(lit(_)): _*)
+      when(dot(col(vecCol), pArr) >= 0, lit(1)).otherwise(lit(0))
+    }
+    val bands = bits.grouped(bandBits).zipWithIndex.map { case (bs, i) =>
+      struct(lit(i).as("band"),
+        bs.zipWithIndex.map { case (b, j) => b * (1 << j) }.reduce(_ + _).as("key"))
+    }.toSeq
+    df.withColumn("_bands", array(bands: _*))
+  }
+
+  /** Approximate top-k: candidates share at least one signature band with
+    * the query; exact cosine + rank within candidates. Each bucket join
+    * key is (band, key) — bucket size, not corpus size, bounds the work.
+    */
+  def knnLshBucketed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, dim: Int, k: Int,
+                     nPlanes: Int = 16, bandBits: Int = 8, seed: Long = 7L): DataFrame = {
+    def banded(df: DataFrame, prefix: String) =
+      signBuckets(df, vecCol, dim, nPlanes, bandBits, seed)
+        .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
+          explode(col("_bands")).as("b"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}v"),
+          col("b.band").as("band"), col("b.key").as("key"))
+    val cands = banded(corpus, "neighbor").join(banded(queries, "query"), Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "queryv", "neighborv").distinct()
+      .withColumn("sim", cosine(col("queryv"), col("neighborv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ tau. Exact (all candidate
+    * pairs via self cross join) — for the scale path, feed the banded
+    * candidates of [[knnLshBucketed]] instead. Output (a_id, b_id, sim).
+    */
+  def nearDupCosine(embeddings: DataFrame, idCol: String, vecCol: String,
+                    tau: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+    val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("av"), col("bv")))
+      .filter(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer internals and codegen"),
+    (4L, "dog lazy the over jumps fox brown quick the"), // token-set subset/reorder of 1
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicateGroups: fingerprint mode groups reorderings, raw mode doesn't") {
+    val fp = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+    // docs 1 and 5 are byte-identical; doc 4 has a *different* token set
+    // (no river/bank/near/today) so it must not join the group
+    val groups = fp.collect()
+    groups.length shouldBe 1
+    groups.head.getAs[Long]("n_docs") shouldBe 2
+    val raw = Dedup.exactDuplicateGroups(docs, "doc_id", "text", byRawText = true)
+    raw.collect().head.getAs[Seq[Long]]("doc_ids") // present
+    raw.count() shouldBe 1
+  }
+
+  test("nearDupPairsExact finds the planted near-dup pair and nothing else at tau=0.5") {
+    val pairs = Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.toSet shouldBe Set((1L, 2L), (1L, 5L), (2L, 5L))
+  }
+
+  test("nearDupPairsExact jaccard values are exact") {
+    val j = Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.0)
+      .filter(col("a_id") === 1 && col("b_id") === 5)
+      .collect().head.getAs[Double]("jaccard")
+    j shouldBe 1.0
+  }
+
+  test("maxDf drops stopword-like shingles from the index only") {
+    // with maxDf=1 every shared shingle is over-threshold, so no candidates
+    Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5,
+      maxDf = Some(1)).count() shouldBe 0
+    // with a loose cutoff the result is unchanged vs None
+    Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5,
+      maxDf = Some(100)).count() shouldBe 3
+  }
+
+  test("minHash signatures: identical docs identical sigs, near-dups mostly agree") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]]("sig")).toMap
+    sigs(1L) shouldBe sigs(5L)
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    agree12.toDouble / 64 should be > 0.6 // J(1,2) ≈ 0.86
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    agree13 should be < agree12
+  }
+
+  test("nearDupPairsMinHash matches the exact pair set on this corpus") {
+    val exact = Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.nearDupPairsMinHash(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    lsh shouldBe exact
+  }
+
+  test("simHash: identical docs collide, near-dups are close, unrelated far") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh(1L) shouldBe sh(5L)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(sh(1L), sh(2L)) should be < ham(sh(1L), sh(3L))
+  }
+
+  test("simHashNearDupPairs returns the identical pair at hamming 0") {
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.map(p => (p._1, p._2)) should contain((1L, 5L))
+    pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 0
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val d = df(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(-1f, 0f))
+    val sims = d.crossJoin(d.select(col("vec_id").as("b_id"), col("embedding").as("bv")))
+      .select(col("vec_id"), col("b_id"),
+        Similarity.cosine(col("embedding"), col("bv")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sims((1L, 1L)) shouldBe 1.0 +- 1e-12
+    sims((1L, 2L)) shouldBe 0.0 +- 1e-12
+    sims((1L, 3L)) shouldBe -1.0 +- 1e-12
+  }
+
+  test("knnBruteForce ranks by similarity with id tie-break") {
+    val corpus = df(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(0f, 1f),
+      4L -> Seq(1f, 0.01f))
+    val got = Similarity.knnBruteForce(corpus, corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    got.toSeq shouldBe Seq((4L, 1L), (2L, 2L)) // 4 is nearly parallel, then 2
+  }
+
+  test("topKPerQuery (bounded-heap aggregator) equals the brute-force window result") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val a = Similarity.knnBruteForce(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rn", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Similarity.topKPerQuery(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rn", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    b shouldBe a
+  }
+
+  test("knnLshBucketed: high recall on clustered vectors, candidates < all pairs") {
+    // two tight clusters: members of a cluster are near-parallel, so they
+    // share hyperplane signs with high probability
+    val base1 = Array.fill(8)(1.0f)
+    val base2 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) base1 else base2
+      val jitter = base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i * 7 + j) % 5) }
+      (i.toLong, jitter.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0 || col("vec_id") === 10)
+    val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnLshBucketed(corpus, queries, "vec_id", "embedding",
+      dim = 8, k = 5, nPlanes = 16, bandBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("nearDupCosine finds only pairs above tau") {
+    val d = df(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.99f, 0.1f, 0f), 3L -> Seq(0f, 0f, 1f))
+    val pairs = Similarity.nearDupCosine(d, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.toSet shouldBe Set((1L, 2L))
+  }
+}
