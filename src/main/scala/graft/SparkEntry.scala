@@ -43,6 +43,12 @@ object SparkEntry {
     */
   val FixturesDir = "/root/repo/fixtures"
 
+  /** Fixed run timestamp for the serve-stage entries (the reference uses
+    * `datetime.now().isoformat()` per load run; pinned for reproducible
+    * oracle comparison).
+    */
+  val ServeRunTs = "2024-07-01T00:00:00"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ingest/validation module (SURVEY §2.1 S1/S2/S7, §2.2 P3/P5/P7, §2.7 U1) ----
     "q_csv_streams" -> ((s, _) =>
@@ -109,6 +115,22 @@ object SparkEntry {
           round(col("stopword_ratio"), 6).as("stopword_ratio"),
           round(col("avg_token_len"), 6).as("avg_token_len"),
           round(col("quality_score"), 6).as("quality_score"))),
+
+    // ---- serve stage: columnar key synthesis (SURVEY §2.8 F3, §7.1 m5) ----
+    "q_serve_items" -> ((s, dir) =>
+      graft.serve.KpiItems.genreDailyItems(
+        KpiQueries.genreDailyMetrics(TestTables.enriched(s, dir)), ServeRunTs)),
+
+    "q_serve_ids" -> ((s, dir) => {
+      import graft.serve.KpiItems._
+      val e = TestTables.enriched(s, dir)
+      val idk = (df: DataFrame) => df.select("id", "kpi_type")
+      idk(userItems(KpiQueries.userKpis(e), ServeRunTs))
+        .unionAll(idk(genreDailyItems(KpiQueries.genreDailyMetrics(e), ServeRunTs)))
+        .unionAll(idk(topSongsItems(KpiQueries.genreTopSongs(e), ServeRunTs)))
+        .unionAll(idk(topGenresItems(KpiQueries.genreTopGenres(e), ServeRunTs)))
+        .unionAll(idk(trendingItems(KpiQueries.trendingKpis(e), ServeRunTs)))
+    }),
 
     // ---- the five declared KPI queries (SURVEY §2.11) ----
     "kpi_user" -> ((s, dir) =>
@@ -424,6 +446,60 @@ object SparkEntry {
          |  COUNT(DISTINCT user_id) AS unique_listeners,
          |  'trending' AS kpi_type
          |FROM tw GROUP BY 1, 2""".stripMargin,
+
+    "q_serve_items" ->
+      s"""$oracleBase, daily AS (
+         |  SELECT date_trunc('day', ts) AS date, track_genre,
+         |    COUNT(track_id) AS listen_count,
+         |    COUNT(DISTINCT user_id) AS unique_listeners,
+         |    (CAST(SUM(duration_ms) AS BIGINT) / 60000.0) AS total_time
+         |  FROM enriched GROUP BY 1, 2
+         |)
+         |SELECT 'GENRE_DAILY_' || coalesce(track_genre, 'None') || '_'
+         |         || strftime(date, '%Y-%m-%d %H:%M:%S') AS id,
+         |  '$ServeRunTs' AS timestamp, 'genre_daily' AS kpi_type,
+         |  strftime(date, '%Y-%m-%dT%H:%M:%S') AS date,
+         |  track_genre AS genre,
+         |  coalesce(listen_count, 0) AS listen_count,
+         |  coalesce(unique_listeners, 0) AS unique_listeners,
+         |  coalesce(total_time, 0.0) AS total_time
+         |FROM daily""".stripMargin,
+
+    "q_serve_ids" ->
+      s"""$oracleBase, daily AS (
+         |  SELECT date_trunc('day', ts) AS date, track_genre,
+         |    COUNT(track_id) AS listen_count
+         |  FROM enriched GROUP BY 1, 2
+         |), plays AS (
+         |  SELECT date_trunc('day', ts) AS date, track_genre, track_id,
+         |         COUNT(*) AS play_count
+         |  FROM enriched GROUP BY 1, 2, 3
+         |), ranked_songs AS (
+         |  SELECT *, DENSE_RANK() OVER (PARTITION BY date, track_genre
+         |    ORDER BY play_count DESC) AS rnk FROM plays
+         |), ranked_genres AS (
+         |  SELECT *, DENSE_RANK() OVER (PARTITION BY date
+         |    ORDER BY listen_count DESC) AS rnk FROM daily
+         |), trend AS (
+         |  SELECT DISTINCT track_id, track_genre FROM enriched
+         |)
+         |SELECT 'USER_' || user_id AS id, 'user' AS kpi_type
+         |FROM (SELECT DISTINCT user_id FROM enriched)
+         |UNION ALL
+         |SELECT 'GENRE_DAILY_' || coalesce(track_genre, 'None') || '_'
+         |         || strftime(date, '%Y-%m-%d %H:%M:%S'), 'genre_daily'
+         |FROM daily
+         |UNION ALL
+         |SELECT 'GENRE_TOP_SONGS_' || coalesce(track_genre, 'None') || '_'
+         |         || strftime(date, '%Y-%m-%d %H:%M:%S') || '_' || track_id,
+         |       'genre_top_songs'
+         |FROM ranked_songs WHERE rnk <= 3
+         |UNION ALL
+         |SELECT 'GENRE_TOP_' || coalesce(track_genre, 'None') || '_'
+         |         || strftime(date, '%Y-%m-%d %H:%M:%S'), 'genre_top'
+         |FROM ranked_genres WHERE rnk <= 5
+         |UNION ALL
+         |SELECT 'TRENDING_' || track_id, 'trending' FROM trend""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
