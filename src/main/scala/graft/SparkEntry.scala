@@ -150,6 +150,10 @@ object SparkEntry {
     "kpi_trending" -> ((s, dir) =>
       KpiQueries.trendingKpis(TestTables.enriched(s, dir))),
 
+    // de-skewed plan, same oracle — must stay hash-equal to kpi_trending
+    "q_trending_bucketed" -> ((s, dir) =>
+      KpiQueries.trendingKpisBucketed(TestTables.enriched(s, dir))),
+
     // ---- generic operator coverage (SURVEY §2.2-2.7) ----
     "q_pricing_summary" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -276,6 +280,25 @@ object SparkEntry {
        |  FROM p
        |)
        |SELECT query_id, neighbor_id, rn, ROUND(sim, 6) AS sim FROM r WHERE rn <= 10""".stripMargin
+
+  /** Shared by kpi_trending and its de-skewed bucketed variant — both
+    * plans must hash-match the same oracle.
+    */
+  private lazy val trendingOracleSql: String =
+    s"""$oracleBase, tw AS (
+       |  SELECT track_id, track_genre, duration_ms, user_id,
+       |    COUNT(track_id) OVER (
+       |      PARTITION BY track_id
+       |      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) DESC
+       |      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS plays_in_window
+       |  FROM enriched
+       |)
+       |SELECT track_id, track_genre,
+       |  MAX(plays_in_window) AS plays_last_24h,
+       |  (CAST(SUM(duration_ms) AS BIGINT) / 60000.0) AS total_listening_time_minutes,
+       |  COUNT(DISTINCT user_id) AS unique_listeners,
+       |  'trending' AS kpi_type
+       |FROM tw GROUP BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -431,21 +454,8 @@ object SparkEntry {
          |  total_listening_time_minutes, rnk
          |FROM ranked WHERE rnk <= 5""".stripMargin,
 
-    "kpi_trending" ->
-      s"""$oracleBase, tw AS (
-         |  SELECT track_id, track_genre, duration_ms, user_id,
-         |    COUNT(track_id) OVER (
-         |      PARTITION BY track_id
-         |      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) DESC
-         |      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS plays_in_window
-         |  FROM enriched
-         |)
-         |SELECT track_id, track_genre,
-         |  MAX(plays_in_window) AS plays_last_24h,
-         |  (CAST(SUM(duration_ms) AS BIGINT) / 60000.0) AS total_listening_time_minutes,
-         |  COUNT(DISTINCT user_id) AS unique_listeners,
-         |  'trending' AS kpi_type
-         |FROM tw GROUP BY 1, 2""".stripMargin,
+    "q_trending_bucketed" -> trendingOracleSql,
+    "kpi_trending"        -> trendingOracleSql,
 
     "q_serve_items" ->
       s"""$oracleBase, daily AS (

@@ -116,6 +116,28 @@ class KpiGoldenSpec extends SparkSpec {
     plays shouldBe plays.sorted.reverse
   }
 
+  test("trendingKpisBucketed is row-identical to trendingKpis (incl. 24h boundary)") {
+    // boundary corpus: events exactly 24h apart (inclusive frame), plus
+    // bucket-straddling events 23.5h apart across a day boundary
+    val boundary = Seq(
+      ("u1", "t1", "2024-06-25 00:00:00"),
+      ("u2", "t1", "2024-06-26 00:00:00"), // exactly +24h: inside [t, t+24h]
+      ("u3", "t1", "2024-06-26 00:00:01"), // +24h1s: outside the first frame
+      ("u1", "t2", "2024-06-25 23:00:00"),
+      ("u2", "t2", "2024-06-26 22:30:00")  // +23.5h, next bucket
+    ).toDF("user_id", "track_id", "listen_time")
+      .withColumn("listen_time", to_timestamp(col("listen_time")))
+    val e2 = KpiQueries.prepareStreamingData(boundary, songs, users)
+    for (en <- Seq(enriched, e2)) {
+      val a = KpiQueries.trendingKpis(en).collect().map(_.toSeq).toSet
+      val b = KpiQueries.trendingKpisBucketed(en).collect().map(_.toSeq).toSet
+      b shouldBe a
+    }
+    // pin the boundary semantics: the +24h event IS counted in t1's frame
+    KpiQueries.trendingKpisBucketed(e2).filter($"track_id" === "t1")
+      .collect().head.getLong(2) shouldBe 2L
+  }
+
   test("KpiQueries.all exposes the five reference output names") {
     KpiQueries.all(enriched).keySet shouldBe Set("user_kpis",
       "genre_daily_metrics_kpi", "genre_top_songs_kpi",
