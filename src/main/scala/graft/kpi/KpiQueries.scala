@@ -206,10 +206,12 @@ object KpiQueries {
     * output-directory names the reference's loader depends on
     * (`scripts/compute_kpis.py:351-361`).
     */
-  def all(enriched: DataFrame, approxDistinct: Boolean = false): Map[String, DataFrame] = Map(
+  def all(enriched: DataFrame, approxDistinct: Boolean = false,
+          deskewTrending: Boolean = false): Map[String, DataFrame] = Map(
     "user_kpis"               -> userKpis(enriched),
     "genre_daily_metrics_kpi" -> genreDailyMetrics(enriched, approxDistinct),
     "genre_top_songs_kpi"     -> genreTopSongs(enriched),
     "genre_top_genres_kpi"    -> genreTopGenres(enriched, approxDistinct = approxDistinct),
-    "trending_kpis"           -> trendingKpis(enriched, approxDistinct))
+    "trending_kpis"           -> (if (deskewTrending) trendingKpisBucketed(enriched, approxDistinct)
+                                  else trendingKpis(enriched, approxDistinct)))
 }

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.{FsUtil, ParquetIO}
+import graft.kpi.KpiQueries
+import graft.serve.{KpiItems, KpiSink}
+import graft.validate.Validator
+
+/** End-to-end pipeline: the engine-side equivalent of the reference's
+  * Airflow DAG (`dags/music_streaming_pipeline.py:888-937`) —
+  * validate → stage → enrich → five KPIs → serve — as ONE Spark job
+  * instead of three Glue jobs round-tripping through S3.
+  *
+  * Differences from the reference, by design (SURVEY §4.3):
+  *   - the enriched frame is persisted once and fans out to all five
+  *     KPI queries (the reference recomputes the 3-table join per sink);
+  *   - serving items are columnar projections written by executors
+  *     (reference: `collect()` + driver loops);
+  *   - dimension reprocessing is gated by the MD5 CDC check (S11) with
+  *     a staged-parquet fast path (S4) — an unchanged songs/users CSV
+  *     is never re-parsed;
+  *   - output verification uses `take(1)` existence probes (O4) instead
+  *     of S3 polling.
+  */
+object PipelineJob {
+
+  final case class Config(
+      streamFiles: Seq[String],
+      songsCsv: String,
+      usersCsv: String,
+      stagingDir: String,
+      outputDir: String,
+      quarantineDir: Option[String] = None,
+      runTs: String = "1970-01-01T00:00:00",
+      approxDistinct: Boolean = false,
+      deskewTrending: Boolean = false)
+
+  final case class Result(stagedStreamRows: Long, kpiRows: Map[String, Long],
+                          servedItems: Long)
+
+  /** O4 — `take(1)` existence probe on a written output. */
+  def outputNonEmpty(df: DataFrame): Boolean = df.take(1).nonEmpty
+
+  /** Dimension load with CDC gate: reprocess the CSV only when its
+    * content hash changed (or nothing is staged yet); otherwise read the
+    * staged parquet (`scripts/validate_data.py:193-202` +
+    * `dags/music_streaming_pipeline.py:353-389`).
+    */
+  private def loadDim(spark: SparkSession, csv: String, staged: String,
+                      ledger: String): DataFrame = {
+    val changed = FsUtil.contentChanged(spark, csv, ledger)
+    if (changed || !FsUtil.exists(spark, staged)) {
+      val fresh = Validator.processReferenceData(spark, csv)
+      ParquetIO.writeOverwrite(fresh, staged)
+    }
+    ParquetIO.read(spark, staged)
+  }
+
+  def run(spark: SparkSession, cfg: Config,
+          sink: Option[KpiSink.KvStore] = None): Result = {
+    // 1 — validation job: permissive CSV → quarantine → clean → union
+    val streams = Validator.processStreams(spark, cfg.streamFiles, cfg.quarantineDir)
+    ParquetIO.writeAppend(streams, s"${cfg.stagingDir}/streams") // S6: history accumulates
+    val songs = loadDim(spark, cfg.songsCsv, s"${cfg.stagingDir}/songs",
+      s"${cfg.stagingDir}/ledger/songs.md5")
+    val users = loadDim(spark, cfg.usersCsv, s"${cfg.stagingDir}/users",
+      s"${cfg.stagingDir}/ledger/users.md5")
+
+    // 2 — KPI job over the FULL staged history (reference semantics)
+    val staged = ParquetIO.read(spark, s"${cfg.stagingDir}/streams")
+    val enriched = KpiQueries.persistEnriched(
+      KpiQueries.prepareStreamingData(staged, songs, users))
+    val kpis = KpiQueries.all(enriched, cfg.approxDistinct, cfg.deskewTrending)
+    val kpiRows = kpis.map { case (name, df) =>
+      ParquetIO.writeOverwrite(df, s"${cfg.outputDir}/$name")
+      val out = ParquetIO.read(spark, s"${cfg.outputDir}/$name")
+      require(outputNonEmpty(out), s"KPI output $name is empty")
+      name -> out.count()
+    }
+
+    // 3 — serve job: columnar items, distributed batched sink
+    val items = Seq(
+      KpiItems.userItems(ParquetIO.read(spark, s"${cfg.outputDir}/user_kpis"), cfg.runTs),
+      KpiItems.genreDailyItems(ParquetIO.read(spark, s"${cfg.outputDir}/genre_daily_metrics_kpi"), cfg.runTs),
+      KpiItems.topSongsItems(ParquetIO.read(spark, s"${cfg.outputDir}/genre_top_songs_kpi"), cfg.runTs),
+      KpiItems.topGenresItems(ParquetIO.read(spark, s"${cfg.outputDir}/genre_top_genres_kpi"), cfg.runTs),
+      KpiItems.trendingItems(ParquetIO.read(spark, s"${cfg.outputDir}/trending_kpis"), cfg.runTs))
+    val served = sink match {
+      case Some(store) => items.map { df => KpiSink.write(df, store); df.count() }.sum
+      case None        => items.map(_.count()).sum
+    }
+
+    enriched.unpersist()
+    Result(streams.count(), kpiRows, served)
+  }
+}
