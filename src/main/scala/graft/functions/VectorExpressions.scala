@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the similarity/dedup hot kernels.
+  *
+  * The declarative versions (`zip_with` + `aggregate`, `transform` +
+  * `array_min`) are kept as reference implementations, but Spark's
+  * higher-order functions evaluate interpreted — one lambda dispatch and
+  * an allocation per element — which is the dominant cost when the
+  * kernel sits inside an n² pair join. These expressions generate a
+  * tight primitive loop instead (`doGenCode`), with `eval` fallback for
+  * interpreted contexts. Arithmetic order is IDENTICAL to the HOF
+  * versions (left-to-right fold from 0), so results are bit-identical —
+  * verified by the oracle entries and unit tests.
+  */
+object VectorExpressions {
+
+  /** dot(a, b) over two array<double> columns — Σ a[i]·b[i]. */
+  case class DotProductDouble(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product_double"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double s = 0.0;
+           |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
+           |${ev.value} = s;
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature: for each j, min over xs of ((a_j·x + b_j) mod P).
+    * One pass over the base hashes with a primitive accumulator row —
+    * replaces numHashes interpreted `array_min(transform(...))` scans.
+    */
+  case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], prime: Long)
+      extends UnaryExpression {
+
+    require(as.length == bs.length)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData]
+      val h  = as.length
+      val acc = Array.fill(h)(Long.MaxValue)
+      var i = 0
+      val n = xs.numElements()
+      while (i < n) {
+        val x = xs.getLong(i)
+        var j = 0
+        while (j < h) {
+          val v = java.lang.Math.floorMod(as(j) * x + bs(j), prime)
+          if (v < acc(j)) acc(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      ArrayData.toArrayData(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, xs =>
+        s"""
+           |int h = $asRef.length;
+           |long[] acc = new long[h];
+           |java.util.Arrays.fill(acc, Long.MAX_VALUE);
+           |int n = $xs.numElements();
+           |for (int i = 0; i < n; i++) {
+           |  long x = $xs.getLong(i);
+           |  for (int j = 0; j < h; j++) {
+           |    long v = java.lang.Math.floorMod($asRef[j] * x + $bsRef[j], ${prime}L);
+           |    if (v < acc[j]) acc[j] = v;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(acc);
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def dotD(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductDouble(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def minhashSig(xs: Column, as: Array[Long], bs: Array[Long], prime: Long): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(xs), as, bs, prime))
+}

@@ -101,17 +101,20 @@ object Dedup {
     * needs a deterministic pseudo-uniform family).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+                        n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame =
+    minHashFromSets(shingleSets(docs, idCol, textCol, n), numHashes, seed)
+
+  /** Signatures from a precomputed (possibly cached) shingle-set frame —
+    * lets the LSH pipeline reuse ONE tokenization/shingling pass for both
+    * the signatures and the exact-Jaccard verification instead of
+    * re-deriving shingles per stage.
+    */
+  def minHashFromSets(sets: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     val (as, bs) = hashCoeffs(numHashes, seed)
-    val aArr = array(as.map(lit(_)).toIndexedSeq: _*)
-    val bArr = array(bs.map(lit(_)).toIndexedSeq: _*)
-    shingleSets(docs, idCol, textCol, n)
+    sets
       .withColumn("xs", transform(col("shingles"), s => pmod(xxhash64(s), lit(1L << 31))))
       .withColumn("sig",
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          j => array_min(transform(col("xs"),
-            x => pmod(element_at(aArr, j + 1) * x + element_at(bArr, j + 1),
-              lit(MersennePrime))))))
+        graft.functions.VectorExpressions.minhashSig(col("xs"), as, bs, MersennePrime))
       .select(col("doc_id"), col("sig"))
   }
 
@@ -143,7 +146,7 @@ object Dedup {
                           seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sets = shingleSets(docs, idCol, textCol, n).cache()
-    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes, seed)
+    val sigs = minHashFromSets(sets, numHashes, seed)
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
     cands
       .join(sets.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"),

@@ -32,6 +32,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with pre-materialized norms: on an n×m pair join, each side's
+    * norm is computed once per VECTOR (before the join) instead of once
+    * per PAIR — same doubles bit-for-bit (`dot/(na*nb)` either way), 3×
+    * fewer array folds in the pair kernel.
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Exact cosine top-k per query vector. Queries must be small enough to
     * broadcast (they are, by construction of a query workload); the
     * corpus is scanned once, map-side, and only (queries × k) rows reach
@@ -40,11 +48,14 @@ object Similarity {
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim",
+        graft.functions.VectorExpressions.dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -79,12 +90,15 @@ object Similarity {
     */
   def topKPerQuery(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[(Double, Long)])
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), cosine(col("qv"), col("cv")).as("s"),
+      .select(col("query_id"),
+        (graft.functions.VectorExpressions.dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("s"),
         col("neighbor_id").cast("long").as("nid"))
       .groupBy("query_id")
       .agg(topk(col("s"), col("nid")).as("top"))
@@ -133,13 +147,14 @@ object Similarity {
     def banded(df: DataFrame, prefix: String) =
       signBuckets(df, vecCol, dim, nPlanes, bandBits, seed)
         .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
-          explode(col("_bands")).as("b"))
-        .select(col(s"${prefix}_id"), col(s"${prefix}v"),
+          norm(col(vecCol)).as(s"${prefix}n"), explode(col("_bands")).as("b"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}v"), col(s"${prefix}n"),
           col("b.band").as("band"), col("b.key").as("key"))
     val cands = banded(corpus, "neighbor").join(banded(queries, "query"), Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "queryv", "neighborv").distinct()
-      .withColumn("sim", cosine(col("queryv"), col("neighborv")))
+      .select("query_id", "neighbor_id", "queryv", "neighborv", "queryn", "neighborn")
+      .distinct()
+      .withColumn("sim", cosinePre(col("queryv"), col("neighborv"), col("queryn"), col("neighborn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -150,12 +165,21 @@ object Similarity {
     * pairs via self cross join) — for the scale path, feed the banded
     * candidates of [[knnLshBucketed]] instead. Output (a_id, b_id, sim).
     */
+  /** Cast to array<double> once per VECTOR, before any pair join — the
+    * pair kernel (a codegen'd primitive loop, [[graft.functions
+    * .VectorExpressions.dotD]]) then does no casts and no allocations.
+    */
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
   def nearDupCosine(embeddings: DataFrame, idCol: String, vecCol: String,
                     tau: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av"))
-    val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val withN = embeddings.select(col(idCol), asDouble(col(vecCol)).as("_v"),
+      norm(col(vecCol)).as("_n"))
+    val a = withN.select(col(idCol).as("a_id"), col("_v").as("av"), col("_n").as("an"))
+    val b = withN.select(col(idCol).as("b_id"), col("_v").as("bv"), col("_n").as("bn"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("sim", cosine(col("av"), col("bv")))
+      .withColumn("sim",
+        graft.functions.VectorExpressions.dotD(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("sim") >= tau)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }

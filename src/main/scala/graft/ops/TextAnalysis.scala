@@ -82,6 +82,38 @@ object TextAnalysis {
     }
   }
 
+  /** Subword-ish token count: a BPE-flavored segmentation (contractions,
+    * letter runs, digit runs, symbol runs) counted in one regexp pass —
+    * the cheap stand-in for a real tokenizer when budgeting LLM training
+    * tokens. RE2-safe pattern (no lookahead) so the same regex runs in
+    * DuckDB/Trino for cross-engine checks.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("'[a-zA-Z]+|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
+
+  /** Winnowing fingerprints (the MOSS scheme): rolling k-gram hashes,
+    * then the minimum of each w-window, distinct. Guarantees any shared
+    * substring of length ≥ k+w-1 contributes a shared fingerprint —
+    * the dedup/plagiarism primitive that works on partial overlap where
+    * whole-document fingerprints miss. Pure columnar (one expression),
+    * O(len) per doc, no shuffle.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 2 && w >= 1, "winnowing needs k >= 2, w >= 1")
+    val t = lower(text)
+    val nGrams = length(t) - (k - 1)
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), greatest(nGrams, lit(1))),
+        i => xxhash64(call_function("substring", t, i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val nWins = size(grams) - (w - 1)
+    val mins = when(nWins >= 1,
+      transform(sequence(lit(1), greatest(nWins, lit(1))),
+        j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+    array_distinct(mins)
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct token set
     * (classic "fingerprint" key for clustering near-identical docs that
     * differ only in word order / repetition).

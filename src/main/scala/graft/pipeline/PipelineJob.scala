@@ -59,9 +59,16 @@ object PipelineJob {
 
   def run(spark: SparkSession, cfg: Config,
           sink: Option[KpiSink.KvStore] = None): Result = {
-    // 1 — validation job: permissive CSV → quarantine → clean → union
+    // 1 — validation job: permissive CSV → quarantine → clean → union.
+    // Row counts ride the write action via observe() — no second pass
+    // over the inputs just for logging (SURVEY §4.3: the reference
+    // re-runs count() eagerly at 8+ sites).
+    val obs = new org.apache.spark.sql.Observation("staged_streams")
     val streams = Validator.processStreams(spark, cfg.streamFiles, cfg.quarantineDir)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     ParquetIO.writeAppend(streams, s"${cfg.stagingDir}/streams") // S6: history accumulates
+    val stagedRows = obs.get("rows").asInstanceOf[Long]
     val songs = loadDim(spark, cfg.songsCsv, s"${cfg.stagingDir}/songs",
       s"${cfg.stagingDir}/ledger/songs.md5")
     val users = loadDim(spark, cfg.usersCsv, s"${cfg.stagingDir}/users",
@@ -92,6 +99,6 @@ object PipelineJob {
     }
 
     enriched.unpersist()
-    Result(streams.count(), kpiRows, served)
+    Result(stagedRows, kpiRows, served)
   }
 }

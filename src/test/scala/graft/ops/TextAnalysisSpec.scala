@@ -74,6 +74,25 @@ class TextAnalysisSpec extends SparkSpec {
     fp("alpha beta gamma") should not be fp("alpha beta delta")
   }
 
+  test("bpeishTokenCount segments contractions, words, numbers, symbols") {
+    evalCol("it's 42 degrees, really!", TextAnalysis.bpeishTokenCount(col("text"))) shouldBe 7
+    // it | 's | 42 | degrees | , | really | !
+    evalCol("", TextAnalysis.bpeishTokenCount(col("text"))) shouldBe 0
+    evalCol("abc123", TextAnalysis.bpeishTokenCount(col("text"))) shouldBe 2 // abc | 123
+  }
+
+  test("winnowing: shared substrings share fingerprints, disjoint texts don't") {
+    def fps(t: String): Set[Long] =
+      evalCol(t, TextAnalysis.winnowFingerprints(col("text")))
+        .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val a = fps("the quick brown fox jumps over the lazy dog")
+    val b = fps("PREFIX then the quick brown fox jumps over the lazy dog")
+    val c = fps("zebra xylophone quartz vex")
+    (a intersect b).size.toDouble / a.size should be > 0.5
+    (a intersect c) shouldBe empty
+    fps("abc") shouldBe empty // shorter than k
+  }
+
   test("shingles produce distinct n-grams; short docs yield empty") {
     evalCol("a b c d", TextAnalysis.shingles(col("text"), 3))
       .asInstanceOf[scala.collection.Seq[String]].toSeq.toSet shouldBe Set("a b c", "b c d")
