@@ -85,7 +85,7 @@ object Dedup {
     * shingle. Coefficients from a fixed LCG seed — stable across runs
     * and executors (no Random at plan time).
     */
-  private def hashCoeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+  private[graft] def hashCoeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
     var x = seed
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
     // a ∈ [1, 2^31): with the base hash reduced to [0, 2^31), a*x < 2^62

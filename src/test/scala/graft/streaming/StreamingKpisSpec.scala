@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.kpi.KpiQueries
+
+class StreamingKpisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming dailyGenreMetrics matches the batch KPI on a drained file source") {
+    val base = tmpDir("skpi")
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Files.writeString(Paths.get(s"$in/s1.csv"),
+      """user_id,track_id,listen_time
+        |u1,t1,2024-06-25 01:00:00
+        |u2,t1,2024-06-25 02:00:00
+        |u1,t2,2024-06-26 03:00:00
+        |""".stripMargin)
+    val songs = Seq(("t1", "T1", "A", "rock", 60000L), ("t2", "T2", "A", "pop", 120000L))
+      .toDF("track_id", "track_name", "artists", "track_genre", "duration_ms")
+    val users = Seq(("u1", "U1", "US"), ("u2", "U2", "DE"))
+      .toDF("user_id", "user_name", "user_country")
+
+    val stream = IncrementalIngest.streamsSource(spark, in)
+      .filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val enrichedStream = KpiQueries.prepareStreamingData(stream, songs, users)
+    val q = StreamingKpis.dailyGenreMetrics(enrichedStream)
+      .writeStream.format("memory").queryName("genre_metrics")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("genre_metrics")
+      .select("date", "track_genre", "listen_count")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getString(1), r.getLong(2)))
+      .toSet
+    got shouldBe Set(
+      ("2024-06-25", "rock", 2L),
+      ("2024-06-26", "pop", 1L))
+  }
+
+  test("sessionize groups plays by gap and emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingKpis.Play]
+    val q = StreamingKpis.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: u1 has two plays 10 min apart (one session, still open)
+    mem.addData(StreamingKpis.Play("u1", ts("2024-06-25 10:00:00")),
+      StreamingKpis.Play("u1", ts("2024-06-25 10:10:00")))
+    q.processAllAvailable()
+    // batch 2: a play 2 hours later closes the first session
+    mem.addData(StreamingKpis.Play("u1", ts("2024-06-25 12:30:00")))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[StreamingKpis.UserSession].collect()
+    closed.length shouldBe 1
+    closed.head.plays shouldBe 2
+    closed.head.duration_min shouldBe 10.0
+    q.stop()
+  }
+}
