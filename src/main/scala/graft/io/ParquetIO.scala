@@ -38,6 +38,24 @@ object ParquetIO {
       .parquet(PathUtil.cleanPath(path))
   }
 
+  /** Bucketed parquet staging: pre-hash-partition a fact table by its
+    * dominant join/group key so every later `groupBy(bucketCol)` /
+    * equi-join on it is shuffle-free (Spark reads one bucket file set
+    * per task, already co-located). The 100 TB play: stage streams
+    * bucketed by `user_id` once, run the per-user KPI family forever
+    * without an Exchange. Requires a table name (bucket metadata lives
+    * in the session catalog), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && numBuckets > 0)
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Corrupt-record quarantine (S7): append raw rows as JSON under
     * `<out>/corrupt_records/` — `scripts/validate_data.py:121-129`.
     */

@@ -38,6 +38,23 @@ class IoSpec extends SparkSpec {
     ParquetIO.read(spark, s"$base/a,$base/b").count() shouldBe 3
   }
 
+  test("bucketed staging eliminates the aggregation shuffle") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 1000).map(i => (s"u${i % 50}", s"t$i")).toDF("user_id", "track_id")
+    ParquetIO.writeBucketed(rows, "streams_bucketed", Seq("user_id"), numBuckets = 8)
+    try {
+      val agg = spark.table("streams_bucketed")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      plan.contains("Exchange hashpartitioning") shouldBe false // bucket layout reused
+      agg.count() shouldBe 50
+      // sanity: the same agg on a plain (unbucketed) frame DOES shuffle
+      val plain = rows.groupBy("user_id").agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      plain should include("Exchange")
+    } finally spark.sql("DROP TABLE IF EXISTS streams_bucketed")
+  }
+
   test("FsUtil.exists probes paths") {
     val base = tmpDir("fs")
     FsUtil.exists(spark, base) shouldBe true
