@@ -123,7 +123,9 @@ object SparkEntry {
 
     "q_serve_ids" -> ((s, dir) => {
       import graft.serve.KpiItems._
-      val e = TestTables.enriched(s, dir)
+      // one persisted enrichment pass feeds all five item branches
+      // (without it the 3-table join would be recomputed per branch)
+      val e = KpiQueries.persistEnriched(TestTables.enriched(s, dir))
       val idk = (df: DataFrame) => df.select("id", "kpi_type")
       idk(userItems(KpiQueries.userKpis(e), ServeRunTs))
         .unionAll(idk(genreDailyItems(KpiQueries.genreDailyMetrics(e), ServeRunTs)))
