@@ -116,6 +116,15 @@ object SparkEntry {
           round(col("avg_token_len"), 6).as("avg_token_len"),
           round(col("quality_score"), 6).as("quality_score"))),
 
+    // batch sessionization over the events stream (30-min gap)
+    "q_sessions" -> ((s, dir) =>
+      graft.ops.Sessionize.sessions(
+        table(s, dir, "events").na.drop(Seq("user_id", "ts")),
+        "user_id", "ts", gapMinutes = 30)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"), col("plays"),
+          round(col("duration_min"), 4).as("duration_min"))),
+
     // ---- serve stage: columnar key synthesis (SURVEY §2.8 F3, §7.1 m5) ----
     "q_serve_items" -> ((s, dir) =>
       graft.serve.KpiItems.genreDailyItems(
@@ -458,6 +467,28 @@ object SparkEntry {
 
     "q_trending_bucketed" -> trendingOracleSql,
     "kpi_trending"        -> trendingOracleSql,
+
+    "q_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), lagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800 THEN 1
+        |         ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM lagged
+        |)
+        |SELECT user_id, session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS plays,
+        |  ROUND((FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts)))) / 60.0, 4) AS duration_min
+        |FROM sess GROUP BY 1, 2""".stripMargin,
 
     "q_serve_items" ->
       s"""$oracleBase, daily AS (
