@@ -146,7 +146,7 @@ object Similarity {
                      nPlanes: Int = 16, bandBits: Int = 8, seed: Long = 7L): DataFrame = {
     def banded(df: DataFrame, prefix: String) =
       signBuckets(df, vecCol, dim, nPlanes, bandBits, seed)
-        .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
+        .select(col(idCol).as(s"${prefix}_id"), asDouble(col(vecCol)).as(s"${prefix}v"),
           norm(col(vecCol)).as(s"${prefix}n"), explode(col("_bands")).as("b"))
         .select(col(s"${prefix}_id"), col(s"${prefix}v"), col(s"${prefix}n"),
           col("b.band").as("band"), col("b.key").as("key"))
@@ -154,7 +154,9 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "queryv", "neighborv", "queryn", "neighborn")
       .distinct()
-      .withColumn("sim", cosinePre(col("queryv"), col("neighborv"), col("queryn"), col("neighborn")))
+      .withColumn("sim",
+        graft.functions.VectorExpressions.dotD(col("queryv"), col("neighborv")) /
+          (col("queryn") * col("neighborn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
