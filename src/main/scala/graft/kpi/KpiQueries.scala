@@ -112,6 +112,13 @@ object KpiQueries {
 
   /** Q3 genre_top_songs — top-k tracks per (date, genre), dense-ranked —
     * reference `scripts/compute_kpis.py:197-205`.
+    *
+    * Scale note: the rank-filter pattern is planned by Spark as a
+    * two-phase `WindowGroupLimit` (partial bounded top-k per input
+    * partition BEFORE the exchange, final after) — verified via
+    * `graft.Explain` — so only ≤k rows per (group, input-partition)
+    * ever shuffle. The SURVEY §7.3 "bounded per-partition heap" rewrite
+    * is built into Catalyst since 3.5; no custom rule needed.
     */
   def genreTopSongs(enriched: DataFrame, k: Int = TopSongsPerGenre): DataFrame = {
     val plays = withDate(enriched)

@@ -55,6 +55,26 @@ class IoSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS streams_bucketed")
   }
 
+  test("two co-bucketed tables join without any shuffle") {
+    import org.apache.spark.sql.functions._
+    val facts = (1 to 500).map(i => (s"u${i % 40}", i)).toDF("user_id", "v")
+    val dims  = (1 to 40).map(i => (s"u$i", s"name$i")).toDF("user_id", "name")
+    ParquetIO.writeBucketed(facts, "facts_b", Seq("user_id"), 8)
+    ParquetIO.writeBucketed(dims, "dims_b", Seq("user_id"), 8)
+    try {
+      // disable auto-broadcast so the join would otherwise sort-merge+shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("facts_b").join(spark.table("dims_b"), "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      plan.contains("Exchange hashpartitioning") shouldBe false
+      j.count() shouldBe 488 // the 12 u0 facts (i%40==0) have no dim row
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+      spark.sql("DROP TABLE IF EXISTS dims_b")
+    }
+  }
+
   test("FsUtil.exists probes paths") {
     val base = tmpDir("fs")
     FsUtil.exists(spark, base) shouldBe true
