@@ -34,7 +34,8 @@ object PipelineJob {
       quarantineDir: Option[String] = None,
       runTs: String = "1970-01-01T00:00:00",
       approxDistinct: Boolean = false,
-      deskewTrending: Boolean = false)
+      deskewTrending: Boolean = false,
+      dedupStagedStreams: Boolean = false)
 
   final case class Result(stagedStreamRows: Long, kpiRows: Map[String, Long],
                           servedItems: Long)
@@ -74,8 +75,11 @@ object PipelineJob {
     val users = loadDim(spark, cfg.usersCsv, s"${cfg.stagingDir}/users",
       s"${cfg.stagingDir}/ledger/users.md5")
 
-    // 2 — KPI job over the FULL staged history (reference semantics)
-    val staged = ParquetIO.read(spark, s"${cfg.stagingDir}/streams")
+    // 2 — KPI job over the FULL staged history (reference semantics);
+    // dedupStagedStreams makes double-staged files harmless (SURVEY §7.4.6)
+    val stagedRaw = ParquetIO.read(spark, s"${cfg.stagingDir}/streams")
+    val staged =
+      if (cfg.dedupStagedStreams) Validator.dedupStreams(stagedRaw) else stagedRaw
     val enriched = KpiQueries.persistEnriched(
       KpiQueries.prepareStreamingData(staged, songs, users))
     val kpis = KpiQueries.all(enriched, cfg.approxDistinct, cfg.deskewTrending)

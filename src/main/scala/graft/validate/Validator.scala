@@ -56,6 +56,17 @@ object Validator {
     cleaned.reduce(_ unionAll _)
   }
 
+  /** Idempotency guard for the append-mode staging boundary (SURVEY
+    * §7.4.6): the reference appends streams per run and relies on an
+    * external ledger to avoid double-counting; re-staging the same file
+    * would silently double every KPI. Exact-row dedup on the full
+    * (user_id, track_id, listen_time) key makes the staged history
+    * re-run-safe — at scale this is one hash aggregation, and with the
+    * staging table bucketed by `user_id` it doesn't even shuffle.
+    */
+  def dedupStreams(staged: DataFrame): DataFrame =
+    staged.dropDuplicates(Seq("user_id", "track_id", "listen_time"))
+
   /** Reference-data ingest with content-based dispatch
     * (`scripts/validate_data.py:219-249`): a frame containing `track_id`
     * is songs, else one containing `user_id` is users. Schemas are

@@ -44,6 +44,24 @@ class PipelineSpec extends SparkSpec {
     new java.io.File(s"$base/staging/songs").lastModified() shouldBe songsStagedMtime
   }
 
+  test("dedupStagedStreams makes a double-staged run KPI-identical to a single run") {
+    val base = tmpDir("pipe3")
+    def cfg(out: String, staging: String) = PipelineJob.Config(
+      streamFiles = Seq(s"$fixtures/streams_a.csv"),
+      songsCsv = s"$fixtures/songs.csv",
+      usersCsv = s"$fixtures/users.csv",
+      stagingDir = s"$base/$staging",
+      outputDir = s"$base/$out",
+      dedupStagedStreams = true)
+    PipelineJob.run(spark, cfg("once", "s1"))
+    // stage the same file twice into a second pipeline, dedup on
+    PipelineJob.run(spark, cfg("twice", "s2"))
+    PipelineJob.run(spark, cfg("twice", "s2"))
+    val a = spark.read.parquet(s"$base/once/user_kpis").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$base/twice/user_kpis").collect().map(_.toSeq).toSet
+    b shouldBe a
+  }
+
   test("deskewTrending flag routes through the bucketed plan with equal output") {
     val base = tmpDir("pipe2")
     def cfg(out: String, deskew: Boolean) = PipelineJob.Config(
