@@ -116,6 +116,17 @@ object SparkEntry {
           round(col("avg_token_len"), 6).as("avg_token_len"),
           round(col("quality_score"), 6).as("quality_score"))),
 
+    // as-of join: each purchase event enriched with the user's latest
+    // click at-or-before it (inclusive, ties by max event_id)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "event_id")
+    }),
+
     // batch sessionization over the events stream (30-min gap)
     "q_sessions" -> ((s, dir) =>
       graft.ops.Sessionize.sessions(
@@ -467,6 +478,21 @@ object SparkEntry {
 
     "q_trending_bucketed" -> trendingOracleSql,
     "kpi_trending"        -> trendingOracleSql,
+
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |         c.event_id AS asof_event_id, c.value AS asof_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |)
+        |SELECT event_id, user_id, ts, asof_event_id, asof_value
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (

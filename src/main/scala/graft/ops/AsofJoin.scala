@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left as-of join: for each left row, attach the LATEST right row with
+  * `right.ts <= left.ts` within the same key (ties on ts broken by the
+  * largest `tieCol`). The canonical temporal-enrichment operator (price
+  * as of trade time, profile as of event time) that Spark lacks as a
+  * built-in.
+  *
+  * Construction: union both sides tagged, one window per key partition
+  * carrying the running `last(right value, ignoreNulls)` in
+  * (ts, side, tie) order — right rows sort BEFORE a left row with the
+  * same ts, so the match is inclusive. One shuffle + one sort per key
+  * partition, O(n log n) — never a per-row probe or a range cross
+  * join. Key-partition skew behaves like any window: bucket the key
+  * space (cf. `KpiQueries.trendingKpisBucketed`) if one key dominates.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, tieCol: String): DataFrame = {
+    require(keys.nonEmpty)
+    val rightVals = right.columns.filterNot((keys :+ tsCol).contains).toSeq
+    require(rightVals.nonEmpty, "right side carries no value columns")
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn("_l", struct(leftCols.map(col): _*))
+      .withColumn("_tie", lit(null).cast("long"))
+      .select((keys.map(col) :+ col(tsCol).as("_ts") :+ col("_side") :+ col("_tie") :+ col("_l")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .withColumn("_l", lit(null).cast(l.schema("_l").dataType))
+      .withColumn("_tie", col(tieCol).cast("long"))
+      .select((keys.map(col) :+ col(tsCol).as("_ts") :+ col("_side") :+ col("_tie") :+ col("_l")) ++
+        rightVals.map(c => col(c).as(s"_r_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
+        rightVals.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+}

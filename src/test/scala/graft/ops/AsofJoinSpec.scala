@@ -1,0 +1,49 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, "A", "2024-06-25 10:00:00"),
+    (2L, "A", "2024-06-25 11:00:00"),
+    (3L, "B", "2024-06-25 10:30:00"),
+    (4L, "C", "2024-06-25 10:00:00") // no quotes for C at all
+  ).toDF("trade_id", "sym", "t")
+    .withColumn("t", to_timestamp(col("t")))
+
+  private lazy val quotes = Seq(
+    (10L, "A", "2024-06-25 09:59:00", 100.0),
+    (11L, "A", "2024-06-25 10:00:00", 101.0), // same instant as trade 1 → inclusive
+    (12L, "A", "2024-06-25 10:30:00", 102.0),
+    (13L, "B", "2024-06-25 10:30:00", 200.0), // tie on ts with quote 14
+    (14L, "B", "2024-06-25 10:30:00", 201.0)  // larger id wins the tie
+  ).toDF("qid", "sym", "t", "px")
+    .withColumn("t", to_timestamp(col("t")))
+
+  test("as-of join picks the latest at-or-before right row per key") {
+    val got = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qid")
+      .select("trade_id", "asof_qid", "asof_px")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    got shouldBe Set(
+      (1L, Some(11L), Some(101.0)), // inclusive: 10:00 quote matches 10:00 trade
+      (2L, Some(12L), Some(102.0)), // latest before 11:00
+      (3L, Some(14L), Some(201.0)), // ts tie broken by larger qid
+      (4L, None, None))             // no right rows for the key
+  }
+
+  test("left rows and schema are preserved exactly") {
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qid")
+    out.count() shouldBe trades.count()
+    out.columns.toSeq shouldBe Seq("trade_id", "sym", "t", "asof_qid", "asof_px")
+  }
+}
