@@ -127,6 +127,18 @@ object SparkEntry {
       graft.ops.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "event_id")
     }),
 
+    // bucketed range join: events within 1h after each error, per user
+    "q_range_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      val pts = ev.filter(col("event_type") =!= "error")
+        .select("user_id", "event_id", "ts")
+      graft.ops.RangeJoin.pointInInterval(pts, errors, Seq("user_id"),
+        "ts", "error_ts", lengthSeconds = 3600L)
+        .select("user_id", "event_id", "error_id")
+    }),
+
     // batch sessionization over the events stream (30-min gap)
     "q_sessions" -> ((s, dir) =>
       graft.ops.Sessionize.sessions(
@@ -478,6 +490,18 @@ object SparkEntry {
 
     "q_trending_bucketed" -> trendingOracleSql,
     "kpi_trending"        -> trendingOracleSql,
+
+    "q_range_join" ->
+      """WITH err AS (
+        |  SELECT user_id, event_id AS error_id, ts AS ets
+        |  FROM events WHERE event_type = 'error'
+        |), pts AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type <> 'error'
+        |)
+        |SELECT p.user_id, p.event_id, e.error_id
+        |FROM pts p JOIN err e ON p.user_id = e.user_id
+        |  AND FLOOR(epoch(p.ts)) >= FLOOR(epoch(e.ets))
+        |  AND FLOOR(epoch(p.ts)) <= FLOOR(epoch(e.ets)) + 3600""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (
