@@ -20,11 +20,14 @@ import graft.model.Schemas
 object Validator {
 
   /** P7 — column-presence assertion (`scripts/validate_data.py:58-70`). */
-  def validateColumns(df: DataFrame, required: Set[String], context: String): Unit = {
-    val missing = required -- df.columns.toSet
+  def validateColumns(df: DataFrame, required: Set[String], context: String): Unit =
+    validateColumnSet(df.columns.toSet, required, context)
+
+  def validateColumnSet(actual: Set[String], required: Set[String], context: String): Unit = {
+    val missing = required -- actual
     require(missing.isEmpty,
       s"Missing required columns in $context: ${missing.toSeq.sorted.mkString(", ")}; " +
-        s"available: ${df.columns.sorted.mkString(", ")}")
+        s"available: ${actual.toSeq.sorted.mkString(", ")}")
   }
 
   /** P3+P5 — cast projection + any-null row rejection
@@ -81,9 +84,14 @@ object Validator {
         // Probe the header to pick the declared schema, mirroring the
         // reference's content dispatch without paying an inference pass
         // (header-only read: no inferSchema, so Spark reads one line).
+        // The presence check runs against the FILE's header — a declared
+        // read schema would mask missing columns with all-null fields.
         val header = spark.read.option("header", "true")
           .csv(PathUtil.cleanPath(path)).schema.fieldNames.toSet
-        val schema = if (header.contains("track_id")) Schemas.songs else Schemas.users
+        val (schema, required, ctx) =
+          if (header.contains("track_id")) (Schemas.songs, Schemas.requiredSongsColumns, "songs")
+          else (Schemas.users, Schemas.requiredUsersColumns, "users")
+        validateColumnSet(header, required, ctx)
         CsvSource.readSplit(spark, schema, Seq(path))._1
       }
     if (raw.columns.contains("track_id")) {

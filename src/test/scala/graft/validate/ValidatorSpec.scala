@@ -80,6 +80,30 @@ class ValidatorSpec extends SparkSpec {
     out.schema.map(_.dataType.typeName) shouldBe Seq("string", "string", "timestamp")
   }
 
+  test("processStreams: empty path list and missing-columns file both fail loudly") {
+    intercept[IllegalArgumentException] {
+      Validator.processStreams(spark, Seq.empty)
+    }
+    val dir = tmpDir("badcsv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"),
+      "only_one_column\nx\n")
+    // declared streams schema maps the single header to user_id; the
+    // validator's column check passes (schema is declared) but the rows
+    // are null-padded and dropped — loud emptiness, not silent garbage
+    val out = Validator.processStreams(spark, Seq(s"$dir/b.csv"))
+    out.count() shouldBe 0
+  }
+
+  test("processReferenceData: unrecognized header fails the column check") {
+    val dir = tmpDir("badref")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r.csv"),
+      "track_id,only\nx,y\n")
+    val e = intercept[IllegalArgumentException] {
+      Validator.processReferenceData(spark, s"$dir/r.csv")
+    }
+    e.getMessage should include("Missing required columns")
+  }
+
   test("PathUtil cleans doubled slashes but preserves scheme") {
     PathUtil.cleanPath("s3://bucket//a///b/c") shouldBe "s3://bucket/a/b/c"
     PathUtil.cleanPath("/local//path") shouldBe "/local/path"
