@@ -107,6 +107,12 @@ object SparkEntry {
         .withColumn("predicted", graft.ops.TextAnalysis.languageId(col("text")))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
 
+    "q_token_counts" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        graft.ops.TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))),
+
     "q_text_quality" -> ((s, dir) =>
       graft.ops.TextAnalysis.qualitySignals(
         table(s, dir, "documents").select("doc_id", "text"), col("text"))
@@ -377,6 +383,13 @@ object SparkEntry {
          |  FROM sc
          |)
          |SELECT lang, predicted, COUNT(*) AS n FROM pr GROUP BY 1, 2""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+', 0)) AS ws_tokens,
+        |  len(regexp_extract_all(text,
+        |      '''[a-zA-Z]+|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+', 0)) AS bpeish_tokens
+        |FROM documents""".stripMargin,
 
     "q_text_quality" ->
       """WITH d AS (
