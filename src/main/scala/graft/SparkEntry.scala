@@ -107,6 +107,18 @@ object SparkEntry {
         .withColumn("predicted", graft.ops.TextAnalysis.languageId(col("text")))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
 
+    // JSON column ops over events.props: path extraction (codegen'd
+    // get_json_object) and schema-on-read (from_json struct)
+    "q_json_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .na.drop(Seq("event_id", "props"))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k_struct"))),
+
     "q_token_counts" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -383,6 +395,13 @@ object SparkEntry {
          |  FROM sc
          |)
          |SELECT lang, predicted, COUNT(*) AS n FROM pr GROUP BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct
+        |FROM events
+        |WHERE event_id IS NOT NULL AND props IS NOT NULL""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

@@ -37,6 +37,22 @@ class MultimodalSpec extends SparkSpec {
     frames.contains(3L) shouldBe false // empty payload -> no frames
   }
 
+  test("end-to-end media dedup: decode features feed cosine similarity") {
+    // two byte-identical payloads and one distinct one — after (stub)
+    // decode, the duplicate pair must be each other's top neighbor at
+    // cosine ~1.0 while the distinct payload scores lower
+    val dupA  = mkRecord(10, 800)
+    val dupB  = dupA.copy(media_id = 11)
+    val other = mkRecord(12, 800)
+    val ds = spark.createDataset(Seq(dupA, dupB, other))
+    val feats = extractFeatures(ds, dim = 8)
+      .select(org.apache.spark.sql.functions.col("media_id").as("vec_id"),
+        org.apache.spark.sql.functions.col("features").as("embedding"))
+    val pairs = Similarity.nearDupCosine(feats, "vec_id", "embedding", tau = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.toSet shouldBe Set((10L, 11L))
+  }
+
   test("resizeStub truncates payloads columnar; withMediaStats adds md5/size") {
     val df = media.toDF()
     val resized = resizeStub(df, "content", 64)
