@@ -1,7 +1,7 @@
 package graft.validate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 import graft.io.{CsvSource, ParquetIO, PathUtil}
 import graft.model.Schemas
@@ -57,6 +57,27 @@ object Validator {
       cleanStreams(clean)
     }
     cleaned.reduce(_ unionAll _)
+  }
+
+  /** Scale path for [[processStreams]]: ONE permissive scan over the
+    * whole file list instead of a per-file driver loop — at 10^4+ input
+    * files the loop means 10^4 cached frames and job submissions, while
+    * a multi-path scan is a single task set. Quarantined rows keep their
+    * provenance via `input_file_name()`. Row-identical to the per-file
+    * fold (same parse, same cleaning); the per-file variant remains for
+    * reference-parity quarantine granularity.
+    */
+  def processStreamsBulk(spark: SparkSession, paths: Seq[String],
+                         quarantinePath: Option[String] = None): DataFrame = {
+    val files = paths.flatMap(PathUtil.splitPaths)
+    require(files.nonEmpty, "no stream files given")
+    val (clean, corrupt) = CsvSource.readSplit(spark, Schemas.streams, files)
+    quarantinePath.foreach { q =>
+      ParquetIO.quarantineJson(
+        corrupt.withColumn("_source_file", input_file_name()), q)
+    }
+    validateColumns(clean, Schemas.requiredStreamsColumns, s"streams files: ${files.size}")
+    cleanStreams(clean)
   }
 
   /** Idempotency guard for the append-mode staging boundary (SURVEY

@@ -80,6 +80,22 @@ class ValidatorSpec extends SparkSpec {
     out.schema.map(_.dataType.typeName) shouldBe Seq("string", "string", "timestamp")
   }
 
+  test("processStreamsBulk is row-identical to the per-file fold") {
+    val perFile = Validator.processStreams(spark,
+      Seq(s"$fixtures/streams_a.csv", s"$fixtures/streams_b.csv"))
+      .collect().map(_.toSeq).toSet
+    val bulk = Validator.processStreamsBulk(spark,
+      Seq(s"$fixtures/streams_a.csv,$fixtures/streams_b.csv"))
+      .collect().map(_.toSeq).toSet
+    bulk shouldBe perFile
+
+    val q = tmpDir("bulkq")
+    Validator.processStreamsBulk(spark, Seq(s"$fixtures/streams_a.csv"), Some(q))
+    val quarantined = spark.read.json(s"$q/corrupt_records")
+    quarantined.count() shouldBe 3
+    quarantined.columns should contain("_source_file")
+  }
+
   test("processStreams: empty path list and missing-columns file both fail loudly") {
     intercept[IllegalArgumentException] {
       Validator.processStreams(spark, Seq.empty)
