@@ -35,7 +35,8 @@ object PipelineJob {
       runTs: String = "1970-01-01T00:00:00",
       approxDistinct: Boolean = false,
       deskewTrending: Boolean = false,
-      dedupStagedStreams: Boolean = false)
+      dedupStagedStreams: Boolean = false,
+      bulkIngest: Boolean = false)
 
   final case class Result(stagedStreamRows: Long, kpiRows: Map[String, Long],
                           servedItems: Long)
@@ -65,7 +66,10 @@ object PipelineJob {
     // over the inputs just for logging (SURVEY §4.3: the reference
     // re-runs count() eagerly at 8+ sites).
     val obs = new org.apache.spark.sql.Observation("staged_streams")
-    val streams = Validator.processStreams(spark, cfg.streamFiles, cfg.quarantineDir)
+    val ingested =
+      if (cfg.bulkIngest) Validator.processStreamsBulk(spark, cfg.streamFiles, cfg.quarantineDir)
+      else Validator.processStreams(spark, cfg.streamFiles, cfg.quarantineDir)
+    val streams = ingested
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("rows"))
     ParquetIO.writeAppend(streams, s"${cfg.stagingDir}/streams") // S6: history accumulates
