@@ -27,27 +27,33 @@ object AsofJoin {
     require(rightVals.nonEmpty, "right side carries no value columns")
     val leftCols = left.columns.toSeq
 
+    // The right row travels as ONE struct, so the carried match is
+    // row-atomic: even if some right value columns are null, all
+    // asof_* outputs come from the SAME (latest) right row — carrying
+    // columns individually with last(ignoreNulls) would mix rows.
+    val rStruct = struct(rightVals.map(col): _*)
     val l = left
       .withColumn("_side", lit(1))
       .withColumn("_l", struct(leftCols.map(col): _*))
       .withColumn("_tie", lit(null).cast("long"))
-      .select((keys.map(col) :+ col(tsCol).as("_ts") :+ col("_side") :+ col("_tie") :+ col("_l")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+      .withColumn("_r", lit(null).cast(right.select(rStruct).schema.head.dataType))
+      .select(keys.map(col) :+ col(tsCol).as("_ts") :+ col("_side") :+ col("_tie") :+
+        col("_l") :+ col("_r"): _*)
     val r = right
       .withColumn("_side", lit(0))
       .withColumn("_l", lit(null).cast(l.schema("_l").dataType))
       .withColumn("_tie", col(tieCol).cast("long"))
-      .select((keys.map(col) :+ col(tsCol).as("_ts") :+ col("_side") :+ col("_tie") :+ col("_l")) ++
-        rightVals.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumn("_r", rStruct)
+      .select(keys.map(col) :+ col(tsCol).as("_ts") :+ col("_side") :+ col("_tie") :+
+        col("_l") :+ col("_r"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
-        rightVals.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+        rightVals.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -41,6 +41,20 @@ class AsofJoinSpec extends SparkSpec {
       (4L, None, None))             // no right rows for the key
   }
 
+  test("carried right row is atomic: null value fields don't mix rows") {
+    def t(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, to_timestamp(col(c)))
+    val quotes2 = t(Seq(
+      ("A", "2024-06-25 09:00:00", Some(10L), Some(100.0)),
+      ("A", "2024-06-25 09:30:00", Some(11L), None) // newer quote, null px
+    ).toDF("sym", "t", "qid", "px"), "t")
+    val trades2 = t(Seq(("A", 1L, "2024-06-25 10:00:00")).toDF("sym", "trade_id", "t"), "t")
+    val row = AsofJoin.asofJoin(trades2, quotes2, Seq("sym"), "t", "qid").collect().head
+    // latest quote (qid 11) wins for BOTH fields — px is null, NOT 100.0
+    row.getAs[Long]("asof_qid") shouldBe 11L
+    assert(row.isNullAt(row.fieldIndex("asof_px")))
+  }
+
   test("left rows and schema are preserved exactly") {
     val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qid")
     out.count() shouldBe trades.count()
