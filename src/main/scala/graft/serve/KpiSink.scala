@@ -81,7 +81,9 @@ object KpiSink {
     */
   class InMemoryKvStore(throttleFirstN: Int = 0) extends KvStore {
     import InMemoryKvStore._
-    private val storeId = java.util.UUID.randomUUID().toString
+    /** Stable handle for addressing this store across the DSv2 path. */
+    val id: String = java.util.UUID.randomUUID().toString
+    private def storeId: String = id
     registry.putIfAbsent(storeId, new ConcurrentHashMap[(String, String), Item]())
     attempts.putIfAbsent(storeId, new java.util.concurrent.atomic.AtomicInteger(0))
     batchSizes.putIfAbsent(storeId, new ConcurrentHashMap[Int, Integer]())
@@ -113,5 +115,16 @@ object KpiSink {
     private val registry   = new ConcurrentHashMap[String, ConcurrentHashMap[(String, String), Item]]()
     private val attempts   = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
     private val batchSizes = new ConcurrentHashMap[String, ConcurrentHashMap[Int, Integer]]()
+
+    /** Batch put addressed by store id — the DSv2 writer's entry point
+      * (`KvDataSource`). Same overwrite-by-(id, timestamp) semantics.
+      */
+    private[serve] def putById(storeId: String, items: Seq[Item]): Unit = {
+      require(items.size <= BatchSize, s"batch of ${items.size} exceeds $BatchSize")
+      val m = registry.get(storeId)
+      require(m != null, s"unknown store id $storeId — create the InMemoryKvStore first")
+      batchSizes.get(storeId).merge(items.size, 1, (a, b) => a + b)
+      items.foreach(it => m.put((it("id").toString, it("timestamp").toString), it))
+    }
   }
 }

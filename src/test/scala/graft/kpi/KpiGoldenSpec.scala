@@ -138,6 +138,32 @@ class KpiGoldenSpec extends SparkSpec {
       .collect().head.getLong(2) shouldBe 2L
   }
 
+  test("bucketed trending bounds the hot-key window partition") {
+    // viral track: 2,000 plays spread over 10 days; the exact plan puts
+    // ALL of them in one window partition, the bucketed plan caps every
+    // partition at ~2 days of a track's history (owners + context)
+    val viral = (0 until 2000).map { i =>
+      (s"u${i % 50}", "hot", f"2024-06-${10 + i / 200}%02d ${(i / 9) % 24}%02d:${(i * 7) % 60}%02d:00")
+    }.toDF("user_id", "track_id", "listen_time")
+      .withColumn("listen_time", to_timestamp(col("listen_time")))
+    val e = KpiQueries.prepareStreamingData(viral, songs, users)
+
+    // identical results
+    val exact = KpiQueries.trendingKpis(e).collect().map(_.toSeq).toSet
+    val bucketed = KpiQueries.trendingKpisBucketed(e).collect().map(_.toSeq).toSet
+    bucketed shouldBe exact
+
+    // partition-key cardinality: exact = one key holding all 2000 rows;
+    // bucketed = per-(track, day-bucket) keys holding ≤ 2 days ≈ 400+400
+    val u = e.withColumn("unix_timestamp", unix_timestamp(col("timestamp")))
+      .withColumn("bucket", floor(col("unix_timestamp") / 86400L))
+    val exactMax = u.groupBy("track_id").count().agg(max("count")).collect().head.getLong(0)
+    val bucketedMax = u.withColumn("part", explode(array(col("bucket"), col("bucket") - 1)))
+      .groupBy("track_id", "part").count().agg(max("count")).collect().head.getLong(0)
+    exactMax shouldBe 2000L
+    bucketedMax should be <= 500L // ~2 days of a 10-day uniform history
+  }
+
   test("KpiQueries.all exposes the five reference output names") {
     KpiQueries.all(enriched).keySet shouldBe Set("user_kpis",
       "genre_daily_metrics_kpi", "genre_top_songs_kpi",

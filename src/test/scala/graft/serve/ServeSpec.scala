@@ -86,6 +86,18 @@ class ServeSpec extends SparkSpec {
     e.getMessage should include("throttled")
   }
 
+  test("DataSource V2 path: df.write.format(graft.serve.kv) batches into the store") {
+    val store = new KpiSink.InMemoryKvStore()
+    val items = (1 to 60).map(i => (s"V2_$i", runTs, i.toDouble))
+      .toDF("id", "timestamp", "score").coalesce(1)
+    items.write.format("graft.serve.KvDataSource")
+      .option("store", store.id).mode("append").save()
+    store.size shouldBe 60
+    store.batchSizeHistogram shouldBe Map(25 -> 2, 10 -> 1)
+    // float coercion flows through the same toItem path
+    store.get("V2_1", runTs).get("score") shouldBe BigDecimal("1.0")
+  }
+
   test("trending and top-songs items carry reference id shapes") {
     val tr = KpiItems.trendingItems(KpiQueries.trendingKpis(enriched), runTs)
       .select("id").collect().map(_.getString(0)).toSet
