@@ -37,6 +37,24 @@ object StreamingKpis {
         col("listen_count"), col("unique_listeners"),
         (col("dur_sum") / 60000.0).as("total_listening_time_minutes"))
 
+  /** Streaming trending: play counts per track over a SLIDING event-time
+    * window (default 24h window, 1h slide) — the incremental
+    * approximation of the batch trending KPI's per-event frame, at
+    * slide-granularity. Each event lands in window/slide = 24 state
+    * buckets; state is bounded by |tracks| x 24 x watermark horizon.
+    * The batch `trendingKpis` remains the exact-parity path; this is
+    * what a live leaderboard reads.
+    */
+  def trendingPlayCounts(enriched: DataFrame, windowLen: String = "24 hours",
+                         slide: String = "1 hour",
+                         watermark: String = "25 hours"): DataFrame =
+    enriched
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), windowLen, slide).as("w"), col("track_id"))
+      .agg(count(col("track_id")).as("plays_in_window"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("track_id"), col("plays_in_window"))
+
   final case class Play(user_id: String, ts: Timestamp)
   final case class SessionState(start: Long, last: Long, plays: Int)
   final case class UserSession(user_id: String, session_start: Timestamp,

@@ -47,6 +47,46 @@ class StreamingKpisSpec extends SparkSpec {
       ("2024-06-26", "pop", 1L))
   }
 
+  test("sliding-window trending counts match the equivalent batch window agg") {
+    val base = tmpDir("strend")
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Files.writeString(Paths.get(s"$in/s1.csv"),
+      """user_id,track_id,listen_time
+        |u1,t1,2024-06-25 00:10:00
+        |u2,t1,2024-06-25 05:30:00
+        |u3,t1,2024-06-25 23:50:00
+        |u1,t2,2024-06-25 12:00:00
+        |""".stripMargin)
+    val stream = IncrementalIngest.streamsSource(spark, in)
+      .filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+      .withColumnRenamed("listen_time", "timestamp")
+    val q = StreamingKpis.trendingPlayCounts(stream, "24 hours", "6 hours", "25 hours")
+      .writeStream.format("memory").queryName("trend_counts")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("trend_counts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(16), r.getString(2), r.getLong(3))).toSet
+
+    // batch equivalent of the same sliding-window semantics
+    import org.apache.spark.sql.functions._
+    val batch = spark.read.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(graft.model.Schemas.streams).csv(s"$in/s1.csv")
+      .withColumnRenamed("listen_time", "timestamp")
+      .groupBy(window(col("timestamp"), "24 hours", "6 hours").as("w"), col("track_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0).toString.take(16),
+        r.getString(1), r.getLong(2))).toSet
+    got shouldBe batch
+    // the 24h/6h slide puts each event in 4 windows; the 00:00-aligned
+    // window contains all three t1 plays (00:10, 05:30, 23:50)
+    got.filter(_._2 == "t1").map(_._3).max shouldBe 3L
+  }
+
   test("streaming sessionize agrees with the batch ground truth on closed sessions") {
     import org.apache.spark.sql.functions.{col, max => smax}
     implicit val sqlCtx = spark.sqlContext
