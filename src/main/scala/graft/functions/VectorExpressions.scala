@@ -38,13 +38,21 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        // ctx.freshName for every local: when the same expression appears
+        // twice in one whole-stage function (filter + projection), fixed
+        // names collide and Janino rejects the compile ("Redefinition of
+        // local variable"), silently dropping the stage to interpreted eval.
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-           |${ev.value} = s;
-         """.stripMargin)
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+           |${ev.value} = $s;
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -83,21 +91,30 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
       val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
-      nullSafeCodeGen(ctx, ev, xs =>
+      nullSafeCodeGen(ctx, ev, xs => {
+        // Fresh names — see DotProductDouble.doGenCode.
+        val h   = ctx.freshName("h")
+        val acc = ctx.freshName("acc")
+        val n   = ctx.freshName("n")
+        val i   = ctx.freshName("i")
+        val j   = ctx.freshName("j")
+        val x   = ctx.freshName("x")
+        val v   = ctx.freshName("v")
         s"""
-           |int h = $asRef.length;
-           |long[] acc = new long[h];
-           |java.util.Arrays.fill(acc, Long.MAX_VALUE);
-           |int n = $xs.numElements();
-           |for (int i = 0; i < n; i++) {
-           |  long x = $xs.getLong(i);
-           |  for (int j = 0; j < h; j++) {
-           |    long v = java.lang.Math.floorMod($asRef[j] * x + $bsRef[j], ${prime}L);
-           |    if (v < acc[j]) acc[j] = v;
+           |int $h = $asRef.length;
+           |long[] $acc = new long[$h];
+           |java.util.Arrays.fill($acc, Long.MAX_VALUE);
+           |int $n = $xs.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $xs.getLong($i);
+           |  for (int $j = 0; $j < $h; $j++) {
+           |    long $v = java.lang.Math.floorMod($asRef[$j] * $x + $bsRef[$j], ${prime}L);
+           |    if ($v < $acc[$j]) $acc[$j] = $v;
            |  }
            |}
-           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(acc);
-         """.stripMargin)
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($acc);
+         """.stripMargin
+      })
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

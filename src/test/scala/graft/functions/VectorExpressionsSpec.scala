@@ -33,6 +33,53 @@ class VectorExpressionsSpec extends SparkSpec {
     v.select(VectorExpressions.dotD(col("a"), col("b"))).collect().head.getDouble(0) shouldBe 32.0
   }
 
+  // Regression for the r2 bench failure: fixed local names in doGenCode
+  // collided when the same kernel was instantiated twice in one generated
+  // function (non-nullable inputs → nullSafeCodeGen emits no scoping
+  // braces), Janino threw "Redefinition of local variable i", and Spark
+  // silently fell back to interpreted eval. fallback=false turns that
+  // silent fallback into a test failure.
+  private def withNoCodegenFallback[A](body: => A): A = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try body finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("codegen: two dotD instances in one whole-stage function compile (no fallback)") {
+    withNoCodegenFallback {
+      // array(lit...) columns are non-nullable → worst case for scoping
+      val df = spark.range(100).select(
+        array(lit(1.0), col("id").cast("double")).as("a"),
+        array(lit(2.0), lit(3.0)).as("b"))
+      // dotD in the filter AND (argument-swapped, so CSE can't merge them)
+      // in the projection — both land in the same generated function.
+      val out = df
+        .filter(VectorExpressions.dotD(col("a"), col("b")) > lit(-1.0))
+        .select(
+          VectorExpressions.dotD(col("a"), col("b")).as("d1"),
+          VectorExpressions.dotD(col("b"), col("a")).as("d2"))
+      out.queryExecution.executedPlan.toString should include ("*(")
+      out.collect().length shouldBe 100
+    }
+  }
+
+  test("codegen: two minhashSig instances in one whole-stage function compile (no fallback)") {
+    withNoCodegenFallback {
+      val (as1, bs1) = Dedup.hashCoeffs(8, 1L)
+      val (as2, bs2) = Dedup.hashCoeffs(8, 2L)
+      val P = (1L << 61) - 1
+      val df = spark.range(100).select(array(lit(7L), col("id")).as("xs"))
+      val out = df.select(
+        VectorExpressions.minhashSig(col("xs"), as1, bs1, P).as("s1"),
+        VectorExpressions.minhashSig(col("xs"), as2, bs2, P).as("s2"))
+      out.queryExecution.executedPlan.toString should include ("*(")
+      out.collect().length shouldBe 100
+    }
+  }
+
   test("minhashSig is value-identical to the transform/array_min reference") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
     val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
