@@ -38,12 +38,16 @@ object FsUtil {
     } finally in.close()
   }
 
-  /** S11 — reference-data CDC gate (`dags/music_streaming_pipeline
-    * .py:353-389`): returns true (and updates the stored checksum) iff the
-    * file's content hash differs from the ledger's, i.e. the dimension
-    * needs reprocessing. The ledger is a one-line checksum file per input.
+  /** S11 (check phase) — reference-data CDC gate (`dags/
+    * music_streaming_pipeline.py:353-389`): true iff the file's content
+    * hash differs from the ledger's, i.e. the dimension needs
+    * reprocessing. READ-ONLY: the ledger is only advanced by
+    * [[commitChecksum]], which callers must invoke AFTER the derived
+    * output is durably written — updating the ledger first would make a
+    * failed write look already-processed on the next run (stale staged
+    * data served with `changed=false`).
     */
-  def contentChanged(spark: SparkSession, input: String, ledgerPath: String): Boolean = {
+  def checksumChanged(spark: SparkSession, input: String, ledgerPath: String): Boolean = {
     val current = md5Hex(spark, input)
     val lp      = new Path(PathUtil.cleanPath(ledgerPath))
     val lfs     = fs(spark, lp)
@@ -53,12 +57,28 @@ object FsUtil {
         val in = lfs.open(lp)
         try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
       }
-    if (prior.contains(current)) false
-    else {
-      val out = lfs.create(lp, true)
-      try out.write(current.getBytes("UTF-8")) finally out.close()
-      true
-    }
+    !prior.contains(current)
+  }
+
+  /** S11 (commit phase) — persist `input`'s current MD5 to the ledger.
+    * Call only after the reprocessed output has been written.
+    */
+  def commitChecksum(spark: SparkSession, input: String, ledgerPath: String): Unit = {
+    val current = md5Hex(spark, input)
+    val lp      = new Path(PathUtil.cleanPath(ledgerPath))
+    val out     = fs(spark, lp).create(lp, true)
+    try out.write(current.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** S11, single-shot form: check AND advance the ledger in one call.
+    * Only safe when there is no downstream write to gate (the original
+    * reference shape); pipelines should use the split
+    * [[checksumChanged]]/[[commitChecksum]] pair instead.
+    */
+  def contentChanged(spark: SparkSession, input: String, ledgerPath: String): Boolean = {
+    val changed = checksumChanged(spark, input, ledgerPath)
+    if (changed) commitChecksum(spark, input, ledgerPath)
+    changed
   }
 
   /** S12 — archival move (`dags/music_streaming_pipeline.py:722-813`):

@@ -39,7 +39,13 @@ object AsofJoin {
       .withColumn("_r", lit(null).cast(right.select(rStruct).schema.head.dataType))
       .select(keys.map(col) :+ col(tsCol).as("_ts") :+ col("_side") :+ col("_tie") :+
         col("_l") :+ col("_r"): _*)
-    val r = right
+    // SQL equi-join semantics: a NULL key never matches. Window
+    // .partitionBy groups nulls into one partition, so without this
+    // filter null-key left rows would "match" null-key right rows.
+    // Null-key LEFT rows stay (it's a left join) — their partition then
+    // holds no right rows, so their asof_* columns come out null.
+    val matchableRight = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val r = matchableRight
       .withColumn("_side", lit(0))
       .withColumn("_l", lit(null).cast(l.schema("_l").dataType))
       .withColumn("_tie", col(tieCol).cast("long"))

@@ -51,10 +51,13 @@ object PipelineJob {
     */
   private def loadDim(spark: SparkSession, csv: String, staged: String,
                       ledger: String): DataFrame = {
-    val changed = FsUtil.contentChanged(spark, csv, ledger)
+    val changed = FsUtil.checksumChanged(spark, csv, ledger)
     if (changed || !FsUtil.exists(spark, staged)) {
       val fresh = Validator.processReferenceData(spark, csv)
       ParquetIO.writeOverwrite(fresh, staged)
+      // ledger advances only after the staged write succeeded — a crash
+      // mid-write must leave `changed=true` for the next run
+      FsUtil.commitChecksum(spark, csv, ledger)
     }
     ParquetIO.read(spark, staged)
   }
@@ -88,10 +91,14 @@ object PipelineJob {
       KpiQueries.prepareStreamingData(staged, songs, users))
     val kpis = KpiQueries.all(enriched, cfg.approxDistinct, cfg.deskewTrending)
     val kpiRows = kpis.map { case (name, df) =>
-      ParquetIO.writeOverwrite(df, s"${cfg.outputDir}/$name")
+      // row count rides the write action (A5); the only post-write read
+      // is the O4 take(1) existence probe
+      val o = new org.apache.spark.sql.Observation(s"kpi_$name")
+      ParquetIO.writeOverwrite(df.observe(o, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows")), s"${cfg.outputDir}/$name")
       val out = ParquetIO.read(spark, s"${cfg.outputDir}/$name")
       require(outputNonEmpty(out), s"KPI output $name is empty")
-      name -> out.count()
+      name -> o.get("rows").asInstanceOf[Long]
     }
 
     // 3 — serve job: columnar items, distributed batched sink
@@ -102,8 +109,15 @@ object PipelineJob {
       KpiItems.topGenresItems(ParquetIO.read(spark, s"${cfg.outputDir}/genre_top_genres_kpi"), cfg.runTs),
       KpiItems.trendingItems(ParquetIO.read(spark, s"${cfg.outputDir}/trending_kpis"), cfg.runTs))
     val served = sink match {
-      case Some(store) => items.map { df => KpiSink.write(df, store); df.count() }.sum
-      case None        => items.map(_.count()).sum
+      case Some(store) => items.zipWithIndex.map { case (df, i) =>
+        // served count rides the sink's foreachPartition action — no
+        // second recompute of the item frame just for the tally
+        val o = new org.apache.spark.sql.Observation(s"served_$i")
+        KpiSink.write(df.observe(o, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows")), store)
+        o.get("rows").asInstanceOf[Long]
+      }.sum
+      case None => items.map(_.count()).sum
     }
 
     enriched.unpersist()

@@ -93,6 +93,20 @@ class IoSpec extends SparkSpec {
     FsUtil.contentChanged(spark, f, ledger) shouldBe false
   }
 
+  test("FsUtil split CDC: checksumChanged is read-only, ledger advances only on commitChecksum") {
+    val base = tmpDir("cdc2")
+    val f = s"$base/songs.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f), "a,b\n1,2\n")
+    val ledger = s"$base/ledger.md5"
+    FsUtil.checksumChanged(spark, f, ledger) shouldBe true
+    // no side effect: a failed downstream write leaves the gate open
+    FsUtil.checksumChanged(spark, f, ledger) shouldBe true
+    FsUtil.commitChecksum(spark, f, ledger) // "write succeeded"
+    FsUtil.checksumChanged(spark, f, ledger) shouldBe false
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f), "a,b\n1,3\n")
+    FsUtil.checksumChanged(spark, f, ledger) shouldBe true
+  }
+
   test("FsUtil.archive moves files under <root>/<ts>/<kind>/ and deletes source") {
     val base = tmpDir("arch")
     val f = s"$base/in/streams1.csv"

@@ -55,6 +55,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("asof_px")))
   }
 
+  test("null join keys never match (SQL LEFT JOIN parity)") {
+    def t(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, to_timestamp(col(c)))
+    val tr = t(Seq(
+      (1L, null.asInstanceOf[String], "2024-06-25 10:00:00"),
+      (2L, "A", "2024-06-25 10:00:00")
+    ).toDF("trade_id", "sym", "t"), "t")
+    val qt = t(Seq(
+      (10L, null.asInstanceOf[String], "2024-06-25 09:00:00", 100.0),
+      (11L, "A", "2024-06-25 09:00:00", 101.0)
+    ).toDF("qid", "sym", "t", "px"), "t")
+    val rows = AsofJoin.asofJoin(tr, qt, Seq("sym"), "t", "qid").collect()
+    rows.length shouldBe 2 // left rows preserved, incl. the null-key one
+    val byId = rows.map(r => r.getLong(r.fieldIndex("trade_id")) ->
+      Option(r.get(r.fieldIndex("asof_qid")))).toMap
+    byId(1L) shouldBe None       // a NULL key matches nothing, like SQL
+    byId(2L) shouldBe Some(11L)  // non-null keys unaffected
+  }
+
   test("left rows and schema are preserved exactly") {
     val out = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qid")
     out.count() shouldBe trades.count()
