@@ -77,11 +77,20 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairsExact(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
 
+    // df-bounded inverted index (the 10^9-doc knob) — must hash-match the
+    // same exact oracle: candidates shrink, scores stay full-set exact
+    "q_dedup_pairs_maxdf" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupPairsExact(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5,
+        maxDf = Some(5))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.nearDupPairsMinHash(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
 
-    // rows-only check (no SQL oracle): 64-bit SimHash banded pairs
+    // 64-bit SimHash quadrant-banded pairs; oracle recomputes the
+    // signature from scratch in SQL and does all-pairs exact hamming
+    // (the quadrant banding is complete for hamming <= 3 — pigeonhole)
     "q_simhash_pairs" -> ((s, dir) =>
       graft.ops.Dedup.simHashNearDupPairs(
         table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
@@ -98,7 +107,15 @@ object SparkEntry {
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
     }),
 
+    // exact all-pairs baseline (kept behind exact=true; O(n²) by design)
     "q_embed_dup" -> ((s, dir) =>
+      graft.ops.Similarity.nearDupCosine(
+        table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45,
+        exact = true)),
+
+    // default scale path: sign-LSH banded candidates + exact cosine
+    // verification — same oracle, plan has no CartesianProduct
+    "q_embed_dup_lsh" -> ((s, dir) =>
       graft.ops.Similarity.nearDupCosine(
         table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)),
 
@@ -359,13 +376,49 @@ object SparkEntry {
          |       COUNT(*) AS n_docs, MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
          |FROM d GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
 
-    "q_dedup_pairs"   -> dedupPairsSql,
-    "q_dedup_minhash" -> dedupPairsSql,
+    "q_dedup_pairs"       -> dedupPairsSql,
+    "q_dedup_pairs_maxdf" -> dedupPairsSql,
+    "q_dedup_minhash"     -> dedupPairsSql,
+
+    // SimHash from scratch in SQL: identical md5-derived 64-bit token
+    // hash (hi/lo 32-bit halves), identical sign-sum bits, then ALL-PAIRS
+    // exact hamming via BIT xor — stricter than the engine's banded
+    // candidates, which must agree exactly for maxHamming <= 3.
+    // (BIGINT << 32 overflow-checks in DuckDB, so bits are read from the
+    // hi/lo halves directly and the signature lives in a BIT string.)
+    "q_simhash_pairs" ->
+      s"""$docToks, hs AS (
+         |  SELECT doc_id, list_transform(toks, t -> struct_pack(
+         |    hi := ('0x' || substr(md5(t), 1, 8))::BIGINT,
+         |    lo := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS hh
+         |  FROM d
+         |), sh AS (
+         |  SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+         |    CASE WHEN list_sum(list_transform(hh, h ->
+         |      CASE WHEN (CASE WHEN j < 32 THEN (h.lo >> j) ELSE (h.hi >> (j - 32)) END) & 1 = 1
+         |           THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '')::BIT AS simhash
+         |  FROM hs
+         |), p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
     "q_knn"          -> knnSql,
     "q_knn_topk_agg" -> knnSql,
 
     "q_embed_dup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+
+    // the banded path answers the SAME exact query (recall: per-pair
+    // miss probability < 1e-7 at tau=0.45 with 32 bands x 2 bits)
+    "q_embed_dup_lsh" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |         ${duckCosine("a.embedding", "b.embedding")} AS sim

@@ -41,13 +41,35 @@ object Dedup {
       .withColumn("n_shingles", size(col("shingles")))
       .filter(col("n_shingles") > 0)
 
+  /** Exact-Jaccard verification of candidate pairs against the FULL
+    * shingle sets: whatever generated the candidates (bounded inverted
+    * index, LSH bands), the emitted jaccard is the true full-set value —
+    * false positives impossible, candidate generation only affects recall.
+    * `cands` needs (a_id, b_id); `sets` is a [[shingleSets]] frame.
+    */
+  private[graft] def verifyExactJaccard(cands: DataFrame, sets: DataFrame,
+                                        tau: Double): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"),
+        col("n_shingles").as("n_a")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"),
+        col("n_shingles").as("n_b")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+
   /** Near-duplicate pairs with exact n-gram Jaccard ≥ `tau`, candidates
     * from the shingle inverted index. Complete (no false negatives) as
     * long as `maxDf` is None: any pair with Jaccard > 0 shares a shingle.
     * With `maxDf = Some(d)` shingles occurring in > d docs are dropped
-    * from the *index only* (Jaccard is still computed on full sets) —
-    * the standard scale trade: a pair sharing only stopword-grams can be
-    * missed, everything else is found.
+    * from the index, which is then CANDIDATE GENERATION ONLY — every
+    * surviving pair is re-verified against its full shingle sets
+    * ([[verifyExactJaccard]]), so reported jaccard values are exact
+    * either way. The standard scale trade: a pair sharing only
+    * stopword-grams can be missed, everything else is found with its
+    * true score.
     *
     * Output: (a_id, b_id, jaccard), a_id < b_id.
     */
@@ -56,27 +78,34 @@ object Dedup {
                         maxDf: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n).cache()
     val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val indexed = maxDf match {
+    maxDf match {
       case Some(d) =>
-        // count-bounded inverted index: drop stopword-like shingles
+        // count-bounded inverted index: drop stopword-like shingles, then
+        // score candidates on FULL sets (the index undercounts n_inter)
         val keep = posting.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= d).select("sh")
-        posting.join(keep, "sh")
-      case None => posting
+        val bounded = posting.join(keep, "sh")
+        val a = bounded.select(col("sh"), col("doc_id").as("a_id"))
+        val b = bounded.select(col("sh"), col("doc_id").as("b_id"))
+        val cands = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        verifyExactJaccard(cands, sets, tau)
+      case None =>
+        // full index: the shared-shingle count IS the intersection size
+        // (shingle sets are distinct), no second pass over the sets needed
+        val a = posting.select(col("sh"), col("doc_id").as("a_id"))
+        val b = posting.select(col("sh"), col("doc_id").as("b_id"))
+        val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        val sizes = sets.select(col("doc_id"), col("n_shingles"))
+        inter
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "a_id", "n_shingles" -> "n_a")), "a_id")
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "b_id", "n_shingles" -> "n_b")), "b_id")
+          .withColumn("jaccard",
+            col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .filter(col("jaccard") >= tau)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
     }
-    val a = indexed.select(col("sh"), col("doc_id").as("a_id"))
-    val b = indexed.select(col("sh"), col("doc_id").as("b_id"))
-    // shared-shingle count IS the intersection size (shingle sets are distinct)
-    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-    val sizes = sets.select(col("doc_id"), col("n_shingles"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "a_id", "n_shingles" -> "n_a")), "a_id")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "b_id", "n_shingles" -> "n_b")), "b_id")
-      .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   private val MersennePrime = (1L << 61) - 1
@@ -148,25 +177,28 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, n).cache()
     val sigs = minHashFromSets(sets, numHashes, seed)
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
-    cands
-      .join(sets.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"),
-        col("n_shingles").as("n_a")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"),
-        col("n_shingles").as("n_b")), "b_id")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    verifyExactJaccard(cands, sets, tau)
   }
 
   /** SimHash (64-bit) per doc: sign-aggregated token-hash bits packed
     * into a long. Near-dup candidates = equal 16-bit quadrant keys
     * (docs within Hamming distance 3 must share a quadrant — pigeonhole).
+    *
+    * The 64-bit token hash is md5-derived (top/bottom 32 hex-bit halves
+    * recombined bitwise) rather than xxhash64: md5 is the one hash both
+    * Spark and DuckDB compute identically, which makes the whole
+    * operator independently verifiable against a SQL oracle
+    * (`SparkEntry.oracleSql("q_simhash_pairs")`). Any pseudo-uniform
+    * 64-bit family gives equivalent SimHash semantics; bitwise ops only,
+    * so no ANSI overflow.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val xs = transform(toks, t => xxhash64(t))
+    val xs = transform(toks, t => {
+      val hex = md5(t.cast("binary"))
+      shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    })
     // bit j: sum over tokens of (+1 if bit set else -1) > 0. The shift
     // amount is a lambda variable, so go through call_function (the
     // functions.shiftright overload only takes a literal Int).
@@ -197,7 +229,8 @@ object Dedup {
     val b = banded.select(col("quad"), col("key"), col("doc_id").as("b_id"),
       col("simhash").as("sh_b"))
     a.join(b, Seq("quad", "key")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

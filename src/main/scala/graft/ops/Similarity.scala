@@ -163,23 +163,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ tau. Exact (all candidate
-    * pairs via self cross join) — for the scale path, feed the banded
-    * candidates of [[knnLshBucketed]] instead. Output (a_id, b_id, sim).
-    */
   /** Cast to array<double> once per VECTOR, before any pair join — the
     * pair kernel (a codegen'd primitive loop, [[graft.functions
     * .VectorExpressions.dotD]]) then does no casts and no allocations.
     */
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Embedding near-duplicate pairs: cosine ≥ tau, (a_id, b_id, sim).
+    *
+    * Default path (`exact = false`): sign-LSH banded candidate
+    * generation + exact cosine verification. The plan is a shuffled
+    * equi-join on (band, key) — never a `CartesianProduct` — and false
+    * positives are impossible (every candidate is re-scored exactly);
+    * band parameters only set recall. The per-pair miss probability is
+    * `(1 - p^bandBits)^bands` with `p = 1 - acos(tau)/π`; the defaults
+    * (32 bands × 2 bits) give < 1e-7 even at tau = 0.45 (p ≈ 0.65).
+    *
+    * Honest scale note: LOW thresholds are LSH-hostile — at tau ≈ 0.45
+    * a random pair still collides in some band with probability ≈ 1, so
+    * candidate volume approaches all-pairs and the win over `exact=true`
+    * is only the plan shape (shuffle-partitioned equi-join instead of a
+    * broadcast nested loop, so it spreads and spills instead of OOMing
+    * one executor). The regime where banding genuinely bounds work is
+    * real near-duplication, tau ≥ 0.8: there `bandBits = 8, bands = 16`
+    * keeps recall ≥ 0.996 while a random pair collides in < 7% of
+    * bands — bucket size, not corpus size, bounds the join.
+    *
+    * `exact = true` keeps the all-pairs cross join: exact recall by
+    * construction, O(n²) — the sf-test oracle baseline, not a 10^8-row
+    * plan.
+    */
   def nearDupCosine(embeddings: DataFrame, idCol: String, vecCol: String,
-                    tau: Double): DataFrame = {
+                    tau: Double, dim: Int = 64, exact: Boolean = false,
+                    nPlanes: Int = 64, bandBits: Int = 2,
+                    seed: Long = 7L): DataFrame = {
     val withN = embeddings.select(col(idCol), asDouble(col(vecCol)).as("_v"),
       norm(col(vecCol)).as("_n"))
-    val a = withN.select(col(idCol).as("a_id"), col("_v").as("av"), col("_n").as("an"))
-    val b = withN.select(col(idCol).as("b_id"), col("_v").as("bv"), col("_n").as("bn"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    val scored =
+      if (exact) {
+        val a = withN.select(col(idCol).as("a_id"), col("_v").as("av"), col("_n").as("an"))
+        val b = withN.select(col(idCol).as("b_id"), col("_v").as("bv"), col("_n").as("bn"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      } else {
+        // candidates carry ids only — the (band, key) join and the
+        // distinct() never shuffle the vectors; exact verification
+        // re-joins them once per surviving pair
+        val banded = signBuckets(embeddings, vecCol, dim, nPlanes, bandBits, seed)
+          .select(col(idCol).as("id"), explode(col("_bands")).as("b"))
+          .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+        val cands = banded.select(col("band"), col("key"), col("id").as("a_id"))
+          .join(banded.select(col("band"), col("key"), col("id").as("b_id")),
+            Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cands
+          .join(withN.select(col(idCol).as("a_id"), col("_v").as("av"), col("_n").as("an")), "a_id")
+          .join(withN.select(col(idCol).as("b_id"), col("_v").as("bv"), col("_n").as("bn")), "b_id")
+      }
+    scored
       .withColumn("sim",
         graft.functions.VectorExpressions.dotD(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("sim") >= tau)

@@ -49,6 +49,33 @@ class DedupSpec extends SparkSpec {
       maxDf = Some(100)).count() shouldBe 3
   }
 
+  test("maxDf jaccard is computed on full sets — the index is candidate generation only") {
+    // docs 1,2: near-dups sharing 6 shingles incl. "alpha beta gamma";
+    // docs 3,4,5 also contain "alpha beta gamma" → its df is 5, so
+    // maxDf=2 drops it from the INDEX. The pair (1,2) must still be
+    // found via its df=2 shingles, and its jaccard must count the
+    // dropped shingle: 6 shared / 8 union = 0.75 (an index-only count
+    // would report 5/9 ≈ 0.556 and silently miss the pair at tau=0.6).
+    val hot = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta common one two"),
+      (2L, "alpha beta gamma delta epsilon zeta common one three"),
+      (3L, "alpha beta gamma aaa bbb ccc"),
+      (4L, "alpha beta gamma ddd eee fff"),
+      (5L, "alpha beta gamma ggg hhh iii")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupPairsExact(hot, "doc_id", "text", n = 3, tau = 0.6,
+      maxDf = Some(2)).collect()
+    got.length shouldBe 1
+    got.head.getLong(0) shouldBe 1L
+    got.head.getLong(1) shouldBe 2L
+    got.head.getAs[Double]("jaccard") shouldBe 0.75
+    // and it agrees with the unbounded exact path on this pair
+    val exact = Dedup.nearDupPairsExact(hot, "doc_id", "text", n = 3, tau = 0.6)
+      .filter(col("a_id") === 1 && col("b_id") === 2)
+      .collect().head.getAs[Double]("jaccard")
+    exact shouldBe 0.75
+  }
+
   test("minHash signatures: identical docs identical sigs, near-dups mostly agree") {
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
       .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]]("sig")).toMap
@@ -77,8 +104,8 @@ class DedupSpec extends SparkSpec {
 
   test("simHashNearDupPairs returns the identical pair at hamming 0") {
     val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     pairs.map(p => (p._1, p._2)) should contain((1L, 5L))
-    pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 0
+    pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 0L
   }
 }

@@ -63,10 +63,35 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
-  test("nearDupCosine finds only pairs above tau") {
+  test("nearDupCosine finds only pairs above tau (banded and exact paths)") {
     val d = df(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.99f, 0.1f, 0f), 3L -> Seq(0f, 0f, 1f))
-    val pairs = Similarity.nearDupCosine(d, "vec_id", "embedding", 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    pairs.toSet shouldBe Set((1L, 2L))
+    for (exact <- Seq(true, false)) {
+      val pairs = Similarity.nearDupCosine(d, "vec_id", "embedding", 0.9,
+        dim = 3, exact = exact)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      withClue(s"exact=$exact: ") { pairs.toSet shouldBe Set((1L, 2L)) }
+    }
+  }
+
+  test("nearDupCosine default (banded) equals the exact path on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def res(exact: Boolean) =
+      Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45, exact = exact)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    res(false) shouldBe res(true)
+  }
+
+  test("nearDupCosine banded plan has no cartesian product / nested-loop join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the exact baseline, by contrast, IS the all-pairs join (planned as
+    // CartesianProduct, or BroadcastNestedLoopJoin when one side is tiny)
+    val exactPlan = Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45,
+      exact = true).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("CartesianProduct") ||
+      exactPlan.contains("BroadcastNestedLoopJoin"))
   }
 }
