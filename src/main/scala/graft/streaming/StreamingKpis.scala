@@ -62,34 +62,57 @@ object StreamingKpis {
 
   /** Listening sessions: consecutive plays of a user with gaps below
     * `gapMinutes` form one session; the next out-of-gap play closes the
-    * previous session (event-time semantics — deterministic and
-    * replayable, unlike wall-clock timeouts). One state object per
-    * active user; pair with a processing-time timeout in production if
-    * abandoned sessions must flush without a successor event.
+    * previous session, and an ABANDONED session (no successor event)
+    * flushes via event-time timeout once the watermark passes
+    * `session end + gap` — event-time semantics throughout, so the
+    * output is deterministic and replayable (unlike wall-clock
+    * timeouts) and converges to exactly the batch sessionization.
+    * One state object per active user.
+    *
+    * The watermark is applied here (on `ts`, with `watermarkDelay`
+    * lateness) because `EventTimeTimeout` requires one; late events
+    * beyond the delay are dropped.
     */
-  def sessionize(plays: Dataset[Play], gapMinutes: Int = 30): Dataset[UserSession] = {
+  def sessionize(plays: Dataset[Play], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
     import plays.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
-    plays.groupByKey(_.user_id)
+    plays.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: String, rows: Iterator[Play], state: GroupState[SessionState]) =>
-          val sorted = rows.map(_.ts.getTime).toSeq.sorted
-          var cur = state.getOption
-          val out = Seq.newBuilder[UserSession]
-          sorted.foreach { t =>
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, plays = s.plays + 1))
-              case Some(s) =>
-                out += close(user, s)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no successor: flush the
+            // abandoned session exactly as a successor would have
+            val closed = state.getOption.map(close(user, _))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var cur = state.getOption
+            val out = Seq.newBuilder[UserSession]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, plays = s.plays + 1))
+                case Some(s) =>
+                  out += close(user, s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark or Spark
+              // rejects the timestamp; the max() only engages for state
+              // whose gap already expired (flushes next micro-batch)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 

@@ -87,37 +87,41 @@ class StreamingKpisSpec extends SparkSpec {
     got.filter(_._2 == "t1").map(_._3).max shouldBe 3L
   }
 
-  test("streaming sessionize agrees with the batch ground truth on closed sessions") {
-    import org.apache.spark.sql.functions.{col, max => smax}
+  test("streaming sessionize agrees with the batch ground truth EXACTLY once the watermark passes the gap") {
+    import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
     val plays = Seq(
       StreamingKpis.Play("a", ts("2024-06-25 08:00:00")),
       StreamingKpis.Play("a", ts("2024-06-25 08:20:00")),
-      StreamingKpis.Play("a", ts("2024-06-25 11:00:00")), // closes session 1
+      StreamingKpis.Play("a", ts("2024-06-25 11:00:00")), // closes session 1; then abandoned
       StreamingKpis.Play("b", ts("2024-06-25 09:00:00")),
       StreamingKpis.Play("b", ts("2024-06-25 12:00:00")), // closes b's session 1
-      StreamingKpis.Play("b", ts("2024-06-25 12:10:00")))
+      StreamingKpis.Play("b", ts("2024-06-25 12:10:00"))) // abandoned
     val mem = MemoryStream[StreamingKpis.Play]
     val q = StreamingKpis.sessionize(mem.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions_agree")
       .outputMode(OutputMode.Append()).start()
     mem.addData(plays: _*)
+    q.processAllAvailable()
+    // a later event from an unrelated user pushes the watermark past
+    // every a/b session's (end + gap): abandoned sessions must flush
+    // via event-time timeout, with no successor event
+    mem.addData(StreamingKpis.Play("z", ts("2024-06-25 14:00:00")))
     q.processAllAvailable(); q.stop()
     val streamingClosed = spark.table("sessions_agree")
+      .filter(col("user_id") =!= "z")
       .select("user_id", "session_start", "session_end", "plays")
       .collect().map(_.toSeq).toSet
 
-    val batch = graft.ops.Sessionize.sessions(
+    // ALL batch sessions, open ones included — the timeout flush makes
+    // the streaming output converge to the full batch ground truth
+    val batchAll = graft.ops.Sessionize.sessions(
       plays.toDF(), "user_id", "ts", gapMinutes = 30)
-    // drop each user's final (still-open) session before comparing
-    val lastIds = batch.groupBy("user_id").agg(smax("session_id").as("last_id"))
-    val batchClosed = batch.join(lastIds, Seq("user_id"))
-      .filter(col("session_id") =!= col("last_id"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("plays"))
       .collect().map(_.toSeq).toSet
-    streamingClosed shouldBe batchClosed
-    streamingClosed.size shouldBe 2
+    streamingClosed shouldBe batchAll
+    streamingClosed.size shouldBe 4
   }
 
   test("sessionize groups plays by gap and emits closed sessions") {
