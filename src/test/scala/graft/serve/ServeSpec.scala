@@ -98,6 +98,139 @@ class ServeSpec extends SparkSpec {
     store.get("V2_1", runTs).get("score") shouldBe BigDecimal("1.0")
   }
 
+  // ------------------------------------------------------------------
+  // Read path — docs/dynamodb-queries.md access patterns
+  // ------------------------------------------------------------------
+
+  private def readStore(): KpiSink.InMemoryKvStore = {
+    val store = new KpiSink.InMemoryKvStore()
+    store.putBatch(Seq(
+      Map("id" -> "USER_ENGAGEMENT_20240101", "timestamp" -> "2024-01-01T00:00:00",
+        "kpi_type" -> "user_engagement", "value" -> BigDecimal("10.5")),
+      Map("id" -> "USER_ENGAGEMENT_20240101", "timestamp" -> "2024-01-01T12:00:00",
+        "kpi_type" -> "user_engagement", "value" -> BigDecimal("11.5")),
+      Map("id" -> "USER_ENGAGEMENT_20240102", "timestamp" -> "2024-01-02T00:00:00",
+        "kpi_type" -> "user_engagement", "value" -> BigDecimal("12.0")),
+      Map("id" -> "GENRE_DAILY_rock_2024-01-01", "timestamp" -> "2024-01-01T00:00:00",
+        "kpi_type" -> "genre_daily", "genre" -> "rock", "date" -> "2024-01-01",
+        "value" -> BigDecimal("3.0")),
+      Map("id" -> "GENRE_DAILY_rock_2024-01-02", "timestamp" -> "2024-01-02T00:00:00",
+        "kpi_type" -> "genre_daily", "genre" -> "rock", "date" -> "2024-01-02",
+        "value" -> BigDecimal("4.0")),
+      Map("id" -> "GENRE_DAILY_pop_2024-01-01", "timestamp" -> "2024-01-01T00:00:00",
+        "kpi_type" -> "genre_daily", "genre" -> "pop", "date" -> "2024-01-01",
+        "value" -> BigDecimal("5.0"))))
+    store
+  }
+
+  test("read path: point get and sort-key range on the primary key") {
+    val store = readStore()
+    store.getItem("USER_ENGAGEMENT_20240101", "2024-01-01T00:00:00")
+      .get("value") shouldBe BigDecimal("10.5")
+    store.lastReadPattern shouldBe "GetItem"
+    store.getItem("USER_ENGAGEMENT_20240101", "1999-01-01T00:00:00") shouldBe None
+
+    // id + timestamp BETWEEN — docs/dynamodb-queries.md:51-60
+    val day1 = store.queryById("USER_ENGAGEMENT_20240101",
+      Some("2024-01-01T00:00:00"), Some("2024-01-01T23:59:59"))
+    day1.map(_("timestamp")) shouldBe
+      Seq("2024-01-01T00:00:00", "2024-01-01T12:00:00") // sort-key order
+    store.queryById("USER_ENGAGEMENT_20240101").size shouldBe 2
+  }
+
+  test("read path: KpiTypeIndex serves type and type+time-range queries (GSI 1)") {
+    val store = readStore()
+    store.queryByKpiType("user_engagement").size shouldBe 3
+    store.lastReadPattern shouldBe "KpiTypeIndex"
+    // type + ts BETWEEN — docs/dynamodb-queries.md:75-86
+    val jan1 = store.queryByKpiType("user_engagement",
+      Some("2024-01-01T00:00:00"), Some("2024-01-01T23:59:59"))
+    jan1.size shouldBe 2
+    jan1.map(_("timestamp").toString) shouldBe sorted
+    store.queryByKpiType("nope") shouldBe Nil
+    // the index is sparse: genre_daily items carry kpi_type, so they index
+    store.queryByKpiType("genre_daily").size shouldBe 3
+  }
+
+  test("read path: GenreDateIndex serves genre+date queries (GSI 2)") {
+    val store = readStore()
+    // exact genre+date — docs/dynamodb-queries.md:90-101
+    val rockDay = store.queryByGenreDate("rock", Some("2024-01-01"), Some("2024-01-01"))
+    rockDay.map(_("id")) shouldBe Seq("GENRE_DAILY_rock_2024-01-01")
+    store.lastReadPattern shouldBe "GenreDateIndex"
+    // genre + date BETWEEN — docs/dynamodb-queries.md:358-374
+    store.queryByGenreDate("rock", Some("2024-01-01"), Some("2024-12-31")).size shouldBe 2
+    // sparse: user_engagement items carry no genre, so they don't appear
+    store.queryByGenreDate("pop").size shouldBe 1
+  }
+
+  test("read path: begins_with id prefix and overwrite keeps indexes consistent") {
+    val store = readStore()
+    store.queryByIdPrefix("GENRE_DAILY_rock").size shouldBe 2
+    store.queryByIdPrefix("USER_").size shouldBe 3
+
+    // overwrite the same (id, timestamp) with a CHANGED genre: the stale
+    // GSI entry must disappear (DynamoDB index maintenance on PutItem)
+    store.putBatch(Seq(Map(
+      "id" -> "GENRE_DAILY_pop_2024-01-01", "timestamp" -> "2024-01-01T00:00:00",
+      "kpi_type" -> "genre_daily", "genre" -> "jazz", "date" -> "2024-01-01",
+      "value" -> BigDecimal("6.0"))))
+    store.queryByGenreDate("pop") shouldBe Nil
+    store.queryByGenreDate("jazz").map(_("value")) shouldBe Seq(BigDecimal("6.0"))
+    store.size shouldBe 6 // overwrite, not insert
+  }
+
+  test("DSv2 read: filters push down to the right index; columns prune") {
+    val store = readStore()
+    val df = spark.read.format("graft.serve.KvDataSource")
+      .option("store", store.id).load()
+    // inferred schema: keys first, value as double
+    df.schema.fieldNames.take(2) shouldBe Array("id", "timestamp")
+    df.schema("value").dataType shouldBe org.apache.spark.sql.types.DoubleType
+
+    // full scan
+    df.count() shouldBe 6
+
+    // GSI 1 routing: kpi_type equality + ts range land on KpiTypeIndex
+    val engaged = df.filter(col("kpi_type") === "user_engagement" &&
+      col("timestamp") >= "2024-01-01T00:00:00" && col("timestamp") <= "2024-01-01T23:59:59")
+    engaged.collect().map(_.getAs[Double]("value")).sorted shouldBe Array(10.5, 11.5)
+    store.lastReadPattern shouldBe "KpiTypeIndex"
+
+    // GSI 2 routing with column pruning
+    val rock = df.filter(col("genre") === "rock" && col("date") === "2024-01-01")
+      .select("value")
+    rock.collect().map(_.getDouble(0)) shouldBe Array(3.0)
+    store.lastReadPattern shouldBe "GenreDateIndex"
+
+    // primary-key point read
+    df.filter(col("id") === "USER_ENGAGEMENT_20240102" &&
+        col("timestamp") === "2024-01-02T00:00:00")
+      .count() shouldBe 1
+    store.lastReadPattern shouldBe "GetItem"
+
+    // residual (non-key) predicates still apply post-scan
+    df.filter(col("kpi_type") === "user_engagement" && col("value") > 11.0)
+      .count() shouldBe 2
+    store.lastReadPattern shouldBe "KpiTypeIndex"
+  }
+
+  test("DSv2 read: written items round-trip through the read path") {
+    val store = new KpiSink.InMemoryKvStore()
+    val items = (1 to 40).map(i =>
+      (f"KPI_$i%03d", runTs, "demo_kpi", i.toDouble))
+      .toDF("id", "timestamp", "kpi_type", "value")
+    items.write.format("graft.serve.KvDataSource")
+      .option("store", store.id).mode("append").save()
+
+    val back = spark.read.format("graft.serve.KvDataSource")
+      .option("store", store.id).load()
+      .filter(col("kpi_type") === "demo_kpi")
+    back.count() shouldBe 40
+    store.lastReadPattern shouldBe "KpiTypeIndex"
+    back.agg(sum("value")).head.getDouble(0) shouldBe (1 to 40).sum.toDouble
+  }
+
   test("trending and top-songs items carry reference id shapes") {
     val tr = KpiItems.trendingItems(KpiQueries.trendingKpis(enriched), runTs)
       .select("id").collect().map(_.getString(0)).toSet
