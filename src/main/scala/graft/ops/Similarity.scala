@@ -169,6 +169,121 @@ object Similarity {
     */
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer + probed buckets
+  // ------------------------------------------------------------------
+
+  /** Train `nlist` coarse-quantizer centroids with Lloyd iterations over
+    * a BOUNDED, deterministic training sample (the `nlist * samplePerList`
+    * lowest-id vectors — standard IVF practice: the quantizer trains on a
+    * sample, only the assignment pass sees the full corpus). The sample
+    * is the single driver-side materialization in the IVF path and its
+    * size is a constant set here, not a function of corpus size.
+    * Returns (centroid, norm) pairs; deterministic: lowest-id seeds,
+    * fixed iteration count, ties to the lower cluster index.
+    */
+  private[graft] def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                    nlist: Int, iters: Int = 5,
+                                    samplePerList: Int = 40): Array[(Array[Double], Double)] = {
+    val train: Array[Array[Double]] = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(nlist * samplePerList)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.length >= nlist, s"need >= $nlist training vectors, got ${train.length}")
+    var cents = train.take(nlist).map(_.clone())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+    }
+    (1 to iters).foreach { _ =>
+      val assign = train.map(v => cents.indices.maxBy(j => (cos(v, cents(j)), -j)))
+      cents = cents.indices.map { j =>
+        val members = train.indices.filter(assign(_) == j)
+        if (members.isEmpty) cents(j) // empty cluster keeps its centroid
+        else {
+          val m = new Array[Double](train(0).length)
+          members.foreach { t => var i = 0; while (i < m.length) { m(i) += train(t)(i); i += 1 } }
+          var i = 0; while (i < m.length) { m(i) /= members.size; i += 1 }
+          m
+        }
+      }.toArray
+    }
+    cents.map(c => (c, math.sqrt(c.map(x => x * x).sum)))
+  }
+
+  /** Column: index of the centroid with max cosine to `v` (ties to the
+    * lower index). A pure expression — nlist codegen'd dot kernels per
+    * row, no shuffle, no join — so corpus bucketing stays map-side.
+    */
+  private def nearestCentroid(v: Column, n: Column,
+                              cents: Array[(Array[Double], Double)]): Column = {
+    val sims: Seq[Column] = cents.toIndexedSeq.map { case (c, cn) =>
+      graft.functions.VectorExpressions.dotD(v,
+        array(c.toIndexedSeq.map(lit(_)): _*)) / (n * lit(cn))
+    }
+    if (sims.size == 1) lit(0)
+    else {
+      val best = greatest(sims: _*)
+      sims.zipWithIndex.foldRight(lit(-1): Column) { case ((s, j), el) =>
+        when(s >= best, lit(j)).otherwise(el)
+      }
+    }
+  }
+
+  /** IVF approximate top-k: corpus rows bucket under their nearest
+    * centroid (map-side expression), each query probes its `nprobe`
+    * closest centroid lists, and candidates re-rank by exact cosine.
+    * Output contract matches [[knnBruteForce]].
+    *
+    * The 100 TB shape: the corpus is touched by exactly one scan that
+    * computes a bucket id per row; the probe table is (queries × nprobe)
+    * rows and broadcasts; the candidate join is an equi-join on the
+    * bucket id — work scales with probed-list volume (≈ corpus ·
+    * nprobe / nlist per query), never all-pairs. `nprobe = nlist`
+    * degenerates to exhaustive search — equal to [[knnBruteForce]] by
+    * construction, which is what the oracle entry pins; recall at
+    * realistic `nprobe << nlist` is measured in `SimilaritySpec`, not
+    * assumed.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nlist: Int = 16, nprobe: Int = 4,
+             iters: Int = 5): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    require(nlist <= 256, "coarse quantizer is an inline expression; keep nlist <= 256")
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .withColumn("list_id", nearestCentroid(col("cv"), col("cn"), cents))
+
+    // per-query probe set: rank centroids by cosine, keep nprobe —
+    // all columnar (array of (sim, j) structs, sorted desc, sliced)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val centSims = array(cents.toIndexedSeq.zipWithIndex.map { case ((cvec, cn), j) =>
+      struct(
+        (graft.functions.VectorExpressions.dotD(col("qv"),
+          array(cvec.toIndexedSeq.map(lit(_)): _*)) / (col("qn") * lit(cn))).as("sim"),
+        lit(j).as("j"))
+    }: _*)
+    val probes = q
+      .withColumn("_probe", slice(reverse(array_sort(centSims)), 1, nprobe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("_probe")).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"), col("p.j").as("list_id"))
+
+    val scored = c.join(broadcast(probes), "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.functions.VectorExpressions.dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ tau, (a_id, b_id, sim).
     *
     * Default path (`exact = false`): sign-LSH banded candidate
@@ -205,17 +320,39 @@ object Similarity {
         val b = withN.select(col(idCol).as("b_id"), col("_v").as("bv"), col("_n").as("bn"))
         a.crossJoin(b).filter(col("a_id") < col("b_id"))
       } else {
-        // candidates carry ids only — the (band, key) join and the
-        // distinct() never shuffle the vectors; exact verification
-        // re-joins them once per surviving pair
+        // candidates carry ids + the full signature PACKED INTO ONE
+        // BIGINT (bands × bandBits ≤ 64 bits) — never the vectors;
+        // exact verification re-joins vectors once per surviving pair.
+        // A pair colliding in many bands (the norm at low tau) is
+        // emitted ONCE, from its FIRST matching band: the join filter
+        // xors the packed signatures and takes the lowest all-zero
+        // band — pure codegen'd long arithmetic per joined row. This
+        // replaces a distinct() over the full collision volume (bands ×
+        // pairs rows through a second shuffle); the collision volume
+        // never leaves the join operator.
+        require(nPlanes <= 64, "banded path packs the signature into one long")
+        val mask = (1L << bandBits) - 1
+        val packed = aggregate(col("_bands"), lit(0L), (acc, b) =>
+          acc.bitwiseOR(call_function("shiftleft", b.getField("key").cast("long"),
+            b.getField("band") * lit(bandBits))))
         val banded = signBuckets(embeddings, vecCol, dim, nPlanes, bandBits, seed)
-          .select(col(idCol).as("id"), explode(col("_bands")).as("b"))
-          .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-        val cands = banded.select(col("band"), col("key"), col("id").as("a_id"))
-          .join(banded.select(col("band"), col("key"), col("id").as("b_id")),
+          .withColumn("_sig", packed) // once per vector, pre-explode
+          .select(col(idCol).as("id"), col("_sig"), explode(col("_bands")).as("b"))
+          .select(col("id"), col("_sig"), col("b.band").as("band"), col("b.key").as("key"))
+        val bandsN = nPlanes / bandBits
+        def firstAgreeBand(x: Column): Column =
+          (0 until bandsN).foldRight(lit(-1): Column) { case (i, el) =>
+            when(call_function("shiftright", x, lit(i * bandBits))
+              .bitwiseAND(lit(mask)) === 0, lit(i)).otherwise(el)
+          }
+        val cands = banded.select(col("band"), col("key"),
+            col("id").as("a_id"), col("_sig").as("_sa"))
+          .join(banded.select(col("band"), col("key"),
+            col("id").as("b_id"), col("_sig").as("_sb")),
             Seq("band", "key"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
+          .filter(col("a_id") < col("b_id") &&
+            firstAgreeBand(col("_sa").bitwiseXOR(col("_sb"))) === col("band"))
+          .select("a_id", "b_id")
         cands
           .join(withN.select(col(idCol).as("a_id"), col("_v").as("av"), col("_n").as("an")), "a_id")
           .join(withN.select(col(idCol).as("b_id"), col("_v").as("bv"), col("_n").as("bn")), "b_id")

@@ -63,6 +63,48 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("knnIvf: full probe equals brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rn", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = rows(Similarity.knnBruteForce(e, q, "vec_id", "embedding", 5))
+    val ivf = rows(Similarity.knnIvf(e, q, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 8))
+    ivf shouldBe brute
+  }
+
+  test("knnIvf: partial probe keeps high recall on clustered vectors") {
+    // same two-tight-cluster fixture as the LSH recall test: Lloyd
+    // centroids land one per cluster, so probing the nearest list is
+    // enough to find each query's true neighbors
+    val base1 = Array.fill(8)(1.0f)
+    val base2 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) base1 else base2
+      val jitter = base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i * 7 + j) % 5) }
+      (i.toLong, jitter.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0 || col("vec_id") === 10)
+    val exact = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnIvf(corpus, queries, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("knnIvf candidate join is an equi-join on the list id, not all-pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.knnIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("nearDupCosine finds only pairs above tau (banded and exact paths)") {
     val d = df(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.99f, 0.1f, 0f), 3L -> Seq(0f, 0f, 1f))
     for (exact <- Seq(true, false)) {
