@@ -95,10 +95,34 @@ object SparkEntry {
       graft.ops.Dedup.simHashNearDupPairs(
         table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // pairs -> components: the step an actual dedup pipeline needs (keep
+    // one canonical doc per cluster); min-label propagation, oracle is a
+    // from-scratch recursive-CTE reachability closure
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupClusters(
+        graft.ops.Dedup.nearDupPairsExact(
+          table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.3))),
+
+    // corpus term statistics: tf, df, and tf-idf per (doc, term)
+    "q_tfidf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tfIdf(
+        table(s, dir, "documents"), "doc_id", "text", minTf = 3)),
+
     "q_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       graft.ops.Similarity.knnBruteForce(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+    }),
+
+    // IVF with nprobe = nlist probes every list — exhaustive by
+    // construction, so it must hash-match the brute-force oracle; the
+    // approximate regime (nprobe << nlist) is recall-tested in
+    // SimilaritySpec
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.ops.Similarity.knnIvf(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 16)
     }),
 
     "q_knn_topk_agg" -> ((s, dir) => {
@@ -380,6 +404,43 @@ object SparkEntry {
     "q_dedup_pairs_maxdf" -> dedupPairsSql,
     "q_dedup_minhash"     -> dedupPairsSql,
 
+    // connected components from scratch: same pair query (tau=0.3), then
+    // a recursive reachability closure; cluster id = min reachable doc id
+    "q_dedup_clusters" ->
+      s"""${docToks.replaceFirst("WITH", "WITH RECURSIVE")}, s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM d WHERE len(toks) >= 3
+         |), pq AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |), pr AS (
+         |  SELECT a_id, b_id FROM pq WHERE ni / (na + nb - ni) >= 0.3
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION
+         |  SELECT b_id, a_id FROM pr
+         |), reach(node, root) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+         |)
+         |SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+
+    "q_tfidf" ->
+      s"""$docToks, x AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM x GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+         |       ROUND(tf.tf * ln(n.n_docs::DOUBLE / dfq.doc_freq::DOUBLE), 6) AS tf_idf
+         |FROM tf JOIN dfq USING (term) CROSS JOIN n
+         |WHERE tf.tf >= 3""".stripMargin,
+
     // SimHash from scratch in SQL: identical md5-derived 64-bit token
     // hash (hi/lo 32-bit halves), identical sign-sum bits, then ALL-PAIRS
     // exact hamming via BIT xor — stricter than the engine's banded
@@ -407,6 +468,7 @@ object SparkEntry {
 
     "q_knn"          -> knnSql,
     "q_knn_topk_agg" -> knnSql,
+    "q_knn_ivf"      -> knnSql, // nprobe = nlist: exhaustive == brute force
 
     "q_embed_dup" ->
       s"""WITH p AS (

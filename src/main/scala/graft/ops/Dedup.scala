@@ -234,4 +234,58 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a near-duplicate PAIR graph: every doc in
+    * a pair gets `cluster_id` = the minimum doc id reachable through the
+    * pair relation. Pairs → clusters is the step an actual dedup
+    * pipeline needs (keep one canonical doc per component, drop the
+    * rest); pairwise output alone under-deletes whenever A~B and B~C
+    * but A!~C.
+    *
+    * Algorithm: distributed min-label propagation. Each round every
+    * vertex takes the min of its own label and its neighbors' labels —
+    * one equi-join + one hash aggregation per round, converging in
+    * O(component diameter) rounds (near-dup components are shallow:
+    * duplicates of a page link through it, not through chains). Labels
+    * are `localCheckpoint`ed each round so the plan doesn't accumulate
+    * `maxIter` joins of lineage, and convergence is detected by a
+    * changed-label count riding the checkpoint action. This is the
+    * DataFrame rendering of the classic MapReduce CC approach
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * label propagation variant); no driver-side graph state.
+    *
+    * Input needs columns (`aCol`, `bCol`); output (doc_id, cluster_id),
+    * one row per distinct doc appearing in any pair. Docs in no pair are
+    * singletons by definition and are not emitted.
+    */
+  def nearDupClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor minimum in one join+agg; keep own label via the union
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = viaNeighbors.unionAll(labels)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    require(converged, s"nearDupClusters did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
 }

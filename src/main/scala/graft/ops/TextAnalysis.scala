@@ -121,6 +121,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
 
+  /** Corpus term statistics: per-(doc, term) frequency, document
+    * frequency, and TF-IDF (`tf · ln(N / df)`) — the vocabulary /
+    * importance backbone of a training-data pipeline (corpus pruning,
+    * keyword extraction, quality weighting).
+    *
+    * Tokenization matches [[tokens]] over lowercased text, so the same
+    * stats are reproducible in any engine with the same split.
+    *
+    * Shape at 100 TB: the explode is map-side; TF is one partial-agg
+    * hash aggregation keyed by (doc, term); DF re-aggregates the
+    * already-collapsed TF table (|doc·term distinct|, not token count)
+    * keyed by term; the corpus size joins in as a broadcast scalar. The
+    * only wide exchange is the TF⋈DF equi-join on `term` — AQE handles
+    * the stopword-term skew (or pre-filter a stopword list).
+    *
+    * `minTf` bounds the OUTPUT rows only — document frequencies are
+    * computed over the full corpus before the cut, so reported idf is
+    * exact.
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String, minTf: Int = 1): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf    = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val n     = docs.agg(count(lit(1)).as("n_docs"))
+    tf.filter(col("tf") >= minTf)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq").cast("double")),
+          6).as("tf_idf"))
+  }
+
   /** Word `n`-gram shingles (space-joined), distinct. Used by the dedup
     * family (MinHash / Jaccard). Docs shorter than `n` tokens yield an
     * empty array (the `when` guard keeps `sequence` from going negative).

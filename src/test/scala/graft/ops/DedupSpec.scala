@@ -108,4 +108,24 @@ class DedupSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should contain((1L, 5L))
     pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 0L
   }
+
+  test("nearDupClusters: transitive pairs collapse to min-id components") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  test("nearDupClusters converges on a chain longer than one propagation round") {
+    import spark.implicits._
+    // a 12-node path: the min label travels one hop per round, so this
+    // needs ~11 rounds — exercises convergence detection, not just one
+    // propagation step
+    val pairs = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe (1L to 12L).toSet
+    got.values.toSet shouldBe Set(1L)
+  }
 }

@@ -102,4 +102,20 @@ class TextAnalysisSpec extends SparkSpec {
     evalCol("x y x y x y", TextAnalysis.shingles(col("text"), 2))
       .asInstanceOf[scala.collection.Seq[String]].toSeq.toSet shouldBe Set("x y", "y x")
   }
+
+  test("tfIdf: df over full corpus, minTf trims output only, idf exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text", minTf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // only (doc,term) rows with tf >= 2 survive...
+    got.keySet shouldBe Set((1L, "a"), (3L, "b"))
+    // ...but doc_freq counts every doc containing the term (a: docs 1,2;
+    // b: docs 1,3), not just surviving rows
+    got((1L, "a")) shouldBe ((2L, 2L,
+      BigDecimal(2.0 * math.log(3.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    got((3L, "b")) shouldBe ((3L, 2L,
+      BigDecimal(3.0 * math.log(3.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }
