@@ -108,6 +108,24 @@ object SparkEntry {
       graft.ops.TextAnalysis.tfIdf(
         table(s, dir, "documents"), "doc_id", "text", minTf = 3)),
 
+    // deterministic hash-based train/test split: assignment is a pure
+    // function of the key (md5 bucket), reproducible in any engine —
+    // never rand()/partition-order dependent
+    "q_sample_hash" -> ((s, dir) =>
+      graft.ops.Sampling.trainTestSplit(
+        table(s, dir, "events").na.drop(Seq("event_id")), "event_id",
+        testBuckets = 20)
+        .select(col("event_id"), col("split"))),
+
+    // per-stratum deterministic sampling (rebalancing move: keep rare
+    // classes whole, downsample dominant ones)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSampleByHash(
+        table(s, dir, "events").na.drop(Seq("event_id", "event_type")),
+        "event_id", "event_type",
+        Map("click" -> 5, "purchase" -> 100, "error" -> 50))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))),
+
     "q_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       graft.ops.Similarity.knnBruteForce(
@@ -469,6 +487,23 @@ object SparkEntry {
     "q_knn"          -> knnSql,
     "q_knn_topk_agg" -> knnSql,
     "q_knn_ivf"      -> knnSql, // nprobe = nlist: exhaustive == brute force
+
+    "q_sample_hash" ->
+      """SELECT event_id,
+        |  CASE WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100 >= 80
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM events WHERE event_id IS NOT NULL""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |)
+        |SELECT event_type, COUNT(*) AS n FROM s
+        |WHERE b < CASE event_type WHEN 'click' THEN 5 WHEN 'purchase' THEN 100
+        |                          WHEN 'error' THEN 50 ELSE 0 END
+        |GROUP BY 1""".stripMargin,
 
     "q_embed_dup" ->
       s"""WITH p AS (
