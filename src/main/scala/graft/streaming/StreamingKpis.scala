@@ -119,4 +119,32 @@ object StreamingKpis {
   private def close(user: String, s: SessionState): UserSession =
     UserSession(user, new Timestamp(s.start), new Timestamp(s.last), s.plays,
       (s.last - s.start) / 60000.0)
+
+  /** Serve a streaming item frame into the KV store: each micro-batch
+    * flows through [[graft.serve.KpiSink.write]] (executor-side batches
+    * of 25 with backoff) — the streaming closing of the reference's
+    * batch-only KPI→DynamoDB loop. Use `update` output upstream: the
+    * store's overwrite-by-(id, timestamp) makes re-emitted groups (and
+    * retried micro-batches) idempotent, so a windowed aggregation can
+    * publish refined values as events arrive and the store always holds
+    * the latest. Blocks until the trigger drains; returns micro-batches
+    * executed.
+    */
+  def serveToStore(items: DataFrame, store: graft.serve.KpiSink.KvStore,
+                   checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow()): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = items.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        graft.serve.KpiSink.write(batch, store)
+      }
+      .trigger(trigger)
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
 }

@@ -124,6 +124,50 @@ class StreamingKpisSpec extends SparkSpec {
     streamingClosed.size shouldBe 4
   }
 
+  test("streaming KPIs serve to the KV store; update-mode re-emits overwrite by pkeys") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("sserve")
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Files.writeString(Paths.get(s"$in/s1.csv"),
+      """user_id,track_id,listen_time
+        |u1,t1,2024-06-25 01:00:00
+        |u2,t1,2024-06-25 02:00:00
+        |""".stripMargin)
+    val store = new graft.serve.KpiSink.InMemoryKvStore()
+    def run(): Unit = {
+      val stream = IncrementalIngest.streamsSource(spark, in)
+        .filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+        .withColumnRenamed("listen_time", "timestamp")
+      val items = StreamingKpis.dailyGenreMetrics(
+        stream.withColumn("track_genre", lit("rock"))
+          .withColumn("track_id", col("track_id"))
+          .withColumn("duration_ms", lit(60000L)))
+        .select(
+          concat(lit("GENRE_DAILY_"), col("track_genre"), lit("_"),
+            date_format(col("date"), "yyyy-MM-dd")).as("id"),
+          lit("2024-07-01T00:00:00").as("timestamp"),
+          col("listen_count"))
+      // fresh checkpoint per run: the store, not the sink log, is the
+      // idempotency boundary (overwrite-by-pkeys)
+      StreamingKpis.serveToStore(items, store, s"$base/ck${System.nanoTime()}")
+    }
+    run()
+    store.size shouldBe 1
+    store.getItem("GENRE_DAILY_rock_2024-06-25", "2024-07-01T00:00:00")
+      .get("listen_count") shouldBe 2L
+
+    // a third play lands; the re-run re-emits the updated group and the
+    // store overwrites the same key with the refined count
+    Files.writeString(Paths.get(s"$in/s2.csv"),
+      """user_id,track_id,listen_time
+        |u3,t1,2024-06-25 03:00:00
+        |""".stripMargin)
+    run()
+    store.size shouldBe 1
+    store.getItem("GENRE_DAILY_rock_2024-06-25", "2024-07-01T00:00:00")
+      .get("listen_count") shouldBe 3L
+  }
+
   test("sessionize groups plays by gap and emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingKpis.Play]
