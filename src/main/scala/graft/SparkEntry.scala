@@ -126,6 +126,11 @@ object SparkEntry {
         Map("click" -> 5, "purchase" -> 100, "error" -> 50))
         .groupBy("event_type").agg(count(lit(1)).as("n"))),
 
+    // one-pass column profiling (completeness / cardinality / range)
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(table(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     "q_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       graft.ops.Similarity.knnBruteForce(
@@ -504,6 +509,12 @@ object SparkEntry {
         |WHERE b < CASE event_type WHEN 'click' THEN 5 WHEN 'purchase' THEN 100
         |                          WHEN 'error' THEN 50 ELSE 0 END
         |GROUP BY 1""".stripMargin,
+
+    "q_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  MIN($c)::VARCHAR AS min_value, MAX($c)::VARCHAR AS max_value
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
 
     "q_embed_dup" ->
       s"""WITH p AS (

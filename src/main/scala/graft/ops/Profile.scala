@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the data-QA gate a training-data
+  * pipeline runs before and after every transformation (ingest drift,
+  * dedup fallout, split integrity): per-column completeness,
+  * cardinality, and value range.
+  *
+  * All profiled columns aggregate in a SINGLE pass over the table (one
+  * `agg` with every measure, then a `stack` to one row per column) —
+  * never a per-column scan loop. Min/max render as strings so one
+  * output schema covers heterogeneous column types.
+  *
+  * Exact `COUNT(DISTINCT)` over several columns plans through Spark's
+  * `Expand` (one duplicated stream per distinct aggregate); at 100 TB
+  * set `approxDistinct = true` to switch to single-pass HyperLogLog
+  * sketches (±2.3%) with no expand.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val measures = count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__${c}__nn"),
+        (if (approxDistinct) approx_count_distinct(c) else countDistinct(col(c)))
+          .as(s"__${c}__nd"),
+        min(col(c)).cast("string").as(s"__${c}__min"),
+        max(col(c)).cast("string").as(s"__${c}__max"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', `__${c}__nn`, `__${c}__nd`, `__${c}__min`, `__${c}__max`").mkString(", ")
+    df.agg(measures.head, measures.tail: _*)
+      .select(col("__n_rows").as("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column, n_nonnull, n_distinct, min_value, max_value)"))
+      .select("column", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value")
+  }
+}

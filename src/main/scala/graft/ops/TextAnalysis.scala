@@ -130,24 +130,26 @@ object TextAnalysis {
     * stats are reproducible in any engine with the same split.
     *
     * Shape at 100 TB: the explode is map-side; TF is one partial-agg
-    * hash aggregation keyed by (doc, term); DF re-aggregates the
-    * already-collapsed TF table (|doc·term distinct|, not token count)
-    * keyed by term; the corpus size joins in as a broadcast scalar. The
-    * only wide exchange is the TF⋈DF equi-join on `term` — AQE handles
-    * the stopword-term skew (or pre-filter a stopword list).
+    * hash aggregation keyed by (doc, term); document frequency is a
+    * COUNT window over `term` partitions of the already-collapsed TF
+    * table — the tokenize+aggregate pass runs ONCE (a separate
+    * `groupBy(term)` + self-join would recompute the whole TF lineage
+    * for the build side). The corpus size joins in as a broadcast
+    * scalar from a metadata-only count scan. AQE handles stopword-term
+    * skew in the term exchange (or pre-filter a stopword list).
     *
     * `minTf` bounds the OUTPUT rows only — document frequencies are
     * computed over the full corpus before the cut, so reported idf is
     * exact.
     */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String, minTf: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-    val tf    = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    val n     = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("term")))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.filter(col("tf") >= minTf)
-      .join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
         round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq").cast("double")),
