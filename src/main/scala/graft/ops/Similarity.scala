@@ -126,15 +126,21 @@ object Similarity {
                   bandBits: Int = 8, seed: Long = 7L): DataFrame = {
     require(nPlanes % bandBits == 0, "nPlanes must divide into bands")
     val ps = planes(dim, nPlanes, seed)
+    // One array<double> cast per row, then nPlanes codegen'd primitive
+    // dot kernels — the HOF version (zip_with + aggregate per plane) is
+    // interpreted and dominated signature time at nPlanes = 64.
+    val vd = col("_vd_sig")
     val bits: Seq[Column] = ps.toIndexedSeq.map { p =>
       val pArr = array(p.toIndexedSeq.map(lit(_)): _*)
-      when(dot(col(vecCol), pArr) >= 0, lit(1)).otherwise(lit(0))
+      when(graft.functions.VectorExpressions.dotD(vd, pArr) >= 0, lit(1)).otherwise(lit(0))
     }
     val bands = bits.grouped(bandBits).zipWithIndex.map { case (bs, i) =>
       struct(lit(i).as("band"),
         bs.zipWithIndex.map { case (b, j) => b * (1 << j) }.reduce(_ + _).as("key"))
     }.toSeq
-    df.withColumn("_bands", array(bands: _*))
+    df.withColumn("_vd_sig", asDouble(col(vecCol)))
+      .withColumn("_bands", array(bands: _*))
+      .drop("_vd_sig")
   }
 
   /** Approximate top-k: candidates share at least one signature band with
@@ -224,10 +230,12 @@ object Similarity {
     }
     if (sims.size == 1) lit(0)
     else {
-      val best = greatest(sims: _*)
-      sims.zipWithIndex.foldRight(lit(-1): Column) { case ((s, j), el) =>
-        when(s >= best, lit(j)).otherwise(el)
-      }
+      // argmax via array_max + first-position — each centroid similarity
+      // is evaluated ONCE (the previous greatest + when-chain rendering
+      // evaluated every sim twice); ties resolve to the lower index,
+      // matching trainCentroids' driver-side assignment.
+      val arr = array(sims: _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
     }
   }
 
@@ -331,7 +339,6 @@ object Similarity {
         // pairs rows through a second shuffle); the collision volume
         // never leaves the join operator.
         require(nPlanes <= 64, "banded path packs the signature into one long")
-        val mask = (1L << bandBits) - 1
         val packed = aggregate(col("_bands"), lit(0L), (acc, b) =>
           acc.bitwiseOR(call_function("shiftleft", b.getField("key").cast("long"),
             b.getField("band") * lit(bandBits))))
@@ -340,18 +347,33 @@ object Similarity {
           .select(col(idCol).as("id"), col("_sig"), explode(col("_bands")).as("b"))
           .select(col("id"), col("_sig"), col("b.band").as("band"), col("b.key").as("key"))
         val bandsN = nPlanes / bandBits
-        def firstAgreeBand(x: Column): Column =
-          (0 until bandsN).foldRight(lit(-1): Column) { case (i, el) =>
-            when(call_function("shiftright", x, lit(i * bandBits))
-              .bitwiseAND(lit(mask)) === 0, lit(i)).otherwise(el)
+        // "This band is the FIRST agreeing band" in O(1) long arithmetic
+        // (the previous rendering was a bandsN-deep when-chain — ~100
+        // branch ops per joined row, and the joined volume here is the
+        // whole collision volume). The join key equality already forces
+        // the xor's group AT `band` to zero, so the only residual check
+        // is "no group strictly below `band` is all-zero":
+        //   fold each bandBits-wide group's OR down to its lowest bit,
+        //   mask to the groups below `band`, and require all of them set.
+        def noZeroGroupBelow(x: Column, bandCol: Column): Column = {
+          var y = x
+          var s = 1
+          while (s < bandBits) { // bit i*w := OR of bits i*w .. i*w+w-1
+            y = y.bitwiseOR(call_function("shiftright", y, lit(s)))
+            s <<= 1
           }
+          val pattern = (0 until bandsN).map(i => 1L << (i * bandBits)).reduce(_ | _)
+          val below = call_function("shiftleft", lit(1L), bandCol * lit(bandBits)) - lit(1L)
+          val want = lit(pattern).bitwiseAND(below)
+          y.bitwiseAND(want) === want
+        }
         val cands = banded.select(col("band"), col("key"),
             col("id").as("a_id"), col("_sig").as("_sa"))
           .join(banded.select(col("band"), col("key"),
             col("id").as("b_id"), col("_sig").as("_sb")),
             Seq("band", "key"))
           .filter(col("a_id") < col("b_id") &&
-            firstAgreeBand(col("_sa").bitwiseXOR(col("_sb"))) === col("band"))
+            noZeroGroupBelow(col("_sa").bitwiseXOR(col("_sb")), col("band")))
           .select("a_id", "b_id")
         cands
           .join(withN.select(col(idCol).as("a_id"), col("_v").as("av"), col("_n").as("an")), "a_id")
