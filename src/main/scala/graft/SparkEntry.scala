@@ -131,6 +131,17 @@ object SparkEntry {
       graft.ops.Profile.profile(table(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // declarative constraint audit: every check folds into ONE agg pass
+    // (one scan at any table size); thresholds picked to exercise both
+    // outcomes (bounds lo=50 and the lang domain sans 'zh' fail)
+    "q_dq_audit" -> ((s, dir) =>
+      graft.ops.Quality.audit(table(s, dir, "documents"), Seq(
+        graft.ops.Quality.Completeness("doc_id"),
+        graft.ops.Quality.Completeness("lang"),
+        graft.ops.Quality.Uniqueness("doc_id"),
+        graft.ops.Quality.Bounds("n_chars", 50, 1000),
+        graft.ops.Quality.AcceptedValues("lang", Seq("en", "de", "es", "fr"), 0.9)))),
+
     "q_knn" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       graft.ops.Similarity.knnBruteForce(
@@ -269,6 +280,50 @@ object SparkEntry {
     // de-skewed plan, same oracle — must stay hash-equal to kpi_trending
     "q_trending_bucketed" -> ((s, dir) =>
       KpiQueries.trendingKpisBucketed(TestTables.enriched(s, dir))),
+
+    // multi-grain rollup in one pass: (date, genre), (date), grand total —
+    // partial-aggregatable, one shuffle; grouping() flags disambiguate
+    // rollup nulls from genuinely-null genres (the left-join misses)
+    "q_kpi_rollup" -> ((s, dir) =>
+      TestTables.enriched(s, dir)
+        .select(date_trunc("day", col("timestamp")).as("date"),
+          col("track_genre"), col("track_id"), col("duration_ms"))
+        // Column-overload rollup: the String overload resolves through
+        // df.col and its dataset-id metadata falsely trips the
+        // ambiguous-self-join check on join-derived frames
+        .rollup(col("date"), col("track_genre"))
+        .agg(
+          count(col("track_id")).as("listen_count"),
+          (sum("duration_ms").cast("long") / lit(60000.0)).as("total_listening_time_minutes"),
+          // grouping_id() bits instead of grouping(col): the per-column
+          // form re-resolves the attribute and trips the ambiguous-self-
+          // join check on join-derived frames (date is MSB here)
+          shiftright(grouping_id(), 1).bitwiseAND(lit(1L)).as("g_date"),
+          grouping_id().bitwiseAND(lit(1L)).as("g_genre"))),
+
+    // pivot with EXPLICIT values — no discovery pass over the fact table
+    // (implicit pivot runs a distinct() first; at scale the value set is
+    // a contract, not something to rediscover per query)
+    "q_pivot_events" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      table(s, dir, "events").na.drop(Seq("user_id", "event_type"))
+        .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
+
+    // exact linear-interpolation percentiles per group (the distribution
+    // check a data pipeline runs on numeric features)
+    "q_percentiles" -> ((s, dir) =>
+      table(s, dir, "events").na.drop(Seq("event_type", "value"))
+        .groupBy("event_type")
+        .agg(percentile(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+        .select(col("event_type"),
+          round(element_at(col("ps"), 1), 6).as("p25"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p90"),
+          round(element_at(col("ps"), 4), 6).as("p99"))),
 
     // ---- generic operator coverage (SURVEY §2.2-2.7) ----
     "q_pricing_summary" -> ((s, dir) =>
@@ -683,6 +738,62 @@ object SparkEntry {
 
     "q_trending_bucketed" -> trendingOracleSql,
     "kpi_trending"        -> trendingOracleSql,
+
+    "q_kpi_rollup" ->
+      s"""$oracleBase
+         |SELECT date_trunc('day', ts) AS date, track_genre,
+         |  COUNT(track_id) AS listen_count,
+         |  (CAST(SUM(duration_ms) AS BIGINT) / 60000.0) AS total_listening_time_minutes,
+         |  CAST(GROUPING(date_trunc('day', ts)) AS BIGINT) AS g_date,
+         |  CAST(GROUPING(track_genre) AS BIGINT) AS g_genre
+         |FROM enriched
+         |GROUP BY ROLLUP(date_trunc('day', ts), track_genre)""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS n_view
+        |FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_dq_audit" ->
+      """SELECT 'completeness' AS "check", 'doc_id' AS "column",
+        |  ROUND(COUNT(doc_id) / COUNT(*), 6) AS metric, 1.0 AS threshold,
+        |  (COUNT(doc_id) / COUNT(*)) >= 1.0 AS passed FROM documents
+        |UNION ALL
+        |SELECT 'completeness', 'lang',
+        |  ROUND(COUNT(lang) / COUNT(*), 6), 1.0,
+        |  (COUNT(lang) / COUNT(*)) >= 1.0 FROM documents
+        |UNION ALL
+        |SELECT 'uniqueness', 'doc_id',
+        |  ROUND(COUNT(DISTINCT doc_id) / COUNT(doc_id), 6), 1.0,
+        |  (COUNT(DISTINCT doc_id) / COUNT(doc_id)) >= 1.0 FROM documents
+        |UNION ALL
+        |SELECT 'bounds', 'n_chars',
+        |  ROUND(COUNT(CASE WHEN n_chars >= 50 AND n_chars <= 1000 THEN 1 END)
+        |    / COUNT(n_chars), 6), 1.0,
+        |  (COUNT(CASE WHEN n_chars >= 50 AND n_chars <= 1000 THEN 1 END)
+        |    / COUNT(n_chars)) >= 1.0 FROM documents
+        |UNION ALL
+        |SELECT 'accepted_values', 'lang',
+        |  ROUND(COUNT(CASE WHEN lang IN ('en','de','es','fr') THEN 1 END)
+        |    / COUNT(lang), 6), 0.9,
+        |  (COUNT(CASE WHEN lang IN ('en','de','es','fr') THEN 1 END)
+        |    / COUNT(lang)) >= 0.9 FROM documents""".stripMargin,
 
     "q_range_join" ->
       """WITH err AS (
