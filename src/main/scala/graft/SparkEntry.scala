@@ -347,6 +347,18 @@ object SparkEntry {
           col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
           col("c_name"), col("n_name"))),
 
+    // bloom-pruned equi-join: the big side is filtered by a bitset built
+    // from the small side's keys BEFORE its shuffle; the join re-checks
+    // every survivor, so output is exactly the plain join (the oracle)
+    "q_bloom_join" -> ((s, dir) => {
+      val big = table(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val small = table(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      graft.ops.BloomJoin.prunedJoin(big, small, "custkey", expectedKeys = 2000)
+    }),
+
     "q_join_semi" -> ((s, dir) =>
       table(s, dir, "customer")
         .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -918,6 +930,12 @@ object SparkEntry {
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey, c.c_name
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey % 97 = 0""".stripMargin,
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
