@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so one task amortizes codec initialization across its
   * whole partition (the JVM analogue of a batched pandas UDF).
   *
-  * The actual codecs are NOT present in this environment, so the decode
-  * kernel is a clearly-marked deterministic STUB ([[decodeStub]]) — the
-  * Spark-side contract around it (schemas, encoders, partition-batched
-  * execution, frame sampling, columnar metadata ops) is real and tested,
-  * and swapping the stub for a JNI/ffmpeg/ImageIO call changes nothing
-  * upstream or downstream of it.
+  * The actual PIXEL/PCM codecs are NOT present in this environment, so
+  * the decode kernel is a clearly-marked deterministic STUB
+  * ([[decodeStub]]) — the Spark-side contract around it (schemas,
+  * encoders, partition-batched execution, frame sampling, columnar
+  * metadata ops) is real and tested, and swapping the stub for a
+  * JNI/ffmpeg/ImageIO call changes nothing upstream or downstream of it.
+  *
+  * Container-header METADATA extraction, by contrast, is fully real:
+  * [[probeHeader]]/[[probeMedia]] parse PNG/JPEG/GIF/WAV headers with
+  * plain byte arithmetic (dimensions, channels, sample rate, duration)
+  * — no codec needed, tested against crafted binaries.
   */
 object Multimodal {
 
@@ -87,4 +92,113 @@ object Multimodal {
   def withMediaStats(df: DataFrame, contentCol: String): DataFrame =
     df.withColumn("content_bytes", octet_length(col(contentCol)))
       .withColumn("content_md5", md5(col(contentCol)))
+
+  // ------------------------------------------------------------------
+  // Container-header probing — REAL parsing, not a stub. Reading a
+  // format's header (dimensions, channels, sample rate, duration) needs
+  // no codec, only byte arithmetic, so this part of the multimodal
+  // surface is fully functional in any environment. Formats: PNG
+  // (IHDR), JPEG (SOF scan), GIF (logical screen), WAV (RIFF fmt/data).
+  // ------------------------------------------------------------------
+
+  /** Probed container metadata; -1 marks fields a format doesn't carry. */
+  final case class MediaProbe(media_id: Long, format: String,
+                              width: Int, height: Int, channels: Int,
+                              sample_rate_hz: Int, duration_ms: Long)
+  implicit val mediaProbeEnc: Encoder[MediaProbe] = Encoders.product[MediaProbe]
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Parse one container header. Total work is O(header), not O(file):
+    * JPEG walks segment lengths, the rest read fixed offsets.
+    */
+  def probeHeader(b: Array[Byte]): (String, Int, Int, Int, Int, Long) = {
+    def unknown = ("unknown", -1, -1, -1, -1, -1L)
+    if (b == null || b.length < 10) unknown // 10 = smallest parseable header (GIF)
+    // PNG: 8-byte signature, then the IHDR chunk is mandatory-first:
+    // length(4) "IHDR" width(4 BE) height(4 BE) bitdepth(1) colortype(1)
+    else if (b.take(8).sameElements(PngSig) && b.length >= 26 &&
+             new String(b, 12, 4, "US-ASCII") == "IHDR") {
+      val colorType = b(25) & 0xFF
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => -1
+      }
+      ("png", be32(b, 16), be32(b, 20), channels, -1, -1L)
+    }
+    // GIF: "GIF87a"/"GIF89a" then logical-screen width/height (LE16)
+    else if (b.length >= 10 && (new String(b, 0, 6, "US-ASCII") == "GIF87a" ||
+             new String(b, 0, 6, "US-ASCII") == "GIF89a")) {
+      ("gif", le16(b, 6), le16(b, 8), -1, -1, -1L)
+    }
+    // WAV: "RIFF" size "WAVE", then chunks; "fmt " carries channels +
+    // sample rate + byte rate, "data"'s size / byte rate = duration
+    else if (new String(b, 0, 4, "US-ASCII") == "RIFF" && b.length >= 12 &&
+             new String(b, 8, 4, "US-ASCII") == "WAVE") {
+      var off = 12
+      var channels = -1; var rate = -1; var byteRate = -1; var dataLen = -1L
+      while (off + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = le32(b, off + 4)
+        if (id == "fmt " && off + 16 + 8 <= b.length) {
+          channels = le16(b, off + 10)
+          rate = le32(b, off + 12)
+          byteRate = le32(b, off + 16)
+        } else if (id == "data") dataLen = size.toLong & 0xFFFFFFFFL
+        off += 8 + size + (size & 1) // chunks are word-aligned
+        if (size < 0) off = b.length // corrupt size: stop
+      }
+      val durMs = if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else -1L
+      ("wav", -1, -1, channels, rate, durMs)
+    }
+    // JPEG: FF D8, then walk FF-marker segments to the first SOFn
+    // (C0..CF minus C4/C8/CC): precision(1) height(2 BE) width(2 BE)
+    // components(1)
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var off = 2
+      var res = unknown
+      var done = false
+      while (!done && off + 4 <= b.length) {
+        if ((b(off) & 0xFF) != 0xFF) { done = true } // desync: stop
+        else {
+          val marker = b(off + 1) & 0xFF
+          if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
+            off += 2 // standalone markers have no length
+          } else if (marker == 0xD9 || marker == 0xDA) {
+            done = true // EOI / start-of-scan: no SOF seen
+          } else {
+            val len = be16(b, off + 2)
+            val isSof = marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+            if (isSof && off + 9 < b.length) {
+              res = ("jpeg", be16(b, off + 7), be16(b, off + 5), b(off + 9) & 0xFF, -1, -1L)
+              done = true
+            } else off += 2 + len
+          }
+        }
+      }
+      if (res._1 == "jpeg") res else unknown
+    }
+    else unknown
+  }
+
+  /** Probe a media dataset's container headers — one row per record,
+    * columnar output, partition-streamed (never materializes payloads
+    * beyond the row at hand).
+    */
+  def probeMedia(media: Dataset[MediaRecord]): Dataset[MediaProbe] =
+    media.mapPartitions { records =>
+      records.map { r =>
+        val (fmt, w, h, ch, sr, dur) = probeHeader(r.content)
+        MediaProbe(r.media_id, fmt, w, h, ch, sr, dur)
+      }
+    }
 }

@@ -63,4 +63,67 @@ class MultimodalSpec extends SparkSpec {
     stats(1L) shouldBe 1000
     stats(3L) shouldBe 0
   }
+
+  // ---- container-header probing: REAL parsers over crafted binaries ----
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def png(w: Int, h: Int, colorType: Int): Array[Byte] =
+    bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      bytes(w >>> 24, w >>> 16, w >>> 8, w, h >>> 24, h >>> 16, h >>> 8, h,
+        8, colorType, 0, 0, 0) ++ bytes(0, 0, 0, 0) // bitdepth..crc
+
+  private def jpeg(w: Int, h: Int): Array[Byte] =
+    bytes(0xFF, 0xD8,                      // SOI
+      0xFF, 0xE0, 0x00, 0x10) ++           // APP0, len 16
+      Array.fill[Byte](14)(0x4A) ++
+      bytes(0xFF, 0xC0, 0x00, 0x11, 8,     // SOF0, len 17, precision 8
+        h >>> 8, h, w >>> 8, w, 3) ++      // height, width, 3 components
+      Array.fill[Byte](12)(0) ++
+      bytes(0xFF, 0xD9)                    // EOI
+
+  private def wav(rate: Int, ch: Int, dataLen: Int): Array[Byte] = {
+    val byteRate = rate * ch * 2
+    def le16(v: Int) = bytes(v, v >>> 8)
+    def le32(v: Int) = bytes(v, v >>> 8, v >>> 16, v >>> 24)
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(ch) ++
+      le32(rate) ++ le32(byteRate) ++ le16(ch * 2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen) ++ Array.fill[Byte](dataLen)(0)
+  }
+
+  test("probeHeader parses real PNG / JPEG / GIF / WAV headers") {
+    probeHeader(png(640, 480, colorType = 6)) shouldBe (("png", 640, 480, 4, -1, -1L))
+    probeHeader(png(16384, 2, colorType = 0)) shouldBe (("png", 16384, 2, 1, -1, -1L))
+    probeHeader(jpeg(1920, 1080)) shouldBe (("jpeg", 1920, 1080, 3, -1, -1L))
+    probeHeader("GIF89a".getBytes("US-ASCII") ++ bytes(0x40, 0x01, 0xF0, 0x00))
+      .shouldBe(("gif", 320, 240, -1, -1, -1L))
+    // 44.1 kHz stereo 16-bit, 88200 data bytes = 500 ms
+    probeHeader(wav(44100, 2, 88200)) shouldBe (("wav", -1, -1, 2, 44100, 500L))
+  }
+
+  test("probeHeader is total: garbage, truncated, and empty inputs -> unknown") {
+    probeHeader(Array.emptyByteArray)._1 shouldBe "unknown"
+    probeHeader(bytes(0xFF, 0xD8, 0xFF)) shouldBe (("unknown", -1, -1, -1, -1, -1L))
+    probeHeader(png(640, 480, 6).take(20))._1 shouldBe "unknown"
+    probeHeader(Array.tabulate[Byte](64)(_.toByte))._1 shouldBe "unknown"
+    // JPEG with no SOF before EOI
+    probeHeader(bytes(0xFF, 0xD8, 0xFF, 0xD9) ++ Array.fill[Byte](8)(0))._1 shouldBe "unknown"
+  }
+
+  test("probeMedia emits one typed metadata row per record, distributed") {
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1, png(64, 32, 2), MediaMeta("image", 0, 0, 0, 0)),
+      MediaRecord(2, wav(16000, 1, 32000), MediaMeta("audio", 0, 0, 0, 0)),
+      MediaRecord(3, Array.emptyByteArray, MediaMeta("?", 0, 0, 0, 0)))).repartition(2)
+    val got = probeMedia(ds).collect().map(p => p.media_id -> p).toMap
+    got(1L).format shouldBe "png"
+    got(1L).width shouldBe 64
+    got(1L).channels shouldBe 3
+    got(2L).format shouldBe "wav"
+    got(2L).sample_rate_hz shouldBe 16000
+    got(2L).duration_ms shouldBe 1000L
+    got(3L).format shouldBe "unknown"
+  }
 }
