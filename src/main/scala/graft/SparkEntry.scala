@@ -388,6 +388,17 @@ object SparkEntry {
           round(col("value") / 60.0, 4).as("v_min"),
           date_trunc("hour", col("ts")).as("h"))),
 
+    // Morton z-value projection (the layout key behind writeZOrdered's
+    // two-dimensional data skipping) — pure codegen bit spreading, so it
+    // is oracle-checkable even though the layout itself is a write path
+    "q_zorder" -> ((s, dir) =>
+      table(s, dir, "events")
+        .na.drop(Seq("event_id", "user_id", "value"))
+        .select(col("event_id"),
+          graft.ops.ZOrder.zValue(
+            pmod(col("user_id"), lit(65536L)),
+            pmod(floor(col("value")).cast("long"), lit(65536L))).as("z"))),
+
     "q_sort_limit" -> ((s, dir) =>
       table(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -957,6 +968,21 @@ object SparkEntry {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_zorder" -> {
+      // same magic-mask bit spreading as ZOrder.spread16, rendered as SQL
+      def spread(x: String): String = {
+        val s1 = s"((($x) | (($x) << 8)) & 16711935)"    // 0x00FF00FF
+        val s2 = s"((($s1) | (($s1) << 4)) & 252645135)" // 0x0F0F0F0F
+        val s3 = s"((($s2) | (($s2) << 2)) & 858993459)" // 0x33333333
+        s"((($s3) | (($s3) << 1)) & 1431655765)"         // 0x55555555
+      }
+      val a = "(((user_id % 65536) + 65536) % 65536)" // pmod
+      val b = "(((CAST(FLOOR(value) AS BIGINT) % 65536) + 65536) % 65536)"
+      s"""SELECT event_id, (${spread(a)} | (${spread(b)} << 1)) AS z
+         |FROM events
+         |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin
+    },
 
     "q_distinct" -> "SELECT DISTINCT event_type FROM events",
 
