@@ -103,6 +103,19 @@ object SparkEntry {
         graft.ops.Dedup.nearDupPairsExact(
           table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.3))),
 
+    // incremental dedup: a "new batch" (doc_id >= 400) deduped against
+    // the persisted store of the existing corpus (doc_id < 400) — the
+    // corpus text itself is never re-read, only its sidecar store;
+    // corpus-vs-corpus pairs are (correctly) absent from the output
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val store = graft.ops.Dedup.dedupStore(
+        docs.filter(col("doc_id") < 400), "doc_id", "text")
+      graft.ops.Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") >= 400), store, "doc_id", "text",
+        n = 3, tau = 0.5)
+    }),
+
     // corpus term statistics: tf, df, and tf-idf per (doc, term)
     "q_tfidf" -> ((s, dir) =>
       graft.ops.TextAnalysis.tfIdf(
@@ -504,6 +517,22 @@ object SparkEntry {
     "q_dedup_pairs"       -> dedupPairsSql,
     "q_dedup_pairs_maxdf" -> dedupPairsSql,
     "q_dedup_minhash"     -> dedupPairsSql,
+
+    // from-scratch all-pairs restricted to pairs touching the new batch
+    // (b_id >= 400 suffices: a_id < b_id and new ids are the high range)
+    "q_dedup_incremental" ->
+      s"""$docToks, s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM d WHERE len(toks) >= 3
+         |), p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id, ROUND(ni / (na + nb - ni), 6) AS jaccard,
+         |       CASE WHEN a_id >= 400 THEN 'new_new' ELSE 'new_corpus' END AS pair_type
+         |FROM p WHERE ni / (na + nb - ni) >= 0.5 AND b_id >= 400""".stripMargin,
 
     // connected components from scratch: same pair query (tau=0.3), then
     // a recursive reachability closure; cluster id = min reachable doc id

@@ -235,6 +235,83 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental dedup: new batch vs a persisted corpus store
+  // ------------------------------------------------------------------
+
+  /** The persistable dedup sidecar for a corpus: one row per doc with
+    * its exact-dup fingerprint and shingle set. Built once, written as
+    * parquet (bucketable by doc_id), and JOINED — never recomputed —
+    * when the next batch arrives. At 100 TB this is what turns daily
+    * dedup from O(corpus²) into O(batch · collisions): the corpus text
+    * is not even read on the incremental path.
+    */
+  def dedupStore(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        TextAnalysis.shingles(col(textCol), n).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+
+  /** Near-duplicate pairs INVOLVING the new batch: new-vs-corpus and
+    * new-vs-new, with exact full-set Jaccard ≥ tau. The corpus appears
+    * only through its [[dedupStore]] — the quadratic corpus-vs-corpus
+    * work never happens (it was done, incrementally, in the batches
+    * that built the store).
+    *
+    * Output: (a_id, b_id, jaccard, pair_type) with a_id < b_id and
+    * pair_type ∈ {new_new, new_corpus}. `maxDf` bounds hot-shingle
+    * fanout exactly as in [[nearDupPairsExact]] (candidate generation
+    * only; scores stay full-set exact).
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, store: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, tau: Double = 0.5,
+                              maxDf: Option[Int] = None): DataFrame = {
+    val newSets = shingleSets(newDocs, idCol, textCol, n).cache()
+    val storeSets = store.select(col("doc_id"), col("shingles"), col("n_shingles"))
+    val newIds = newSets.select(col("doc_id"))
+
+    val postNew = newSets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val postStore = storeSets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val (pn, ps) = maxDf match {
+      case Some(d) =>
+        // bound by NEW-batch df: the batch is what drives fanout here,
+        // and the store's df for a shingle is unknowable without a
+        // corpus-wide count (exactly the pass this path avoids)
+        val keep = postNew.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= d).select("sh")
+        (postNew.join(keep, "sh"), postStore.join(keep, "sh"))
+      case None => (postNew, postStore)
+    }
+
+    // new-vs-new candidates (a < b within the batch)
+    val nn = pn.select(col("sh"), col("doc_id").as("a_id"))
+      .join(pn.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // new-vs-corpus candidates (either order; normalize to a < b)
+    val nc = pn.select(col("sh"), col("doc_id").as("n_id"))
+      .join(ps.select(col("sh"), col("doc_id").as("c_id")), Seq("sh"))
+      .filter(col("n_id") =!= col("c_id"))
+      .select(least(col("n_id"), col("c_id")).as("a_id"),
+        greatest(col("n_id"), col("c_id")).as("b_id"))
+      .distinct()
+
+    val allSets = newSets.select("doc_id", "shingles", "n_shingles")
+      .unionAll(storeSets)
+      .groupBy("doc_id") // a doc may be in both (re-submission): keep one
+      .agg(first("shingles").as("shingles"), first("n_shingles").as("n_shingles"))
+    val pairs = verifyExactJaccard(nn.unionAll(nc).distinct(), allSets, tau)
+    pairs
+      .join(newIds.select(col("doc_id").as("a_id"), lit(1).as("_an")), Seq("a_id"), "left")
+      .join(newIds.select(col("doc_id").as("b_id"), lit(1).as("_bn")), Seq("b_id"), "left")
+      .withColumn("pair_type",
+        when(col("_an").isNotNull && col("_bn").isNotNull, lit("new_new"))
+          .otherwise(lit("new_corpus")))
+      .select("a_id", "b_id", "jaccard", "pair_type")
+  }
+
   /** Connected components over a near-duplicate PAIR graph: every doc in
     * a pair gets `cluster_id` = the minimum doc id reachable through the
     * pair relation. Pairs → clusters is the step an actual dedup

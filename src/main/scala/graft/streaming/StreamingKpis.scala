@@ -120,6 +120,40 @@ object StreamingKpis {
     UserSession(user, new Timestamp(s.start), new Timestamp(s.last), s.plays,
       (s.last - s.start) / 60000.0)
 
+  final case class Click(user_id: String, click_id: Long, ts: Timestamp)
+  final case class Purchase(user_id: String, purchase_id: Long, ts: Timestamp)
+
+  /** Stream-stream INTERVAL join: each purchase attributed to every
+    * click by the same user within `horizon` before it. Watermarks on
+    * BOTH inputs plus the time-range predicate are what let Spark evict
+    * join state — without them a stream-stream join buffers forever.
+    * State held per side ≈ watermark + horizon of events; inner-join
+    * results emit as soon as both rows exist (no watermark wait).
+    */
+  def attributedPurchases(clicks: Dataset[Click], purchases: Dataset[Purchase],
+                          horizon: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    clicks.toDF().withWatermark("ts", watermark).alias("c")
+      .join(
+        purchases.toDF().withWatermark("ts", watermark).alias("p"),
+        expr(s"""c.user_id = p.user_id
+                |AND c.ts >= p.ts - INTERVAL $horizon
+                |AND c.ts <= p.ts""".stripMargin))
+      .select(col("p.purchase_id"), col("p.user_id"),
+        col("p.ts").as("purchase_ts"), col("c.click_id"), col("c.ts").as("click_ts"))
+
+  /** At-least-once ingestion dedup: `dropDuplicatesWithinWatermark`
+    * keyed by event id. Unlike plain `dropDuplicates` (whose key state
+    * grows with ALL history — a leak on an unbounded stream), state here
+    * is evicted once the watermark passes, bounding it by the horizon's
+    * event volume. The contract matches what replayed/duplicated
+    * delivery actually needs: duplicates arrive close to the original.
+    */
+  def dedupWithinWatermark(events: DataFrame, idCol: String, tsCol: String,
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+
   /** Serve a streaming item frame into the KV store: each micro-batch
     * flows through [[graft.serve.KpiSink.write]] (executor-side batches
     * of 25 with backoff) — the streaming closing of the reference's

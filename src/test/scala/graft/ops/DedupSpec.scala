@@ -109,6 +109,34 @@ class DedupSpec extends SparkSpec {
     pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 0L
   }
 
+  test("incremental dedup equals the full-pairs answer restricted to the new batch") {
+    val full = Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // corpus = {1,2,3}, new batch = {4,5}
+    val store = Dedup.dedupStore(docs.filter($"doc_id" <= 3), "doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(
+      docs.filter($"doc_id" >= 4), store, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    inc.map(p => (p._1, p._2, p._3)).toSet shouldBe
+      full.filter(p => p._1 >= 4 || p._2 >= 4)
+    // no corpus-vs-corpus pair leaks through (1,2) is a near-dup but old
+    inc.map(p => (p._1, p._2)) should not contain ((1L, 2L))
+    // 5 is the exact dup of corpus doc 1 -> new_corpus at jaccard 1.0
+    val p15 = inc.find(p => p._1 == 1L && p._2 == 5L).get
+    p15._3 shouldBe 1.0
+    p15._4 shouldBe "new_corpus"
+  }
+
+  test("incremental dedup tolerates a re-submitted doc present in batch AND store") {
+    val store = Dedup.dedupStore(docs, "doc_id", "text") // store has everything
+    val inc = Dedup.incrementalNearDupPairs(
+      docs.filter($"doc_id" === 5), store, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // each qualifying pair appears exactly once despite doc 5's double presence
+    inc.length shouldBe inc.toSet.size
+    inc.map(p => (p._1, p._2)) should contain ((1L, 5L))
+  }
+
   test("nearDupClusters: transitive pairs collapse to min-id components") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
