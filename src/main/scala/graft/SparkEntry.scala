@@ -391,6 +391,21 @@ object SparkEntry {
       e.filter(col("value") < 100).unionAll(e.filter(col("value") >= 100))
     }),
 
+    // bag-semantics set ops (SQL INTERSECT ALL / EXCEPT ALL): two
+    // overlapping user slices; multiplicities must survive, which is
+    // what distinguishes these from a semi/anti join
+    "q_set_intersect" -> ((s, dir) => {
+      val e = table(s, dir, "events").na.drop(Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      e.filter(col("user_id") < 100).intersectAll(e.filter(col("user_id") >= 50))
+    }),
+
+    "q_set_except" -> ((s, dir) => {
+      val e = table(s, dir, "events").na.drop(Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      e.filter(col("user_id") < 100).exceptAll(e.filter(col("user_id") >= 50))
+    }),
+
     "q_project_cast" -> ((s, dir) =>
       table(s, dir, "events")
         .na.drop(Seq("event_id", "user_id", "event_type", "value", "ts"))
@@ -986,6 +1001,20 @@ object SparkEntry {
       """SELECT event_id, event_type, value FROM events WHERE value < 100
         |UNION ALL
         |SELECT event_id, event_type, value FROM events WHERE value >= 100""".stripMargin,
+
+    "q_set_intersect" ->
+      """WITH e AS (SELECT user_id, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT user_id, event_type FROM e WHERE user_id < 100
+        |INTERSECT ALL
+        |SELECT user_id, event_type FROM e WHERE user_id >= 50""".stripMargin,
+
+    "q_set_except" ->
+      """WITH e AS (SELECT user_id, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT user_id, event_type FROM e WHERE user_id < 100
+        |EXCEPT ALL
+        |SELECT user_id, event_type FROM e WHERE user_id >= 50""".stripMargin,
 
     "q_project_cast" ->
       """SELECT CAST(event_id AS VARCHAR) AS eid, CAST(user_id AS VARCHAR) AS uid,
