@@ -103,16 +103,17 @@ object SparkEntry {
         graft.ops.Dedup.nearDupPairsExact(
           table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.3))),
 
-    // incremental dedup: a "new batch" (doc_id >= 400) deduped against
-    // the persisted store of the existing corpus (doc_id < 400) — the
-    // corpus text itself is never re-read, only its sidecar store;
+    // incremental dedup: a "new batch" (doc_id % 5 = 4 — 20% of docs at
+    // EVERY sf) deduped against the persisted store of the other 80% —
+    // the corpus text itself is never re-read, only its sidecar store;
     // corpus-vs-corpus pairs are (correctly) absent from the output
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val store = graft.ops.Dedup.dedupStore(
-        docs.filter(col("doc_id") < 400), "doc_id", "text")
+        docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        withFingerprint = false) // this query never reads the fingerprint
       graft.ops.Dedup.incrementalNearDupPairs(
-        docs.filter(col("doc_id") >= 400), store, "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 4), store, "doc_id", "text",
         n = 3, tau = 0.5)
     }),
 
@@ -386,6 +387,17 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
+    // salted skew join: the hot-key spread plan must stay row-identical
+    // to the plain join (salts only re-route shuffle placement)
+    "q_salted_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events").na.drop(Seq("event_id", "user_id"))
+        .select("event_id", "user_id")
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("grp", pmod(col("user_id"), lit(7L)))
+      graft.ops.SkewJoin.saltedJoin(ev, dim, "user_id", col("event_id"), salts = 8)
+        .select("user_id", "event_id", "grp")
+    }),
+
     "q_union_all" -> ((s, dir) => {
       val e = table(s, dir, "events").select("event_id", "event_type", "value")
       e.filter(col("value") < 100).unionAll(e.filter(col("value") >= 100))
@@ -445,6 +457,18 @@ object SparkEntry {
         row_number().over(w).cast("long").as("rn"),
         lag("value", 1).over(w).as("prev_value"),
         round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_value"))
+    }),
+
+    // rank-family window coverage: ntile buckets + distribution ranks
+    "q_window_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events").na.drop(Seq("user_id", "ts", "event_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
     }),
 
     "q_trending_events" -> ((s, dir) => {
@@ -534,7 +558,7 @@ object SparkEntry {
     "q_dedup_minhash"     -> dedupPairsSql,
 
     // from-scratch all-pairs restricted to pairs touching the new batch
-    // (b_id >= 400 suffices: a_id < b_id and new ids are the high range)
+    // (docs with doc_id % 5 = 4)
     "q_dedup_incremental" ->
       s"""$docToks, s AS (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
@@ -546,8 +570,10 @@ object SparkEntry {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
          |)
          |SELECT a_id, b_id, ROUND(ni / (na + nb - ni), 6) AS jaccard,
-         |       CASE WHEN a_id >= 400 THEN 'new_new' ELSE 'new_corpus' END AS pair_type
-         |FROM p WHERE ni / (na + nb - ni) >= 0.5 AND b_id >= 400""".stripMargin,
+         |       CASE WHEN a_id % 5 = 4 AND b_id % 5 = 4 THEN 'new_new'
+         |            ELSE 'new_corpus' END AS pair_type
+         |FROM p WHERE ni / (na + nb - ni) >= 0.5
+         |  AND (a_id % 5 = 4 OR b_id % 5 = 4)""".stripMargin,
 
     // connected components from scratch: same pair query (tau=0.3), then
     // a recursive reachability closure; cluster id = min reachable doc id
@@ -1001,6 +1027,26 @@ object SparkEntry {
       """SELECT event_id, event_type, value FROM events WHERE value < 100
         |UNION ALL
         |SELECT event_id, event_type, value FROM events WHERE value >= 100""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |), dim AS (
+        |  SELECT user_id, ((user_id % 7) + 7) % 7 AS grp
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |)
+        |SELECT ev.user_id, ev.event_id, dim.grp
+        |FROM ev JOIN dim USING (user_id)""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT event_id, user_id,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q_set_intersect" ->
       """WITH e AS (SELECT user_id, event_type FROM events

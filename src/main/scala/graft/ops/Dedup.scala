@@ -247,11 +247,15 @@ object Dedup {
     * is not even read on the incremental path.
     */
   def dedupStore(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
-        TextAnalysis.shingles(col(textCol), n).as("shingles"))
+                 n: Int = 3, withFingerprint: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val fp = if (withFingerprint)
+      Seq(TextAnalysis.fingerprint(col("_text")).as("fingerprint"))
+    else Seq.empty
+    base.select((col("doc_id") +: fp :+
+        TextAnalysis.shingles(col("_text"), n).as("shingles")): _*)
       .withColumn("n_shingles", size(col("shingles")))
+  }
 
   /** Near-duplicate pairs INVOLVING the new batch: new-vs-corpus and
     * new-vs-new, with exact full-set Jaccard ≥ tau. The corpus appears
@@ -269,41 +273,74 @@ object Dedup {
                               n: Int = 3, tau: Double = 0.5,
                               maxDf: Option[Int] = None): DataFrame = {
     val newSets = shingleSets(newDocs, idCol, textCol, n).cache()
-    val storeSets = store.select(col("doc_id"), col("shingles"), col("n_shingles"))
+    // the store is normally MATERIALIZED (parquet written by a previous
+    // batch); cache() makes a computed store frame behave the same way
+    // here — it is read twice below (postings + sizes), and without
+    // materialization both reads would re-run the shingling
+    val storeSets = store.select(col("doc_id"), col("shingles"), col("n_shingles")).cache()
     val newIds = newSets.select(col("doc_id"))
 
     val postNew = newSets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val postStore = storeSets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val (pn, ps) = maxDf match {
+
+    val scored: DataFrame = maxDf match {
       case Some(d) =>
         // bound by NEW-batch df: the batch is what drives fanout here,
         // and the store's df for a shingle is unknowable without a
-        // corpus-wide count (exactly the pass this path avoids)
+        // corpus-wide count (exactly the pass this path avoids). The
+        // bounded candidate set is small, so full-set re-verification
+        // (array_intersect) is affordable and restores exact scores.
         val keep = postNew.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= d).select("sh")
-        (postNew.join(keep, "sh"), postStore.join(keep, "sh"))
-      case None => (postNew, postStore)
+        val pn = postNew.join(keep, "sh")
+        val ps = postStore.join(keep, "sh")
+        val nn = pn.select(col("sh"), col("doc_id").as("a_id"))
+          .join(pn.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val nc = pn.select(col("sh"), col("doc_id").as("n_id"))
+          .join(ps.select(col("sh"), col("doc_id").as("c_id")), Seq("sh"))
+          .filter(col("n_id") =!= col("c_id"))
+          .select(least(col("n_id"), col("c_id")).as("a_id"),
+            greatest(col("n_id"), col("c_id")).as("b_id"))
+          .distinct()
+        val allSets = newSets.select("doc_id", "shingles", "n_shingles")
+          .unionAll(storeSets)
+          .groupBy("doc_id") // a doc may be in both (re-submission): keep one
+          .agg(first("shingles").as("shingles"), first("n_shingles").as("n_shingles"))
+        verifyExactJaccard(nn.unionAll(nc).distinct(), allSets, tau)
+      case None =>
+        // unbounded index: the shared-shingle JOIN COUNT is the exact
+        // intersection size (sets are distinct), so no array
+        // re-verification and no distinct() over the collision volume —
+        // one counting aggregation, mirroring nearDupPairsExact's shape
+        val nnInter = postNew.select(col("sh"), col("doc_id").as("a_id"))
+          .join(postNew.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        val ncInter = postNew.select(col("sh"), col("doc_id").as("n_id"))
+          .join(postStore.select(col("sh"), col("doc_id").as("c_id")), Seq("sh"))
+          .filter(col("n_id") =!= col("c_id"))
+          .select(least(col("n_id"), col("c_id")).as("a_id"),
+            greatest(col("n_id"), col("c_id")).as("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        // a re-submitted doc yields the same pair via both routes with
+        // equal counts — max() collapses the duplicate
+        val inter = nnInter.unionAll(ncInter)
+          .groupBy("a_id", "b_id").agg(max("n_inter").as("n_inter"))
+        // sizes: prefer the new batch's entry on re-submission
+        val sizes = newSets.select(col("doc_id"), col("n_shingles"))
+          .unionAll(storeSets.select(col("doc_id"), col("n_shingles"))
+            .join(newIds, Seq("doc_id"), "left_anti"))
+        inter
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "a_id", "n_shingles" -> "n_a")), "a_id")
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "b_id", "n_shingles" -> "n_b")), "b_id")
+          .withColumn("jaccard",
+            col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .filter(col("jaccard") >= tau)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
     }
-
-    // new-vs-new candidates (a < b within the batch)
-    val nn = pn.select(col("sh"), col("doc_id").as("a_id"))
-      .join(pn.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // new-vs-corpus candidates (either order; normalize to a < b)
-    val nc = pn.select(col("sh"), col("doc_id").as("n_id"))
-      .join(ps.select(col("sh"), col("doc_id").as("c_id")), Seq("sh"))
-      .filter(col("n_id") =!= col("c_id"))
-      .select(least(col("n_id"), col("c_id")).as("a_id"),
-        greatest(col("n_id"), col("c_id")).as("b_id"))
-      .distinct()
-
-    val allSets = newSets.select("doc_id", "shingles", "n_shingles")
-      .unionAll(storeSets)
-      .groupBy("doc_id") // a doc may be in both (re-submission): keep one
-      .agg(first("shingles").as("shingles"), first("n_shingles").as("n_shingles"))
-    val pairs = verifyExactJaccard(nn.unionAll(nc).distinct(), allSets, tau)
-    pairs
+    scored
       .join(newIds.select(col("doc_id").as("a_id"), lit(1).as("_an")), Seq("a_id"), "left")
       .join(newIds.select(col("doc_id").as("b_id"), lit(1).as("_bn")), Seq("b_id"), "left")
       .withColumn("pair_type",
