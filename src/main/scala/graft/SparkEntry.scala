@@ -191,6 +191,22 @@ object SparkEntry {
       graft.ops.Similarity.nearDupCosine(
         table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)),
 
+    // PII scrubbing parity: the corpus has no natural PII, so each doc
+    // gets a deterministic contact block appended (id-derived email /
+    // URL / IP / phone), then masked — both engines run the SAME
+    // lookaround-free patterns and must produce identical text
+    "q_pii_scrub" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com via "),
+        lit("https://t.example/u/"), col("doc_id"),
+        lit(" ip 10.1."), pmod(col("doc_id"), lit(256L)), lit(".7"),
+        lit(" tel +1415555"), lpad(col("doc_id").cast("string"), 4, "0"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        md5(graft.ops.TextAnalysis.scrubPii(withPii).cast("binary")).as("scrubbed_md5"),
+        md5(graft.ops.TextAnalysis.normalizeText(col("text")).cast("binary")).as("normalized_md5"))
+    }),
+
     "q_langid" -> ((s, dir) =>
       table(s, dir, "documents")
         .withColumn("predicted", graft.ops.TextAnalysis.languageId(col("text")))
@@ -364,6 +380,17 @@ object SparkEntry {
     // bloom-pruned equi-join: the big side is filtered by a bitset built
     // from the small side's keys BEFORE its shuffle; the join re-checks
     // every survivor, so output is exactly the plain join (the oracle)
+    // null-safe equality join (<=>): nulls constructed deterministically
+    // on both sides; NULL <=> NULL matches, unlike plain equality
+    "q_nullsafe_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events").na.drop(Seq("event_id", "user_id"))
+        .select(col("event_id"), nullif(pmod(col("user_id"), lit(20L)), lit(7L)).as("k"))
+      val dim = ev.select(col("k")).distinct()
+        .withColumn("label", coalesce(col("k").cast("string"), lit("none")))
+      ev.join(dim, ev("k") <=> dim("k"))
+        .select(col("event_id"), col("label"))
+    }),
+
     "q_bloom_join" -> ((s, dir) => {
       val big = table(s, dir, "orders")
         .select(col("o_custkey").as("custkey"), col("o_orderkey"))
@@ -1017,6 +1044,36 @@ object SparkEntry {
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey % 97 = 0""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, NULLIF(((user_id % 20) + 20) % 20, 7) AS k
+        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |), dim AS (
+        |  SELECT k, COALESCE(CAST(k AS VARCHAR), 'none') AS label
+        |  FROM (SELECT DISTINCT k FROM ev)
+        |)
+        |SELECT ev.event_id, dim.label
+        |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k""".stripMargin,
+
+    "q_pii_scrub" -> {
+      val piiText =
+        """text || ' contact user' || doc_id || '@mail.example.com via ' ||
+          |'https://t.example/u/' || doc_id || ' ip 10.1.' ||
+          |((doc_id % 256) + 256) % 256 || '.7 tel +1415555' ||
+          |lpad(CAST(doc_id AS VARCHAR), 4, '0')""".stripMargin
+      val scrubbed = graft.ops.TextAnalysis.PiiPatterns.foldLeft(s"($piiText)") {
+        case (expr, (pat, repl)) =>
+          // single-quoted SQL string: escape backslashes stay as-is (DuckDB
+          // strings are not escape-processed), quotes doubled
+          s"regexp_replace($expr, '${pat.replace("'", "''")}', '$repl', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  md5($scrubbed) AS scrubbed_md5,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS normalized_md5
+         |FROM documents""".stripMargin
+    },
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -160,6 +160,38 @@ object TextAnalysis {
     * family (MinHash / Jaccard). Docs shorter than `n` tokens yield an
     * empty array (the `when` guard keeps `sequence` from going negative).
     */
+  /** Whitespace/control normalization for canonicalization-before-dedup:
+    * lowercase, control chars → space, runs of whitespace collapsed,
+    * trimmed. Pure codegen'd string ops.
+    */
+  def normalizeText(text: Column): Column =
+    // explicit control-char range, not \p{Cntrl}: the Java-only POSIX
+    // class name doesn't exist in RE2, and this pattern must mean the
+    // same thing to every engine that re-tokenizes the corpus
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
+  /** PII masking patterns — deliberately lookaround-free so the SAME
+    * pattern strings run identically under Java regex (Spark) and RE2
+    * (DuckDB, re2 in a scrubbing sidecar service): training corpora get
+    * scrubbed once, and every engine that touches the data must agree
+    * on what was masked. Order matters: emails before phone-ish digit
+    * runs, URLs before bare IPs.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+"                                -> "<URL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d().-]{6,}\\d"                         -> "<PHONE>")
+
+  /** Apply all [[PiiPatterns]] left to right. One chained projection —
+    * no UDF, linear in text length.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   def shingles(text: Column, n: Int = 3): Column = {
     require(n >= 1 && n <= 8, "shingle size out of range")
     val toks = tokens(lower(text))

@@ -118,4 +118,31 @@ class TextAnalysisSpec extends SparkSpec {
     got((3L, "b")) shouldBe ((3L, 2L,
       BigDecimal(3.0 * math.log(3.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
+
+  test("scrubPii masks emails, urls, ips, and phone runs; leaves prose alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "mail me at jo.doe+x@corp.example.co.uk today",
+      "see https://ex.org/p?q=1#frag and http://a.b/c",
+      "host 192.168.0.1 responded",
+      "call +1 (415) 555-0199 now", // spaces break the run: only the parts mask
+      "call +14155550199 now",
+      "version 1.2 costs $3, order 66 unchanged").toDF("t")
+      .select(TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    rows(0) shouldBe "mail me at <EMAIL> today"
+    rows(1) shouldBe "see <URL> and <URL>"
+    rows(2) shouldBe "host <IP> responded"
+    rows(4) shouldBe "call <PHONE> now"
+    rows(5) shouldBe "version 1.2 costs $3, order 66 unchanged"
+  }
+
+  test("normalizeText: control chars out, whitespace collapsed, case folded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("  Hello\t\nWORLD  x ").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).collect().head.getString(0)
+    got shouldBe "hello world x"
+  }
 }
