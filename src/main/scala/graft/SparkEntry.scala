@@ -173,6 +173,18 @@ object SparkEntry {
         k = 10, nlist = 16, nprobe = 16)
     }),
 
+    // PQ ANN with rerank wide enough to cover the sf0.01 corpus: the
+    // exact re-rank then reproduces brute force by construction, which
+    // pins the 8-byte-code candidate path + exact re-scoring against
+    // the same oracle (realistic rerank recall is measured in
+    // SimilaritySpec, same discipline as q_knn_ivf's full probe)
+    "q_knn_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.ops.Similarity.knnPq(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 10, m = 8, kCent = 16, rerank = 200)
+    }),
+
     "q_knn_topk_agg" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       graft.ops.Similarity.topKPerQuery(
@@ -667,6 +679,7 @@ object SparkEntry {
     "q_knn"          -> knnSql,
     "q_knn_topk_agg" -> knnSql,
     "q_knn_ivf"      -> knnSql, // nprobe = nlist: exhaustive == brute force
+    "q_knn_pq"       -> knnSql, // rerank >= corpus: exact re-rank == brute force
 
     "q_sample_hash" ->
       """SELECT event_id,

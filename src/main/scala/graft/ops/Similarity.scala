@@ -292,6 +292,107 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  // ------------------------------------------------------------------
+  // PQ (product quantization) ANN: 8-byte codes + ADC scoring
+  // ------------------------------------------------------------------
+
+  /** Train per-subspace L2 codebooks on a bounded deterministic sample
+    * (lowest-id vectors — same discipline as [[trainCentroids]]).
+    * Returns the `[m][k][dsub]`-flattened codebook for
+    * [[graft.functions.PqExpressions.PqEncode]].
+    */
+  private[graft] def trainPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                                     dim: Int, m: Int, k: Int, iters: Int = 8,
+                                     samplePerCent: Int = 40): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+    val train: Array[Array[Double]] = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(k * samplePerCent)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.length >= k, s"need >= $k training vectors, got ${train.length}")
+    val out = new Array[Double](m * k * dsub)
+    for (mi <- 0 until m) {
+      val sub = train.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      var cents = sub.take(k).map(_.clone())
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      (1 to iters).foreach { _ =>
+        val assign = sub.map(v => cents.indices.minBy(j => (d2(v, cents(j)), j)))
+        cents = cents.indices.map { j =>
+          val members = sub.indices.filter(assign(_) == j)
+          if (members.isEmpty) cents(j)
+          else {
+            val c = new Array[Double](dsub)
+            members.foreach { t => var i = 0; while (i < dsub) { c(i) += sub(t)(i); i += 1 } }
+            var i = 0; while (i < dsub) { c(i) /= members.size; i += 1 }
+            c
+          }
+        }.toArray
+      }
+      for (ki <- 0 until k; di <- 0 until dsub)
+        out((mi * k + ki) * dsub + di) = cents(ki)(di)
+    }
+    out
+  }
+
+  /** PQ ANN top-k with exact re-ranking: the corpus is ONE scan that
+    * emits an 8-byte code + the exact norm per row (the 100 TB move —
+    * candidate generation shuffles codes, never vectors); each query
+    * builds its ADC lookup table once (m·k partial dots), candidates
+    * score in `m` table lookups each, and the top `k·rerank` per query
+    * re-rank by exact cosine so the emitted similarities are exact.
+    * Recall is measured in `SimilaritySpec`, not assumed; `rerank`
+    * trades a small exact-scoring pass for recall.
+    */
+  def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+            dim: Int, k: Int, m: Int = 8, kCent: Int = 16,
+            rerank: Int = 4, iters: Int = 8): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+    val cb = trainPqCodebook(corpus, idCol, vecCol, dim, m, kCent, iters)
+
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.PqExpressions.pqEncode(asDouble(col(vecCol)), cb, m, kCent, dsub).as("code"),
+      norm(col(vecCol)).as("cn"))
+
+    val lutEntries: Seq[Column] =
+      for (mi <- 0 until m; ki <- 0 until kCent) yield {
+        val cent = array((0 until dsub).map(di =>
+          lit(cb((mi * kCent + ki) * dsub + di))): _*)
+        graft.functions.VectorExpressions.dotD(
+          slice(col("qv"), mi * dsub + 1, dsub), cent)
+      }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("lut", array(lutEntries: _*))
+
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("s_approx",
+        graft.functions.PqExpressions.pqAdcDot(col("lut"), col("code"), m, kCent) /
+          (col("qn") * col("cn")))
+    val wA = Window.partitionBy("query_id").orderBy(col("s_approx").desc, col("neighbor_id"))
+    val cands = scored
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= k * rerank)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+
+    val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val exact = cands.join(cv, "neighbor_id")
+      .withColumn("sim",
+        graft.functions.VectorExpressions.dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ tau, (a_id, b_id, sim).
     *
     * Default path (`exact = false`): sign-LSH banded candidate

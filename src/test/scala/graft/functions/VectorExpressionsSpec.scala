@@ -80,6 +80,34 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("codegen: two pqEncode/pqAdcDot instances compile in one whole-stage function") {
+    withNoCodegenFallback {
+      val cb = Array.tabulate(2 * 4 * 2)(_.toDouble) // m=2, k=4, dsub=2
+      val df = spark.range(100).select(
+        array(col("id").cast("double"), lit(1.0), lit(2.0),
+          col("id").cast("double")).as("v"),
+        array(lit(0.5), lit(1.5), lit(2.5), lit(3.5),
+          lit(0.5), lit(1.5), lit(2.5), lit(3.5)).as("lut"))
+      val out = df
+        .filter(PqExpressions.pqEncode(col("v"), cb, 2, 4, 2) >= 0L)
+        .select(
+          PqExpressions.pqEncode(col("v"), cb, 2, 4, 2).as("c1"),
+          PqExpressions.pqAdcDot(col("lut"),
+            PqExpressions.pqEncode(col("v"), cb, 2, 4, 2), 2, 4).as("s1"),
+          PqExpressions.pqAdcDot(col("lut"), lit(0L), 2, 4).as("s2"))
+      out.queryExecution.executedPlan.toString should include ("*(")
+      out.collect().length shouldBe 100
+    }
+  }
+
+  test("pqEncode interpreted eval matches codegen path") {
+    // m=1, k=2, dsub=2: centroids (0,0) and (10,10); vector (9,9) -> code 1
+    val cb = Array(0.0, 0.0, 10.0, 10.0)
+    val df = Seq(Seq(9.0, 9.0)).toDF("v")
+    df.select(PqExpressions.pqEncode(col("v"), cb, 1, 2, 2))
+      .collect().head.getLong(0) shouldBe 1L
+  }
+
   test("minhashSig is value-identical to the transform/array_min reference") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
     val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
