@@ -55,24 +55,34 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // warm-up pass (un-timed), then 3 timed passes
-    plans.foreach { case (name, fn) =>
+
+    // Cache hygiene between queries: several entries cache intermediate
+    // frames (dedup stores, shingle sets, the serve enrichment), and
+    // letting those accumulate across 57 queries makes later queries'
+    // timings depend on earlier queries' leftovers (GC + eviction
+    // pressure). Clearing and re-materializing the shared enrichment
+    // OUTSIDE the timers makes every query's median independent of
+    // suite order.
+    def resetCaches(): Unit = {
+      spark.catalog.clearCache() // also unpersists the shared enrichment…
+      KpiQueries.persistEnriched(enriched) // …so re-register it…
+      materialize(enriched)                // …and re-materialize, un-timed
+    }
+
+    // per query: un-timed warm-up, then median of 3 timed passes
+    val medians: Seq[(String, Double)] = plans.map { case (name, fn) =>
+      resetCaches()
       time(fn).left.foreach { msg =>
         System.err.println(s"[bench] warmup $name FAILED: $msg")
         errors(name) = msg
       }
-    }
-    val samples: Seq[Map[String, Double]] = (1 to 3).map { _ =>
-      plans.map { case (name, fn) =>
-        name -> (time(fn) match {
+      val runs = (1 to 3).map { _ =>
+        time(fn) match {
           case Right(s) => s
           case Left(msg) =>
             System.err.println(s"[bench] $name FAILED: $msg"); errors(name) = msg; -1.0
-        })
-      }.toMap
-    }
-    val medians = plans.map { case (name, _) =>
-      val runs = samples.map(_(name))
+        }
+      }
       name -> (if (runs.contains(-1.0)) -1.0 else median3(runs))
     }
 
