@@ -16,6 +16,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * same codegen'd kernel reachable from pure-SQL workloads.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_product_double"),
@@ -24,6 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_product_double(arrayA, arrayB)")
         VectorExpressions.DotProductDouble(children.head, children(1))
+      }))
+
+    // SQL form of the MinHash kernel: coefficients derive from the
+    // (numHashes, seed) literals exactly as Dedup.hashCoeffs does, so
+    // SQL users get bit-identical signatures to the Scala pipeline.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[VectorExpressions.MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "minhash_sig(baseHashes, numHashes, seed)")
+        val n = litInt(children(1), "numHashes")
+        val seed = litInt(children(2), "seed").toLong
+        val (as, bs) = graft.ops.Dedup.hashCoeffs(n, seed)
+        VectorExpressions.MinHashSig(children.head, as, bs, (1L << 61) - 1)
       }))
   }
 }

@@ -30,6 +30,52 @@ object Validator {
         s"available: ${actual.toSeq.sorted.mkString(", ")}")
   }
 
+  /** Schema-drift report: the incoming batch's schema diffed against the
+    * contract. One row per drifted column — `missing` (contract column
+    * absent), `added` (new column the contract doesn't know), or
+    * `type_changed` — plus per-row expected/actual type names. Pure
+    * metadata (no data pass); the caller decides whether `added` is
+    * benign (forward-compatible readers) and whether `missing`/
+    * `type_changed` should fail the batch. The upgrade path from P7's
+    * all-or-nothing `require` when the upstream schema is not ours to
+    * freeze.
+    */
+  final case class ColumnDrift(column: String, status: String,
+                               expected: String, actual: String)
+
+  def schemaDrift(df: DataFrame,
+                  expected: org.apache.spark.sql.types.StructType): Seq[ColumnDrift] = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    val want = expected.map(f => f.name -> f.dataType).toMap
+    val missing = expected.filterNot(f => actual.contains(f.name))
+      .map(f => ColumnDrift(f.name, "missing", f.dataType.simpleString, ""))
+    val added = df.schema.filterNot(f => want.contains(f.name))
+      .map(f => ColumnDrift(f.name, "added", "", f.dataType.simpleString))
+    val changed = expected.collect {
+      case f if actual.get(f.name).exists(_ != f.dataType) =>
+        ColumnDrift(f.name, "type_changed", f.dataType.simpleString,
+          actual(f.name).simpleString)
+    }
+    (missing ++ changed ++ added).sortBy(d => (d.status, d.column))
+  }
+
+  /** Gate a batch on its drift report: `missing`/`type_changed` always
+    * fail; `added` fails only when `allowAdded = false`.
+    */
+  def requireCompatible(df: DataFrame,
+                        expected: org.apache.spark.sql.types.StructType,
+                        context: String, allowAdded: Boolean = true): Unit = {
+    val drift = schemaDrift(df, expected)
+    val fatal = drift.filter(d =>
+      d.status == "missing" || d.status == "type_changed" ||
+        (d.status == "added" && !allowAdded))
+    require(fatal.isEmpty,
+      s"Schema drift in $context: " + fatal.map(d =>
+        s"${d.column} ${d.status}" +
+          (if (d.expected.nonEmpty || d.actual.nonEmpty)
+            s" (expected ${d.expected}, got ${d.actual})" else "")).mkString("; "))
+  }
+
   /** P3+P5 — cast projection + any-null row rejection
     * (`scripts/validate_data.py:135-139`).
     */

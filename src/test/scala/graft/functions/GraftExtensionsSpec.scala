@@ -18,4 +18,27 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     got shouldBe 11.0
   }
+
+  test("minhash_sig in SQL is bit-identical to the Scala pipeline's signatures") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      (children: Seq[Expression]) => {
+        val n = children(1).asInstanceOf[Literal].value.asInstanceOf[Int]
+        val seed = children(2).asInstanceOf[Literal].value.asInstanceOf[Int].toLong
+        val (as, bs) = graft.ops.Dedup.hashCoeffs(n, seed)
+        VectorExpressions.MinHashSig(children.head, as, bs, (1L << 61) - 1)
+      },
+      "scala_udf")
+    val sqlSig = spark.sql(
+      "SELECT minhash_sig(array(7L, 99L, 12345L), 8, 42) AS sig")
+      .collect().head.getSeq[Long](0)
+    val (as, bs) = graft.ops.Dedup.hashCoeffs(8, 42L)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scalaSig = Seq(Seq(7L, 99L, 12345L)).toDF("xs")
+      .select(VectorExpressions.minhashSig(col("xs"), as, bs, (1L << 61) - 1))
+      .collect().head.getSeq[Long](0)
+    sqlSig shouldBe scalaSig
+  }
 }

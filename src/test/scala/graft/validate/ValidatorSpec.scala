@@ -125,4 +125,37 @@ class ValidatorSpec extends SparkSpec {
     PathUtil.cleanPath("/local//path") shouldBe "/local/path"
     PathUtil.splitPaths("a.csv, b.csv,,c//d.csv") shouldBe Seq("a.csv", "b.csv", "c/d.csv")
   }
+
+  test("schemaDrift reports missing / added / type_changed columns") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val contract = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val batch = Seq((1, "a", "oops", true)).toDF("id", "name", "score", "extra")
+    val drift = Validator.schemaDrift(batch, contract)
+      .map(d => d.column -> (d.status, d.expected, d.actual)).toMap
+    drift("id") shouldBe (("type_changed", "bigint", "int"))
+    drift("score") shouldBe (("type_changed", "double", "string"))
+    drift("extra") shouldBe (("added", "", "boolean"))
+    drift.contains("name") shouldBe false // unchanged columns don't report
+
+    val missing = Validator.schemaDrift(Seq((1L, 0.5)).toDF("id", "score"), contract)
+    missing.map(d => (d.column, d.status)) shouldBe Seq(("name", "missing"))
+  }
+
+  test("requireCompatible: added columns pass by default, drift fails loudly") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val contract = StructType(Seq(StructField("id", LongType)))
+    val withExtra = Seq((1L, "x")).toDF("id", "extra")
+    noException should be thrownBy
+      Validator.requireCompatible(withExtra, contract, "t")
+    intercept[IllegalArgumentException] {
+      Validator.requireCompatible(withExtra, contract, "t", allowAdded = false)
+    }.getMessage should include ("extra added")
+    intercept[IllegalArgumentException] {
+      Validator.requireCompatible(Seq(1).toDF("id"), contract, "t")
+    }.getMessage should include ("expected bigint, got int")
+  }
 }
