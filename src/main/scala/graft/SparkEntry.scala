@@ -122,6 +122,22 @@ object SparkEntry {
       graft.ops.TextAnalysis.tfIdf(
         table(s, dir, "documents"), "doc_id", "text", minTf = 3)),
 
+    // benchmark decontamination: training docs (90%) sharing >= 2 word
+    // 8-grams with any held-out eval doc (the % 10 = 3 slice)
+    "q_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text", n = 8, minShared = 2)
+    }),
+
+    // cheap LM-ish quality signal: per-doc average unigram log-prob
+    // under the corpus' own distribution (deterministic sorted fold)
+    "q_unigram_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.unigramLogProbScore(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // deterministic hash-based train/test split: assignment is a pure
     // function of the key (md5 bucket), reproducible in any engine —
     // never rand()/partition-order dependent
@@ -650,6 +666,39 @@ object SparkEntry {
          |       ROUND(tf.tf * ln(n.n_docs::DOUBLE / dfq.doc_freq::DOUBLE), 6) AS tf_idf
          |FROM tf JOIN dfq USING (term) CROSS JOIN n
          |WHERE tf.tf >= 3""".stripMargin,
+
+    "q_contamination" ->
+      s"""$docToks, s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-6),
+         |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+         |         toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh
+         |  FROM d WHERE len(toks) >= 8
+         |)
+         |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         |       CAST(len(list_intersect(t.sh, e.sh)) AS BIGINT) AS shared_ngrams
+         |FROM s t JOIN s e
+         |  ON t.doc_id % 10 <> 3 AND e.doc_id % 10 = 3 AND t.doc_id <> e.doc_id
+         |WHERE len(list_intersect(t.sh, e.sh)) >= 2""".stripMargin,
+
+    "q_unigram_score" ->
+      s"""$docToks, x AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM x GROUP BY 1, 2
+         |), cnt AS (
+         |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+         |), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt),
+         |p AS (
+         |  SELECT tf.doc_id, any_value(n.n_total) AS n_total,
+         |         list_sort(list(struct_pack(term := tf.term, tf := tf.tf, cnt := cnt.cnt))) AS arr
+         |  FROM tf JOIN cnt USING (term) CROSS JOIN n
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_tokens,
+         |  ROUND(list_sum(list_transform(arr, s -> s.tf * ln(s.cnt / n_total)))
+         |        / list_sum(list_transform(arr, s -> s.tf)), 6) AS avg_logprob
+         |FROM p""".stripMargin,
 
     // SimHash from scratch in SQL: identical md5-derived 64-bit token
     // hash (hi/lo 32-bit halves), identical sign-sum bits, then ALL-PAIRS

@@ -349,6 +349,32 @@ object Dedup {
       .select("a_id", "b_id", "jaccard", "pair_type")
   }
 
+  /** Benchmark-contamination check: which TRAINING docs share at least
+    * `minShared` word n-grams with any EVAL doc — the decontamination
+    * pass an LLM data pipeline runs before training (long n-grams,
+    * n ≈ 8–13, are the standard signal: prose rarely repeats an 8-gram
+    * by chance, so sharing several means the benchmark leaked).
+    *
+    * Same inverted-index shape as [[nearDupPairsExact]]: the eval set
+    * is tiny next to the corpus, so the join is bounded by eval-side
+    * postings × colliding train postings — never corpus×corpus. The
+    * shared count from the join IS the exact intersection size
+    * (shingle sets are distinct).
+    * Output: (train_id, eval_id, shared_ngrams).
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8, minShared: Int = 2): DataFrame = {
+    val tPost = shingleSets(train, idCol, textCol, n)
+      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+    val ePost = shingleSets(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
+    tPost.join(ePost, Seq("sh"))
+      .filter(col("train_id") =!= col("eval_id"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Connected components over a near-duplicate PAIR graph: every doc in
     * a pair gets `cluster_id` = the minimum doc id reachable through the
     * pair relation. Pairs → clusters is the step an actual dedup

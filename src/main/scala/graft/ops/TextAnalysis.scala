@@ -160,6 +160,36 @@ object TextAnalysis {
     * family (MinHash / Jaccard). Docs shorter than `n` tokens yield an
     * empty array (the `when` guard keeps `sequence` from going negative).
     */
+  /** Per-doc average unigram log-likelihood under the corpus' own
+    * unigram distribution — the classic cheap "LM-ish" quality signal
+    * (a doc of common words scores near the corpus average; gibberish
+    * and boilerplate-of-rare-tokens score far below). Two hash
+    * aggregations + a broadcast total; the per-doc sum folds over a
+    * TERM-SORTED array so the double addition order is deterministic —
+    * a plain groupBy sum of doubles would be partition-order dependent
+    * and unverifiable cross-engine.
+    * Output: (doc_id, n_tokens, avg_logprob).
+    */
+  def unigramLogProbScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = cnt.agg(sum("cnt").as("n_total"))
+    val perDoc = tf.join(cnt, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        array_sort(collect_list(struct(col("term"), col("tf"), col("cnt")))).as("arr"),
+        first("n_total").as("n_total"))
+    val nTokens = aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("tf"))
+    val score = aggregate(col("arr"), lit(0.0), (a, s) =>
+      a + s.getField("tf").cast("double") *
+        log(s.getField("cnt").cast("double") / col("n_total")))
+    perDoc.select(col("doc_id"), nTokens.as("n_tokens"),
+      round(score / nTokens, 6).as("avg_logprob"))
+  }
+
   /** Whitespace/control normalization for canonicalization-before-dedup:
     * lowercase, control chars → space, runs of whitespace collapsed,
     * trimmed. Pure codegen'd string ops.

@@ -109,6 +109,23 @@ class DedupSpec extends SparkSpec {
     pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 0L
   }
 
+  test("contamination flags train docs sharing long n-grams with eval docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // 8-grams shared with eval 10
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally unrelated words that share nothing with anything else here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // == train 1
+      (11L, "one two three four five"), // only 5 tokens: no 8-grams at all
+      (12L, "different eval content entirely with its own eight words plus")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text", n = 8, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.keySet shouldBe Set((1L, 10L))
+    got((1L, 10L)) shouldBe 3L // 10 tokens -> 3 distinct 8-grams, all shared
+  }
+
   test("incremental dedup equals the full-pairs answer restricted to the new batch") {
     val full = Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -138,6 +138,20 @@ class TextAnalysisSpec extends SparkSpec {
     rows(5) shouldBe "version 1.2 costs $3, order 66 unchanged"
   }
 
+  test("unigramLogProbScore: common-word docs beat rare-word docs; exact math on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a" x4, "b" x2, "z" x1, n_total = 7
+    val docs = Seq((1L, "a a b"), (2L, "a a b"), (3L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected1 = (2 * math.log(4.0 / 7) + math.log(2.0 / 7)) / 3
+    got(1L)._1 shouldBe 3L
+    got(1L)._2 shouldBe BigDecimal(expected1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(3L)._2 shouldBe BigDecimal(math.log(1.0 / 7)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the common-word docs outscore the rare-token doc
+    got(1L)._2 should be > got(3L)._2
+  }
+
   test("normalizeText: control chars out, whitespace collapsed, case folded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
