@@ -98,20 +98,45 @@ object TextAnalysis {
     * whole-document fingerprints miss. Pure columnar (one expression),
     * O(len) per doc, no shuffle.
     */
-  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
-    require(k >= 2 && w >= 1, "winnowing needs k >= 2, w >= 1")
-    val t = lower(text)
+  /** Winnowing gram hashes from a BOUND lowercased-text column (see
+    * [[shinglesFromToks]] for why the binding matters: `t` is read once
+    * per k-gram position here, so an inline `lower(text)` would
+    * re-lowercase the whole document per position — O(len²)/doc).
+    */
+  private def winnowGrams(t: Column, k: Int): Column = {
     val nGrams = length(t) - (k - 1)
-    val grams = when(nGrams >= 1,
+    when(nGrams >= 1,
       transform(sequence(lit(1), greatest(nGrams, lit(1))),
         i => xxhash64(call_function("substring", t, i, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Window minima over a BOUND gram-hash array column (an inline
+    * `grams` expression here would recompute EVERY gram hash per
+    * window — O(len²·k)/doc).
+    */
+  private def winnowMins(grams: Column, w: Int): Column = {
     val nWins = size(grams) - (w - 1)
     val mins = when(nWins >= 1,
       transform(sequence(lit(1), greatest(nWins, lit(1))),
         j => array_min(slice(grams, j, lit(w)))))
       .otherwise(array().cast("array<bigint>"))
     array_distinct(mins)
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): k-gram hashes, sliding-window minima, distinct. The
+    * DataFrame shape binds each intermediate to a column so every
+    * stage is linear in document length.
+    * Output: input columns + `winnow_fps array<bigint>`.
+    */
+  def winnowed(docs: DataFrame, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, "winnowing needs k >= 2, w >= 1")
+    docs
+      .withColumn("_wt", lower(col(textCol)))
+      .withColumn("_wg", winnowGrams(col("_wt"), k))
+      .withColumn("winnow_fps", winnowMins(col("_wg"), w))
+      .drop("_wt", "_wg")
   }
 
   /** Canonical document fingerprint: md5 of the sorted distinct token set
@@ -222,13 +247,32 @@ object TextAnalysis {
       regexp_replace(c, pat, repl)
     }
 
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-grams via the compact native kernel
+    * ([[graft.functions.TextExpressions.WordShingles]]): semantics of
+    * `array_distinct(transform(sequence(...), concat_ws(" ", …)))`, but
+    * as ONE expression node so optimizer substitution (predicate
+    * pushdown, `InferFiltersFromGenerate`) can never turn the token
+    * derivation into a per-element re-evaluation — the declarative
+    * rendering cost 30-50 s over 4,500 docs at n = 8 exactly that way.
+    * [[shinglesHofReference]] keeps the declarative form for the
+    * equivalence spec.
+    */
+  def shinglesFromToks(toks: Column, n: Int): Column = {
     require(n >= 1 && n <= 8, "shingle size out of range")
-    val toks = tokens(lower(text))
+    graft.functions.TextExpressions.wordShingles(toks, n)
+  }
+
+  /** Declarative reference implementation of [[shinglesFromToks]] —
+    * kept ONLY for the spec that pins the native kernel's semantics.
+    */
+  private[graft] def shinglesHofReference(toks: Column, n: Int): Column = {
     val sh = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, (i + lit(o)).cast("int"))): _*))
     array_distinct(
       when(size(toks) >= n, sh).otherwise(array().cast("array<string>")))
   }
+
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromToks(tokens(lower(text)), n)
 }

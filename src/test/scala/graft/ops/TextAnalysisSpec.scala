@@ -82,9 +82,12 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("winnowing: shared substrings share fingerprints, disjoint texts don't") {
-    def fps(t: String): Set[Long] =
-      evalCol(t, TextAnalysis.winnowFingerprints(col("text")))
-        .asInstanceOf[scala.collection.Seq[Long]].toSet
+    def fps(t: String): Set[Long] = {
+      import spark.implicits._
+      TextAnalysis.winnowed(Seq(t).toDF("text"), "text")
+        .select("winnow_fps").collect().head
+        .getSeq[Long](0).toSet
+    }
     val a = fps("the quick brown fox jumps over the lazy dog")
     val b = fps("PREFIX then the quick brown fox jumps over the lazy dog")
     val c = fps("zebra xylophone quartz vex")
@@ -136,6 +139,25 @@ class TextAnalysisSpec extends SparkSpec {
     rows(2) shouldBe "host <IP> responded"
     rows(4) shouldBe "call <PHONE> now"
     rows(5) shouldBe "version 1.2 costs $3, order 66 unchanged"
+  }
+
+  test("native WordShingles kernel is value-identical to the declarative reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    for (n <- Seq(1, 3, 8)) {
+      val diff = docs.select(
+        TextAnalysis.shinglesFromToks(col("toks"), n).as("fast"),
+        TextAnalysis.shinglesHofReference(col("toks"), n).as("ref"))
+        .filter(!(col("fast") <=> col("ref")))
+      diff.count() shouldBe 0
+    }
+    // edge: fewer tokens than n -> empty array, not null
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(TextAnalysis.shinglesFromToks(col("toks"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    short shouldBe Seq.empty
   }
 
   test("unigramLogProbScore: common-word docs beat rare-word docs; exact math on a tiny corpus") {
