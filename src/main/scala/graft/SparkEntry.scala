@@ -138,6 +138,17 @@ object SparkEntry {
       graft.ops.TextAnalysis.unigramLogProbScore(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // context-window chunking: 64-token windows, 16-token overlap
+    "q_chunking" -> ((s, dir) =>
+      graft.ops.TextAnalysis.chunkByTokens(
+        table(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)),
+
+    // greedy sequence packing into 512-token training budgets
+    "q_packing" -> ((s, dir) =>
+      graft.ops.TextAnalysis.packByTokenBudget(
+        table(s, dir, "documents"), "doc_id", "text", budgetTokens = 512)),
+
     // deterministic hash-based train/test split: assignment is a pure
     // function of the key (md5 bucket), reproducible in any engine —
     // never rand()/partition-order dependent
@@ -666,6 +677,34 @@ object SparkEntry {
          |       ROUND(tf.tf * ln(n.n_docs::DOUBLE / dfq.doc_freq::DOUBLE), 6) AS tf_idf
          |FROM tf JOIN dfq USING (term) CROSS JOIN n
          |WHERE tf.tf >= 3""".stripMargin,
+
+    // chunking tokenizes WITHOUT lowercasing (chunk text must round-trip
+    // the original), hence the standalone toks CTE
+    "q_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, CAST(CEIL(greatest(len(toks) - 16, 1) / 48.0) AS BIGINT))) AS chunk_idx
+        |  FROM d WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "q_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+', 0)) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+        |    AS pack_id
+        |FROM d""".stripMargin,
 
     "q_contamination" ->
       s"""$docToks, s AS (

@@ -215,6 +215,75 @@ object TextAnalysis {
       round(score / nTokens, 6).as("avg_logprob"))
   }
 
+  /** Overlapping token-window chunking — the context-window preparation
+    * step before embedding/training: each doc splits into windows of
+    * `chunkTokens` whitespace tokens advancing by `chunkTokens -
+    * overlap`, the final partial window kept. Pure column program
+    * (slice is a regular expression, not a lambda-refed HOF — no
+    * substitution hazard); one row per (doc, chunk).
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      // chunk starts: 1, 1+stride, … while start <= max(n - overlap, 1)
+      // (a start beyond n - overlap would yield a pure-suffix duplicate)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ceil((greatest(col("_n") - lit(overlap), lit(1))) / lit(stride.toDouble))
+            .cast("long") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("_toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("_c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
+
+  /** Greedy sequence packing: assign docs (in deterministic `orderCol`
+    * order) to consecutive packs of at most `budgetTokens` whitespace
+    * tokens — the batch-construction step that turns a corpus into
+    * fixed-budget training sequences. A doc larger than the budget gets
+    * its own pack (chunk first if that matters). One window pass —
+    * the running total is a prefix sum, so pack_id =
+    * greedy boundary count = how many times the running sum crossed a
+    * budget multiple, computable per row from the EXCLUSIVE prefix sum.
+    *
+    * NOTE greedy-exact semantics: pack_id(i) = floor(prefix_before(i) /
+    * budget) is the bin-by-cumulative-volume relaxation (a doc may
+    * straddle a boundary); both engines compute it identically in
+    * exact integers.
+    *
+    * Scale note: an UNPARTITIONED ordered window funnels all rows
+    * through one task — fine for a per-shard corpus slice, wrong for
+    * 100 TB in one call. Pass `shardCol` to pack independently within
+    * shards (date / hash bucket): same semantics per shard, fully
+    * parallel, pack ids unique as (shard, pack_id).
+    * Output: (doc_id, n_tokens, pack_id).
+    */
+  def packByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long,
+                        shardCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 1)
+    val w = shardCol.map(s => Window.partitionBy(col(s)).orderBy(col("doc_id")))
+      .getOrElse(Window.orderBy(col("doc_id")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keep = Seq(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens")) ++ shardCol.map(col)
+    docs
+      .select(keep: _*)
+      .withColumn("pack_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budgetTokens.toDouble))
+          .cast("long"))
+  }
+
   /** Whitespace/control normalization for canonicalization-before-dedup:
     * lowercase, control chars → space, runs of whitespace collapsed,
     * trimmed. Pure codegen'd string ops.

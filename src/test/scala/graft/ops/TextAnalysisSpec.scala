@@ -174,6 +174,48 @@ class TextAnalysisSpec extends SparkSpec {
     got(1L)._2 should be > got(3L)._2
   }
 
+  test("chunkByTokens: window boundaries, overlap, final partial chunk, no pure-suffix dup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis.chunkByTokens(Seq((1L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .orderBy(col("chunk_idx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    got shouldBe Array(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, "t5 t6 t7 t8"),
+      (3L, 4L, "t7 t8 t9 t10")) // start 9 would be a pure suffix: excluded
+    // doc shorter than one chunk -> single partial chunk
+    val short = TextAnalysis.chunkByTokens(Seq((2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(1), r.getString(3)))
+    short shouldBe Array((0L, "a b"))
+  }
+
+  test("packByTokenBudget: prefix-sum pack ids, sharded variant packs per shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, ("a " * 300).trim), (2L, ("b " * 300).trim), // 300 + 300
+      (3L, ("c " * 100).trim), (4L, ("d " * 500).trim)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packByTokenBudget(docs, "doc_id", "text", 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // prefixes: 0, 300, 600, 700 -> packs 0, 0, 1, 1
+    got shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L)
+
+    val sharded = TextAnalysis.packByTokenBudget(
+      docs.withColumn("shard", col("doc_id") % 2), "doc_id", "text", 512,
+      shardCol = Some("shard"))
+      .select("doc_id", "pack_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shard 1: docs 1 (prefix 0), 3 (prefix 300) -> both pack 0
+    // shard 0: docs 2 (prefix 0), 4 (prefix 300) -> both pack 0
+    sharded.values.toSet shouldBe Set(0L)
+  }
+
   test("normalizeText: control chars out, whitespace collapsed, case folded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
