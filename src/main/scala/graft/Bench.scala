@@ -69,14 +69,23 @@ object Bench {
       materialize(enriched)                // …and re-materialize, un-timed
     }
 
-    // per query: un-timed warm-up, then median of 3 timed passes
+    // per query: un-timed warm-up, then median of 3 timed passes.
+    // Queries that cache frames INTERNALLY (dedup stores, shingle
+    // sets) would otherwise have their timed runs read the warm-up's
+    // cache — measuring cache reads, not the computation. Detect that
+    // (new persistent RDDs appeared during warm-up) and reset caches
+    // before EVERY timed run for those queries, so each timed pass
+    // recomputes from the same cold-cache state the warm-up saw.
     val medians: Seq[(String, Double)] = plans.map { case (name, fn) =>
       resetCaches()
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.size
       time(fn).left.foreach { msg =>
         System.err.println(s"[bench] warmup $name FAILED: $msg")
         errors(name) = msg
       }
+      val cachesInternally = spark.sparkContext.getPersistentRDDs.size > rddsBefore
       val runs = (1 to 3).map { _ =>
+        if (cachesInternally) resetCaches()
         time(fn) match {
           case Right(s) => s
           case Left(msg) =>

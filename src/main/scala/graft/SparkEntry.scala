@@ -701,8 +701,8 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT)
         |    AS pack_id
         |FROM d""".stripMargin,
 

@@ -14,6 +14,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // some entries cache scratch frames internally (dedup stores,
+      // shingle sets); drop them so 60+ queries don't accumulate
+      // cached partitions in one long-lived session
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -11,10 +11,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Mechanics: size the target file count from the dataset's ACTUAL
   * byte size (listing only — no data pass), rewrite once through a
-  * single repartition, and swap directories so readers never see a
-  * half-written dataset (write to `<path>._compact_tmp`, then rename
-  * old → trash, tmp → path). The rewrite preserves rows exactly —
-  * compaction is layout-only.
+  * single repartition, and swap directories (write to
+  * `<path>._compact_tmp`, then rename path → `._compact_old`,
+  * tmp → path). No half-written data is ever visible, but the
+  * two-rename swap is NOT atomic: there is a brief window in which
+  * `path` is absent, and a crash inside that window strands the data
+  * at `<path>._compact_old`. [[compact]] detects and repairs that
+  * state on its next invocation (restore `._compact_old` → path when
+  * path is missing; drop it when the swap had already published).
+  * The rewrite preserves rows exactly — compaction is layout-only.
   */
 object Compact {
 
@@ -51,9 +56,24 @@ object Compact {
     * count. No-op (returns current count) if the dataset already has
     * no more than `ceil` files.
     */
+  /** Repair the aftermath of a compact() that crashed mid-swap: if a
+    * `._compact_old` exists and `path` is gone, the crash hit between
+    * the two renames — restore the original data; if both exist, the
+    * swap had published and only the cleanup was lost — drop the old
+    * copy. Returns true if any repair action was taken.
+    */
+  def recoverCrashedSwap(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + "._compact_old")
+    if (!fs.exists(old)) false
+    else if (!fs.exists(new Path(path))) fs.rename(old, new Path(path))
+    else fs.delete(old, true)
+  }
+
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0)
+    recoverCrashedSwap(spark, path)
     val bytes = dataBytes(spark, path)
     val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val have = dataFileCount(spark, path)

@@ -285,6 +285,15 @@ object Dedup {
     * pair_type ∈ {new_new, new_corpus}. `maxDf` bounds hot-shingle
     * fanout exactly as in [[nearDupPairsExact]] (candidate generation
     * only; scores stay full-set exact).
+    *
+    * Caching contract: the batch and store shingle-set frames are
+    * `cache()`d here (each is read twice — postings and sizes — and
+    * recomputing shingling doubles the dominant cost). They stay
+    * registered after the result is consumed, because the result is
+    * lazy — this method cannot know when the caller has materialized
+    * it. A long-lived session running many batches should call
+    * `spark.catalog.clearCache()` (or unpersist the two frames)
+    * between batches; graft's own drivers (Bench, Verify) do.
     */
   def incrementalNearDupPairs(newDocs: DataFrame, store: DataFrame,
                               idCol: String, textCol: String,

@@ -255,10 +255,11 @@ object TextAnalysis {
     * greedy boundary count = how many times the running sum crossed a
     * budget multiple, computable per row from the EXCLUSIVE prefix sum.
     *
-    * NOTE greedy-exact semantics: pack_id(i) = floor(prefix_before(i) /
-    * budget) is the bin-by-cumulative-volume relaxation (a doc may
-    * straddle a boundary); both engines compute it identically in
-    * exact integers.
+    * NOTE greedy-exact semantics: pack_id(i) = prefix_before(i) div
+    * budget is the bin-by-cumulative-volume relaxation (a doc may
+    * straddle a boundary); computed with LONG integer division on both
+    * engines (Spark `div`, DuckDB `//`) — exact at any prefix-sum
+    * magnitude, unlike a double-precision floor near 2^53.
     *
     * Scale note: an UNPARTITIONED ordered window funnels all rows
     * through one task — fine for a per-shard corpus slice, wrong for
@@ -280,8 +281,8 @@ object TextAnalysis {
     docs
       .select(keep: _*)
       .withColumn("pack_id",
-        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budgetTokens.toDouble))
-          .cast("long"))
+        call_function("div",
+          coalesce(sum("n_tokens").over(w), lit(0L)), lit(budgetTokens)))
   }
 
   /** Whitespace/control normalization for canonicalization-before-dedup:

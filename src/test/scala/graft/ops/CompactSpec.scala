@@ -33,6 +33,30 @@ class CompactSpec extends SparkSpec {
     spark.read.parquet(dir).count() shouldBe 50000L
   }
 
+  test("a crash between the two swap renames is repaired on the next call") {
+    val dir = freshDir("d")
+    spark.range(0, 1000).write.parquet(dir)
+    val rows = spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.toString)
+
+    // simulate: rename(path -> ._compact_old) succeeded, then crash
+    val f = new java.io.File(dir)
+    val old = new java.io.File(dir + "._compact_old")
+    assert(f.renameTo(old))
+    assert(!f.exists())
+
+    Compact.recoverCrashedSwap(spark, dir) shouldBe true
+    spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.toString) shouldBe rows
+
+    // simulate: swap published but cleanup of ._compact_old was lost
+    spark.range(0, 10).write.parquet(old.toString)
+    Compact.recoverCrashedSwap(spark, dir) shouldBe true
+    old.exists() shouldBe false
+    spark.read.parquet(dir).count() shouldBe 1000L
+
+    // clean state: nothing to repair
+    Compact.recoverCrashedSwap(spark, dir) shouldBe false
+  }
+
   test("already-compact datasets are left untouched (no rewrite)") {
     val dir = freshDir("c")
     spark.range(0, 100).repartition(1).write.parquet(dir)
