@@ -49,6 +49,31 @@ object SparkEntry {
     */
   val ServeRunTs = "2024-07-01T00:00:00"
 
+  /** Deterministic CDC changeset for q_merge_upsert, derived from the
+    * base snapshot itself so both engines construct the identical set:
+    * key%7==0 → U (price doubled); else key%11==0 → D; else key%13==0 → I
+    * (new key = key + 10,000,000, price halved). Classes are disjoint
+    * so exactly one change row exists per key. Price factors are exact
+    * powers of two: the update is IEEE-exact on both engines, with no
+    * re-round whose half-way rule could differ (ROUND(x*1.1, 2)
+    * disagreed on ~0.1% of rows — Spark rounds the exact decimal
+    * expansion, DuckDB the scaled double).
+    */
+  private def mergeChangeset(base: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    val u = base.filter(pmod(k, lit(7)) === 0)
+      .select(k, (col("price") * 2.0).as("price"),
+        col("o_orderstatus"), lit("U").as("op"))
+    val d = base.filter(pmod(k, lit(7)) =!= 0 && pmod(k, lit(11)) === 0)
+      .select(k, col("price"), col("o_orderstatus"), lit("D").as("op"))
+    val i = base.filter(pmod(k, lit(7)) =!= 0 && pmod(k, lit(11)) =!= 0 &&
+        pmod(k, lit(13)) === 0)
+      .select((k + 10000000L).as("o_orderkey"),
+        (col("price") * 0.5).as("price"),
+        col("o_orderstatus"), lit("I").as("op"))
+    u.unionByName(d).unionByName(i)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ingest/validation module (SURVEY §2.1 S1/S2/S7, §2.2 P3/P5/P7, §2.7 U1) ----
     "q_csv_streams" -> ((s, _) =>
@@ -504,6 +529,59 @@ object SparkEntry {
           graft.ops.ZOrder.zValue(
             pmod(col("user_id"), lit(65536L)),
             pmod(floor(col("value")).cast("long"), lit(65536L))).as("z"))),
+
+    // ---- round-5 additions: analytics / CDC / robust-stats surface ----
+
+    // CUBE: every (brand, type) margin in ONE aggregation pass
+    "q_cube_parts" -> ((s, dir) =>
+      table(s, dir, "part")
+        .cube(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum("p_retailprice"), 2).as("sum_price"),
+          shiftright(grouping_id(), 1).bitwiseAND(lit(1L)).as("g_brand"),
+          grouping_id().bitwiseAND(lit(1L)).as("g_type"))),
+
+    // fixed-bound equi-width histogram: single scan, batch-mergeable buckets
+    "q_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(table(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, hi = 500000.0, buckets = 20)),
+
+    // blocked edit-distance near-dup: same brand, |len diff| ≤ 2, levenshtein ≤ 2
+    "q_editdist_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.editDistancePairs(table(s, dir, "part"),
+        "p_partkey", "p_name", "p_brand", maxDist = 2)),
+
+    // calendar gap-fill + forward fill of per-user daily activity
+    "q_gapfill" -> ((s, dir) =>
+      graft.ops.TimeSeries.gapFillDaily(table(s, dir, "events"), "user_id", "ts")),
+
+    // ordered 3-stage conversion funnel (view → click → purchase)
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(table(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention matrix
+    "q_retention" -> ((s, dir) =>
+      graft.ops.Funnel.weeklyRetention(table(s, dir, "events"), "user_id", "ts")),
+
+    // rank-based (IQR, discrete-quantile) outlier rows per event type
+    "q_outliers" -> ((s, dir) =>
+      graft.ops.Outliers.iqrOutliers(table(s, dir, "events"),
+        "event_type", "event_id", "value")),
+
+    // SCD Type-2 version history of each user's event_type stream
+    "q_scd2" -> ((s, dir) =>
+      graft.ops.Cdc.scd2(
+        table(s, dir, "events").na.drop(Seq("user_id", "event_type")),
+        "user_id", "event_type", "ts", "event_id")),
+
+    // CDC merge: deterministic synthetic changeset applied to orders
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = table(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus"))
+      graft.ops.Cdc.mergeUpsert(base, mergeChangeset(base), "o_orderkey")
+    }),
 
     "q_sort_limit" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -1245,6 +1323,154 @@ object SparkEntry {
          |FROM events
          |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin
     },
+
+    // ---- round-5 additions ----
+
+    "q_cube_parts" ->
+      """SELECT p_brand, p_type, COUNT(*) AS n_parts,
+        |  ROUND(SUM(p_retailprice), 2) AS sum_price,
+        |  CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+        |  CAST(GROUPING(p_type) AS BIGINT) AS g_type
+        |FROM part GROUP BY CUBE (p_brand, p_type)""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) /
+        |    ((500000.0 - 0.0) / 20)), 0), 19) AS BIGINT) AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |)
+        |SELECT bucket, COUNT(*) AS n,
+        |  0.0 + bucket * ((500000.0 - 0.0) / 20) AS bucket_lo,
+        |  0.0 + (bucket + 1) * ((500000.0 - 0.0) / 20) AS bucket_hi
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q_editdist_pairs" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+        |), cal AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM span
+        |)
+        |SELECT c.user_id, c.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+        |  LAST_VALUE(CASE WHEN d.n IS NOT NULL THEN c.day END IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active_day
+        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.t0, MIN(CASE WHEN e.ts > s0.t0 THEN e.ts END) AS t1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click'
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.t0, s1.t1, MIN(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3
+        |), c AS (
+        |  SELECT COUNT(t0) AS c0, COUNT(t1) AS c1, COUNT(t2) AS c2 FROM s2
+        |)
+        |SELECT CAST(0 AS BIGINT) AS stage, 'view' AS stage_name, c0 AS users,
+        |       ROUND(c0 / c0, 6) AS conversion FROM c
+        |UNION ALL SELECT 1, 'click', c1, ROUND(c1 / c0, 6) FROM c
+        |UNION ALL SELECT 2, 'purchase', c2, ROUND(c2 / c0, 6) FROM c""".stripMargin,
+
+    "q_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+        |), active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), sizes AS (
+        |  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_users
+        |  FROM cohort GROUP BY 1
+        |), r AS (
+        |  SELECT c.cohort_week,
+        |    CAST(date_diff('day', c.cohort_week, a.week) AS BIGINT) // 7 AS week_offset,
+        |    COUNT(DISTINCT a.user_id) AS active_users
+        |  FROM active a JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.cohort_week, r.week_offset, r.active_users, s.cohort_users,
+        |  ROUND(r.active_users / s.cohort_users, 6) AS retention
+        |FROM r JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    "q_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), f AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn = CEIL(n * 0.25) THEN value END) AS p25,
+        |    MIN(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS p75
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.event_type, r.event_id, r.value,
+        |  f.p25 - 1.5 * (f.p75 - f.p25) AS lo,
+        |  f.p75 + 1.5 * (f.p75 - f.p25) AS hi
+        |FROM r JOIN f USING (event_type)
+        |WHERE r.value < f.p25 - 1.5 * (f.p75 - f.p25)
+        |   OR r.value > f.p75 + 1.5 * (f.p75 - f.p25)""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+        |), ch AS (
+        |  SELECT user_id, event_type AS attr, ts AS valid_from, event_id
+        |  FROM e WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        |), v AS (
+        |  SELECT user_id, attr, valid_from,
+        |    LEAD(valid_from) OVER (
+        |      PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        |  FROM ch
+        |)
+        |SELECT user_id, attr, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current FROM v""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_orderstatus
+        |  FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, price * 2.0 AS price, o_orderstatus,
+        |         'U' AS op
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, price, o_orderstatus, 'D'
+        |  FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, price * 0.5, o_orderstatus, 'I'
+        |  FROM base
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0 AND o_orderkey % 13 = 0
+        |)
+        |SELECT b.o_orderkey, b.price, b.o_orderstatus FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |UNION ALL
+        |SELECT o_orderkey, price, o_orderstatus FROM changes
+        |WHERE op <> 'D'""".stripMargin,
 
     "q_distinct" -> "SELECT DISTINCT event_type FROM events",
 

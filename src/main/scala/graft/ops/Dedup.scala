@@ -455,4 +455,30 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /** Blocked edit-distance near-dup pairs: same `blockCol` value,
+    * length difference ≤ `maxDist` (a lower bound on edit distance — a
+    * free prune before the O(len²) DP), then exact
+    * `levenshtein ≤ maxDist`. Output (a_id, b_id, dist), a_id < b_id.
+    *
+    * Scale posture: the self-join is an EQUI-join on the block key —
+    * never all-pairs — so total cost is Σ_block n_b²·len². The block
+    * key is the caller's lever: a coarse key (brand) for small dims, a
+    * composite (simhash band, length bucket) for 10⁹-row corpora.
+    * The length prefilter runs inside the join before levenshtein, so
+    * the quadratic kernel only touches survivors.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, maxDist: Int): DataFrame = {
+    val a = df.select(col(blockCol).as("_blk"), col(idCol).as("a_id"),
+      col(textCol).as("_ta"))
+    val b = df.select(col(blockCol).as("_blk"), col(idCol).as("b_id"),
+      col(textCol).as("_tb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+  }
 }

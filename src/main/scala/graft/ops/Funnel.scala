@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered conversion funnels and cohort retention — the two
+  * behavioral-analytics shapes every event-stream product team asks of
+  * an engine like the reference's (its KPIs stop at per-genre/user
+  * rollups; funnel/retention are the natural next queries over the
+  * same `streams` events).
+  *
+  * Both are built from hash aggregations only — no self-join of the
+  * fact table against itself, no window over the full event stream —
+  * so the 100 TB cost is k passes of map-side-combined aggregation
+  * shuffled by user (k = number of stages), plus joins on the per-user
+  * frame, which is |users| rows, not |events|.
+  */
+object Funnel {
+
+  /** Per-user first-completion time of each ordered stage:
+    * t0 = min ts of stage-0 events; t_i = min ts of stage-i events
+    * strictly after t_{i-1}. Null t_i = the user never reached stage i.
+    * Output: (user, t0 … t_{k-1}).
+    *
+    * One hash-agg + one per-user join per stage; the events side is
+    * filtered to the stage's type BEFORE the join (predicate pushdown
+    * reaches the scan), so each pass reads one stage's slice.
+    */
+  def stageTimes(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var acc = events
+      .filter(col(typeCol) === stages.head && col(userCol).isNotNull)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val next = events.filter(col(typeCol) === st && col(userCol).isNotNull)
+        .select(col(userCol), col(tsCol).as("_ts"))
+      val carried = col(userCol) +: (0 until i).map(j => col(s"t$j"))
+      acc = acc.join(next, Seq(userCol), "left")
+        .groupBy(carried: _*)
+        .agg(min(when(col("_ts") > col(s"t${i - 1}"), col("_ts"))).as(s"t$i"))
+    }
+    acc
+  }
+
+  /** Stage-level funnel summary: (stage, stage_name, users, conversion)
+    * where `users` counts users whose t_stage is non-null and
+    * `conversion` = users / stage-0 users (int/int → double, identical
+    * on any engine).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    val times = stageTimes(events, userCol, tsCol, typeCol, stages)
+    val counts = times.agg(
+      count(col("t0")).as("c0"),
+      stages.indices.drop(1).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    // one stack over the single aggregated row — conversion is computed
+    // in the same select so the aggregation branch is never referenced
+    // (and thus recomputed) twice
+    val stackArgs = stages.zipWithIndex.map { case (name, i) =>
+      s"CAST($i AS BIGINT), '$name', c$i, ROUND(c$i / c0, 6)"
+    }.mkString(", ")
+    counts.select(expr(
+      s"stack(${stages.size}, $stackArgs) AS (stage, stage_name, users, conversion)"))
+  }
+
+  /** Weekly cohort retention: cohort_week = ISO week of the user's
+    * first event; one row per (cohort_week, week_offset) with distinct
+    * active users and retention = active / cohort size.
+    *
+    * Two aggregations (first-event per user; distinct user-weeks) and
+    * two joins on per-user / per-cohort frames — the event table is
+    * scanned twice and never self-joined. `week_offset` is exact LONG
+    * arithmetic: day-difference of week-truncated timestamps div 7.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val clean = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val cohort = clean.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = clean
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("_week"))
+      .distinct()
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(countDistinct(col(userCol)).as("cohort_users"))
+    active.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        call_function("div", datediff(col("_week"), col("cohort_week")).cast("long"),
+          lit(7L)).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_users"),
+        round(col("active_users") / col("cohort_users"), 6).as("retention"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust (rank-based) outlier detection — the anomaly gate a metrics
+  * pipeline runs on each batch before KPIs are trusted. Mean/stddev
+  * fences are both outlier-sensitive and floating-summation-order
+  * dependent; IQR fences from DISCRETE quantiles are neither.
+  *
+  * Quantile choice is deliberate: type-1 discrete quantiles — the
+  * value at row `ceil(p·n)` of the group's sort order — select an
+  * ACTUAL data value by integer arithmetic that is identical on any
+  * engine (`0.25·n` and `0.75·n` are exact in binary floating point
+  * for any realistic n). Interpolated quantiles would make the fence a
+  * derived float whose formula is implementation-defined. The fence
+  * arithmetic `p75 ± k·(p75−p25)` then composes IEEE-exact ops on
+  * identical inputs, so the outlier SET is engine-independent — the
+  * property the DuckDB oracle verifies.
+  */
+object Outliers {
+
+  /** Rows of `df` whose `valueCol` lies outside
+    * `[p25 − k·iqr, p75 + k·iqr]` within their `groupCol` group.
+    * Output: (group, id, value, lo, hi).
+    *
+    * Scale posture: one ranked window per group (shuffle by group; a
+    * skewed group sorts within its partitions — for a single monster
+    * group pre-aggregate or sample upstream), one tiny per-group fence
+    * frame (|groups| rows → broadcast join back), one filter pass.
+    * Never an all-pairs or per-row subquery.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, k: Double = 1.5): DataFrame = {
+    val g = col(groupCol); val v = col(valueCol)
+    val ranked = df
+      .filter(g.isNotNull && v.isNotNull)
+      .select(g, col(idCol), v)
+      .withColumn("_rn", row_number().over(Window.partitionBy(g).orderBy(v)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
+    val fences = ranked.groupBy(g).agg(
+      min(when(col("_rn") === ceil(col("_n") * lit(0.25)), v)).as("_p25"),
+      min(when(col("_rn") === ceil(col("_n") * lit(0.75)), v)).as("_p75"))
+    ranked.join(broadcast(fences), Seq(groupCol))
+      .withColumn("lo", col("_p25") - lit(k) * (col("_p75") - col("_p25")))
+      .withColumn("hi", col("_p75") + lit(k) * (col("_p75") - col("_p25")))
+      .filter(v < col("lo") || v > col("hi"))
+      .select(g, col(idCol), v, col("lo"), col("hi"))
+  }
+}

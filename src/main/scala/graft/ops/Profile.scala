@@ -38,4 +38,31 @@ object Profile {
         s"stack(${cols.size}, $stackArgs) AS (column, n_nonnull, n_distinct, min_value, max_value)"))
       .select("column", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value")
   }
+
+  /** Fixed-bound equi-width histogram of `valueCol`: bucket
+    * `floor((x − lo) / step)` clamped to `[0, buckets)`, with counts
+    * and the bucket's [lo, hi) bounds. Explicit bounds (not
+    * data-derived min/max) keep this a SINGLE scan — a min/max
+    * discovery pass would double the read at 100 TB — and make bucket
+    * edges stable across batches, so per-batch histograms are
+    * mergeable by simple addition.
+    *
+    * Parity note: `step`, the bucket index, and the bounds all derive
+    * from the same IEEE double expressions any engine computes
+    * identically (sub/div/mul/floor are exact-correctly-rounded ops) —
+    * no data-dependent float summation anywhere.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                buckets: Int): DataFrame = {
+    require(hi > lo && buckets > 0, "need hi > lo and buckets > 0")
+    val step = (hi - lo) / buckets
+    val idx = least(greatest(floor((col(valueCol) - lit(lo)) / lit(step)), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(idx.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"),
+        (lit(lo) + col("bucket") * lit(step)).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * lit(step)).as("bucket_hi"))
+  }
 }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Funnel, retention, gap-fill, SCD2, merge, outliers, histogram,
+  * edit-distance: hand-computable fixtures pinning each operator's
+  * semantics (the sf0.01 DuckDB oracle covers them at scale).
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel counts only in-order stage completions") {
+    // u1 completes all 3 in order; u2 clicks BEFORE viewing (click must
+    // not count); u3 views only.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("stage").select("stage_name", "users").as[(String, Long)].collect()
+    got shouldBe Array(("view", 3L), ("click", 1L), ("purchase", 1L))
+  }
+
+  test("funnel honors strict ordering within a stage chain") {
+    // click exists but only before the first view → stage 2 zero
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 09:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.stageTimes(events, "user_id", "ts", "event_type",
+      Seq("view", "click")).select("t1").as[Option[Timestamp]].collect()
+    got shouldBe Array(None)
+  }
+
+  test("weeklyRetention: offsets are exact weeks from the cohort week") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Mon wk0
+      (1L, ts("2024-01-10 10:00:00")), // wk1
+      (2L, ts("2024-01-03 10:00:00")), // wk0 cohort
+      (2L, ts("2024-01-17 10:00:00"))  // wk2
+    ).toDF("user_id", "ts")
+    val got = Funnel.weeklyRetention(events, "user_id", "ts")
+      .orderBy("week_offset")
+      .select("week_offset", "active_users", "cohort_users", "retention")
+      .as[(Long, Long, Long, Double)].collect()
+    got shouldBe Array((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5))
+  }
+
+  test("gapFillDaily fills calendar holes with zero and carries last_active_day") {
+    val events = Seq(
+      (1L, ts("2024-03-01 05:00:00")),
+      (1L, ts("2024-03-01 07:00:00")),
+      (1L, ts("2024-03-04 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = TimeSeries.gapFillDaily(events, "user_id", "ts")
+      .orderBy("day")
+      .select(date_format(col("day"), "MM-dd"), col("n_events"),
+        date_format(col("last_active_day"), "MM-dd"))
+      .as[(String, Long, String)].collect()
+    got shouldBe Array(
+      ("03-01", 2L, "03-01"), ("03-02", 0L, "03-01"),
+      ("03-03", 0L, "03-01"), ("03-04", 1L, "03-04"))
+  }
+
+  test("scd2 collapses runs and versions attribute changes") {
+    val events = Seq(
+      (1L, "free", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "free", ts("2024-01-02 00:00:00"), 2L), // same run — collapsed
+      (1L, "pro", ts("2024-01-05 00:00:00"), 3L),
+      (1L, "free", ts("2024-01-09 00:00:00"), 4L) // back to free = NEW version
+    ).toDF("user_id", "plan", "ts", "event_id")
+    val got = Cdc.scd2(events, "user_id", "plan", "ts", "event_id")
+      .orderBy("valid_from")
+      .select(col("attr"), date_format(col("valid_from"), "MM-dd"),
+        date_format(col("valid_to"), "MM-dd"), col("is_current"))
+      .as[(String, String, Option[String], Boolean)].collect()
+    got shouldBe Array(
+      ("free", "01-01", Some("01-05"), false),
+      ("pro", "01-05", Some("01-09"), false),
+      ("free", "01-09", None, true))
+  }
+
+  test("mergeUpsert applies U/I and drops D without touching other rows") {
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "v", "s")
+    val changes = Seq(
+      (2L, 99.0, "b2", "U"), (3L, 30.0, "c", "D"), (4L, 40.0, "d", "I"))
+      .toDF("k", "v", "s", "op")
+    val got = Cdc.mergeUpsert(base, changes, "k").orderBy("k")
+      .as[(Long, Double, String)].collect()
+    got shouldBe Array((1L, 10.0, "a"), (2L, 99.0, "b2"), (4L, 40.0, "d"))
+  }
+
+  test("iqrOutliers flags exactly the points beyond the discrete-quantile fences") {
+    // group g: values 1..8 plus a wild 100 → p25 = v[ceil(9*.25)=3] = 3,
+    // p75 = v[ceil(9*.75)=7] = 7, iqr 4 → fences [-3, 13] → only 100 out
+    val df = ((1 to 8).map(i => ("g", i.toLong, i.toDouble)) :+ ("g", 9L, 100.0))
+      .toDF("grp", "id", "v")
+    val got = Outliers.iqrOutliers(df, "grp", "id", "v")
+      .select("id", "v", "lo", "hi").as[(Long, Double, Double, Double)].collect()
+    got shouldBe Array((9L, 100.0, -3.0, 13.0))
+  }
+
+  test("histogram buckets by fixed bounds and clamps the edges") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 250.0).toDF("v")
+    val got = Profile.histogram(df, "v", lo = 0.0, hi = 100.0, buckets = 10)
+      .orderBy("bucket").select("bucket", "n", "bucket_lo", "bucket_hi")
+      .as[(Long, Long, Double, Double)].collect()
+    got shouldBe Array(
+      (0L, 3L, 0.0, 10.0),  // -5 clamps up; 0.0 and 9.9 in-bucket
+      (1L, 1L, 10.0, 20.0),
+      (5L, 1L, 50.0, 60.0),
+      (9L, 2L, 90.0, 100.0)) // 99.9 in-bucket; 250 clamps down
+  }
+
+  test("editDistancePairs never crosses blocks and bounds the distance") {
+    val df = Seq(
+      (1L, "kitten", "b1"), (2L, "sitten", "b1"), (3L, "sittin", "b1"),
+      (4L, "kitten", "b2") // same text, other block — must NOT pair with 1
+    ).toDF("id", "name", "blk")
+    val got = Dedup.editDistancePairs(df, "id", "name", "blk", maxDist = 1)
+      .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 2L, 1L), (2L, 3L, 1L))
+  }
+}
