@@ -583,6 +583,61 @@ object SparkEntry {
       graft.ops.Cdc.mergeUpsert(base, mergeChangeset(base), "o_orderkey")
     }),
 
+    // snapshot diff recovers mergeUpsert's changeset row-for-row:
+    // added = I rows, removed = D rows, changed = U rows
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = table(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus"))
+      val v2 = graft.ops.Cdc.mergeUpsert(base, mergeChangeset(base), "o_orderkey")
+      graft.ops.Cdc.snapshotDiff(base, v2, "o_orderkey")
+    }),
+
+    // sweep-line peak concurrency: intervals = [ts, ts + value minutes)
+    // per event_type; two boundary rows per interval, never an explode
+    "q_concurrency" -> ((s, dir) =>
+      graft.ops.Intervals.peakConcurrency(
+        table(s, dir, "events")
+          .withColumn("end_ts", timestamp_micros(
+            unix_micros(col("ts")) + round(col("value") * 60).cast("long") * 1000000L)),
+        "event_type", "ts", "end_ts")),
+
+    // trailing 7-day rolling aggregates over per-type daily rollups
+    "q_rolling_7d" -> ((s, dir) =>
+      graft.ops.TimeSeries.trailingDaily(table(s, dir, "events"), "event_type", "ts", 7)),
+
+    // Misra-Gries heavy hitters over the token stream, exact counts
+    // restored by the candidate recount pass (MG guarantee covers the
+    // 1% threshold at k = 100)
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Frequency.heavyHitters(
+        table(s, dir, "documents").select(
+          explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term")),
+        "term", minShare = 0.01)),
+
+    // bounded vocabulary: top-20 terms by doc_freq with dense ids
+    "q_vocab" -> ((s, dir) =>
+      graft.ops.TextAnalysis.buildVocab(table(s, dir, "documents"), "doc_id", "text", 20)),
+
+    // first-order event-type transition matrix per user stream
+    "q_transitions" -> ((s, dir) =>
+      graft.ops.Funnel.transitions(table(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")),
+
+    // winsorization at the per-type [p05, p95] discrete quantiles
+    "q_winsorize" -> ((s, dir) =>
+      graft.ops.Outliers.winsorize(table(s, dir, "events"),
+        "event_type", "event_id", "value", 0.05, 0.95)),
+
+    // epoch-aligned 6-hour tumbling windows (batch window(); cents-exact sums)
+    "q_tumbling" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("_cents"))
+        .select(col("w.start").as("win_start"), col("n_events"),
+          round(col("_cents") / 100.0, 2).as("total_value"))),
+
     "q_sort_limit" -> ((s, dir) =>
       table(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1471,6 +1526,130 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, price, o_orderstatus FROM changes
         |WHERE op <> 'D'""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_orderstatus
+        |  FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, price * 2.0 AS price, o_orderstatus, 'U' AS op
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, price, o_orderstatus, 'D'
+        |  FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, price * 0.5, o_orderstatus, 'I'
+        |  FROM base
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0 AND o_orderkey % 13 = 0
+        |)
+        |SELECT b.o_orderkey,
+        |       CASE op WHEN 'I' THEN 'added' WHEN 'D' THEN 'removed'
+        |               ELSE 'changed' END AS change_type,
+        |       CASE WHEN op = 'I' THEN NULL ELSE b2.price END AS old_price,
+        |       CASE WHEN op = 'D' THEN NULL ELSE b.price END AS new_price,
+        |       CASE WHEN op = 'I' THEN NULL ELSE b2.o_orderstatus END AS old_o_orderstatus,
+        |       CASE WHEN op = 'D' THEN NULL ELSE b.o_orderstatus END AS new_o_orderstatus
+        |FROM changes b LEFT JOIN base b2 USING (o_orderkey)
+        |WHERE op <> 'U' OR b.price IS DISTINCT FROM b2.price
+        |   OR b.o_orderstatus IS DISTINCT FROM b2.o_orderstatus""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, ts AS s,
+        |         ts + to_seconds(CAST(round(value * 60) AS BIGINT)) AS e
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |), b AS (
+        |  SELECT event_type, s AS ts, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e AS ts, CAST(-1 AS BIGINT) AS delta FROM iv
+        |), r AS (
+        |  SELECT event_type, ts,
+        |         SUM(delta) OVER (PARTITION BY event_type ORDER BY ts, delta) AS c
+        |  FROM b
+        |), p AS (
+        |  SELECT event_type, MAX(c) AS peak_concurrency FROM r GROUP BY 1
+        |)
+        |SELECT r.event_type, p.peak_concurrency, MIN(r.ts) AS first_peak_ts
+        |FROM r JOIN p ON r.event_type = p.event_type AND r.c = p.peak_concurrency
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT *, date_diff('day', TIMESTAMP '1970-01-01', day) AS ed FROM daily
+        |)
+        |SELECT event_type, day, n_events,
+        |       SUM(n_events) OVER w AS n_trailing,
+        |       COUNT(*) OVER w AS days_active_trailing
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ed
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_heavy_hitters" ->
+      s"""$docToks, x AS (
+         |  SELECT unnest(toks) AS term FROM d
+         |), n AS (SELECT COUNT(*) AS total FROM x)
+         |SELECT term AS value, COUNT(*) AS n_rows,
+         |       ROUND(COUNT(*) / (SELECT total::DOUBLE FROM n), 6) AS share
+         |FROM x GROUP BY 1
+         |HAVING COUNT(*) > 0.01 * (SELECT total FROM n)""".stripMargin,
+
+    "q_vocab" ->
+      s"""$docToks, x AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM x GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT term, COUNT(*) AS doc_freq, SUM(tf) AS term_freq FROM tf GROUP BY 1
+         |), top AS (
+         |  SELECT * FROM stats ORDER BY doc_freq DESC, term LIMIT 20
+         |)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term) - 1 AS BIGINT)
+         |         AS term_id,
+         |       term, doc_freq, term_freq
+         |FROM top""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS to_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+        |), c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |       ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), f AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn = CEIL(n * 0.05) THEN value END) AS lo,
+        |    MIN(CASE WHEN rn = CEIL(n * 0.95) THEN value END) AS hi
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.event_type, r.event_id, r.value,
+        |       LEAST(GREATEST(r.value, f.lo), f.hi) AS clipped
+        |FROM r JOIN f USING (event_type)""".stripMargin,
+
+    "q_tumbling" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+        |       COUNT(*) AS n_events,
+        |       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_distinct" -> "SELECT DISTINCT event_type FROM events",
 

@@ -60,4 +60,44 @@ object Cdc {
     val applied = changes.filter(col(opCol) =!= "D").drop(opCol)
     survivors.unionByName(applied.select(survivors.columns.map(col): _*))
   }
+
+  /** Row-level diff of two snapshots of the same table: one row per key
+    * that was `added` (new only), `removed` (old only), or `changed`
+    * (both, any non-key column differs under null-safe compare).
+    * Unchanged keys emit nothing. Non-key columns come back twice,
+    * prefixed `old_` / `new_` (null on the absent side).
+    *
+    * This is the inverse of [[mergeUpsert]]: `snapshotDiff(base,
+    * mergeUpsert(base, cs, k), k)` recovers `cs`'s effect exactly —
+    * the property the oracle entry checks.
+    *
+    * Scale posture: ONE full shuffle join on the key with both sides
+    * hash-partitioned identically (Catalyst plans a single sort-merge
+    * or shuffled-hash join; there is no cheaper way to compare 100 TB
+    * against 100 TB row-wise). The change test is a null-safe struct
+    * comparison — codegen'd, no per-column join or second pass. If the
+    * snapshots are written bucketed by the key ([[graft.io.ParquetIO
+    * .writeBucketed]]), the exchange disappears entirely.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
+    val dataCols = oldSnap.columns.filter(_ != keyCol).toSeq
+    require(dataCols.toSet == newSnap.columns.filter(_ != keyCol).toSet,
+      "snapshots must share one schema")
+    val o = oldSnap.select(col(keyCol),
+      struct(dataCols.map(col): _*).as("_old"))
+    val n = newSnap.select(col(keyCol),
+      struct(dataCols.map(col): _*).as("_new"))
+    val joined = o.join(n, Seq(keyCol), "full_outer")
+    val oldAbsent = col("_old").isNull
+    val newAbsent = col("_new").isNull
+    joined
+      .withColumn("change_type",
+        when(oldAbsent, lit("added"))
+          .when(newAbsent, lit("removed"))
+          .when(!(col("_old") <=> col("_new")), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(col(keyCol) +: col("change_type") +:
+        dataCols.flatMap(c => Seq(
+          col(s"_old.$c").as(s"old_$c"), col(s"_new.$c").as(s"new_$c"))): _*)
+  }
 }

@@ -92,4 +92,32 @@ object Funnel {
         col("cohort_users"),
         round(col("active_users") / col("cohort_users"), 6).as("retention"))
   }
+
+  /** First-order (Markov) transition counts over each user's ordered
+    * event stream: one row per observed (from_type, to_type) with the
+    * transition count and the row-conditional probability
+    * `p = n / Σ n over from_type` (long/long → double, identical on
+    * any engine). `tieCol` pins the order of equal-timestamp events.
+    *
+    * Scale posture: one per-user ordered window (lead) — partition
+    * size is a user's own event count, human-bounded — then a hash agg
+    * on (from, to), whose cardinality is |event types|², tiny. The
+    * per-from totals come from a second window over THAT tiny frame,
+    * not another pass over events.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(ord).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("_total", sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("_total"), 6).as("p"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval analytics via the sweep-line (+1/−1 boundary) pattern — the
+  * standard way to answer "how many sessions/streams were active at
+  * once?" without expanding intervals into per-tick rows or
+  * self-joining the interval table against itself.
+  *
+  * Reference relevance: the reference's sessions are implicit in its
+  * stream events; peak-concurrency ("how many listeners at once, per
+  * country/genre") is the capacity-planning query its DynamoDB docs
+  * sketch but its engine cannot express without a per-second explode.
+  *
+  * Scale posture: each interval contributes exactly TWO boundary rows
+  * (start +1, end −1) — 2·|intervals|, never duration-proportional.
+  * One shuffle by group, one ordered window per group (partition size
+  * = 2× the group's interval count), one hash agg. No join, no
+  * explode-by-time, no all-pairs overlap test.
+  */
+object Intervals {
+
+  /** Boundary timeline: one row per interval endpoint with the running
+    * concurrency AFTER processing that boundary. Half-open [start, end)
+    * semantics: an interval ending at t does not overlap one starting
+    * at t — ends (−1) order before starts (+1) at equal timestamps.
+    *
+    * The running sum uses the window's default RANGE frame, so rows
+    * with identical (ts, delta) share one deterministic running value
+    * (a ROWS frame would give tied rows an arbitrary intermediate sum).
+    */
+  def concurrencyTimeline(intervals: DataFrame, groupCol: String,
+                          startCol: String, endCol: String): DataFrame = {
+    val clean = intervals.filter(
+      col(groupCol).isNotNull && col(startCol).isNotNull && col(endCol).isNotNull)
+    val starts = clean.select(col(groupCol), col(startCol).as("ts"), lit(1L).as("delta"))
+    val ends = clean.select(col(groupCol), col(endCol).as("ts"), lit(-1L).as("delta"))
+    val w = Window.partitionBy(groupCol).orderBy(col("ts"), col("delta"))
+    starts.unionAll(ends)
+      .withColumn("concurrency", sum(col("delta")).over(w))
+  }
+
+  /** Per-group peak concurrency and the earliest instant it is reached.
+    * Output: (group, peak_concurrency, first_peak_ts).
+    */
+  def peakConcurrency(intervals: DataFrame, groupCol: String,
+                      startCol: String, endCol: String): DataFrame = {
+    val tl = concurrencyTimeline(intervals, groupCol, startCol, endCol)
+    val peaks = tl.groupBy(groupCol).agg(max("concurrency").as("peak_concurrency"))
+    tl.join(broadcast(peaks), Seq(groupCol))
+      .filter(col("concurrency") === col("peak_concurrency"))
+      .groupBy(groupCol)
+      .agg(max("concurrency").as("peak_concurrency"),
+        min("ts").as("first_peak_ts"))
+      .select(col(groupCol), col("peak_concurrency"), col("first_peak_ts"))
+  }
+}

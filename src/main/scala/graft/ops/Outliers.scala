@@ -48,4 +48,33 @@ object Outliers {
       .filter(v < col("lo") || v > col("hi"))
       .select(g, col(idCol), v, col("lo"), col("hi"))
   }
+
+  /** Winsorize `valueCol` within each group: values below the `pLo`
+    * discrete quantile clamp up to it, above `pHi` clamp down. Same
+    * type-1 quantile discipline as [[iqrOutliers]] — the clamp bounds
+    * are ACTUAL data values selected by integer rank arithmetic, so the
+    * clipped column is engine-independent (no interpolation floats).
+    * Output: every input row as (group, id, value, clipped).
+    *
+    * Scale posture: identical to [[iqrOutliers]] — one ranked window
+    * per group, a |groups|-row fence frame broadcast back, one
+    * map-side clamp pass. The common alternative (a per-row correlated
+    * quantile subquery) is a join-per-row; this is two passes total.
+    */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+                valueCol: String, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi, "0 < pLo < pHi < 1")
+    val g = col(groupCol); val v = col(valueCol)
+    val ranked = df
+      .filter(g.isNotNull && v.isNotNull)
+      .select(g, col(idCol), v)
+      .withColumn("_rn", row_number().over(Window.partitionBy(g).orderBy(v)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
+    val fences = ranked.groupBy(g).agg(
+      min(when(col("_rn") === ceil(col("_n") * lit(pLo)), v)).as("_lo"),
+      min(when(col("_rn") === ceil(col("_n") * lit(pHi)), v)).as("_hi"))
+    ranked.join(broadcast(fences), Seq(groupCol))
+      .select(g, col(idCol), v,
+        least(greatest(v, col("_lo")), col("_hi")).as("clipped"))
+  }
 }

@@ -181,6 +181,39 @@ object TextAnalysis {
           6).as("tf_idf"))
   }
 
+  /** Build a bounded vocabulary: the `topN` terms by document
+    * frequency (ties broken by term text), with exact document and
+    * total-term frequencies and a dense, deterministic `term_id`
+    * (0-based rank in (doc_freq desc, term asc) order) — the id
+    * assignment step every tokenizer/featurizer pipeline needs before
+    * it can encode text as ints.
+    *
+    * Scale posture: term statistics are two hash aggs over the token
+    * explode (map-side combined; term-skew handled by AQE like
+    * [[tfIdf]]). The top-N cut is `orderBy(...).limit(n)` — planned as
+    * TakeOrderedAndProject (per-partition bounded heaps + one merge of
+    * n·|partitions| rows), NOT a global sort of the term universe. Only
+    * the SURVIVING n rows pass through the single-partition id window;
+    * a vocabulary is bounded by construction (n ≤ a few hundred
+    * thousand), so that window is a deliberate, size-capped exception
+    * to the no-global-window rule.
+    */
+  def buildVocab(docs: DataFrame, idCol: String, textCol: String,
+                 topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val stats = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum("tf").as("term_freq"))
+    stats
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(topN)
+      .withColumn("term_id",
+        (row_number().over(Window.orderBy(col("doc_freq").desc, col("term"))) - 1).cast("long"))
+      .select(col("term_id"), col("term"), col("doc_freq"), col("term_freq"))
+  }
+
   /** Word `n`-gram shingles (space-joined), distinct. Used by the dedup
     * family (MinHash / Jaccard). Docs shorter than `n` tokens yield an
     * empty array (the `when` guard keeps `sequence` from going negative).

@@ -49,4 +49,30 @@ object TimeSeries {
         last(when(col("n").isNotNull, col("day")), ignoreNulls = true).over(w)
           .as("last_active_day"))
   }
+
+  /** Trailing `days`-day rolling aggregates over per-key DAILY rollups:
+    * one row per (key, active day) with that day's count plus the
+    * trailing-window event total and active-day count. The window key
+    * is the integer epoch day, so the RANGE frame `[-(days-1), 0]` is
+    * exact long arithmetic (no interval/timezone math in the frame).
+    *
+    * Scale posture: the window runs over the AGGREGATED daily frame —
+    * one row per (key, day), span-bounded like [[gapFillDaily]]'s
+    * calendar — never over raw events; the raw table is touched once,
+    * by the daily hash-agg (map-side combined). Sums are exact longs.
+    */
+  def trailingDaily(df: DataFrame, keyCol: String, tsCol: String,
+                    days: Int = 7): DataFrame = {
+    require(days >= 1, "window must cover at least the current day")
+    val daily = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .groupBy(keyCol, "day").agg(count(lit(1)).as("n_events"))
+      .withColumn("_epoch_day", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val w = Window.partitionBy(keyCol).orderBy(col("_epoch_day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily.select(col(keyCol), col("day"), col("n_events"),
+      sum("n_events").over(w).as("n_trailing"),
+      count(lit(1)).over(w).as("days_active_trailing"))
+  }
 }

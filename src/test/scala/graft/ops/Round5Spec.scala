@@ -1,0 +1,170 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Interval sweep, heavy hitters, rolling windows, snapshot diff,
+  * transitions, winsorize, vocab: hand-computable fixtures pinning
+  * each round-5 operator's semantics (the sf0.01 DuckDB oracle covers
+  * them at scale).
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- Intervals -----------------------------------------------------
+
+  test("peakConcurrency counts overlapping intervals, half-open ends") {
+    val iv = Seq(
+      // g1: 3 overlap during [10:10, 10:20)
+      ("g1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      ("g1", ts("2024-01-01 10:05:00"), ts("2024-01-01 10:20:00")),
+      ("g1", ts("2024-01-01 10:10:00"), ts("2024-01-01 10:40:00")),
+      ("g1", ts("2024-01-01 11:00:00"), ts("2024-01-01 11:10:00")),
+      // g2: touching intervals never overlap (end == next start)
+      ("g2", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00")),
+      ("g2", ts("2024-01-01 09:30:00"), ts("2024-01-01 10:00:00"))
+    ).toDF("g", "s", "e")
+    val got = Intervals.peakConcurrency(iv, "g", "s", "e")
+      .orderBy("g").as[(String, Long, Timestamp)].collect()
+    got shouldBe Array(
+      ("g1", 3L, ts("2024-01-01 10:10:00")),
+      ("g2", 1L, ts("2024-01-01 09:00:00")))
+  }
+
+  test("concurrencyTimeline gives tied boundaries one deterministic value") {
+    // two intervals starting at the SAME instant: both +1 rows share the
+    // same (ts, delta) order key, so the RANGE frame must give both rows
+    // the post-both concurrency (2), not an arbitrary 1-then-2
+    val iv = Seq(
+      ("g", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      ("g", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))
+    ).toDF("g", "s", "e")
+    val starts = Intervals.concurrencyTimeline(iv, "g", "s", "e")
+      .filter(col("delta") === 1).select("concurrency").as[Long].collect()
+    starts shouldBe Array(2L, 2L)
+  }
+
+  // ---- Frequency (Misra-Gries) ---------------------------------------
+
+  test("heavyHitters returns exact counts above the share threshold") {
+    // 100 rows: a=40, b=25, c=20, d..m = 15 singletons + noise
+    val rows = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(20)("c") ++
+      (1 to 15).map(i => s"noise_$i")
+    val df = rows.toDF("v").repartition(7) // force multi-partition merge
+    val got = Frequency.heavyHitters(df, "v", minShare = 0.18)
+      .orderBy(col("n_rows").desc).as[(String, Long, Double)].collect()
+    got shouldBe Array(("a", 40L, 0.4), ("b", 25L, 0.25), ("c", 20L, 0.2))
+  }
+
+  test("MG guarantee: a just-above-threshold item survives heavy noise") {
+    // n = 1000, minShare 0.02 -> k = 50; item "hot" has 21 > 20 = n/50
+    // among 979 distinct noise values that each hit the sketch once
+    val rows = Seq.fill(21)("hot") ++ (1 to 979).map(i => s"n$i")
+    val df = rows.toDF("v").repartition(13)
+    val got = Frequency.heavyHitters(df, "v", minShare = 0.02)
+      .as[(String, Long, Double)].collect()
+    got shouldBe Array(("hot", 21L, 0.021))
+  }
+
+  test("MisraGriesAgg merge keeps the k-counter bound") {
+    val agg = new Frequency.MisraGriesAgg(3)
+    val a = Map("x" -> 5L, "y" -> 4L, "z" -> 3L)
+    val b = Map("p" -> 6L, "q" -> 2L, "x" -> 1L)
+    val m = agg.merge(a, b)
+    m.size should be <= 3
+    // combined = {x:6, y:4, z:3, p:6, q:2}; cut = 4th-largest = 3;
+    // subtract-and-drop leaves the strongest counters only
+    m shouldBe Map("x" -> 3L, "p" -> 3L, "y" -> 1L)
+  }
+
+  // ---- TimeSeries.trailingDaily --------------------------------------
+
+  test("trailingDaily sums only days inside the range frame") {
+    val df = Seq(
+      ("k", ts("2024-01-01 08:00:00")), ("k", ts("2024-01-01 09:00:00")),
+      ("k", ts("2024-01-03 08:00:00")),
+      ("k", ts("2024-01-20 08:00:00")) // far outside any 7-day window
+    ).toDF("k", "t")
+    val got = TimeSeries.trailingDaily(df, "k", "t", days = 7)
+      .orderBy("day")
+      .select("n_events", "n_trailing", "days_active_trailing")
+      .as[(Long, Long, Long)].collect()
+    got shouldBe Array((2L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 1L))
+  }
+
+  // ---- Cdc.snapshotDiff ----------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed, skips unchanged") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "x")
+    val neu = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0))
+      .toDF("k", "s", "x")
+    val got = Cdc.snapshotDiff(old, neu, "k")
+      .orderBy("k")
+      .select("k", "change_type", "old_s", "new_s")
+      .as[(Long, String, Option[String], Option[String])].collect()
+    got shouldBe Array(
+      (2L, "changed", Some("b"), Some("B")),
+      (3L, "removed", Some("c"), None),
+      (4L, "added", None, Some("d")))
+  }
+
+  test("snapshotDiff change test is null-safe per column") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("v"))).toDF("k", "s")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val got = Cdc.snapshotDiff(old, neu, "k")
+      .select("k", "change_type").as[(Long, String)].collect()
+    got shouldBe Array((2L, "changed")) // null == null is NOT a change
+  }
+
+  // ---- Funnel.transitions --------------------------------------------
+
+  test("transitions order by (ts, tie) and normalize per from-state") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "view"),
+      (2L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "buy") // tie: event_id orders view->buy
+    ).toDF("user_id", "t", "event_id", "et")
+    val got = Funnel.transitions(events, "user_id", "t", "et", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect()
+    got shouldBe Array(
+      ("click", "view", 1L, 1.0),
+      ("view", "buy", 1L, 0.5),
+      ("view", "click", 1L, 0.5))
+  }
+
+  // ---- Outliers.winsorize --------------------------------------------
+
+  test("winsorize clamps to the discrete p-quantile values") {
+    // 1..20: p05 -> rn ceil(1)=1 -> value 1; p95 -> rn ceil(19)=19
+    val df = (1 to 20).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val got = Outliers.winsorize(df, "g", "id", "v", 0.05, 0.95)
+      .orderBy("id").select("clipped").as[Double].collect()
+    got.head shouldBe 1.0   // rank-1 value is its own floor
+    got(18) shouldBe 19.0
+    got.last shouldBe 19.0  // 20 clamps down to the p95 value
+    got(9) shouldBe 10.0    // interior values untouched
+  }
+
+  // ---- TextAnalysis.buildVocab ---------------------------------------
+
+  test("buildVocab ranks by doc_freq desc then term, with dense ids") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana apple")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.buildVocab(docs, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect()
+    // banana df=3; apple df=2 tf=3; cherry df=1 cut by topN=2
+    got shouldBe Array((0L, "banana", 3L, 3L), (1L, "apple", 2L, 3L))
+  }
+}
