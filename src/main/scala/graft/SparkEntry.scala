@@ -638,6 +638,39 @@ object SparkEntry {
         .select(col("w.start").as("win_start"), col("n_events"),
           round(col("_cents") / 100.0, 2).as("total_value"))),
 
+    // per-group quota: at most 500 events per type, hash-ordered
+    "q_cap_per_group" -> ((s, dir) =>
+      graft.ops.Sampling.capPerGroup(
+        table(s, dir, "events").select("event_type", "event_id"),
+        "event_type", "event_id", maxRows = 500)),
+
+    // class balancing: every label downsampled to the smallest class
+    "q_balance_classes" -> ((s, dir) =>
+      graft.ops.Sampling.balanceClasses(
+        table(s, dir, "embeddings").select("vec_id", "label"),
+        "label", "vec_id")),
+
+    // hashing-trick featurization into 64 engine-portable buckets
+    "q_hash_features" -> ((s, dir) =>
+      graft.ops.TextAnalysis.hashFeatures(
+        table(s, dir, "documents"), "doc_id", "text", nBuckets = 64)),
+
+    // per-label mean embeddings via exact integer-micros sums
+    "q_centroids" -> ((s, dir) =>
+      graft.ops.Similarity.labelCentroids(
+        table(s, dir, "embeddings"), "label", "embedding")),
+
+    // schema-evolution union: v1 batches lack props, v2 batches lack
+    // event_type/value; matched BY NAME, absent columns null-filled
+    "q_union_evolved" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      graft.validate.Validator.unionEvolved(Seq(
+        e.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id"), col("event_type"), col("value")),
+        e.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(col("event_id"), col("props"))))
+    }),
+
     "q_sort_limit" -> ((s, dir) =>
       table(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1650,6 +1683,57 @@ object SparkEntry {
         |       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    "q_cap_per_group" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR), event_id) AS hr
+        |  FROM events WHERE event_type IS NOT NULL
+        |)
+        |SELECT event_type, event_id FROM r WHERE hr <= 500""".stripMargin,
+
+    "q_balance_classes" ->
+      """WITH e AS (
+        |  SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL
+        |), m AS (
+        |  SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM e GROUP BY label)
+        |), r AS (
+        |  SELECT vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id) AS hr
+        |  FROM e
+        |)
+        |SELECT vec_id, label FROM r, m WHERE hr <= mn""".stripMargin,
+
+    "q_hash_features" ->
+      s"""$docToks, x AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |)
+         |SELECT doc_id,
+         |       ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket,
+         |       COUNT(*) AS n
+         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+        |         unnest(list_transform(embedding,
+        |           e -> CAST(round(e::DOUBLE * 1000000) AS BIGINT))) AS m
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |       ROUND(SUM(m) / 1000000.0 / COUNT(*), 6) AS centroid,
+        |       COUNT(*) AS n_vectors
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_union_evolved" ->
+      """SELECT event_id, event_type, value, NULL AS props
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, NULL, NULL, props
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
 
     "q_distinct" -> "SELECT DISTINCT event_type FROM events",
 

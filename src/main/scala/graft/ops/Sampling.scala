@@ -69,4 +69,57 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), buckets) < threshold)
   }
+
+  /** Deterministic hash-order rank within a group: 1 = the group's
+    * first-kept row. Ordering by (md5(key), key) is stable under any
+    * partitioning AND engine-reproducible (the key tiebreak covers the
+    * measure-zero md5-collision case).
+    */
+  private def hashRank(groupCol: String, keyCol: String): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(h, col(keyCol))).cast("long")
+  }
+
+  /** Cap each group at `maxRows` rows, chosen by hash order — the
+    * per-source quota of a corpus-curation pipeline ("at most N docs
+    * per domain"), with the same determinism contract as the splits:
+    * which rows survive depends only on their keys, so re-runs and
+    * incremental appends agree (a row that made the cut can only be
+    * displaced by a lower-hash newcomer, never by reordering).
+    *
+    * Scale posture: one window per group (shuffle by group; rank
+    * truncation is a WindowGroupLimit pushdown — per-partition bounded
+    * heaps when `maxRows` is small), no join, no driver state.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  maxRows: Int): DataFrame = {
+    require(maxRows >= 1, "cap must keep at least one row")
+    df.filter(col(groupCol).isNotNull)
+      .withColumn("_hr", hashRank(groupCol, keyCol))
+      .filter(col("_hr") <= maxRows)
+      .drop("_hr")
+  }
+
+  /** Balance classes by downsampling every class to the size of the
+    * smallest one, hash-ordered: the cheap de-bias step before
+    * training when one label dominates. Exact — every class emits
+    * exactly `min(class sizes)` rows (assuming distinct keys).
+    *
+    * Scale posture: class sizes are one hash agg (|classes| rows,
+    * broadcast as a scalar min); membership is the same per-class
+    * window as [[capPerGroup]]. Nothing driver-side, nothing
+    * order-dependent.
+    */
+  def balanceClasses(df: DataFrame, labelCol: String, keyCol: String): DataFrame = {
+    val sizes = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("_n"))
+    val minN = sizes.agg(min("_n").as("_min_n"))
+    df.filter(col(labelCol).isNotNull)
+      .withColumn("_hr", hashRank(labelCol, keyCol))
+      .crossJoin(broadcast(minN))
+      .filter(col("_hr") <= col("_min_n"))
+      .drop("_hr", "_min_n")
+  }
 }

@@ -486,4 +486,34 @@ object Similarity {
       .filter(col("sim") >= tau)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Per-label mean embedding (class centroids), exploded to
+    * (label, dim, centroid, n_vectors) rows. The standard prototype
+    * step — cluster summaries, class prototypes for nearest-centroid
+    * classification, candidate seeds for IVF training.
+    *
+    * Determinism discipline: float components are scaled to exact
+    * integer MICROS (×10⁶, round, long) before summation, so the
+    * per-dimension sums are partition-order independent LONG adds; the
+    * single division back to a double happens once per output cell.
+    * Plain `avg(double)` would fold in partition order and drift
+    * across engines/cluster sizes (see the `graft-parity-tricks`
+    * discipline used by `minutesFromDurationSum`).
+    *
+    * Scale posture: posexplode → one map-side-combined hash agg on
+    * (label, dim) — |labels|·dim output cells regardless of corpus
+    * size. No collect, no window.
+    */
+  def labelCentroids(embeddings: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame = {
+    embeddings
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .withColumn("_micros", round(col("_x").cast("double") * 1000000).cast("long"))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(sum("_micros").as("_s"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("dim"),
+        round(col("_s") / 1000000.0 / col("n_vectors"), 6).as("centroid"),
+        col("n_vectors"))
+  }
 }

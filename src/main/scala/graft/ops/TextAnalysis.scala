@@ -198,6 +198,29 @@ object TextAnalysis {
     * thousand), so that window is a deliberate, size-capped exception
     * to the no-global-window rule.
     */
+  /** Feature hashing ("hashing trick"): bag-of-words counts over a
+    * FIXED feature space of `nBuckets` dimensions, no vocabulary pass
+    * at all — the one-scan featurizer for when even a bounded vocab is
+    * a luxury (streaming featurization, 10⁹-doc corpora). Bucket =
+    * md5-derived hash of the token (same engine-portable hash family
+    * as [[graft.ops.Sampling.hashBucket]]; Spark's native `hash()` is
+    * Murmur3 with Spark-specific seeding and would pin the features to
+    * one engine). Output: (doc_id, bucket, n) sparse counts.
+    *
+    * Scale posture: explode → map-side-combined hash agg on
+    * (doc, bucket); one scan, no joins, no global state. Collisions
+    * are the accepted trade of the technique (bounded by nBuckets).
+    */
+  def hashFeatures(docs: DataFrame, idCol: String, textCol: String,
+                   nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    toks
+      .withColumn("bucket", graft.ops.Sampling.hashBucket(col("term"), nBuckets))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+  }
+
   def buildVocab(docs: DataFrame, idCol: String, textCol: String,
                  topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

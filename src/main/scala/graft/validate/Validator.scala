@@ -169,4 +169,22 @@ object Validator {
       raw.select(Schemas.users.fieldNames.map(col).toSeq: _*)
     }
   }
+
+  /** Schema-evolution union: fold frames written under DIFFERENT
+    * versions of a schema into one, matching columns BY NAME and
+    * null-filling columns a version lacks. This is the read-side
+    * companion to [[schemaDrift]]: drift detection tells you the
+    * landed batches disagree; this is how you still read them as one
+    * table (the reference's positional `unionAll` fold,
+    * `scripts/validate_data.py:153`, would silently misalign or throw).
+    *
+    * Column order follows first appearance across `dfs`, so the result
+    * schema is stable under append-only evolution. Types for a shared
+    * name must already agree (cast upstream — silent coercion here
+    * would mask real drift).
+    */
+  def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "nothing to union")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

@@ -154,6 +154,68 @@ class Round5Spec extends SparkSpec {
     got(9) shouldBe 10.0    // interior values untouched
   }
 
+  // ---- Sampling.capPerGroup / balanceClasses -------------------------
+
+  test("capPerGroup is order- and partitioning-independent") {
+    val df = (1 to 100).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "k")
+    val a = Sampling.capPerGroup(df.repartition(1), "g", "k", 10)
+      .orderBy("g", "k").as[(String, Long)].collect()
+    val b = Sampling.capPerGroup(df.repartition(17, col("k")), "g", "k", 10)
+      .orderBy("g", "k").as[(String, Long)].collect()
+    a shouldBe b
+    a.groupBy(_._1).values.foreach(_.length shouldBe 10)
+  }
+
+  test("balanceClasses downsamples every class to the smallest") {
+    val df = ((1 to 30).map(i => ("big", i.toLong)) ++
+      (31 to 37).map(i => ("small", i.toLong))).toDF("label", "k")
+    val got = Sampling.balanceClasses(df, "label", "k")
+      .groupBy("label").count().as[(String, Long)].collect().toMap
+    got shouldBe Map("big" -> 7L, "small" -> 7L)
+  }
+
+  // ---- TextAnalysis.hashFeatures -------------------------------------
+
+  test("hashFeatures preserves token mass and respects the bucket bound") {
+    val docs = Seq((1L, "a b c a"), (2L, "b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashFeatures(docs, "doc_id", "text", 8)
+    got.agg(sum("n")).as[Long].head() shouldBe 6L // 4 + 2 tokens
+    got.select("bucket").as[Long].collect().foreach { b =>
+      b should (be >= 0L and be < 8L)
+    }
+    // identical tokens hash identically: doc 2's two b's share one bucket row
+    got.filter(col("doc_id") === 2).count() shouldBe 1L
+  }
+
+  // ---- Similarity.labelCentroids -------------------------------------
+
+  test("labelCentroids averages per dimension with exact integer sums") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f)),
+      (2L, 0, Seq(3.0f, 6.0f)),
+      (3L, 1, Seq(10.0f, 20.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .orderBy("label", "dim")
+      .select("label", "dim", "centroid", "n_vectors")
+      .as[(Int, Long, Double, Long)].collect()
+    got shouldBe Array(
+      (0, 0L, 2.0, 2L), (0, 1L, 4.0, 2L),
+      (1, 0L, 10.0, 1L), (1, 1L, 20.0, 1L))
+  }
+
+  // ---- Validator.unionEvolved ----------------------------------------
+
+  test("unionEvolved null-fills by name across schema versions") {
+    import graft.validate.Validator
+    val v1 = Seq((1L, "a")).toDF("id", "x")
+    val v2 = Seq((2L, 9.5)).toDF("id", "y")
+    val got = Validator.unionEvolved(Seq(v1, v2)).orderBy("id")
+    got.columns shouldBe Array("id", "x", "y")
+    got.as[(Long, Option[String], Option[Double])].collect() shouldBe
+      Array((1L, Some("a"), None), (2L, None, Some(9.5)))
+  }
+
   // ---- TextAnalysis.buildVocab ---------------------------------------
 
   test("buildVocab ranks by doc_freq desc then term, with dense ids") {
