@@ -27,8 +27,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g the
+// 80+-query bench spent a large, noisy share of wall-clock in GC (r4:
+// identical queries varied 1.1 s - 6.6 s run-to-run). The container has
+// 128 GiB; 24g leaves room for sbt's own JVM and the OS page cache.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

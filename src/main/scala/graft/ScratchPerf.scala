@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main for stage-by-stage perf dissection (not part of
@@ -12,28 +11,20 @@ object ScratchPerf {
     val spark = GraftSession.get("graft-scratch")
     def mat(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     def t(name: String)(fn: => DataFrame): Unit = {
-      fn // warm
+      mat(fn) // warm
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); mat(fn); (System.nanoTime() - t0) / 1e9
       }
       println(f"[scratch] $name%-28s median=${runs.sorted.apply(1)}%.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
     }
-    val enriched = kpi.KpiQueries.persistEnriched(TestTables.enriched(spark, sfDir))
+    val raw = TestTables.enriched(spark, sfDir)
+    val enriched = kpi.KpiQueries.persistEnriched(raw)
     mat(enriched)
-    val base = enriched.withColumn("unix_timestamp", unix_timestamp(col("timestamp")))
-    val w = Window.partitionBy("track_id").orderBy(col("unix_timestamp").desc).rangeBetween(-86400L, 0L)
-    t("enriched-cached")(base)
-    t("window-only")(base.withColumn("p", count(col("track_id")).over(w)))
-    t("window+groupBy")(base.withColumn("p", count(col("track_id")).over(w))
-      .groupBy("track_id", "track_genre")
-      .agg(max("p").as("m"), sum("duration_ms").as("d"), countDistinct("user_id").as("u")))
-    t("window+groupBy+sort")(base.withColumn("p", count(col("track_id")).over(w))
-      .groupBy("track_id", "track_genre")
-      .agg(max("p").as("m"), sum("duration_ms").as("d"), countDistinct("user_id").as("u"))
-      .orderBy(col("m").desc))
-    t("groupBy-no-window")(base
-      .groupBy("track_id", "track_genre")
-      .agg(sum("duration_ms").as("d"), countDistinct("user_id").as("u")))
+    println("[scratch] enriched partitions = " + enriched.rdd.getNumPartitions)
+    t("trending-over-cached")(kpi.KpiQueries.trendingKpis(enriched))
+    t("trending-over-uncached")(kpi.KpiQueries.trendingKpis(TestTables.enriched(spark, sfDir)))
+    t("bucketed-over-cached")(kpi.KpiQueries.trendingKpisBucketed(enriched))
+    t("bucketed-over-uncached")(kpi.KpiQueries.trendingKpisBucketed(TestTables.enriched(spark, sfDir)))
     spark.stop()
   }
 }

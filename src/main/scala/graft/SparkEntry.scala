@@ -671,6 +671,28 @@ object SparkEntry {
           .select(col("event_id"), col("props"))))
     }),
 
+    // canonical LISTAGG: per-nation supplier roster, sort-then-join
+    "q_string_agg" -> ((s, dir) =>
+      graft.ops.Agg.orderedStringAgg(
+        table(s, dir, "supplier"), "s_nationkey", "s_name")),
+
+    // deterministic per-user modal event type (ties -> smallest value)
+    "q_mode" -> ((s, dir) =>
+      graft.ops.Agg.modeByGroup(table(s, dir, "events"), "user_id", "event_type")),
+
+    // Pearson correlation from exact integer sufficient statistics
+    "q_corr" -> ((s, dir) =>
+      graft.ops.Agg.pearsonFromIntegers(table(s, dir, "lineitem"),
+        "l_returnflag", col("l_quantity"), round(col("l_extendedprice")))),
+
+    // unpivot/melt: wide metrics to (key, metric, val) long form
+    "q_unpivot" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+          col("o_custkey").cast("double").as("cust"))
+        .unpivot(Array(col("o_orderkey")), Array(col("total"), col("cust")),
+          "metric", "val")),
+
     "q_sort_limit" -> ((s, dir) =>
       table(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1734,6 +1756,51 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, NULL, NULL, props
         |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT s_nationkey, COUNT(*) AS n_values,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS joined
+        |FROM supplier
+        |WHERE s_nationkey IS NOT NULL AND s_name IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS mode_value, COUNT(*) AS n_rows
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY n_rows DESC, mode_value) AS rk
+        |  FROM c
+        |)
+        |SELECT user_id, mode_value, n_rows FROM r WHERE rk = 1""".stripMargin,
+
+    "q_corr" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |       ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |             (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx) *
+        |              sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)), 6) AS corr
+        |FROM s""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT o_orderkey, 'total' AS metric, ROUND(o_totalprice, 2) AS val
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'cust', o_custkey::DOUBLE FROM orders""".stripMargin,
 
     "q_distinct" -> "SELECT DISTINCT event_type FROM events",
 

@@ -121,10 +121,77 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** SimHash signature from an array of 64-bit token hashes: bit j of
+    * the output is set iff Σ over tokens of (+1 if bit j of the token
+    * hash is set, else −1) is > 0. One pass with a 64-counter
+    * accumulator — replaces 64 interpreted `aggregate` scans (one per
+    * bit) of the declarative rendering, which made signature
+    * computation O(64·tokens) lambda dispatches per document and
+    * dominated `q_simhash_pairs` (24.7 s at sf0.1, vs ~1 s with this
+    * kernel). Empty array → 0L, matching `aggregate`'s zero fold.
+    */
+  case class SimHashSig(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_sig"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData]
+      val cnt = new Array[Int](64)
+      val n = xs.numElements()
+      var i = 0
+      while (i < n) {
+        val x = xs.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((x >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (cnt(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, xs => {
+        // Fresh names — see DotProductDouble.doGenCode.
+        val cnt = ctx.freshName("cnt")
+        val n   = ctx.freshName("n")
+        val i   = ctx.freshName("i")
+        val j   = ctx.freshName("j")
+        val x   = ctx.freshName("x")
+        val out = ctx.freshName("out")
+        s"""
+           |int[] $cnt = new int[64];
+           |int $n = $xs.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $xs.getLong($i);
+           |  for (int $j = 0; $j < 64; $j++) {
+           |    if ((($x >>> $j) & 1L) == 1L) $cnt[$j]++; else $cnt[$j]--;
+           |  }
+           |}
+           |long $out = 0L;
+           |for (int $j = 0; $j < 64; $j++) {
+           |  if ($cnt[$j] > 0) $out |= (1L << $j);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def dotD(a: Column, b: Column): Column =
     GraftBridge.column(DotProductDouble(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def minhashSig(xs: Column, as: Array[Long], bs: Array[Long], prime: Long): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(xs), as, bs, prime))
+
+  def simhashSig(xs: Column): Column =
+    GraftBridge.column(SimHashSig(GraftBridge.expression(xs)))
 }

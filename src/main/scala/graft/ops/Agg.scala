@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation shapes beyond plain sum/count that analytics consumers
+  * expect from a warehouse engine, built with the repo's determinism
+  * discipline: every result is a pure function of the input SET —
+  * never of partitioning, row order, or float summation order.
+  */
+object Agg {
+
+  /** Per-group ordered string concatenation (LISTAGG/string_agg).
+    * `collect_list` alone is partition-order dependent; sorting the
+    * collected array first makes the rendered string canonical.
+    *
+    * Scale posture: one hash agg; per-group state is the group's value
+    * list — bounded by the group's OWN cardinality, the inherent cost
+    * of this aggregate (cap upstream for adversarial groups). Output:
+    * (group, n_values, joined).
+    */
+  def orderedStringAgg(df: DataFrame, groupCol: String, valueCol: String,
+                       sep: String = ","): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_values"),
+        concat_ws(sep, array_sort(collect_list(col(valueCol).cast("string"))))
+          .as("joined"))
+
+  /** Per-group mode with a DETERMINISTIC tie rule (highest count, then
+    * smallest value) — `mode()` built-ins on any engine pick an
+    * arbitrary winner on ties, which can never hash-verify.
+    * Output: (group, mode_value, n_rows).
+    *
+    * Scale posture: hash agg on (group, value) — the only pass over
+    * the data — then a rank window over the already-aggregated
+    * (group, value) frame, which is distinct-cardinality-sized.
+    */
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("mode_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    counts
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("n_rows").desc, col("mode_value"))))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
+
+  /** Per-group Pearson correlation from EXACT integer inputs: `xCol`
+    * and `yCol` must already be integer-scaled (cents, micros — the
+    * caller owns the scaling and the overflow budget: every
+    * sum-of-products must fit a LONG, and land under 2⁵³ so its
+    * double image is exact). The five sufficient statistics are then
+    * partition-order-independent long sums, and the final formula
+    *
+    *   r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+    *
+    * composes the SAME IEEE doubles on any engine — unlike built-in
+    * `corr()`, whose streaming co-moment accumulation folds doubles in
+    * partition order and cannot cross-engine-verify.
+    * Output: (group, n, corr) with corr rounded to 6.
+    */
+  def pearsonFromIntegers(df: DataFrame, groupCol: String,
+                          xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    df.filter(col(groupCol).isNotNull && x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col(groupCol), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+             sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
+          6).as("corr"))
+  }
+}

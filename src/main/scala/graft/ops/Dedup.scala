@@ -204,26 +204,35 @@ object Dedup {
     * 64-bit family gives equivalent SimHash semantics; bitwise ops only,
     * so no ANSI overflow.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val xsExpr = transform(toks, t => {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.VectorExpressions.simhashSig(tokenHashes(col(textCol)))
+        .as("simhash"))
+
+  /** 64-bit md5-derived hash per token (two 32-bit hex halves packed) —
+    * the same engine-portable hash the SQL oracle reproduces.
+    */
+  private[graft] def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(lower(text)), t => {
       val hex = md5(t.cast("binary"))
       shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
     })
-    // bit j: sum over tokens of (+1 if bit set else -1) > 0. The shift
-    // amount is a lambda variable, so go through call_function (the
-    // functions.shiftright overload only takes a literal Int).
-    // `xs` must be a BOUND column: the 64 per-bit aggregates each read
-    // it, and an inline expression would re-tokenize + re-md5 the whole
-    // document 64 times (see TextAnalysis.shinglesFromToks).
+
+  /** Declarative reference rendering of [[simHash]] (64 per-bit
+    * `aggregate` folds). Kept ONLY as the equivalence oracle for the
+    * codegen'd `SimHashSig` kernel (`DedupSpec`): interpreted HOFs make
+    * it ~25× slower at sf0.1 — never use it in a dataflow path.
+    */
+  private[graft] def simHashReference(docs: DataFrame, idCol: String,
+                                      textCol: String): DataFrame = {
     def shr(x: Column, j: Column): Column = call_function("shiftright", x, j)
     val xs = col("_xs")
     val bits = transform(sequence(lit(0), lit(63)), j =>
       when(aggregate(xs, lit(0L),
         (acc, x) => acc + when(shr(x, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
         lit(1L)).otherwise(lit(0L)))
-    docs.select(col(idCol).as("doc_id"), xsExpr.as("_xs"))
+    docs.select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("_xs"))
       .select(col("doc_id"),
         aggregate(zip_with(bits, sequence(lit(0), lit(63)),
           (bit, j) => call_function("shiftleft", bit, j)),
@@ -457,28 +466,44 @@ object Dedup {
   }
 
   /** Blocked edit-distance near-dup pairs: same `blockCol` value,
-    * length difference ≤ `maxDist` (a lower bound on edit distance — a
-    * free prune before the O(len²) DP), then exact
-    * `levenshtein ≤ maxDist`. Output (a_id, b_id, dist), a_id < b_id.
+    * length difference ≤ `maxDist` (a lower bound on edit distance),
+    * then exact `levenshtein ≤ maxDist`. Output (a_id, b_id, dist),
+    * a_id < b_id.
     *
-    * Scale posture: the self-join is an EQUI-join on the block key —
-    * never all-pairs — so total cost is Σ_block n_b²·len². The block
-    * key is the caller's lever: a coarse key (brand) for small dims, a
-    * composite (simhash band, length bucket) for 10⁹-row corpora.
-    * The length prefilter runs inside the join before levenshtein, so
-    * the quadratic kernel only touches survivors.
+    * Scale posture, two structural bounds:
+    *   - The length constraint is folded INTO the join key: texts
+    *     bucket by `floor(len / (maxDist+1))`, the left side is
+    *     replicated into its own and the next bucket, and only
+    *     adjacent-bucket rows ever join — length-incompatible pairs
+    *     never materialize (a residual abs-diff filter handles the
+    *     within-two-buckets stragglers). Join fanout is bounded per
+    *     (block × length-window) group, not per block.
+    *   - The DP kernel is Spark's BOUNDED levenshtein (threshold arg):
+    *     banded O(len·maxDist) with early exit, identical distances
+    *     for every surviving pair.
+    * Each unordered pair joins exactly once: equal-bucket matches keep
+    * `id_left < id_right`; cross-bucket matches only exist with the
+    * left row in the lower bucket.
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, maxDist: Int): DataFrame = {
-    val a = df.select(col(blockCol).as("_blk"), col(idCol).as("a_id"),
-      col(textCol).as("_ta"))
-    val b = df.select(col(blockCol).as("_blk"), col(idCol).as("b_id"),
-      col(textCol).as("_tb"))
-    a.join(b, Seq("_blk"))
-      .filter(col("a_id") < col("b_id") &&
-        abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
-      .filter(col("dist") <= maxDist)
-      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+    val w = maxDist + 1
+    val base = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+      col(textCol).as("_t"),
+      floor(length(col(textCol)).cast("long") / w).as("_kb"))
+    val left = base.select(col("_blk"), col("_id"), col("_t"), col("_kb"),
+      explode(array(col("_kb"), col("_kb") + 1)).as("_k"))
+    val right = base.select(col("_blk"), col("_id").as("_rid"),
+      col("_t").as("_rt"), col("_kb").as("_k"))
+    left.join(right, Seq("_blk", "_k"))
+      .filter(
+        when(col("_k") === col("_kb"), col("_id") < col("_rid"))
+          .otherwise(col("_id") =!= col("_rid")) &&
+        abs(length(col("_t")) - length(col("_rt"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_t"), col("_rt"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(least(col("_id"), col("_rid")).as("a_id"),
+        greatest(col("_id"), col("_rid")).as("b_id"),
+        col("dist").cast("long").as("dist"))
   }
 }

@@ -66,6 +66,34 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("codegen: two simhashSig instances in one whole-stage function compile (no fallback)") {
+    withNoCodegenFallback {
+      val df = spark.range(100).select(
+        array(col("id"), col("id") * 7L, lit(42L)).as("xs"),
+        array(lit(3L), col("id")).as("ys"))
+      val out = df
+        .filter(VectorExpressions.simhashSig(col("xs")) >= Long.MinValue)
+        .select(
+          VectorExpressions.simhashSig(col("xs")).as("s1"),
+          VectorExpressions.simhashSig(col("ys")).as("s2"))
+      out.queryExecution.executedPlan.toString should include ("*(")
+      out.collect().length shouldBe 100
+    }
+  }
+
+  test("simhashSig interpreted eval: hand-pinned single- and multi-token cases") {
+    // one token: every set bit wins its vote -> simhash == the token hash
+    spark.range(1).select(VectorExpressions.simhashSig(array(lit(42L))))
+      .head().getLong(0) shouldBe 42L
+    // two tokens: bit set only where BOTH agree set (+2>0); disagreeing
+    // bits cancel to 0 (not > 0) -> bitwise AND for the 2-token case
+    spark.range(1).select(VectorExpressions.simhashSig(array(lit(0b1100L), lit(0b1010L))))
+      .head().getLong(0) shouldBe 0b1000L
+    // empty array -> 0
+    spark.range(1).select(VectorExpressions.simhashSig(
+      array().cast("array<long>"))).head().getLong(0) shouldBe 0L
+  }
+
   test("codegen: two minhashSig instances in one whole-stage function compile (no fallback)") {
     withNoCodegenFallback {
       val (as1, bs1) = Dedup.hashCoeffs(8, 1L)

@@ -94,6 +94,14 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("simHash kernel is bit-identical to the declarative reference") {
+    val kernel = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = Dedup.simHashReference(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kernel shouldBe ref
+  }
+
   test("simHash: identical docs collide, near-dups are close, unrelated far") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

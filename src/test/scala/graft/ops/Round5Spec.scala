@@ -216,6 +216,41 @@ class Round5Spec extends SparkSpec {
       Array((1L, Some("a"), None), (2L, None, Some(9.5)))
   }
 
+  // ---- Agg: orderedStringAgg / modeByGroup / pearsonFromIntegers -----
+
+  test("orderedStringAgg renders a canonical sorted join, any partitioning") {
+    val df = Seq(("g", "b"), ("g", "c"), ("g", "a"), ("h", "z")).toDF("g", "v")
+    val got = Agg.orderedStringAgg(df.repartition(5), "g", "v")
+      .orderBy("g").as[(String, Long, String)].collect()
+    got shouldBe Array(("g", 3L, "a,b,c"), ("h", 1L, "z"))
+  }
+
+  test("modeByGroup breaks count ties by smallest value") {
+    val df = Seq(("u", "x"), ("u", "x"), ("u", "a"), ("u", "a"), ("u", "z"))
+      .toDF("g", "v")
+    Agg.modeByGroup(df, "g", "v").as[(String, String, Long)].collect() shouldBe
+      Array(("u", "a", 2L)) // a and x tie at 2; a < x
+  }
+
+  test("pearsonFromIntegers matches the closed form on a known series") {
+    // y = 2x exactly -> r = 1; anti-correlated pair -> r = -1
+    val df = ((1 to 10).map(i => ("pos", i.toLong, 2L * i)) ++
+      (1 to 10).map(i => ("neg", i.toLong, -3L * i))).toDF("g", "x", "y")
+    val got = Agg.pearsonFromIntegers(df, "g", col("x"), col("y"))
+      .orderBy("g").as[(String, Long, Double)].collect()
+    got shouldBe Array(("neg", 10L, -1.0), ("pos", 10L, 1.0))
+  }
+
+  test("editDistancePairs: bucketed join emits each pair exactly once") {
+    // lengths straddle a bucket boundary (w = 3): "abcdef" (6, bucket 2)
+    // vs "abcdefg" (7, bucket 2) vs "abcdefghi" (9, bucket 3)
+    val df = Seq((1L, "abcdef", "B"), (2L, "abcdefg", "B"), (3L, "abcdefghi", "B"),
+      (4L, "zzzzzz", "B")).toDF("id", "t", "blk")
+    val got = Dedup.editDistancePairs(df, "id", "t", "blk", maxDist = 2)
+      .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 2L, 1L), (2L, 3L, 2L)) // no dups, no (1,3): dist 3
+  }
+
   // ---- TextAnalysis.buildVocab ---------------------------------------
 
   test("buildVocab ranks by doc_freq desc then term, with dense ids") {
