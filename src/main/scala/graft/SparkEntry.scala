@@ -671,6 +671,11 @@ object SparkEntry {
           .select(col("event_id"), col("props"))))
     }),
 
+    // per-source token-distribution drift: entropy + KL vs corpus
+    "q_dist_shift" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenDistributionShift(
+        table(s, dir, "documents"), "text", "source")),
+
     // canonical LISTAGG: per-nation supplier roster, sort-then-join
     "q_string_agg" -> ((s, dir) =>
       graft.ops.Agg.orderedStringAgg(
@@ -1756,6 +1761,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, NULL, NULL, props
         |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
+    "q_dist_shift" ->
+      s"""$docToks, t AS (
+         |  SELECT source AS grp, unnest(toks) AS term FROM d
+         |  JOIN documents USING (doc_id)
+         |  WHERE source IS NOT NULL
+         |), gtf AS (
+         |  SELECT grp, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+         |), cnt AS (
+         |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM gtf GROUP BY 1
+         |), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt),
+         |p AS (
+         |  SELECT grp, any_value(n.n_total) AS n_total,
+         |         list_sort(list(struct_pack(term := gtf.term, tf := gtf.tf,
+         |                                    cnt := cnt.cnt))) AS arr
+         |  FROM gtf JOIN cnt USING (term) CROSS JOIN n
+         |  GROUP BY 1
+         |), g AS (
+         |  SELECT grp, n_total, arr,
+         |         CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_tokens
+         |  FROM p
+         |)
+         |SELECT grp AS source, n_tokens,
+         |  CAST(len(arr) AS BIGINT) AS n_terms,
+         |  ROUND(list_sum(list_transform(arr,
+         |    s -> -(s.tf / n_tokens) * ln(s.tf / n_tokens))), 6) AS entropy,
+         |  ROUND(list_sum(list_transform(arr,
+         |    s -> (s.tf / n_tokens) * ln((s.tf / n_tokens) / (s.cnt / n_total)))), 6)
+         |    AS kl_vs_corpus
+         |FROM g""".stripMargin,
 
     "q_string_agg" ->
       """SELECT s_nationkey, COUNT(*) AS n_values,

@@ -198,6 +198,49 @@ object TextAnalysis {
     * thousand), so that window is a deliberate, size-capped exception
     * to the no-global-window rule.
     */
+  /** Per-group token-distribution statistics vs the corpus: Shannon
+    * entropy of the group's unigram distribution and KL(group ‖ corpus)
+    * — the drift gate a training-data pipeline runs per source/day
+    * before a batch is admitted (a scraper gone wrong shows up as an
+    * entropy collapse or a KL spike long before eval metrics move).
+    * Output: (group, n_tokens, n_terms, entropy, kl_vs_corpus).
+    *
+    * Determinism discipline: counts are exact longs; the two double
+    * folds run over a TERM-SORTED array per group (same sorted-fold
+    * trick as [[unigramLogProbScore]]), so results are independent of
+    * partitioning and reproducible cross-engine. Per-group state is
+    * the group's VOCABULARY (structs of term/tf/cnt), not its token
+    * stream — bounded by distinct terms; for groups whose vocabulary
+    * itself is huge, shard terms upstream and combine KL additively
+    * over the shards.
+    */
+  def tokenDistributionShift(docs: DataFrame, textCol: String,
+                             groupCol: String): DataFrame = {
+    val toks = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), explode(tokens(lower(col(textCol)))).as("term"))
+    val gtf = toks.groupBy("grp", "term").agg(count(lit(1)).as("tf"))
+    val cnt = gtf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = cnt.agg(sum("cnt").as("n_total"))
+    val perGroup = gtf.join(cnt, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("grp")
+      .agg(
+        array_sort(collect_list(struct(col("term"), col("tf"), col("cnt")))).as("arr"),
+        first("n_total").as("n_total"))
+    val n = aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("tf"))
+    def p(s: Column) = s.getField("tf").cast("double") / col("n_tokens")
+    def q(s: Column) = s.getField("cnt").cast("double") / col("n_total")
+    val entropy = aggregate(col("arr"), lit(0.0), (a, s) => a - p(s) * log(p(s)))
+    val kl = aggregate(col("arr"), lit(0.0), (a, s) => a + p(s) * log(p(s) / q(s)))
+    perGroup
+      .withColumn("n_tokens", n)
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        size(col("arr")).cast("long").as("n_terms"),
+        round(entropy, 6).as("entropy"),
+        round(kl, 6).as("kl_vs_corpus"))
+  }
+
   /** Feature hashing ("hashing trick"): bag-of-words counts over a
     * FIXED feature space of `nBuckets` dimensions, no vocabulary pass
     * at all — the one-scan featurizer for when even a bounded vocab is

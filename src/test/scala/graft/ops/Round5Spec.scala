@@ -251,6 +251,32 @@ class Round5Spec extends SparkSpec {
     got shouldBe Array((1L, 2L, 1L), (2L, 3L, 2L)) // no dups, no (1,3): dist 3
   }
 
+  // ---- TextAnalysis.tokenDistributionShift ---------------------------
+
+  test("tokenDistributionShift: uniform groups, zero KL when matching corpus") {
+    // both groups have the same 50/50 {a,b} distribution -> corpus is
+    // also 50/50 -> KL = 0 for both; entropy = ln 2
+    val docs = Seq(("s1", "a b a b"), ("s2", "b a")).toDF("source", "text")
+    val got = TextAnalysis.tokenDistributionShift(docs, "text", "source")
+      .orderBy("source")
+      .select("source", "n_tokens", "n_terms", "entropy", "kl_vs_corpus")
+      .as[(String, Long, Long, Double, Double)].collect()
+    got shouldBe Array(
+      ("s1", 4L, 2L, BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.0),
+      ("s2", 2L, 2L, BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.0))
+  }
+
+  test("tokenDistributionShift: divergence from the corpus mix is positive and ordered") {
+    // corpus mix = 11a + 3b (a-heavy). The group NEAR the mix (9a,1b)
+    // diverges less than the 50/50 group — KL is vs the corpus, not
+    // vs uniform.
+    val docs = Seq(("near", "a a a a a a a a a b"), ("far", "a b a b")).toDF("source", "text")
+    val got = TextAnalysis.tokenDistributionShift(docs, "text", "source")
+      .select("source", "kl_vs_corpus").as[(String, Double)].collect().toMap
+    got("near") should be > 0.0
+    got("far") should be > got("near")
+  }
+
   // ---- TextAnalysis.buildVocab ---------------------------------------
 
   test("buildVocab ranks by doc_freq desc then term, with dense ids") {
