@@ -47,5 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val (as, bs) = graft.ops.Dedup.hashCoeffs(n, seed)
         VectorExpressions.MinHashSig(children.head, as, bs, (1L << 61) - 1)
       }))
+
+    // SQL form of the SimHash kernel over an array of 64-bit token hashes.
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[VectorExpressions.SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash_sig(tokenHashes)")
+        VectorExpressions.SimHashSig(children.head)
+      }))
   }
 }

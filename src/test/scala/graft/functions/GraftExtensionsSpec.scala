@@ -41,4 +41,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     sqlSig shouldBe scalaSig
   }
+
+  test("simhash_sig in SQL matches the Dedup pipeline's signature") {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig",
+      (children: Seq[Expression]) => VectorExpressions.SimHashSig(children.head),
+      "scala_udf")
+    val sqlSig = spark.sql("SELECT simhash_sig(array(42L)) AS s")
+      .collect().head.getLong(0)
+    sqlSig shouldBe 42L // single token: signature == the token hash
+  }
 }
