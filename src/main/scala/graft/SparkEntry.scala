@@ -671,6 +671,24 @@ object SparkEntry {
           .select(col("event_id"), col("props"))))
     }),
 
+    // changelog compaction: last write wins per user
+    "q_latest" -> ((s, dir) =>
+      graft.ops.Cdc.latestPerKey(table(s, dir, "events"), "user_id", "ts", "event_id")),
+
+    // leading 3-step journey paths across users
+    "q_top_paths" -> ((s, dir) =>
+      graft.ops.Funnel.topPaths(table(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", k = 3)),
+
+    // duration-weighted average of the held gauge value per user
+    "q_time_weighted" -> ((s, dir) =>
+      graft.ops.TimeSeries.timeWeightedAvg(table(s, dir, "events"),
+        "user_id", "ts", round(col("value") * 100), "event_id")),
+
+    // week-over-week volume change per event type
+    "q_wow" -> ((s, dir) =>
+      graft.ops.TimeSeries.weekOverWeek(table(s, dir, "events"), "event_type", "ts")),
+
     // per-source token-distribution drift: entropy + KL vs corpus
     "q_dist_shift" -> ((s, dir) =>
       graft.ops.TextAnalysis.tokenDistributionShift(
@@ -1761,6 +1779,51 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, NULL, NULL, props
         |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
+    "q_latest" ->
+      """WITH r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |)
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT array_to_string(seq[1:3], '>') AS path, COUNT(*) AS n_users
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      // 1000000
+        |      - epoch_us(ts) // 1000000 AS dur
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |       SUM(dur) AS held_seconds,
+        |       ROUND(SUM(cents * dur) / 100.0 / SUM(dur), 6) AS tw_avg
+        |FROM e WHERE dur IS NOT NULL AND cents IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_wow" ->
+      """WITH w AS (
+        |  SELECT event_type, date_trunc('week', ts) AS week, COUNT(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, week, n,
+        |  LAG(n) OVER ww AS prev_n,
+        |  ROUND((n - LAG(n) OVER ww) / LAG(n) OVER ww, 6) AS pct_change
+        |FROM w
+        |WINDOW ww AS (PARTITION BY event_type ORDER BY week)""".stripMargin,
 
     "q_dist_shift" ->
       s"""$docToks, t AS (

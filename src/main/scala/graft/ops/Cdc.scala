@@ -79,6 +79,26 @@ object Cdc {
     * snapshots are written bucketed by the key ([[graft.io.ParquetIO
     * .writeBucketed]]), the exchange disappears entirely.
     */
+  /** Changelog compaction: keep each key's LATEST row by
+    * (`tsCol`, `tieCol`) — the collapse step before applying a CDC feed
+    * or serving a snapshot ("last write wins"). The tie column makes
+    * the winner deterministic under equal timestamps (a raw
+    * `row_number` over ts alone hash-verifies only by luck).
+    *
+    * Scale posture: one per-key window, rank-1 filter → planned as
+    * two-phase `WindowGroupLimit` (per-partition bounded top-1 BEFORE
+    * the exchange), so the shuffle carries at most one row per
+    * (partition, key), not the key's whole history.
+    */
+  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
     val dataCols = oldSnap.columns.filter(_ != keyCol).toSeq
     require(dataCols.toSet == newSnap.columns.filter(_ != keyCol).toSet,

@@ -105,6 +105,36 @@ object Funnel {
     * per-from totals come from a second window over THAT tiny frame,
     * not another pass over events.
     */
+  /** Frequent leading paths: each user's first `k` event types in
+    * time order rendered as one `a>b>c` string, counted across users —
+    * the "what do journeys look like" query behind every onboarding
+    * analysis. Output: (path, n_users), paths of truncated users
+    * included (a 2-event user contributes their 2-step path).
+    *
+    * Determinism: the per-user sequence is an `array_sort` of
+    * (ts, tie, type) structs collected in ONE hash agg — never a
+    * window over raw events — so the rendering is independent of
+    * partition order; `tieCol` pins equal-timestamp ordering.
+    *
+    * Scale posture: per-user state is min(k-ish, own events) structs…
+    * bounded by the user's history like [[Sessionize]]; the path
+    * count agg is |distinct paths| ≤ |types|^k rows.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, "paths need at least one step")
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol).as("ts"), col(tieCol).as("tie"), col(typeCol).as("t"))))
+        .as("_seq"))
+    perUser
+      .select(concat_ws(">",
+        transform(slice(col("_seq"), 1, k), s => s.getField("t"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+  }
+
   def transitions(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

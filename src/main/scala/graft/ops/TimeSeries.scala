@@ -61,6 +61,54 @@ object TimeSeries {
     * calendar — never over raw events; the raw table is touched once,
     * by the daily hash-agg (map-side combined). Sums are exact longs.
     */
+  /** Duration-weighted average of a held state: each event's value
+    * holds from its timestamp until the key's next event; the average
+    * weights by held seconds — the correct aggregate for sampled
+    * gauges (price, buffer depth, quality score), where the plain
+    * row-mean over-counts bursts of short-lived samples.
+    *
+    * `valueCents` must be integer-scaled by the caller: the weighted
+    * sum is then an exact LONG Σ cents·seconds, divided once at the
+    * end — partition-order independent. A key's LAST event has no
+    * successor and carries no weight (standard last-observation-open
+    * semantics: there is nothing to hold until).
+    * Output: (key, n_intervals, held_seconds, tw_avg).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCents: org.apache.spark.sql.Column,
+                      tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_tie"))
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+        valueCents.cast("long").as("_cents"))
+      .withColumn("_dur",
+        unix_timestamp(lead(col("_ts"), 1).over(ord)) - unix_timestamp(col("_ts")))
+      .filter(col("_dur").isNotNull && col("_cents").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("_dur").as("held_seconds"),
+        sum(col("_cents") * col("_dur")).as("_wsum"))
+      .select(col(keyCol), col("n_intervals"), col("held_seconds"),
+        round(col("_wsum") / lit(100.0) / col("held_seconds"), 6).as("tw_avg"))
+  }
+
+  /** Period-over-period change of per-key weekly volumes:
+    * (key, week, n, prev_n, pct_change) with
+    * `pct_change = (n − prev) / prev` (null on the first week). The
+    * lag window runs over the AGGREGATED weekly frame.
+    */
+  def weekOverWeek(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val weekly = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), date_trunc("week", col(tsCol)).as("week"))
+      .agg(count(lit(1)).as("n"))
+    weekly
+      .withColumn("prev_n",
+        lag("n", 1).over(Window.partitionBy(col(keyCol)).orderBy(col("week"))))
+      .withColumn("pct_change",
+        round((col("n") - col("prev_n")) / col("prev_n"), 6))
+  }
+
   def trailingDaily(df: DataFrame, keyCol: String, tsCol: String,
                     days: Int = 7): DataFrame = {
     require(days >= 1, "window must cover at least the current day")

@@ -251,6 +251,58 @@ class Round5Spec extends SparkSpec {
     got shouldBe Array((1L, 2L, 1L), (2L, 3L, 2L)) // no dups, no (1,3): dist 3
   }
 
+  // ---- Cdc.latestPerKey / Funnel.topPaths / TimeSeries tw-avg, wow ---
+
+  test("latestPerKey keeps one row per key, ties broken by tie column desc") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "c"), // same ts, higher tie wins
+      (2L, ts("2024-01-01 09:00:00"), 4L, "d")
+    ).toDF("k", "t", "id", "v")
+    val got = Cdc.latestPerKey(df, "k", "t", "id")
+      .orderBy("k").select("k", "v").as[(Long, String)].collect()
+    got shouldBe Array((1L, "c"), (2L, "d"))
+  }
+
+  test("topPaths renders time-ordered truncated journeys") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "view"), // beyond k=3: ignored
+      (2L, ts("2024-01-01 10:00:00"), 5L, "view")  // truncated user: 1-step path
+    ).toDF("u", "t", "id", "et")
+    val got = Funnel.topPaths(df, "u", "t", "et", "id", k = 3)
+      .orderBy("path").as[(String, Long)].collect()
+    got shouldBe Array(("view", 1L), ("view>click>purchase", 1L))
+  }
+
+  test("timeWeightedAvg weights by held seconds; last observation open") {
+    // u1: 100 cents held 60 s, then 400 cents held 180 s, last event open
+    // tw = (100*60 + 400*180) / 100.0 / 240 = 3.25
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.00),
+      (1L, ts("2024-01-01 10:01:00"), 2L, 4.00),
+      (1L, ts("2024-01-01 10:04:00"), 3L, 9.99)
+    ).toDF("u", "t", "id", "v")
+    val got = TimeSeries.timeWeightedAvg(df, "u", "t", round(col("v") * 100), "id")
+      .as[(Long, Long, Long, Double)].collect()
+    got shouldBe Array((1L, 2L, 240L, 3.25))
+  }
+
+  test("weekOverWeek computes pct change with a null first period") {
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-02 10:00:00")),
+      ("a", ts("2024-01-08 10:00:00")), ("a", ts("2024-01-09 10:00:00")),
+      ("a", ts("2024-01-10 10:00:00"))
+    ).toDF("k", "t")
+    val got = TimeSeries.weekOverWeek(df, "k", "t")
+      .orderBy("week").select("n", "prev_n", "pct_change")
+      .as[(Long, Option[Long], Option[Double])].collect()
+    got shouldBe Array((2L, None, None), (3L, Some(2L), Some(0.5)))
+  }
+
   // ---- TextAnalysis.tokenDistributionShift ---------------------------
 
   test("tokenDistributionShift: uniform groups, zero KL when matching corpus") {
