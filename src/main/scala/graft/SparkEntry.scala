@@ -671,6 +671,19 @@ object SparkEntry {
           .select(col("event_id"), col("props"))))
     }),
 
+    // robust median/MAD outliers per event type
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.ops.Outliers.madOutliers(table(s, dir, "events"),
+        "event_type", "event_id", "value")),
+
+    // null repair: deterministic synthetic nulls -> group-median fill
+    "q_impute" -> ((s, dir) =>
+      graft.ops.Outliers.imputeMedian(
+        table(s, dir, "events").withColumn("value",
+          when(pmod(col("event_id"), lit(13)) === 0, lit(null).cast("double"))
+            .otherwise(col("value"))),
+        "event_type", "event_id", "value")),
+
     // changelog compaction: last write wins per user
     "q_latest" -> ((s, dir) =>
       graft.ops.Cdc.latestPerKey(table(s, dir, "events"), "user_id", "ts", "event_id")),
@@ -1779,6 +1792,53 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, NULL, NULL, props
         |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS med
+        |  FROM r GROUP BY 1
+        |), d AS (
+        |  SELECT r.event_type, r.event_id, r.value, m.med,
+        |         abs(r.value - m.med) AS adev
+        |  FROM r JOIN m USING (event_type)
+        |), dr AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn2,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n2
+        |  FROM d
+        |), mad AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn2 = CEIL(n2 * 0.5) THEN adev END) AS mad
+        |  FROM dr GROUP BY 1
+        |)
+        |SELECT d.event_type, d.event_id, d.value, d.med, mad.mad
+        |FROM d JOIN mad USING (event_type)
+        |WHERE abs(d.value - d.med) > 3.5 * mad.mad""".stripMargin,
+
+    "q_impute" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+        |  FROM events WHERE event_type IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS med
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT e.event_type, e.event_id, e.value,
+        |       COALESCE(e.value, m.med) AS imputed
+        |FROM e JOIN m USING (event_type)""".stripMargin,
 
     "q_latest" ->
       """WITH r AS (

@@ -61,6 +61,67 @@ object Outliers {
     * map-side clamp pass. The common alternative (a per-row correlated
     * quantile subquery) is a join-per-row; this is two passes total.
     */
+  /** Robust (median/MAD) outlier detection: rows where
+    * `|x − median| > k · MAD`, both statistics the DISCRETE (type-1)
+    * medians of their group — the same engine-independent selection
+    * discipline as [[iqrOutliers]], but with a breakdown point of 50%
+    * (IQR fences move once a quarter of the data is bad; MAD holds to
+    * half). `k = 3.5` is the conventional consistency-scaled cutoff.
+    * Groups whose MAD is 0 (over half the values identical) flag every
+    * row not exactly at the median — deterministic, if blunt; prefer
+    * IQR for heavily discrete data.
+    * Output: (group, id, value, med, mad).
+    *
+    * Scale posture: two ranked windows (values, then absolute
+    * deviations) + two |groups|-row broadcast joins — same shape as
+    * the quantile family, never a per-row subquery. Positional
+    * selection under ties is stable: equal values at the selection
+    * rank yield the same selected VALUE regardless of tie order.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, k: Double = 3.5): DataFrame = {
+    val g = col(groupCol); val v = col(valueCol)
+    val ranked = df
+      .filter(g.isNotNull && v.isNotNull)
+      .select(g, col(idCol), v)
+      .withColumn("_rn", row_number().over(Window.partitionBy(g).orderBy(v)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
+    val med = ranked.groupBy(g).agg(
+      min(when(col("_rn") === ceil(col("_n") * lit(0.5)), v)).as("med"))
+    val dev = ranked.join(broadcast(med), Seq(groupCol))
+      .withColumn("_adev", abs(v - col("med")))
+      .withColumn("_rn2", row_number().over(Window.partitionBy(g).orderBy(col("_adev"))))
+      .withColumn("_n2", count(lit(1)).over(Window.partitionBy(g)))
+    val mad = dev.groupBy(g).agg(
+      min(when(col("_rn2") === ceil(col("_n2") * lit(0.5)), col("_adev"))).as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(abs(v - col("med")) > lit(k) * col("mad"))
+      .select(g, col(idCol), v, col("med"), col("mad"))
+  }
+
+  /** Null-repair by group median: null `valueCol` rows take their
+    * group's discrete median of the NON-NULL values; everything else
+    * passes through. The imputation step of an ML feature pipeline,
+    * with the engine-independent median selection of this file.
+    * Output: (group, id, value, imputed).
+    */
+  def imputeMedian(df: DataFrame, groupCol: String, idCol: String,
+                   valueCol: String): DataFrame = {
+    val g = col(groupCol); val v = col(valueCol)
+    val ranked = df
+      .filter(g.isNotNull && v.isNotNull)
+      .select(g, v)
+      .withColumn("_rn", row_number().over(Window.partitionBy(g).orderBy(v)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
+    val med = ranked.groupBy(g).agg(
+      min(when(col("_rn") === ceil(col("_n") * lit(0.5)), v)).as("_med"))
+    df.filter(g.isNotNull)
+      .select(g, col(idCol), v)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("imputed", coalesce(v, col("_med")))
+      .drop("_med")
+  }
+
   def winsorize(df: DataFrame, groupCol: String, idCol: String,
                 valueCol: String, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo > 0 && pHi < 1 && pLo < pHi, "0 < pLo < pHi < 1")

@@ -329,6 +329,26 @@ class Round5Spec extends SparkSpec {
     got("far") should be > got("near")
   }
 
+  // ---- Outliers.madOutliers / imputeMedian ---------------------------
+
+  test("madOutliers flags by k*MAD around the discrete median") {
+    // group: 1..9 plus a wild 100. n=10 -> median rank ceil(5)=5 -> 5.0
+    // adevs sorted: 0,1,1,2,2,3,3,4,4,95 -> MAD rank 5 -> 2.0; cutoff 7.0
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+ ("g", 10L, 100.0))
+      .toDF("g", "id", "v")
+    val got = Outliers.madOutliers(df, "g", "id", "v")
+      .select("id", "v", "med", "mad").as[(Long, Double, Double, Double)].collect()
+    got shouldBe Array((10L, 100.0, 5.0, 2.0))
+  }
+
+  test("imputeMedian fills nulls with the group median, passes the rest") {
+    val df = Seq(("g", 1L, Some(1.0)), ("g", 2L, Some(2.0)), ("g", 3L, Some(9.0)),
+      ("g", 4L, None)).toDF("g", "id", "v")
+    val got = Outliers.imputeMedian(df, "g", "id", "v")
+      .orderBy("id").select("id", "imputed").as[(Long, Double)].collect()
+    got shouldBe Array((1L, 1.0), (2L, 2.0), (3L, 9.0), (4L, 2.0))
+  }
+
   // ---- TextAnalysis.buildVocab ---------------------------------------
 
   test("buildVocab ranks by doc_freq desc then term, with dense ids") {
