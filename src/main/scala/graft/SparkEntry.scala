@@ -671,6 +671,12 @@ object SparkEntry {
           .select(col("event_id"), col("props"))))
     }),
 
+    // PassJoin segment-indexed edit distance: same oracle as
+    // q_editdist_pairs, candidates from an exact-substring index
+    "q_editdist_seg" -> ((s, dir) =>
+      graft.ops.Dedup.editDistancePairsSegmented(table(s, dir, "part"),
+        "p_partkey", "p_name", "p_brand", maxDist = 2)),
+
     // robust median/MAD outliers per event type
     "q_mad_outliers" -> ((s, dir) =>
       graft.ops.Outliers.madOutliers(table(s, dir, "events"),
@@ -1491,6 +1497,15 @@ object SparkEntry {
         |FROM b GROUP BY 1""".stripMargin,
 
     "q_editdist_pairs" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    // identical answer through the PassJoin segment index
+    "q_editdist_seg" ->
       """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM part a JOIN part b

@@ -485,6 +485,115 @@ object Dedup {
     * `id_left < id_right`; cross-bucket matches only exist with the
     * left row in the lower bucket.
     */
+  /** PassJoin-style segment-indexed edit-distance pairs — same result
+    * as [[editDistancePairs]], candidates from an EXACT-substring
+    * inverted index instead of a length-bucket cross join.
+    *
+    * Pigeonhole (Li/Deng/Feng, PassJoin, VLDB 2011): partition every
+    * string into `maxDist+1` segments (short segments first); if
+    * `ed(s,t) ≤ maxDist`, at least one segment of `s` survives all
+    * edits and appears in `t` EXACTLY, at a start position shifted by
+    * at most `maxDist`. So: the index side emits its `maxDist+1`
+    * segments keyed by (block, len, segIdx, content); the probe side
+    * emits, for every candidate indexed length `l ∈ [len(t)−maxDist,
+    * len(t)]`, the substrings of `t` at the segment's position window
+    * `±maxDist` — only strings sharing an aligned exact segment ever
+    * meet. Probing only DOWNWARD lengths (plus an id tiebreak at equal
+    * length) gives each unordered pair one direction; bounded
+    * `levenshtein` then verifies exactly.
+    *
+    * Regime honesty (measured, sf0.1): this does NOT beat
+    * [[editDistancePairs]] on either driver corpus — part names are
+    * too short for segments to be selective (5.4 s vs 3.4 s blocked,
+    * 104 s vs 70 s unblocked), and document texts have such diverse
+    * lengths that the bucket variant's |len diff| ≤ maxDist filter is
+    * already near-perfect (5.4 s vs 1.3 s). The segment index wins
+    * when strings are LONG and length-CONCENTRATED (fixed-width
+    * payloads: hashes, URLs, normalized addresses, k-mers), where
+    * length filtering prunes nothing and segments of len/(maxDist+1)
+    * chars are near-unique join keys. Exactness is corpus-independent
+    * (equivalence property spec + shared oracle); pick per data shape.
+    * Probe cost: ~(maxDist+1)²·(2·maxDist+1) rows per string. Strings
+    * shorter than `maxDist+1` chars would produce empty segments
+    * (which match everywhere); they are routed through the plain
+    * bucket join instead, so the result stays exact for ANY input.
+    */
+  def editDistancePairsSegmented(df: DataFrame, idCol: String, textCol: String,
+                                 blockCol: String, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val base = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+      col(textCol).as("_t"), length(col(textCol)).as("_l"))
+    val long = base.filter(col("_l") >= k)
+    val short = base.filter(col("_l") < k)
+
+    // segment geometry as pure arithmetic on (l, i):
+    //   base_ = l div k, rem = l mod k; first (k - rem) segments have
+    //   length base_, the rest base_+1; pos is 1-based.
+    def segLen(l: Column, i: Column): Column = {
+      val b = floor(l / k).cast("int"); val rem = pmod(l, lit(k))
+      b + when(i >= lit(k) - rem, 1).otherwise(0)
+    }
+    def segPos(l: Column, i: Column): Column = {
+      val b = floor(l / k).cast("int"); val rem = pmod(l, lit(k))
+      lit(1) + i * b + greatest(lit(0), i - (lit(k) - rem))
+    }
+
+    val idx = long.select(col("_blk"), col("_id"), col("_t"), col("_l"),
+        explode(sequence(lit(0), lit(maxDist))).as("_i"))
+      .select(col("_blk"), col("_id").as("_iid"), col("_t").as("_it"),
+        col("_l").as("_il"), col("_i"),
+        col("_t").substr(segPos(col("_l"), col("_i")), segLen(col("_l"), col("_i")))
+          .as("_content"))
+
+    // probe: for each candidate indexed length l (descending probe:
+    // l <= len(t)), each segment index, each start in the ±maxDist
+    // window (clamped to t's bounds)
+    val probes = long
+      .select(col("_blk"), col("_id"), col("_t"), col("_l"),
+        explode(sequence(greatest(lit(k), col("_l") - maxDist), col("_l"))).as("_il"))
+      .select(col("_blk"), col("_id"), col("_t"), col("_l"), col("_il"),
+        explode(sequence(lit(0), lit(maxDist))).as("_i"))
+      .select(col("_blk"), col("_id"), col("_t"), col("_l"), col("_il"), col("_i"),
+        explode(sequence(
+          greatest(lit(1), segPos(col("_il"), col("_i")) - maxDist),
+          least(col("_l") - segLen(col("_il"), col("_i")) + 1,
+            segPos(col("_il"), col("_i")) + maxDist))).as("_p"))
+      .select(col("_blk"), col("_id"), col("_t"), col("_l"), col("_il"), col("_i"),
+        col("_t").substr(col("_p"), segLen(col("_il"), col("_i"))).as("_content"))
+
+    // No candidate-level distinct: a pair can surface from several
+    // matching segments, but deduplicating BEFORE verification would
+    // shuffle candidate rows carrying both full texts. The bounded DP
+    // is cheap enough to run per duplicate; the distinct runs on the
+    // verified (a_id, b_id, dist) triples — the smallest frame in the
+    // pipeline.
+    val longPairs = probes
+      .join(idx, Seq("_blk", "_il", "_i", "_content"))
+      .filter(col("_iid") =!= col("_id") &&
+        (col("_il") < col("_l") || col("_iid") < col("_id")))
+      .withColumn("dist", levenshtein(col("_it"), col("_t"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(least(col("_iid"), col("_id")).as("a_id"),
+        greatest(col("_iid"), col("_id")).as("b_id"),
+        col("dist").cast("long").as("dist"))
+      .distinct()
+
+    // short strings (< k chars): bucket join among themselves AND
+    // against everything within maxDist of their length, via the
+    // bucket variant; the semi filter keeps only pairs with a short
+    // side, so the two pair sets are disjoint by construction (no
+    // final distinct needed). An all-long input makes this branch an
+    // empty, near-free plan.
+    val nearShort = base.filter(col("_l") < k + maxDist)
+    val shortPairs = editDistancePairs(
+      nearShort.select(col("_blk").as(blockCol), col("_id").as(idCol),
+        col("_t").as(textCol)),
+      idCol, textCol, blockCol, maxDist)
+      .join(broadcast(short.select(col("_id").as("_sid"))),
+        col("a_id") === col("_sid") || col("b_id") === col("_sid"), "left_semi")
+    longPairs.unionAll(shortPairs)
+  }
+
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, maxDist: Int): DataFrame = {
     val w = maxDist + 1

@@ -95,6 +95,36 @@ class Round5PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("segmented (PassJoin) edit-distance pairs == bucket-join pairs on mutated corpora") {
+    val alphabet = "abcdef"
+    val genBase = for {
+      len <- Gen.choose(1, 14) // includes strings SHORTER than maxDist+1
+      cs <- Gen.listOfN(len, Gen.oneOf(alphabet.toSeq))
+    } yield cs.mkString
+    def mutate(s: String, seed: Int): String = {
+      // deterministic 1-2 edits: substitution + optional insertion
+      val sb = new StringBuilder(s)
+      if (sb.nonEmpty) sb.setCharAt(seed % sb.length, alphabet(seed % alphabet.length))
+      if (seed % 2 == 0) sb.insert(seed % (sb.length + 1), alphabet((seed / 2) % alphabet.length))
+      sb.toString
+    }
+    Seq(7L, 19L).foreach { s =>
+      val bases = Gen.listOfN(40, genBase)(Gen.Parameters.default, Seed(s))
+        .getOrElse(sys.error("gen failed"))
+      val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+        Seq((2L * i, b, s"blk${i % 3}"), (2L * i + 1, mutate(b, i), s"blk${i % 3}"))
+      }
+      val df = rows.toDF("id", "t", "blk")
+      Seq(1, 2).foreach { tau =>
+        val bucket = Dedup.editDistancePairs(df, "id", "t", "blk", tau)
+          .as[(Long, Long, Long)].collect().toSet
+        val seg = Dedup.editDistancePairsSegmented(df, "id", "t", "blk", tau)
+          .as[(Long, Long, Long)].collect().toSet
+        withClue(s"seed=$s tau=$tau: ") { seg shouldBe bucket }
+      }
+    }
+  }
+
   test("latestPerKey: exactly one row per key, and it is the max (ts, tie)") {
     Seeds.foreach { s =>
       val df = corpus(s).zipWithIndex.map { case ((g, k, v), i) =>
