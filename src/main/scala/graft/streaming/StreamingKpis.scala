@@ -164,6 +164,31 @@ object StreamingKpis {
     * the latest. Blocks until the trigger drains; returns micro-batches
     * executed.
     */
+  /** Continuously-maintained latest-row snapshot of a changelog
+    * stream: per key, the row with the maximum (ts, tie) seen so far —
+    * the streaming form of [[graft.ops.Cdc.latestPerKey]], expressed
+    * as an update-mode aggregation (`max_by` over a lexicographic
+    * (ts, tie) struct) whose state is ONE row per key. Each
+    * micro-batch emits only the keys that changed; route the result
+    * through [[serveToStore]] (constant sort key) for an upserted
+    * serving snapshot that converges to the batch compaction.
+    *
+    * State sizing: |live keys| rows — the minimum any snapshot
+    * maintainer can hold; there is no watermark because a snapshot is
+    * definitionally unbounded in event time (expire keys upstream if
+    * the key space itself churns).
+    */
+  def latestSnapshot(changelog: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String): DataFrame = {
+    val dataCols = changelog.columns.filterNot(_ == keyCol).toSeq
+    changelog
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(dataCols.map(col): _*),
+        struct(col(tsCol), col(tieCol))).as("_latest"))
+      .select(col(keyCol) +: dataCols.map(c => col(s"_latest.$c")): _*)
+  }
+
   def serveToStore(items: DataFrame, store: graft.serve.KpiSink.KvStore,
                    checkpoint: String,
                    trigger: org.apache.spark.sql.streaming.Trigger =

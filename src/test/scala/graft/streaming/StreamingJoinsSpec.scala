@@ -84,4 +84,42 @@ class StreamingJoinsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     ids shouldBe Array(1L, 2L, 3L)
   }
+
+  test("latestSnapshot converges to the batch compaction across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val changes = MemoryStream[(Long, Timestamp, Long, String)]
+    val snap = StreamingKpis.latestSnapshot(
+      changes.toDS().toDF("k", "t", "tie", "v"), "k", "t", "tie")
+    val store = new graft.serve.KpiSink.InMemoryKvStore()
+    val items = snap.select(concat(lit("K_"), col("k")).as("id"),
+      lit("latest").as("timestamp"), col("v"))
+    val ck = java.nio.file.Files.createTempDirectory("snapck").toString
+    def drain(): Unit = {
+      val q = items.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.serve.KpiSink.write(b, store)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    changes.addData((1L, ts("2024-06-25 10:00:00"), 1L, "a1"),
+      (2L, ts("2024-06-25 10:00:00"), 2L, "b1"))
+    drain()
+    store.getItem("K_1", "latest").get("v") shouldBe "a1"
+
+    // batch 2: key 1 advances; key 2 gets a LATE row (older ts) that
+    // must NOT win; key 3 appears; equal-ts tie on key 3 resolves by tie
+    changes.addData(
+      (1L, ts("2024-06-25 11:00:00"), 3L, "a2"),
+      (2L, ts("2024-06-25 09:00:00"), 4L, "b0-late"),
+      (3L, ts("2024-06-25 10:00:00"), 5L, "c-low"),
+      (3L, ts("2024-06-25 10:00:00"), 6L, "c-high"))
+    drain()
+    store.getItem("K_1", "latest").get("v") shouldBe "a2"
+    store.getItem("K_2", "latest").get("v") shouldBe "b1" // late row lost
+    store.getItem("K_3", "latest").get("v") shouldBe "c-high" // tie by tie col
+    store.size shouldBe 3
+  }
 }
