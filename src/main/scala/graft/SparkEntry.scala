@@ -1853,7 +1853,7 @@ object SparkEntry {
         |)
         |SELECT e.event_type, e.event_id, e.value,
         |       COALESCE(e.value, m.med) AS imputed
-        |FROM e JOIN m USING (event_type)""".stripMargin,
+        |FROM e LEFT JOIN m USING (event_type)""".stripMargin,
 
     "q_latest" ->
       """WITH r AS (

@@ -76,7 +76,9 @@ object VectorExpressions {
       var i = 0
       val n = xs.numElements()
       while (i < n) {
-        val x = xs.getLong(i)
+        // null element ≡ hash 0 (matches UnsafeArrayData's zeroed null
+        // slots, so interpreted and codegen paths agree)
+        val x = if (xs.isNullAt(i)) 0L else xs.getLong(i)
         var j = 0
         while (j < h) {
           val v = java.lang.Math.floorMod(as(j) * x + bs(j), prime)
@@ -106,7 +108,7 @@ object VectorExpressions {
            |java.util.Arrays.fill($acc, Long.MAX_VALUE);
            |int $n = $xs.numElements();
            |for (int $i = 0; $i < $n; $i++) {
-           |  long $x = $xs.getLong($i);
+           |  long $x = $xs.isNullAt($i) ? 0L : $xs.getLong($i);
            |  for (int $j = 0; $j < $h; $j++) {
            |    long $v = java.lang.Math.floorMod($asRef[$j] * $x + $bsRef[$j], ${prime}L);
            |    if ($v < $acc[$j]) $acc[$j] = $v;
@@ -130,18 +132,27 @@ object VectorExpressions {
     * dominated `q_simhash_pairs` (24.7 s at sf0.1, vs ~1 s with this
     * kernel). Empty array → 0L, matching `aggregate`'s zero fold.
     */
-  case class SimHashSig(child: Expression) extends UnaryExpression {
+  case class SimHashSig(child: Expression) extends UnaryExpression
+      with GraftBridge.ImplicitCastsFromTypes {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash_sig"
+    // rejects non-array input at analysis (and implicitly casts e.g.
+    // array<int> up to array<long>) — the SQL-surfaced entry point must
+    // not fall through to getLong on arbitrary bytes
+    override def bridgeInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
+    // A null ELEMENT votes like hash 0 (all 64 bits unset -> −1 per
+    // bit): this matches both the declarative reference (`when(bit===1)
+    // .otherwise(-1)` is -1 for null) and UnsafeArrayData's zeroed null
+    // slots — interpreted and codegen paths must agree.
     override protected def nullSafeEval(input: Any): Any = {
       val xs = input.asInstanceOf[ArrayData]
       val cnt = new Array[Int](64)
       val n = xs.numElements()
       var i = 0
       while (i < n) {
-        val x = xs.getLong(i)
+        val x = if (xs.isNullAt(i)) 0L else xs.getLong(i)
         var j = 0
         while (j < 64) {
           if (((x >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
@@ -168,7 +179,7 @@ object VectorExpressions {
            |int[] $cnt = new int[64];
            |int $n = $xs.numElements();
            |for (int $i = 0; $i < $n; $i++) {
-           |  long $x = $xs.getLong($i);
+           |  long $x = $xs.isNullAt($i) ? 0L : $xs.getLong($i);
            |  for (int $j = 0; $j < 64; $j++) {
            |    if ((($x >>> $j) & 1L) == 1L) $cnt[$j]++; else $cnt[$j]--;
            |  }

@@ -25,8 +25,14 @@ object Agg {
     df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_values"),
-        concat_ws(sep, array_sort(collect_list(col(valueCol).cast("string"))))
-          .as("joined"))
+        // sort on the TYPED value (struct field order), render after:
+        // sorting the rendered strings would order integers
+        // lexicographically ("10" < "2"), diverging from
+        // LISTAGG(x ORDER BY x) semantics
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col(valueCol).as("v"),
+            col(valueCol).cast("string").as("s")))),
+          e => e.getField("s"))).as("joined"))
 
   /** Per-group mode with a DETERMINISTIC tie rule (highest count, then
     * smallest value) — `mode()` built-ins on any engine pick an

@@ -61,24 +61,6 @@ object Cdc {
     survivors.unionByName(applied.select(survivors.columns.map(col): _*))
   }
 
-  /** Row-level diff of two snapshots of the same table: one row per key
-    * that was `added` (new only), `removed` (old only), or `changed`
-    * (both, any non-key column differs under null-safe compare).
-    * Unchanged keys emit nothing. Non-key columns come back twice,
-    * prefixed `old_` / `new_` (null on the absent side).
-    *
-    * This is the inverse of [[mergeUpsert]]: `snapshotDiff(base,
-    * mergeUpsert(base, cs, k), k)` recovers `cs`'s effect exactly —
-    * the property the oracle entry checks.
-    *
-    * Scale posture: ONE full shuffle join on the key with both sides
-    * hash-partitioned identically (Catalyst plans a single sort-merge
-    * or shuffled-hash join; there is no cheaper way to compare 100 TB
-    * against 100 TB row-wise). The change test is a null-safe struct
-    * comparison — codegen'd, no per-column join or second pass. If the
-    * snapshots are written bucketed by the key ([[graft.io.ParquetIO
-    * .writeBucketed]]), the exchange disappears entirely.
-    */
   /** Changelog compaction: keep each key's LATEST row by
     * (`tsCol`, `tieCol`) — the collapse step before applying a CDC feed
     * or serving a snapshot ("last write wins"). The tie column makes
@@ -99,6 +81,24 @@ object Cdc {
       .filter(col("_rn") === 1)
       .drop("_rn")
 
+  /** Row-level diff of two snapshots of the same table: one row per key
+    * that was `added` (new only), `removed` (old only), or `changed`
+    * (both, any non-key column differs under null-safe compare).
+    * Unchanged keys emit nothing. Non-key columns come back twice,
+    * prefixed `old_` / `new_` (null on the absent side).
+    *
+    * This is the inverse of [[mergeUpsert]]: `snapshotDiff(base,
+    * mergeUpsert(base, cs, k), k)` recovers `cs`'s effect exactly —
+    * the property the oracle entry checks.
+    *
+    * Scale posture: ONE full shuffle join on the key with both sides
+    * hash-partitioned identically (Catalyst plans a single sort-merge
+    * or shuffled-hash join; there is no cheaper way to compare 100 TB
+    * against 100 TB row-wise). The change test is a null-safe struct
+    * comparison — codegen'd, no per-column join or second pass. If the
+    * snapshots are written bucketed by the key ([[graft.io.ParquetIO
+    * .writeBucketed]]), the exchange disappears entirely.
+    */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
     val dataCols = oldSnap.columns.filter(_ != keyCol).toSeq
     require(dataCols.toSet == newSnap.columns.filter(_ != keyCol).toSet,

@@ -465,26 +465,6 @@ object Dedup {
     labels
   }
 
-  /** Blocked edit-distance near-dup pairs: same `blockCol` value,
-    * length difference ≤ `maxDist` (a lower bound on edit distance),
-    * then exact `levenshtein ≤ maxDist`. Output (a_id, b_id, dist),
-    * a_id < b_id.
-    *
-    * Scale posture, two structural bounds:
-    *   - The length constraint is folded INTO the join key: texts
-    *     bucket by `floor(len / (maxDist+1))`, the left side is
-    *     replicated into its own and the next bucket, and only
-    *     adjacent-bucket rows ever join — length-incompatible pairs
-    *     never materialize (a residual abs-diff filter handles the
-    *     within-two-buckets stragglers). Join fanout is bounded per
-    *     (block × length-window) group, not per block.
-    *   - The DP kernel is Spark's BOUNDED levenshtein (threshold arg):
-    *     banded O(len·maxDist) with early exit, identical distances
-    *     for every surviving pair.
-    * Each unordered pair joins exactly once: equal-bucket matches keep
-    * `id_left < id_right`; cross-bucket matches only exist with the
-    * left row in the lower bucket.
-    */
   /** PassJoin-style segment-indexed edit-distance pairs — same result
     * as [[editDistancePairs]], candidates from an EXACT-substring
     * inverted index instead of a length-bucket cross join.
@@ -585,15 +565,42 @@ object Dedup {
     // final distinct needed). An all-long input makes this branch an
     // empty, near-free plan.
     val nearShort = base.filter(col("_l") < k + maxDist)
-    val shortPairs = editDistancePairs(
+    val allNearShortPairs = editDistancePairs(
       nearShort.select(col("_blk").as(blockCol), col("_id").as(idCol),
         col("_t").as(textCol)),
       idCol, textCol, blockCol, maxDist)
-      .join(broadcast(short.select(col("_id").as("_sid"))),
-        col("a_id") === col("_sid") || col("b_id") === col("_sid"), "left_semi")
+    // keep pairs with ≥1 short side as two EQUI semi joins (an OR-
+    // predicate semi join would plan as a nested loop over every pair ×
+    // every short id); both-short pairs match both branches, so dedup
+    val shortIds = short.select(col("_id").as("_sid"))
+    val shortPairs = allNearShortPairs
+      .join(broadcast(shortIds), col("a_id") === col("_sid"), "left_semi")
+      .unionAll(allNearShortPairs
+        .join(broadcast(shortIds), col("b_id") === col("_sid"), "left_semi"))
+      .distinct()
     longPairs.unionAll(shortPairs)
   }
 
+  /** Blocked edit-distance near-dup pairs: same `blockCol` value,
+    * length difference ≤ `maxDist` (a lower bound on edit distance),
+    * then exact `levenshtein ≤ maxDist`. Output (a_id, b_id, dist),
+    * a_id < b_id.
+    *
+    * Scale posture, two structural bounds:
+    *   - The length constraint is folded INTO the join key: texts
+    *     bucket by `floor(len / (maxDist+1))`, the left side is
+    *     replicated into its own and the next bucket, and only
+    *     adjacent-bucket rows ever join — length-incompatible pairs
+    *     never materialize (a residual abs-diff filter handles the
+    *     within-two-buckets stragglers). Join fanout is bounded per
+    *     (block × length-window) group, not per block.
+    *   - The DP kernel is Spark's BOUNDED levenshtein (threshold arg):
+    *     banded O(len·maxDist) with early exit, identical distances
+    *     for every surviving pair.
+    * Each unordered pair joins exactly once: equal-bucket matches keep
+    * `id_left < id_right`; cross-bucket matches only exist with the
+    * left row in the lower bucket.
+    */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, maxDist: Int): DataFrame = {
     val w = maxDist + 1

@@ -74,20 +74,23 @@ object Frequency {
     val kk = if (k > 0) k else math.ceil(1.0 / minShare).toInt
     require(kk + 1 >= 1.0 / minShare, s"k=$kk too small for minShare=$minShare")
     val mg = udaf(new MisraGriesAgg(kk), Encoders.STRING)
-    // one pass: MG summary (map-side partial) + exact total row count.
-    // This is an eager driver-side action, but its result is ≤ k
-    // candidate values + one scalar — bounded by the sketch size, not
-    // the data (same pattern as Similarity.trainCentroids).
-    val row = df.select(mg(col(valueCol).cast("string")).as("cand"),
-      count(col(valueCol)).as("n")).head()
-    val candidates = row.getMap[String, Long](0).keys.toSeq
-    val n = row.getLong(1)
-    val threshold = minShare * n
+    // one pass: MG summary (map-side partial) + exact total row count,
+    // kept as a LAZY one-row frame — no driver action at build time, so
+    // every execution of the returned plan re-sketches the data it
+    // actually reads (a head()-and-bake-literals variant would freeze
+    // candidates/n from build time while re-counting fresh data).
+    val sketch = df.select(mg(col(valueCol).cast("string")).as("_cand"),
+      count(col(valueCol)).as("_n"))
+    // candidate keys carry the total along, so the sketch is ONE
+    // subtree evaluated once per execution (≤ k rows, broadcast)
+    val candidates = sketch.select(
+      explode(map_keys(col("_cand"))).as("value"), col("_n"))
     // exact verification pass: only candidate rows are counted
     df.select(col(valueCol).cast("string").as("value"))
-      .filter(col("value").isInCollection(candidates))
-      .groupBy("value").agg(count(lit(1)).as("n_rows"))
-      .filter(col("n_rows") > threshold)
-      .withColumn("share", round(col("n_rows") / lit(n.toDouble), 6))
+      .join(broadcast(candidates), Seq("value"))
+      .groupBy("value").agg(count(lit(1)).as("n_rows"), first("_n").as("_n"))
+      .filter(col("n_rows") > lit(minShare) * col("_n"))
+      .select(col("value"), col("n_rows"),
+        round(col("n_rows") / col("_n").cast("double"), 6).as("share"))
   }
 }

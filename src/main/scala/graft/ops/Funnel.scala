@@ -93,18 +93,6 @@ object Funnel {
         round(col("active_users") / col("cohort_users"), 6).as("retention"))
   }
 
-  /** First-order (Markov) transition counts over each user's ordered
-    * event stream: one row per observed (from_type, to_type) with the
-    * transition count and the row-conditional probability
-    * `p = n / Σ n over from_type` (long/long → double, identical on
-    * any engine). `tieCol` pins the order of equal-timestamp events.
-    *
-    * Scale posture: one per-user ordered window (lead) — partition
-    * size is a user's own event count, human-bounded — then a hash agg
-    * on (from, to), whose cardinality is |event types|², tiny. The
-    * per-from totals come from a second window over THAT tiny frame,
-    * not another pass over events.
-    */
   /** Frequent leading paths: each user's first `k` event types in
     * time order rendered as one `a>b>c` string, counted across users —
     * the "what do journeys look like" query behind every onboarding
@@ -135,6 +123,18 @@ object Funnel {
       .groupBy("path").agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order (Markov) transition counts over each user's ordered
+    * event stream: one row per observed (from_type, to_type) with the
+    * transition count and the row-conditional probability
+    * `p = n / Σ n over from_type` (long/long → double, identical on
+    * any engine). `tieCol` pins the order of equal-timestamp events.
+    *
+    * Scale posture: one per-user ordered window (lead) — partition
+    * size is a user's own event count, human-bounded — then a hash agg
+    * on (from, to), whose cardinality is |event types|², tiny. The
+    * per-from totals come from a second window over THAT tiny frame,
+    * not another pass over events.
+    */
   def transitions(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -49,18 +49,6 @@ object Outliers {
       .select(g, col(idCol), v, col("lo"), col("hi"))
   }
 
-  /** Winsorize `valueCol` within each group: values below the `pLo`
-    * discrete quantile clamp up to it, above `pHi` clamp down. Same
-    * type-1 quantile discipline as [[iqrOutliers]] — the clamp bounds
-    * are ACTUAL data values selected by integer rank arithmetic, so the
-    * clipped column is engine-independent (no interpolation floats).
-    * Output: every input row as (group, id, value, clipped).
-    *
-    * Scale posture: identical to [[iqrOutliers]] — one ranked window
-    * per group, a |groups|-row fence frame broadcast back, one
-    * map-side clamp pass. The common alternative (a per-row correlated
-    * quantile subquery) is a join-per-row; this is two passes total.
-    */
   /** Robust (median/MAD) outlier detection: rows where
     * `|x − median| > k · MAD`, both statistics the DISCRETE (type-1)
     * medians of their group — the same engine-independent selection
@@ -115,13 +103,28 @@ object Outliers {
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(g)))
     val med = ranked.groupBy(g).agg(
       min(when(col("_rn") === ceil(col("_n") * lit(0.5)), v)).as("_med"))
+    // LEFT join: a group whose values are ALL null has no median row,
+    // but its rows must still pass through (imputed stays null) — an
+    // inner join would silently drop them, losing rows from a repair op
     df.filter(g.isNotNull)
       .select(g, col(idCol), v)
-      .join(broadcast(med), Seq(groupCol))
+      .join(broadcast(med), Seq(groupCol), "left")
       .withColumn("imputed", coalesce(v, col("_med")))
       .drop("_med")
   }
 
+  /** Winsorize `valueCol` within each group: values below the `pLo`
+    * discrete quantile clamp up to it, above `pHi` clamp down. Same
+    * type-1 quantile discipline as [[iqrOutliers]] — the clamp bounds
+    * are ACTUAL data values selected by integer rank arithmetic, so the
+    * clipped column is engine-independent (no interpolation floats).
+    * Output: every input row as (group, id, value, clipped).
+    *
+    * Scale posture: identical to [[iqrOutliers]] — one ranked window
+    * per group, a |groups|-row fence frame broadcast back, one
+    * map-side clamp pass. The common alternative (a per-row correlated
+    * quantile subquery) is a join-per-row; this is two passes total.
+    */
   def winsorize(df: DataFrame, groupCol: String, idCol: String,
                 valueCol: String, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo > 0 && pHi < 1 && pLo < pHi, "0 < pLo < pHi < 1")

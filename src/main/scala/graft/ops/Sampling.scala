@@ -96,7 +96,11 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   maxRows: Int): DataFrame = {
     require(maxRows >= 1, "cap must keep at least one row")
-    df.filter(col(groupCol).isNotNull)
+    // null keys are dropped, not ranked: md5(null) is null, which would
+    // sort FIRST and fill the quota with rows whose inter-se order is
+    // partition-dependent — exactly the nondeterminism this operator
+    // promises away. A row without identity has no stable fate.
+    df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .withColumn("_hr", hashRank(groupCol, keyCol))
       .filter(col("_hr") <= maxRows)
       .drop("_hr")
@@ -113,10 +117,11 @@ object Sampling {
     * order-dependent.
     */
   def balanceClasses(df: DataFrame, labelCol: String, keyCol: String): DataFrame = {
-    val sizes = df.filter(col(labelCol).isNotNull)
-      .groupBy(col(labelCol)).agg(count(lit(1)).as("_n"))
+    // null keys dropped for the same determinism reason as capPerGroup
+    val clean = df.filter(col(labelCol).isNotNull && col(keyCol).isNotNull)
+    val sizes = clean.groupBy(col(labelCol)).agg(count(lit(1)).as("_n"))
     val minN = sizes.agg(min("_n").as("_min_n"))
-    df.filter(col(labelCol).isNotNull)
+    clean
       .withColumn("_hr", hashRank(labelCol, keyCol))
       .crossJoin(broadcast(minN))
       .filter(col("_hr") <= col("_min_n"))

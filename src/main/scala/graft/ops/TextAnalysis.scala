@@ -181,23 +181,6 @@ object TextAnalysis {
           6).as("tf_idf"))
   }
 
-  /** Build a bounded vocabulary: the `topN` terms by document
-    * frequency (ties broken by term text), with exact document and
-    * total-term frequencies and a dense, deterministic `term_id`
-    * (0-based rank in (doc_freq desc, term asc) order) — the id
-    * assignment step every tokenizer/featurizer pipeline needs before
-    * it can encode text as ints.
-    *
-    * Scale posture: term statistics are two hash aggs over the token
-    * explode (map-side combined; term-skew handled by AQE like
-    * [[tfIdf]]). The top-N cut is `orderBy(...).limit(n)` — planned as
-    * TakeOrderedAndProject (per-partition bounded heaps + one merge of
-    * n·|partitions| rows), NOT a global sort of the term universe. Only
-    * the SURVIVING n rows pass through the single-partition id window;
-    * a vocabulary is bounded by construction (n ≤ a few hundred
-    * thousand), so that window is a deliberate, size-capped exception
-    * to the no-global-window rule.
-    */
   /** Per-group token-distribution statistics vs the corpus: Shannon
     * entropy of the group's unigram distribution and KL(group ‖ corpus)
     * — the drift gate a training-data pipeline runs per source/day
@@ -264,6 +247,23 @@ object TextAnalysis {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Build a bounded vocabulary: the `topN` terms by document
+    * frequency (ties broken by term text), with exact document and
+    * total-term frequencies and a dense, deterministic `term_id`
+    * (0-based rank in (doc_freq desc, term asc) order) — the id
+    * assignment step every tokenizer/featurizer pipeline needs before
+    * it can encode text as ints.
+    *
+    * Scale posture: term statistics are two hash aggs over the token
+    * explode (map-side combined; term-skew handled by AQE like
+    * [[tfIdf]]). The top-N cut is `orderBy(...).limit(n)` — planned as
+    * TakeOrderedAndProject (per-partition bounded heaps + one merge of
+    * n·|partitions| rows), NOT a global sort of the term universe. Only
+    * the SURVIVING n rows pass through the single-partition id window;
+    * a vocabulary is bounded by construction (n ≤ a few hundred
+    * thousand), so that window is a deliberate, size-capped exception
+    * to the no-global-window rule.
+    */
   def buildVocab(docs: DataFrame, idCol: String, textCol: String,
                  topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -50,17 +50,6 @@ object TimeSeries {
           .as("last_active_day"))
   }
 
-  /** Trailing `days`-day rolling aggregates over per-key DAILY rollups:
-    * one row per (key, active day) with that day's count plus the
-    * trailing-window event total and active-day count. The window key
-    * is the integer epoch day, so the RANGE frame `[-(days-1), 0]` is
-    * exact long arithmetic (no interval/timezone math in the frame).
-    *
-    * Scale posture: the window runs over the AGGREGATED daily frame —
-    * one row per (key, day), span-bounded like [[gapFillDaily]]'s
-    * calendar — never over raw events; the raw table is touched once,
-    * by the daily hash-agg (map-side combined). Sums are exact longs.
-    */
   /** Duration-weighted average of a held state: each event's value
     * holds from its timestamp until the key's next event; the average
     * weights by held seconds — the correct aggregate for sampled
@@ -109,6 +98,17 @@ object TimeSeries {
         round((col("n") - col("prev_n")) / col("prev_n"), 6))
   }
 
+  /** Trailing `days`-day rolling aggregates over per-key DAILY rollups:
+    * one row per (key, active day) with that day's count plus the
+    * trailing-window event total and active-day count. The window key
+    * is the integer epoch day, so the RANGE frame `[-(days-1), 0]` is
+    * exact long arithmetic (no interval/timezone math in the frame).
+    *
+    * Scale posture: the window runs over the AGGREGATED daily frame —
+    * one row per (key, day), span-bounded like [[gapFillDaily]]'s
+    * calendar — never over raw events; the raw table is touched once,
+    * by the daily hash-agg (map-side combined). Sums are exact longs.
+    */
   def trailingDaily(df: DataFrame, keyCol: String, tsCol: String,
                     days: Int = 7): DataFrame = {
     require(days >= 1, "window must cover at least the current day")

@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column     = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`; expressions outside this
+    * package that want `ImplicitCastInputTypes` (analysis-time type
+    * validation + implicit upcasts, e.g. array<int> → array<long>) mix
+    * in this trait and override `bridgeInputTypes` instead.
+    */
+  trait ImplicitCastsFromTypes
+      extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    def bridgeInputTypes: Seq[org.apache.spark.sql.types.DataType]
+    override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+      bridgeInputTypes
+  }
 }

@@ -92,6 +92,16 @@ class VectorExpressionsSpec extends SparkSpec {
     // empty array -> 0
     spark.range(1).select(VectorExpressions.simhashSig(
       array().cast("array<long>"))).head().getLong(0) shouldBe 0L
+    // null ELEMENT votes like hash 0 in BOTH eval paths (no NPE, no
+    // interpreted/codegen divergence): [42, null] == [42, 0]
+    val withNull = spark.range(1).select(VectorExpressions.simhashSig(
+      array(lit(42L), lit(null).cast("long")))).head().getLong(0)
+    val withZero = spark.range(1).select(VectorExpressions.simhashSig(
+      array(lit(42L), lit(0L)))).head().getLong(0)
+    withNull shouldBe withZero
+    // int arrays implicitly cast up to long (analysis-time, not byte reads)
+    spark.range(1).select(VectorExpressions.simhashSig(array(lit(42))))
+      .head().getLong(0) shouldBe 42L
   }
 
   test("codegen: two minhashSig instances in one whole-stage function compile (no fallback)") {

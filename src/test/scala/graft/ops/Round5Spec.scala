@@ -341,6 +341,41 @@ class Round5Spec extends SparkSpec {
     got shouldBe Array((10L, 100.0, 5.0, 2.0))
   }
 
+  test("imputeMedian passes through groups whose values are ALL null") {
+    val df = Seq(("g", 1L, Option.empty[Double]), ("g", 2L, Option.empty[Double]),
+      ("h", 3L, Some(5.0))).toDF("g", "id", "v")
+    val got = Outliers.imputeMedian(df, "g", "id", "v")
+      .orderBy("id").select("id", "imputed").as[(Long, Option[Double])].collect()
+    // g's rows survive with a null imputed value — a repair op must
+    // never silently drop rows
+    got shouldBe Array((1L, None), (2L, None), (3L, Some(5.0)))
+  }
+
+  test("capPerGroup drops null keys instead of ranking them nondeterministically") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", None))
+      .toDF("g", "k")
+    Sampling.capPerGroup(df, "g", "k", 3).count() shouldBe 2L
+  }
+
+  test("orderedStringAgg orders numerics naturally, not lexicographically") {
+    val df = Seq(("g", 10L), ("g", 2L), ("g", -3L)).toDF("g", "n")
+    Agg.orderedStringAgg(df, "g", "n")
+      .select("joined").as[String].head() shouldBe "-3,2,10"
+  }
+
+  test("heavyHitters is fully lazy: the sketch lives IN the plan, not in baked literals") {
+    var built = false
+    val hh = Frequency.heavyHitters(
+      Seq.fill(9)("a").toDF("v"), "v", 0.5)
+    built = true // construction returned without running a job (no head())
+    // the MG aggregate is part of the returned plan — candidates/total
+    // come from the same execution as the verification counts, never
+    // from driver-side literals frozen at build time
+    val plan = hh.queryExecution.analyzed.toString.toLowerCase
+    plan should include ("misragriesagg")
+    hh.as[(String, Long, Double)].collect() shouldBe Array(("a", 9L, 1.0))
+  }
+
   test("imputeMedian fills nulls with the group median, passes the rest") {
     val df = Seq(("g", 1L, Some(1.0)), ("g", 2L, Some(2.0)), ("g", 3L, Some(9.0)),
       ("g", 4L, None)).toDF("g", "id", "v")
