@@ -102,8 +102,17 @@ object Bench {
       s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}"""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
+    // The full per-query line outgrew the driver's tail-keeping capture
+    // window in round 5 ("parsed": null — head of the line was cut, so the
+    // JSON never parsed). Emit the full line first, then a SHORT summary as
+    // the FINAL stdout line: first-line parsers get the full object,
+    // last-line / tail-window parsers get a compact valid object with the
+    // headline total.
+    val summary =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
     println(line)
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    println(summary)
+    Files.writeString(Paths.get("bench_out.json"), line + "\n" + summary + "\n")
     spark.stop()
   }
 }

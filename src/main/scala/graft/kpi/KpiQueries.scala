@@ -212,9 +212,15 @@ object KpiQueries {
   /** All five KPI tables from one persisted enrichment pass, keyed by the
     * output-directory names the reference's loader depends on
     * (`scripts/compute_kpis.py:351-361`).
+    *
+    * `deskewTrending` defaults TRUE: the bucketed window is the production
+    * plan (a viral track's history would serialize one core under the
+    * single-partition window, and AQE cannot split window partitions).
+    * The exact-plan variant remains available for small/unskewed inputs
+    * where the 2× context-copy shuffle is not worth buying insurance.
     */
   def all(enriched: DataFrame, approxDistinct: Boolean = false,
-          deskewTrending: Boolean = false): Map[String, DataFrame] = Map(
+          deskewTrending: Boolean = true): Map[String, DataFrame] = Map(
     "user_kpis"               -> userKpis(enriched),
     "genre_daily_metrics_kpi" -> genreDailyMetrics(enriched, approxDistinct),
     "genre_top_songs_kpi"     -> genreTopSongs(enriched),

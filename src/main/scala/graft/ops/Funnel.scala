@@ -99,27 +99,37 @@ object Funnel {
     * analysis. Output: (path, n_users), paths of truncated users
     * included (a 2-event user contributes their 2-step path).
     *
-    * Determinism: the per-user sequence is an `array_sort` of
-    * (ts, tie, type) structs collected in ONE hash agg — never a
-    * window over raw events — so the rendering is independent of
-    * partition order; `tieCol` pins equal-timestamp ordering.
+    * Determinism: each user's first `k` rows are selected by a
+    * `row_number() <= k` rank filter over (ts, tie) — `tieCol` pins
+    * equal-timestamp ordering — then `array_sort` of the collected
+    * structs makes the rendering independent of partition order.
     *
-    * Scale posture: per-user state is min(k-ish, own events) structs…
-    * bounded by the user's history like [[Sessionize]]; the path
-    * count agg is |distinct paths| ≤ |types|^k rows.
+    * Scale posture: the rank filter plans as `WindowGroupLimit`
+    * (Spark ≥ 3.5): each task keeps a bounded k-heap per user while
+    * scanning, so a power user with millions of events never inflates
+    * window or agg state — the collect that follows sees AT MOST `k`
+    * rows per user by construction (the previous shape collected the
+    * user's ENTIRE history into one hash-agg buffer before slicing).
+    * The path count agg is |distinct paths| ≤ |types|^k rows.
     */
   def topPaths(events: DataFrame, userCol: String, tsCol: String,
                typeCol: String, tieCol: String, k: Int): DataFrame = {
     require(k >= 1, "paths need at least one step")
-    val perUser = events
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_ts"), col("_tie"))
+    val firstK = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+        col(typeCol).as("_t"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+    firstK
       .groupBy(col(userCol))
       .agg(array_sort(collect_list(
-        struct(col(tsCol).as("ts"), col(tieCol).as("tie"), col(typeCol).as("t"))))
+        struct(col("_ts").as("ts"), col("_tie").as("tie"), col("_t").as("t"))))
         .as("_seq"))
-    perUser
       .select(concat_ws(">",
-        transform(slice(col("_seq"), 1, k), s => s.getField("t"))).as("path"))
+        transform(col("_seq"), s => s.getField("t"))).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_users"))
   }
 

@@ -89,8 +89,11 @@ object Outliers {
 
   /** Null-repair by group median: null `valueCol` rows take their
     * group's discrete median of the NON-NULL values; everything else
-    * passes through. The imputation step of an ML feature pipeline,
-    * with the engine-independent median selection of this file.
+    * passes through — including rows whose GROUP key is null (they
+    * have no median frame to match, so `imputed` = `value` unchanged;
+    * a repair op must never silently drop rows). The imputation step
+    * of an ML feature pipeline, with the engine-independent median
+    * selection of this file.
     * Output: (group, id, value, imputed).
     */
   def imputeMedian(df: DataFrame, groupCol: String, idCol: String,
@@ -104,10 +107,11 @@ object Outliers {
     val med = ranked.groupBy(g).agg(
       min(when(col("_rn") === ceil(col("_n") * lit(0.5)), v)).as("_med"))
     // LEFT join: a group whose values are ALL null has no median row,
-    // but its rows must still pass through (imputed stays null) — an
-    // inner join would silently drop them, losing rows from a repair op
-    df.filter(g.isNotNull)
-      .select(g, col(idCol), v)
+    // and a NULL group key matches nothing — both kinds of rows must
+    // still pass through (imputed stays value/null); an inner join or a
+    // group-key filter would silently drop them, losing rows from a
+    // repair op
+    df.select(g, col(idCol), v)
       .join(broadcast(med), Seq(groupCol), "left")
       .withColumn("imputed", coalesce(v, col("_med")))
       .drop("_med")

@@ -420,7 +420,21 @@ object Similarity {
   def nearDupCosine(embeddings: DataFrame, idCol: String, vecCol: String,
                     tau: Double, dim: Int = 64, exact: Boolean = false,
                     nPlanes: Int = 64, bandBits: Int = 2,
-                    seed: Long = 7L): DataFrame = {
+                    seed: Long = 7L, allowLowTau: Boolean = false): DataFrame = {
+    // Regime guard (round-5 verdict task 5): below tau ≈ 0.6 sign-LSH
+    // banding with near-1 recall MUST collide on ~every pair — the
+    // candidate volume approaches all-pairs and the banded plan's only
+    // remaining value is its SHAPE (shuffle-partitioned equi-join that
+    // spreads and spills instead of OOMing a broadcast NL join). That is
+    // a deliberate trade a caller must opt into, not a default they can
+    // stumble into at 10^8 rows.
+    require(exact || tau >= 0.6 || allowLowTau,
+      s"nearDupCosine(tau=$tau): banded sign-LSH cannot prune below tau≈0.6 " +
+        "— candidate volume approaches all-pairs. Either (a) use exact=true " +
+        "for small corpora, (b) route through annIvf (coarse-quantized " +
+        "candidates) for low-tau similarity at scale, or (c) pass " +
+        "allowLowTau=true to keep the banded plan for its shuffle-partitioned " +
+        "shape, accepting ~O(n^2) candidate volume.")
     val withN = embeddings.select(col(idCol), asDouble(col(vecCol)).as("_v"),
       norm(col(vecCol)).as("_n"))
     val scored =

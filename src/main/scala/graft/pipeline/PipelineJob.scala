@@ -34,7 +34,7 @@ object PipelineJob {
       quarantineDir: Option[String] = None,
       runTs: String = "1970-01-01T00:00:00",
       approxDistinct: Boolean = false,
-      deskewTrending: Boolean = false,
+      deskewTrending: Boolean = true,
       dedupStagedStreams: Boolean = false,
       bulkIngest: Boolean = false)
 

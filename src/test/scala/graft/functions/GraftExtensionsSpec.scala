@@ -1,38 +1,49 @@
 package graft.functions
 
+import org.apache.spark.sql.SparkSession
+
 import graft.SparkSpec
 
 class GraftExtensionsSpec extends SparkSpec {
 
+  /** A session built THROUGH the SparkSessionExtensions injection path a
+    * pure-SQL deployment uses. `spark.sql.extensions` is a STATIC conf —
+    * it cannot attach to the already-running test SparkContext — so the
+    * builder's `withExtensions` applies the SAME `GraftExtensions`
+    * instance the conf would construct, over a fresh SparkSession on the
+    * shared context. A broken `injectFunction` registration — wrong
+    * arity check, bad builder — fails these tests, not just a manual
+    * temp-function mirror of the registration.
+    */
+  private def withExtensionSession[T](body: SparkSession => T): T = {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      body(s)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("extension injects dot_product_double; the function evaluates in SQL") {
-    // wiring: the injector registers without error on a fresh extensions object
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    // behavior: same builder registered into the live session's registry
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product_double",
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VectorExpressions.DotProductDouble(children.head, children(1)),
-      "scala_udf")
-    val got = spark.sql(
-      "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
-      .collect().head.getDouble(0)
-    got shouldBe 11.0
+    withExtensionSession { s =>
+      val got = s.sql(
+        "SELECT dot_product_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect().head.getDouble(0)
+      got shouldBe 11.0
+    }
   }
 
   test("minhash_sig in SQL is bit-identical to the Scala pipeline's signatures") {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig",
-      (children: Seq[Expression]) => {
-        val n = children(1).asInstanceOf[Literal].value.asInstanceOf[Int]
-        val seed = children(2).asInstanceOf[Literal].value.asInstanceOf[Int].toLong
-        val (as, bs) = graft.ops.Dedup.hashCoeffs(n, seed)
-        VectorExpressions.MinHashSig(children.head, as, bs, (1L << 61) - 1)
-      },
-      "scala_udf")
-    val sqlSig = spark.sql(
-      "SELECT minhash_sig(array(7L, 99L, 12345L), 8, 42) AS sig")
-      .collect().head.getSeq[Long](0)
+    val sqlSig = withExtensionSession { s =>
+      s.sql("SELECT minhash_sig(array(7L, 99L, 12345L), 8, 42) AS sig")
+        .collect().head.getSeq[Long](0)
+    }
     val (as, bs) = graft.ops.Dedup.hashCoeffs(8, 42L)
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -43,13 +54,19 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
   test("simhash_sig in SQL matches the Dedup pipeline's signature") {
-    import org.apache.spark.sql.catalyst.expressions.Expression
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_sig",
-      (children: Seq[Expression]) => VectorExpressions.SimHashSig(children.head),
-      "scala_udf")
-    val sqlSig = spark.sql("SELECT simhash_sig(array(42L)) AS s")
-      .collect().head.getLong(0)
-    sqlSig shouldBe 42L // single token: signature == the token hash
+    withExtensionSession { s =>
+      val sqlSig = s.sql("SELECT simhash_sig(array(42L)) AS s")
+        .collect().head.getLong(0)
+      sqlSig shouldBe 42L // single token: signature == the token hash
+    }
+  }
+
+  test("injected builders enforce arity with a useful message") {
+    withExtensionSession { s =>
+      val ex = intercept[Exception] {
+        s.sql("SELECT dot_product_double(array(1.0d))").collect()
+      }
+      ex.getMessage should include ("dot_product_double(arrayA, arrayB)")
+    }
   }
 }

@@ -265,6 +265,18 @@ class Round5Spec extends SparkSpec {
     got shouldBe Array((1L, "c"), (2L, "d"))
   }
 
+  test("topPaths bounds per-user state via WindowGroupLimit before the collect") {
+    // > k rows: InferWindowGroupLimit skips children whose maxRows
+    // already bound the partition below the limit
+    val df = (1 to 5).map(i =>
+      (1L, ts(f"2024-01-01 10:0$i%d:00"), i.toLong, "view")).toDF("u", "t", "id", "et")
+    // the rank filter must plan as a group-limit (bounded k-heap per
+    // user while scanning), not a full per-user sort + slice-after-agg
+    val plan = Funnel.topPaths(df, "u", "t", "et", "id", k = 3)
+      .queryExecution.optimizedPlan.toString
+    plan should include ("WindowGroupLimit")
+  }
+
   test("topPaths renders time-ordered truncated journeys") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
@@ -349,6 +361,17 @@ class Round5Spec extends SparkSpec {
     // g's rows survive with a null imputed value — a repair op must
     // never silently drop rows
     got shouldBe Array((1L, None), (2L, None), (3L, Some(5.0)))
+  }
+
+  test("imputeMedian passes through rows whose GROUP key is null, unrepaired") {
+    val df = Seq((Some("g"), 1L, Some(1.0)), (Some("g"), 2L, None),
+      (Option.empty[String], 3L, Some(7.0)), (Option.empty[String], 4L, None))
+      .toDF("g", "id", "v")
+    val got = Outliers.imputeMedian(df, "g", "id", "v")
+      .orderBy("id").select("id", "imputed").as[(Long, Option[Double])].collect()
+    // null-group rows survive: value kept as-is (no median frame to
+    // match), null value stays null — never silently dropped
+    got shouldBe Array((1L, Some(1.0)), (2L, Some(1.0)), (3L, Some(7.0)), (4L, None))
   }
 
   test("capPerGroup drops null keys instead of ranking them nondeterministically") {

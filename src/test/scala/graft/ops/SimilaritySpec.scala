@@ -189,14 +189,33 @@ class SimilaritySpec extends SparkSpec {
   test("nearDupCosine default (banded) equals the exact path on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def res(exact: Boolean) =
-      Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45, exact = exact)
+      Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45, exact = exact,
+          allowLowTau = true)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     res(false) shouldBe res(true)
   }
 
+  test("nearDupCosine low-tau banded regime requires explicit opt-in") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45)
+    }
+    // the message must route the caller to the real alternatives
+    ex.getMessage should include("exact=true")
+    ex.getMessage should include("annIvf")
+    ex.getMessage should include("allowLowTau")
+    // exact path needs no opt-in (it declares all-pairs by name)…
+    noException should be thrownBy
+      Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45, exact = true)
+    // …and the pruning regime (tau ≥ 0.6) needs none either
+    noException should be thrownBy
+      Similarity.nearDupCosine(e, "vec_id", "embedding", 0.9)
+  }
+
   test("nearDupCosine banded plan has no cartesian product / nested-loop join") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val plan = Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45)
+    val plan = Similarity.nearDupCosine(e, "vec_id", "embedding", 0.45,
+        allowLowTau = true)
       .queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"

@@ -11,15 +11,25 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for compare
+    # normalize dtypes for compare; floats are NOT rounded -- the driver's
+    # gate hashes exact values, so the local mirror must be exactly as strict
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class: a float column on one side vs an integer column on
+    the other hashes differently driver-side (2014.0 vs 2014) even when the
+    values compare equal -- e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64.
+    """
+    if pd.api.types.is_float_dtype(s): return "float"
+    if pd.api.types.is_integer_dtype(s): return "int"
+    if pd.api.types.is_datetime64_any_dtype(s): return "ts"
+    if pd.api.types.is_bool_dtype(s): return "bool"
+    return "str"
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -51,8 +61,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_bad += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_bad += 1; continue
+        skew = [c for c in g.columns if dtype_class(g[c]) != dtype_class(e[c])]
+        if skew:
+            print(f"FAIL {name}: dtype-class skew on {skew} "
+                  f"({[(dtype_class(g[c]), dtype_class(e[c])) for c in skew]})")
+            n_bad += 1; continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"OK   {name}: {len(g)} rows"); n_ok += 1
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}"); n_bad += 1
