@@ -182,6 +182,9 @@ object KpiQueries {
     * while the worst partition shrinks from a track's all-time history
     * to two days of it. Cost: the fact stream is duplicated (2×) into
     * one shuffle; at 1000 executors that trade is strictly right.
+    * Measured premium vs the exact plan is flat ~2× at BOTH sf0.1
+    * (2.3 s vs 1.2 s) and 10× (9.8 s vs 5.1 s warm) — the insurance
+    * price does not widen with volume (PERF.md, round-6 scale table).
     */
   def trendingKpisBucketed(enriched: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val e = enriched

@@ -519,6 +519,15 @@ object Dedup {
     * length filtering prunes nothing and segments of len/(maxDist+1)
     * chars are near-unique join keys. Exactness is corpus-independent
     * (equivalence property spec + shared oracle); pick per data shape.
+    *
+    * Crossover (measured, round 6, 10× key-shifted part = 200k names):
+    * as blocks deepen the ranking INVERTS — segments 340 s vs bucket
+    * 550 s (scaling ≈n^1.8 vs ≈n^2.2 from sf0.1), and the gap widens
+    * with n. Rule of thumb: below ~10⁴ strings per block use the
+    * bucket variant; above it, this one. Both are quadratic WITHIN a
+    * block, so at 100 TB the real obligation is a block key whose
+    * groups stay bounded (a 25-value key like p_brand is itself the
+    * scale bug); see PERF.md "10× scale validation, round 6".
     * Probe cost: ~(maxDist+1)²·(2·maxDist+1) rows per string. Strings
     * shorter than `maxDist+1` chars would produce empty segments
     * (which match everywhere); they are routed through the plain

@@ -18,6 +18,13 @@ con = duckdb.connect()
 # ts: duckdb reads the source TIMESTAMP(NANOS) as us, so re-emit as ns
 # BIGINT — Spark's nanosAsLong read path treats that identically.
 SCALED = {
+    # p_name gets a per-copy 3-char tag: pairwise tag distance is 3, above
+    # q_editdist_*'s maxDist=2, so copies of one name are NOT near-dups of
+    # each other — pair density scales linearly with volume instead of
+    # exploding quadratically inside copy groups (which would swamp the
+    # bucket-vs-segment comparison with identical verify work)
+    "part": {"p_partkey": "p_partkey + {o} * 10000000",
+             "p_name": "p_name || ' ' || repeat(chr(97 + {o}), 3)"},
     "lineitem": {"l_orderkey": "l_orderkey + {o} * 10000000"},
     "orders":   {"o_orderkey": "o_orderkey + {o} * 10000000"},
     "events":   {"event_id": "event_id + {o} * 10000000",
