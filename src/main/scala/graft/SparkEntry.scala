@@ -192,6 +192,28 @@ object SparkEntry {
         Map("click" -> 5, "purchase" -> 100, "error" -> 50))
         .groupBy("event_type").agg(count(lit(1)).as("n"))),
 
+    // multi-way weighted split (train/val/test), integer bucket slices
+    "q_split3" -> ((s, dir) =>
+      graft.ops.Sampling.splitByWeights(
+        table(s, dir, "documents").na.drop(Seq("doc_id")), "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("split"))),
+
+    // largest exactly-proportioned downsampled mixture (70/20/10)
+    "q_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.mixToProportions(
+        table(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 7, "src1" -> 2, "src2" -> 1))
+        .select(col("doc_id"), col("source"))),
+
+    // per-source epoch repetition (2.5x / 1x / 0.5x), partial epoch by
+    // hash-bucket membership — the upsampling half of mixture building
+    "q_epochs" -> ((s, dir) =>
+      graft.ops.Sampling.epochRepeat(
+        table(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 25000, "src1" -> 10000, "src2" -> 5000))
+        .select(col("doc_id"), col("source"), col("epoch"))),
+
     // one-pass column profiling (completeness / cardinality / range)
     "q_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(table(s, dir, "documents"),
@@ -1022,6 +1044,53 @@ object SparkEntry {
         |WHERE b < CASE event_type WHEN 'click' THEN 5 WHEN 'purchase' THEN 100
         |                          WHEN 'error' THEN 50 ELSE 0 END
         |GROUP BY 1""".stripMargin,
+
+    "q_split3" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 2
+        |                WHEN 'src2' THEN 1 END AS parts
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IN ('src0', 'src1', 'src2')
+        |), sizes AS (
+        |  SELECT source, parts, COUNT(*) AS n FROM d GROUP BY 1, 2
+        |), cap AS (
+        |  SELECT MIN(n * 10 // parts) AS c FROM sizes
+        |), quotas AS (
+        |  SELECT source, parts * (SELECT c FROM cap) // 10 AS q FROM sizes
+        |), ranked AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS hr
+        |  FROM d
+        |)
+        |SELECT r.doc_id, r.source FROM ranked r
+        |JOIN quotas USING (source) WHERE r.hr <= quotas.q""".stripMargin,
+
+    "q_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 10000
+        |                WHEN 'src2' THEN 5000 END AS bp,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IN ('src0', 'src1', 'src2')
+        |), e AS (
+        |  SELECT doc_id, source,
+        |    bp // 10000 + CASE WHEN b < bp % 10000 THEN 1 ELSE 0 END AS ne
+        |  FROM d
+        |)
+        |SELECT doc_id, source, unnest(range(0, ne)) AS epoch
+        |FROM e WHERE ne > 0""".stripMargin,
 
     "q_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
       s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,

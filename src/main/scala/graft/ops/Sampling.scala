@@ -106,6 +106,113 @@ object Sampling {
       .drop("_hr")
   }
 
+  /** Multi-way weighted split (train/val/test/...): the keyspace's
+    * [0, buckets) hash range is carved into contiguous slices sized by
+    * integer `parts` (e.g. `Seq("train" -> 90, "val" -> 5, "test" -> 5)`
+    * with buckets = 100), assigned in listed order. All arithmetic is
+    * integer, so split membership is bit-reproducible on any engine
+    * that has md5 — the auditability contract of [[trainTestSplit]],
+    * generalized past two ways. Rows keep every input column plus
+    * `splitCol`.
+    */
+  def splitByWeights(df: DataFrame, keyCol: String,
+                     parts: Seq[(String, Int)], buckets: Int = 100,
+                     splitCol: String = "split"): DataFrame = {
+    require(parts.nonEmpty && parts.forall(_._2 >= 0), "parts must be non-negative")
+    require(parts.map(_._2).sum == buckets,
+      s"parts must sum to buckets=$buckets (got ${parts.map(_._2).sum})")
+    val b = hashBucket(col(keyCol), buckets)
+    val cums = parts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assign = parts.zip(cums).init.foldRight(lit(parts.last._1)) {
+      case (((name, _), cum), el) => when(b < cum, lit(name)).otherwise(el)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
+  /** The LARGEST exactly-proportioned mixture a corpus can serve by
+    * downsampling: given integer mixture parts per source (e.g. web 7,
+    * books 2, code 1), find the max total `N` with `n_s ≥ parts_s·N/P`
+    * for every listed source (`P` = Σ parts), then keep exactly
+    * `floor(parts_s·N/P)` rows per source, chosen by hash order.
+    * Sources not listed are dropped; all quota arithmetic is BIGINT
+    * (multiply before divide), so quotas are engine-exact.
+    *
+    * This is the pretraining-mixture primitive: "give me the biggest
+    * corpus that is exactly 70/20/10 web/books/code" — determined
+    * entirely by row keys, so re-runs, engines, and cluster sizes
+    * agree row-for-row.
+    *
+    * Scale posture: per-source counts are one hash agg (|sources|
+    * rows); capacity is an agg over THAT frame, broadcast back; the
+    * membership test is the same per-source hash-rank window as
+    * [[capPerGroup]]. No driver math, no collect.
+    */
+  def mixToProportions(df: DataFrame, sourceCol: String, keyCol: String,
+                       parts: Map[String, Int]): DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0), "parts must be positive")
+    val totalParts = parts.values.sum
+    val partsExpr = parts.foldLeft(lit(null).cast("long")) {
+      case (el, (s, p)) => when(col(sourceCol) === s, lit(p.toLong)).otherwise(el)
+    }
+    val listed = df
+      .filter(col(sourceCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn("_parts", partsExpr)
+      .filter(col("_parts").isNotNull)
+    val sizes = listed.groupBy(col(sourceCol), col("_parts"))
+      .agg(count(lit(1)).as("_n"))
+    // capacity: max N with floor(parts_s * N / P) <= n_s for all s,
+    // i.e. N = min over s of floor(n_s * P / parts_s)
+    val capacity = sizes
+      .agg(min(expr(s"_n * $totalParts div _parts")).as("_cap"))
+    val quotas = sizes.crossJoin(broadcast(capacity))
+      .select(col(sourceCol),
+        expr(s"_parts * _cap div $totalParts").as("_quota"))
+    listed
+      .withColumn("_hr", hashRank(sourceCol, keyCol))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("_hr") <= col("_quota"))
+      .drop("_hr", "_quota", "_parts")
+  }
+
+  /** Per-source epoch repetition — the UPSAMPLING half of mixture
+    * building ("repeat the rare source 2.5×"): each row of source `s`
+    * is emitted with epoch indices `0 .. ceil(e_s)-1`, where the final
+    * partial epoch keeps the deterministic `frac(e_s)` slice of the
+    * keyspace by hash bucket. Epochs are given in basis points
+    * (`25000` = 2.5 epochs) so the partial-epoch membership test is
+    * pure integer: `hashBucket(key, 10000) < e_bp mod 10000`.
+    * Output: every kept (row, epoch) pair with an `epoch` column —
+    * downstream shuffles by (key, epoch) spread the copies.
+    *
+    * Scale posture: a generator expression per row (`explode` of a
+    * 0..ceil(e)-1 sequence) — map-side, no shuffle, no window; output
+    * volume is the mixture designer's stated blow-up factor, reached
+    * without ever materializing a driver-side plan.
+    */
+  def epochRepeat(df: DataFrame, sourceCol: String, keyCol: String,
+                  epochsBp: Map[String, Int],
+                  epochCol: String = "epoch"): DataFrame = {
+    require(epochsBp.values.forall(_ > 0), "epochs must be positive")
+    val bpExpr = epochsBp.foldLeft(lit(null).cast("long")) {
+      case (el, (s, bp)) => when(col(sourceCol) === s, lit(bp.toLong)).otherwise(el)
+    }
+    val full = expr("_bp div 10000")                   // whole epochs (int div)
+    val partialBp = col("_bp") % 10000L                // leftover fraction
+    df.filter(col(sourceCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn("_bp", bpExpr)
+      .filter(col("_bp").isNotNull)
+      .withColumn("_full", full)
+      .withColumn("_ne", // number of epochs this ROW emits
+        full + when(hashBucket(col(keyCol), 10000) < partialBp, 1L).otherwise(0L))
+      // explode of the empty array drops zero-epoch rows (a key outside
+      // the partial slice of a sub-1-epoch source); sequence(0, -1)
+      // would instead generate a DESCENDING [0, -1]
+      .withColumn(epochCol,
+        explode(when(col("_ne") > 0, sequence(lit(0L), col("_ne") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("_bp", "_full", "_ne")
+  }
+
   /** Balance classes by downsampling every class to the size of the
     * smallest one, hash-ordered: the cheap de-bias step before
     * training when one label dominates. Exact — every class emits

@@ -51,4 +51,72 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     keptHalf shouldBe plain
   }
+
+  test("splitByWeights partitions the keyspace exhaustively, in listed order") {
+    val parts = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val split = Sampling.splitByWeights(ids, "id", parts)
+    split.count() shouldBe 1000
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLabel.values.sum shouldBe 1000
+    byLabel("train").toDouble should be >= 800.0
+    // a 3-way split is the 2-way split refined: train+val here == train
+    // in trainTestSplit with the same bucket count (contiguous slices)
+    val twoWay = Sampling.trainTestSplit(ids, "id", testBuckets = 5)
+      .filter(col("split") === "test").collect().map(_.getLong(0)).toSet
+    split.filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet shouldBe twoWay
+    // weights must cover the bucket space exactly
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitByWeights(ids, "id", Seq("a" -> 50, "b" -> 30))
+  }
+
+  test("mixToProportions yields the LARGEST exactly-proportioned mixture") {
+    // 100 web, 30 books, 10 code; target 7/2/1 → capacity limited by
+    // web: N = min(100*10/7, 30*10/2, 10*10/1) = min(142,150,100) = 100
+    // quotas: web 70, books 20, code 10 — all of code survives
+    val rows = ((1L to 100L).map(i => (i, "web")) ++
+      (101L to 130L).map(i => (i, "books")) ++
+      (131L to 140L).map(i => (i, "code"))).toDF("id", "src")
+    val got = Sampling.mixToProportions(rows, "src", "id",
+      Map("web" -> 7, "books" -> 2, "code" -> 1))
+    val bySrc = got.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc shouldBe Map("web" -> 70L, "books" -> 20L, "code" -> 10L)
+    // partitioning never changes which rows make the cut
+    val again = Sampling.mixToProportions(rows.repartition(11), "src", "id",
+      Map("web" -> 7, "books" -> 2, "code" -> 1))
+      .select("id").collect().map(_.getLong(0)).toSet
+    got.select("id").collect().map(_.getLong(0)).toSet shouldBe again
+  }
+
+  test("epochRepeat: whole epochs for all, the partial epoch by keyspace slice") {
+    val rows = (1L to 400L).map(i => (i, if (i <= 200) "rare" else "big"))
+      .toDF("id", "src")
+    // rare ×2.5, big ×0.5 (big not repeated, half of big dropped)
+    val got = Sampling.epochRepeat(rows, "src", "id",
+      Map("rare" -> 25000, "big" -> 5000))
+    val perId = got.groupBy("id", "src").agg(count(lit(1)).as("n"),
+        max("epoch").as("maxe"), min("epoch").as("mine"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // every emitted id has contiguous epochs starting at 0
+    perId.values.foreach { case (_, n, maxe, mine) =>
+      mine shouldBe 0L
+      maxe shouldBe n - 1
+    }
+    // rare ids appear 2 or 3 times (2.5 mean); big ids 0 or 1 (0.5 mean)
+    val rareCounts = perId.collect { case (_, ("rare", n, _, _)) => n }
+    rareCounts.toSet shouldBe Set(2L, 3L)
+    val bigEmitted = perId.count { case (_, (s, _, _, _)) => s == "big" }
+    bigEmitted.toDouble should (be >= 60.0 and be <= 140.0) // ~half of 200
+    // total volume ≈ 200·2.5 + 200·0.5 = 600, binomial noise
+    got.count().toDouble should (be >= 520.0 and be <= 680.0)
+    // determinism: same rows survive under any partitioning
+    val again = Sampling.epochRepeat(rows.repartition(17), "src", "id",
+      Map("rare" -> 25000, "big" -> 5000))
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe again
+  }
 }
