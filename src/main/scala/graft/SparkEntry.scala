@@ -742,6 +742,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.tokenDistributionShift(
         table(s, dir, "documents"), "text", "source")),
 
+    // Gopher-style intra-doc repetition filters (type/token ratio,
+    // top unigram/bigram mass)
+    "q_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetitionStats(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // canonical LISTAGG: per-nation supplier roster, sort-then-join
     "q_string_agg" -> ((s, dir) =>
       graft.ops.Agg.orderedStringAgg(
@@ -1986,6 +1992,32 @@ object SparkEntry {
         |  ROUND((n - LAG(n) OVER ww) / LAG(n) OVER ww, 6) AS pct_change
         |FROM w
         |WINDOW ww AS (PARTITION BY event_type ORDER BY week)""".stripMargin,
+
+    "q_repetition" ->
+      s"""$docToks, base AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM d
+         |  WHERE doc_id IS NOT NULL AND len(toks) > 0
+         |), uni AS (
+         |  SELECT doc_id, n, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, n, unnest(toks) AS term FROM base)
+         |  GROUP BY 1, 2, 3
+         |), us AS (
+         |  SELECT doc_id, n, MAX(tf) AS max_uni, COUNT(*) AS n_distinct
+         |  FROM uni GROUP BY 1, 2
+         |), big AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+         |  FROM (SELECT doc_id, toks, unnest(range(1, n)) AS i
+         |        FROM base WHERE n >= 2)
+         |), bf AS (
+         |  SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY 1, 2
+         |), bs AS (
+         |  SELECT doc_id, MAX(c) AS max_bi FROM bf GROUP BY 1
+         |)
+         |SELECT us.doc_id, n AS n_tokens,
+         |  ROUND(n_distinct / n, 6) AS distinct_token_ratio,
+         |  ROUND(max_uni / n, 6) AS top_unigram_share,
+         |  ROUND(max_bi / (n - 1), 6) AS top_bigram_share
+         |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""".stripMargin,
 
     "q_dist_shift" ->
       s"""$docToks, t AS (

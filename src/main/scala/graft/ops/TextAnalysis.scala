@@ -197,6 +197,46 @@ object TextAnalysis {
     * itself is huge, shard terms upstream and combine KL additively
     * over the shards.
     */
+  /** Intra-document repetition signals — the Gopher/MassiveText-style
+    * filters that catch boilerplate, keyword stuffing, and degenerate
+    * generations that length/stopword heuristics miss:
+    * `distinct_token_ratio` (type/token), `top_unigram_share` (most
+    * frequent token's mass), `top_bigram_share` (most frequent bigram
+    * over n−1 bigram slots; null for 1-token docs). Counts are exact
+    * integers; each share is one long/long → double division, rounded
+    * to 6 — identical op tree on any engine.
+    *
+    * Scale posture: two map-side-combined hash aggs keyed by (doc,
+    * term) / (doc, bigram) — state bounded by per-doc vocabulary, not
+    * corpus size — then a left join of two doc-keyed AGGREGATED
+    * frames. No window touches raw tokens; the bigram array is a
+    * codegen'd `transform`, never a self-join of positions.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    val uni = base
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+        explode(col("_toks")).as("_t"))
+      .groupBy("doc_id", "n_tokens", "_t").agg(count(lit(1)).as("_tf"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(max("_tf").as("_max_uni"), count(lit(1)).as("_n_distinct"))
+    val bi = base
+      .filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_toks) - 1)," +
+          " i -> concat(_toks[i - 1], ' ', _toks[i]))")).as("_b"))
+      .groupBy("doc_id", "_b").agg(count(lit(1)).as("_bf"))
+      .groupBy("doc_id").agg(max("_bf").as("_max_bi"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_n_distinct") / col("n_tokens"), 6).as("distinct_token_ratio"),
+        round(col("_max_uni") / col("n_tokens"), 6).as("top_unigram_share"),
+        round(col("_max_bi") / (col("n_tokens") - 1), 6).as("top_bigram_share"))
+  }
+
   def tokenDistributionShift(docs: DataFrame, textCol: String,
                              groupCol: String): DataFrame = {
     val toks = docs

@@ -223,4 +223,22 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.normalizeText(col("t"))).collect().head.getString(0)
     got shouldBe "hello world x"
   }
+
+  test("repetitionStats: exact type/token and top n-gram shares") {
+    val docs = Seq(
+      (1L, "A a a b. c"),       // lowered: [a,a,a,b.,c] n=5 distinct=3
+      (2L, "x y"),              // no repetition at all
+      (3L, "solo"),             // 1 token: bigram share must be NULL
+      (4L, "z z z z")           // fully degenerate
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // doc 1: max unigram 'a'×3 / 5; bigrams [a a, a a, a b., b. c] -> 2/4
+    got(1L) shouldBe ((5L, 0.6, 0.6, Some(0.5)))
+    got(2L) shouldBe ((2L, 1.0, 0.5, Some(1.0)))
+    got(3L) shouldBe ((1L, 1.0, 1.0, None))
+    got(4L) shouldBe ((4L, 0.25, 1.0, Some(1.0)))
+  }
 }
