@@ -748,6 +748,18 @@ object SparkEntry {
       graft.ops.TextAnalysis.repetitionStats(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // inter-doc duplicated n-gram coverage (ExactSubstr-style signal)
+    "q_dup_ngrams" -> ((s, dir) =>
+      graft.ops.TextAnalysis.duplicatedNgramShare(
+        table(s, dir, "documents"), "doc_id", "text", n = 5)),
+
+    // DSIR importance score: hashed-unigram log-likelihood ratio of the
+    // lang='en' target LM vs the raw-corpus LM, Laplace-smoothed
+    "q_dsir" -> ((s, dir) =>
+      graft.ops.TextAnalysis.dsirScores(
+        table(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", nBuckets = 128)),
+
     // canonical LISTAGG: per-nation supplier roster, sort-then-join
     "q_string_agg" -> ((s, dir) =>
       graft.ops.Agg.orderedStringAgg(
@@ -2018,6 +2030,56 @@ object SparkEntry {
          |  ROUND(max_uni / n, 6) AS top_unigram_share,
          |  ROUND(max_bi / (n - 1), 6) AS top_bigram_share
          |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""".stripMargin,
+
+    "q_dup_ngrams" ->
+      s"""$docToks, base AS (
+         |  SELECT doc_id, toks, len(toks) AS nt FROM d
+         |  WHERE doc_id IS NOT NULL AND len(toks) >= 5
+         |), g AS (
+         |  SELECT doc_id, array_to_string(toks[i:i + 4], ' ') AS gm
+         |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 3)) AS i FROM base)
+         |), pg AS (
+         |  SELECT doc_id, gm, COUNT(*) AS c FROM g GROUP BY 1, 2
+         |), gd AS (
+         |  SELECT gm, COUNT(*) AS ndocs FROM pg GROUP BY 1
+         |)
+         |SELECT pg.doc_id,
+         |  CAST(SUM(c) AS BIGINT) AS n_ngrams,
+         |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_ngrams,
+         |  ROUND(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) / SUM(c), 6) AS dup_share
+         |FROM pg JOIN gd USING (gm) GROUP BY 1""".stripMargin,
+
+    "q_dsir" ->
+      s"""$docToks, x AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, unnest(toks) AS term
+         |  FROM d WHERE doc_id IS NOT NULL
+         |), pb AS (
+         |  SELECT doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT % 128 AS b,
+         |         COUNT(*) AS tf, any_value(tgt) AS tgt
+         |  FROM x GROUP BY 1, 2
+         |), rc AS (
+         |  SELECT b, CAST(SUM(tf) AS BIGINT) AS rc FROM pb GROUP BY 1
+         |), tc AS (
+         |  SELECT b, CAST(SUM(tf) AS BIGINT) AS tc FROM pb WHERE tgt GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS tt,
+         |         CAST(SUM(tf) AS BIGINT) AS tr
+         |  FROM pb
+         |), p AS (
+         |  SELECT pb.doc_id,
+         |         list_sort(list(struct_pack(b := pb.b, tf := pb.tf,
+         |           tc := COALESCE(tc.tc, 0), rc := rc.rc))) AS arr,
+         |         any_value(tot.tt) AS tt, any_value(tot.tr) AS tr
+         |  FROM pb JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_tokens,
+         |  ROUND(list_sum(list_transform(arr, s ->
+         |      s.tf * ln(((s.tc + 1)::DOUBLE * (tr + 128)::DOUBLE)
+         |              / ((s.rc + 1)::DOUBLE * (tt + 128)::DOUBLE))))
+         |        / list_sum(list_transform(arr, s -> s.tf)), 6) AS avg_llr
+         |FROM p""".stripMargin,
 
     "q_dist_shift" ->
       s"""$docToks, t AS (

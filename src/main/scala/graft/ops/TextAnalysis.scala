@@ -237,6 +237,120 @@ object TextAnalysis {
         round(col("_max_bi") / (col("n_tokens") - 1), 6).as("top_bigram_share"))
   }
 
+  /** Inter-document duplicated n-gram coverage — the corpus-level
+    * companion to [[repetitionStats]] (which is intra-doc): for each
+    * document, the fraction of its n-gram instances whose n-gram also
+    * occurs in at least one OTHER document. This is the
+    * ExactSubstr-style signal (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better") at n-gram rather than suffix
+    * granularity: boilerplate, licence blocks, and templated spans show
+    * up as high `dup_share` long before whole-document dedup fires.
+    * Documents with fewer than `n` tokens have no n-grams and are
+    * excluded (a consumer left-joins and treats absent as no-signal).
+    *
+    * Scale posture: an inverted-index aggregation, never a pairwise
+    * join — (doc, gram) instance counts via one map-side-combined hash
+    * agg, gram→distinct-doc counts via a second agg over the ALREADY
+    * per-doc-collapsed rows (so a gram repeated k times in one doc
+    * contributes 1, and hot grams cost one row per containing doc, not
+    * per instance), then a join back on the gram and one doc-keyed agg.
+    * State is bounded by corpus vocabulary, not pair volume. The gram
+    * key shuffles as a string; at 10^8+ docs, key by `xxhash64(gram)`
+    * instead (collisions only flip a gram's dup bit, bounded by
+    * n_grams × 2^-64) — kept as the string here for engine-exact
+    * oracle parity. Counts are exact longs; the single division is
+    * rounded to 6 on both engines.
+    */
+  def duplicatedNgramShare(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    require(n >= 2, s"duplicatedNgramShare: n must be >= 2, got $n")
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+    val grams = base.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, size(_toks) - $n)," +
+        s" i -> array_join(slice(_toks, i + 1, $n), ' '))")).as("_g"))
+    val perDocGram = grams.groupBy("doc_id", "_g").agg(count(lit(1)).as("_c"))
+    val gramDocs = perDocGram.groupBy("_g").agg(count(lit(1)).as("_ndocs"))
+    perDocGram.join(gramDocs, "_g")
+      .groupBy("doc_id")
+      .agg(sum("_c").as("n_ngrams"),
+        sum(when(col("_ndocs") >= 2, col("_c")).otherwise(lit(0L))).as("dup_ngrams"))
+      .select(col("doc_id"), col("n_ngrams"), col("dup_ngrams"),
+        round(col("dup_ngrams") / col("n_ngrams"), 6).as("dup_share"))
+  }
+
+  /** DSIR-style importance score (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): each document scores
+    * by its average per-token log-likelihood ratio between a TARGET
+    * hashed-unigram LM (docs matching `isTarget`) and the RAW-corpus
+    * LM. High scorers "look like" the target distribution — the
+    * standard cheap lever for steering a 100 TB crawl toward a
+    * curated/high-quality slice without a trained classifier. DSIR
+    * proper then Gumbel-samples by this score; the deterministic
+    * engine primitive is the score itself (callers rank or
+    * threshold — both verifiable, unlike sampling noise).
+    *
+    * Both LMs live on the same `nBuckets`-dimensional hashed feature
+    * space (engine-portable md5 buckets, as [[hashFeatures]]) with
+    * Laplace +1 smoothing, so a bucket unseen in the target corpus
+    * contributes a finite negative preference, not -inf:
+    * `p(b) = (count(b) + 1) / (total + nBuckets)`.
+    *
+    * Determinism: the per-doc sum folds over a BUCKET-SORTED array
+    * (bucket ids are distinct within a doc, so the sort is total);
+    * each addend is `tf * ln((tc+1)(Tr+B) / ((rc+1)(Tt+B)))` with the
+    * integer counts cast to double before one multiply each side of
+    * one divide — the identical operation tree on any IEEE engine.
+    * Products stay exact: counts < 2^53 and B ≤ 2^20 keep each factor
+    * integral-in-double; the single rounding is the divide.
+    *
+    * Scale posture: one token scan → map-side-combined (doc, bucket)
+    * hash agg (state per task bounded by docs-in-partition × B); the
+    * two LM frames are ≤ B rows each and broadcast; totals are a
+    * 1-row broadcast. No shuffle wider than the (doc, bucket) agg,
+    * nothing pairwise. Output: (doc_id, n_tokens, avg_llr) for every
+    * doc with ≥ 1 token.
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, nBuckets: Int = 128): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"dsirScores: need 1 <= nBuckets <= 2^20, got $nBuckets")
+    val b = lit(nBuckets.toLong)
+    val perDocBucket = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        coalesce(isTarget.cast("boolean"), lit(false)).as("_tgt"),
+        explode(tokens(lower(col(textCol)))).as("_term"))
+      .withColumn("_b", graft.ops.Sampling.hashBucket(col("_term"), nBuckets))
+      .groupBy("doc_id", "_b")
+      .agg(count(lit(1)).as("_tf"), first("_tgt").as("_tgt"))
+    val rc = perDocBucket.groupBy("_b").agg(sum("_tf").as("_rc"))
+    val tc = perDocBucket.filter(col("_tgt"))
+      .groupBy("_b").agg(sum("_tf").as("_tc"))
+    val totals = perDocBucket.agg(
+      sum(when(col("_tgt"), col("_tf")).otherwise(lit(0L))).as("_tt"),
+      sum("_tf").as("_tr"))
+    val perDoc = perDocBucket
+      .join(broadcast(rc), "_b")
+      .join(broadcast(tc), Seq("_b"), "left")
+      .withColumn("_tc", coalesce(col("_tc"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        array_sort(collect_list(
+          struct(col("_b"), col("_tf"), col("_tc"), col("_rc")))).as("arr"),
+        first("_tt").as("_tt"), first("_tr").as("_tr"))
+    val nTokens = aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("_tf"))
+    val llr = aggregate(col("arr"), lit(0.0), (a, s) =>
+      a + s.getField("_tf").cast("double") * log(
+        ((s.getField("_tc") + lit(1L)).cast("double") * (col("_tr") + b).cast("double")) /
+          ((s.getField("_rc") + lit(1L)).cast("double") * (col("_tt") + b).cast("double"))))
+    perDoc.select(col("doc_id"), nTokens.as("n_tokens"),
+      round(llr / nTokens, 6).as("avg_llr"))
+  }
+
   def tokenDistributionShift(docs: DataFrame, textCol: String,
                              groupCol: String): DataFrame = {
     val toks = docs

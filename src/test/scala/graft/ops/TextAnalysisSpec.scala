@@ -241,4 +241,58 @@ class TextAnalysisSpec extends SparkSpec {
     got(3L) shouldBe ((1L, 1.0, 1.0, None))
     got(4L) shouldBe ((4L, 0.25, 1.0, Some(1.0)))
   }
+
+  test("duplicatedNgramShare: inter-doc coverage, intra-doc repeats don't count") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // bigrams: [a b, b c, c d, d e, e f]
+      (2L, "x a b c d y"),   // shares [a b, b c, c d] with doc 1
+      (3L, "p q p q p q"),   // intra-doc repeated bigrams, in no other doc
+      (4L, "z")              // < n tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedNgramShare(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    got(1L) shouldBe ((5L, 3L, 0.6))
+    got(2L) shouldBe ((5L, 3L, 0.6))
+    // [p q, q p, p q, q p, p q]: every gram repeats WITHIN the doc but
+    // appears in no other doc — dup_ngrams must stay 0
+    got(3L) shouldBe ((5L, 0L, 0.0))
+  }
+
+  test("dsirScores: target-vocab docs score positive, off-target negative") {
+    // token counts must DOMINATE the +1-over-128-buckets smoothing: with
+    // only a handful of tokens the Laplace prior (tc+1)/(rc+1) ≈ 3/5
+    // outweighs the true 2/4-vs-4/12 preference and flips the sign
+    val rep = Seq.fill(100)("alpha beta").mkString(" ")
+    val off = Seq.fill(100)("gamma delta").mkString(" ")
+    val docs = Seq(
+      (1L, rep, "en"),   // target, target-only vocab
+      (2L, off, "fr"),   // non-target-only vocab
+      (3L, rep, "fr"),   // target vocab, non-target doc
+      (4L, "", "en")     // zero tokens: excluded
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirScores(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", nBuckets = 128)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    got(1L)._1 shouldBe 200L
+    // docs 1 and 3 share text, so identical scores regardless of which
+    // side of the target they sit on — the score is about the CONTENT
+    got(1L)._2 shouldBe got(3L)._2
+    got(1L)._2 should be > 0.0   // target-LM vocabulary
+    got(2L)._2 should be < 0.0   // vocabulary the target never saw
+  }
+
+  test("dsirScores: one bucket collapses both LMs — every score exactly 0") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "d e", "fr"), (3L, "f", "zh")
+    ).toDF("doc_id", "text", "lang")
+    // with a single hashed bucket, tc = tt and rc = tr for every token,
+    // so each addend is tf * ln((tt+1)(tr+1) / ((tr+1)(tt+1))) = ln(1)
+    val got = TextAnalysis.dsirScores(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got shouldBe Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0)
+  }
 }
