@@ -760,6 +760,11 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", nBuckets = 128)),
 
+    // composite C4/Gopher-style filter: keep/drop + audit reason codes
+    "q_filter_verdicts" -> ((s, dir) =>
+      graft.ops.TextAnalysis.filterVerdicts(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // canonical LISTAGG: per-nation supplier roster, sort-then-join
     "q_string_agg" -> ((s, dir) =>
       graft.ops.Agg.orderedStringAgg(
@@ -2048,6 +2053,54 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_ngrams,
          |  ROUND(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) / SUM(c), 6) AS dup_share
          |FROM pg JOIN gd USING (gm) GROUP BY 1""".stripMargin,
+
+    "q_filter_verdicts" ->
+      s"""$docToks, dq AS (
+         |  SELECT doc_id, text,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS utoks
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), m AS (
+         |  SELECT doc_id,
+         |    len(utoks) AS n_tokens,
+         |    greatest(len(utoks), 1) AS safe,
+         |    len(list_filter(utoks, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], t))) AS stop,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS nospace
+         |  FROM dq
+         |), qs AS (
+         |  SELECT doc_id, n_tokens,
+         |    ROUND(stop / safe, 6) AS stopr,
+         |    ROUND(nospace / safe, 6) AS atl
+         |  FROM m
+         |), basel AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM d
+         |  WHERE doc_id IS NOT NULL AND len(toks) > 0
+         |), uni AS (
+         |  SELECT doc_id, n, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, n, unnest(toks) AS term FROM basel)
+         |  GROUP BY 1, 2, 3
+         |), us AS (
+         |  SELECT doc_id, n, MAX(tf) AS max_uni, COUNT(*) AS n_distinct
+         |  FROM uni GROUP BY 1, 2
+         |), rs AS (
+         |  SELECT doc_id,
+         |    ROUND(n_distinct / n, 6) AS ttr,
+         |    ROUND(max_uni / n, 6) AS uni_share
+         |  FROM us
+         |), v AS (
+         |  SELECT qs.doc_id, qs.n_tokens,
+         |    concat_ws(',',
+         |      CASE WHEN qs.n_tokens < 20 THEN 'too_short' END,
+         |      CASE WHEN qs.n_tokens > 90 THEN 'too_long' END,
+         |      CASE WHEN qs.stopr < 0.01 THEN 'low_stopword' END,
+         |      CASE WHEN qs.atl < 3.0 OR qs.atl > 5.0 THEN 'token_len' END,
+         |      CASE WHEN rs.ttr < 0.35 THEN 'repetitive' END,
+         |      CASE WHEN rs.uni_share > 0.12 THEN 'dominant_unigram' END) AS reasons
+         |  FROM qs LEFT JOIN rs ON qs.doc_id = rs.doc_id
+         |)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  (reasons = '') AS keep, reasons
+         |FROM v""".stripMargin,
 
     "q_dsir" ->
       s"""$docToks, x AS (

@@ -281,6 +281,62 @@ object TextAnalysis {
         round(col("dup_ngrams") / col("n_ngrams"), 6).as("dup_share"))
   }
 
+  /** Composite quality-filter verdict — the actual FILTER stage of a
+    * pretraining pipeline (C4/Gopher-style rule set): every document
+    * gets a keep/drop verdict plus a comma-joined list of the specific
+    * rules it violated, so a corpus owner can audit WHY mass was
+    * dropped (the difference between a filter and a black box).
+    * Rules, in rendered order:
+    *   - `too_short` / `too_long`: token count outside [minTokens, maxTokens]
+    *   - `low_stopword`: stopword ratio below `minStopwordRatio`
+    *     (gibberish / non-prose signal, per Gopher's stopword rule)
+    *   - `token_len`: mean token length outside [minAvgTokenLen,
+    *     maxAvgTokenLen] (code/ids vs prose)
+    *   - `repetitive`: distinct/total token ratio below
+    *     `minDistinctRatio` (Gopher's type-token rule)
+    *   - `dominant_unigram`: top unigram above `maxTopUnigramShare`
+    * Thresholds compare the ROUNDED(6) signal columns of
+    * [[qualitySignals]] / [[repetitionStats]] — bit-equal on any
+    * engine, so the boolean verdict is engine-exact too. Zero-token
+    * docs flag `too_short` and leave the repetition rules unflagged
+    * (their signals are null there, and null comparisons don't flag).
+    * Output: (doc_id, n_tokens, keep, reasons); `reasons` is '' iff
+    * `keep`.
+    *
+    * Scale posture: the two signal frames are each one token scan into
+    * map-side-combined per-doc hash aggs; the verdict is a doc-keyed
+    * equi-join of the two (co-partitioned shuffle) plus a columnar
+    * CASE stack. Nothing global, nothing pairwise.
+    */
+  def filterVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int = 20, maxTokens: Int = 90,
+                     minStopwordRatio: Double = 0.01,
+                     minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 5.0,
+                     minDistinctRatio: Double = 0.35,
+                     maxTopUnigramShare: Double = 0.12): DataFrame = {
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val q = qualitySignals(base, col("_text"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("stopword_ratio"), 6).as("_stop"),
+        round(col("avg_token_len"), 6).as("_atl"))
+    val r = repetitionStats(base, "doc_id", "_text")
+      .select(col("doc_id"), col("distinct_token_ratio").as("_ttr"),
+        col("top_unigram_share").as("_uni"))
+    val reasons = concat_ws(",",
+      when(col("n_tokens") < minTokens, lit("too_short")),
+      when(col("n_tokens") > maxTokens, lit("too_long")),
+      when(col("_stop") < minStopwordRatio, lit("low_stopword")),
+      when(col("_atl") < minAvgTokenLen || col("_atl") > maxAvgTokenLen,
+        lit("token_len")),
+      when(col("_ttr") < minDistinctRatio, lit("repetitive")),
+      when(col("_uni") > maxTopUnigramShare, lit("dominant_unigram")))
+    q.join(r, Seq("doc_id"), "left")
+      .withColumn("reasons", reasons)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("reasons") === "").as("keep"), col("reasons"))
+  }
+
   /** DSIR-style importance score (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): each document scores
     * by its average per-token log-likelihood ratio between a TARGET

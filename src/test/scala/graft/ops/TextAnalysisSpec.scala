@@ -260,6 +260,33 @@ class TextAnalysisSpec extends SparkSpec {
     got(3L) shouldBe ((5L, 0L, 0.0))
   }
 
+  test("filterVerdicts: each rule flags its reason; clean doc keeps") {
+    // defaults: minTokens=20 maxTokens=90 minStop=0.01 atl in [3,5]
+    //           minDistinct=0.35 maxTopUnigram=0.12
+    // cycle the stopword so no single token dominates the unigram share
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    def prose(n: Int) =
+      (1 to n).map(i => s"${stops(i % 10)} word$i").mkString(" ")
+    val clean = prose(40)  // 80 toks, stop .5, atl ~3.9, uni .05, ttr .625
+    val short = prose(9)   // 18 toks: too_short only
+    val repet = Seq.fill(40)("the spam").mkString(" ") // ttr .025, uni .5
+    val longT = prose(50)  // 100 toks: too_long only
+    val noStop = (1 to 40).map(i => s"wd$i xy$i").mkString(" ") // no stopwords
+    val docs = Seq(
+      (1L, clean), (2L, short), (3L, repet), (4L, longT), (5L, noStop)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterVerdicts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    got(1L) shouldBe ((true, ""))
+    got(2L) shouldBe ((false, "too_short"))
+    got(3L)._1 shouldBe false
+    got(3L)._2 should include ("repetitive")
+    got(3L)._2 should include ("dominant_unigram")
+    got(4L) shouldBe ((false, "too_long"))
+    got(5L)._1 shouldBe false
+    got(5L)._2 should include ("low_stopword")
+  }
+
   test("dsirScores: target-vocab docs score positive, off-target negative") {
     // token counts must DOMINATE the +1-over-128-buckets smoothing: with
     // only a handful of tokens the Laplace prior (tc+1)/(rc+1) ≈ 3/5
