@@ -271,6 +271,13 @@ object SparkEntry {
         table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45,
         exact = true)),
 
+    // SemDeDup drop list: cosine components, keep min-id representative
+    // (exact pair baseline here; production passes exact=false per cell)
+    "q_semdedup" -> ((s, dir) =>
+      graft.ops.Similarity.semDedupDrops(
+        table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45,
+        exact = true)),
+
     // banded scale path: sign-LSH candidates + exact cosine verification
     // — same oracle, plan has no CartesianProduct. tau=0.45 is below the
     // pruning regime (see nearDupCosine's guard), so the low-tau opt-in is
@@ -1128,6 +1135,27 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |)
          |SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |), pr AS (
+         |  SELECT a_id, b_id FROM p WHERE sim >= 0.45
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION
+         |  SELECT b_id, a_id FROM pr
+         |), reach(node, root) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+         |), cl AS (
+         |  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
+         |)
+         |SELECT doc_id AS dropped_id, cluster_id AS rep_id
+         |FROM cl WHERE doc_id <> cluster_id""".stripMargin,
 
     // the banded path answers the SAME exact query (recall: per-pair
     // miss probability < 1e-7 at tau=0.45 with 32 bands x 2 bits)

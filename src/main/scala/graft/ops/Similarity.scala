@@ -501,6 +501,43 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic dedup drop list (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): documents whose embedding sits within cosine
+    * `tau` of another document's, resolved to connected components,
+    * keeping the minimum-id member of each component as the
+    * representative and emitting every other member as a drop. The
+    * end-to-end semantic-dedup stage, composed from the two audited
+    * primitives: [[nearDupCosine]] for the pair set and
+    * [[graft.ops.Dedup.nearDupClusters]] for the components (min-label
+    * propagation converges to the component minimum, so the
+    * representative IS the cluster id — no extra ranking pass).
+    *
+    * SemDeDup proper clusters first (k-means) and only compares within
+    * clusters — an approximation that trades recall near cluster
+    * boundaries for candidate volume. Here the candidate policy is
+    * [[nearDupCosine]]'s (exact all-pairs for oracle baselines, banded
+    * sign-LSH for scale; the paper's k-means pre-partition corresponds
+    * to running this per IVF cell). Docs in no pair are implicit keeps.
+    * Output: (dropped_id, rep_id).
+    *
+    * Scale posture: pair generation is the dominant cost and follows
+    * the `exact` flag (see [[nearDupCosine]]'s regime guard); the CC
+    * pass is O(diameter) rounds over the PAIR set (near-dup components
+    * are tiny — diameter is small by construction), and the final
+    * filter/projection is map-side.
+    */
+  def semDedupDrops(embeddings: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, dim: Int = 64, exact: Boolean = false,
+                    nPlanes: Int = 64, bandBits: Int = 2,
+                    seed: Long = 7L, allowLowTau: Boolean = false): DataFrame = {
+    val pairs = nearDupCosine(embeddings, idCol, vecCol, tau, dim, exact,
+      nPlanes, bandBits, seed, allowLowTau)
+    graft.ops.Dedup.nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("dropped_id"), col("cluster_id").as("rep_id"))
+  }
+
   /** Per-label mean embedding (class centroids), exploded to
     * (label, dim, centroid, n_vectors) rows. The standard prototype
     * step — cluster summaries, class prototypes for nearest-centroid

@@ -226,4 +226,18 @@ class SimilaritySpec extends SparkSpec {
     assert(exactPlan.contains("CartesianProduct") ||
       exactPlan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("semDedupDrops: min-id survives each component, singletons untouched") {
+    // component {1,2,3} chained via near-parallel vectors (1~2, 2~3),
+    // component {5,6} parallel, 4 isolated
+    val d = df(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.99f, 0.14f, 0f), 3L -> Seq(0.96f, 0.28f, 0f),
+      4L -> Seq(0f, 0f, 1f), 5L -> Seq(0f, 1f, 0f), 6L -> Seq(0.1f, 0.995f, 0f))
+    val got = Similarity.semDedupDrops(d, "vec_id", "embedding", tau = 0.95,
+      dim = 3, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-3 may or may not clear tau directly, but the chain still joins
+    // the component; rep of {1,2,3} is 1, of {5,6} is 5; 4 never appears
+    got shouldBe Set((2L, 1L), (3L, 1L), (6L, 5L))
+  }
 }
