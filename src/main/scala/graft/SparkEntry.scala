@@ -772,6 +772,11 @@ object SparkEntry {
       graft.ops.TextAnalysis.filterVerdicts(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // boilerplate mining: top 5-grams by document frequency
+    "q_ngram_freq" -> ((s, dir) =>
+      graft.ops.TextAnalysis.frequentNgrams(
+        table(s, dir, "documents"), "doc_id", "text", n = 5, topN = 20)),
+
     // canonical LISTAGG: per-nation supplier roster, sort-then-join
     "q_string_agg" -> ((s, dir) =>
       graft.ops.Agg.orderedStringAgg(
@@ -2063,6 +2068,28 @@ object SparkEntry {
          |  ROUND(max_uni / n, 6) AS top_unigram_share,
          |  ROUND(max_bi / (n - 1), 6) AS top_bigram_share
          |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""".stripMargin,
+
+    "q_ngram_freq" ->
+      s"""$docToks, base AS (
+         |  SELECT doc_id, toks FROM d
+         |  WHERE doc_id IS NOT NULL AND len(toks) >= 5
+         |), g AS (
+         |  SELECT doc_id, array_to_string(toks[i:i + 4], ' ') AS gram
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM base)
+         |), pg AS (
+         |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+         |), gs AS (
+         |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         |         CAST(SUM(c) AS BIGINT) AS n_instances
+         |  FROM pg GROUP BY 1
+         |), top AS (
+         |  SELECT * FROM gs
+         |  ORDER BY doc_freq DESC, n_instances DESC, gram LIMIT 20
+         |)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY doc_freq DESC, n_instances DESC, gram) AS BIGINT) AS rn,
+         |  gram, doc_freq, n_instances
+         |FROM top""".stripMargin,
 
     "q_dup_ngrams" ->
       s"""$docToks, base AS (

@@ -281,6 +281,42 @@ object TextAnalysis {
         round(col("dup_ngrams") / col("n_ngrams"), 6).as("dup_share"))
   }
 
+  /** Corpus boilerplate mining: the `topN` word n-grams by DOCUMENT
+    * frequency (distinct docs containing the gram), with instance
+    * counts — the survey step before span-level dedup: licence
+    * headers, navigation chrome, and templated sentences surface as
+    * high-df grams. Deterministic rank: (doc_freq DESC, n_instances
+    * DESC, gram ASC). Output: (rn, gram, doc_freq, n_instances).
+    *
+    * Scale posture: explode → one (doc, gram) map-side-combined
+    * collapse (so a gram repeated in one doc counts its instances but
+    * only 1 df), one gram-keyed agg, then a global top-N via
+    * `TakeOrderedAndProject` (per-partition heaps, N rows to the
+    * driver — never a full sort).
+    */
+  def frequentNgrams(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, topN: Int = 20): DataFrame = {
+    require(n >= 1 && topN >= 1, "need n >= 1 and topN >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(_toks) - $n)," +
+          s" i -> array_join(slice(_toks, i + 1, $n), ' '))")).as("gram"))
+    val ranked = grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("_c"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("doc_freq"), sum("_c").as("n_instances"))
+      .orderBy(col("doc_freq").desc, col("n_instances").desc, col("gram"))
+      .limit(topN)
+    ranked.withColumn("rn",
+      row_number().over(Window.orderBy(
+        col("doc_freq").desc, col("n_instances").desc, col("gram"))).cast("long"))
+      .select(col("rn"), col("gram"), col("doc_freq"), col("n_instances"))
+  }
+
   /** Composite quality-filter verdict — the actual FILTER stage of a
     * pretraining pipeline (C4/Gopher-style rule set): every document
     * gets a keep/drop verdict plus a comma-joined list of the specific

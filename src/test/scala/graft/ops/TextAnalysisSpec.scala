@@ -260,6 +260,21 @@ class TextAnalysisSpec extends SparkSpec {
     got(3L) shouldBe ((5L, 0L, 0.0))
   }
 
+  test("frequentNgrams: df over instances, deterministic tie order") {
+    val docs = Seq(
+      (1L, "x y z x y z"),  // bigram "x y" twice here (2 instances, 1 df)
+      (2L, "a b c d"),      // "a b", "b c", "c d" once each
+      (3L, "a b e f")       // "a b" again -> df 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.frequentNgrams(docs, "doc_id", "text", n = 2, topN = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "a b": df 2; then df-1 grams ranked by instances desc, gram asc:
+    // "x y" (2 instances) beats "y z" (2 instances) alphabetically...
+    // both have 2; "b c" etc. have 1 -> next is "x y" then "y z"
+    got shouldBe Array(
+      (1L, "a b", 2L, 2L), (2L, "x y", 1L, 2L), (3L, "y z", 1L, 2L))
+  }
+
   test("filterVerdicts: each rule flags its reason; clean doc keeps") {
     // defaults: minTokens=20 maxTokens=90 minStop=0.01 atl in [3,5]
     //           minDistinct=0.35 maxTopUnigram=0.12
