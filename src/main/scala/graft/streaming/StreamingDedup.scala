@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the missing tense of the dedup
+  * family: [[graft.ops.Dedup]] covers the batch corpus,
+  * `Dedup.incrementalNearDupPairs` the daily-batch-vs-store case; this
+  * covers the continuous-ingest case (a crawler or event firehose
+  * feeding the corpus), where duplicates must be dropped before they
+  * ever land in parquet.
+  *
+  * Keyed on the md5 content fingerprint of the NORMALIZED text
+  * ([[graft.ops.TextAnalysis.normalizeText]] — control chars out,
+  * whitespace collapsed, case folded), so trivial re-encodings of the
+  * same document collapse to one key, and the fingerprint matches the
+  * batch `Dedup.exactDuplicateGroups` discipline (an engine-portable
+  * hash, never Spark-seeded Murmur3).
+  *
+  * State sizing at scale: `dropDuplicatesWithinWatermark` keeps ONE
+  * state row per distinct fingerprint seen within the watermark
+  * horizon, evicted as event time passes — state is bounded by the
+  * distinct-doc arrival rate × watermark, independent of stream
+  * lifetime. The tradeoff is explicit: a duplicate arriving further
+  * than `watermark` after its original is re-emitted (at that horizon
+  * the batch/incremental store path is the backstop). An unbounded
+  * `dropDuplicates` would grow state forever; a per-doc-id key would
+  * miss content dups under different ids.
+  */
+object StreamingDedup {
+
+  /** First occurrence of each normalized-content fingerprint within the
+    * watermark horizon; later copies are dropped. Emits the input
+    * columns plus the `fingerprint` used for the dedup decision (the
+    * downstream sink can persist it straight into the incremental-dedup
+    * sidecar store).
+    */
+  def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
+                 watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(graft.ops.TextAnalysis.normalizeText(col(textCol)).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+}
