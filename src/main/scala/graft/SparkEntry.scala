@@ -206,6 +206,17 @@ object SparkEntry {
         Map("src0" -> 7, "src1" -> 2, "src2" -> 1))
         .select(col("doc_id"), col("source"))),
 
+    // token-budget fill: 4000 tokens split 2/1/1 across three sources,
+    // hash-order prefix per source under a de-skewed two-level cumsum
+    "q_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.fillTokenBudget(
+        table(s, dir, "documents")
+          .withColumn("n_tokens",
+            size(graft.ops.TextAnalysis.tokens(lower(col("text")))).cast("long")),
+        "source", "doc_id", "n_tokens", budget = 4000L,
+        Map("src0" -> 2, "src1" -> 1, "src2" -> 1))
+        .select(col("doc_id"), col("source"), col("n_tokens"))),
+
     // per-source epoch repetition (2.5x / 1x / 0.5x), partial epoch by
     // hash-bucket membership — the upsampling half of mixture building
     "q_epochs" -> ((s, dir) =>
@@ -1088,6 +1099,27 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> x <> '')) AS n_tokens,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+        |                WHEN 'src2' THEN 1 END AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IN ('src0', 'src1', 'src2')
+        |), t AS (
+        |  SELECT *, md5(doc_id::VARCHAR) AS h FROM d WHERE n_tokens > 0
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |    w * 4000 // 4 AS quota
+        |  FROM t
+        |)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM c WHERE cum <= quota""".stripMargin,
 
     "q_mixture" ->
       """WITH d AS (

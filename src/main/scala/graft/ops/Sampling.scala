@@ -213,6 +213,70 @@ object Sampling {
       .drop("_bp", "_full", "_ne")
   }
 
+  /** Fill a TOKEN budget across sources — the final assembly step of a
+    * pretraining mixture: given a total budget `budget` (tokens) and
+    * integer source weights, each source gets the floor-integer quota
+    * `w_s · budget / Σw`, and keeps the maximal HASH-ORDER PREFIX of
+    * its documents whose running token sum stays within quota. Rows
+    * need a precomputed `tokensCol` (> 0; compose with
+    * `TextAnalysis.tokenCount` / `bpeishTokenCount` upstream), and
+    * membership depends only on keys + token counts, so re-runs,
+    * engines, and cluster layouts agree row-for-row. Sub-quota floor
+    * loss is < Σw tokens total (documented, not redistributed); a doc
+    * straddling the quota boundary is dropped, leaving ≤ one doc's
+    * worth of slack per source.
+    *
+    * Scale posture: the naive plan (one running-sum window per source)
+    * serializes a source's billions of rows through one task — the
+    * same skew failure as the trending window. Here the prefix sum is
+    * TWO-LEVEL: the top md5 byte buckets each source into 256 slices
+    * whose lexicographic order EQUALS the global hash order (the
+    * bucket is a prefix of the sort key), so per-(source, bucket)
+    * token masses aggregate map-side into a |sources|·256-row frame,
+    * bucket offsets are a window over that tiny frame, and the
+    * within-bucket running sum runs 256-way parallel per source. The
+    * offset join broadcasts. Identical output to the naive plan,
+    * none of its skew.
+    */
+  def fillTokenBudget(df: DataFrame, sourceCol: String, keyCol: String,
+                      tokensCol: String, budget: Long,
+                      weights: Map[String, Int]): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    require(weights.values.max.toLong <= Long.MaxValue / math.max(budget, 1L),
+      "w * budget must not overflow a long")
+    import org.apache.spark.sql.expressions.Window
+    val totalW = weights.values.sum
+    val wExpr = weights.foldLeft(lit(null).cast("long")) {
+      case (el, (s, p)) => when(col(sourceCol) === s, lit(p.toLong)).otherwise(el)
+    }
+    val listed = df
+      .filter(col(sourceCol).isNotNull && col(keyCol).isNotNull &&
+        col(tokensCol).isNotNull && col(tokensCol) > 0)
+      .withColumn("_w", wExpr)
+      .filter(col("_w").isNotNull)
+      .withColumn("_h", md5(col(keyCol).cast("string").cast("binary")))
+      // top byte of the hash: lowercase-hex lexicographic order is
+      // numeric order, so (bucket, hash) sorts identically to (hash)
+      .withColumn("_hb", conv(substring(col("_h"), 1, 2), 16, 10).cast("long"))
+    val bucketSums = listed.groupBy(col(sourceCol), col("_hb"))
+      .agg(sum(col(tokensCol)).as("_bt"))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("_off", coalesce(sum("_bt").over(wOff), lit(0L)))
+      .select(col(sourceCol), col("_hb"), col("_off"))
+    val wIn = Window.partitionBy(col(sourceCol), col("_hb"))
+      .orderBy(col("_h"), col(keyCol))
+    listed
+      .join(broadcast(offsets), Seq(sourceCol, "_hb"))
+      .withColumn("_cum", col("_off") + sum(col(tokensCol)).over(wIn))
+      .withColumn("_quota", expr(s"_w * ${budget}L div $totalW"))
+      .filter(col("_cum") <= col("_quota"))
+      .drop("_w", "_h", "_hb", "_off", "_cum", "_quota")
+  }
+
   /** Balance classes by downsampling every class to the size of the
     * smallest one, hash-ordered: the cheap de-bias step before
     * training when one label dominates. Exact — every class emits

@@ -119,4 +119,45 @@ class SamplingSpec extends SparkSpec {
     got.select("id", "epoch").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe again
   }
+
+  test("fillTokenBudget keeps the maximal hash-order prefix within each quota") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 200L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + i % 7)
+    }.toDF("id", "src", "toks")
+    val budget = 1200L
+    val weights = Map("a" -> 2, "b" -> 1) // quotas: 2*1200/3=800, 400
+    val got = Sampling.fillTokenBudget(rows, "src", "id", "toks", budget, weights)
+      .select("id").as[Long].collect().toSet
+
+    // naive single-window ground truth: running sum in (md5, id) order
+    val naive = rows
+      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
+      .withColumn("_cum", sum("toks").over(
+        Window.partitionBy("src").orderBy(col("_h"), col("id"))))
+      .withColumn("_q", when(col("src") === "a", 800L).otherwise(400L))
+      .filter(col("_cum") <= col("_q"))
+      .select("id").as[Long].collect().toSet
+    got shouldBe naive
+    got.nonEmpty shouldBe true
+    // both sources are capped well below their total mass
+    val kept = Sampling.fillTokenBudget(rows, "src", "id", "toks", budget, weights)
+      .groupBy("src").agg(sum("toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") <= 800L && kept("a") > 800L - 17L) // slack < one max doc
+    assert(kept("b") <= 400L && kept("b") > 400L - 17L)
+
+    // determinism under partitioning
+    val again = Sampling.fillTokenBudget(rows.repartition(13), "src", "id",
+      "toks", budget, weights).select("id").as[Long].collect().toSet
+    again shouldBe got
+  }
+
+  test("fillTokenBudget: zero budget keeps nothing; unlisted sources drop") {
+    val rows = Seq((1L, "a", 5L), (2L, "z", 5L)).toDF("id", "src", "toks")
+    Sampling.fillTokenBudget(rows, "src", "id", "toks", 0L, Map("a" -> 1))
+      .count() shouldBe 0L
+    Sampling.fillTokenBudget(rows, "src", "id", "toks", 100L, Map("a" -> 1))
+      .select("id").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
 }
