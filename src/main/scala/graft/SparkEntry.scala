@@ -102,6 +102,13 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairsExact(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
 
+    // which sources duplicate each other: near-dup pair counts per
+    // unordered source pair (diagonal = within-source duplication)
+    "q_overlap_matrix" -> ((s, dir) =>
+      graft.ops.Dedup.sourceOverlapMatrix(
+        table(s, dir, "documents"), "doc_id", "text", "source",
+        n = 3, tau = 0.3)),
+
     // df-bounded inverted index (the 10^9-doc knob) — must hash-match the
     // same exact oracle: candidates shrink, scores stay full-set exact
     "q_dedup_pairs_maxdf" -> ((s, dir) =>
@@ -925,6 +932,27 @@ object SparkEntry {
          |FROM d GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
 
     "q_dedup_pairs"       -> dedupPairsSql,
+
+    "q_overlap_matrix" ->
+      s"""$docToks, s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM d WHERE len(toks) >= 3
+         |), p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |), pr AS (
+         |  SELECT a_id, b_id FROM p WHERE ni / (na + nb - ni) >= 0.3
+         |), sm AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM pr
+         |  JOIN documents da ON pr.a_id = da.doc_id
+         |  JOIN documents db ON pr.b_id = db.doc_id
+         |)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM sm GROUP BY 1, 2""".stripMargin,
     "q_dedup_pairs_maxdf" -> dedupPairsSql,
     "q_dedup_minhash"     -> dedupPairsSql,
 

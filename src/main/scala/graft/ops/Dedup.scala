@@ -72,6 +72,34 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Cross-source near-duplicate overlap matrix: for every unordered
+    * source pair (including a source with itself), the number of
+    * near-dup document pairs spanning it — the corpus curator's "which
+    * sources copy each other" view that decides where mixture weights
+    * double-count and which source to dedup against which. Sources
+    * order lexicographically within a pair, so the matrix is the upper
+    * triangle (plus diagonal) with no mirrored rows.
+    * Output: (source_a, source_b, n_pairs).
+    *
+    * Scale posture: pair generation is [[nearDupPairsExact]]'s
+    * inverted-index path (pass `maxDf` for the 10⁹-doc regime); the
+    * source attach is two doc-keyed equi-joins of a 2-column
+    * projection, and the matrix agg is ≤ |sources|² rows.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, n: Int = 3, tau: Double = 0.3,
+                          maxDf: Option[Int] = None): DataFrame = {
+    val pairs = nearDupPairsExact(docs, idCol, textCol, n, tau, maxDf)
+    val src = docs.filter(col(idCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol).as("_id"), col(sourceCol).as("_src"))
+    pairs
+      .join(src.select(col("_id").as("a_id"), col("_src").as("_sa")), "a_id")
+      .join(src.select(col("_id").as("b_id"), col("_src").as("_sb")), "b_id")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Near-duplicate pairs with exact n-gram Jaccard ≥ `tau`, candidates
     * from the shingle inverted index. Complete (no false negatives) as
     * long as `maxDf` is None: any pair with Jaccard > 0 shares a shingle.

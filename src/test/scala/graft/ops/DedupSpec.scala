@@ -204,4 +204,16 @@ class DedupSpec extends SparkSpec {
     got.keySet shouldBe (1L to 12L).toSet
     got.values.toSet shouldBe Set(1L)
   }
+
+  test("sourceOverlapMatrix: unordered source pairs, diagonal included") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today", "web"),
+      (2L, "the cat sat on the mat today", "books"), // dup of 1: (books, web)
+      (3L, "the cat sat on the mat today", "web"),   // dup of 1,2: (web,web)+(books,web)
+      (4L, "completely different words entirely here now", "code")
+    ).toDF("doc_id", "text", "src")
+    val got = Dedup.sourceOverlapMatrix(docs, "doc_id", "text", "src", n = 3, tau = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(("books", "web") -> 2L, ("web", "web") -> 1L)
+  }
 }
