@@ -112,7 +112,9 @@ object Bench {
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
     println(line)
     println(summary)
-    Files.writeString(Paths.get("bench_out.json"), line + "\n" + summary + "\n")
+    // the FILE stays one whole JSON object (json.load-able); the
+    // two-line form is stdout-only, for head- vs tail-window capture
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

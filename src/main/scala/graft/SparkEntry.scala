@@ -950,6 +950,10 @@ object SparkEntry {
          |  FROM pr
          |  JOIN documents da ON pr.a_id = da.doc_id
          |  JOIN documents db ON pr.b_id = db.doc_id
+         |  -- the Scala op drops pairs touching a null-source doc;
+         |  -- without this filter least/greatest would skip the NULL and
+         |  -- fabricate a same-source row
+         |  WHERE da.source IS NOT NULL AND db.source IS NOT NULL
          |)
          |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM sm GROUP BY 1, 2""".stripMargin,
@@ -1157,7 +1161,11 @@ object SparkEntry {
         |  FROM documents
         |  WHERE doc_id IS NOT NULL AND source IN ('src0', 'src1', 'src2')
         |), sizes AS (
-        |  SELECT source, parts, COUNT(*) AS n FROM d GROUP BY 1, 2
+        |  -- right-join the declared parts so a listed-but-empty source
+        |  -- pins capacity to 0, mirroring Sampling.mixToProportions
+        |  SELECT v.source, v.parts, COALESCE(c.n, 0) AS n
+        |  FROM (VALUES ('src0', 7), ('src1', 2), ('src2', 1)) v(source, parts)
+        |  LEFT JOIN (SELECT source, COUNT(*) AS n FROM d GROUP BY 1) c USING (source)
         |), cap AS (
         |  SELECT MIN(n * 10 // parts) AS c FROM sizes
         |), quotas AS (

@@ -116,7 +116,11 @@ object Funnel {
                typeCol: String, tieCol: String, k: Int): DataFrame = {
     require(k >= 1, "paths need at least one step")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(userCol)).orderBy(col("_ts"), col("_tie"))
+    // _t in the orderBy: when (ts, tie) is not unique the rank cutoff
+    // would otherwise fall on partition/scan order — the type column
+    // restores the total order the old sort-then-slice shape had
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_ts"), col("_tie"), col("_t"))
     val firstK = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
       .select(col(userCol), col(tsCol).as("_ts"), col(tieCol).as("_tie"),

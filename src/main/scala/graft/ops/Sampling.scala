@@ -113,7 +113,11 @@ object Sampling {
     * integer, so split membership is bit-reproducible on any engine
     * that has md5 — the auditability contract of [[trainTestSplit]],
     * generalized past two ways. Rows keep every input column plus
-    * `splitCol`.
+    * `splitCol`. A NULL key lands in the FIRST listed part (the same
+    * fate [[trainTestSplit]] gives it — its `otherwise` branch is
+    * `train`), never in a held-out slice: without this guard the
+    * null-propagating `when` chain would fall through to the LAST
+    * part and quietly seed the eval split with identityless rows.
     */
   def splitByWeights(df: DataFrame, keyCol: String,
                      parts: Seq[(String, Int)], buckets: Int = 100,
@@ -126,7 +130,8 @@ object Sampling {
     val assign = parts.zip(cums).init.foldRight(lit(parts.last._1)) {
       case (((name, _), cum), el) => when(b < cum, lit(name)).otherwise(el)
     }
-    df.withColumn(splitCol, assign)
+    df.withColumn(splitCol,
+      when(b.isNull, lit(parts.head._1)).otherwise(assign))
   }
 
   /** The LARGEST exactly-proportioned mixture a corpus can serve by
@@ -158,8 +163,17 @@ object Sampling {
       .filter(col(sourceCol).isNotNull && col(keyCol).isNotNull)
       .withColumn("_parts", partsExpr)
       .filter(col("_parts").isNotNull)
+    // right-join the full parts list so a LISTED source with ZERO rows
+    // still constrains capacity (n = 0 → cap 0 → empty output, per the
+    // "every listed source" contract above); an agg over present rows
+    // only would silently ship a mixture missing one ingredient
+    val declared = df.sparkSession.createDataFrame(
+      parts.toSeq.map { case (s, p) => (s, p.toLong) })
+      .toDF(sourceCol, "_parts")
     val sizes = listed.groupBy(col(sourceCol), col("_parts"))
       .agg(count(lit(1)).as("_n"))
+      .join(declared, Seq(sourceCol, "_parts"), "right")
+      .withColumn("_n", coalesce(col("_n"), lit(0L)))
     // capacity: max N with floor(parts_s * N / P) <= n_s for all s,
     // i.e. N = min over s of floor(n_s * P / parts_s)
     val capacity = sizes
@@ -201,7 +215,6 @@ object Sampling {
     df.filter(col(sourceCol).isNotNull && col(keyCol).isNotNull)
       .withColumn("_bp", bpExpr)
       .filter(col("_bp").isNotNull)
-      .withColumn("_full", full)
       .withColumn("_ne", // number of epochs this ROW emits
         full + when(hashBucket(col(keyCol), 10000) < partialBp, 1L).otherwise(0L))
       // explode of the empty array drops zero-epoch rows (a key outside
@@ -210,7 +223,7 @@ object Sampling {
       .withColumn(epochCol,
         explode(when(col("_ne") > 0, sequence(lit(0L), col("_ne") - 1))
           .otherwise(array().cast("array<bigint>"))))
-      .drop("_bp", "_full", "_ne")
+      .drop("_bp", "_ne")
   }
 
   /** Fill a TOKEN budget across sources — the final assembly step of a

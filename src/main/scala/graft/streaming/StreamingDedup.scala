@@ -34,12 +34,23 @@ object StreamingDedup {
     * columns plus the `fingerprint` used for the dedup decision (the
     * downstream sink can persist it straight into the incremental-dedup
     * sidecar store).
+    *
+    * Null-text rows PASS THROUGH untouched (fingerprint null) on a
+    * stateless side branch: `dropDuplicatesWithinWatermark` treats
+    * null keys as equal, so routing them through the dedup state would
+    * keep one arbitrary null-text row per horizon and silently drop
+    * every other distinct document that happens to lack text — a
+    * dedup op must never discard rows it cannot compare.
     */
   def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
-                 watermark: String = "1 hour"): DataFrame =
-    docs
+                 watermark: String = "1 hour"): DataFrame = {
+    val fingerprinted = docs
       .withColumn("fingerprint",
         md5(graft.ops.TextAnalysis.normalizeText(col(textCol)).cast("binary")))
       .withWatermark(tsCol, watermark)
+    fingerprinted
+      .filter(col(textCol).isNotNull)
       .dropDuplicatesWithinWatermark("fingerprint")
+      .unionByName(fingerprinted.filter(col(textCol).isNull))
+  }
 }

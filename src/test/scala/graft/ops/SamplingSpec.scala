@@ -90,6 +90,24 @@ class SamplingSpec extends SparkSpec {
     got.select("id").collect().map(_.getLong(0)).toSet shouldBe again
   }
 
+  test("mixToProportions: a listed source with zero rows pins capacity to 0") {
+    val rows = ((1L to 100L).map(i => (i, "web")) ++
+      (101L to 130L).map(i => (i, "books"))).toDF("id", "src")
+    // "code" is declared in the mixture but absent from the corpus: the
+    // only exactly-7/2/1 mixture that exists is the empty one
+    Sampling.mixToProportions(rows, "src", "id",
+      Map("web" -> 7, "books" -> 2, "code" -> 1)).count() shouldBe 0L
+  }
+
+  test("splitByWeights: null keys land in the first part, never a held-out slice") {
+    val rows = Seq(Some(1L), Some(2L), None).toDF("id")
+    val bySplit = Sampling.splitByWeights(rows, "id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .filter(col("id").isNull).select("split")
+      .collect().map(_.getString(0)).toSeq
+    bySplit shouldBe Seq("train")
+  }
+
   test("epochRepeat: whole epochs for all, the partial epoch by keyspace slice") {
     val rows = (1L to 400L).map(i => (i, if (i <= 200) "rare" else "big"))
       .toDF("id", "src")

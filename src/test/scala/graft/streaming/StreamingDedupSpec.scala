@@ -54,4 +54,19 @@ class StreamingDedupSpec extends SparkSpec {
     // the documented tradeoff that keeps state bounded at scale
     kept shouldBe Set(1L, 2L, 3L)
   }
+
+  test("dedupExact: null-text rows all pass through, never deduped against each other") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.dedupExact(mem.toDF(), "text", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_null")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Doc(1L, null, ts("2024-06-25 08:00:00")),
+      Doc(2L, null, ts("2024-06-25 08:01:00")),   // distinct doc, also null text
+      Doc(3L, "real content", ts("2024-06-25 08:02:00")))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("sdedup_null").select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 2L, 3L)
+  }
 }
