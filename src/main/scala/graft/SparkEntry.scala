@@ -322,6 +322,32 @@ object SparkEntry {
         md5(graft.ops.TextAnalysis.normalizeText(col("text")).cast("binary")).as("normalized_md5"))
     }),
 
+    // PII audit: per-kind span counts on synthetically contaminated text
+    // (deterministic doc_id-modulo injection so densities vary per doc)
+    "q_pii_density" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit(" user"), col("doc_id"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit(" https://t.example/u/"), col("doc_id")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit(" 10.1."), pmod(col("doc_id"), lit(256L)), lit(".7")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit(" +1415555"), lpad(col("doc_id").cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      graft.ops.TextAnalysis.piiDensity(
+        table(s, dir, "documents").withColumn("text", withPii),
+        "doc_id", "text")
+    }),
+
+    // corpus datasheet: per (lang, source) docs, token mass, share
+    "q_composition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.corpusComposition(
+        table(s, dir, "documents"), "text", "lang", "source")),
+
     "q_langid" -> ((s, dir) =>
       table(s, dir, "documents")
         .withColumn("predicted", graft.ops.TextAnalysis.languageId(col("text")))
@@ -1586,6 +1612,63 @@ object SparkEntry {
         |)
         |SELECT ev.event_id, dim.label
         |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k""".stripMargin,
+
+    "q_pii_density" -> {
+      val piiText =
+        """text
+          | || CASE WHEN doc_id % 2 = 0
+          |    THEN ' user' || doc_id || '@mail.example.com' ELSE '' END
+          | || CASE WHEN doc_id % 3 = 0
+          |    THEN ' https://t.example/u/' || doc_id ELSE '' END
+          | || CASE WHEN doc_id % 5 = 0
+          |    THEN ' 10.1.' || doc_id % 256 || '.7' ELSE '' END
+          | || CASE WHEN doc_id % 7 = 0
+          |    THEN ' +1415555' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END"""
+          .stripMargin.replace("\n", "")
+      // one CTE stage per pattern: count on the current text, then
+      // scrub it for the next stage — same sequential attribution as
+      // TextAnalysis.piiDensity
+      val ctes = new StringBuilder(
+        s"WITH t0 AS (\n  SELECT doc_id, ($piiText) AS cur FROM documents\n" +
+          "  WHERE doc_id IS NOT NULL AND text IS NOT NULL\n)")
+      var carried = Seq.empty[String]
+      graft.ops.TextAnalysis.PiiPatterns
+        .zip(graft.ops.TextAnalysis.PiiCountNames).zipWithIndex
+        .foreach { case (((pat, repl), name), i) =>
+          val p = pat.replace("'", "''")
+          val keep = if (carried.isEmpty) "" else carried.mkString(", ", ", ", "")
+          ctes.append(
+            s""", t${i + 1} AS (
+               |  SELECT doc_id$keep,
+               |    len(regexp_extract_all(cur, '$p')) AS $name,
+               |    regexp_replace(cur, '$p', '$repl', 'g') AS cur
+               |  FROM t$i
+               |)""".stripMargin)
+          carried = carried :+ name
+        }
+      val names = graft.ops.TextAnalysis.PiiCountNames
+      ctes.append(
+        s"""
+           |SELECT doc_id, ${names.map(n => s"CAST($n AS BIGINT) AS $n").mkString(", ")},
+           |  CAST(${names.mkString(" + ")} AS BIGINT) AS n_pii
+           |FROM t${names.size}""".stripMargin)
+      ctes.toString
+    },
+
+    "q_composition" ->
+      """WITH ds AS (
+        |  SELECT lang, source,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        |  FROM ds GROUP BY 1, 2
+        |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM c)
+        |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  ROUND(n_tokens / (SELECT t FROM tot), 6) AS token_share
+        |FROM c""".stripMargin,
 
     "q_pii_scrub" -> {
       val piiText =

@@ -662,6 +662,61 @@ object TextAnalysis {
       regexp_replace(c, pat, repl)
     }
 
+  /** Canonical output column per PII pattern, in [[PiiPatterns]] order. */
+  val PiiCountNames: Seq[String] = Seq("n_email", "n_url", "n_ip", "n_phone")
+
+  /** Per-document PII span counts — the audit signal behind
+    * [[scrubPii]]: how much PII a scrub WOULD mask, per kind, which is
+    * what a corpus release review actually asks ("how many emails per
+    * 1k docs, which sources carry phone numbers"). Counts are taken
+    * SEQUENTIALLY on progressively scrubbed text, so every span is
+    * attributed to exactly the pattern that would mask it (an email's
+    * digit run never double-counts as a phone, matching the
+    * left-to-right replacement order of [[scrubPii]]).
+    * Output: (doc_id, n_email, n_url, n_ip, n_phone, n_pii).
+    *
+    * Scale posture: one chained columnar projection per doc — regex
+    * passes linear in text length, no shuffle at all until the caller
+    * aggregates. RE2-portable patterns, so the same counts reproduce
+    * in any engine ([[PiiPatterns]]'s contract).
+    */
+  def piiDensity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (counts, _) = PiiPatterns.zip(PiiCountNames)
+      .foldLeft((Seq.empty[Column], col(textCol))) {
+        case ((acc, cur), ((pat, repl), name)) =>
+          (acc :+ size(regexp_extract_all(cur, lit(pat), lit(0)))
+            .cast("long").as(name),
+            regexp_replace(cur, pat, repl))
+      }
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id") +: counts: _*)
+      .withColumn("n_pii", PiiCountNames.map(col).reduce(_ + _))
+  }
+
+  /** Corpus composition datasheet: per (lang, source) cell — document
+    * count, token mass, and share of total corpus tokens. The first
+    * table in every dataset card, and the input mixture designers
+    * weight against. Output: (lang, source, n_docs, n_tokens,
+    * token_share); null lang/source group as their own row (they are
+    * real corpus mass a datasheet must not hide).
+    *
+    * Scale posture: one token-count projection (no explode — token
+    * counting is `size(split(...))`), one map-side-combined hash agg
+    * to ≤ |langs|·|sources| cells, one 1-row broadcast total.
+    */
+  def corpusComposition(docs: DataFrame, textCol: String,
+                        langCol: String, sourceCol: String): DataFrame = {
+    val cells = docs
+      .select(col(langCol).as("lang"), col(sourceCol).as("source"),
+        size(tokens(lower(col(textCol)))).cast("long").as("_nt"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
+    val total = cells.agg(sum("n_tokens").as("_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("_total"), 6).as("token_share"))
+  }
+
   /** Word n-grams via the compact native kernel
     * ([[graft.functions.TextExpressions.WordShingles]]): semantics of
     * `array_distinct(transform(sequence(...), concat_ws(" ", …)))`, but

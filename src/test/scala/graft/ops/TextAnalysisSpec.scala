@@ -260,6 +260,35 @@ class TextAnalysisSpec extends SparkSpec {
     got(3L) shouldBe ((5L, 0L, 0.0))
   }
 
+  test("piiDensity: sequential attribution — an email never re-counts as a phone") {
+    val docs = Seq(
+      (1L, "reach me at bob+1@corp.example.org or https://ex.org/x then 10.0.0.1 or +14155550123"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiDensity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    got(1L) shouldBe ((1L, 1L, 1L, 1L, 4L))
+    got(2L) shouldBe ((0L, 0L, 0L, 0L, 0L))
+    got(3L) shouldBe ((2L, 0L, 1L, 0L, 3L))
+  }
+
+  test("corpusComposition: cells sum to the corpus; shares sum to 1") {
+    val docs = Seq(
+      ("en", "web", "a b c"), ("en", "web", "d e"), ("en", "books", "f"),
+      ("fr", "web", "g h i j"), (null, "web", "k")
+    ).toDF("lang", "source", "text")
+    val got = TextAnalysis.corpusComposition(docs, "text", "lang", "source")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    got((Some("en"), "web")) shouldBe ((2L, 5L, 0.454545))
+    got((Some("en"), "books")) shouldBe ((1L, 1L, 0.090909))
+    got((Some("fr"), "web")) shouldBe ((1L, 4L, 0.363636))
+    got((None, "web")) shouldBe ((1L, 1L, 0.090909)) // null lang is real mass
+    got.values.map(_._2).sum shouldBe 11L
+  }
+
   test("frequentNgrams: df over instances, deterministic tie order") {
     val docs = Seq(
       (1L, "x y z x y z"),  // bigram "x y" twice here (2 instances, 1 df)
