@@ -804,6 +804,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.duplicatedNgramShare(
         table(s, dir, "documents"), "doc_id", "text", n = 5)),
 
+    // ExactSubstr-style duplicated spans: maximal runs of inter-doc
+    // duplicated 5-grams, the ranges a span-level dedup would cut
+    "q_dup_spans" -> ((s, dir) =>
+      graft.ops.TextAnalysis.duplicatedSpans(
+        table(s, dir, "documents"), "doc_id", "text", n = 5, minRun = 2)),
+
     // DSIR importance score: hashed-unigram log-likelihood ratio of the
     // lang='en' target LM vs the raw-corpus LM, Laplace-smoothed
     "q_dsir" -> ((s, dir) =>
@@ -2307,6 +2313,30 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  (reasons = '') AS keep, reasons
          |FROM v""".stripMargin,
+
+    "q_dup_spans" ->
+      s"""$docToks, base AS (
+         |  SELECT doc_id, toks, len(toks) AS nt FROM d
+         |  WHERE doc_id IS NOT NULL AND len(toks) >= 5
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i + 4], ' ') AS gm
+         |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 3)) AS i FROM base)
+         |), dup AS (
+         |  SELECT gm FROM (SELECT DISTINCT doc_id, gm FROM g)
+         |  GROUP BY gm HAVING COUNT(*) >= 2
+         |), dp AS (
+         |  SELECT g.doc_id, g.pos,
+         |         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+         |  FROM g JOIN dup USING (gm)
+         |), sp AS (
+         |  SELECT doc_id, MIN(pos) AS start_tok, COUNT(*) AS run,
+         |         MAX(pos) + 4 AS end_tok
+         |  FROM dp GROUP BY doc_id, island
+         |)
+         |SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(end_tok AS BIGINT) AS end_tok,
+         |  CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens_span
+         |FROM sp WHERE run >= 2""".stripMargin,
 
     "q_dsir" ->
       s"""$docToks, x AS (

@@ -373,6 +373,60 @@ object TextAnalysis {
         (col("reasons") === "").as("keep"), col("reasons"))
   }
 
+  /** Duplicated-SPAN extraction — the actionable form of
+    * [[duplicatedNgramShare]]: contiguous token ranges whose every
+    * `n`-gram also appears in at least one OTHER document, i.e. the
+    * spans an ExactSubstr-style dedup (Lee et al. 2022) would cut.
+    * A maximal run of k consecutive inter-doc-duplicated n-gram
+    * positions covers tokens `[start, start + k + n - 2]` (0-based,
+    * inclusive), which is exactly the guarantee "every n-token window
+    * inside the span exists elsewhere"; spans shorter than `n + minRun
+    * - 1` tokens (runs shorter than `minRun` grams) are noise and are
+    * dropped. Output: (doc_id, start_tok, end_tok, n_tokens_span),
+    * one row per maximal span.
+    *
+    * Spans are found by gaps-and-islands over duplicated gram
+    * positions: `island = pos - rank(pos)` is constant exactly on
+    * consecutive-position runs. The rank window partitions by doc —
+    * bounded by tokens-per-doc, never corpus-wide (the skew ceiling is
+    * the longest DOCUMENT, not the biggest corpus).
+    *
+    * Scale posture: same inverted-index shape as
+    * [[duplicatedNgramShare]] (per-doc collapse before the gram→ndocs
+    * count, so hot grams cost one row per containing doc), plus a
+    * broadcast-or-shuffle equi-join of positions to the dup-gram set
+    * and one per-doc window. Nothing pairwise anywhere.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minRun: Int = 2): DataFrame = {
+    require(n >= 2 && minRun >= 1, "need n >= 2 and minRun >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+    val positioned = base.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, size(_toks) - $n)," +
+        s" i -> array_join(slice(_toks, i + 1, $n), ' '))")).as(Seq("_pos", "_g")))
+    val gramDocs = positioned
+      .select(col("doc_id"), col("_g")).distinct()
+      .groupBy("_g").agg(count(lit(1)).as("_ndocs"))
+      .filter(col("_ndocs") >= 2)
+      .select("_g")
+    val dupPos = positioned.join(gramDocs, "_g")
+      .select(col("doc_id"), col("_pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
+    dupPos
+      .withColumn("_island", col("_pos") - row_number().over(w))
+      .groupBy("doc_id", "_island")
+      .agg(min("_pos").as("start_tok"), count(lit(1)).as("_run"),
+        (max("_pos") + lit(n - 1)).as("end_tok"))
+      .filter(col("_run") >= minRun)
+      .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).cast("long").as("n_tokens_span"))
+  }
+
   /** DSIR-style importance score (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): each document scores
     * by its average per-token log-likelihood ratio between a TARGET

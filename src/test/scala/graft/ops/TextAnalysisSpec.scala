@@ -331,6 +331,36 @@ class TextAnalysisSpec extends SparkSpec {
     got(5L)._2 should include ("low_stopword")
   }
 
+  test("duplicatedSpans: maximal islands with correct token extents") {
+    val shared = "one two three four five six seven" // 7 tokens: 6 bigram positions
+    val docs = Seq(
+      (1L, s"intro $shared outro closing words here"),
+      (2L, s"other text then $shared trailing bit"),
+      (3L, "nothing shared with anybody at all today")
+    ).toDF("doc_id", "text")
+    // n=2: doc1 dup bigrams at positions 1..6 ("one two".."six seven");
+    // "intro one" and "seven outro" exist only in doc1 -> excluded, so
+    // the island is exactly [1..6] grams covering tokens [1, 7]
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", n = 2, minRun = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe ((1L, 7L, 7L))  // tokens 1..7 = the shared phrase
+    got(2L) shouldBe ((3L, 9L, 7L))  // shifted by its 3-token prefix
+  }
+
+  test("duplicatedSpans: two separated runs stay two spans; short runs drop") {
+    val docs = Seq(
+      (1L, "aa bb cc xx yy dd ee ff"),  // shares aa-bb-cc and dd-ee-ff with doc2
+      (2L, "aa bb cc qq ww dd ee ff"),
+      (3L, "zz aa ss tt uu vv ww xx")   // "aa" alone: 1-gram runs only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", n = 2, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc1: "aa bb","bb cc" at pos 0,1 -> span [0,2]; "dd ee","ee ff" at 5,6 -> [5,7]
+    got shouldBe Set((1L, 0L, 2L), (1L, 5L, 7L), (2L, 0L, 2L), (2L, 5L, 7L))
+  }
+
   test("dsirScores: target-vocab docs score positive, off-target negative") {
     // token counts must DOMINATE the +1-over-128-buckets smoothing: with
     // only a handful of tokens the Laplace prior (tc+1)/(rc+1) ≈ 3/5
