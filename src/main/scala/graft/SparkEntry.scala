@@ -810,6 +810,11 @@ object SparkEntry {
       graft.ops.TextAnalysis.duplicatedSpans(
         table(s, dir, "documents"), "doc_id", "text", n = 5, minRun = 2)),
 
+    // ...and the cutter itself: rebuild docs with those spans removed
+    "q_span_dedup" -> ((s, dir) =>
+      graft.ops.TextAnalysis.removeDuplicatedSpans(
+        table(s, dir, "documents"), "doc_id", "text", n = 5, minRun = 2)),
+
     // DSIR importance score: hashed-unigram log-likelihood ratio of the
     // lang='en' target LM vs the raw-corpus LM, Laplace-smoothed
     "q_dsir" -> ((s, dir) =>
@@ -2337,6 +2342,44 @@ object SparkEntry {
          |  CAST(end_tok AS BIGINT) AS end_tok,
          |  CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens_span
          |FROM sp WHERE run >= 2""".stripMargin,
+
+    "q_span_dedup" ->
+      s"""$docToks, base AS (
+         |  SELECT doc_id, toks, len(toks) AS nt FROM d
+         |  WHERE doc_id IS NOT NULL AND len(toks) >= 5
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i + 4], ' ') AS gm
+         |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 3)) AS i FROM base)
+         |), dup AS (
+         |  SELECT gm FROM (SELECT DISTINCT doc_id, gm FROM g)
+         |  GROUP BY gm HAVING COUNT(*) >= 2
+         |), dp AS (
+         |  SELECT g.doc_id, g.pos,
+         |         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+         |  FROM g JOIN dup USING (gm)
+         |), sp AS (
+         |  SELECT doc_id, MIN(pos) AS start_tok, COUNT(*) AS run,
+         |         MAX(pos) + 4 AS end_tok
+         |  FROM dp GROUP BY doc_id, island
+         |), cov AS (
+         |  SELECT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
+         |  FROM sp WHERE run >= 2
+         |), allb AS (
+         |  SELECT doc_id, toks, len(toks) AS nt FROM d WHERE doc_id IS NOT NULL
+         |), pos AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(range(1, nt + 1)) AS i FROM allb)
+         |), kept AS (
+         |  SELECT p.doc_id, COUNT(*) AS nk,
+         |         string_agg(p.tok, ' ' ORDER BY p.pos) AS clean
+         |  FROM pos p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+         |  GROUP BY 1
+         |)
+         |SELECT b.doc_id,
+         |  CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_tokens_kept,
+         |  CAST(b.nt - COALESCE(k.nk, 0) AS BIGINT) AS n_tokens_removed,
+         |  md5(COALESCE(k.clean, '')) AS clean_md5
+         |FROM allb b LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_dsir" ->
       s"""$docToks, x AS (

@@ -427,6 +427,51 @@ object TextAnalysis {
         (col("end_tok") - col("start_tok") + 1).cast("long").as("n_tokens_span"))
   }
 
+  /** Span-level dedup TRANSFORM — applies [[duplicatedSpans]]'s cut
+    * list: every token covered by a duplicated span is removed and the
+    * survivors rejoin in original order. This is the ExactSubstr
+    * deletion step itself (Lee et al. 2022 delete the duplicated span,
+    * not the document): boilerplate vanishes, the unique prose stays.
+    * The rebuilt text is the LOWERCASED token stream (this engine's
+    * dedup family normalizes first; a byte-exact rebuild would need
+    * the original whitespace, which tokenization deliberately folds).
+    * Docs with no spans (including sub-`n`-token docs) pass through
+    * complete. Output: (doc_id, n_tokens_kept, n_tokens_removed,
+    * clean_md5) — the md5 stands in for the rebuilt text so the frame
+    * stays narrow; swap the final projection for `clean_text` when the
+    * actual corpus is being written.
+    *
+    * Scale posture: [[duplicatedSpans]]'s shape plus a position-level
+    * anti-join (doc-keyed equi-join — covered positions are ≤ doc
+    * length) and one per-doc ordered collect bounded by doc length.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, minRun: Int = 2): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .withColumn("_nt", size(col("_toks")).cast("long"))
+    val covered = duplicatedSpans(docs, idCol, textCol, n, minRun)
+      .select(col("doc_id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("_pos"))
+    val positioned = base
+      .select(col("doc_id"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .withColumn("_pos", col("_pos").cast("long"))
+    val kept = positioned
+      .join(covered, Seq("doc_id", "_pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_nk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("_clean"))
+    base.select(col("doc_id"), col("_nt"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nk"), lit(0L)).as("n_tokens_kept"),
+        (col("_nt") - coalesce(col("_nk"), lit(0L))).as("n_tokens_removed"),
+        md5(coalesce(col("_clean"), lit("")).cast("binary")).as("clean_md5"))
+  }
+
   /** DSIR-style importance score (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): each document scores
     * by its average per-token log-likelihood ratio between a TARGET

@@ -361,6 +361,27 @@ class TextAnalysisSpec extends SparkSpec {
     got shouldBe Set((1L, 0L, 2L), (1L, 5L, 7L), (2L, 0L, 2L), (2L, 5L, 7L))
   }
 
+  test("removeDuplicatedSpans cuts exactly the spans; untouched docs survive whole") {
+    val docs = Seq(
+      (1L, "aa bb cc xx yy dd ee ff"),
+      (2L, "aa bb cc qq ww dd ee ff"),
+      (3L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text", n = 2, minRun = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc1 spans [0,2] and [5,7] -> kept tokens "xx yy"; doc2 -> "qq ww"
+    got(1L)._1 shouldBe 2L
+    got(1L)._2 shouldBe 6L
+    got(1L)._3 shouldBe md5hex("xx yy")
+    got(2L)._3 shouldBe md5hex("qq ww")
+    got(3L) shouldBe ((5L, 0L, md5hex("totally unique words only here")))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("dsirScores: target-vocab docs score positive, off-target negative") {
     // token counts must DOMINATE the +1-over-128-buckets smoothing: with
     // only a handful of tokens the Laplace prior (tc+1)/(rc+1) ≈ 3/5
