@@ -103,11 +103,14 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
 
     // which sources duplicate each other: near-dup pair counts per
-    // unordered source pair (diagonal = within-source duplication)
+    // unordered source pair (diagonal = within-source duplication).
+    // maxDf bounds hot-shingle fanout — measured 10x: 419 s unbounded
+    // vs seconds bounded, hash-identical output (near-dup pairs always
+    // share rare shingles; stopword-grams only ever generated noise)
     "q_overlap_matrix" -> ((s, dir) =>
       graft.ops.Dedup.sourceOverlapMatrix(
         table(s, dir, "documents"), "doc_id", "text", "source",
-        n = 3, tau = 0.3)),
+        n = 3, tau = 0.3, maxDf = Some(50))),
 
     // df-bounded inverted index (the 10^9-doc knob) — must hash-match the
     // same exact oracle: candidates shrink, scores stay full-set exact
@@ -1674,11 +1677,12 @@ object SparkEntry {
         |  FROM documents
         |), c AS (
         |  SELECT lang, source, COUNT(*) AS n_docs,
-        |         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        |         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS n_tokens
         |  FROM ds GROUP BY 1, 2
         |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM c)
         |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
-        |  ROUND(n_tokens / (SELECT t FROM tot), 6) AS token_share
+        |  CAST(n_tokens * 1000000 // (SELECT t FROM tot) AS BIGINT)
+        |    AS token_share_ppm
         |FROM c""".stripMargin,
 
     "q_pii_scrub" -> {
@@ -2365,7 +2369,9 @@ object SparkEntry {
          |  SELECT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
          |  FROM sp WHERE run >= 2
          |), allb AS (
-         |  SELECT doc_id, toks, len(toks) AS nt FROM d WHERE doc_id IS NOT NULL
+         |  -- null text keeps its row (rebuilds empty), mirroring the op
+         |  SELECT doc_id, toks, COALESCE(len(toks), 0) AS nt FROM d
+         |  WHERE doc_id IS NOT NULL
          |), pos AS (
          |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
          |  FROM (SELECT doc_id, toks, unnest(range(1, nt + 1)) AS i FROM allb)

@@ -398,14 +398,21 @@ object TextAnalysis {
     * and one per-doc window. Nothing pairwise anywhere.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 5, minRun: Int = 2): DataFrame = {
+                      n: Int = 5, minRun: Int = 2): DataFrame =
+    dupSpanIslands(docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks")),
+      n, minRun)
+
+  /** Island detection over a tokenized (doc_id, _toks) frame — shared
+    * by [[duplicatedSpans]] and [[removeDuplicatedSpans]] so both
+    * derive from ONE tokenization definition.
+    */
+  private def dupSpanIslands(base: DataFrame, n: Int, minRun: Int): DataFrame = {
     require(n >= 2 && minRun >= 1, "need n >= 2 and minRun >= 1")
     import org.apache.spark.sql.expressions.Window
-    val base = docs
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
-      .filter(size(col("_toks")) >= n)
-    val positioned = base.select(col("doc_id"), posexplode(expr(
+    val eligible = base.filter(size(col("_toks")) >= n)
+    val positioned = eligible.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, size(_toks) - $n)," +
         s" i -> array_join(slice(_toks, i + 1, $n), ' '))")).as(Seq("_pos", "_g")))
     val gramDocs = positioned
@@ -435,8 +442,10 @@ object TextAnalysis {
     * The rebuilt text is the LOWERCASED token stream (this engine's
     * dedup family normalizes first; a byte-exact rebuild would need
     * the original whitespace, which tokenization deliberately folds).
-    * Docs with no spans (including sub-`n`-token docs) pass through
-    * complete. Output: (doc_id, n_tokens_kept, n_tokens_removed,
+    * Docs with no spans pass through complete — sub-`n`-token docs AND
+    * null-text docs included (a corpus-rebuild transform must never
+    * silently delete a document; null text rebuilds as the empty
+    * string). Output: (doc_id, n_tokens_kept, n_tokens_removed,
     * clean_md5) — the md5 stands in for the rebuilt text so the frame
     * stays narrow; swap the final projection for `clean_text` when the
     * actual corpus is being written.
@@ -444,14 +453,19 @@ object TextAnalysis {
     * Scale posture: [[duplicatedSpans]]'s shape plus a position-level
     * anti-join (doc-keyed equi-join — covered positions are ≤ doc
     * length) and one per-doc ordered collect bounded by doc length.
+    * The tokenized base frame is defined ONCE and feeds both the span
+    * finder and the rebuild; execution is still two passes over it
+    * (the finder's corpus-wide gram count must complete before the
+    * anti-join), which is inherent to the algorithm, not the plan.
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 5, minRun: Int = 2): DataFrame = {
     val base = docs
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        tokens(lower(coalesce(col(textCol), lit("")))).as("_toks"))
       .withColumn("_nt", size(col("_toks")).cast("long"))
-    val covered = duplicatedSpans(docs, idCol, textCol, n, minRun)
+    val covered = dupSpanIslands(base.select("doc_id", "_toks"), n, minRun)
       .select(col("doc_id"),
         explode(sequence(col("start_tok"), col("end_tok"))).as("_pos"))
     val positioned = base
@@ -793,27 +807,35 @@ object TextAnalysis {
   }
 
   /** Corpus composition datasheet: per (lang, source) cell — document
-    * count, token mass, and share of total corpus tokens. The first
-    * table in every dataset card, and the input mixture designers
-    * weight against. Output: (lang, source, n_docs, n_tokens,
-    * token_share); null lang/source group as their own row (they are
-    * real corpus mass a datasheet must not hide).
+    * count, token mass, and share of total corpus tokens in exact
+    * integer parts-per-million. The first table in every dataset card,
+    * and the input mixture designers weight against. Output: (lang,
+    * source, n_docs, n_tokens, token_share_ppm); null lang/source
+    * group as their own row (they are real corpus mass a datasheet
+    * must not hide).
     *
-    * Scale posture: one token-count projection (no explode — token
-    * counting is `size(split(...))`), one map-side-combined hash agg
-    * to ≤ |langs|·|sources| cells, one 1-row broadcast total.
+    * Scale posture: one token-count projection ([[tokenCount]]'s
+    * single regexp pass — no token array, no explode), one
+    * map-side-combined hash agg to ≤ |langs|·|sources| cells, one
+    * 1-row broadcast total.
     */
   def corpusComposition(docs: DataFrame, textCol: String,
                         langCol: String, sourceCol: String): DataFrame = {
     val cells = docs
       .select(col(langCol).as("lang"), col(sourceCol).as("source"),
-        size(tokens(lower(col(textCol)))).cast("long").as("_nt"))
+        tokenCount(col(textCol)).cast("long").as("_nt"))
       .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("_nt"), lit(0L)).as("n_tokens"))
     val total = cells.agg(sum("n_tokens").as("_total"))
+    // share in exact integer PPM via decimal intdiv — a rounded double
+    // quotient would sit a .5 boundary away from a hash mismatch
+    // (tools/check.py compares floats exactly), and a plain long
+    // multiply overflows past ~9e12 tokens per cell
     cells.crossJoin(broadcast(total))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens") / col("_total"), 6).as("token_share"))
+        floor(col("n_tokens").cast("decimal(38,0)") * lit(1000000) /
+          col("_total").cast("decimal(38,0)")).cast("long").as("token_share_ppm"))
   }
 
   /** Word n-grams via the compact native kernel

@@ -274,18 +274,18 @@ class TextAnalysisSpec extends SparkSpec {
     got(3L) shouldBe ((2L, 0L, 1L, 0L, 3L))
   }
 
-  test("corpusComposition: cells sum to the corpus; shares sum to 1") {
+  test("corpusComposition: cells sum to the corpus; integer ppm shares") {
     val docs = Seq(
       ("en", "web", "a b c"), ("en", "web", "d e"), ("en", "books", "f"),
       ("fr", "web", "g h i j"), (null, "web", "k")
     ).toDF("lang", "source", "text")
     val got = TextAnalysis.corpusComposition(docs, "text", "lang", "source")
       .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    got((Some("en"), "web")) shouldBe ((2L, 5L, 0.454545))
-    got((Some("en"), "books")) shouldBe ((1L, 1L, 0.090909))
-    got((Some("fr"), "web")) shouldBe ((1L, 4L, 0.363636))
-    got((None, "web")) shouldBe ((1L, 1L, 0.090909)) // null lang is real mass
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got((Some("en"), "web")) shouldBe ((2L, 5L, 454545L))   // floor(5e6/11)
+    got((Some("en"), "books")) shouldBe ((1L, 1L, 90909L))
+    got((Some("fr"), "web")) shouldBe ((1L, 4L, 363636L))
+    got((None, "web")) shouldBe ((1L, 1L, 90909L)) // null lang is real mass
     got.values.map(_._2).sum shouldBe 11L
   }
 
@@ -365,7 +365,8 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (1L, "aa bb cc xx yy dd ee ff"),
       (2L, "aa bb cc qq ww dd ee ff"),
-      (3L, "totally unique words only here")
+      (3L, "totally unique words only here"),
+      (4L, null.asInstanceOf[String])  // must survive, rebuilt empty
     ).toDF("doc_id", "text")
     val got = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text", n = 2, minRun = 2)
       .collect().map(r => r.getLong(0) ->
@@ -376,6 +377,7 @@ class TextAnalysisSpec extends SparkSpec {
     got(1L)._3 shouldBe md5hex("xx yy")
     got(2L)._3 shouldBe md5hex("qq ww")
     got(3L) shouldBe ((5L, 0L, md5hex("totally unique words only here")))
+    got(4L) shouldBe ((0L, 0L, md5hex("")))
   }
 
   private def md5hex(s: String): String =
