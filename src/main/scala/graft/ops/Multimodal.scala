@@ -180,13 +180,57 @@ object Multimodal {
   }
 
   /** "Resize" stub: deterministic byte decimation to `targetBytes` —
-    * stands in for an image resize; keeps the binary-in/binary-out
-    * column contract.
+    * the fallback for formats the JDK cannot re-encode (video
+    * containers); real image resize lives in [[resizeImage]] /
+    * [[resizeImages]]. Keeps the binary-in/binary-out column contract.
     */
   def resizeStub(df: DataFrame, contentCol: String, targetBytes: Int): DataFrame = {
     require(targetBytes > 0)
     // columnar slice (codegen'd) — a real resize would be a mapPartitions
     df.withColumn(contentCol, expr(s"substring($contentCol, 1, $targetBytes)"))
+  }
+
+  /** REAL image resize via the JDK (headless-safe): decode with
+    * `ImageIO`, bilinear-draw onto a `w`×`h` RGB canvas, re-encode as
+    * PNG. `None` when ImageIO has no reader for the payload — callers
+    * route those to [[resizeStub]] or pass them through.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch image resize over the typed media stream: decodable images
+    * come back as `w`×`h` PNGs, everything else passes through
+    * unchanged (a resize pipeline must never drop or corrupt the
+    * non-image rows riding the same column). `mapPartitions`-style
+    * typed map — one decoder per row, executor-parallel, no driver
+    * involvement.
+    */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    require(w > 0 && h > 0)
+    import media.sparkSession.implicits._
+    media.map { r =>
+      resizeImage(r.content, w, h) match {
+        case Some(resized) => r.copy(content = resized)
+        case None          => r
+      }
+    }
   }
 
   /** Columnar metadata ops — no decode needed, stays in codegen. */

@@ -200,4 +200,37 @@ class MultimodalSpec extends SparkSpec {
     got(2L).duration_ms shouldBe 1000L
     got(3L).format shouldBe "unknown"
   }
+
+  test("resizeImage: real JDK resize — output is a PNG of the target size, content preserved") {
+    // TOP-black / BOTTOM-white so the row-major luminance buckets split
+    // cleanly (a left/right split mixes inside every bucket)
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 2) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+
+    val resized = Multimodal.resizeImage(out.toByteArray, 4, 2).get
+    val (fmt, w, h, _, _, _) = Multimodal.probeHeader(resized)
+    (fmt, w, h) shouldBe (("png", 4, 2))
+    val feats = Multimodal.decodeImageFeatures(resized, 2).get
+    feats(0) should be < 0.3f  // top row stays dark
+    feats(1) should be > 0.7f  // bottom row stays bright
+    // non-image payloads are not resizable
+    Multimodal.resizeImage(Array[Byte](1, 2, 3), 4, 2) shouldBe None
+  }
+
+  test("resizeImages: images resized in place, non-image rows pass through untouched") {
+    import spark.implicits._
+    val wav = realWav(1600)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, realPng(8, 4),
+        Multimodal.MediaMeta("png", 8, 4, -1, -1L)),
+      Multimodal.MediaRecord(2L, wav,
+        Multimodal.MediaMeta("wav", -1, -1, 8000, 100L))).toDS()
+    val got = Multimodal.resizeImages(rows, 4, 2)
+      .collect().map(r => r.media_id -> r.content).toMap
+    Multimodal.probeHeader(got(1L))._2 shouldBe 4
+    got(2L) shouldBe wav // byte-identical passthrough
+  }
 }
