@@ -383,7 +383,12 @@ object TextAnalysis {
     * inside the span exists elsewhere"; spans shorter than `n + minRun
     * - 1` tokens (runs shorter than `minRun` grams) are noise and are
     * dropped. Output: (doc_id, start_tok, end_tok, n_tokens_span),
-    * one row per maximal span.
+    * one row per maximal span. Maximality is at the GRAM-run level:
+    * two runs separated by a single non-duplicated gram position emit
+    * two spans whose token extents can overlap by up to `n - 2`
+    * tokens (each run's last gram extends `n - 1` tokens past its
+    * start) — consumers cutting text must union extents, as
+    * [[removeDuplicatedSpans]] does.
     *
     * Spans are found by gaps-and-islands over duplicated gram
     * positions: `island = pos - rank(pos)` is constant exactly on

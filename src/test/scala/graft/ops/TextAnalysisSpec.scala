@@ -384,6 +384,65 @@ class TextAnalysisSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("span family properties on a seeded random corpus vs independent recomputation") {
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 40L).map { i =>
+      val len = 10 + rnd.nextInt(21)
+      i -> Seq.fill(len)("w" + rnd.nextInt(12)).mkString(" ")
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val n = 3
+
+    // independent ground truth: gram -> set of docs containing it
+    val toksOf = corpus.toMap.view.mapValues(_.split("\\s+").toSeq).toMap
+    val gramDocs = corpus.flatMap { case (id, _) =>
+      toksOf(id).sliding(n).map(_.mkString(" ")).distinct.map(g => (g, id))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def isDupPos(id: Long, p: Int): Boolean = {
+      val g = toksOf(id).slice(p, p + n).mkString(" ")
+      (gramDocs(g) - id).nonEmpty
+    }
+
+    val spans = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", n = n, minRun = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+    // every span in bounds, covering only dup gram positions, and MAXIMAL
+    spans.foreach { case (id, s, e) =>
+      val nt = toksOf(id).size
+      assert(s >= 0 && e < nt && e - s + 1 >= n)
+      (s to e - n + 1).foreach(p => assert(isDupPos(id, p), s"pos $p of doc $id"))
+      if (s > 0) assert(!isDupPos(id, s - 1), s"span of doc $id not left-maximal")
+      if (e - n + 1 < nt - n) assert(!isDupPos(id, e - n + 2), s"doc $id not right-maximal")
+    }
+    // gram RUNS of one doc are disjoint with a gap >= 1 (token extents
+    // may overlap by up to n-2 — the documented contract; the cutter
+    // unions extents)
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(s2 - (e1 - n + 1) >= 2)
+        case _ =>
+      }
+    }
+    // completeness: every dup position is covered by some span
+    corpus.foreach { case (id, _) =>
+      val covered = spans.filter(_._1 == id)
+        .flatMap { case (_, s, e) => (s to e - n + 1) }.toSet
+      (0 to toksOf(id).size - n).foreach { p =>
+        assert(isDupPos(id, p) == covered.contains(p), s"doc $id pos $p")
+      }
+    }
+    // bookkeeping of the cutter: kept + removed == n_tokens, removal ==
+    // the union of span token extents
+    val rebuilt = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text",
+      n = n, minRun = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    corpus.foreach { case (id, _) =>
+      val nt = toksOf(id).size
+      val cut = spans.filter(_._1 == id)
+        .flatMap { case (_, s, e) => (s to e) }.toSet.size
+      rebuilt(id) shouldBe ((nt.toLong - cut, cut.toLong))
+    }
+  }
+
   test("dsirScores: target-vocab docs score positive, off-target negative") {
     // token counts must DOMINATE the +1-over-128-buckets smoothing: with
     // only a handful of tokens the Laplace prior (tc+1)/(rc+1) ≈ 3/5
