@@ -899,7 +899,32 @@ object SparkEntry {
         .agg(max("n24").as("max_events_24h"),
           round(sum("value"), 2).as("total_value"),
           countDistinct("event_type").as("n_types"))
-    }))
+    }),
+
+    // market-basket association rules over order→part baskets:
+    // support / confidence / lift, ratios as integer PPM
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.ops.Graph.associationRules(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)),
+
+    // triangle enumeration on the co-purchase co-occurrence graph
+    "q_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangles(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)),
+
+    // PageRank over the co-purchase digraph — exact integer ppm
+    // arithmetic, 3 iterations; oracle unrolls the same recurrence
+    "q_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(
+        graft.ops.Graph.cooccurrenceDigraph(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+        "src", "dst", iters = 3)),
+
+    // KMV distinct-count sketch: distinct parts per return flag —
+    // deterministic md5 order statistics, reproduced exactly in SQL
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketch.kmvDistinct(
+        table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)))
 
   /** Shared DuckDB CTE: tokenization identical to `TextAnalysis.tokens`
     * (split on `\s+`, drop empties) over the documents table.
@@ -2516,5 +2541,127 @@ object SparkEntry {
         |SELECT user_id, MAX(n24) AS max_events_24h,
         |  ROUND(SUM(value), 2) AS total_value,
         |  COUNT(DISTINCT event_type) AS n_types
-        |FROM tw GROUP BY 1""".stripMargin)
+        |FROM tw GROUP BY 1""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b, COUNT(*) AS pair_cnt
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3
+        |), icnt AS (
+        |  SELECT item, COUNT(*) AS item_cnt FROM inc2 GROUP BY 1
+        |), nb AS (
+        |  SELECT COUNT(DISTINCT basket) AS n_baskets FROM inc2
+        |), directed AS (
+        |  SELECT a AS antecedent, b AS consequent, pair_cnt AS support FROM edges
+        |  UNION ALL
+        |  SELECT b, a, pair_cnt FROM edges
+        |)
+        |SELECT d.antecedent, d.consequent, d.support, ia.item_cnt AS cnt_ante,
+        |  CAST(round(1000000.0 * (d.support::DOUBLE / ia.item_cnt::DOUBLE)) AS BIGINT) AS conf_ppm,
+        |  CAST(round(1000000.0 * ((d.support * nb.n_baskets)::DOUBLE
+        |    / (ia.item_cnt * ic.item_cnt)::DOUBLE)) AS BIGINT) AS lift_ppm
+        |FROM directed d
+        |JOIN icnt ia ON ia.item = d.antecedent
+        |JOIN icnt ic ON ic.item = d.consequent
+        |CROSS JOIN nb""".stripMargin,
+
+    "q_triangles" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |)
+        |SELECT e1.a, e1.b, e2.b AS c
+        |FROM edges e1
+        |JOIN edges e2 ON e1.b = e2.a
+        |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), und AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM und
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), r0 AS (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+        |), s1 AS (
+        |  SELECT e.dst AS node, CAST(SUM(r0.r // deg.out_deg) AS BIGINT) AS c
+        |  FROM r0 JOIN e ON r0.node = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY 1
+        |), r1 AS (
+        |  SELECT n.node,
+        |    CAST(150000 + (COALESCE(s1.c, 0) * 850000) // 1000000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN s1 USING (node)
+        |), s2 AS (
+        |  SELECT e.dst AS node, CAST(SUM(r1.r // deg.out_deg) AS BIGINT) AS c
+        |  FROM r1 JOIN e ON r1.node = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT n.node,
+        |    CAST(150000 + (COALESCE(s2.c, 0) * 850000) // 1000000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN s2 USING (node)
+        |), s3 AS (
+        |  SELECT e.dst AS node, CAST(SUM(r2.r // deg.out_deg) AS BIGINT) AS c
+        |  FROM r2 JOIN e ON r2.node = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY 1
+        |)
+        |SELECT n.node,
+        |  CAST(150000 + (COALESCE(s3.c, 0) * 850000) // 1000000 AS BIGINT) AS rank_ppm
+        |FROM nodes n LEFT JOIN s3 USING (node)""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS group_key,
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 13))::BIGINT AS hv
+        |  FROM lineitem
+        |  WHERE l_partkey IS NOT NULL
+        |), r AS (
+        |  SELECT group_key, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY group_key) AS nd
+        |  FROM h
+        |)
+        |SELECT group_key,
+        |  CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       ELSE 63 * 4503599627370496 // MAX(CASE WHEN rn = 64 THEN hv END)
+        |       END AS BIGINT) AS est_distinct
+        |FROM r GROUP BY 1""".stripMargin)
 }

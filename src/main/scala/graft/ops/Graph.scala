@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence graph analytics over basket-shaped data: association
+  * rules (support / confidence / lift) and triangle enumeration on the
+  * co-occurrence edge set. The baskets here are orders (items = parts,
+  * the reference's star schema re-used as a market-basket corpus); the
+  * same shapes serve session→track baskets or doc→shingle incidence.
+  *
+  * Scale discipline shared by the family:
+  *
+  *  - The pair explosion is C(k,2) PER BASKET, so the one thing that
+  *    must never reach the exchange is a mega-basket: `maxBasketSize`
+  *    drops baskets above the bound BEFORE pairing (the standard
+  *    frequent-itemset hygiene step — a 10⁵-item basket contributes
+  *    5·10⁹ pairs and zero statistical signal). With the bound, pair
+  *    volume is ≤ (maxBasketSize−1)/2 × input rows — linear.
+  *  - `minSupport` is applied in the FIRST aggregation after pairing,
+  *    so downstream joins (rule stats, triangle closure) see only the
+  *    support-filtered edge set, which is orders of magnitude smaller
+  *    than the raw pair multiset.
+  *  - Per-item counts are a tiny frame (≤ |vocabulary| rows) and are
+  *    broadcast; the pair→rule join never shuffles the big side twice.
+  *
+  * Ratio outputs (confidence, lift) are emitted as integer PPM
+  * (`round(1e6·x)` → BIGINT) so results hash-match a DuckDB oracle
+  * bit-for-bit: long→double casts are exact under 2^53, the division
+  * tree is written identically on both engines, and `round()` is
+  * half-away-from-zero in both.
+  */
+object Graph {
+
+  /** Distinct (basket, item) incidence with the mega-basket guard
+    * applied. Null baskets/items are dropped (they identify nothing).
+    */
+  private def incidence(df: DataFrame, basketCol: String, itemCol: String,
+                        maxBasketSize: Int): DataFrame = {
+    val b = col(basketCol); val i = col(itemCol)
+    val inc = df.filter(b.isNotNull && i.isNotNull)
+      .select(b.as("basket"), i.as("item")).distinct()
+    val sizes = inc.groupBy("basket").agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBasketSize)
+      .select("basket")
+    // sizes is one row per surviving basket — at most |baskets|, and the
+    // join key is the incidence frame's own shuffle key, so this is a
+    // cheap semi-join that co-partitions with the pairing self-join below
+    inc.join(sizes, Seq("basket"), "left_semi")
+  }
+
+  /** Co-occurrence edges: unordered item pairs (a < b) that share a
+    * basket, with the number of shared baskets as `pair_cnt`, kept when
+    * `pair_cnt >= minSupport`. One self-join on the basket key — both
+    * sides hash-partition on `basket`, so the join is co-located after
+    * a single exchange of the (deduplicated, bounded) incidence frame.
+    * Output: (a, b, pair_cnt).
+    */
+  def cooccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String,
+                        minSupport: Long = 2L,
+                        maxBasketSize: Int = 1000): DataFrame = {
+    val inc = incidence(df, basketCol, itemCol, maxBasketSize)
+    val l = inc.select(col("basket"), col("item").as("a"))
+    val r = inc.select(col("basket"), col("item").as("b"))
+    l.join(r, Seq("basket"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+  }
+
+  /** Association rules from co-occurring pairs, both directions per
+    * edge. For the rule a→b with `sup` shared baskets, `cnt_a` baskets
+    * containing a, `cnt_b` containing b, and `n` total baskets:
+    *
+    *   confidence = sup / cnt_a            (emitted as conf_ppm)
+    *   lift       = sup·n / (cnt_a·cnt_b)  (emitted as lift_ppm)
+    *
+    * Output: (antecedent, consequent, support, cnt_ante, conf_ppm,
+    * lift_ppm), support >= minSupport.
+    *
+    * Plan shape: the edge set is already support-filtered (small); the
+    * per-item basket counts and the total-basket count are broadcast,
+    * so rule scoring adds no shuffle beyond [[cooccurrenceEdges]]'s.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long = 2L,
+                       maxBasketSize: Int = 1000): DataFrame = {
+    val inc = incidence(df, basketCol, itemCol, maxBasketSize)
+    val itemCnt = inc.groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
+    val nBaskets = inc.select(countDistinct(col("basket")).as("n_baskets"))
+    val edges = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+    // both directions: (a→b) and (b→a) share support but not confidence
+    val directed = edges.select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("pair_cnt").as("support"))
+      .unionAll(edges.select(col("b").as("antecedent"), col("a").as("consequent"),
+        col("pair_cnt").as("support")))
+    directed
+      .join(broadcast(itemCnt.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("item_cnt", "cnt_ante")), Seq("antecedent"))
+      .join(broadcast(itemCnt.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("item_cnt", "cnt_cons")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("antecedent"), col("consequent"), col("support"), col("cnt_ante"),
+        round(lit(1000000.0) * (col("support").cast("double") / col("cnt_ante").cast("double")))
+          .cast("long").as("conf_ppm"),
+        round(lit(1000000.0) * ((col("support") * col("n_baskets")).cast("double")
+          / (col("cnt_ante") * col("cnt_cons")).cast("double")))
+          .cast("long").as("lift_ppm"))
+  }
+
+  /** Triangles of the co-occurrence graph: ordered triples a < b < c
+    * where all three edges clear `minSupport`. Two hash joins over the
+    * support-filtered edge set E: E(a,b) ⋈ E(b,c) ⋈ E(a,c) — the a<b<c
+    * orientation means each triangle is enumerated exactly once and the
+    * wedge join (on b) only extends forward, the standard compact
+    * enumeration. Output: (a, b, c).
+    *
+    * Scale posture: work is Σ_b d⁺(b)² over FORWARD degrees — bounded
+    * by the support filter, never the raw pair multiset. For skewed
+    * degree distributions the classic refinement (orient edges from
+    * low to high TOTAL degree instead of by id) drops the bound to
+    * O(|E|^1.5); at the moderate supports this engine targets, the
+    * id orientation keeps the oracle's ordering semantics and AQE
+    * handles residual wedge skew.
+    */
+  def triangles(df: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long = 2L,
+                maxBasketSize: Int = 1000): DataFrame = {
+    val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select("a", "b")
+    val e1 = e
+    val e2 = e.select(col("a").as("b"), col("b").as("c"))
+    val e3 = e.select(col("a"), col("b").as("c"))
+    e1.join(e2, Seq("b"))
+      .join(e3, Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Undirected co-occurrence edge set rendered as a DIRECTED edge list
+    * (both orientations), the input shape [[pageRank]] wants. */
+  def cooccurrenceDigraph(df: DataFrame, basketCol: String, itemCol: String,
+                          minSupport: Long = 2L,
+                          maxBasketSize: Int = 1000): DataFrame = {
+    val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** PageRank in EXACT integer (ppm) arithmetic — every step is BIGINT
+    * add / multiply / integer-divide, so the result is bit-identical on
+    * any engine and any partitioning (integer sums commute; there are no
+    * floating-point partial sums to reorder). With rank mass in ppm
+    * units (each node starts at 1 000 000) and damping d as `dampingPpm`:
+    *
+    *   r₀(v)    = 1 000 000
+    *   rₖ₊₁(v)  = (10⁶ − dampingPpm)
+    *            + (Σ_{u→v} (rₖ(u) div out(u))) · dampingPpm div 10⁶
+    *
+    * `div` is integer division on both engines (Spark `div`, DuckDB
+    * `//`), so the floor-rounding is part of the SPEC, not an
+    * implementation accident — the oracle unrolls the same recurrence.
+    *
+    * Dangling nodes (no out-edges) receive rank but redistribute none —
+    * their mass leaks, the standard simplification; on the symmetric
+    * co-occurrence digraph every node has out-degree ≥ 1 so the case
+    * never arises there. Duplicate (src,dst) rows are collapsed first
+    * (unweighted graph).
+    *
+    * Scale posture: one iteration = one equi-join of the rank frame
+    * (|V| rows) against the edge list on `src` + one hash agg on `dst`
+    * + one left join back to the node set — all co-partitioned on the
+    * node key after the first exchange. Ranks are `localCheckpoint`ed
+    * each round (eager), so the plan never accumulates `iters` joins of
+    * lineage and a lost executor recomputes from materialized blocks,
+    * the same discipline as [[Dedup.nearDupClusters]]. Overflow: total
+    * rank mass is ≤ 10⁶·|V| plus leak-free damping, and the one
+    * multiply is by dampingPpm ≤ 10⁶, so values stay < 2⁶³ for any
+    * |V| < ~9·10⁹ nodes.
+    *
+    * Output: (node, rank_ppm) — one row per node appearing in any edge.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 100, "1 <= iters <= 100")
+    require(dampingPpm >= 0L && dampingPpm <= 1000000L, "dampingPpm in [0, 1e6]")
+    val basePpm = 1000000L - dampingPpm
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // edge list annotated with the sender's out-degree once, reused
+    // every iteration (the join on src below is the per-round work)
+    val eDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    var r = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = r.join(eDeg, r("node") === eDeg("src"))
+        .select(col("dst").as("node"),
+          expr("rank_ppm div out_deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_ppm"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(basePpm) +
+            expr(s"(coalesce(in_ppm, 0L) * ${dampingPpm}L) div 1000000L"))
+            .as("rank_ppm"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // baskets: b1={x,y,z}, b2={x,y}, b3={x,y,w}, b4={z,w}, b5 is a
+  // mega-basket (items m1..m5) used only by the size-guard test
+  private lazy val baskets = Seq(
+    ("b1", "x"), ("b1", "y"), ("b1", "z"),
+    ("b2", "x"), ("b2", "y"),
+    ("b2", "y"), // duplicate incidence row — must not double-count
+    ("b3", "x"), ("b3", "y"), ("b3", "w"),
+    ("b4", "z"), ("b4", "w"),
+    (null, "x"), ("b1", null) // null basket/item dropped
+  ).toDF("basket", "item")
+
+  test("cooccurrenceEdges counts shared baskets once per basket") {
+    val got = Graph.cooccurrenceEdges(baskets, "basket", "item", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe Set(
+      ("x", "y", 3L), // b1, b2 (deduped), b3
+      ("x", "z", 1L), ("y", "z", 1L),
+      ("w", "x", 1L), ("w", "y", 1L), ("w", "z", 1L))
+  }
+
+  test("minSupport prunes edges before downstream joins") {
+    val got = Graph.cooccurrenceEdges(baskets, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe Set(("x", "y", 3L))
+  }
+
+  test("maxBasketSize drops mega-baskets before pairing") {
+    val withMega = baskets.unionAll(
+      (1 to 5).map(i => ("b5", s"m$i")).toDF("basket", "item"))
+    val got = Graph.cooccurrenceEdges(withMega, "basket", "item",
+        minSupport = 1L, maxBasketSize = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // no m* pair survives; the small baskets are untouched
+    got.exists(_._1.startsWith("m")) shouldBe false
+    got should contain(("x", "y"))
+  }
+
+  test("associationRules: confidence and lift as integer ppm, both directions") {
+    val got = Graph.associationRules(baskets, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // n_baskets=4; cnt(x)=3, cnt(y)=3; sup(x,y)=3
+    // conf(x→y) = 3/3 = 1e6 ppm; lift = 3*4/(3*3) = 1.333333e6 ppm
+    got shouldBe Set(
+      ("x", "y", 3L, 3L, 1000000L, 1333333L),
+      ("y", "x", 3L, 3L, 1000000L, 1333333L))
+  }
+
+  test("triangles enumerates each closed triple once, a < b < c") {
+    val got = Graph.triangles(baskets, "basket", "item", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // closed triples need each EDGE to exist, not one shared basket:
+    // {x,y,z} (all via b1), {w,x,y} (b3), and the cross-basket closures
+    // {w,x,z} (w-x b3, x-z b1, w-z b4) and {w,y,z} (w-y b3, y-z b1, w-z b4)
+    got shouldBe Set(("x", "y", "z"), ("w", "x", "y"),
+      ("w", "x", "z"), ("w", "y", "z"))
+  }
+
+  test("triangles respects minSupport on every edge") {
+    // at support 2 only edge (x,y) survives → no triangle
+    Graph.triangles(baskets, "basket", "item", minSupport = 2L)
+      .count() shouldBe 0L
+  }
+
+  private def ranks(edges: Seq[(Int, Int)], iters: Int): Map[Int, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = iters)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the hand-unrolled integer recurrence") {
+    // 1→2, 2→{1,3}, 3→1; out-degrees 1, 2, 1
+    // r1 = (1425000, 1000000, 575000); r2 below, all exact ppm ints
+    ranks(Seq((1, 2), (2, 1), (2, 3), (3, 1)), iters = 2) shouldBe
+      Map(1 -> 1063750L, 2 -> 1361250L, 3 -> 575000L)
+  }
+
+  test("pageRank: dangling node receives rank but redistributes none") {
+    // 1→{2,3}, 2→1; node 3 has no out-edges (mass leaks, documented)
+    ranks(Seq((1, 2), (2, 1), (1, 3)), iters = 1) shouldBe
+      Map(1 -> 1000000L, 2 -> 575000L, 3 -> 575000L)
+  }
+
+  test("pageRank collapses duplicate edges (unweighted graph)") {
+    val dup = Seq((1, 2), (1, 2), (2, 1), (2, 3), (3, 1))
+    ranks(dup, iters = 2) shouldBe
+      Map(1 -> 1063750L, 2 -> 1361250L, 3 -> 575000L)
+  }
+}
