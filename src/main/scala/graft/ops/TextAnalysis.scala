@@ -871,4 +871,85 @@ object TextAnalysis {
 
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromToks(tokens(lower(text)), n)
+
+  /** Collocation mining: adjacent word pairs whose co-occurrence beats
+    * the independence expectation — PMI's argument, emitted as integer
+    * PPM ("new york", "et al"-style multiword expressions; the standard
+    * pre-tokenizer signal for merging units). For the bigram (a, b)
+    * with bigram count n_ab over Nb bigram slots and unigram counts
+    * n_a, n_b over Nt tokens:
+    *
+    *   lift = (n_ab / Nb) / ((n_a / Nt) · (n_b / Nt))
+    *
+    * i.e. exp(PMI) — monotone in PMI, so ranking is PMI ranking, but
+    * the value needs no `ln` (one less libm call to keep bit-parity
+    * over). Each factor is a long→double division; the division tree
+    * is written identically in the oracle.
+    *
+    * Scale posture: two map-side-combined hash aggs (bigram, unigram)
+    * over codegen'd `transform` arrays — no position self-join; the
+    * unigram frame joins the bigram frame twice on the term key
+    * (broadcast when small, shuffle-hash otherwise, AQE's call). The
+    * top-N cut is `orderBy.limit` → TakeOrderedAndProject (bounded
+    * per-partition heaps), never a global sort of the pair universe.
+    * Output: (w1, w2, pair_cnt, lift_ppm), top `topN` by
+    * (lift_ppm desc, w1, w2), pair_cnt ≥ minCount.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, topN: Int = 50): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(tokens(lower(col(textCol))).as("_toks"))
+    val uni = base.select(explode(col("_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("w_cnt"))
+    val bi = base.filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_toks) - 1)," +
+          " i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2))")).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    val nTok = uni.agg(sum("w_cnt").as("n_tok"))
+    val nBi = bi.agg(sum("pair_cnt").as("n_bi"))
+    bi.filter(col("pair_cnt") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("w_cnt", "c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("w_cnt", "c2"), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("pair_cnt"),
+        round(lit(1000000.0) *
+          (col("pair_cnt").cast("double") / col("n_bi").cast("double")) /
+          ((col("c1").cast("double") / col("n_tok").cast("double")) *
+           (col("c2").cast("double") / col("n_tok").cast("double"))))
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Vocabulary-coverage (OOV) audit per group: with the corpus's own
+    * top-`vocabSize` vocabulary ([[buildVocab]]), what share of each
+    * group's token INSTANCES falls outside it? The tokenizer-fertility
+    * question every multilingual/multi-source mix has to answer before
+    * training — a source whose oov share spikes is one the tokenizer
+    * under-serves. Share is exact integer arithmetic:
+    * `oov_ppm = n_oov·10⁶ div n_tokens`.
+    *
+    * Scale posture: the vocab is bounded by construction (top-N) and
+    * broadcast; the audit is one explode → broadcast left join →
+    * group agg, no shuffle of the token stream beyond the group key.
+    * Output: (group, n_tokens, n_oov, oov_ppm).
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              groupCol: String, vocabSize: Int = 1000): DataFrame = {
+    val vocab = buildVocab(docs, idCol, textCol, vocabSize)
+      .select(col("term"), lit(true).as("_in_vocab"))
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("group_key"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("group_key"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000L) div n_tokens").as("oov_ppm"))
+  }
 }

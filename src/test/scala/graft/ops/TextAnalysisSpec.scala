@@ -478,4 +478,42 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     got shouldBe Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0)
   }
+
+  test("collocations: hand-computed bigram lift, adjacency only") {
+    // corpus: "new york new york" + "old york" →
+    // bigrams: (new,york)x2, (york,new)x1, (old,york)x1 → Nb=4
+    // unigrams: new=2, york=3, old=1 → Nt=6
+    val docs = Seq((1L, "new york new york"), (2L, "old york")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text",
+        minCount = 1L, topN = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // lift(new,york) = (2/4) / ((2/6)*(3/6)) = 3.0 → 3_000_000 ppm
+    got(("new", "york")) shouldBe ((2L, 3000000L))
+    // lift(old,york) = (1/4) / ((1/6)*(3/6)) = 3.0 as well
+    got(("old", "york")) shouldBe ((1L, 3000000L))
+    // lift(york,new) = (1/4) / ((3/6)*(2/6)) = 1.5
+    got(("york", "new")) shouldBe ((1L, 1500000L))
+  }
+
+  test("collocations: minCount trims before the join, topN is total-ordered") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text",
+        minCount = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set(("a", "b"), ("b", "a")) // (c,d) count 1 → trimmed
+  }
+
+  test("oovRate: exact integer ppm against a tiny vocabulary") {
+    // vocab size 2 by doc_freq → {"the" (df 2), "a" (df 2)}
+    val docs = Seq(
+      (1L, "en", "the a zebra"),     // 3 tokens, 1 oov
+      (2L, "de", "the a the a qux")) // 5 tokens, 1 oov
+      .toDF("doc_id", "grp", "text")
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", "grp", vocabSize = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got("en") shouldBe ((3L, 1L, 333333L))
+    got("de") shouldBe ((5L, 1L, 200000L))
+  }
 }
