@@ -311,4 +311,98 @@ object Sampling {
       .filter(col("_hr") <= col("_min_n"))
       .drop("_hr", "_min_n")
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows, deterministic: the
+    * Efraimidis–Spirakis A-ES scheme with the uniform draw derived from
+    * the row key's md5 instead of an RNG. Each row gets
+    * `u = (hv + 1) / 2⁵²` (hv = 52-bit md5 point; +1 keeps u in (0,1])
+    * and priority `-ln(u) / w` — the exponential-race form of
+    * "key = u^(1/w)"; the k SMALLEST priorities win. Inclusion
+    * probability is proportional-to-weight in the without-replacement
+    * sense, yet the draw is reproducible on any engine with md5 and
+    * `ln`, repartition-proof, and auditable row-by-row in SQL.
+    *
+    * Determinism note: priorities are doubles, but they only ORDER the
+    * rows (never land in the output), so cross-engine agreement needs
+    * only that no two rows' priorities straddle an ulp — measure-zero
+    * for md5-derived draws. Ties (identical key text) break by key.
+    *
+    * Scale posture: priority is a pure map-side expression; the k-of-n
+    * cut is `orderBy.limit` → TakeOrderedAndProject (bounded
+    * per-partition heaps, one k·partitions merge), never a global sort.
+    * Output: (key, weight) for the k winners.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val cand = df
+      .filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(keyCol).as("key"), col(weightCol).cast("long").as("weight"))
+      .withColumn("_hv",
+        conv(substring(md5(col("key").cast("string").cast("binary")), 1, 13),
+          16, 10).cast("long"))
+      .withColumn("_pri",
+        -log((col("_hv") + 1).cast("double") / lit(4503599627370496.0)) /
+          col("weight").cast("double"))
+    cand.orderBy(col("_pri"), col("key")).limit(k)
+      .select(col("key"), col("weight"))
+  }
+
+  /** Quality-ranked selection under a token budget: take rows in
+    * (score desc, key asc) order while the running token total stays
+    * ≤ `budget` — the "keep the best N tokens" step of a data-selection
+    * pipeline (DSIR/quality-classifier scores in, training corpus out).
+    * Greedy prefix by rank, not knapsack: a row that would cross the
+    * budget is dropped and LATER (worse) rows that still fit are NOT
+    * admitted — the cut is a clean score threshold, which is the
+    * curation semantics people actually want (admitting worse docs
+    * because a better one was large inverts the ranking).
+    *
+    * The naive rendering is one global `ORDER BY score DESC` running
+    * sum — a single-partition window over every candidate row, the
+    * trending-style skew ceiling. Here the cumsum is TWO-LEVEL, the
+    * [[fillTokenBudget]] trick keyed by score instead of hash: level 1
+    * buckets rows by `score_ppm >> bucketShift` (arithmetic shift =
+    * floor-division by 2^shift on BOTH engines, so negative scores
+    * bucket consistently), aggregates per-bucket token totals (tiny
+    * frame, one small window for exclusive bucket offsets); level 2
+    * runs the running sum per bucket, `2^shift`-odd buckets in
+    * parallel. Because bucket order is score order (floor-div is
+    * monotone), offset + within-bucket cumsum ≡ the global cumsum —
+    * bit-identically, these are BIGINT sums.
+    *
+    * Output: the selected rows as (key, score_ppm, n_tokens).
+    * Rows with null key/score/tokens or tokens ≤ 0 are not candidates.
+    * Callers pick `bucketShift` so a bucket ≈ one score "tier"
+    * (default 16: 65 536 ppm ≈ 6.5 % of score mass per bucket).
+    */
+  def selectByScoreBudget(df: DataFrame, keyCol: String, scorePpmCol: String,
+                          tokensCol: String, budget: Long,
+                          bucketShift: Int = 16): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(bucketShift >= 0 && bucketShift <= 48, "bucketShift in [0, 48]")
+    import org.apache.spark.sql.expressions.Window
+    val cand = df
+      .filter(col(keyCol).isNotNull && col(scorePpmCol).isNotNull &&
+        col(tokensCol).isNotNull && col(tokensCol) > 0)
+      .select(col(keyCol).as("key"),
+        col(scorePpmCol).cast("long").as("score_ppm"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("_bk", shiftright(col("score_ppm"), bucketShift))
+    val bucketSums = cand.groupBy("_bk").agg(sum("n_tokens").as("_bt"))
+    val wOff = Window.orderBy(col("_bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("_off", coalesce(sum("_bt").over(wOff), lit(0L)))
+      .select(col("_bk"), col("_off"))
+    val wIn = Window.partitionBy(col("_bk"))
+      .orderBy(col("score_ppm").desc, col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand
+      .join(broadcast(offsets), Seq("_bk"))
+      .withColumn("_cum", col("_off") + sum("n_tokens").over(wIn))
+      .filter(col("_cum") <= budget)
+      .select(col("key"), col("score_ppm"), col("n_tokens"))
+  }
 }

@@ -178,4 +178,79 @@ class SamplingSpec extends SparkSpec {
     Sampling.fillTokenBudget(rows, "src", "id", "toks", 100L, Map("a" -> 1))
       .select("id").as[Long].collect().toSeq shouldBe Seq(1L)
   }
+
+  test("selectByScoreBudget equals the naive global-window prefix") {
+    // scores spread across many 2^16 buckets AND negative values, so the
+    // two-level cumsum exercises bucket offsets and the floor-shift on
+    // negatives; sizes chosen so the cut lands mid-bucket
+    val rows = (1L to 200L).map { i =>
+      (i, (i * 7919L % 401L) * 3000L - 250000L, 1L + i % 13L)
+    }.toDF("id", "score_ppm", "toks")
+    val naive = rows.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, s, t)) => (id, s, t, cum + t) }
+      .drop(1).takeWhile(_._4 <= 600L).map(_._1).toSet
+    val got = Sampling.selectByScoreBudget(rows, "id", "score_ppm", "toks", 600L)
+      .select("key").as[Long].collect().toSet
+    got shouldBe naive
+    got.nonEmpty shouldBe true
+
+    // partitioning must not move the selection
+    val again = Sampling.selectByScoreBudget(rows.repartition(17), "id",
+      "score_ppm", "toks", 600L).select("key").as[Long].collect().toSet
+    again shouldBe got
+
+    // bucketShift granularity must not either (0 = one bucket per score)
+    val shift0 = Sampling.selectByScoreBudget(rows, "id", "score_ppm", "toks",
+      600L, bucketShift = 0).select("key").as[Long].collect().toSet
+    shift0 shouldBe got
+  }
+
+  test("weightedSample matches an independent A-ES recomputation") {
+    val rows = (1L to 100L).map(i => (i, 1L + (i * 31L) % 997L))
+    val df = rows.toDF("id", "w")
+    def naivePriority(key: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val hv = java.lang.Long.parseLong(hex, 16)
+      -math.log((hv + 1).toDouble / 4503599627370496.0) / w.toDouble
+    }
+    val expect = rows.sortBy { case (id, w) => (naivePriority(id, w), id) }
+      .take(10).map(_._1).toSet
+    val got = Sampling.weightedSample(df, "id", "w", k = 10)
+      .select("key").as[Long].collect().toSet
+    got shouldBe expect
+
+    // repartition-proof
+    Sampling.weightedSample(df.repartition(13), "id", "w", k = 10)
+      .select("key").as[Long].collect().toSet shouldBe expect
+  }
+
+  test("weightedSample: k >= n returns every positive-weight row") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 7L))
+      .toDF("id", "w")
+    Sampling.weightedSample(df, "id", "w", k = 10)
+      .select("key").as[Long].collect().toSet shouldBe Set(1L, 4L)
+  }
+
+  test("weightedSample favors heavy weights (deterministically)") {
+    // one row carries 10^6× the weight of 999 others; its priority is
+    // ~10^6 smaller than a typical light row's — it must be in any
+    // small sample
+    val df = ((1L to 999L).map(i => (i, 1L)) :+ (1000L, 1000000L)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("key").as[Long].collect().toSet
+    got should contain(1000L)
+  }
+
+  test("selectByScoreBudget is a greedy PREFIX: a crossing row ends the take") {
+    val rows = Seq((1L, 30L, 5L), (2L, 20L, 10L), (3L, 10L, 3L))
+      .toDF("id", "score_ppm", "toks")
+    // cum: 5, 15, 18 vs budget 8 → only the top-scored row; the small
+    // later row is NOT admitted even though 5 + 3 would fit
+    Sampling.selectByScoreBudget(rows, "id", "score_ppm", "toks", 8L)
+      .select("key").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
 }
