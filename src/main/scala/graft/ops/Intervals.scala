@@ -42,6 +42,56 @@ object Intervals {
       .withColumn("concurrency", sum(col("delta")).over(w))
   }
 
+  /** Total covered extent of the interval UNION per group — "how much
+    * wall-clock was at least one session active?" — plus the merged
+    * (island) count. The other classic interval aggregate next to
+    * [[peakConcurrency]]: utilization, uptime, on-air time; summing raw
+    * durations double-counts every overlap, so the intervals must be
+    * merged first.
+    *
+    * Gaps-and-islands, half-open [start, end) semantics (an interval
+    * starting exactly where another ends extends the SAME island):
+    * per group in (start, end) order, a row opens a new island iff its
+    * start exceeds the running max of all PRIOR ends; the cumulative
+    * count of such openings is the island id; an island's extent is
+    * max(end) − min(start). All arithmetic on the caller's integer
+    * axis (epoch micros, seconds — any BIGINT), so results are exact
+    * and engine-independent. Rows tied on (start, end) are
+    * order-ambiguous in the window, but island membership and every
+    * emitted aggregate are invariant under tie order.
+    *
+    * Scale posture: one shuffle by group, two ordered windows over the
+    * group's own rows (running max, running sum — no self-join, no
+    * per-tick explode), two hash aggs. Like the sweep line, cost is
+    * O(|intervals|), never duration-proportional.
+    * Output: (group, n_intervals, n_islands, covered).
+    */
+  def coveredExtent(intervals: DataFrame, groupCol: String,
+                    startCol: String, endCol: String): DataFrame = {
+    val g = col(groupCol); val s = col(startCol); val e = col(endCol)
+    val clean = intervals
+      .filter(g.isNotNull && s.isNotNull && e.isNotNull && e >= s)
+      .select(g.as("grp"), s.cast("long").as("s"), e.cast("long").as("e"))
+    val order = Seq(col("s"), col("e"))
+    val wPrior = Window.partitionBy("grp").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("grp").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = clean
+      .withColumn("_pmax", max(col("e")).over(wPrior))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("s") > col("_pmax"), 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(wRun))
+    flagged
+      .groupBy(col("grp"), col("_island"))
+      .agg(count(lit(1)).as("_n"), min("s").as("_is"), max("e").as("_ie"))
+      .groupBy(col("grp"))
+      .agg(sum("_n").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_ie") - col("_is")).as("covered"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   /** Per-group peak concurrency and the earliest instant it is reached.
     * Output: (group, peak_concurrency, first_peak_ts).
     */
