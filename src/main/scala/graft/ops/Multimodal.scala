@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so one task amortizes codec initialization across its
   * whole partition (the JVM analogue of a batched pandas UDF).
   *
-  * The actual PIXEL/PCM codecs are NOT present in this environment, so
-  * the decode kernel is a clearly-marked deterministic STUB
-  * ([[decodeStub]]) — the Spark-side contract around it (schemas,
-  * encoders, partition-batched execution, frame sampling, columnar
-  * metadata ops) is real and tested, and swapping the stub for a
-  * JNI/ffmpeg/ImageIO call changes nothing upstream or downstream of it.
+  * Pixel/PCM decode is REAL for the formats the JDK ships codecs for —
+  * PNG/JPEG/GIF via `javax.imageio`, WAV PCM via `javax.sound.sampled`
+  * ([[decodeImageFeatures]]/[[decodeWavFeatures]], plus real bilinear
+  * [[resizeImage]] and the perceptual [[aHash64]]). Formats the JDK
+  * cannot read (video containers, exotic codecs) fall back to the
+  * clearly-marked deterministic STUB ([[decodeStub]]/[[resizeStub]]);
+  * swapping that stub for a JNI/ffmpeg call changes nothing upstream
+  * or downstream of it.
   *
   * Container-header METADATA extraction, by contrast, is fully real:
   * [[probeHeader]]/[[probeMedia]] parse PNG/JPEG/GIF/WAV headers with
@@ -231,6 +233,93 @@ object Multimodal {
         case None          => r
       }
     }
+  }
+
+  /** 64-bit average-hash (aHash) of an image: decode (real JDK codecs),
+    * bilinear-reduce to an 8×8 luma grid, set bit i when cell i's luma
+    * exceeds the grid mean. The standard cheap perceptual fingerprint —
+    * stable under resize/re-encode/mild noise, bit-deterministic for a
+    * given payload (ImageIO decode + integer Rec.601 luma, no RNG).
+    * Bit order: row-major, bit 0 = top-left. `None` when the payload
+    * is not a decodable image.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+        } finally g.dispose()
+        val luma = new Array[Int](64)
+        var total = 0L
+        var i = 0
+        while (i < 64) {
+          val rgb = out.getRGB(i % 8, i / 8)
+          val r = (rgb >> 16) & 0xFF
+          val gg = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          luma(i) = 299 * r + 587 * gg + 114 * b // integer Rec.601 ×1000
+          total += luma(i)
+          i += 1
+        }
+        val mean = total / 64 // integer mean — deterministic threshold
+        var h = 0L
+        i = 0
+        while (i < 64) {
+          if (luma(i) > mean) h |= (1L << i)
+          i += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+
+  /** Perceptual near-duplicate image pairs: aHash Hamming distance ≤
+    * `maxHamming`, found via the same quadrant-banding as
+    * `Dedup.simHashNearDupPairs` — the 64-bit hash splits into four
+    * 16-bit bands; two hashes within distance 3 < 4 must agree on at
+    * least one band (pigeonhole), so candidates come from four
+    * equi-joins on (band_idx, band_value), never an all-pairs scan,
+    * and the exact `bit_count(xor)` check runs only on collisions.
+    *
+    * Scale posture: undecodable payloads drop out at the hash step
+    * (one typed map); the candidate join is bucketed by band value —
+    * |pairs per bucket| is governed by how many images share a 16-bit
+    * quadrant, the aHash analogue of the SimHash regime analysis. The
+    * pair set feeds [[graft.ops.Dedup.nearDupClusters]] unchanged when
+    * components are wanted. Output: (a_id, b_id, hamming).
+    */
+  def imageNearDupPairs(media: Dataset[MediaRecord],
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only up to hamming 3")
+    import media.sparkSession.implicits._
+    val hashes = media
+      .flatMap(r => aHash64(r.content).map(h => (r.media_id, h)))
+      .toDF("media_id", "h")
+    val bands = hashes.select(col("media_id"), col("h"),
+      explode(expr(
+        "transform(sequence(0, 3)," +
+          " i -> struct(i AS band_idx," +
+          " shiftright(h, 16 * i) & 65535L AS band_val))")).as("_b"))
+      .select(col("media_id"), col("h"),
+        col("_b.band_idx").as("band_idx"), col("_b.band_val").as("band_val"))
+    val l = bands.select(col("band_idx"), col("band_val"),
+      col("media_id").as("a_id"), col("h").as("ha"))
+    val r = bands.select(col("band_idx"), col("band_val"),
+      col("media_id").as("b_id"), col("h").as("hb"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Columnar metadata ops — no decode needed, stays in codegen. */

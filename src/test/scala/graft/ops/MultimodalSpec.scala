@@ -220,6 +220,65 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.resizeImage(Array[Byte](1, 2, 3), 4, 2) shouldBe None
   }
 
+  /** Half-black/half-white PNG with the top-left 8th-block optionally
+    * toggled white — one aHash grid cell's worth of perturbation. */
+  private def patternPng(w: Int, h: Int, toggleBlock: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val inBlock = toggleBlock && x < w / 8 && y < h / 8
+      img.setRGB(x, y, if (inBlock || x >= w / 2) 0xFFFFFF else 0x000000)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("aHash64 is resize-invariant for the same pattern, far for the inverse") {
+    val a = Multimodal.aHash64(patternPng(64, 64, toggleBlock = false)).get
+    val b = Multimodal.aHash64(patternPng(32, 32, toggleBlock = false)).get
+    a shouldBe b // same half-plane pattern at 2 scales → identical grid
+    val inv = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, if (x < 32) 0xFFFFFF else 0x000000)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      Multimodal.aHash64(out.toByteArray).get
+    }
+    java.lang.Long.bitCount(a ^ inv) shouldBe 64 // complement pattern
+    Multimodal.aHash64(realWav(160)) shouldBe None // not an image
+  }
+
+  test("aHash64: one toggled grid block is exactly one bit of distance") {
+    val a = Multimodal.aHash64(patternPng(64, 64, toggleBlock = false)).get
+    val t = Multimodal.aHash64(patternPng(64, 64, toggleBlock = true)).get
+    java.lang.Long.bitCount(a ^ t) shouldBe 1
+  }
+
+  test("imageNearDupPairs: banded candidates find near pairs, skip far ones") {
+    import spark.implicits._
+    def rec(id: Long, content: Array[Byte]) =
+      Multimodal.MediaRecord(id, content, Multimodal.MediaMeta("png", -1, -1, -1, -1L))
+    val inv = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, if (x < 32) 0xFFFFFF else 0x000000)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      rec(1L, patternPng(64, 64, toggleBlock = false)),
+      rec(2L, patternPng(32, 32, toggleBlock = false)), // dup of 1 at half size
+      rec(3L, patternPng(64, 64, toggleBlock = true)),  // hamming 1 from 1
+      rec(4L, inv),                                     // hamming 64 — far
+      rec(5L, realWav(160))                             // undecodable → dropped
+    ).toDS()
+    val got = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L)
+  }
+
   test("resizeImages: images resized in place, non-image rows pass through untouched") {
     import spark.implicits._
     val wav = realWav(1600)
