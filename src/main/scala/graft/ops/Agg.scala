@@ -86,4 +86,41 @@ object Agg {
              sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
           6).as("corr"))
   }
+
+  /** Per-group ordinary least squares y = slope·x + intercept, closed
+    * form from the same five exact LONG sums as [[pearsonFromIntegers]]
+    * — partition-order independent, so slope/intercept are
+    * deterministic and cross-engine-exact (the double formula is one
+    * fixed expression tree over integer inputs; `ml`-style iterative
+    * solvers cannot be oracle-verified bit-for-bit):
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope_unrounded·Σx) / n
+    *
+    * Groups with zero x-variance emit null slope/intercept (vertical
+    * line — undefined), not NaN/Inf. Output:
+    * (group, n, slope, intercept), doubles rounded to 6.
+    *
+    * Scale posture: ONE map-side-combined hash agg over the data, then
+    * arithmetic on the |groups|-row frame. The trend-per-key question
+    * at 100 TB is exactly this shape — never a per-group solver.
+    */
+  def linearFit(df: DataFrame, groupCol: String,
+                xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val stats = df.filter(col(groupCol).isNotNull && x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    val denom = stats("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val slope = (col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")) / denom
+    val intercept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double")
+    stats.select(col(groupCol), col("n"),
+      round(when(denom =!= 0.0, slope), 6).as("slope"),
+      round(when(denom =!= 0.0, intercept), 6).as("intercept"))
+  }
 }
