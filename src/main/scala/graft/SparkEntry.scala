@@ -924,7 +924,78 @@ object SparkEntry {
     // deterministic md5 order statistics, reproduced exactly in SQL
     "q_kmv_distinct" -> ((s, dir) =>
       graft.ops.Sketch.kmvDistinct(
-        table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)))
+        table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)),
+
+    // chi-square independence: order status vs priority, zero cells
+    // included, sorted-cell fold for the one double sum
+    "q_chi2" -> ((s, dir) =>
+      graft.ops.Stats.chiSquare(
+        table(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
+
+    // collocation mining: adjacent-bigram lift (exp-PMI) as ppm
+    "q_collocations" -> ((s, dir) =>
+      graft.ops.TextAnalysis.collocations(
+        table(s, dir, "documents"), "doc_id", "text", minCount = 5L, topN = 50)),
+
+    // OOV audit: token share outside the corpus top-500 vocab, per source
+    "q_oov" -> ((s, dir) =>
+      graft.ops.TextAnalysis.oovRate(
+        table(s, dir, "documents"), "doc_id", "text", "source", vocabSize = 500)),
+
+    // budget-capped quality selection: type/token-ratio score, greedy
+    // prefix under a 10k-token budget via the two-level cumsum
+    "q_select_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val scored = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokens(lower(col("text"))).as("_toks"))
+        .filter(size(col("_toks")) > 0)
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("_toks"))).cast("long").as("n_distinct"))
+        .withColumn("score_ppm", expr("(n_distinct * 1000000L) div n_tokens"))
+      graft.ops.Sampling.selectByScoreBudget(
+        scored, "doc_id", "score_ppm", "n_tokens", budget = 10000L)
+    }),
+
+    // A-ES weighted sampling without replacement: 200 orders, inclusion
+    // ∝ price; md5-derived draws, priorities order-only (never emitted)
+    "q_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Sampling.weightedSample(
+        table(s, dir, "orders")
+          .withColumn("w", round(col("o_totalprice") * 100).cast("long")),
+        "o_orderkey", "w", k = 200)
+    }),
+
+    // interval-union coverage per user: merged-session wall-clock and
+    // island counts on the exact integer micros axis
+    "q_interval_union" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val iv = table(s, dir, "events")
+        .withColumn("s_us", unix_micros(col("ts")))
+        .withColumn("e_us", unix_micros(col("ts")) +
+          round(col("value") * 60).cast("long") * 1000000L)
+      graft.ops.Intervals.coveredExtent(iv, "user_id", "s_us", "e_us")
+    }),
+
+    // per-flag OLS trend: price cents on quantity, closed form from
+    // five exact LONG sums (the verifiable sibling of ml regressors)
+    "q_linreg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Agg.linearFit(
+        table(s, dir, "lineitem")
+          .filter(col("l_returnflag").isNotNull),
+        "l_returnflag",
+        col("l_quantity"), round(col("l_extendedprice")))
+    }),
+
+    // mutual information between order status and priority — the
+    // information-theoretic sibling of q_chi2, observed cells only
+    "q_mutual_info" -> ((s, dir) =>
+      graft.ops.Stats.mutualInformation(
+        table(s, dir, "orders"), "o_orderstatus", "o_orderpriority")))
 
   /** Shared DuckDB CTE: tokenization identical to `TextAnalysis.tokens`
     * (split on `\s+`, drop empties) over the documents table.
@@ -2663,5 +2734,200 @@ object SparkEntry {
         |  CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
         |       ELSE 63 * 4503599627370496 // MAX(CASE WHEN rn = 64 THEN hv END)
         |       END AS BIGINT) AS est_distinct
-        |FROM r GROUP BY 1""".stripMargin)
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q_chi2" ->
+      """WITH obs AS (
+        |  SELECT o_orderstatus AS rv, o_orderpriority AS cv FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |), cells AS (
+        |  SELECT rv, cv, CAST(COUNT(*) AS BIGINT) AS o FROM obs GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT rv, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+        |), ct AS (
+        |  SELECT cv, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+        |), grid AS (
+        |  SELECT rt.rv, ct.cv, COALESCE(cells.o, 0) AS o, rt.rt, ct.ct
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.rv = rt.rv AND cells.cv = ct.cv
+        |), f AS (
+        |  SELECT list_sort(list(struct_pack(rv := grid.rv, cv := grid.cv,
+        |           o := grid.o, rt := grid.rt, ct := grid.ct))) AS arr,
+        |         CAST(COUNT(DISTINCT grid.rv) AS BIGINT) AS n_rows_cat,
+        |         CAST(COUNT(DISTINCT grid.cv) AS BIGINT) AS n_cols_cat
+        |  FROM grid
+        |)
+        |SELECT nn.n, f.n_rows_cat, f.n_cols_cat,
+        |  (f.n_rows_cat - 1) * (f.n_cols_cat - 1) AS dof,
+        |  ROUND(list_sum(list_transform(arr, s ->
+        |    (s.o::DOUBLE - s.rt::DOUBLE * s.ct::DOUBLE / nn.n::DOUBLE) *
+        |    (s.o::DOUBLE - s.rt::DOUBLE * s.ct::DOUBLE / nn.n::DOUBLE) /
+        |    (s.rt::DOUBLE * s.ct::DOUBLE / nn.n::DOUBLE))), 6) AS chi2,
+        |  ROUND(sqrt(list_sum(list_transform(arr, s ->
+        |    (s.o::DOUBLE - s.rt::DOUBLE * s.ct::DOUBLE / nn.n::DOUBLE) *
+        |    (s.o::DOUBLE - s.rt::DOUBLE * s.ct::DOUBLE / nn.n::DOUBLE) /
+        |    (s.rt::DOUBLE * s.ct::DOUBLE / nn.n::DOUBLE))) /
+        |    (nn.n::DOUBLE * LEAST(f.n_rows_cat - 1, f.n_cols_cat - 1)::DOUBLE)), 6)
+        |    AS cramers_v
+        |FROM f CROSS JOIN nn""".stripMargin,
+
+    "q_collocations" ->
+      s"""$docToks, bi AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)), i ->
+         |    struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+         |  FROM d WHERE len(toks) >= 2
+         |), bc AS (
+         |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+         |  FROM bi GROUP BY 1, 2
+         |), uc AS (
+         |  SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS term FROM d) GROUP BY 1
+         |), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc),
+         |nb AS (SELECT CAST(SUM(pair_cnt) AS BIGINT) AS n_bi FROM bc)
+         |SELECT bc.w1, bc.w2, bc.pair_cnt,
+         |  CAST(round(1000000.0 *
+         |    (bc.pair_cnt::DOUBLE / nb.n_bi::DOUBLE) /
+         |    ((u1.c::DOUBLE / nt.n_tok::DOUBLE) *
+         |     (u2.c::DOUBLE / nt.n_tok::DOUBLE))) AS BIGINT) AS lift_ppm
+         |FROM bc
+         |JOIN uc u1 ON u1.w = bc.w1
+         |JOIN uc u2 ON u2.w = bc.w2
+         |CROSS JOIN nt CROSS JOIN nb
+         |WHERE bc.pair_cnt >= 5
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_oov" ->
+      s"""$docToks, x AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM x GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+         |), top AS (
+         |  SELECT term FROM stats ORDER BY doc_freq DESC, term LIMIT 500
+         |), t AS (
+         |  SELECT documents.source AS group_key, x.term
+         |  FROM x JOIN documents USING (doc_id)
+         |)
+         |SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST((CAST(SUM(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+         |FROM t LEFT JOIN top USING (term)
+         |GROUP BY 1""".stripMargin,
+
+    "q_select_budget" ->
+      s"""$docToks, t AS (
+         |  SELECT doc_id AS key,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |  FROM d WHERE len(toks) > 0
+         |), sc AS (
+         |  SELECT key, (n_distinct * 1000000) // n_tokens AS score_ppm, n_tokens
+         |  FROM t
+         |), c AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY score_ppm DESC, key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM sc
+         |)
+         |SELECT key, score_ppm, n_tokens FROM c WHERE cum <= 10000""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS weight,
+        |         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 13))::BIGINT AS hv
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        |)
+        |SELECT key, weight FROM c
+        |ORDER BY -ln((hv + 1)::DOUBLE / 4503599627370496.0) / weight::DOUBLE, key
+        |LIMIT 200""".stripMargin,
+
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(round(value * 60) AS BIGINT) * 1000000 AS e
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |), cl AS (
+        |  SELECT user_id, s, e FROM iv WHERE e >= s
+        |), f AS (
+        |  SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM cl
+        |), fl AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+        |  FROM f
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl
+        |), m AS (
+        |  SELECT user_id, island, COUNT(*) AS n, MIN(s) AS is_, MAX(e) AS ie
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(ie - is_) AS BIGINT) AS covered
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "q_linreg" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  ROUND(CASE WHEN n::DOUBLE * sxx - sx::DOUBLE * sx = 0 THEN NULL
+        |    ELSE (n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |         (n::DOUBLE * sxx - sx::DOUBLE * sx) END, 6) AS slope,
+        |  ROUND(CASE WHEN n::DOUBLE * sxx - sx::DOUBLE * sx = 0 THEN NULL
+        |    ELSE (sy::DOUBLE -
+        |          ((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |           (n::DOUBLE * sxx - sx::DOUBLE * sx)) * sx::DOUBLE) /
+        |         n::DOUBLE END, 6) AS intercept
+        |FROM s""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH obs AS (
+        |  SELECT o_orderstatus AS rv, o_orderpriority AS cv FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |), cells AS (
+        |  SELECT rv, cv, CAST(COUNT(*) AS BIGINT) AS o FROM obs GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT rv, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+        |), ct AS (
+        |  SELECT cv, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+        |), f AS (
+        |  SELECT list_sort(list(struct_pack(rv := cells.rv, cv := cells.cv,
+        |           o := cells.o, rt := rt.rt, ct := ct.ct))) AS arr,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cells
+        |  FROM cells JOIN rt USING (rv) JOIN ct USING (cv)
+        |)
+        |SELECT nn.n, f.n_cells,
+        |  ROUND(list_sum(list_transform(arr, s ->
+        |    (s.o::DOUBLE / nn.n::DOUBLE) *
+        |    ln((s.o::DOUBLE / nn.n::DOUBLE) /
+        |       ((s.rt::DOUBLE / nn.n::DOUBLE) * (s.ct::DOUBLE / nn.n::DOUBLE))))), 6)
+        |    AS mi_nats
+        |FROM f CROSS JOIN nn""".stripMargin)
 }
