@@ -148,6 +148,75 @@ object Dedup {
     }
   }
 
+  /** Directed n-gram containment — the quote / sub-document detector
+    * Jaccard cannot be: containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is
+    * 1.0 when a short doc A is quoted whole inside a long B even though
+    * their Jaccard is near 0 (B's extra shingles dilute the union but
+    * not A's coverage). This is the dedup primitive for "doc X is a
+    * fragment of doc Y" — boilerplate extraction, quote chains,
+    * truncated re-crawls.
+    *
+    * Scores are integer ppm (`n_inter·10⁶ div n_src` — BIGINT div, no
+    * float in the hash surface); one unordered intersection count feeds
+    * BOTH directions, so the pair join runs once. With `maxDf` the
+    * inverted index is candidate generation only and every survivor is
+    * re-verified against full sets (exact ppm either way, same contract
+    * as [[nearDupPairsExact]]).
+    *
+    * Output: (src_id, dst_id, containment_ppm), src_id ≠ dst_id, every
+    * DIRECTED pair with containment ≥ `tauPpm` — a fully-contained A in
+    * B yields (A,B,1000000) and typically no (B,A,·) row.
+    *
+    * Scale posture: identical to [[nearDupPairsExact]] — posting-list
+    * self-join on the shingle key (never all-pairs), `maxDf` bounds
+    * hot-shingle fanout at the 10⁹-doc regime; the directed expansion is
+    * a map-side explode of the unordered pair frame (2 rows per pair,
+    * no extra shuffle).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tauPpm: Long = 800000L,
+                       maxDf: Option[Int] = None): DataFrame = {
+    require(tauPpm >= 1 && tauPpm <= 1000000L, "tauPpm in [1, 1e6]")
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val unordered = maxDf match {
+      case Some(d) =>
+        val keep = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= d).select("sh")
+        val bounded = posting.join(keep, "sh")
+        val a = bounded.select(col("sh"), col("doc_id").as("a_id"))
+        val b = bounded.select(col("sh"), col("doc_id").as("b_id"))
+        val cands = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        // bounded index undercounts n_inter: recount on the full sets
+        cands
+          .join(sets.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"),
+            col("n_shingles").as("n_a")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"),
+            col("n_shingles").as("n_b")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+            col("n_a"), col("n_b"))
+      case None =>
+        val a = posting.select(col("sh"), col("doc_id").as("a_id"))
+        val b = posting.select(col("sh"), col("doc_id").as("b_id"))
+        val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        val sizes = sets.select(col("doc_id"), col("n_shingles"))
+        inter
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "a_id", "n_shingles" -> "n_a")), "a_id")
+          .join(sizes.withColumnsRenamed(Map("doc_id" -> "b_id", "n_shingles" -> "n_b")), "b_id")
+    }
+    unordered
+      .select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          expr("(n_inter * 1000000L) div n_a").as("containment_ppm")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          expr("(n_inter * 1000000L) div n_b").as("containment_ppm")))).as("_e"))
+      .select(col("_e.src_id"), col("_e.dst_id"), col("_e.containment_ppm"))
+      .filter(col("containment_ppm") >= tauPpm)
+  }
+
   private val MersennePrime = (1L << 61) - 1
 
   /** Deterministic affine hash family over a base xxhash64 of the

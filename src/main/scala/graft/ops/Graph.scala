@@ -191,10 +191,12 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    // node set and degree-annotated edge list are both consumed every
+    // iteration — materialize them ONCE (eager localCheckpoint) so no
+    // round re-derives the pair-generation join behind `edges`
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // edge list annotated with the sender's out-degree once, reused
-    // every iteration (the join on src below is the per-round work)
+      .localCheckpoint(true)
     val eDeg = e.join(deg, Seq("src")).localCheckpoint(true)
     var r = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iters) {

@@ -54,6 +54,40 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** K-fold cross-validation assignment: fold ∈ [0, k) from the key's
+    * md5 bucket. Map-side, no shuffle, and leakage-safe by construction
+    * when `keyCol` is the GROUP key (a user id, a dedup-cluster id): all
+    * rows sharing the key land in the same fold, so no group straddles a
+    * train/validation boundary. Fold sizes are hash-proportional
+    * (±binomial noise); use [[kfoldStratified]] when exact balance
+    * matters.
+    */
+  def kfoldAssign(df: DataFrame, keyCol: String, k: Int,
+                  foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    df.withColumn(foldCol, hashBucket(col(keyCol), k))
+  }
+
+  /** Stratified EXACTLY-balanced k-fold: within each stratum, rows are
+    * ranked in hash order and fold = (rank−1) mod k — every stratum's
+    * fold sizes differ by at most one row, so a rare language/class is
+    * represented in every fold (plain hash assignment can starve a
+    * 30-row stratum's fold entirely). Deterministic under any
+    * partitioning: the rank orders by (md5(key), key).
+    *
+    * Output: input columns + `foldCol`.
+    *
+    * Scale posture: one ranked window per stratum — the same shape as
+    * [[capPerGroup]]; skew ceiling is the largest stratum. When strata
+    * are huge and balance can stay approximate, [[kfoldAssign]] is the
+    * windowless map-side path.
+    */
+  def kfoldStratified(df: DataFrame, keyCol: String, strataCol: String,
+                      k: Int, foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    df.withColumn(foldCol, ((hashRank(strataCol, keyCol) - 1) % k).cast("long"))
+  }
+
   /** Stratified deterministic sampling: per-stratum keep thresholds
     * (buckets out of `buckets`), strata not listed keep nothing. The
     * per-class rebalancing move of a training-data pipeline (e.g. keep
