@@ -995,7 +995,50 @@ object SparkEntry {
     // information-theoretic sibling of q_chi2, observed cells only
     "q_mutual_info" -> ((s, dir) =>
       graft.ops.Stats.mutualInformation(
-        table(s, dir, "orders"), "o_orderstatus", "o_orderpriority")))
+        table(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
+
+    // directed n-gram containment: the quote / sub-document detector —
+    // a doc fully quoted inside a longer one scores 1000000 ppm even
+    // when Jaccard is near 0
+    "q_containment" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(
+        table(s, dir, "documents"), "doc_id", "text", n = 3,
+        tauPpm = 800000L)),
+
+    // BM25 relevance for a fixed query over the corpus — exact integer
+    // sufficient stats, term-sorted double fold, rounded-score cut
+    "q_bm25" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bm25(
+        table(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "window", "dup"), topN = 50)),
+
+    // stratified exactly-balanced k-fold assignment (fold sizes within
+    // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
+    "q_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.kfoldStratified(
+        table(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+          .select("event_id", "event_type", "user_id"),
+        "event_id", "event_type", k = 5)),
+
+    // KMV set algebra: pairwise distinct-part overlap between return
+    // flags, estimated from k-long sketches alone (no value shuffle)
+    "q_kmv_overlap" -> ((s, dir) =>
+      graft.ops.Sketch.kmvOverlap(
+        table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)),
+
+    // incremental profiling: per-batch mergeable states (split by
+    // event_id parity) folded and finished — must equal a direct
+    // single-pass profile of the whole table
+    "q_incr_profile" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select("event_id")
+      val a = graft.ops.Profile.colStatsState(
+        ev.filter(col("event_id") % 2 === 0), "event_id", k = 64)
+      val b = graft.ops.Profile.colStatsState(
+        ev.filter(col("event_id") % 2 =!= 0), "event_id", k = 64)
+      graft.ops.Profile.finishColStats(
+        graft.ops.Profile.mergeColStats(a.unionAll(b), k = 64), k = 64)
+    }))
 
   /** Shared DuckDB CTE: tokenization identical to `TextAnalysis.tokens`
     * (split on `\s+`, drop empties) over the documents table.
@@ -2929,5 +2972,107 @@ object SparkEntry {
         |    ln((s.o::DOUBLE / nn.n::DOUBLE) /
         |       ((s.rt::DOUBLE / nn.n::DOUBLE) * (s.ct::DOUBLE / nn.n::DOUBLE))))), 6)
         |    AS mi_nats
-        |FROM f CROSS JOIN nn""".stripMargin)
+        |FROM f CROSS JOIN nn""".stripMargin,
+
+    "q_containment" ->
+      s"""$docToks, s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM d WHERE len(toks) >= 3
+         |), p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh))::BIGINT AS ni,
+         |         len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |), dir AS (
+         |  SELECT a_id AS src_id, b_id AS dst_id, (ni * 1000000) // na AS c FROM p
+         |  UNION ALL
+         |  SELECT b_id, a_id, (ni * 1000000) // nb FROM p
+         |)
+         |SELECT src_id, dst_id, CAST(c AS BIGINT) AS containment_ppm
+         |FROM dir WHERE c >= 800000""".stripMargin,
+
+    "q_bm25" ->
+      s"""$docToks, t AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM d
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), st AS (
+         |  SELECT COUNT(*)::BIGINT AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM t
+         |), tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM (
+         |    SELECT doc_id, dl, unnest(toks) AS term FROM t)
+         |  WHERE term IN ('spark', 'window', 'dup') GROUP BY 1, 2, 3
+         |), df AS (
+         |  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+         |), p AS (
+         |  SELECT doc_id, list_sort(list(struct_pack(term := tf.term, part :=
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |    ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (total_dl / n_docs)))))
+         |  ))) AS arr
+         |  FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_terms_matched,
+         |  ROUND(list_sum(list_transform(arr, s -> s.part)), 6) AS score
+         |FROM p ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_kfold" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(event_id::VARCHAR), event_id) AS hr
+        |  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        |)
+        |SELECT event_id, event_type, user_id,
+        |  CAST((hr - 1) % 5 AS BIGINT) AS fold FROM r""".stripMargin,
+
+    "q_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS g,
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 13))::BIGINT AS hv
+        |  FROM lineitem WHERE l_partkey IS NOT NULL
+        |), r AS (
+        |  SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h
+        |), sk AS (
+        |  SELECT g, list_sort(list(hv)) AS sketch FROM r WHERE rn <= 64 GROUP BY 1
+        |), pr AS (
+        |  SELECT a.g AS group_a, b.g AS group_b, a.sketch AS sa, b.sketch AS sb,
+        |         list_sort(list_distinct(a.sketch || b.sketch))[1:64] AS su
+        |  FROM sk a JOIN sk b ON a.g < b.g
+        |), est AS (
+        |  SELECT group_a, group_b,
+        |    CAST(CASE WHEN len(sa) < 64 THEN len(sa)
+        |         ELSE 63 * 4503599627370496 // sa[64] END AS BIGINT) AS est_a,
+        |    CAST(CASE WHEN len(sb) < 64 THEN len(sb)
+        |         ELSE 63 * 4503599627370496 // sb[64] END AS BIGINT) AS est_b,
+        |    CAST(CASE WHEN len(su) < 64 THEN len(su)
+        |         ELSE 63 * 4503599627370496 // su[64] END AS BIGINT) AS est_union
+        |  FROM pr
+        |)
+        |SELECT group_a, group_b, est_a, est_b, est_union,
+        |  CAST(GREATEST(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter
+        |FROM est""".stripMargin,
+
+    "q_incr_profile" ->
+      """WITH v AS (
+        |  SELECT event_id FROM events WHERE event_id IS NOT NULL
+        |), h AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT AS hv
+        |  FROM v
+        |), r AS (
+        |  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+        |         COUNT(*) OVER () AS nd
+        |  FROM h
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(event_id) AS BIGINT) AS n_nonnull,
+        |         MIN(event_id) AS min_value, MAX(event_id) AS max_value
+        |  FROM v
+        |), e AS (
+        |  SELECT CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       ELSE 63 * 4503599627370496 // MAX(CASE WHEN rn = 64 THEN hv END)
+        |       END AS BIGINT) AS est_distinct
+        |  FROM r
+        |)
+        |SELECT n_rows, n_nonnull, est_distinct, min_value, max_value
+        |FROM agg CROSS JOIN e""".stripMargin)
 }

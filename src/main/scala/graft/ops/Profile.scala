@@ -20,6 +20,55 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** One-row mergeable statistics STATE for `valueCol`: exact row /
+    * non-null counts, native-typed min/max, and a KMV distinct sketch —
+    * the unit of INCREMENTAL profiling. At 100 TB the corpus is never
+    * re-profiled: each ingest batch computes its own state (one scan of
+    * the batch), [[mergeColStats]] folds it into the persisted state
+    * (a k-long array + four scalars), and [[finishColStats]] renders
+    * current corpus stats from state alone. Every component is
+    * associative-commutative, so states compose across batches, shards,
+    * and engines in any order.
+    *
+    * Schema: (n_rows, n_nonnull, min_value, max_value, sketch) —
+    * min/max keep the column's native type (string rendering would
+    * order "10" < "9"; merging then needs the ORIGINAL order).
+    */
+  def colStatsState(df: DataFrame, valueCol: String, k: Int = 64): DataFrame = {
+    val agg = udaf(new Sketch.KmvBufAgg(k))
+    val v = col(valueCol)
+    // -1 sentinel: KmvBufAgg skips negatives; null rows must stay in
+    // the frame so n_rows counts them in the same single pass
+    df.select(v.as("_v"), coalesce(Sketch.kmvHash(v), lit(-1L)).as("_hv"))
+      .agg(count(lit(1)).as("n_rows"), count(col("_v")).as("n_nonnull"),
+        min(col("_v")).as("min_value"), max(col("_v")).as("max_value"),
+        agg(col("_hv")).as("sketch"))
+  }
+
+  /** Fold any number of state rows (per-batch, per-shard, per-day) into
+    * one: counts add, min/max fold in native order, sketches union to
+    * the k smallest distinct hashes. The collect is over STATE rows —
+    * kilobytes per batch — never data.
+    */
+  def mergeColStats(states: DataFrame, k: Int = 64): DataFrame =
+    states.agg(
+      sum("n_rows").cast("long").as("n_rows"),
+      sum("n_nonnull").cast("long").as("n_nonnull"),
+      min("min_value").as("min_value"),
+      max("max_value").as("max_value"),
+      slice(array_sort(array_distinct(flatten(collect_list(col("sketch"))))),
+        1, k).as("sketch"))
+
+  /** Render corpus stats from a state frame:
+    * (n_rows, n_nonnull, est_distinct, min_value, max_value). Exact
+    * distinct below k (the sketch IS the value set), order-statistics
+    * estimate above.
+    */
+  def finishColStats(state: DataFrame, k: Int = 64): DataFrame =
+    state.select(col("n_rows"), col("n_nonnull"),
+      Sketch.kmvEstimate(col("sketch"), k).as("est_distinct"),
+      col("min_value"), col("max_value"))
+
   def profile(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -105,4 +105,83 @@ object Sketch {
       .groupBy("group_key")
       .agg(agg(col("hv")).as("est_distinct"))
   }
+
+  /** [[KmvAgg]] with the BUFFER as the result: the sorted ≤ k smallest
+    * distinct hashes, as an `array<bigint>` column — the mergeable
+    * sketch itself, for persistence and set algebra ([[kmvOverlap]]).
+    */
+  class KmvBufAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: Array[Long] = inner.zero
+    // negative = null sentinel (md5-52-bit points are non-negative):
+    // lets callers that must keep null rows in the agg frame (e.g.
+    // Profile.colStatsState counting rows AND sketching one pass) pass
+    // coalesce(hv, -1) instead of pre-filtering
+    override def reduce(buf: Array[Long], hv: Long): Array[Long] =
+      if (hv < 0) buf else inner.reduce(buf, hv)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** (group_key, sketch) — one KMV sketch per group, built by the same
+    * bounded hash agg as [[kmvDistinct]].
+    */
+  def kmvSketches(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    val agg = udaf(new KmvBufAgg(k))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group_key"), kmvHash(col(valueCol)).as("hv"))
+      .groupBy("group_key")
+      .agg(agg(col("hv")).as("sketch"))
+  }
+
+  /** The order-statistics estimate recomputed declaratively from a
+    * sketch array — the Column twin of [[KmvAgg.finish]].
+    */
+  def kmvEstimate(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    // `div` = IntegralDivide: (k−1)·2⁵² exceeds 2⁵³, so double `/` + cast
+    // would round — BIGINT div is the only exact (and oracle-matching) path
+    val kk = lit((k - 1).toLong * HashDomain)
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(call_function("div", kk, element_at(sketch, k)).cast("long"))
+  }
+
+  /** Pairwise distinct-overlap estimation between groups (sources,
+    * snapshots, shards) by KMV set algebra — "how many distinct user
+    * ids do source A and source B share" WITHOUT ever shuffling the
+    * values: the k smallest hashes of A ∪ B are always contained in
+    * sketch(A) ∪ sketch(B), so a union sketch merges from the two
+    * k-arrays alone, and the intersection follows by
+    * inclusion–exclusion (clamped at 0). When the merged array holds
+    * fewer than k hashes all three sketches were exact and so are the
+    * reported counts.
+    *
+    * Output: (group_a, group_b, est_a, est_b, est_union, est_inter),
+    * group_a < group_b — all BIGINT, integer-div estimates, no floats.
+    *
+    * Scale posture: the data-sized work is [[kmvSketches]]'s bounded
+    * hash agg (k longs of exchange per group); the pair algebra is a
+    * self-join of the |groups|-row sketch frame — |groups|²·k array
+    * cells, data-size independent. The exact alternative (distinct
+    * values co-shuffled per group pair) moves the corpus; this moves
+    * kilobytes.
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int = 64): DataFrame = {
+    val sk = kmvSketches(df, groupCol, valueCol, k)
+    val a = sk.select(col("group_key").as("group_a"), col("sketch").as("_sa"))
+    val b = sk.select(col("group_key").as("group_b"), col("sketch").as("_sb"))
+    val u = slice(array_sort(array_union(col("_sa"), col("_sb"))), 1, k)
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("est_a", kmvEstimate(col("_sa"), k))
+      .withColumn("est_b", kmvEstimate(col("_sb"), k))
+      .withColumn("est_union", kmvEstimate(u, k))
+      .select(col("group_a"), col("group_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_inter"))
+  }
 }

@@ -181,22 +181,65 @@ object TextAnalysis {
           6).as("tf_idf"))
   }
 
-  /** Per-group token-distribution statistics vs the corpus: Shannon
-    * entropy of the group's unigram distribution and KL(group ‖ corpus)
-    * — the drift gate a training-data pipeline runs per source/day
-    * before a batch is admitted (a scraper gone wrong shows up as an
-    * entropy collapse or a KL spike long before eval metrics move).
-    * Output: (group, n_tokens, n_terms, entropy, kl_vs_corpus).
+  /** BM25 relevance scores for a fixed query-term set — the ranking
+    * backbone of retrieval-based data selection (find the corpus docs
+    * most relevant to a target domain, rank near-dup survivors, build
+    * retrieval eval sets). Standard Okapi form with the +1 idf variant
+    * (Lucene-style, never negative):
+    * `Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
     *
-    * Determinism discipline: counts are exact longs; the two double
-    * folds run over a TERM-SORTED array per group (same sorted-fold
-    * trick as [[unigramLogProbScore]]), so results are independent of
-    * partitioning and reproducible cross-engine. Per-group state is
-    * the group's VOCABULARY (structs of term/tf/cnt), not its token
-    * stream — bounded by distinct terms; for groups whose vocabulary
-    * itself is huge, shard terms upstream and combine KL additively
-    * over the shards.
+    * Determinism discipline: every input to the float math is an exact
+    * long (tf, df, dl, N, Σdl); the per-term partials fold in TERM
+    * ORDER per doc (sorted-fold — see [[tokenDistributionShift]]), so
+    * the score is partition-independent and engine-reproducible; the
+    * top-N cut orders by the ROUNDED score with a doc-id tiebreak.
+    * Output: top `topN` rows of (doc_id, n_terms_matched, score).
+    *
+    * Scale posture: the tokenize+TF pass is one map-side-combined hash
+    * agg (the `isin` filter prunes to query terms BEFORE the agg, so
+    * state is |query| terms per doc, not the vocabulary); df and the
+    * corpus stats are |query|-row / 1-row broadcast frames; the cut is
+    * `TakeOrderedAndProject`. Nothing data-sized shuffles except the
+    * (doc × matched-term) frame, bounded by |query| per doc.
     */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
+      "query terms must be distinct (duplicates double-count)")
+    val toks = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms.map(_.toLowerCase): _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the op tree below is mirrored verbatim by the oracle SQL — keep
+    // every paren: IEEE fp is association-sensitive
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val avgdl = col("total_dl") / col("n_docs")
+    val tfNorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl)))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("part", idf * tfNorm)
+    scored
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("part")))).as("_arr"))
+      .select(col("doc_id"),
+        size(col("_arr")).cast("long").as("n_terms_matched"),
+        round(aggregate(col("_arr"), lit(0.0), (a, s) => a + s.getField("part")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Intra-document repetition signals — the Gopher/MassiveText-style
     * filters that catch boilerplate, keyword stuffing, and degenerate
     * generations that length/stopword heuristics miss:
@@ -561,6 +604,22 @@ object TextAnalysis {
       round(llr / nTokens, 6).as("avg_llr"))
   }
 
+  /** Per-group token-distribution statistics vs the corpus: Shannon
+    * entropy of the group's unigram distribution and KL(group ‖ corpus)
+    * — the drift gate a training-data pipeline runs per source/day
+    * before a batch is admitted (a scraper gone wrong shows up as an
+    * entropy collapse or a KL spike long before eval metrics move).
+    * Output: (group, n_tokens, n_terms, entropy, kl_vs_corpus).
+    *
+    * Determinism discipline: counts are exact longs; the two double
+    * folds run over a TERM-SORTED array per group (same sorted-fold
+    * trick as [[unigramLogProbScore]]), so results are independent of
+    * partitioning and reproducible cross-engine. Per-group state is
+    * the group's VOCABULARY (structs of term/tf/cnt), not its token
+    * stream — bounded by distinct terms; for groups whose vocabulary
+    * itself is huge, shard terms upstream and combine KL additively
+    * over the shards.
+    */
   def tokenDistributionShift(docs: DataFrame, textCol: String,
                              groupCol: String): DataFrame = {
     val toks = docs

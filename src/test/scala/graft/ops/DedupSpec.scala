@@ -216,4 +216,51 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     got shouldBe Map(("books", "web") -> 2L, ("web", "web") -> 1L)
   }
+
+  private def containments(docs: org.apache.spark.sql.DataFrame,
+                           tauPpm: Long, maxDf: Option[Int] = None): Map[(Long, Long), Long] =
+    Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tauPpm = tauPpm, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("containmentPairs: a quoted fragment scores 10^6 toward its host, not back") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                                // 2 trigrams
+      (2L, "intro words alpha beta gamma delta and much more after") // superset of 1's
+    ).toDF("doc_id", "text")
+    val got = containments(docs, tauPpm = 800000L)
+    // doc 1's two trigrams both appear in doc 2 → containment(1→2) = 1.0;
+    // doc 2 has 8 trigrams, 2 shared → 250000 ppm, below tau
+    got shouldBe Map((1L, 2L) -> 1000000L)
+  }
+
+  test("containmentPairs: identical docs contain each other both ways") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    containments(docs, tauPpm = 1000000L) shouldBe
+      Map((1L, 2L) -> 1000000L, (2L, 1L) -> 1000000L)
+  }
+
+  test("containmentPairs: ppm is floor integer division of exact counts") {
+    val docs = Seq(
+      (1L, "a b c d"),              // trigrams: abc, bcd
+      (2L, "a b c x y z")           // trigrams: abc, bcx, cxy, xyz — shares only abc
+    ).toDF("doc_id", "text")
+    // containment(1→2) = 1/2 = 500000 ppm; (2→1) = 1/4 = 250000 ppm
+    containments(docs, tauPpm = 250000L) shouldBe
+      Map((1L, 2L) -> 500000L, (2L, 1L) -> 250000L)
+  }
+
+  test("containmentPairs: maxDf candidate bound never changes surviving scores") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat right now"),
+      (2L, "prefix words then the cat sat on the mat right now suffix"),
+      (3L, "a wholly different document about other things entirely"),
+      (4L, "the cat sat on the mat right now")
+    ).toDF("doc_id", "text")
+    val unbounded = containments(docs, tauPpm = 500000L)
+    val bounded = containments(docs, tauPpm = 500000L, maxDf = Some(10))
+    unbounded shouldBe bounded
+    unbounded((1L, 2L)) shouldBe 1000000L
+  }
 }

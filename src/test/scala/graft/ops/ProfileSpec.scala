@@ -40,4 +40,42 @@ class ProfileSpec extends SparkSpec {
       .collect().head.getLong(3)
     got shouldBe 4L
   }
+
+  test("incremental col stats: merged batch states equal the direct single pass") {
+    import org.apache.spark.sql.functions._
+    // 9000 distinct values > k, so the KMV estimator path is exercised;
+    // the merged union sketch must equal the full-data sketch EXACTLY
+    // (the k global minima live inside their batch's k minima)
+    val full = (1 to 9000).map(i => i * 7L).toDF("v")
+    val batches = (0 until 3).map(b => full.filter(col("v") % 3 === b))
+    val states = batches.map(Profile.colStatsState(_, "v", k = 64))
+      .reduce(_ unionAll _)
+    val viaMerge = Profile.finishColStats(
+      Profile.mergeColStats(states, k = 64), k = 64).collect().head
+    val direct = Profile.finishColStats(
+      Profile.colStatsState(full, "v", k = 64), k = 64).collect().head
+    viaMerge shouldBe direct
+    viaMerge.getAs[Long]("n_rows") shouldBe 9000L
+    viaMerge.getAs[Long]("min_value") shouldBe 7L
+    viaMerge.getAs[Long]("max_value") shouldBe 63000L
+  }
+
+  test("incremental col stats: nulls count in n_rows, not n_nonnull or the sketch") {
+    val df = Seq(Some(5L), None, Some(9L), None, Some(5L)).toDF("v")
+    val r = Profile.finishColStats(
+      Profile.colStatsState(df, "v", k = 64), k = 64).collect().head
+    (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nonnull"),
+      r.getAs[Long]("est_distinct"), r.getAs[Long]("min_value"),
+      r.getAs[Long]("max_value")) shouldBe ((5L, 3L, 2L, 5L, 9L))
+  }
+
+  test("incremental col stats: merge order never matters") {
+    val a = Profile.colStatsState((1 to 500).toDF("v"), "v", k = 16)
+    val b = Profile.colStatsState((400 to 900).toDF("v"), "v", k = 16)
+    val ab = Profile.finishColStats(
+      Profile.mergeColStats(a.unionAll(b), k = 16), k = 16).collect().head
+    val ba = Profile.finishColStats(
+      Profile.mergeColStats(b.unionAll(a), k = 16), k = 16).collect().head
+    ab shouldBe ba
+  }
 }

@@ -253,4 +253,46 @@ class SamplingSpec extends SparkSpec {
     Sampling.selectByScoreBudget(rows, "id", "score_ppm", "toks", 8L)
       .select("key").as[Long].collect().toSeq shouldBe Seq(1L)
   }
+
+  test("kfoldAssign: folds cover [0,k), all rows of one key share a fold") {
+    val df = (1L to 300L).flatMap(k => Seq((k, "x"), (k, "y"))).toDF("key", "payload")
+    val got = Sampling.kfoldAssign(df, "key", k = 5)
+    val folds = got.select("fold").as[Long].collect()
+    folds.toSet.subsetOf((0L until 5L).toSet) shouldBe true
+    folds.toSet.size shouldBe 5 // 300 keys hit every fold
+    // leakage-safety: both rows of a key land together
+    got.groupBy("key").agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") > 1).count() shouldBe 0L
+  }
+
+  test("kfoldAssign is partitioning-independent") {
+    val df = (1L to 200L).toDF("key")
+    val one = Sampling.kfoldAssign(df.repartition(1), "key", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Sampling.kfoldAssign(df.repartition(13), "key", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    one shouldBe many
+  }
+
+  test("kfoldStratified: every stratum's fold sizes differ by at most one") {
+    // stratum sizes 7, 10, 3 against k=4 — none divide evenly
+    val df = ((1L to 7L).map((_, "a")) ++ (8L to 17L).map((_, "b")) ++
+      (18L to 20L).map((_, "c"))).toDF("key", "s")
+    val sizes = Sampling.kfoldStratified(df, "key", "s", k = 4)
+      .groupBy("s", "fold").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (s <- Seq("a", "b", "c")) {
+      val perFold = (0L until 4L).map(f => sizes.getOrElse((s, f), 0L))
+      (perFold.max - perFold.min) should be <= 1L
+    }
+    // a 3-row stratum still reaches 3 different folds
+    (0L until 4L).count(f => sizes.contains(("c", f))) shouldBe 3
+  }
+
+  test("kfoldStratified keeps every input row exactly once") {
+    val df = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("key", "s")
+    val got = Sampling.kfoldStratified(df, "key", "s", k = 5)
+    got.count() shouldBe 50L
+    got.select("key").distinct().count() shouldBe 50L
+  }
 }

@@ -49,4 +49,37 @@ class SketchSpec extends SparkSpec {
     agg.finish(buf) shouldBe 3L * (1L << 52) / (1L << 50) // = 12
     agg.finish(Array(10L, 20L)) shouldBe 2L // not full → exact
   }
+
+  test("kmvOverlap: exact below k — inclusion-exclusion recovers true counts") {
+    val df = ((1 to 30).map(("a", _)) ++ (21 to 50).map(("b", _))).toDF("g", "v")
+    val row = Sketch.kmvOverlap(df, "g", "v", k = 64).collect().head
+    // |A|=30, |B|=30, |A∪B|=50, |A∩B|=10 — all sketches under-full → exact
+    (row.getAs[Long]("est_a"), row.getAs[Long]("est_b"),
+      row.getAs[Long]("est_union"), row.getAs[Long]("est_inter")) shouldBe
+      ((30L, 30L, 50L, 10L))
+  }
+
+  test("kmvOverlap: union estimate from two sketches EQUALS the sketch of the union") {
+    // the k smallest of A∪B are contained in sketch(A) ∪ sketch(B), so
+    // merging the two k-arrays must reproduce the direct union sketch
+    // bit-for-bit — not approximately
+    val df = ((1 to 5000).map(("a", _)) ++ (2501 to 7500).map(("b", _))).toDF("g", "v")
+    val est = Sketch.kmvOverlap(df, "g", "v", k = 64).collect().head.getAs[Long]("est_union")
+    val direct = estimates(df.select(lit("u").as("g"), $"v"), k = 64)("u")
+    est shouldBe direct
+  }
+
+  test("kmvOverlap: estimator path lands near truth") {
+    val df = ((1 to 5000).map(("a", _)) ++ (2501 to 7500).map(("b", _))).toDF("g", "v")
+    val row = Sketch.kmvOverlap(df, "g", "v", k = 256).collect().head
+    row.getAs[Long]("est_union").toDouble shouldBe 7500.0 +- 1500.0
+    // intersection inherits both ends' error — loose box, clamped at 0
+    row.getAs[Long]("est_inter").toDouble shouldBe 2500.0 +- 1250.0
+  }
+
+  test("kmvOverlap: disjoint groups clamp intersection at 0, never negative") {
+    val df = ((1 to 2000).map(("a", _)) ++ (10001 to 12000).map(("b", _))).toDF("g", "v")
+    val row = Sketch.kmvOverlap(df, "g", "v", k = 64).collect().head
+    row.getAs[Long]("est_inter") should be >= 0L
+  }
 }

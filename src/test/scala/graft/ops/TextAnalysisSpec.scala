@@ -516,4 +516,48 @@ class TextAnalysisSpec extends SparkSpec {
     got("en") shouldBe ((3L, 1L, 333333L))
     got("de") shouldBe ((5L, 1L, 200000L))
   }
+
+  test("bm25: hand-computed Okapi scores, term-sorted fold") {
+    val docs = Seq(
+      (1L, "cat dog"),       // dl 2
+      (2L, "cat cat fish"),  // dl 3
+      (3L, "bird"))          // dl 1 — matches nothing, absent from output
+      .toDF("doc_id", "text")
+    // N = 3, total_dl = 6, avgdl = 2.0; df(cat) = 2, df(fish) = 1
+    def idf(df: Long) = math.log((3L - df + 0.5) / (df + 0.5) + 1.0)
+    def norm(tf: Long, dl: Long) =
+      (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (6L / 3L.toDouble))))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = r6(0.0 + idf(2) * norm(1, 2))
+    val exp2 = r6(0.0 + idf(2) * norm(2, 3) + idf(1) * norm(1, 3)) // cat then fish
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat", "fish"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe ((1L, exp1))
+    got(2L) shouldBe ((2L, exp2))
+  }
+
+  test("bm25: rounded-score ordering with doc-id tiebreak, topN cut") {
+    val docs = Seq(
+      (3L, "cat x"), (1L, "cat x"), (2L, "cat x"), // exact ties → id order
+      (4L, "cat cat cat y"))                       // higher tf, but longer doc
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"), topN = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    got should have size 3
+    // saturating tf vs length norm: ranks are deterministic; the tied
+    // trio must appear in doc-id order within the result
+    val tied = got.filter(Set(1L, 2L, 3L))
+    tied shouldBe tied.sorted
+  }
+
+  test("bm25 is partitioning-independent") {
+    val docs = (1L to 40L).map(i => (i, if (i % 3 == 0) "cat dog fish" else "dog only here"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.bm25(docs.repartition(1), "doc_id", "text", Seq("cat", "fish"), topN = 10)
+      .collect().toSeq
+    val b = TextAnalysis.bm25(docs.repartition(17), "doc_id", "text", Seq("cat", "fish"), topN = 10)
+      .collect().toSeq
+    a shouldBe b
+  }
 }
