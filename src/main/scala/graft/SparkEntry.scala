@@ -1027,6 +1027,25 @@ object SparkEntry {
       graft.ops.Sketch.kmvOverlap(
         table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)),
 
+    // Cohen's kappa between event_type and a deterministic synthetic
+    // second rater (agrees on event_id % 10 < 8, else a fixed label
+    // permutation) — label-QA agreement beyond chance
+    "q_kappa" -> ((s, dir) =>
+      graft.ops.Stats.cohensKappa(
+        syntheticRaters(table(s, dir, "events")), "event_type", "rater2")),
+
+    // per-class confusion matrix + integer-ppm precision/recall/F1 over
+    // the same synthetic (label, pred) frame
+    "q_confusion" -> ((s, dir) =>
+      graft.ops.Stats.confusionStats(
+        syntheticRaters(table(s, dir, "events")), "event_type", "rater2")),
+
+    // deterministic bottom-k-by-hash sample quantiles over event values
+    "q_quantile_sample" -> ((s, dir) =>
+      graft.ops.Sketch.hashSampleQuantiles(
+        table(s, dir, "events"), "event_id", "value",
+        ps = Seq(0.1, 0.5, 0.9, 0.99), k = 512)),
+
     // incremental profiling: per-batch mergeable states (split by
     // event_id parity) folded and finished — must equal a direct
     // single-pass profile of the whole table
@@ -1039,6 +1058,31 @@ object SparkEntry {
       graft.ops.Profile.finishColStats(
         graft.ops.Profile.mergeColStats(a.unionAll(b), k = 64), k = 64)
     }))
+
+  /** Deterministic second annotator over events: agrees with
+    * `event_type` on event_id % 10 < 8, otherwise emits a fixed label
+    * permutation — the synthetic (label, pred) frame for the
+    * kappa/confusion entries. The oracle states the same CASE tree.
+    */
+  private def syntheticRaters(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("rater2",
+        when(col("event_id") % 10 < 8, col("event_type"))
+          .otherwise(when(col("event_type") === "click", lit("view"))
+            .when(col("event_type") === "view", lit("click"))
+            .otherwise(lit("error"))))
+
+  /** DuckDB twin of [[syntheticRaters]] (same CASE tree). */
+  private val syntheticRatersSql =
+    """WITH e AS (
+      |  SELECT event_type AS a,
+      |    CASE WHEN event_id % 10 < 8 THEN event_type
+      |         ELSE CASE WHEN event_type = 'click' THEN 'view'
+      |                   WHEN event_type = 'view' THEN 'click'
+      |                   ELSE 'error' END END AS b
+      |  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+      |)""".stripMargin
 
   /** Shared DuckDB CTE: tokenization identical to `TextAnalysis.tokens`
     * (split on `\s+`, drop empties) over the documents table.
@@ -3051,6 +3095,75 @@ object SparkEntry {
         |SELECT group_a, group_b, est_a, est_b, est_union,
         |  CAST(GREATEST(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter
         |FROM est""".stripMargin,
+
+    "q_kappa" ->
+      s"""$syntheticRatersSql, c AS (
+         |  SELECT a, b, COUNT(*)::BIGINT AS o FROM e GROUP BY 1, 2
+         |), m1 AS (
+         |  SELECT a AS cat, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1
+         |), m2 AS (
+         |  SELECT b AS cat, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1
+         |), marg AS (
+         |  SELECT cat, COALESCE(rt, 0) AS rt, COALESCE(ct, 0) AS ct
+         |  FROM m1 FULL OUTER JOIN m2 USING (cat)
+         |), nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+         |d AS (
+         |  SELECT CAST(SUM(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS agree
+         |  FROM c
+         |), f AS (
+         |  SELECT list_sort(list(struct_pack(cat := cat, rt := rt, ct := ct))) AS arr,
+         |         COUNT(*)::BIGINT AS n_categories
+         |  FROM marg
+         |), raw AS (
+         |  SELECT nn.n, f.n_categories,
+         |    agree::DOUBLE / nn.n::DOUBLE AS po_raw,
+         |    list_sum(list_transform(arr, s ->
+         |      (s.rt::DOUBLE / nn.n::DOUBLE) * (s.ct::DOUBLE / nn.n::DOUBLE))) AS pe_raw
+         |  FROM f CROSS JOIN nn CROSS JOIN d
+         |)
+         |SELECT n, n_categories, ROUND(po_raw, 6) AS po, ROUND(pe_raw, 6) AS pe,
+         |  ROUND(CASE WHEN pe_raw = 1.0 THEN NULL
+         |        ELSE (po_raw - pe_raw) / (1.0 - pe_raw) END, 6) AS kappa
+         |FROM raw""".stripMargin,
+
+    "q_confusion" ->
+      s"""$syntheticRatersSql, c AS (
+         |  SELECT a AS label, b AS pred, COUNT(*)::BIGINT AS o FROM e GROUP BY 1, 2
+         |), lab AS (
+         |  SELECT label AS class, CAST(SUM(o) AS BIGINT) AS n_labeled,
+         |         CAST(SUM(CASE WHEN label = pred THEN o ELSE 0 END) AS BIGINT) AS tp
+         |  FROM c GROUP BY 1
+         |), prd AS (
+         |  SELECT pred AS class, CAST(SUM(o) AS BIGINT) AS n_predicted FROM c GROUP BY 1
+         |), j AS (
+         |  SELECT class, COALESCE(n_labeled, 0) AS n_labeled,
+         |         COALESCE(n_predicted, 0) AS n_predicted, COALESCE(tp, 0) AS tp
+         |  FROM lab FULL OUTER JOIN prd USING (class)
+         |)
+         |SELECT class, n_labeled, n_predicted, tp,
+         |  n_predicted - tp AS fp, n_labeled - tp AS fn,
+         |  CAST(CASE WHEN n_predicted > 0 THEN (tp * 1000000) // n_predicted END AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST(CASE WHEN n_labeled > 0 THEN (tp * 1000000) // n_labeled END AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(CASE WHEN n_predicted + n_labeled > 0
+         |       THEN (tp * 2000000) // (2 * tp + (n_predicted - tp) + (n_labeled - tp))
+         |       END AS BIGINT) AS f1_ppm
+         |FROM j""".stripMargin,
+
+    "q_quantile_sample" ->
+      """WITH s AS (
+        |  SELECT value FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |  ORDER BY md5(event_id::VARCHAR), event_id LIMIT 512
+        |), r AS (
+        |  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM s
+        |)
+        |SELECT p, CAST(n AS BIGINT) AS n_sample, value
+        |FROM r, (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS p)
+        |WHERE rn = ceil(p * n)""".stripMargin,
 
     "q_incr_profile" ->
       """WITH v AS (

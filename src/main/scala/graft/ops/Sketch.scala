@@ -149,6 +149,51 @@ object Sketch {
       .otherwise(call_function("div", kk, element_at(sketch, k)).cast("long"))
   }
 
+  /** Approximate quantiles from a DETERMINISTIC bottom-k-by-hash row
+    * sample — the numeric companion to the KMV distinct sketch for
+    * incremental / cross-engine profiling. The k rows with the
+    * smallest `(md5(key), key)` form an order-independent uniform row
+    * sample (each row's membership depends only on its key), so the
+    * same call on any engine, any partitioning, any day picks the SAME
+    * rows; quantiles are then type-1 (discrete) selections over the
+    * sample — actual data values, no interpolation floats.
+    *
+    * Mergeable by construction: the k smallest hashes of a union live
+    * inside the union of each part's k smallest, so per-batch samples
+    * re-cut to k compose exactly like KMV sketches (same argument as
+    * [[kmvOverlap]]'s union sketch).
+    *
+    * Output: one row per requested p: (p, n_sample, value).
+    *
+    * Scale posture: the sample is `TakeOrderedAndProject` — a bounded
+    * k-heap per partition, k rows to the final cut, nothing resembling
+    * a global sort of the data. The quantile selection then runs on k
+    * rows. Contrast `approxQuantile`'s Greenwald–Khanna: similar cost,
+    * but its sketch is engine-private and run-order dependent —
+    * useless for a cross-engine parity gate or persisted state.
+    * Sampling error is the classic order-statistic bound (±O(1/√k)
+    * quantile rank error); k = 4096 holds every p to ~±1.5 rank points.
+    */
+  def hashSampleQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                          ps: Seq[Double], k: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "each p in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val key = col(keyCol); val v = col(valueCol)
+    val sample = df.filter(key.isNotNull && v.isNotNull)
+      .select(key.as("_k"), v.as("_v"))
+      .withColumn("_h", md5(col("_k").cast("string").cast("binary")))
+      .orderBy(col("_h"), col("_k"))
+      .limit(k)
+    val ranked = sample
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over())
+    ranked
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("_rn") === ceil(col("p") * col("_n")))
+      .select(col("p"), col("_n").cast("long").as("n_sample"),
+        col("_v").as("value"))
+  }
+
   /** Pairwise distinct-overlap estimation between groups (sources,
     * snapshots, shards) by KMV set algebra — "how many distinct user
     * ids do source A and source B share" WITHOUT ever shuffling the

@@ -105,4 +105,99 @@ object Stats {
          (s.getField("ct").cast("double") / col("n").cast("double")))))
     folded.select(col("n"), col("n_cells"), round(mi, 6).as("mi_nats"))
   }
+
+  /** Cohen's κ inter-rater agreement between two categorical columns
+    * over the same label space — the label-QA gate for human- or
+    * model-annotated training data ("do the two annotation passes
+    * agree beyond chance?"). κ = (p_o − p_e)/(1 − p_e) with observed
+    * agreement p_o = Σ_diag o/n and chance agreement
+    * p_e = Σ_c (rt_c/n)·(ct_c/n) over every category either rater
+    * used.
+    *
+    * Determinism: all sufficient statistics are exact longs; the p_e
+    * fold runs over the CATEGORY-SORTED marginal array; the final κ is
+    * one closed-form double expression stated identically in the
+    * oracle. Perfect-agreement degenerate case (p_e = 1) returns null
+    * rather than 0/0. Output: ONE row (n, n_categories, po, pe, kappa).
+    *
+    * Scale posture: identical to [[chiSquare]] — the data collapses to
+    * an (r1, r2) cell frame in one hash agg; marginals and the fold
+    * operate on ≤ |categories|² rows.
+    */
+  def cohensKappa(df: DataFrame, rater1Col: String, rater2Col: String): DataFrame = {
+    val r1 = col(rater1Col); val r2 = col(rater2Col)
+    val cells = df.filter(r1.isNotNull && r2.isNotNull)
+      .select(r1.as("a"), r2.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val m1 = cells.groupBy("a").agg(sum("o").as("rt")).withColumnRenamed("a", "cat")
+    val m2 = cells.groupBy("b").agg(sum("o").as("ct")).withColumnRenamed("b", "cat")
+    // union of both raters' category sets: a label only one rater ever
+    // used still contributes (its partner marginal is 0)
+    val marg = m1.join(m2, Seq("cat"), "full_outer")
+      .select(col("cat"), coalesce(col("rt"), lit(0L)).as("rt"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    val diag = cells.agg(sum(when(col("a") === col("b"), col("o"))
+      .otherwise(lit(0L))).as("agree"))
+    val folded = marg
+      .agg(array_sort(collect_list(struct(col("cat"), col("rt"), col("ct")))).as("arr"),
+        count(lit(1)).as("n_categories"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(diag))
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val pe = aggregate(col("arr"), lit(0.0), (a, s) =>
+      a + (s.getField("rt").cast("double") / col("n").cast("double")) *
+        (s.getField("ct").cast("double") / col("n").cast("double")))
+    folded.select(col("n"), col("n_categories"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round(when(pe === lit(1.0), lit(null).cast("double"))
+        .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  /** Per-class confusion statistics for a (label, prediction) frame —
+    * the evaluation table for every classifier a data pipeline runs
+    * (quality filters, language ID, toxicity gates): true/false
+    * positives, false negatives, and integer-ppm precision / recall /
+    * F1 per class. All ratios are BIGINT `div` of exact counts
+    * (`f1_ppm = 2·tp·10⁶ div (2·tp + fp + fn)` — the harmonic mean
+    * stated in integers, no float anywhere); a class never predicted
+    * (or never labeled) reports null precision (recall) rather than
+    * 0/0.
+    *
+    * Output: one row per class in the union of label/pred values:
+    * (class, n_labeled, n_predicted, tp, fp, fn, precision_ppm,
+    * recall_ppm, f1_ppm).
+    *
+    * Scale posture: ONE hash agg collapses the data to the (label,
+    * pred) cell frame (≤ |classes|² rows); per-class rollups and the
+    * full-outer marginal join never touch raw rows again.
+    */
+  def confusionStats(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val l = col(labelCol); val p = col(predCol)
+    val cells = df.filter(l.isNotNull && p.isNotNull)
+      .select(l.as("label"), p.as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("o"))
+    val labeled = cells.groupBy("label").agg(
+      sum("o").as("n_labeled"),
+      sum(when(col("label") === col("pred"), col("o")).otherwise(lit(0L))).as("tp"))
+      .withColumnRenamed("label", "class")
+    val predicted = cells.groupBy("pred").agg(sum("o").as("n_predicted"))
+      .withColumnRenamed("pred", "class")
+    labeled.join(predicted, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("n_labeled"), lit(0L)).as("n_labeled"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_predicted") - col("tp"))
+      .withColumn("fn", col("n_labeled") - col("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_predicted") > 0,
+          call_function("div", col("tp") * lit(1000000L), col("n_predicted"))))
+      .withColumn("recall_ppm",
+        when(col("n_labeled") > 0,
+          call_function("div", col("tp") * lit(1000000L), col("n_labeled"))))
+      .withColumn("f1_ppm",
+        when(col("n_predicted") + col("n_labeled") > 0,
+          call_function("div", col("tp") * lit(2000000L),
+            lit(2) * col("tp") + col("fp") + col("fn"))))
+  }
 }

@@ -82,4 +82,33 @@ class SketchSpec extends SparkSpec {
     val row = Sketch.kmvOverlap(df, "g", "v", k = 64).collect().head
     row.getAs[Long]("est_inter") should be >= 0L
   }
+
+  test("hashSampleQuantiles: k >= population means EXACT type-1 quantiles") {
+    val df = (1 to 100).map(i => (i, i * 10)).toDF("id", "v")
+    val got = Sketch.hashSampleQuantiles(df, "id", "v", Seq(0.25, 0.5, 1.0), k = 200)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // full population in the sample → rank ceil(p*100) of 10..1000
+    got(0.25) shouldBe ((100L, 250))
+    got(0.5) shouldBe ((100L, 500))
+    got(1.0) shouldBe ((100L, 1000))
+  }
+
+  test("hashSampleQuantiles is partitioning-independent (same keys, same sample)") {
+    val df = (1 to 5000).map(i => (i, (i * 37) % 1000)).toDF("id", "v")
+    val a = Sketch.hashSampleQuantiles(df.repartition(1), "id", "v",
+      Seq(0.1, 0.5, 0.9), k = 256).collect().map(r => (r.getDouble(0), r.getInt(2))).toSet
+    val b = Sketch.hashSampleQuantiles(df.repartition(23), "id", "v",
+      Seq(0.1, 0.5, 0.9), k = 256).collect().map(r => (r.getDouble(0), r.getInt(2))).toSet
+    a shouldBe b
+  }
+
+  test("hashSampleQuantiles: sample estimates land near true quantiles") {
+    // values uniform on [0, 10000) — with k=1024 the p-quantile rank
+    // error is ~1/sqrt(k) ≈ 3%; assert a 10-point box on p50/p90
+    val df = (1 to 20000).map(i => (i, (i * 7919) % 10000)).toDF("id", "v")
+    val got = Sketch.hashSampleQuantiles(df, "id", "v", Seq(0.5, 0.9), k = 1024)
+      .collect().map(r => r.getDouble(0) -> r.getInt(2)).toMap
+    got(0.5).toDouble shouldBe 5000.0 +- 1000.0
+    got(0.9).toDouble shouldBe 9000.0 +- 1000.0
+  }
 }

@@ -62,4 +62,64 @@ class StatsSpec extends SparkSpec {
     got("g") shouldBe ((3L, Some(2.0), Some(1.0)))   // y = 2x + 1 exactly
     got("v") shouldBe ((2L, None, None))             // vertical — undefined
   }
+
+  test("cohensKappa: hand-computed 2x2 agreement") {
+    // raters on 10 items: agree yes×4, agree no×2, split 2 each way
+    val df = (Seq.fill(4)(("yes", "yes")) ++ Seq.fill(2)(("no", "no")) ++
+      Seq.fill(2)(("yes", "no")) ++ Seq.fill(2)(("no", "yes"))).toDF("r1", "r2")
+    // po = 6/10; marginals: r1 yes 6 / no 4, r2 yes 6 / no 4
+    // pe = 0.6*0.6 + 0.4*0.4 = 0.52; kappa = (0.6-0.52)/0.48 = 1/6
+    val r = Stats.cohensKappa(df, "r1", "r2").collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) shouldBe
+      ((10L, 2L, 0.6, 0.52))
+    r.getDouble(4) shouldBe 0.166667 // (0.6-0.52)/0.48 = 1/6, rounded to 6dp
+  }
+
+  test("cohensKappa: chance-level agreement is 0, perfect agreement is null-safe 1") {
+    val perfect = Seq.fill(5)(("a", "a")).toDF("r1", "r2")
+    // po = 1, pe = 1 (single category) → 0/0 guarded to null
+    Option(Stats.cohensKappa(perfect, "r1", "r2").collect().head.get(4)) shouldBe None
+    val mixed = (Seq.fill(3)(("a", "a")) ++ Seq.fill(2)(("a", "b")) ++
+      Seq.fill(3)(("b", "a")) ++ Seq.fill(2)(("b", "b"))).toDF("r1", "r2")
+    // po = 0.5; r1: a 5 / b 5; r2: a 6 / b 4 → pe = 0.5*0.6+0.5*0.4 = 0.5
+    Stats.cohensKappa(mixed, "r1", "r2").collect().head.getDouble(4) shouldBe 0.0
+  }
+
+  test("cohensKappa: a category only one rater used still enters pe with 0 partner mass") {
+    val df = Seq(("a", "a"), ("a", "c"), ("b", "b")).toDF("r1", "r2")
+    val r = Stats.cohensKappa(df, "r1", "r2").collect().head
+    r.getLong(1) shouldBe 3L // categories {a, b, c}
+    // pe = (2/3)(1/3) + (1/3)(1/3) + 0·(1/3) = 3/9
+    r.getDouble(3) shouldBe 0.333333
+  }
+
+  test("confusionStats: hand-computed per-class counts and integer ppm") {
+    val df = Seq(
+      ("cat", "cat"), ("cat", "cat"), ("cat", "dog"),
+      ("dog", "cat"), ("dog", "dog"),
+      ("bird", "dog")).toDF("label", "pred")
+    val got = Stats.confusionStats(df, "label", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cat = got("cat")
+    // tp=2 fp=1 fn=1: precision 2/3, recall 2/3, f1 = 4/6
+    (cat.getAs[Long]("tp"), cat.getAs[Long]("fp"), cat.getAs[Long]("fn")) shouldBe ((2L, 1L, 1L))
+    cat.getAs[Long]("precision_ppm") shouldBe 666666L
+    cat.getAs[Long]("recall_ppm") shouldBe 666666L
+    cat.getAs[Long]("f1_ppm") shouldBe 666666L
+    // bird: labeled once, never predicted → precision null, recall 0
+    val bird = got("bird")
+    Option(bird.get(bird.fieldIndex("precision_ppm"))) shouldBe None
+    bird.getAs[Long]("recall_ppm") shouldBe 0L
+    bird.getAs[Long]("f1_ppm") shouldBe 0L
+  }
+
+  test("confusionStats: a class only ever predicted gets null recall") {
+    val df = Seq(("a", "ghost"), ("a", "a")).toDF("label", "pred")
+    val got = Stats.confusionStats(df, "label", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("ghost")
+    (g.getAs[Long]("n_labeled"), g.getAs[Long]("n_predicted")) shouldBe ((0L, 1L))
+    Option(g.get(g.fieldIndex("recall_ppm"))) shouldBe None
+    g.getAs[Long]("precision_ppm") shouldBe 0L
+  }
 }
