@@ -1027,6 +1027,30 @@ object SparkEntry {
       graft.ops.Sketch.kmvOverlap(
         table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)),
 
+    // hard-negative mining: per anchor, top-5 most-similar vectors with
+    // a DIFFERENT label (bounded-heap agg, label filter pre-aggregation)
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // semantic decontamination: corpus vectors within cosine 0.4 of any
+    // "eval" vector (vec_id < 64 split), best match each — exact mode
+    // is the oracle baseline, banded is the scale path (spec-equated)
+    "q_sem_contamination" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.semanticContamination(
+        emb.filter(col("vec_id") >= 64), emb.filter(col("vec_id") < 64),
+        "vec_id", "embedding", tau = 0.4, exact = true)
+    }),
+
+    // deterministic contrastive negative sampling from a bounded
+    // hash-selected pool — map-side array select, no shuffle
+    "q_neg_sample" -> ((s, dir) =>
+      graft.ops.Sampling.negativeSample(
+        table(s, dir, "embeddings"), "vec_id", "label", k = 3, poolSize = 32)),
+
     // Cohen's kappa between event_type and a deterministic synthetic
     // second rater (agrees on event_id % 10 < 8, else a fixed label
     // permutation) — label-QA agreement beyond chance
@@ -3095,6 +3119,55 @@ object SparkEntry {
         |SELECT group_a, group_b, est_a, est_b, est_union,
         |  CAST(GREATEST(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter
         |FROM est""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS anchor_id, label AS al, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id AS neg_id, label AS cl, embedding AS cv FROM embeddings
+         |), p AS (
+         |  SELECT anchor_id, neg_id, ${duckCosine("qv", "cv")} AS sim
+         |  FROM q, c WHERE cl <> al
+         |), r AS (
+         |  SELECT anchor_id, neg_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY sim DESC, neg_id) AS BIGINT) AS rn
+         |  FROM p
+         |)
+         |SELECT anchor_id, rn, neg_id, ROUND(sim, 6) AS sim
+         |FROM r WHERE rn <= 5""".stripMargin,
+
+    "q_sem_contamination" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE vec_id >= 64
+         |), e AS (
+         |  SELECT vec_id AS eval_id, embedding AS ev FROM embeddings WHERE vec_id < 64
+         |), p AS (
+         |  SELECT doc_id, eval_id, ${duckCosine("cv", "ev")} AS sim FROM c, e
+         |), r AS (
+         |  SELECT doc_id, eval_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, eval_id) AS rn
+         |  FROM p
+         |)
+         |SELECT doc_id, eval_id, ROUND(sim, 6) AS sim
+         |FROM r WHERE rn = 1 AND sim >= 0.4""".stripMargin,
+
+    "q_neg_sample" ->
+      """WITH pool AS (
+        |  SELECT vec_id AS pk, label AS pl FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32
+        |), a AS (
+        |  SELECT vec_id AS anchor, label AS al FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |), r AS (
+        |  SELECT anchor, pk,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor
+        |      ORDER BY md5(anchor::VARCHAR || '|' || pk::VARCHAR), pk) AS BIGINT) AS rank
+        |  FROM a JOIN pool ON pl <> al
+        |)
+        |SELECT anchor, pk AS negative, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "q_kappa" ->
       s"""$syntheticRatersSql, c AS (

@@ -439,4 +439,49 @@ object Sampling {
       .filter(col("_cum") <= budget)
       .select(col("key"), col("score_ppm"), col("n_tokens"))
   }
+
+  /** Deterministic contrastive negative sampling: for each anchor row,
+    * `k` rows with a DIFFERENT label, drawn from a bounded
+    * hash-selected candidate pool — the random-negatives companion to
+    * `Similarity.hardNegatives` (uniform negatives for InfoNCE-style
+    * training; hard negatives for metric refinement). Which negatives
+    * an anchor gets depends only on (anchor key, candidate key): the
+    * per-pair md5 re-ranks the pool per anchor, so negatives vary
+    * across anchors yet every engine, run, and partitioning agrees.
+    *
+    * Output: (anchor, negative, rank), rank 1..≤k (fewer when the pool
+    * holds < k other-label rows).
+    *
+    * Scale posture: the pool is `TakeOrderedAndProject` (bottom
+    * `poolSize` by (md5(key), key) — bounded heap per partition),
+    * collapsed to ONE array row and broadcast; per-anchor selection is
+    * a map-side array transform + sort + slice over ≤ poolSize
+    * elements — NO shuffle, no window: n_anchors·k output rows from a
+    * single pass. The pool bound is the sampling trade: negatives come
+    * from a fixed poolSize-row universe per run (standard practice —
+    * in-batch negatives have the same property).
+    */
+  def negativeSample(df: DataFrame, keyCol: String, labelCol: String,
+                     k: Int, poolSize: Int = 1024): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need 1 <= k <= poolSize")
+    val key = col(keyCol); val label = col(labelCol)
+    val pool = df.filter(key.isNotNull && label.isNotNull)
+      .select(key.as("_pk"), label.as("_pl"),
+        md5(key.cast("string").cast("binary")).as("_h"))
+      .orderBy(col("_h"), col("_pk"))
+      .limit(poolSize)
+      .agg(collect_list(struct(col("_pk"), col("_pl"))).as("_pool"))
+    df.filter(key.isNotNull && label.isNotNull)
+      .select(key.as("anchor"), label.as("_al"))
+      .crossJoin(broadcast(pool))
+      .withColumn("_ranked", slice(array_sort(transform(
+        filter(col("_pool"), p => p.getField("_pl") =!= col("_al")),
+        p => struct(
+          md5(concat_ws("|", col("anchor").cast("string"),
+            p.getField("_pk").cast("string")).cast("binary")).as("h"),
+          p.getField("_pk").as("pk")))), 1, k))
+      .select(col("anchor"), posexplode(col("_ranked")))
+      .select(col("anchor"), col("col.pk").as("negative"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

@@ -538,6 +538,100 @@ object Similarity {
       .select(col("doc_id").as("dropped_id"), col("cluster_id").as("rep_id"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the `k` corpus vectors MOST similar to it among those with a
+    * DIFFERENT label — the negatives that actually teach a metric
+    * model (random negatives are trivially separable; the hard ones
+    * sit just across the decision boundary). Same bounded-heap
+    * contract as [[topKPerQuery]]: the label-mismatch filter runs
+    * before aggregation, so self-pairs (same label) never reach the
+    * heap.
+    *
+    * Output: (anchor_id, rn, neg_id, sim), rn 1..k by (sim desc, id).
+    *
+    * Scale posture: anchors broadcast (a training batch / probe set —
+    * small by construction); the corpus scans ONCE map-side; heap
+    * state is ≤ k per (anchor × task) and partial-aggregates before
+    * the per-anchor shuffle, so only anchors × k rows cross the
+    * exchange. For all-corpus anchors route candidates through
+    * [[signBuckets]] banding or IVF cells first — the heap agg
+    * consumes any candidate frame.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("anchor_id"), col(labelCol).as("_al"),
+      asDouble(col(vecCol)).as("qv"), norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neg_id"), col(labelCol).as("_cl"),
+      asDouble(col(vecCol)).as("cv"), norm(col(vecCol)).as("cn"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[(Double, Long)])
+    c.crossJoin(broadcast(q))
+      .filter(col("_cl") =!= col("_al"))
+      .select(col("anchor_id"),
+        (graft.functions.VectorExpressions.dotD(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("s"),
+        col("neg_id").cast("long").as("nid"))
+      .groupBy("anchor_id")
+      .agg(topk(col("s"), col("nid")).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("neg_id"), round(col("col._1"), 6).as("sim"))
+  }
+
+  /** Semantic decontamination: corpus vectors within cosine `tau` of
+    * ANY eval-set vector, each with its best-matching eval item — the
+    * embedding-space sibling of the n-gram contamination gate
+    * (`Dedup.contamination`), catching paraphrased benchmark leakage
+    * that exact n-grams miss.
+    *
+    * Output: (doc_id, eval_id, sim) — one row per contaminated corpus
+    * vector, eval_id = its highest-similarity eval item (ties by min
+    * id via the [[TopKAgg]] ordering).
+    *
+    * Scale posture: the EVAL side is small by construction (a
+    * benchmark suite) — it broadcasts whole (`exact = true`: one
+    * map-side corpus scan, |corpus|·|eval| comparisons, heap state 1
+    * per doc) or as banded signatures (`exact = false`: sign-LSH
+    * band/key equi-join prunes the comparison set; survivors verify
+    * with the exact kernel, so reported sims are exact and a pair's
+    * flag never rests on the approximation — recall follows the
+    * banding config, see [[nearDupCosine]]'s regime note).
+    */
+  def semanticContamination(corpus: DataFrame, evals: DataFrame,
+                            idCol: String, vecCol: String, tau: Double,
+                            exact: Boolean = true, dim: Int = 64,
+                            nPlanes: Int = 64, bandBits: Int = 2,
+                            seed: Long = 7L): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"), asDouble(col(vecCol)).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val e = evals.select(col(idCol).as("eval_id"), asDouble(col(vecCol)).as("ev"),
+      norm(col(vecCol)).as("en"))
+    val pairs =
+      if (exact) c.crossJoin(broadcast(e))
+      else {
+        val cb = signBuckets(corpus, vecCol, dim, nPlanes, bandBits, seed)
+          .select(col(idCol).as("doc_id"), explode(col("_bands")).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+        val eb = signBuckets(evals, vecCol, dim, nPlanes, bandBits, seed)
+          .select(col(idCol).as("eval_id"), explode(col("_bands")).as("b"))
+          .select(col("eval_id"), col("b.band").as("band"), col("b.key").as("key"))
+        cb.join(broadcast(eb), Seq("band", "key"))
+          .select("doc_id", "eval_id").distinct()
+          .join(c, "doc_id").join(broadcast(e), "eval_id")
+      }
+    val top1 = udaf(new TopKAgg(1), org.apache.spark.sql.Encoders.product[(Double, Long)])
+    pairs
+      .select(col("doc_id"),
+        (graft.functions.VectorExpressions.dotD(col("cv"), col("ev")) /
+          (col("cn") * col("en"))).as("s"),
+        col("eval_id").cast("long").as("eid"))
+      .groupBy("doc_id")
+      .agg(top1(col("s"), col("eid")).as("best"))
+      .select(col("doc_id"), col("best").getItem(0).as("b"))
+      .filter(col("b._1") >= tau)
+      .select(col("doc_id"), col("b._2").as("eval_id"),
+        round(col("b._1"), 6).as("sim"))
+  }
+
   /** Per-label mean embedding (class centroids), exploded to
     * (label, dim, centroid, n_vectors) rows. The standard prototype
     * step — cluster summaries, class prototypes for nearest-centroid

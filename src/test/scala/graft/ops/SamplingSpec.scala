@@ -289,6 +289,42 @@ class SamplingSpec extends SparkSpec {
     (0L until 4L).count(f => sizes.contains(("c", f))) shouldBe 3
   }
 
+  test("negativeSample: k other-label negatives per anchor, never own label") {
+    val df = (1L to 60L).map(i => (i, s"l${i % 4}")).toDF("key", "lbl")
+    val got = Sampling.negativeSample(df, "key", "lbl", k = 3, poolSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lbl = (1L to 60L).map(i => i -> s"l${i % 4}").toMap
+    got.groupBy(_._1).foreach { case (_, rs) => rs should have size 3 }
+    got.foreach { case (a, n, _) => lbl(a) should not be lbl(n) }
+    // ranks are 1..3 per anchor
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      rs.map(_._3).sorted shouldBe Seq(1L, 2L, 3L)
+    }
+  }
+
+  test("negativeSample is partitioning-independent and anchor-varied") {
+    val df = (1L to 80L).map(i => (i, s"l${i % 5}")).toDF("key", "lbl")
+    def run(parts: Int) =
+      Sampling.negativeSample(df.repartition(parts), "key", "lbl", k = 2, poolSize = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val a = run(1); val b = run(11)
+    a shouldBe b
+    // the per-pair hash re-ranks the pool per anchor: not every anchor
+    // gets the same negative set
+    a.groupBy(_._1._1).values.map(_.values.toSet).toSet.size should be > 1
+  }
+
+  test("negativeSample: anchors with too few other-label pool rows get fewer negatives") {
+    // pool is dominated by label "a": a "b" anchor still fills k, an
+    // "a" anchor can only draw from the single "b" pool row
+    val df = ((1L to 19L).map((_, "a")) :+ (20L, "b")).toDF("key", "lbl")
+    val got = Sampling.negativeSample(df, "key", "lbl", k = 3, poolSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byAnchor = got.groupBy(_._1)
+    byAnchor(1L).map(_._2).toSet shouldBe Set(20L) // only one "b" exists
+    byAnchor(20L) should have size 3
+  }
+
   test("kfoldStratified keeps every input row exactly once") {
     val df = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("key", "s")
     val got = Sampling.kfoldStratified(df, "key", "s", k = 5)

@@ -240,4 +240,63 @@ class SimilaritySpec extends SparkSpec {
     // the component; rep of {1,2,3} is 1, of {5,6} is 5; 4 never appears
     got shouldBe Set((2L, 1L), (3L, 1L), (6L, 5L))
   }
+
+  test("hardNegatives: same-label vectors never appear, ranking is by similarity") {
+    val d = Seq(
+      (1L, "a", Seq(1f, 0f, 0f)),
+      (2L, "a", Seq(0.99f, 0.14f, 0f)),  // most similar to 1 — but same label
+      (3L, "b", Seq(0.9f, 0.43f, 0f)),   // best other-label
+      (4L, "b", Seq(0f, 1f, 0f)),        // orthogonal
+      (5L, "c", Seq(0.7f, 0.71f, 0f))    // middle
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(d, d.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    got.map(_._2) shouldBe Seq(3L, 5L) // ranked by sim desc; 2 excluded
+  }
+
+  test("hardNegatives: k exceeding other-label candidates returns what exists") {
+    val d = Seq(
+      (1L, "a", Seq(1f, 0f)), (2L, "a", Seq(0f, 1f)), (3L, "b", Seq(1f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    Similarity.hardNegatives(d, d.filter($"vec_id" === 1L),
+      "vec_id", "embedding", "label", k = 5).count() shouldBe 1L
+  }
+
+  test("semanticContamination: flags docs near an eval item with the best match") {
+    val corpus = Seq(
+      (100L, Seq(1f, 0f, 0f)),   // ~ eval 1
+      (101L, Seq(0f, 0f, 1f)),   // far from both evals
+      (102L, Seq(0.6f, 0.8f, 0f)))  // closer to eval 2 (cos 0.8 vs ~0.68)
+      .toDF("vec_id", "embedding")
+    val evals = Seq((1L, Seq(0.99f, 0.1f, 0f)), (2L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, evals,
+        "vec_id", "embedding", tau = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(100L -> 1L, 102L -> 2L)
+  }
+
+  test("semanticContamination: banded candidates verify exactly — flags match exact mode") {
+    // 40 corpus vectors, 8 evals; near-parallel planted matches. With
+    // 64 planes / 2-bit bands a parallel pair collides in some band
+    // with near-certainty, and verification is exact either way.
+    val base = (0 until 8).map { i =>
+      val v = Array.fill(16)(0f); v(i * 2) = 1f; v(i * 2 + 1) = 0.3f; v.toSeq
+    }
+    val corpus = (0 until 40).map { j =>
+      if (j < 8) (100L + j, base(j).map(x => x * 0.9f + (if (x == 0f) 0.01f else 0f)))
+      else (100L + j, { val v = Array.fill(16)(0.01f); v(15 - j % 8) = -1f; v.toSeq })
+    }.toDF("vec_id", "embedding")
+    val evals = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.semanticContamination(corpus, evals,
+      "vec_id", "embedding", tau = 0.9, exact = true, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Similarity.semanticContamination(corpus, evals,
+      "vec_id", "embedding", tau = 0.9, exact = false, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    exact.map(_._1) shouldBe (100L until 108L).toSet // the 8 planted matches
+    banded shouldBe exact
+  }
 }
