@@ -1027,6 +1027,22 @@ object SparkEntry {
       graft.ops.Sketch.kmvOverlap(
         table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)),
 
+    // PSI drift between view-event and click-event value distributions
+    // over fixed clamped equi-width buckets, Laplace-smoothed shares
+    "q_psi" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.ops.Stats.populationStability(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        "value", lo = 0.0, hi = 500.0, buckets = 20)
+    }),
+
+    // per-doc unigram entropy + length-normalized ratio (the smooth
+    // repetition/diversity signal next to q_repetition's hard shares)
+    "q_doc_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.docEntropy(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // hard-negative mining: per anchor, top-5 most-similar vectors with
     // a DIFFERENT label (bounded-heap agg, label filter pre-aggregation)
     "q_hard_negatives" -> ((s, dir) => {
@@ -3119,6 +3135,56 @@ object SparkEntry {
         |SELECT group_a, group_b, est_a, est_b, est_union,
         |  CAST(GREATEST(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter
         |FROM est""".stripMargin,
+
+    "q_psi" ->
+      """WITH rb AS (
+        |  SELECT CAST(LEAST(GREATEST(floor((value - 0.0) / 25.0), 0.0), 19.0) AS BIGINT) AS bucket
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'view'
+        |), cb AS (
+        |  SELECT CAST(LEAST(GREATEST(floor((value - 0.0) / 25.0), 0.0), 19.0) AS BIGINT) AS bucket
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+        |), rc AS (SELECT bucket, COUNT(*)::BIGINT AS nr FROM rb GROUP BY 1),
+        |cc AS (SELECT bucket, COUNT(*)::BIGINT AS nc FROM cb GROUP BY 1),
+        |g AS (
+        |  SELECT t.bucket, COALESCE(rc.nr, 0) AS nr, COALESCE(cc.nc, 0) AS nc
+        |  FROM (SELECT range AS bucket FROM range(20)) t
+        |  LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)
+        |), f AS (
+        |  SELECT list_sort(list(struct_pack(bucket := bucket, nr := nr, nc := nc))) AS arr,
+        |         CAST(SUM(nr) AS BIGINT) AS n_ref, CAST(SUM(nc) AS BIGINT) AS n_cur
+        |  FROM g
+        |)
+        |SELECT n_ref, n_cur, CAST(20 AS BIGINT) AS n_buckets,
+        |  ROUND(list_sum(list_transform(arr, s ->
+        |    ((s.nc::DOUBLE + 1.0) / (n_cur::DOUBLE + 20.0) -
+        |     (s.nr::DOUBLE + 1.0) / (n_ref::DOUBLE + 20.0)) *
+        |    ln(((s.nc::DOUBLE + 1.0) / (n_cur::DOUBLE + 20.0)) /
+        |       ((s.nr::DOUBLE + 1.0) / (n_ref::DOUBLE + 20.0))))), 6) AS psi
+        |FROM f""".stripMargin,
+
+    "q_doc_entropy" ->
+      s"""$docToks, t AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM t GROUP BY 1, 2
+         |), p AS (
+         |  SELECT doc_id, list_sort(list(struct_pack(term := term, tf := tf))) AS arr
+         |  FROM tf GROUP BY 1
+         |), g AS (
+         |  SELECT doc_id, arr,
+         |    CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_tokens,
+         |    CAST(len(arr) AS BIGINT) AS n_distinct
+         |  FROM p
+         |)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  ROUND(list_sum(list_transform(arr, s ->
+         |    -(s.tf / n_tokens) * ln(s.tf / n_tokens))), 6) AS entropy,
+         |  ROUND(CASE WHEN n_distinct > 1 THEN
+         |    list_sum(list_transform(arr, s ->
+         |      -(s.tf / n_tokens) * ln(s.tf / n_tokens))) / ln(n_distinct)
+         |    END, 6) AS entropy_ratio
+         |FROM g""".stripMargin,
 
     "q_hard_negatives" ->
       s"""WITH q AS (

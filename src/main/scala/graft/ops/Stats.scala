@@ -106,6 +106,62 @@ object Stats {
     folded.select(col("n"), col("n_cells"), round(mi, 6).as("mi_nats"))
   }
 
+  /** Population Stability Index between a reference and a current
+    * numeric distribution — the model-monitoring drift score
+    * (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 act) a data pipeline
+    * runs per feature per batch:
+    *
+    *   PSI = Σ_buckets (p_cur − p_ref) · ln(p_cur / p_ref)
+    *
+    * Buckets are FIXED equi-width on [lo, hi) with clamped edges (the
+    * `Profile.histogram` discipline — explicit bounds keep this one
+    * scan per side and bucket edges stable across batches); both
+    * shares are Laplace-smoothed (`(n_b + 1)/(n + buckets)`) so an
+    * empty bucket on either side contributes a finite, deterministic
+    * term instead of ±∞.
+    *
+    * Determinism: counts are exact longs; the PSI fold runs over the
+    * BUCKET-SORTED array (every bucket 0..buckets−1 present via the
+    * full-outer grid) with an op tree the oracle states identically.
+    * Output: ONE row (n_ref, n_cur, n_buckets, psi).
+    *
+    * Scale posture: each side collapses to ≤ `buckets` rows in one
+    * map-side-combined hash agg; everything downstream operates on the
+    * bucket grid.
+    */
+  def populationStability(ref: DataFrame, cur: DataFrame, valueCol: String,
+                          lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(hi > lo && buckets > 0, "need hi > lo and buckets > 0")
+    val step = (hi - lo) / buckets
+    def bucketed(df: DataFrame, name: String) = {
+      val idx = least(greatest(floor((col(valueCol) - lit(lo)) / lit(step)), lit(0.0)),
+        lit((buckets - 1).toDouble)).cast("long")
+      df.filter(col(valueCol).isNotNull)
+        .select(idx.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    }
+    val grid = spark(ref).range(buckets).select(col("id").as("bucket"))
+      .join(bucketed(ref, "n_ref_b"), Seq("bucket"), "left")
+      .join(bucketed(cur, "n_cur_b"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref_b"), lit(0L)).as("nr"),
+        coalesce(col("n_cur_b"), lit(0L)).as("nc"))
+    val folded = grid.agg(
+      array_sort(collect_list(struct(col("bucket"), col("nr"), col("nc")))).as("arr"),
+      sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+    def share(cnt: Column, tot: Column) =
+      (cnt.cast("double") + lit(1.0)) / (tot.cast("double") + lit(buckets.toDouble))
+    val psi = aggregate(col("arr"), lit(0.0), (a, s) => {
+      val p = share(s.getField("nc"), col("n_cur"))
+      val q = share(s.getField("nr"), col("n_ref"))
+      a + (p - q) * log(p / q)
+    })
+    folded.select(col("n_ref"), col("n_cur"),
+      lit(buckets.toLong).as("n_buckets"), round(psi, 6).as("psi"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
   /** Cohen's κ inter-rater agreement between two categorical columns
     * over the same label space — the label-QA gate for human- or
     * model-annotated training data ("do the two annotation passes

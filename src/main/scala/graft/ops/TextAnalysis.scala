@@ -240,6 +240,41 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Per-document unigram entropy — the smooth lexical-diversity
+    * signal that complements [[repetitionStats]]' hard shares: a doc
+    * whose probability mass spreads evenly over its vocabulary scores
+    * `ln(n_distinct)`; keyword stuffing and degenerate generations
+    * collapse toward 0 long before the top-unigram share trips.
+    * `entropy_ratio = entropy / ln(n_distinct)` normalizes to [0, 1]
+    * across lengths (null for single-type docs, where it is 0/0).
+    *
+    * Determinism: exact long counts; the entropy fold runs over the
+    * TERM-SORTED per-doc vocabulary array ([[tokenDistributionShift]]
+    * discipline), ratio is one double division, both rounded to 6.
+    * Output: (doc_id, n_tokens, n_distinct, entropy, entropy_ratio).
+    *
+    * Scale posture: one map-side-combined (doc, term) hash agg, then a
+    * per-doc collapse whose state is the doc's VOCABULARY — bounded by
+    * the doc itself, never the corpus.
+    */
+  def docEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val perDoc = tf.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("tf")))).as("arr"))
+      .withColumn("n_tokens",
+        aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("tf")))
+      .withColumn("n_distinct", size(col("arr")).cast("long"))
+    def p(s: Column) = s.getField("tf").cast("double") / col("n_tokens").cast("double")
+    val entropy = aggregate(col("arr"), lit(0.0), (a, s) => a - p(s) * log(p(s)))
+    perDoc.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      round(entropy, 6).as("entropy"),
+      round(when(col("n_distinct") > 1,
+        entropy / log(col("n_distinct").cast("double"))), 6).as("entropy_ratio"))
+  }
+
   /** Intra-document repetition signals — the Gopher/MassiveText-style
     * filters that catch boilerplate, keyword stuffing, and degenerate
     * generations that length/stopword heuristics miss:

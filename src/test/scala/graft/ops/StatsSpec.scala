@@ -63,6 +63,35 @@ class StatsSpec extends SparkSpec {
     got("v") shouldBe ((2L, None, None))             // vertical — undefined
   }
 
+  test("populationStability: identical distributions score exactly 0") {
+    val a = (1 to 100).map(_ % 10 * 1.0).toDF("v")
+    Stats.populationStability(a, a, "v", lo = 0.0, hi = 10.0, buckets = 5)
+      .collect().head.getDouble(3) shouldBe 0.0
+  }
+
+  test("populationStability: hand-computed two-bucket shift with smoothing") {
+    // ref: 8 in bucket 0, 2 in bucket 1; cur: 2 and 8. Laplace (+1, +2):
+    // q = (9/12, 3/12), p = (3/12, 9/12)
+    val ref = (Seq.fill(8)(0.5) ++ Seq.fill(2)(1.5)).toDF("v")
+    val cur = (Seq.fill(2)(0.5) ++ Seq.fill(8)(1.5)).toDF("v")
+    val r = Stats.populationStability(ref, cur, "v", 0.0, 2.0, 2).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((10L, 10L, 2L))
+    val p0 = 3.0 / 12; val q0 = 9.0 / 12
+    val expect = (p0 - q0) * math.log(p0 / q0) +
+      (q0 - p0) * math.log(q0 / p0) // symmetric buckets
+    r.getDouble(3) shouldBe
+      BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("populationStability: out-of-range values clamp to edge buckets; empty buckets stay finite") {
+    val ref = Seq(-5.0, 0.5, 99.0).toDF("v") // -5 → bucket 0, 99 → last
+    val cur = Seq(0.5).toDF("v")
+    val r = Stats.populationStability(ref, cur, "v", 0.0, 10.0, 4).collect().head
+    (r.getLong(0), r.getLong(1)) shouldBe ((3L, 1L))
+    r.getDouble(3).isNaN shouldBe false
+    r.getDouble(3).isInfinite shouldBe false
+  }
+
   test("cohensKappa: hand-computed 2x2 agreement") {
     // raters on 10 items: agree yes×4, agree no×2, split 2 each way
     val df = (Seq.fill(4)(("yes", "yes")) ++ Seq.fill(2)(("no", "no")) ++

@@ -517,6 +517,25 @@ class TextAnalysisSpec extends SparkSpec {
     got("de") shouldBe ((5L, 1L, 200000L))
   }
 
+  test("docEntropy: uniform doc hits ln(n_distinct), repeated-token doc scores 0") {
+    val docs = Seq(
+      (1L, "a b c d"),       // uniform over 4 types → entropy ln 4, ratio 1
+      (2L, "x x x x"),       // one type → entropy 0, ratio null (0/0)
+      (3L, "a a a b"))       // skewed
+      .toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.docEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), Option(r.get(4))))).toMap
+    got(1L)._3 shouldBe r6(math.log(4.0))
+    got(1L)._4 shouldBe Some(1.0)
+    got(2L) shouldBe ((4L, 1L, 0.0, None))
+    // skewed: -(3/4)ln(3/4) - (1/4)ln(1/4), term-sorted fold a then b
+    val e3 = 0.0 - (3.0 / 4) * math.log(3.0 / 4) - (1.0 / 4) * math.log(1.0 / 4)
+    got(3L)._3 shouldBe r6(e3)
+    got(3L)._1 shouldBe 4L
+  }
+
   test("bm25: hand-computed Okapi scores, term-sorted fold") {
     val docs = Seq(
       (1L, "cat dog"),       // dl 2
