@@ -1005,6 +1005,16 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text", n = 3,
         tauPpm = 800000L)),
 
+    // df-bounded containment index (the 10^9-doc knob) — must hash-match
+    // the same exact oracle: candidates shrink, every survivor re-scores
+    // on full sets (a high-containment pair shares ~all of the fragment's
+    // shingles, rare ones included; measured 10x: full mode 536 s cold /
+    // 36 s warm, df<=5 bound ~2 s warm)
+    "q_containment_maxdf" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(
+        table(s, dir, "documents"), "doc_id", "text", n = 3,
+        tauPpm = 800000L, maxDf = Some(5))),
+
     // BM25 relevance for a fixed query over the corpus — exact integer
     // sufficient stats, term-sorted double fold, rounded-score cut
     "q_bm25" -> ((s, dir) =>
@@ -1154,6 +1164,27 @@ object SparkEntry {
        |)
        |SELECT a_id, b_id, ROUND(ni / (na + nb - ni), 6) AS jaccard
        |FROM p WHERE ni / (na + nb - ni) >= 0.5""".stripMargin
+
+  /** Shared by q_containment and its df-bounded variant — both plans
+    * must hash-match the same exact oracle.
+    */
+  private val containmentSql =
+    s"""$docToks, s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM d WHERE len(toks) >= 3
+       |), p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         len(list_intersect(a.sh, b.sh))::BIGINT AS ni,
+       |         len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |), dir AS (
+       |  SELECT a_id AS src_id, b_id AS dst_id, (ni * 1000000) // na AS c FROM p
+       |  UNION ALL
+       |  SELECT b_id, a_id, (ni * 1000000) // nb FROM p
+       |)
+       |SELECT src_id, dst_id, CAST(c AS BIGINT) AS containment_ppm
+       |FROM dir WHERE c >= 800000""".stripMargin
 
   private val knnSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -3058,23 +3089,10 @@ object SparkEntry {
         |    AS mi_nats
         |FROM f CROSS JOIN nn""".stripMargin,
 
-    "q_containment" ->
-      s"""$docToks, s AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM d WHERE len(toks) >= 3
-         |), p AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         len(list_intersect(a.sh, b.sh))::BIGINT AS ni,
-         |         len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |), dir AS (
-         |  SELECT a_id AS src_id, b_id AS dst_id, (ni * 1000000) // na AS c FROM p
-         |  UNION ALL
-         |  SELECT b_id, a_id, (ni * 1000000) // nb FROM p
-         |)
-         |SELECT src_id, dst_id, CAST(c AS BIGINT) AS containment_ppm
-         |FROM dir WHERE c >= 800000""".stripMargin,
+    "q_containment"       -> containmentSql,
+
+    // identical oracle: the df bound changes candidate generation only
+    "q_containment_maxdf" -> containmentSql,
 
     "q_bm25" ->
       s"""$docToks, t AS (
