@@ -216,7 +216,9 @@ object Sketch {
     */
   def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
                  k: Int = 64): DataFrame = {
-    val sk = kmvSketches(df, groupCol, valueCol, k)
+    // both join sides derive from the same data-sized agg — cache the
+    // |groups|-row sketch frame so the corpus scans once, not twice
+    val sk = kmvSketches(df, groupCol, valueCol, k).cache()
     val a = sk.select(col("group_key").as("group_a"), col("sketch").as("_sa"))
     val b = sk.select(col("group_key").as("group_b"), col("sketch").as("_sb"))
     val u = slice(array_sort(array_union(col("_sa"), col("_sb"))), 1, k)
