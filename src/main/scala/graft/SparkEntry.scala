@@ -835,6 +835,20 @@ object SparkEntry {
       graft.ops.TextAnalysis.frequentNgrams(
         table(s, dir, "documents"), "doc_id", "text", n = 5, topN = 20)),
 
+    // CCNet-style line document-frequency (the corpus has no newlines,
+    // so the delimiter is a token that does occur; the op itself
+    // defaults to '\n')
+    "q_line_freq" -> ((s, dir) =>
+      graft.ops.Boilerplate.lineFrequencies(
+        table(s, dir, "documents"), "doc_id", "text", delim = " the ")),
+
+    // ...and the removal pass: drop lines present in >= 3 distinct docs,
+    // rejoin survivors in document order
+    "q_boilerplate" -> ((s, dir) =>
+      graft.ops.Boilerplate.removeBoilerplate(
+        table(s, dir, "documents"), "doc_id", "text",
+        delim = " the ", minDocs = 3)),
+
     // canonical LISTAGG: per-nation supplier roster, sort-then-join
     "q_string_agg" -> ((s, dir) =>
       graft.ops.Agg.orderedStringAgg(
@@ -2510,6 +2524,39 @@ object SparkEntry {
          |    ORDER BY doc_freq DESC, n_instances DESC, gram) AS BIGINT) AS rn,
          |  gram, doc_freq, n_instances
          |FROM top""".stripMargin,
+
+    "q_line_freq" ->
+      """WITH l AS (
+        |  SELECT doc_id, unnest(string_split(text, ' the ')) AS line
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT line, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM (SELECT DISTINCT doc_id, line FROM l)
+        |GROUP BY line""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' the ')) AS line,
+        |         unnest(generate_series(1, len(string_split(text, ' the ')))) AS pos
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+        |  GROUP BY line HAVING COUNT(*) >= 3
+        |), j AS (
+        |  SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS b
+        |  FROM l LEFT JOIN f ON l.line = f.line
+        |), a AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN NOT b THEN line END,
+        |                        ' the ' ORDER BY pos), '') AS clean
+        |  FROM j GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NOT NULL THEN coalesce(a.clean, '') END AS text_clean,
+        |  a.n_lines, a.n_removed
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     "q_dup_ngrams" ->
       s"""$docToks, base AS (
