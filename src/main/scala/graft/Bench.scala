@@ -100,8 +100,13 @@ object Bench {
     val qs = medians.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}"""" }.mkString("{", ",", "}")
+    // Self-describing failure count (round-6 verdict task 7): a partial run
+    // must never read as a clean total at a glance — `status` flips to
+    // "partial" and `n_err` is in BOTH the full line and the tail summary.
+    val nErr = medians.size - ok.size
+    val status = if (nErr == 0) "ok" else "partial"
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"queries":$qs,"errors":$errJson,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's tail-keeping capture
     // window in round 5 ("parsed": null — head of the line was cut, so the
     // JSON never parsed). Emit the full line first, then a SHORT summary as
@@ -109,9 +114,12 @@ object Bench {
     // last-line / tail-window parsers get a compact valid object with the
     // headline total.
     val summary =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
     println(line)
     println(summary)
+    if (nErr > 0)
+      System.err.println(s"[bench] PARTIAL RUN: $nErr of ${medians.size} queries errored " +
+        s"(total covers only the ${ok.size} surviving queries): ${errors.keys.mkString(", ")}")
     // the FILE stays one whole JSON object (json.load-able); the
     // two-line form is stdout-only, for head- vs tail-window capture
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

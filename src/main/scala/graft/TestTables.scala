@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.kpi.KpiQueries
 
@@ -22,16 +23,30 @@ object TestTables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 has
-    * no timestamp mapping for — read it as nanos-long and floor-convert to
-    * microseconds (integer `div`, not `/`: ns epoch values overflow a
-    * double's 53-bit mantissa). DuckDB's ns->us read truncates the same way.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * construction by `GraftSession` / the `Verify`/`Bench` mains.
+  /** Schema-adaptive read of the events table: the driver's testdata has
+    * shipped `ts` both as parquet TIMESTAMP(NANOS) (arrives as `long` under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by `GraftSession`) and
+    * as TIMESTAMP(MICROS) without UTC adjustment (arrives as TIMESTAMP_NTZ).
+    * Both normalize to a session-TZ TIMESTAMP with identical `unix_micros`
+    * values: nanos floor-divide to micros (integer `div`, not `/`: ns epoch
+    * values overflow a double's 53-bit mantissa — DuckDB's ns->us read
+    * truncates the same way), and NTZ wall-clock casts 1:1 because the
+    * session time zone is pinned to UTC.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet column `ts` has unsupported type $other; expected " +
+            "long (TIMESTAMP(NANOS) under nanosAsLong), TIMESTAMP_NTZ " +
+            "(unadjusted micros), or TIMESTAMP. The testdata schema has " +
+            "drifted — update TestTables.events to normalize the new type.")
+    }
+  }
 
   def streams(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem").select(
