@@ -65,6 +65,13 @@ object Bench {
     // suite order.
     def resetCaches(): Unit = {
       spark.catalog.clearCache() // also unpersists the shared enrichment…
+      // …then release RDD-level state clearCache can't see: localCheckpoint
+      // blocks stranded by iterative operators (clusters, PageRank) and any
+      // persisted RDDs the previous query's frames left behind. All prior
+      // outputs are noop-materialized by now, so nothing live reads them —
+      // this is what kept r6's dedup-family in-suite timings 2-3x their
+      // isolated numbers (storage pressure evicting the shared enrichment).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       KpiQueries.persistEnriched(enriched) // …so re-register it…
       materialize(enriched)                // …and re-materialize, un-timed
     }

@@ -16,8 +16,12 @@ object Verify {
       }
       // some entries cache scratch frames internally (dedup stores,
       // shingle sets); drop them so 60+ queries don't accumulate
-      // cached partitions in one long-lived session
+      // cached partitions in one long-lived session. localCheckpoint
+      // blocks (clusters, PageRank) live OUTSIDE the SQL cache, so
+      // release persisted RDDs too — the previous query's output is
+      // already written, nothing live reads them.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

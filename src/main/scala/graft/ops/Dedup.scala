@@ -553,6 +553,13 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
     * label propagation variant); no driver-side graph state.
     *
+    * Checkpoint hygiene: each round's label frame supersedes the last,
+    * and the superseded checkpoint's blocks are freed immediately
+    * ([[Checkpoints.free]]) — `clearCache()` can't reach them, so
+    * without this a long session strands one |V|-row RDD per round
+    * (the round-6 in-suite bench regression). The RETURNED frame keeps
+    * its final checkpoint; the caller owns those blocks.
+    *
     * Input needs columns (`aCol`, `bCol`); output (doc_id, cluster_id),
     * one row per distinct doc appearing in any pair. Docs in no pair are
     * singletons by definition and are not emitted.
@@ -580,6 +587,9 @@ object Dedup {
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .filter(col("cluster_id") =!= col("prev")).count()
       converged = changed == 0
+      // `next` is eagerly materialized (and the convergence count above
+      // read BOTH frames), so the superseded checkpoint can go now
+      Checkpoints.free(labels)
       labels = next
       iter += 1
     }

@@ -204,13 +204,22 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank_ppm div out_deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_ppm"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(basePpm) +
             expr(s"(coalesce(in_ppm, 0L) * ${dampingPpm}L) div 1000000L"))
             .as("rank_ppm"))
         .localCheckpoint(true)
+      // eager checkpoint above materialized `next`; the superseded rank
+      // frame's blocks are dead weight from here — free them now rather
+      // than stranding one |V|-row RDD per iteration (see Checkpoints)
+      Checkpoints.free(r)
+      r = next
     }
+    // the final ranks are materialized in r's own blocks; the shared
+    // node set and degree-annotated edge list are no longer referenced
+    Checkpoints.free(nodes)
+    Checkpoints.free(eDeg)
     r
   }
 }
