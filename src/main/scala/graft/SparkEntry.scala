@@ -91,6 +91,19 @@ object SparkEntry {
           round(col("danceability"), 4).as("danceability"),
           round(col("tempo"), 4).as("tempo"),
           col("time_signature"), col("track_genre"))),
+
+    // JSONL corpus ingest (the LLM-training wire format): declared
+    // schema, PERMISSIVE parse, corrupt lines (malformed JSON, type
+    // errors) quarantined; missing fields null, extra fields ignored
+    "q_jsonl_docs" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("score", DoubleType)))
+      val (clean, _) = graft.io.JsonlSource.readSplit(
+        s, schema, Seq(s"$FixturesDir/docs.jsonl"))
+      clean.na.drop(Seq("doc_id"))
+    }),
     // ---- LLM-data-pipeline operators over documents/embeddings ----
     "q_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactDuplicateGroups(table(s, dir, "documents"), "doc_id", "text")
@@ -688,6 +701,23 @@ object SparkEntry {
     // trailing 7-day rolling aggregates over per-type daily rollups
     "q_rolling_7d" -> ((s, dir) =>
       graft.ops.TimeSeries.trailingDaily(table(s, dir, "events"), "event_type", "ts", 7)),
+
+    // EXACT trailing-7-day distinct users per day (rolling WAU):
+    // coverage-explode — no windowed countDistinct exists, and this
+    // shape is one dedupe + one bounded explode + one hash agg,
+    // linear in |distinct (user, day)| x 7, never re-scanning events
+    "q_rolling_distinct" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingDistinct(table(s, dir, "events"), "ts", "user_id", 7)),
+
+    // first-seen growth curve: new + cumulative users per day
+    "q_user_growth" -> ((s, dir) =>
+      graft.ops.TimeSeries.firstSeenGrowth(table(s, dir, "events"), "ts", "user_id")),
+
+    // point-in-time-correct sequence dataset: per purchase event, the
+    // user's 3 preceding event types as an ordered context path
+    "q_labeled_seq" -> ((s, dir) =>
+      graft.ops.Funnel.labeledSequences(table(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", labelType = "purchase", k = 3)),
 
     // Misra-Gries heavy hitters over the token stream, exact counts
     // restored by the candidate recount pass (MG guarantee covers the
@@ -1626,6 +1656,27 @@ object SparkEntry {
          |WHERE user_id IS NOT NULL AND track_id IS NOT NULL
          |  AND try_strptime(listen_time, '%Y-%m-%d %H:%M:%S') IS NOT NULL""".stripMargin,
 
+    // Ingest parity, same discipline as the CSV oracles: all-varchar
+    // read + explicit try-casts mirror Spark's PERMISSIVE semantics —
+    // ignore_errors drops malformed JSON LINES (arity of corruption:
+    // whole line), and a present field that fails its declared type
+    // makes the whole ROW corrupt (DuckDB's native typed read would
+    // instead null just the field — too lenient)
+    "q_jsonl_docs" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json('$FixturesDir/docs.jsonl',
+         |    format='newline_delimited',
+         |    columns={doc_id: 'VARCHAR', text: 'VARCHAR',
+         |             lang: 'VARCHAR', score: 'VARCHAR'},
+         |    ignore_errors=true)
+         |)
+         |SELECT TRY_CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+         |       TRY_CAST(score AS DOUBLE) AS score
+         |FROM raw
+         |WHERE NOT (doc_id IS NOT NULL AND TRY_CAST(doc_id AS BIGINT) IS NULL)
+         |  AND NOT (score IS NOT NULL AND TRY_CAST(score AS DOUBLE) IS NULL)
+         |  AND doc_id IS NOT NULL""".stripMargin,
+
     "q_csv_users" ->
       s"""WITH raw AS (
          |  SELECT * FROM read_csv('$FixturesDir/users.csv',
@@ -2265,6 +2316,53 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY event_type ORDER BY ed
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // same coverage-explode shape: each distinct (user, active day)
+    // covers the 7 trailing-window positions it participates in
+    "q_rolling_distinct" ->
+      """WITH ad AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), mx AS (SELECT max(day) AS max_day FROM ad),
+        |cov AS (
+        |  SELECT DISTINCT user_id, day + i * INTERVAL 1 DAY AS day
+        |  FROM ad CROSS JOIN generate_series(0, 6) AS t(i)
+        |)
+        |SELECT day, COUNT(*) AS n_active
+        |FROM cov WHERE day <= (SELECT max_day FROM mx)
+        |GROUP BY 1""".stripMargin,
+
+    "q_user_growth" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1
+        |), daily AS (
+        |  SELECT day, COUNT(*) AS n_new FROM fs GROUP BY 1
+        |)
+        |SELECT day, n_new,
+        |       CAST(SUM(n_new) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_total
+        |FROM daily""".stripMargin,
+
+    // list() over an empty frame is NULL in DuckDB but an empty array
+    // in Spark's collect_list — coalesce to '' for first-label parity
+    "q_labeled_seq" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL
+        |), seq AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         COALESCE(array_to_string(list(event_type) OVER w, '>'), '') AS context,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS n_context
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts, context, n_context
+        |FROM seq WHERE event_type = 'purchase'""".stripMargin,
 
     "q_heavy_hitters" ->
       s"""$docToks, x AS (

@@ -217,7 +217,7 @@ object Dedup {
       .filter(col("containment_ppm") >= tauPpm)
   }
 
-  private val MersennePrime = (1L << 61) - 1
+  private[graft] val MersennePrime = (1L << 61) - 1
 
   /** Deterministic affine hash family over a base xxhash64 of the
     * shingle. Coefficients from a fixed LCG seed — stable across runs

@@ -137,6 +137,48 @@ object Funnel {
       .groupBy("path").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Training-example construction from a raw event stream: for every
+    * LABEL event (rows whose `typeCol` equals `labelType`), emit the
+    * user's `k` immediately-preceding event types in time order as one
+    * `a>b>c` context string — the point-in-time-correct (features
+    * strictly BEFORE the label, never at or after it) sequence dataset
+    * behind next-action prediction and churn models. Users' first
+    * labels keep their shorter (possibly empty) context: dropping them
+    * would bias the dataset toward established users.
+    *
+    * Determinism: the frame is `ROWS BETWEEN k PRECEDING AND 1
+    * PRECEDING` over a (ts, tie) total order — `tieCol` (a unique
+    * event id) pins equal-timestamp ordering, so the rendered context
+    * is engine-independent.
+    *
+    * Scale posture: ONE per-user ordered window pass; the frame holds
+    * at most `k` rows regardless of how hot the user is (contrast a
+    * collect-then-slice shape, whose agg buffer is the user's whole
+    * history). Window partitions are per-user — human-bounded — and
+    * the label filter runs AFTER the frame is computed, map-side.
+    * Output: (event_id, user_id, ts, context, n_context).
+    */
+  def labeledSequences(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String, labelType: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "context window needs at least one step")
+    import org.apache.spark.sql.expressions.Window
+    val hist = Window.partitionBy(col(userCol))
+      .orderBy(col("_ts"), col("_tie"))
+      .rowsBetween(-k, -1)
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+        col(typeCol).as("_t"))
+      .withColumn("_ctx", collect_list(col("_t")).over(hist))
+      .filter(col("_t") === labelType)
+      .select(col("_tie").as("event_id"), col(userCol),
+        col("_ts").as("ts"),
+        concat_ws(">", col("_ctx")).as("context"),
+        size(col("_ctx")).cast("long").as("n_context"))
+  }
+
   /** First-order (Markov) transition counts over each user's ordered
     * event stream: one row per observed (from_type, to_type) with the
     * transition count and the row-conditional probability

@@ -123,4 +123,62 @@ object TimeSeries {
       sum("n_events").over(w).as("n_trailing"),
       count(lit(1)).over(w).as("days_active_trailing"))
   }
+
+  /** EXACT trailing-`days` distinct actors per day (rolling DAU/WAU/
+    * MAU): one row per day with the count of distinct `actorCol`
+    * values active in `[day − days + 1, day]`. Spark has no windowed
+    * `countDistinct`, and the naive per-day self-join over raw events
+    * re-scans the fact table once per day. Coverage-explode instead:
+    * dedupe to distinct (actor, active day) pairs — ONE pass over the
+    * raw table — then each pair covers the `days` window positions it
+    * participates in (`sequence` explode), a second dedupe collapses
+    * an actor's overlapping active days per covered day, and a plain
+    * hash-agg count per day finishes. Total cost is
+    * |distinct (actor, day)| × `days` rows — linear in active pairs
+    * and the window length, independent of raw event volume; every
+    * stage is a map-side-combinable hash agg (no window operator, no
+    * self-join). Days past the corpus' last active day are clipped
+    * (they would report phantom trailing windows).
+    * Output: (day, n_active) — `day` is a day-truncated TIMESTAMP.
+    */
+  def rollingDistinct(df: DataFrame, tsCol: String, actorCol: String,
+                      days: Int = 7): DataFrame = {
+    require(days >= 1, "window must cover at least the current day")
+    val activeDays = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(actorCol).as("_actor"), date_trunc("day", col(tsCol)).as("_day"))
+      .distinct()
+    // one scalar row; joined with an always-true condition Catalyst
+    // plans as a broadcast nested loop over a 1-row build side
+    val maxDay = activeDays.agg(max("_day").as("_max_day"))
+    activeDays
+      .select(col("_actor"), explode(sequence(col("_day"),
+        col("_day") + expr(s"interval ${days - 1} days"),
+        expr("interval 1 day"))).as("day"))
+      .distinct()
+      .join(broadcast(maxDay), col("day") <= col("_max_day"))
+      .groupBy("day").agg(count(lit(1)).as("n_active"))
+  }
+
+  /** First-seen growth curve: per day, the count of actors whose FIRST
+    * activity falls on that day plus the running total — the
+    * "cumulative users" chart behind every launch dashboard, and the
+    * denominator series for retention. First-seen is a min-agg per
+    * actor (one pass, map-side combined); the cumulative sum is an
+    * ordered window over the DAILY frame, whose row count is the
+    * calendar span — bounded by elapsed days, never by event volume,
+    * so the unpartitioned frame is safe at any scale.
+    * Output: (day, n_new, n_total), one row per first-seen day.
+    */
+  def firstSeenGrowth(df: DataFrame, tsCol: String, actorCol: String): DataFrame = {
+    val firstSeen = df
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(actorCol).as("_actor"))
+      .agg(min(date_trunc("day", col(tsCol))).as("day"))
+    val daily = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("day"), col("n_new"),
+      sum("n_new").over(w).as("n_total"))
+  }
 }

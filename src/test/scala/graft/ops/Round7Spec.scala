@@ -50,4 +50,73 @@ class Round7Spec extends SparkSpec {
     Checkpoints.free(df) // must not throw
     assert(df.count() == 2)
   }
+
+  // ---- TimeSeries.rollingDistinct / firstSeenGrowth -------------------
+
+  private def ts(day: Int, h: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("rollingDistinct counts each actor once per trailing window") {
+    // u1 active days 1 and 2 (overlapping 3-day windows must not
+    // double-count it); u2 only day 1; day 4 sees only u3
+    val df = Seq(("u1", ts(1)), ("u1", ts(1, 5)), ("u1", ts(2)),
+      ("u2", ts(1)), ("u3", ts(4))).toDF("u", "t")
+    val got = TimeSeries.rollingDistinct(df, "t", "u", days = 3)
+      .collect().map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "2024-01-01" -> 2, // u1, u2
+      "2024-01-02" -> 2, // u1 (days 1+2, counted once), u2
+      "2024-01-03" -> 2, // window [1,3]: u1, u2
+      "2024-01-04" -> 2  // window [2,4]: u1 (day 2), u3
+    ))
+  }
+
+  test("rollingDistinct clips phantom days past the last active day") {
+    val df = Seq(("u1", ts(1))).toDF("u", "t")
+    val days = TimeSeries.rollingDistinct(df, "t", "u", days = 7)
+      .collect().map(_.getTimestamp(0).toString.take(10)).toSet
+    assert(days == Set("2024-01-01"), "no coverage rows after max active day")
+  }
+
+  test("firstSeenGrowth: new vs cumulative actors per first-seen day") {
+    val df = Seq(("a", ts(1)), ("a", ts(3)), ("b", ts(1)), ("c", ts(2)),
+      ("c", ts(9))).toDF("u", "t")
+    val got = TimeSeries.firstSeenGrowth(df, "t", "u")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 3L)))
+  }
+
+  // ---- Funnel.labeledSequences ---------------------------------------
+
+  test("labeledSequences renders strictly-preceding bounded context") {
+    val df = Seq(
+      (1L, "u1", ts(1, 1), "view"),
+      (2L, "u1", ts(1, 2), "click"),
+      (3L, "u1", ts(1, 3), "view"),
+      (4L, "u1", ts(1, 4), "purchase"),  // context = last 2: click>view
+      (5L, "u1", ts(1, 5), "purchase"),  // context = view>purchase
+      (6L, "u2", ts(1, 1), "purchase")   // first event: empty context
+    ).toDF("event_id", "u", "t", "et")
+    val got = Funnel.labeledSequences(df, "u", "t", "et", "event_id",
+      labelType = "purchase", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(got == Map(
+      4L -> ("click>view", 2L),
+      5L -> ("view>purchase", 2L),
+      6L -> ("", 0L)))
+  }
+
+  test("labeledSequences never leaks the label row or later events into context") {
+    val df = Seq(
+      (1L, "u", ts(1, 1), "purchase"),
+      (2L, "u", ts(1, 2), "error"),
+      (3L, "u", ts(1, 3), "purchase")
+    ).toDF("event_id", "u", "t", "et")
+    val got = Funnel.labeledSequences(df, "u", "t", "et", "event_id",
+      "purchase", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // event 1 sees nothing before it; event 3 sees 1 and 2, not itself
+    assert(got == Map(1L -> "", 3L -> "purchase>error"))
+  }
 }
