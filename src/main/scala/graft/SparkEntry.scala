@@ -105,6 +105,12 @@ object SparkEntry {
       clean.na.drop(Seq("doc_id"))
     }),
     // ---- LLM-data-pipeline operators over documents/embeddings ----
+    // canonical-doc selection: the KEEP side of exact dedup — one
+    // argmax agg buffer per fingerprint group, no rank window
+    "q_dedup_keep_best" -> ((s, dir) =>
+      graft.ops.Dedup.keepBestPerExactGroup(
+        table(s, dir, "documents"), "doc_id", "text", "n_chars")),
+
     "q_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactDuplicateGroups(table(s, dir, "documents"), "doc_id", "text")
         .select(col("fingerprint"), col("n_docs"),
@@ -719,6 +725,24 @@ object SparkEntry {
       graft.ops.Funnel.labeledSequences(table(s, dir, "events"),
         "user_id", "ts", "event_type", "event_id", labelType = "purchase", k = 3)),
 
+    // leakage-safe expanding target encoding: strictly-prior mean of
+    // the integer-scaled target per category, null cold start
+    "q_target_encode" -> ((s, dir) =>
+      graft.ops.Agg.targetEncodeExpanding(table(s, dir, "events"),
+        "event_type", "ts", "event_id", "value")),
+
+    // declarative quality contract over events: five checks, ONE scan
+    "q_expectations" -> ((s, dir) => {
+      import graft.ops.Expectations._
+      graft.ops.Expectations.check(table(s, dir, "events"), Seq(
+        NotNull("user_id"),
+        Unique("event_id"),
+        InRange("value", 0.0, 1000.0),
+        AcceptedValues("event_type",
+          Seq("click", "view", "purchase", "signup", "error")),
+        MinRows(1000L)))
+    }),
+
     // Misra-Gries heavy hitters over the token stream, exact counts
     // restored by the candidate recount pass (MG guarantee covers the
     // 1% threshold at k = 100)
@@ -1268,6 +1292,61 @@ object SparkEntry {
          |SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
          |       COUNT(*) AS n_docs, MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
          |FROM d GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> x <> ''))), ' ')) AS fingerprint
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY fingerprint
+        |           ORDER BY n_chars DESC, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY fingerprint) AS n_dups
+        |  FROM fp
+        |)
+        |SELECT doc_id, fingerprint, CAST(n_dups AS BIGINT) AS n_dups,
+        |       n_chars AS score
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_expectations" ->
+      """WITH m AS (
+        |  SELECT
+        |    ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+        |    CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS DOUBLE) AS dup_rows,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 1000.0)
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS oor,
+        |    CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |             ('click','view','purchase','signup','error')
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS badv,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events
+        |)
+        |SELECT 0 AS ord, 'not_null' AS "check", 'user_id' AS "column",
+        |       null_rate AS observed, 0.0 AS threshold, null_rate <= 0.0 AS passed FROM m
+        |UNION ALL SELECT 1, 'unique', 'event_id', dup_rows, 0.0, dup_rows <= 0.0 FROM m
+        |UNION ALL SELECT 2, 'in_range', 'value', oor, 0.0, oor <= 0.0 FROM m
+        |UNION ALL SELECT 3, 'accepted_values', 'event_type', badv, 0.0, badv <= 0.0 FROM m
+        |UNION ALL SELECT 4, 'min_rows', '', n, 1000.0, n >= 1000.0 FROM m""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL
+        |)
+        |SELECT event_id, event_type, ts, value_cents,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS prior_n,
+        |       ROUND(SUM(value_cents) OVER w / 100.0 / COUNT(*) OVER w, 6)
+        |         AS prior_mean
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "q_dedup_pairs"       -> dedupPairsSql,
 

@@ -105,6 +105,44 @@ object Agg {
     * arithmetic on the |groups|-row frame. The trend-per-key question
     * at 100 TB is exactly this shape — never a per-group solver.
     */
+  /** Leakage-safe target encoding: each row's category is encoded as
+    * the mean target of the category's STRICTLY EARLIER rows — the
+    * time-ordered expanding-prior variant (no target leakage by
+    * construction: the frame ends at `-1`, so a row never sees itself
+    * or the future; a category's first occurrence encodes null — the
+    * caller's cold-start policy, usually a global-prior fill). This is
+    * the feature-engineering op behind categorical encodings for GBDT /
+    * linear models where naive mean-encoding leaks the label.
+    *
+    * Determinism discipline: the target is integer-scaled to cents
+    * BEFORE the window (`round(value·100)` → LONG), so the expanding
+    * sum is exact integer arithmetic — partition-order independent and
+    * engine-identical; ONE double division renders the mean at the end.
+    * `tieCol` pins equal-timestamp ordering.
+    *
+    * Scale posture: one per-category ordered window with a running-sum
+    * frame — state is O(1) per partition (sum + count), partitions are
+    * per-category. A skewed hot category serializes its own partition
+    * (inherent to expanding semantics); encode per (category × coarse
+    * time shard) upstream when one category dominates.
+    * Output: every input row as (tie, category, ts, value_cents,
+    * prior_n, prior_mean).
+    */
+  def targetEncodeExpanding(df: DataFrame, catCol: String, tsCol: String,
+                            tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(catCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .filter(col(catCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tieCol), col(catCol), col(tsCol),
+        round(col(valueCol) * 100).cast("long").as("value_cents"))
+      .withColumn("prior_n", count(lit(1)).over(w))
+      .withColumn("prior_mean",
+        round(sum("value_cents").over(w) / lit(100.0) / col("prior_n"), 6))
+  }
+
   def linearFit(df: DataFrame, groupCol: String,
                 xCol: Column, yCol: Column): DataFrame = {
     val x = xCol.cast("long"); val y = yCol.cast("long")

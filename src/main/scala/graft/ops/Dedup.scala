@@ -34,6 +34,37 @@ object Dedup {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Canonical-document selection — the KEEP side of exact dedup: every
+    * fingerprint group (including singletons) emits exactly the one doc
+    * with the highest `scoreCol` (ties broken by smallest doc id), plus
+    * the group's multiplicity. The output IS the deduplicated corpus
+    * with provenance — [[exactDuplicateGroups]] reports what was
+    * duplicated; this materializes what survives, keeping the BEST copy
+    * rather than an arbitrary one (near-copies differ in truncation /
+    * boilerplate; keeping the longest or highest-quality copy is the
+    * standard curation rule).
+    *
+    * Scale posture: ONE hash aggregation — the argmax rides a single
+    * `max(struct(score, -id, id))` agg buffer per group (constant
+    * state), not a rank window; no sort, no second pass, map-side
+    * combinable. Output: (doc_id, fingerprint, n_dups, score).
+    */
+  def keepBestPerExactGroup(docs: DataFrame, idCol: String, textCol: String,
+                            scoreCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        col(scoreCol).as("_score"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_dups"),
+        // argmax by (score, then SMALLEST id): id negated inside the
+        // struct so lexicographic max picks the min id on score ties
+        max(struct(col("_score").as("s"), negate(col("doc_id")).as("nid")))
+          .as("_best"))
+      .select(negate(col("_best.nid")).as("doc_id"), col("fingerprint"),
+        col("n_dups"), col("_best.s").as("score"))
+
   /** (doc_id, shingles, n_shingles) — distinct word n-grams per doc.
     * Tokenizes into a bound column FIRST so the shingle lambda reads an
     * attribute, not an inline split (see

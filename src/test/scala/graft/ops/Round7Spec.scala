@@ -107,6 +107,37 @@ class Round7Spec extends SparkSpec {
       6L -> ("", 0L)))
   }
 
+  // ---- Dedup.keepBestPerExactGroup / Agg.targetEncodeExpanding -------
+
+  test("keepBestPerExactGroup keeps highest score, min-id on ties, singletons pass") {
+    val df = Seq(
+      (1L, "alpha beta gamma", 10L),  // dup group (token-canonical)
+      (2L, "beta alpha gamma", 30L),  // same fingerprint, best score
+      (3L, "gamma beta alpha", 30L),  // tie with 2 -> loses on id
+      (4L, "delta epsilon", 5L)       // singleton
+    ).toDF("doc_id", "text", "quality")
+    val got = Dedup.keepBestPerExactGroup(df, "doc_id", "text", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(2L -> (3L, 30L), 4L -> (1L, 5L)))
+  }
+
+  test("targetEncodeExpanding encodes strictly-prior means, null cold start") {
+    val df = Seq(
+      (1L, "a", ts(1, 1), 1.00),
+      (2L, "a", ts(1, 2), 3.00),
+      (3L, "a", ts(1, 3), 5.00),
+      (4L, "b", ts(1, 1), 9.00)
+    ).toDF("event_id", "cat", "t", "v")
+    val got = Agg.targetEncodeExpanding(df, "cat", "t", "event_id", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(got == Map(
+      1L -> (0L, None),           // cold start: no prior rows
+      2L -> (1L, Some(1.0)),      // saw only event 1
+      3L -> (2L, Some(2.0)),      // mean(1, 3) — never its own 5.0
+      4L -> (0L, None)))          // other category's first row
+  }
+
   test("labeledSequences never leaks the label row or later events into context") {
     val df = Seq(
       (1L, "u", ts(1, 1), "purchase"),
