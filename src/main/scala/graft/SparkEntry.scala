@@ -731,6 +731,14 @@ object SparkEntry {
       graft.ops.Agg.targetEncodeExpanding(table(s, dir, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // join-explosion preflight: exact per-key output estimate from the
+    // two key histograms — the diagnostic that decides plain vs salted
+    "q_join_preflight" -> ((s, dir) =>
+      graft.ops.SkewJoin.joinPreflight(
+        table(s, dir, "events").select(col("user_id").as("k")),
+        table(s, dir, "lineitem").select(col("l_suppkey").as("k")),
+        "k", topK = 20)),
+
     // declarative quality contract over events: five checks, ONE scan
     "q_expectations" -> ((s, dir) => {
       import graft.ops.Expectations._
@@ -1311,6 +1319,19 @@ object SparkEntry {
         |SELECT doc_id, fingerprint, CAST(n_dups AS BIGINT) AS n_dups,
         |       n_chars AS score
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_join_preflight" ->
+      """WITH l AS (
+        |  SELECT user_id AS k, COUNT(*) AS n_left FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT l_suppkey AS k, COUNT(*) AS n_right FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL GROUP BY 1
+        |)
+        |SELECT k, COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right,
+        |       COALESCE(n_left, 0) * COALESCE(n_right, 0) AS out_rows
+        |FROM l FULL OUTER JOIN r USING (k)
+        |ORDER BY out_rows DESC, k LIMIT 20""".stripMargin,
 
     "q_expectations" ->
       """WITH m AS (

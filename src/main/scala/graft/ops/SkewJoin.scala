@@ -29,6 +29,41 @@ object SkewJoin {
     * column whose values vary within a hot key (an event id, an offset
     * — uniqueness not required, variety is what spreads rows).
     */
+  /** Join-explosion preflight: BEFORE running an equi-join, estimate
+    * its per-key output exactly from the two sides' key histograms —
+    * `out_rows(k) = n_left(k) · n_right(k)` — and report the `topK`
+    * hottest keys. The 3 AM incident this prevents ("the join that
+    * output 400 B rows") is always one hot key on both sides; this is
+    * the cheap diagnostic to run when a join's input sizes look sane
+    * but the stage never finishes, and the measurement that decides
+    * between a plain join, [[saltedJoin]], or dropping the key.
+    *
+    * Cost: two per-key count aggs (map-side combined) + a join of the
+    * two HISTOGRAM frames (|keys| rows, not data rows) + a bounded
+    * top-k heap (`TakeOrderedAndProject`) — strictly cheaper than the
+    * join it predicts, by the output factor. Keys on one side only
+    * produce 0 (inner-join contribution), still reported when they
+    * make the heap — a 0-row hot key is how you notice a filter
+    * already killed the explosion.
+    * Output: (key, n_left, n_right, out_rows) — top `topK` by
+    * out_rows, id-tiebroken for determinism.
+    */
+  def joinPreflight(left: DataFrame, right: DataFrame, keyCol: String,
+                    topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val l = left.filter(col(keyCol).isNotNull)
+      .groupBy(keyCol).agg(count(lit(1)).as("n_left"))
+    val r = right.filter(col(keyCol).isNotNull)
+      .groupBy(keyCol).agg(count(lit(1)).as("n_right"))
+    l.join(r, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .orderBy(col("out_rows").desc, col(keyCol))
+      .limit(topK)
+  }
+
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
                  discriminator: Column, salts: Int = 16): DataFrame = {
     require(salts >= 1, "salts must be positive")

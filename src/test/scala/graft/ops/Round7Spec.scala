@@ -87,6 +87,17 @@ class Round7Spec extends SparkSpec {
     assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 3L)))
   }
 
+  // ---- SkewJoin.joinPreflight ----------------------------------------
+
+  test("joinPreflight predicts per-key join output and ranks hot keys") {
+    val left = Seq("a", "a", "a", "b", "c").toDF("k")           // a:3 b:1 c:1
+    val right = Seq("a", "a", "b", "b", "b", "d").toDF("k")     // a:2 b:3 d:1
+    val got = SkewJoin.joinPreflight(left, right, "k", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 3*2=6, b: 1*3=3, then the 0-contribution keys c/d tie -> c by key order
+    assert(got.toSeq == Seq(("a", 3L, 2L, 6L), ("b", 1L, 3L, 3L), ("c", 1L, 0L, 0L)))
+  }
+
   // ---- Funnel.labeledSequences ---------------------------------------
 
   test("labeledSequences renders strictly-preceding bounded context") {
