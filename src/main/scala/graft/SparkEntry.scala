@@ -719,6 +719,18 @@ object SparkEntry {
     "q_user_growth" -> ((s, dir) =>
       graft.ops.TimeSeries.firstSeenGrowth(table(s, dir, "events"), "ts", "user_id")),
 
+    // per-type daily volume anomalies vs the trailing-7-day baseline
+    "q_daily_anomalies" -> ((s, dir) =>
+      graft.ops.TimeSeries.dailyAnomalies(table(s, dir, "events"),
+        "event_type", "ts", days = 7, zThresh = 2.0)),
+
+    // time-respecting train/embargo/test split at a fixed cutoff
+    "q_temporal_split" -> ((s, dir) =>
+      graft.ops.Sampling.temporalSplit(table(s, dir, "events"), "ts", "event_id",
+        cutoff = "2024-01-20 00:00:00", embargo = "2 days")
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))),
+
     // point-in-time-correct sequence dataset: per purchase event, the
     // user's 3 preceding event types as an ordered context path
     "q_labeled_seq" -> ((s, dir) =>
@@ -2431,6 +2443,52 @@ object SparkEntry {
         |SELECT day, COUNT(*) AS n_active
         |FROM cov WHERE day <= (SELECT max_day FROM mx)
         |GROUP BY 1""".stripMargin,
+
+    // identical expression tree on both engines: exact long sums ->
+    // ONE double mean/var/z evaluation; zero-variance flag is an
+    // exact integer compare
+    "q_daily_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |         date_diff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts)) AS ed
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), win AS (
+        |  SELECT event_type, day, n_events,
+        |         COUNT(*) OVER w AS baseline_days,
+        |         SUM(n_events) OVER w AS s,
+        |         SUM(n_events * n_events) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ed
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT *,
+        |         CAST(s AS DOUBLE) / CAST(baseline_days AS DOUBLE) AS m,
+        |         (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |            / CAST(baseline_days AS DOUBLE))
+        |           / CAST(baseline_days AS DOUBLE) AS v
+        |  FROM win WHERE baseline_days >= 3
+        |)
+        |SELECT event_type, day, n_events,
+        |       CAST(baseline_days AS BIGINT) AS baseline_days,
+        |       CASE WHEN v > 0 THEN
+        |         ROUND((CAST(n_events AS DOUBLE) - m) / sqrt(v), 6) END AS z_score,
+        |       CASE WHEN v > 0 THEN
+        |         abs((CAST(n_events AS DOUBLE) - m) / sqrt(v)) > 2.0
+        |       ELSE n_events * baseline_days <> s END AS anomalous
+        |FROM z""".stripMargin,
+
+    "q_temporal_split" ->
+      """WITH s AS (
+        |  SELECT event_id, ts,
+        |         CASE WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |              WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' + INTERVAL 2 DAY
+        |                THEN 'embargo'
+        |              ELSE 'test' END AS split
+        |  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |)
+        |SELECT split, COUNT(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q_user_growth" ->
       """WITH fs AS (

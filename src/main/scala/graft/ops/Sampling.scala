@@ -54,6 +54,26 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Temporal train/test split with an EMBARGO gap — the
+    * time-respecting split for forecasting / sequence models, where a
+    * hash split leaks future information into training. Rows at or
+    * before `cutoff` are `train`; rows inside `(cutoff,
+    * cutoff + embargo]` are `embargo` (discarded by the caller —
+    * label windows and rolling features straddling the cutoff leak
+    * across it; the gap is the standard purge, cf. combinatorial
+    * purged CV); rows after the embargo are `test`. Pure map-side
+    * projection — no shuffle, no state, trivially reproducible.
+    * Output: every input row (tie, ts, split).
+    */
+  def temporalSplit(df: DataFrame, tsCol: String, tieCol: String,
+                    cutoff: String, embargo: String): DataFrame =
+    df.filter(col(tsCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(tieCol), col(tsCol),
+        when(col(tsCol) <= to_timestamp(lit(cutoff)), "train")
+          .when(col(tsCol) <=
+            to_timestamp(lit(cutoff)) + expr(s"interval $embargo"), "embargo")
+          .otherwise("test").as("split"))
+
   /** K-fold cross-validation assignment: fold ∈ [0, k) from the key's
     * md5 bucket. Map-side, no shuffle, and leakage-safe by construction
     * when `keyCol` is the GROUP key (a user id, a dedup-cluster id): all

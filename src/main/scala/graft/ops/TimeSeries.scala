@@ -160,6 +160,64 @@ object TimeSeries {
       .groupBy("day").agg(count(lit(1)).as("n_active"))
   }
 
+  /** Volume anomaly detection on per-key daily counts: each (key, day)
+    * is z-scored against the key's own TRAILING `days`-day history
+    * (strictly prior days — the current day never contaminates its own
+    * baseline), and flagged when |z| exceeds `zThresh`. The temporal
+    * companion to [[Expectations]]' static contracts: expectations
+    * catch "this table is wrong", this catches "today is wrong".
+    *
+    * Determinism discipline: mean and variance derive from EXACT long
+    * sums (Σn, Σn²) over the window; the double math is one fixed
+    * expression tree evaluated once per row, so any engine reproduces
+    * it bit-for-bit. A zero-variance history (constant baseline) has
+    * no finite z — `z_score` is null there, and the row flags iff the
+    * day deviates from the constant at all (`n·cnt ≠ Σn`, exact
+    * integer compare).
+    *
+    * Scale posture: the window runs over the AGGREGATED per-key daily
+    * frame (span-bounded rows), with O(1) frame state (two sums + a
+    * count); raw events are touched once by the daily hash agg. Days
+    * with fewer than `minHistory` prior active days are suppressed
+    * (cold start has no baseline).
+    * Output: (key, day, n_events, baseline_days, z_score, anomalous).
+    */
+  def dailyAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                     days: Int = 7, zThresh: Double = 3.0,
+                     minHistory: Int = 3): DataFrame = {
+    require(days >= 1 && minHistory >= 1 && zThresh > 0)
+    val daily = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .groupBy(keyCol, "day").agg(count(lit(1)).as("n_events"))
+      .withColumn("_ed", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val w = Window.partitionBy(keyCol).orderBy(col("_ed"))
+      .rangeBetween(-days.toLong, -1L)
+    val d = col("n_events").cast("double")
+    val cnt = count(lit(1)).over(w)
+    val s = sum("n_events").over(w)
+    val s2 = sum(col("n_events") * col("n_events")).over(w)
+    daily
+      .withColumn("baseline_days", cnt)
+      .withColumn("_s", s).withColumn("_s2", s2)
+      .filter(col("baseline_days") >= minHistory)
+      .withColumn("_mean", col("_s").cast("double") / col("baseline_days").cast("double"))
+      .withColumn("_var",
+        (col("_s2").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double")
+            / col("baseline_days").cast("double"))
+          / col("baseline_days").cast("double"))
+      .withColumn("z_score",
+        when(col("_var") > 0d,
+          round((d - col("_mean")) / sqrt(col("_var")), 6)))
+      .withColumn("anomalous",
+        when(col("_var") > 0d,
+          abs((d - col("_mean")) / sqrt(col("_var"))) > zThresh)
+          .otherwise(col("n_events") * col("baseline_days") =!= col("_s")))
+      .select(col(keyCol), col("day"), col("n_events"),
+        col("baseline_days"), col("z_score"), col("anomalous"))
+  }
+
   /** First-seen growth curve: per day, the count of actors whose FIRST
     * activity falls on that day plus the running total — the
     * "cumulative users" chart behind every launch dashboard, and the

@@ -87,6 +87,49 @@ class Round7Spec extends SparkSpec {
     assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 3L)))
   }
 
+  // ---- TimeSeries.dailyAnomalies / Sampling.temporalSplit ------------
+
+  test("dailyAnomalies z-scores against strictly-prior history and flags spikes") {
+    // key "x": 3 baseline days of 2 events, then a 20-event spike
+    val rows = Seq.tabulate(3)(d => Seq(("x", ts(d + 1, 1)), ("x", ts(d + 1, 2)))).flatten ++
+      Seq.tabulate(20)(h => ("x", ts(4, h % 24)))
+    val got = TimeSeries.dailyAnomalies(rows.toDF("k", "t"), "k", "t",
+      days = 7, zThresh = 3.0, minHistory = 3)
+      .collect().map(r => r.getTimestamp(1).toString.take(10) ->
+        (r.getLong(3), Option(r.get(4)), r.getBoolean(5))).toMap
+    // days 1-3 are cold start (suppressed); day 4 has 3 baseline days
+    assert(got.keySet == Set("2024-01-04"))
+    val (baseline, z, anom) = got("2024-01-04")
+    assert(baseline == 3L)
+    // constant baseline (2,2,2): zero variance -> null z, but the spike
+    // deviates from the constant -> flagged via the exact integer branch
+    assert(z.isEmpty && anom)
+  }
+
+  test("dailyAnomalies: quiet day within a noisy baseline is not flagged") {
+    val rows = Seq(("x", 1, 2), ("x", 2, 4), ("x", 3, 2), ("x", 4, 4), ("x", 5, 3))
+      .flatMap { case (k, d, n) => Seq.fill(n)((k, ts(d, 1))) }
+    val got = TimeSeries.dailyAnomalies(rows.toDF("k", "t"), "k", "t",
+      days = 7, zThresh = 3.0, minHistory = 3)
+      .collect().map(r => r.getTimestamp(1).toString.take(10) -> r.getBoolean(5)).toMap
+    assert(got.get("2024-01-05").contains(false), "3 within mean(2,4,2,4)±z·std passes")
+  }
+
+  test("temporalSplit: boundary rows and embargo gap land exactly") {
+    val df = Seq(
+      (1L, ts(10, 0)),  // before cutoff -> train
+      (2L, ts(20, 0)),  // AT cutoff -> train (inclusive)
+      (3L, ts(21, 12)), // inside 2-day embargo -> embargo
+      (4L, ts(22, 0)),  // AT embargo end -> embargo (inclusive)
+      (5L, ts(23, 0))   // past embargo -> test
+    ).toDF("event_id", "t")
+    val got = Sampling.temporalSplit(df, "t", "event_id",
+      "2024-01-20 00:00:00", "2 days")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "test"))
+  }
+
   // ---- SkewJoin.joinPreflight ----------------------------------------
 
   test("joinPreflight predicts per-key join output and ranks hot keys") {
