@@ -71,6 +71,9 @@ object Bench {
       // outputs are noop-materialized by now, so nothing live reads them —
       // this is what kept r6's dedup-family in-suite timings 2-3x their
       // isolated numbers (storage pressure evicting the shared enrichment).
+      // OWNERSHIP ASSUMPTION: this main owns the whole session (nothing
+      // outside it holds cached/checkpointed frames across queries) — a
+      // blanket unpersist is safe here but NOT in library code.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       KpiQueries.persistEnriched(enriched) // …so re-register it…
       materialize(enriched)                // …and re-materialize, un-timed

@@ -318,6 +318,16 @@ object SparkEntry {
         table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45,
         exact = true)),
 
+    // banded SemDeDup scale path: sign-LSH candidate pairs + exact cosine
+    // verification feeding the SAME connected-components + min-id-rep
+    // contract — hash-equal to q_semdedup's recursive-CTE oracle. This is
+    // the regime that ships at 100 TB (the exact=true twin above is the
+    // O(n²) oracle baseline); pairing mirrors q_embed_dup/q_embed_dup_lsh.
+    "q_semdedup_lsh" -> ((s, dir) =>
+      graft.ops.Similarity.semDedupDrops(
+        table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45,
+        allowLowTau = true)),
+
     // banded scale path: sign-LSH candidates + exact cosine verification
     // — same oracle, plan has no CartesianProduct. tau=0.45 is below the
     // pruning regime (see nearDupCosine's guard), so the low-tau opt-in is
@@ -1689,6 +1699,29 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |)
          |SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+
+    // banded SemDeDup answers the SAME exact reachability query as
+    // q_semdedup (per-pair LSH miss probability < 1e-7 at this config)
+    "q_semdedup_lsh" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |), pr AS (
+         |  SELECT a_id, b_id FROM p WHERE sim >= 0.45
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION
+         |  SELECT b_id, a_id FROM pr
+         |), reach(node, root) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+         |), cl AS (
+         |  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
+         |)
+         |SELECT doc_id AS dropped_id, cluster_id AS rep_id
+         |FROM cl WHERE doc_id <> cluster_id""".stripMargin,
 
     "q_langid" ->
       s"""$docToks, sc AS (

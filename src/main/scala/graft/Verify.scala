@@ -20,6 +20,12 @@ object Verify {
       // blocks (clusters, PageRank) live OUTSIDE the SQL cache, so
       // release persisted RDDs too — the previous query's output is
       // already written, nothing live reads them.
+      // OWNERSHIP ASSUMPTION: this main owns the entire session — no
+      // caller holds a cached corpus index or checkpoint-backed frame
+      // across queries, so blanket-unpersisting every persistent RDD is
+      // safe HERE. Do not copy this reset into library code: unpersisting
+      // a localCheckpoint-backed frame someone else holds is irrecoverable
+      // (lineage is truncated; re-reads fail, they don't recompute).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

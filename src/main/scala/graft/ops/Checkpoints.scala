@@ -20,10 +20,18 @@ import org.apache.spark.sql.execution.LogicalRDD
 private[graft] object Checkpoints {
 
   /** The block-backed RDD behind a `localCheckpoint`ed frame, if any.
-    * A checkpointed Dataset's analyzed plan is a leaf [[LogicalRDD]]
-    * wrapping the persisted internal-row RDD. */
+    * A checkpointed Dataset's analyzed plan IS a leaf [[LogicalRDD]]
+    * wrapping the persisted internal-row RDD — so only a root-level
+    * match qualifies. Matching any LogicalRDD nested deeper would let
+    * [[free]] unpersist blocks owned by a CALLER-checkpointed input
+    * that this frame merely derives from; localCheckpoint truncates
+    * lineage, so the caller's later reads would fail irrecoverably
+    * with "checkpoint block not found". */
   def rddOf(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
 
   /** Release `df`'s checkpoint blocks (non-blocking). Only call once no
     * un-materialized frame still reads from it — i.e. after the next

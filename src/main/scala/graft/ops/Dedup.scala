@@ -607,25 +607,38 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor minimum in one join+agg; keep own label via the union
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = viaNeighbors.unionAll(labels)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      converged = changed == 0
-      // `next` is eagerly materialized (and the convergence count above
-      // read BOTH frames), so the superseded checkpoint can go now
-      Checkpoints.free(labels)
-      labels = next
-      iter += 1
+    // try/finally: if an iteration throws (or the convergence require
+    // fires) the persisted edges RDD — and the current round's checkpoint
+    // blocks — must not outlive the call; a library caller has no handle
+    // to free them, and that is exactly the leak class Checkpoints exists
+    // to close. On success only `labels`' FINAL checkpoint survives (the
+    // caller owns those blocks).
+    try {
+      while (!converged && iter < maxIter) {
+        // neighbor minimum in one join+agg; keep own label via the union
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+          .select(col("src").as("doc_id"), col("cluster_id"))
+        val next = viaNeighbors.unionAll(labels)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .localCheckpoint()
+        val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+          .filter(col("cluster_id") =!= col("prev")).count()
+        converged = changed == 0
+        // `next` is eagerly materialized (and the convergence count above
+        // read BOTH frames), so the superseded checkpoint can go now
+        Checkpoints.free(labels)
+        labels = next
+        iter += 1
+      }
+      require(converged, s"nearDupClusters did not converge in $maxIter rounds")
+    } catch {
+      case t: Throwable =>
+        Checkpoints.free(labels)
+        throw t
+    } finally {
+      edges.unpersist()
     }
-    require(converged, s"nearDupClusters did not converge in $maxIter rounds")
-    edges.unpersist()
     labels
   }
 

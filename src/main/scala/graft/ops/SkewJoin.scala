@@ -59,7 +59,13 @@ object SkewJoin {
       .select(col(keyCol),
         coalesce(col("n_left"), lit(0L)).as("n_left"),
         coalesce(col("n_right"), lit(0L)).as("n_right"))
-      .withColumn("out_rows", col("n_left") * col("n_right"))
+      // try_multiply, not `*`: under ANSI mode (Spark 4 default) a plain
+      // product over ~9.2e18 (≈3e9 rows of one key on EACH side) would make
+      // the diagnostic itself throw on exactly the explosion it exists to
+      // detect. Saturate to Long.MaxValue instead so the pathological key is
+      // REPORTED — and sorts first, where a diagnostic wants it.
+      .withColumn("out_rows",
+        coalesce(try_multiply(col("n_left"), col("n_right")), lit(Long.MaxValue)))
       .orderBy(col("out_rows").desc, col(keyCol))
       .limit(topK)
   }
