@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Registry-wide plan-regression gate: every `SparkEntry.queries` entry is
+  * planned at sf0.001 and audited for the two scale-killer shapes
+  * ([[PlanAudit]]): O(n·m) join nodes and missed broadcasts. Adding a new
+  * query with a cartesian/nested-loop plan fails ONE named test here with
+  * the offending physical plan printed — the plan contract becomes part of
+  * the suite, not a per-round manual `.explain` review.
+  *
+  * The allowlist is EXPLICIT and per-query, with the reason each entry is
+  * allowed to carry an O(n·m) node. Two legitimate categories only:
+  *   - `exact = true` oracle baselines: deliberately quadratic ground
+  *     truth for a banded/indexed twin that answers the same query (the
+  *     twin IS audited — that's the plan that ships).
+  *   - bounded broadcast: one side is ≤ a few rows by construction (a
+  *     global-aggregate scalar, a trained codebook, a k-row calendar),
+  *     so the "nested loop" is a map-side lookup, volume O(n·k) for
+  *     constant k.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** query -> why an O(n·m) node is acceptable there. */
+  private val allowForbidden: Map[String, String] = Map(
+    // exact=true / brute-force oracle baselines — quadratic BY DESIGN,
+    // each paired with an audited banded/indexed twin that ships
+    // (q_semdedup/q_semdedup_lsh need no entry: their CC iteration runs at
+    // frame-construction time, so the audited final plan is a checkpoint
+    // leaf — their pair-generation plans are exactly q_embed_dup's (exact,
+    // allowlisted) and q_embed_dup_lsh's (banded, audited clean).)
+    "q_embed_dup"  -> "exact=true all-pairs oracle baseline (banded twin q_embed_dup_lsh is audited)",
+    "q_knn"        -> "brute-force kNN baseline (scale twins q_knn_ivf/q_knn_pq are audited)",
+    "q_knn_topk_agg" -> "brute-force scoring with bounded-heap agg; pins the heap against the window plan",
+    "q_hard_negatives" -> "brute per-anchor scoring vs a DIFFERENT-label corpus; scale path is routing anchors through knnIvf cells first",
+    "q_sem_contamination" -> "eval-set x corpus scoring; the eval set is broadcast-small by contract (thousands of rows, not corpus-scale)",
+    // bounded broadcast: build side is O(1)..O(k) rows by construction,
+    // so the nested loop is a map-side lookup, total volume O(n*k)
+    "q_tfidf"      -> "1-row corpus-total (N docs) crossJoin for the IDF term",
+    "q_bm25"       -> "1-row corpus-total (N, avgdl) crossJoin",
+    "q_unigram_score" -> "1-row LM-normalizer crossJoin",
+    "q_assoc_rules" -> "1-row basket-total crossJoin for support/lift",
+    "q_collocations" -> "1-row token-total crossJoins (PMI normalizers)",
+    "q_composition" -> "1-row corpus-total crossJoin for share-of-corpus",
+    "q_chi2"       -> "1-row global-total crossJoin (contingency normalizer)",
+    "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
+    "q_kappa"      -> "1-row rater-total crossJoin (expected-agreement term)",
+    "q_dsir"       -> "1-row per-corpus LM-normalizer crossJoin",
+    "q_dist_shift" -> "1-row per-period total crossJoins (JS-divergence terms)",
+    "q_mixture"    -> "1-row capacity frame crossJoin (Sampling.scala:235)",
+    "q_balance_classes" -> "1-row min-class-size crossJoin (Sampling.scala:364)",
+    "q_neg_sample" -> "broadcast candidate pool, |labels| rows of bounded per-label lists by contract (Sampling.scala:496)",
+    "q_knn_pq"     -> "m x kCent codebook crossJoin (128 rows, constant)",
+    "q_kmv_overlap" -> "pairwise join of |groups|-row KMV sketch frames — kilobytes by design, never the corpus (Sketch.scala:225)",
+    "q_rolling_distinct" -> "range join over per-(key,day) KMV sketch frames, 7-day window bound — pre-aggregated, not row-scale"
+  )
+
+  /** query -> why a small-estimate shuffle join is acceptable there. */
+  private val allowMissedBroadcast: Map[String, String] = Map.empty
+
+  // Planning some entries executes bounded prep work (codebook training,
+  // CC iteration); at sf0.001 the whole sweep stays cheap.
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"plan audit: $name") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      try {
+        val forbidden = PlanAudit.forbiddenJoins(df)
+        if (forbidden.nonEmpty && !allowForbidden.contains(name)) {
+          fail(s"$name has O(n*m) join node(s) ${forbidden.mkString(", ")} and is " +
+            s"not allowlisted.\nEither give it an index/band/broadcast-bounded plan " +
+            s"or add an explicit allowlist entry with the reason.\n" +
+            PlanAudit.planString(df))
+        }
+        if (forbidden.isEmpty && allowForbidden.contains(name)) {
+          info(s"$name is allowlisted for O(n*m) nodes but its plan is clean — " +
+            "allowlist entry can be removed")
+        }
+        val missed = PlanAudit.missedBroadcasts(df)
+        if (missed.nonEmpty && !allowMissedBroadcast.contains(name)) {
+          fail(s"$name declines a broadcast the optimizer sized as cheap: " +
+            s"${missed.mkString(", ")}\n" + PlanAudit.planString(df))
+        }
+      } finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    }
+  }
+}
