@@ -38,6 +38,26 @@ object Bench {
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  /** Git commit the bench ran against, read straight from `.git` (no exec):
+    * makes each round's BENCH_r{N}.json independently attributable to a
+    * tree state. "unknown" when not run from the repo root.
+    */
+  private def gitCommit(): String =
+    try {
+      val head = Files.readString(Paths.get(".git/HEAD")).trim
+      if (head.startsWith("ref: ")) {
+        val ref = Paths.get(".git", head.stripPrefix("ref: "))
+        if (Files.exists(ref)) Files.readString(ref).trim
+        else { // packed refs
+          val packed = Paths.get(".git/packed-refs")
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            Files.lines(packed).iterator()).asScala
+            .find(_.endsWith(head.stripPrefix("ref: ")))
+            .map(_.split(' ')(0)).getOrElse("unknown")
+        }
+      } else head
+    } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
@@ -115,8 +135,9 @@ object Bench {
     // "partial" and `n_err` is in BOTH the full line and the tail summary.
     val nErr = medians.size - ok.size
     val status = if (nErr == 0) "ok" else "partial"
+    val commit = gitCommit()
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"queries":$qs,"errors":$errJson,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"commit":"$commit","queries":$qs,"errors":$errJson,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's tail-keeping capture
     // window in round 5 ("parsed": null — head of the line was cut, so the
     // JSON never parsed). Emit the full line first, then a SHORT summary as
@@ -124,7 +145,7 @@ object Bench {
     // last-line / tail-window parsers get a compact valid object with the
     // headline total.
     val summary =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"commit":"$commit","n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
     println(line)
     println(summary)
     if (nErr > 0)

@@ -37,6 +37,25 @@ object SparkEntry {
     case other          => sys.error(s"not a KPI query: $other")
   }
 
+  /** Pinned BPE merge table for `q_bpe_tokens` — trained offline from the
+    * sf0.01 `documents` corpus by `graft.BpeTrain` (48 merges, rank
+    * order). A constant, not per-run training, because the DuckDB oracle
+    * SQL is a static string: both the Spark query and the generated
+    * oracle derive from THIS list, so the two sides cannot drift.
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"), ("mer", "ge"), ("s", "low"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    ("v", "ector"))
+
   /** Committed CSV fixtures (reference-data samples + crafted corrupt
     * rows) exercising the ingest module; absolute path because `queries`
     * receives only the testdata dir.
@@ -402,6 +421,15 @@ object SparkEntry {
         col("doc_id"),
         graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
         graft.ops.TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))),
+
+    // exact merge-table BPE (vs bpeish's regex proxy above): the merge
+    // table is the pinned constant `bpeMerges` (trained offline by
+    // graft.BpeTrain on this corpus); the oracle SQL below is GENERATED
+    // from the same constant, so Spark and DuckDB run the identical
+    // nested-replace chain
+    "q_bpe_tokens" -> ((s, dir) =>
+      graft.ops.Bpe.tokenCounts(
+        table(s, dir, "documents"), "doc_id", "text", bpeMerges)),
 
     "q_text_quality" -> ((s, dir) =>
       graft.ops.TextAnalysis.qualitySignals(
@@ -1759,6 +1787,20 @@ object SparkEntry {
         |  len(regexp_extract_all(text,
         |      '''[a-zA-Z]+|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+', 0)) AS bpeish_tokens
         |FROM documents""".stripMargin,
+
+    // generated from the SAME bpeMerges constant as the Spark entry: the
+    // identical normalize → bracket-units → nested-replace chain, counts
+    // derived from bracket arithmetic (see graft.ops.Bpe scaladoc)
+    "q_bpe_tokens" -> {
+      val enc = graft.ops.Bpe.encodeSql("text", bpeMerges)
+      val norm = "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      s"""SELECT doc_id,
+         |  CAST(length(e) - length(replace(e, '<', ''))
+         |    - (length(e) - length(replace(e, '< >', ''))) / 3 AS BIGINT) AS n_tokens,
+         |  CAST(length(replace(nm, ' ', '')) AS BIGINT) AS n_chars
+         |FROM (SELECT doc_id, $enc AS e, $norm AS nm FROM documents)""".stripMargin
+    },
 
     "q_text_quality" ->
       """WITH d AS (

@@ -48,17 +48,39 @@ object Boilerplate {
     * Output: (idCol, text_clean, n_lines, n_removed).
     */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
-                        delim: String = "\n", minDocs: Int = 3): DataFrame = {
+                        delim: String = "\n", minDocs: Int = 3,
+                        saltBuckets: Int = 1): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would remove every line")
+    require(saltBuckets >= 1, "saltBuckets must be positive")
     val lines = exploded(docs, idCol, textCol, delim)
     val boiler = lineFrequencies(docs, idCol, textCol, delim)
       .filter(col("n_docs") >= minDocs)
       .select(col("line").as("_line"), lit(true).as("_b"))
     // left join keeps every line with a removal flag; collect_list skips
     // the nulls `when` leaves on flagged lines, and the struct sort puts
-    // survivors back in document order before the single concat
-    val agg = lines
-      .join(boiler, Seq("_line"), "left")
+    // survivors back in document order before the single concat.
+    //
+    // Skew bound: the join key is skewed BY CONSTRUCTION — the hottest
+    // lines (empty string, nav text) are exactly the boilerplate being
+    // probed. When the frequent-line set outgrows the broadcast threshold
+    // the join shuffles on `_line`, and one hot line lands on one task.
+    // `saltBuckets > 1` splits it deterministically: probe rows carry
+    // `_salt = hash(_id, _pos) mod S` (depends only on the row, never on
+    // partitioning), the |boiler|-row build side is replicated S ways, and
+    // the join key becomes (_line, _salt) — a hot line's probe rows spread
+    // across S tasks at the cost of an S× build side. Results are
+    // bit-identical to the unsalted plan (every probe row still meets its
+    // build match, exactly once). Leave at 1 when boiler broadcasts.
+    val joined =
+      if (saltBuckets <= 1) lines.join(boiler, Seq("_line"), "left")
+      else {
+        val probe = lines.withColumn("_salt",
+          pmod(hash(col("_id"), col("_pos")), lit(saltBuckets)))
+        val build = boiler.withColumn("_salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        probe.join(build, Seq("_line", "_salt"), "left").drop("_salt")
+      }
+    val agg = joined
       .groupBy(col("_id"))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -39,6 +39,31 @@ class BoilerplateSpec extends SparkSpec {
     out(6L) shouldBe (("solo document\nwith own lines", 2L, 0L))
   }
 
+  test("salted join splits a mega-hot boilerplate line and matches unsalted") {
+    import org.apache.spark.sql.functions._
+    // one line in EVERY doc — the worst-case hot join key
+    val hot = (1L to 400L).map(i =>
+      (i, s"MEGA HOT BANNER\nbody line $i\nMEGA HOT BANNER")).toDF("doc_id", "text")
+    val plain  = Boilerplate.removeBoilerplate(hot, "doc_id", "text", minDocs = 3)
+    val salted = Boilerplate.removeBoilerplate(hot, "doc_id", "text", minDocs = 3,
+      saltBuckets = 8)
+    // bit-identical results
+    val a = plain.orderBy("doc_id").collect().map(_.toSeq)
+    val b = salted.orderBy("doc_id").collect().map(_.toSeq)
+    a should contain theSameElementsInOrderAs b
+    // the plan really joins on (_line, _salt): the hot line's probe rows
+    // carry >1 distinct salt, so no single task owns the hot key
+    val saltPlan = salted.queryExecution.optimizedPlan.toString
+    saltPlan should include ("_salt")
+    val nSalts = hot
+      .select(posexplode(split(col("text"), "\n")).as(Seq("_pos", "_line")),
+        col("doc_id").as("_id"))
+      .filter(col("_line") === "MEGA HOT BANNER")
+      .select(pmod(hash(col("_id"), col("_pos")), lit(8)).as("s"))
+      .distinct().count()
+    nSalts should be > 1L
+  }
+
   test("custom delimiter splits literally, not as a regex") {
     val d = Seq((1L, "a. b. c"), (2L, "a. z"), (3L, "a. q")).toDF("doc_id", "text")
     val out = Boilerplate.removeBoilerplate(d, "doc_id", "text",
