@@ -961,6 +961,14 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text",
         delim = " the ", minDocs = 3)),
 
+    // the skew-bounded twin: salt splits the hottest line's probe rows
+    // across 8 tasks; same oracle as q_boilerplate — bit-identical by
+    // construction (every probe row meets its replicated build match)
+    "q_boiler_salted" -> ((s, dir) =>
+      graft.ops.Boilerplate.removeBoilerplate(
+        table(s, dir, "documents"), "doc_id", "text",
+        delim = " the ", minDocs = 3, saltBuckets = 8)),
+
     // canonical LISTAGG: per-nation supplier roster, sort-then-join
     "q_string_agg" -> ((s, dir) =>
       graft.ops.Agg.orderedStringAgg(
@@ -1277,6 +1285,30 @@ object SparkEntry {
     s"""list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
        |    (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |     sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+
+  private val boilerplateSql =
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' the ')) AS line,
+        |         unnest(generate_series(1, len(string_split(text, ' the ')))) AS pos
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+        |  GROUP BY line HAVING COUNT(*) >= 3
+        |), j AS (
+        |  SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS b
+        |  FROM l LEFT JOIN f ON l.line = f.line
+        |), a AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN NOT b THEN line END,
+        |                        ' the ' ORDER BY pos), '') AS clean
+        |  FROM j GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NOT NULL THEN coalesce(a.clean, '') END AS text_clean,
+        |  a.n_lines, a.n_removed
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
 
   private val dedupPairsSql =
     s"""$docToks, s AS (
@@ -2865,29 +2897,9 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id, line FROM l)
         |GROUP BY line""".stripMargin,
 
-    "q_boilerplate" ->
-      """WITH l AS (
-        |  SELECT doc_id,
-        |         unnest(string_split(text, ' the ')) AS line,
-        |         unnest(generate_series(1, len(string_split(text, ' the ')))) AS pos
-        |  FROM documents WHERE text IS NOT NULL
-        |), f AS (
-        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
-        |  GROUP BY line HAVING COUNT(*) >= 3
-        |), j AS (
-        |  SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS b
-        |  FROM l LEFT JOIN f ON l.line = f.line
-        |), a AS (
-        |  SELECT doc_id, COUNT(*) AS n_lines,
-        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-        |    coalesce(string_agg(CASE WHEN NOT b THEN line END,
-        |                        ' the ' ORDER BY pos), '') AS clean
-        |  FROM j GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CASE WHEN d.text IS NOT NULL THEN coalesce(a.clean, '') END AS text_clean,
-        |  a.n_lines, a.n_removed
-        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "q_boilerplate" -> boilerplateSql,
+    // salted twin runs the same oracle: salting must be invisible in output
+    "q_boiler_salted" -> boilerplateSql,
 
     "q_dup_ngrams" ->
       s"""$docToks, base AS (
