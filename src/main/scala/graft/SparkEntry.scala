@@ -161,6 +161,15 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairsMinHash(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
 
+    // exact-collapse THEN near-dup: the composition that keeps pair
+    // generation linear when duplication is dominated by exact copies
+    // (the measured 100x pathology of running near-dup on raw volume);
+    // df-bounded index on the collapsed set, same exact-jaccard verify
+    "q_dedup_canonical" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupPairsCanonical(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5,
+        maxDf = Some(5))),
+
     // 64-bit SimHash quadrant-banded pairs; oracle recomputes the
     // signature from scratch in SQL and does all-pairs exact hamming
     // (the quadrant banding is complete for hamming <= 3 — pigeonhole)
@@ -1452,6 +1461,34 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "q_dedup_pairs"       -> dedupPairsSql,
+
+    // canonical-first pairs: collapse to the min-id doc per token-set
+    // fingerprint (same normalization as q_dedup_exact), all-pairs exact
+    // jaccard over the SURVIVORS only, group multiplicities carried
+    "q_dedup_canonical" ->
+      s"""$docToks, fp AS (
+         |  SELECT doc_id, toks,
+         |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS f
+         |  FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), c AS (
+         |  SELECT f, doc_id, toks,
+         |         ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY f) AS nd
+         |  FROM fp
+         |), s AS (
+         |  SELECT doc_id, nd, list_distinct(list_transform(range(1, len(toks)-1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM c WHERE rn = 1 AND len(toks) >= 3
+         |), p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh)) AS ni,
+         |         len(a.sh) AS na, len(b.sh) AS nb,
+         |         a.nd AS a_dups, b.nd AS b_dups
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id, ROUND(ni / (na + nb - ni), 6) AS jaccard,
+         |       CAST(a_dups AS BIGINT) AS a_dups, CAST(b_dups AS BIGINT) AS b_dups
+         |FROM p WHERE ni / (na + nb - ni) >= 0.5""".stripMargin,
 
     "q_overlap_matrix" ->
       s"""$docToks, s AS (

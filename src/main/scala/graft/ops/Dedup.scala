@@ -179,6 +179,42 @@ object Dedup {
     }
   }
 
+  /** Exact-collapse-first near-dup — the composition a production corpus
+    * pipeline actually ships: collapse byte/token-identical copies to one
+    * canonical doc per fingerprint group (smallest id), THEN run the
+    * shingle near-dup only over the unique texts, carrying each side's
+    * group multiplicity. On a corpus where duplication is dominated by
+    * exact copies (re-crawls, mirrors — the common case at 100 TB), pair
+    * generation cost scales with |unique texts|, not raw volume, and the
+    * quadratic-in-group-size pair explosion of running near-dup directly
+    * on the raw corpus (g copies → g·(g−1)/2 identical-text pairs per
+    * group, measured 100× probe: 209 s vs seconds) never happens —
+    * exact groups are collapsed by ONE hash agg before any pair exists.
+    *
+    * Output: (a_id, b_id, jaccard, a_dups, b_dups) — canonical ids,
+    * a_id < b_id, each with its group's copy count.
+    */
+  def nearDupPairsCanonical(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, tau: Double = 0.5,
+                            maxDf: Option[Int] = None): DataFrame = {
+    val canon = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_text"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .groupBy("_fp")
+      .agg(count(lit(1)).as("n_dups"),
+        // argmin by id; the canonical TEXT rides the same struct so the
+        // shingles come from the kept doc, not an arbitrary group member
+        min(struct(col("doc_id"), col("_text"))).as("_c"))
+      .select(col("_c.doc_id").as("doc_id"), col("_c._text").as("text"),
+        col("n_dups"))
+    val sizes = canon.select(col("doc_id"), col("n_dups"))
+    nearDupPairsExact(canon, "doc_id", "text", n, tau, maxDf)
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_dups").as("a_dups")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_dups").as("b_dups")), "b_id")
+      .select("a_id", "b_id", "jaccard", "a_dups", "b_dups")
+  }
+
   /** Directed n-gram containment — the quote / sub-document detector
     * Jaccard cannot be: containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is
     * 1.0 when a short doc A is quoted whole inside a long B even though

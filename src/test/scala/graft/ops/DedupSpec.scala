@@ -263,4 +263,22 @@ class DedupSpec extends SparkSpec {
     unbounded shouldBe bounded
     unbounded((1L, 2L)) shouldBe 1000000L
   }
+
+  test("nearDupPairsCanonical collapses exact groups before pairing") {
+    // 100 exact copies of doc 1 plus one near-dup: raw pairing would emit
+    // 100*99/2 identical-text pairs; canonical emits exactly ONE pair
+    // (min-id rep vs the near-dup), with the multiplicity carried
+    val flood = (10L to 109L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank today")) :+
+      (200L, "the quick brown fox jumps over the lazy dog near the river bank tonight") :+
+      (300L, "completely different text about spark catalyst optimizer internals")
+    val out = Dedup.nearDupPairsCanonical(flood.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, tau = 0.5).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getLong(0) shouldBe 10L    // canonical = smallest id of the group
+    r.getLong(1) shouldBe 200L
+    r.getAs[Long]("a_dups") shouldBe 100L
+    r.getAs[Long]("b_dups") shouldBe 1L
+  }
 }
