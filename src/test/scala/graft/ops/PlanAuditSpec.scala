@@ -60,6 +60,21 @@ class PlanAuditSpec extends SparkSpec {
   /** query -> why a small-estimate shuffle join is acceptable there. */
   private val allowMissedBroadcast: Map[String, String] = Map.empty
 
+  /** Pinned shuffle budgets for headline queries (measured by
+    * `graft.ShuffleCounts`): a NEW Exchange in one of these plans is a
+    * regression a human signs off on by raising the pin, never a silent
+    * diff. Every groupBy/join/window costs a shuffle at 100 TB — these
+    * numbers ARE the scale story of the flagship paths (q_bpe_tokens at
+    * 0 proves the whole BPE chain is map-side).
+    */
+  private val shuffleBudget: Map[String, Int] = Map(
+    "kpi_user" -> 1, "kpi_genre_daily" -> 2, "kpi_genre_top_songs" -> 2,
+    "kpi_genre_top_genres" -> 3, "kpi_trending" -> 4,
+    "q_dedup_exact" -> 1, "q_dedup_canonical" -> 5,
+    "q_bpe_tokens" -> 0, "q_token_counts" -> 0,
+    "q_boilerplate" -> 3, "q_sample_stratified" -> 1,
+    "q_top_paths" -> 2, "q_sessions" -> 1, "q_asof_join" -> 1)
+
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
@@ -81,6 +96,13 @@ class PlanAuditSpec extends SparkSpec {
         if (missed.nonEmpty && !allowMissedBroadcast.contains(name)) {
           fail(s"$name declines a broadcast the optimizer sized as cheap: " +
             s"${missed.mkString(", ")}\n" + PlanAudit.planString(df))
+        }
+        shuffleBudget.get(name).foreach { budget =>
+          val n = Bucketing.shuffleCount(df)
+          if (n > budget)
+            fail(s"$name plans $n shuffle exchanges, budget is $budget — a new " +
+              s"Exchange in a headline plan needs an explicit pin raise.\n" +
+              PlanAudit.planString(df))
         }
       } finally {
         spark.catalog.clearCache()
