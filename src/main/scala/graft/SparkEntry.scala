@@ -56,6 +56,14 @@ object SparkEntry {
     ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
     ("v", "ector"))
 
+  /** Hashed-classifier weight table for `q_quality_model`: 256 buckets,
+    * ppm weights in [−1e6, 1e6] from a Knuth-multiplier formula — a
+    * deterministic stand-in for an offline logistic fit, reproducible in
+    * plain SQL so the oracle carries the formula instead of a literal.
+    */
+  val qualityWeightsPpm: Seq[Long] =
+    Seq.tabulate(256)(i => (i.toLong * 2654435761L) % 2000001L - 1000000L)
+
   /** Committed CSV fixtures (reference-data samples + crafted corrupt
     * rows) exercising the ingest module; absolute path because `queries`
     * receives only the testdata dir.
@@ -439,6 +447,29 @@ object SparkEntry {
     "q_bpe_tokens" -> ((s, dir) =>
       graft.ops.Bpe.tokenCounts(
         table(s, dir, "documents"), "doc_id", "text", bpeMerges)),
+
+    // model-based quality gate: hashed linear classifier, integer-ppm
+    // weights generated by the Knuth-multiplier formula below — the
+    // oracle inlines the SAME formula, so no weight literal ships in SQL
+    "q_quality_model" -> ((s, dir) =>
+      graft.ops.TextAnalysis.linearQualityScore(
+        table(s, dir, "documents"), "doc_id", "text",
+        qualityWeightsPpm, biasPpm = 250000L)),
+
+    // token-budget fill billed in EXACT BPE tokens (the composition a
+    // training-data pipeline runs): counts are computed map-side inline
+    // (no join back), then the skew-proof two-level cumsum selects docs
+    "q_bpe_budget" -> ((s, dir) => {
+      import graft.ops.Bpe
+      val counted = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        Bpe.countUnits(Bpe.applyMerges(Bpe.toUnits(
+          Bpe.normalize(coalesce(col("text"), lit("")))), bpeMerges))
+          .as("n_tokens"))
+      graft.ops.Sampling.fillTokenBudget(counted, "source", "doc_id",
+        "n_tokens", budget = 4000L, Map("src0" -> 2, "src1" -> 1, "src2" -> 1))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
 
     "q_text_quality" -> ((s, dir) =>
       graft.ops.TextAnalysis.qualitySignals(
@@ -1710,6 +1741,32 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM c WHERE cum <= quota""".stripMargin,
 
+    // q_token_budget's selection machinery over EXACT BPE counts — the
+    // count expression is generated from the same bpeMerges constant
+    "q_bpe_budget" -> {
+      val enc = graft.ops.Bpe.encodeSql("text", bpeMerges)
+      s"""WITH b AS (
+         |  SELECT doc_id, source, $enc AS e FROM documents
+         |  WHERE doc_id IS NOT NULL AND source IN ('src0', 'src1', 'src2')
+         |), d AS (
+         |  SELECT doc_id, source,
+         |    CAST(length(e) - length(replace(e, '<', ''))
+         |      - (length(e) - length(replace(e, '< >', ''))) / 3 AS BIGINT) AS n_tokens,
+         |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+         |                WHEN 'src2' THEN 1 END AS w
+         |  FROM b
+         |), t AS (
+         |  SELECT *, md5(doc_id::VARCHAR) AS h FROM d WHERE n_tokens > 0
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum,
+         |    w * 4000 // 4 AS quota
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tokens FROM c WHERE cum <= quota""".stripMargin
+    },
+
     "q_mixture" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -1856,6 +1913,27 @@ object SparkEntry {
         |  len(regexp_extract_all(text,
         |      '''[a-zA-Z]+|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+', 0)) AS bpeish_tokens
         |FROM documents""".stripMargin,
+
+    // hashed linear classifier: same md5-prefix bucket as the Spark side,
+    // same Knuth-multiplier ppm-weight formula, BIGINT token sum (exactly
+    // order-independent), sigmoid only at the end
+    "q_quality_model" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    coalesce(list_sum(list_transform(toks, t ->
+        |      ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) * 2654435761)
+        |        % 2000001 - 1000000)), 0) AS sp
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(sp AS BIGINT) AS sum_ppm,
+        |  ROUND(1.0 / (1.0 + exp(-(0.25 +
+        |    CASE WHEN n > 0 THEN sp / (n * 1000000.0) ELSE 0.0 END))), 6) AS score
+        |FROM s""".stripMargin,
 
     // generated from the SAME bpeMerges constant as the Spark entry: the
     // identical normalize → bracket-units → nested-replace chain, counts

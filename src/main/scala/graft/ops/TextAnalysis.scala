@@ -1046,4 +1046,45 @@ object TextAnalysis {
       .select(col("group_key"), col("n_tokens"), col("n_oov"),
         expr("(n_oov * 1000000L) div n_tokens").as("oov_ppm"))
   }
+
+  /** fasttext-style hashed linear text classifier — model-based quality
+    * filtering (the CCNet / LLM-corpus "does this look like good prose"
+    * gate that length/punct heuristics can't express). Each token hashes
+    * to one of `weightsPpm.size` buckets (md5-prefix hash — the same
+    * engine-portable construction as [[graft.ops.Sampling.hashBucket]]);
+    * the document logit is `bias + mean(weight[h(token)])` and the score
+    * its sigmoid.
+    *
+    * Weights are integer MILLIONTHS: the token-sum accumulates in BIGINT,
+    * so it is exactly order-independent — no float-summation parity trap
+    * in the hash surface — and only the final sigmoid touches doubles
+    * (derived from one exact integer, bit-stable across engines).
+    * Training is out of scope by design (a logistic fit over these
+    * hashed counts, run offline); the weights table is the model.
+    *
+    * Scale posture: pure map-side — tokenize, hash, fold, sigmoid; the
+    * weight table rides the plan as a literal array (a few KB), no
+    * join, no shuffle, no UDF.
+    *
+    * Output: (idCol, n_tokens, sum_ppm, score), score rounded 6 dp.
+    */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                         weightsPpm: Seq[Long], biasPpm: Long): DataFrame = {
+    require(weightsPpm.nonEmpty, "empty weight table")
+    val dims = weightsPpm.size
+    val w = typedLit(weightsPpm)
+    val toks = tokens(lower(coalesce(col(textCol), lit(""))))
+    val idx = (c: Column) =>
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % dims
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(w, (idx(t) + 1).cast("int"))).as("sum_ppm"))
+      .withColumn("score", round(
+        lit(1.0) / (lit(1.0) + exp(-(lit(biasPpm / 1e6) +
+          when(col("n_tokens") > 0,
+            col("sum_ppm").cast("double") / (col("n_tokens") * 1e6))
+            .otherwise(lit(0.0))))), 6))
+  }
 }

@@ -579,4 +579,24 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().toSeq
     a shouldBe b
   }
+
+  test("linearQualityScore: exact ppm sums, bias-only empty docs, bounded scores") {
+    import org.apache.spark.sql.functions._
+    val w = Seq.tabulate(16)(i => (i.toLong * 101L) % 2001L - 1000L)
+    val d = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityScore(d, "doc_id", "text", w, biasPpm = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // bucket indices computed with the same engine-portable hash the op uses
+    val idx = d.sparkSession.range(1).select(
+      conv(substring(md5(lit("alpha").cast("binary")), 1, 8), 16, 10).cast("long") % 16,
+      conv(substring(md5(lit("beta").cast("binary")), 1, 8), 16, 10).cast("long") % 16)
+      .head()
+    val expected = 2 * w(idx.getLong(0).toInt) + w(idx.getLong(1).toInt)
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe expected // BIGINT sum: exact, order-independent
+    out(1L)._3 should (be > 0.0 and be < 1.0)
+    out(2L) shouldBe ((0L, 0L, 0.5)) // empty doc: sigmoid(bias=0) exactly
+    out(3L) shouldBe ((0L, 0L, 0.5)) // null text repairs to empty, not null row
+  }
 }
