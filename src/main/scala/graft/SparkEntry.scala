@@ -982,6 +982,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.filterVerdicts(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // where the mass goes: per-rule drop funnel (doc billed to its FIRST
+    // violated rule), the datasheet view over the same verdict pass
+    "q_filter_funnel" -> ((s, dir) =>
+      graft.ops.TextAnalysis.filterFunnel(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // boilerplate mining: top 5-grams by document frequency
     "q_ngram_freq" -> ((s, dir) =>
       graft.ops.TextAnalysis.frequentNgrams(
@@ -1349,6 +1355,52 @@ object SparkEntry {
         |  CASE WHEN d.text IS NOT NULL THEN coalesce(a.clean, '') END AS text_clean,
         |  a.n_lines, a.n_removed
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+
+  private val filterVerdictCtes =
+    s"""$docToks, dq AS (
+         |  SELECT doc_id, text,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS utoks
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), m AS (
+         |  SELECT doc_id,
+         |    len(utoks) AS n_tokens,
+         |    greatest(len(utoks), 1) AS safe,
+         |    len(list_filter(utoks, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], t))) AS stop,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS nospace
+         |  FROM dq
+         |), qs AS (
+         |  SELECT doc_id, n_tokens,
+         |    ROUND(stop / safe, 6) AS stopr,
+         |    ROUND(nospace / safe, 6) AS atl
+         |  FROM m
+         |), basel AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM d
+         |  WHERE doc_id IS NOT NULL AND len(toks) > 0
+         |), uni AS (
+         |  SELECT doc_id, n, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, n, unnest(toks) AS term FROM basel)
+         |  GROUP BY 1, 2, 3
+         |), us AS (
+         |  SELECT doc_id, n, MAX(tf) AS max_uni, COUNT(*) AS n_distinct
+         |  FROM uni GROUP BY 1, 2
+         |), rs AS (
+         |  SELECT doc_id,
+         |    ROUND(n_distinct / n, 6) AS ttr,
+         |    ROUND(max_uni / n, 6) AS uni_share
+         |  FROM us
+         |), v AS (
+         |  SELECT qs.doc_id, qs.n_tokens,
+         |    concat_ws(',',
+         |      CASE WHEN qs.n_tokens < 20 THEN 'too_short' END,
+         |      CASE WHEN qs.n_tokens > 90 THEN 'too_long' END,
+         |      CASE WHEN qs.stopr < 0.01 THEN 'low_stopword' END,
+         |      CASE WHEN qs.atl < 3.0 OR qs.atl > 5.0 THEN 'token_len' END,
+         |      CASE WHEN rs.ttr < 0.35 THEN 'repetitive' END,
+         |      CASE WHEN rs.uni_share > 0.12 THEN 'dominant_unigram' END) AS reasons
+         |  FROM qs LEFT JOIN rs ON qs.doc_id = rs.doc_id
+         |)
+|""".stripMargin
 
   private val dedupPairsSql =
     s"""$docToks, s AS (
@@ -3035,52 +3087,32 @@ object SparkEntry {
          |FROM pg JOIN gd USING (gm) GROUP BY 1""".stripMargin,
 
     "q_filter_verdicts" ->
-      s"""$docToks, dq AS (
-         |  SELECT doc_id, text,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS utoks
-         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-         |), m AS (
-         |  SELECT doc_id,
-         |    len(utoks) AS n_tokens,
-         |    greatest(len(utoks), 1) AS safe,
-         |    len(list_filter(utoks, t -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it'], t))) AS stop,
-         |    length(regexp_replace(text, '\\s+', '', 'g')) AS nospace
-         |  FROM dq
-         |), qs AS (
-         |  SELECT doc_id, n_tokens,
-         |    ROUND(stop / safe, 6) AS stopr,
-         |    ROUND(nospace / safe, 6) AS atl
-         |  FROM m
-         |), basel AS (
-         |  SELECT doc_id, toks, len(toks) AS n FROM d
-         |  WHERE doc_id IS NOT NULL AND len(toks) > 0
-         |), uni AS (
-         |  SELECT doc_id, n, term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, n, unnest(toks) AS term FROM basel)
-         |  GROUP BY 1, 2, 3
-         |), us AS (
-         |  SELECT doc_id, n, MAX(tf) AS max_uni, COUNT(*) AS n_distinct
-         |  FROM uni GROUP BY 1, 2
-         |), rs AS (
-         |  SELECT doc_id,
-         |    ROUND(n_distinct / n, 6) AS ttr,
-         |    ROUND(max_uni / n, 6) AS uni_share
-         |  FROM us
-         |), v AS (
-         |  SELECT qs.doc_id, qs.n_tokens,
-         |    concat_ws(',',
-         |      CASE WHEN qs.n_tokens < 20 THEN 'too_short' END,
-         |      CASE WHEN qs.n_tokens > 90 THEN 'too_long' END,
-         |      CASE WHEN qs.stopr < 0.01 THEN 'low_stopword' END,
-         |      CASE WHEN qs.atl < 3.0 OR qs.atl > 5.0 THEN 'token_len' END,
-         |      CASE WHEN rs.ttr < 0.35 THEN 'repetitive' END,
-         |      CASE WHEN rs.uni_share > 0.12 THEN 'dominant_unigram' END) AS reasons
-         |  FROM qs LEFT JOIN rs ON qs.doc_id = rs.doc_id
-         |)
+      s"""$filterVerdictCtes
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  (reasons = '') AS keep, reasons
          |FROM v""".stripMargin,
+
+    // same verdict CTEs, billed to the FIRST violated rule, 6-row funnel
+    "q_filter_funnel" ->
+      s"""$filterVerdictCtes, fv AS (
+         |  SELECT CASE WHEN reasons = '' THEN NULL
+         |              ELSE string_split(reasons, ',')[1] END AS rule
+         |  FROM v
+         |), dc AS (
+         |  SELECT rule, COUNT(*) AS nd FROM fv WHERE rule IS NOT NULL GROUP BY 1
+         |), st AS (
+         |  SELECT * FROM (VALUES (0, 'too_short'), (1, 'too_long'),
+         |    (2, 'low_stopword'), (3, 'token_len'), (4, 'repetitive'),
+         |    (5, 'dominant_unigram')) AS t(stage, rule)
+         |), tt AS (SELECT COUNT(*) AS n_total FROM fv)
+         |SELECT CAST(st.stage AS BIGINT) AS stage, st.rule,
+         |  CAST(n_total - COALESCE(SUM(COALESCE(dc.nd, 0)) OVER (ORDER BY st.stage
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+         |  CAST(COALESCE(dc.nd, 0) AS BIGINT) AS n_dropped,
+         |  CAST(n_total - COALESCE(SUM(COALESCE(dc.nd, 0)) OVER (ORDER BY st.stage
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    - COALESCE(dc.nd, 0) AS BIGINT) AS n_out
+         |FROM st LEFT JOIN dc USING (rule) CROSS JOIN tt""".stripMargin,
 
     "q_dup_spans" ->
       s"""$docToks, base AS (

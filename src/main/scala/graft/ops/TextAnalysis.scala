@@ -451,6 +451,54 @@ object TextAnalysis {
         (col("reasons") === "").as("keep"), col("reasons"))
   }
 
+  /** Filter funnel — where the corpus mass goes: for each rule of
+    * [[filterVerdicts]] IN ORDER, how many docs enter the stage, how
+    * many it drops (a doc is billed to its FIRST violated rule, the way
+    * a short-circuiting pipeline would drop it), and how many survive.
+    * The per-stage audit every corpus datasheet needs before anyone
+    * trusts a "kept 62%" headline.
+    *
+    * Scale posture: one verdicts pass (see [[filterVerdicts]]), then a
+    * ≤|rules|-row aggregation; the corpus total rides a 1-row crossJoin
+    * and the cumulative-drop window runs over |rules| rows — nothing
+    * row-scale after the verdict agg.
+    *
+    * Output: (stage, rule, n_in, n_dropped, n_out), stage 0-based in
+    * rule order; rules that drop nothing still emit their row.
+    */
+  def filterFunnel(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 20, maxTokens: Int = 90,
+                   minStopwordRatio: Double = 0.01,
+                   minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 5.0,
+                   minDistinctRatio: Double = 0.35,
+                   maxTopUnigramShare: Double = 0.12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = Seq("too_short", "too_long", "low_stopword", "token_len",
+      "repetitive", "dominant_unigram")
+    val v = filterVerdicts(docs, idCol, textCol, minTokens, maxTokens,
+      minStopwordRatio, minAvgTokenLen, maxAvgTokenLen, minDistinctRatio,
+      maxTopUnigramShare)
+    val first = when(col("reasons") === "", lit(null))
+      .otherwise(split(col("reasons"), ",").getItem(0))
+    val drops = v.select(first.as("rule")).filter(col("rule").isNotNull)
+      .groupBy("rule").agg(count(lit(1)).as("_nd"))
+    val total = v.agg(count(lit(1)).as("_n_total"))
+    val stages = rules.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+      .toDF("stage", "rule")
+    val wBefore = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages
+      .join(drops, Seq("rule"), "left")
+      .withColumn("n_dropped", coalesce(col("_nd"), lit(0L)))
+      .crossJoin(total)
+      .withColumn("_cum", coalesce(sum(col("n_dropped")).over(wBefore), lit(0L)))
+      .withColumn("n_in", col("_n_total") - col("_cum"))
+      .select(col("stage"), col("rule"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+  }
+
   /** Duplicated-SPAN extraction — the actionable form of
     * [[duplicatedNgramShare]]: contiguous token ranges whose every
     * `n`-gram also appears in at least one OTHER document, i.e. the

@@ -599,4 +599,26 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((0L, 0L, 0.5)) // empty doc: sigmoid(bias=0) exactly
     out(3L) shouldBe ((0L, 0L, 0.5)) // null text repairs to empty, not null row
   }
+
+  test("filterFunnel conserves mass and bills docs to their first rule") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b"),                                   // too_short (2 tokens)
+      (2L, Seq.fill(200)("the quick fox").mkString(" ")), // too_long fires first
+      (3L, (1 to 25).map(i => s"the w$i of").mkString(" ")) // 75 tokens: survives
+                                                    // the length gates, trips token_len
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.filterFunnel(docs, "doc_id", "text")
+      .orderBy("stage").collect()
+    f.length shouldBe 6
+    // conservation: stage k's n_out is stage k+1's n_in; totals add up
+    f.sliding(2).foreach { case Array(a, b) =>
+      a.getAs[Long]("n_out") shouldBe b.getAs[Long]("n_in") }
+    f.head.getAs[Long]("n_in") shouldBe 3L
+    f.map(_.getAs[Long]("n_dropped")).sum + f.last.getAs[Long]("n_out") shouldBe 3L
+    val byRule = f.map(r => r.getString(1) -> r.getAs[Long]("n_dropped")).toMap
+    byRule("too_short") shouldBe 1L
+    byRule("too_long") shouldBe 1L  // doc 2 billed here, not to later rules it also violates
+    byRule("token_len") shouldBe 1L // doc 3 passes both length gates first
+  }
 }
