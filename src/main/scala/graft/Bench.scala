@@ -46,14 +46,15 @@ object Bench {
     try {
       val head = Files.readString(Paths.get(".git/HEAD")).trim
       if (head.startsWith("ref: ")) {
-        val ref = Paths.get(".git", head.stripPrefix("ref: "))
+        val refName = head.stripPrefix("ref: ")
+        val ref = Paths.get(".git", refName)
         if (Files.exists(ref)) Files.readString(ref).trim
-        else { // packed refs
-          val packed = Paths.get(".git/packed-refs")
-          scala.jdk.CollectionConverters.IteratorHasAsScala(
-            Files.lines(packed).iterator()).asScala
-            .find(_.endsWith(head.stripPrefix("ref: ")))
-            .map(_.split(' ')(0)).getOrElse("unknown")
+        else { // packed refs: match the ref FIELD exactly, not a suffix
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            Files.readAllLines(Paths.get(".git/packed-refs"))).asScala
+            .map(_.split(' '))
+            .collectFirst { case Array(sha, name) if name == refName => sha }
+            .getOrElse("unknown")
         }
       } else head
     } catch { case _: Throwable => "unknown" }

@@ -16,7 +16,7 @@ object ShuffleCounts {
         val c = graft.ops.Bucketing.shuffleCount(SparkEntry.queries(n)(spark, sfDir))
         println(s"[shuffles] $n $c")
       } catch { case e: Throwable =>
-        println(s"[shuffles] $n ERR ${e.getMessage.take(80)}")
+        println(s"[shuffles] $n ERR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
       } finally {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

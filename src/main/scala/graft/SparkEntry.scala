@@ -461,11 +461,15 @@ object SparkEntry {
     // (no join back), then the skew-proof two-level cumsum selects docs
     "q_bpe_budget" -> ((s, dir) => {
       import graft.ops.Bpe
+      // cache the counted frame: the budget fill scans it twice (bucket
+      // sums + final selection) and Spark does not CSE a projection across
+      // shuffle branches — without this the 48-replace BPE chain runs per
+      // branch (measured 15 s vs ~2 s at sf0.1)
       val counted = table(s, dir, "documents").select(
         col("doc_id"), col("source"),
         Bpe.countUnits(Bpe.applyMerges(Bpe.toUnits(
           Bpe.normalize(coalesce(col("text"), lit("")))), bpeMerges))
-          .as("n_tokens"))
+          .as("n_tokens")).cache()
       graft.ops.Sampling.fillTokenBudget(counted, "source", "doc_id",
         "n_tokens", budget = 4000L, Map("src0" -> 2, "src1" -> 1, "src2" -> 1))
         .select(col("doc_id"), col("source"), col("n_tokens"))

@@ -96,12 +96,17 @@ object Bpe {
     require(numMerges >= 1, "numMerges must be positive")
     val spark = docs.sparkSession
 
-    var words = docs
+    // `anchor` is always the ROOT checkpoint frame (what Checkpoints.free
+    // can release); `words` may be a replace-chain DERIVED from it between
+    // re-checkpoints — freeing `words` directly would be a no-op under
+    // rddOf's root-only match and the superseded blocks would leak
+    var anchor = docs
       .select(explode(split(normalize(coalesce(col(textCol), lit(""))), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(toUnits(col("w")).as("units"), col("n"))
       .localCheckpoint(eager = true)
+    var words = anchor
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -131,12 +136,13 @@ object Bpe {
         iter += 1
         words = if (iter % 8 == 0) {
           val next = updated.localCheckpoint(eager = true)
-          Checkpoints.free(words)
+          Checkpoints.free(anchor)
+          anchor = next
           next
         } else updated
       }
     }
-    Checkpoints.free(words)
+    Checkpoints.free(anchor)
     merges.toSeq
   }
 

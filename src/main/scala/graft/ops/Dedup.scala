@@ -197,9 +197,12 @@ object Dedup {
   def nearDupPairsCanonical(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, tau: Double = 0.5,
                             maxDf: Option[Int] = None): DataFrame = {
+    // id keeps its source type — a string id casts to null under "long"
+    // and would silently empty the joins below; min(struct) orders any
+    // orderable id type, so "smallest id" means the column's natural order
     val canon = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_text"),
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp"))
       .groupBy("_fp")
       .agg(count(lit(1)).as("n_dups"),
@@ -658,13 +661,17 @@ object Dedup {
         val next = viaNeighbors.unionAll(labels)
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint()
-        val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-          .filter(col("cluster_id") =!= col("prev")).count()
-        converged = changed == 0
-        // `next` is eagerly materialized (and the convergence count above
-        // read BOTH frames), so the superseded checkpoint can go now
-        Checkpoints.free(labels)
+        // hand the new checkpoint to the cleanup path BEFORE any further
+        // job: if the convergence count throws, the outer catch frees
+        // `next`'s fresh blocks (via `labels`) and the inner finally frees
+        // the superseded `prev` — nothing leaks on either path
+        val prev = labels
         labels = next
+        try {
+          val changed = next.join(prev.withColumnRenamed("cluster_id", "prev"), "doc_id")
+            .filter(col("cluster_id") =!= col("prev")).count()
+          converged = changed == 0
+        } finally Checkpoints.free(prev)
         iter += 1
       }
       require(converged, s"nearDupClusters did not converge in $maxIter rounds")

@@ -61,13 +61,23 @@ object PlanAudit {
     def sizeOf(p: SparkPlan): Option[BigInt] =
       p.logicalLink.map(_.stats.sizeInBytes)
     def check(name: String, joinType: JoinType, left: SparkPlan,
-              right: SparkPlan): Option[String] =
-      if (joinType == FullOuter) None
-      else (sizeOf(left), sizeOf(right)) match {
-        case (Some(l), Some(r)) if l.min(r) < threshold =>
-          Some(s"$name(${joinType}) small=${l.min(r)} threshold=$threshold")
-        case _ => None
+              right: SparkPlan): Option[String] = {
+      // Only the join type's LEGAL build side(s) count: a one-sided outer/
+      // semi/anti join cannot broadcast its preserved side, so a small
+      // stream side is not a "missed" broadcast — flagging it would force
+      // bogus allowlist entries for perfectly legal plans.
+      import org.apache.spark.sql.catalyst.plans.{Inner, Cross, LeftOuter, RightOuter, LeftSemi, LeftAnti, ExistenceJoin}
+      val candidates: Seq[SparkPlan] = joinType match {
+        case Inner | Cross                       => Seq(left, right)
+        case LeftOuter | LeftSemi | LeftAnti     => Seq(right) // build-right only
+        case _: ExistenceJoin                    => Seq(right)
+        case RightOuter                          => Seq(left)  // build-left only
+        case _                                   => Seq.empty  // FullOuter etc.
       }
+      val sizes = candidates.flatMap(sizeOf)
+      sizes.filter(_ < threshold).minOption.map(s =>
+        s"$name(${joinType}) small=$s threshold=$threshold")
+    }
     unwrap(df.queryExecution.executedPlan).collectWithSubqueries {
       case j: SortMergeJoinExec =>
         check("SortMergeJoin", j.joinType, j.left, j.right)

@@ -66,7 +66,14 @@ con.execute(f"""CREATE TABLE big_docs AS
                        THEN 'tw' || (s.doc_id % 997) || 'x' || i
                        ELSE w END), ' ')
     ELSE s.text END AS text,
-    o.lang, o.source, length(CASE WHEN s.doc_id % 100 = 0 THEN s.text ELSE s.text END) AS n_chars
+    o.lang, o.source,
+    length(CASE WHEN s.doc_id % 100 = 0 THEN
+      array_to_string(list_transform(
+        string_split(o.text, ' '),
+        (w, i) -> CASE WHEN (i - 1) % 8 = 0
+                       THEN 'tw' || (s.doc_id % 997) || 'x' || i
+                       ELSE w END), ' ')
+    ELSE s.text END) AS n_chars
   FROM synth s
   JOIN docs o ON o.doc_id = s.doc_id % {n_docs}""")
 con.execute(f"COPY big_docs TO '{dst}/documents.parquet' (FORMAT PARQUET)")
