@@ -56,6 +56,16 @@ object SparkEntry {
     ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
     ("v", "ector"))
 
+  /** Fixed centroids for `q_kmeans_assign`: 4 × 64-d from the same
+    * Knuth-multiplier formula family — a deterministic stand-in for an
+    * offline k-means fit; the oracle embeds the SAME values (shortest
+    * round-trip `Double.toString` literals, which DuckDB's
+    * correctly-rounded parser restores bit-exactly).
+    */
+  val kmeansCentroids: Seq[Seq[Double]] = Seq.tabulate(4)(j =>
+    Seq.tabulate(64)(d =>
+      (((j * 64 + d).toLong * 2654435761L) % 2001L - 1000L) / 1000.0))
+
   /** Hashed-classifier weight table for `q_quality_model`: 256 buckets,
     * ppm weights in [−1e6, 1e6] from a Knuth-multiplier formula — a
     * deterministic stand-in for an offline logistic fit, reproducible in
@@ -363,6 +373,13 @@ object SparkEntry {
       graft.ops.Similarity.semDedupDrops(
         table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45,
         allowLowTau = true)),
+
+    // fixed-centroid cluster assignment: pure map-side argmax-cosine over
+    // the pinned centroid constant (cluster-balanced curation's building
+    // block); 0 shuffles by construction
+    "q_kmeans_assign" -> ((s, dir) =>
+      graft.ops.Similarity.assignToCentroids(
+        table(s, dir, "embeddings"), "vec_id", "embedding", kmeansCentroids)),
 
     // banded scale path: sign-LSH candidates + exact cosine verification
     // — same oracle, plan has no CartesianProduct. tau=0.45 is below the
@@ -1912,6 +1929,30 @@ object SparkEntry {
 
     // banded SemDeDup answers the SAME exact reachability query as
     // q_semdedup (per-pair LSH miss probability < 1e-7 at this config)
+    // same centroid VALUES as the Spark constant (shortest-round-trip
+    // literals); in-order left-fold dot products (duckCosine discipline),
+    // list_position argmax with ties to the lower index
+    "q_kmeans_assign" -> {
+      val cents = kmeansCentroids.map(_.map(x => java.lang.Double.toString(x)))
+      val norms = kmeansCentroids.map(c =>
+        java.lang.Double.toString(math.sqrt(c.map(x => x * x).sum)))
+      val sims = cents.zip(norms).map { case (c, cn) =>
+        val lit = c.mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ($lit)[i])) / (vn * $cn)"
+      }.mkString("[", ",\n       ", "]")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |), s AS (
+         |  SELECT vec_id, $sims AS sims FROM v
+         |)
+         |SELECT vec_id,
+         |  CAST(list_position(sims, list_max(sims)) - 1 AS BIGINT) AS cluster,
+         |  ROUND(list_max(sims), 6) AS sim
+         |FROM s""".stripMargin
+    },
+
     "q_semdedup_lsh" ->
       s"""WITH RECURSIVE p AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -239,6 +239,34 @@ object Similarity {
     }
   }
 
+  /** Fixed-centroid cluster assignment — the serving half of k-means
+    * curation (cluster-balanced sampling, per-cluster quotas, SemDeDup's
+    * within-cluster scoping): centroids are a CONSTANT (trained offline
+    * or by [[trainCentroids]]'s bounded sample), so the whole assignment
+    * is a map-side expression — nlist codegen'd dot kernels per row, no
+    * join, no shuffle, embarrassingly parallel at any corpus size.
+    * Ties resolve to the lower cluster index.
+    * Output: (idCol, cluster, sim) — sim is the winning cosine, 6 dp.
+    */
+  def assignToCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cents = centroids.map(c =>
+      (c.toArray, math.sqrt(c.map(x => x * x).sum))).toArray
+    val v = asDouble(col(vecCol))
+    val n = norm(col(vecCol))
+    val sims: Seq[Column] = cents.toIndexedSeq.map { case (c, cn) =>
+      graft.functions.VectorExpressions.dotD(v,
+        array(c.toIndexedSeq.map(lit(_)): _*)) / (n * lit(cn))
+    }
+    val arr = array(sims: _*)
+    embeddings
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol),
+        (array_position(arr, array_max(arr)) - 1).cast("long").as("cluster"),
+        round(array_max(arr), 6).as("sim"))
+  }
+
   /** IVF approximate top-k: corpus rows bucket under their nearest
     * centroid (map-side expression), each query probes its `nprobe`
     * closest centroid lists, and candidates re-rank by exact cosine.

@@ -299,4 +299,25 @@ class SimilaritySpec extends SparkSpec {
     exact.map(_._1) shouldBe (100L until 108L).toSet // the 8 planted matches
     banded shouldBe exact
   }
+
+  test("assignToCentroids: argmax cosine, ties to lower index, map-side") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // on centroid 0
+      (2L, Seq(0.0f, 2.0f)),   // on centroid 1 (norm-invariant)
+      (3L, Seq(1.0f, 1.0f)),   // equidistant: tie -> cluster 0
+      (4L, Seq(-1.0f, 0.0f))   // anti-aligned with 0: picks 1 (cos 0 > -1)
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = Similarity.assignToCentroids(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out(1L) shouldBe ((0L, 1.0))
+    out(2L) shouldBe ((1L, 1.0))
+    out(3L)._1 shouldBe 0L
+    out(3L)._2 shouldBe (math.sqrt(0.5) +- 1e-6)
+    out(4L) shouldBe ((1L, 0.0))
+    // scale claim: assignment plans no exchange at all
+    graft.ops.Bucketing.shuffleCount(
+      Similarity.assignToCentroids(vecs, "vec_id", "embedding", cents)) shouldBe 0
+  }
 }
