@@ -74,6 +74,30 @@ object SparkEntry {
   val qualityWeightsPpm: Seq[Long] =
     Seq.tabulate(256)(i => (i.toLong * 2654435761L) % 2000001L - 1000000L)
 
+  /** Deterministic messy-URL fixture for the `Web` ops: the documents
+    * table has no URL column, so both engines derive the same
+    * crawl-shaped URL from (doc_id, source, lang) — mixed-case
+    * scheme/host, scheme-default ports, duplicate slashes, trailing
+    * slashes, tracking params, fragments — every rule
+    * `Web.canonicalUrl` exists to normalize.
+    */
+  private def syntheticUrls(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("doc_id").isNotNull && col("source").isNotNull &&
+      col("lang").isNotNull)
+    val m = pmod(col("doc_id"), lit(4))
+    val url = when(m === 0,
+        concat(lit("HTTP://WWW."), col("source"), lit(".COM:80/a/b/"),
+          col("doc_id"), lit("?utm_source=x&b=2&a=1#frag")))
+      .when(m === 1,
+        concat(lit("https://cdn."), col("source"), lit(".com:443//x/"),
+          col("lang"), lit("/?z=9&utm_campaign=c&fbclid=1")))
+      .when(m === 2,
+        concat(lit("https://"), col("source"), lit(".com/"), col("lang"),
+          lit("/"), col("doc_id"), lit("/")))
+      .otherwise(concat(lit("http://"), col("source"), lit(".com")))
+    d.select(col("doc_id"), url.as("url"))
+  }
+
   /** Committed CSV fixtures (reference-data samples + crafted corrupt
     * rows) exercising the ingest module; absolute path because `queries`
     * receives only the testdata dir.
@@ -280,6 +304,59 @@ object SparkEntry {
         table(s, dir, "documents"), "source", "doc_id",
         Map("src0" -> 7, "src1" -> 2, "src2" -> 1))
         .select(col("doc_id"), col("source"))),
+
+    // temperature-scaled (α = 1/2) language mixture: quotas ∝ sqrt(n_l),
+    // weights from correctly-rounded sqrt only so ppm quotas are
+    // engine-bit-identical; selection by per-source hash rank
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+        table(s, dir, "documents"), "lang", "doc_id",
+        budget = 300L, alphaQuarters = 2)
+        .select(col("doc_id"), col("lang"))),
+
+    // deterministic training-shard manifest: (shard, pos) from key
+    // hashes only — rebuild/resume/engine-stable output layout
+    "q_shard_manifest" -> ((s, dir) =>
+      graft.ops.Sampling.shardManifest(
+        table(s, dir, "events").select(col("event_id"))
+          .filter(col("event_id").isNotNull),
+        "event_id", shards = 16)
+        .select(col("event_id"), col("shard"), col("pos"))),
+
+    // URL canonicalization over a deterministic messy-URL fixture
+    // (docs table has no URL column; both engines derive the same URLs
+    // from (doc_id, source, lang))
+    "q_url_canon" -> ((s, dir) =>
+      graft.ops.Web.canonicalize(syntheticUrls(table(s, dir, "documents")), "url")
+        .select(col("doc_id"), col("url"), col("host"), col("domain"),
+          col("url_canon"))),
+
+    // per-registrable-domain page quota on the canonicalized frame —
+    // the crawl-corpus "at most N pages per site" rule
+    "q_domain_cap" -> ((s, dir) =>
+      graft.ops.Web.capPerDomain(
+        syntheticUrls(table(s, dir, "documents")), "url", "doc_id",
+        maxPages = 20)
+        .select(col("doc_id"), col("domain"))),
+
+    // reciprocal rank fusion of the BM25 lexical ranking (same query
+    // terms as q_bm25) with a cosine-kNN semantic ranking for one query
+    // vector — integer-ppm RRF, so the fused order has no float ordering
+    // to pin across engines
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.ops.Retrieval.rankByScore(
+          graft.ops.TextAnalysis.bm25(
+            table(s, dir, "documents"), "doc_id", "text",
+            queryTerms = Seq("spark", "window", "dup"), topN = 50),
+          "doc_id", "score")
+        .select(col("doc_id"), col("rank"))
+      val e = table(s, dir, "embeddings")
+      val sem = graft.ops.Similarity.knnBruteForce(
+          e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rn").as("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank",
+        k = 60, topN = 25)
+    }),
 
     // token-budget fill: 4000 tokens split 2/1/1 across three sources,
     // hash-order prefix per source under a de-skewed two-level cumsum
@@ -1345,6 +1422,67 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  /** Shared DuckDB CTE chain mirroring [[syntheticUrls]] + `Web`'s
+    * canonicalization rules character-for-character: identical regexp
+    * patterns AND group indexes on both engines (the patterns are
+    * RE2-portable — no lookaround), `'g'` flags where Spark's
+    * replace-all semantics need them. Ends with CTE `canon`
+    * providing (doc_id, url, host, domain, url_canon).
+    */
+  private val urlCanonSql =
+    """WITH dd AS (
+      |  SELECT doc_id, source, lang FROM documents
+      |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL
+      |), u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/a/b/' ||
+      |                  doc_id::VARCHAR || '?utm_source=x&b=2&a=1#frag'
+      |      WHEN 1 THEN 'https://cdn.' || source || '.com:443//x/' || lang ||
+      |                  '/?z=9&utm_campaign=c&fbclid=1'
+      |      WHEN 2 THEN 'https://' || source || '.com/' || lang || '/' ||
+      |                  doc_id::VARCHAR || '/'
+      |      ELSE 'http://' || source || '.com'
+      |    END AS url
+      |  FROM dd
+      |), parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) AS hp,
+      |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM u
+      |), hostp AS (
+      |  SELECT doc_id, url, scheme, rawpath, rawq,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'http'  THEN regexp_replace(hp, ':80$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+      |           ELSE hp END,
+      |      '^www\.', '') AS host
+      |  FROM parts
+      |), pieces AS (
+      |  SELECT doc_id, url, scheme, host,
+      |    CASE WHEN regexp_matches(host, '[^.]+\.[^.]+$')
+      |         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      |         ELSE host END AS domain,
+      |    CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/+$', '') = ''
+      |         THEN '/'
+      |         ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/+$', '') END AS path,
+      |    -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+      |    -- array_join of an empty array is '' — align on ''
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z]*|fbclid|gclid|ref)='))),
+      |      '&'), '') AS q
+      |  FROM hostp
+      |), canon AS (
+      |  SELECT doc_id, url, host, domain,
+      |    CASE WHEN host = '' THEN NULL
+      |         ELSE scheme || '://' || host || path ||
+      |              CASE WHEN q = '' THEN '' ELSE '?' || q END
+      |    END AS url_canon
+      |  FROM pieces
+      |)""".stripMargin
+
   /** DuckDB cosine similarity matching `Similarity.cosine` exactly:
     * double-cast elements, in-order left-fold sums.
     */
@@ -1865,6 +2003,56 @@ object SparkEntry {
         |)
         |SELECT r.doc_id, r.source FROM ranked r
         |JOIN quotas USING (source) WHERE r.hr <= quotas.q""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |), sizes AS (
+        |  SELECT lang, COUNT(*)::BIGINT AS n FROM d GROUP BY 1
+        |), w AS (
+        |  -- sqrt is IEEE-correctly-rounded on both engines, so the ppm
+        |  -- weight (and hence every BIGINT quota) is bit-identical
+        |  SELECT lang, n,
+        |         CAST(floor(1000000.0 * sqrt(n::DOUBLE)) AS BIGINT) AS w_ppm
+        |  FROM sizes
+        |), tw AS (SELECT CAST(SUM(w_ppm) AS BIGINT) AS tw FROM w),
+        |quotas AS (
+        |  SELECT lang, LEAST(n, 300 * w_ppm // (SELECT tw FROM tw)) AS q FROM w
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS hr
+        |  FROM d
+        |)
+        |SELECT r.doc_id, r.lang FROM ranked r
+        |JOIN quotas USING (lang) WHERE r.hr <= quotas.q""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT event_id FROM events WHERE event_id IS NOT NULL
+        |), b AS (
+        |  SELECT event_id,
+        |    ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard
+        |  FROM d
+        |)
+        |SELECT event_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY md5(event_id::VARCHAR), event_id) AS BIGINT) AS pos
+        |FROM b""".stripMargin,
+
+    "q_url_canon" ->
+      s"""$urlCanonSql
+         |SELECT doc_id, url, host, domain, url_canon FROM canon""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""$urlCanonSql, ranked AS (
+         |  SELECT doc_id, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS hr
+         |  FROM canon
+         |)
+         |SELECT doc_id, domain FROM ranked WHERE hr <= 20""".stripMargin,
 
     "q_epochs" ->
       """WITH d AS (
@@ -3698,6 +3886,48 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_terms_matched,
          |  ROUND(list_sum(list_transform(arr, s -> s.part)), 6) AS score
          |FROM p ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // same BM25 chain as q_bm25 (ranked on the ROUNDED score) fused
+    // with a single-query cosine ranking via integer-ppm RRF
+    "q_hybrid_rrf" ->
+      s"""$docToks, t AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM d
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), st AS (
+         |  SELECT COUNT(*)::BIGINT AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM t
+         |), tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM (
+         |    SELECT doc_id, dl, unnest(toks) AS term FROM t)
+         |  WHERE term IN ('spark', 'window', 'dup') GROUP BY 1, 2, 3
+         |), dfq AS (
+         |  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+         |), p AS (
+         |  SELECT doc_id, list_sort(list(struct_pack(term := tf.term, part :=
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |    ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (total_dl / n_docs)))))
+         |  ))) AS arr
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY 1
+         |), bm AS (
+         |  SELECT doc_id, ROUND(list_sum(list_transform(arr, s -> s.part)), 6) AS score
+         |  FROM p ORDER BY score DESC, doc_id LIMIT 50
+         |), lex AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm
+         |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+         |      WHERE vec_id <> 0),
+         |sims AS (
+         |  SELECT neighbor_id, ${duckCosine("qv", "cv")} AS sim FROM c, q
+         |), sem AS (
+         |  SELECT neighbor_id AS doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM sims QUALIFY rank <= 50
+         |), contrib AS (
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM sem
+         |)
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_lists, CAST(SUM(c) AS BIGINT) AS rrf_ppm
+         |FROM contrib GROUP BY 1 ORDER BY rrf_ppm DESC, doc_id LIMIT 25""".stripMargin,
 
     "q_kfold" ->
       """WITH r AS (

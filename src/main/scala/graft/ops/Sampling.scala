@@ -504,4 +504,81 @@ object Sampling {
       .select(col("anchor"), col("col.pk").as("negative"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Temperature-scaled source mixture — the multilingual-rebalancing
+    * sampler (XLM-R/mT5-style α-sampling): source `s` gets a share of
+    * the row `budget` proportional to `n_s^α`, flattening the natural
+    * distribution so head languages/domains stop drowning the tail
+    * (α = 1 keeps natural proportions; α → 0 approaches uniform).
+    *
+    * α is quantized to quarters (`alphaQuarters`/4 ∈ {¼, ½, ¾, 1})
+    * deliberately: those powers are built from `sqrt` alone (¾ = one
+    * multiply of two sqrt results), and IEEE-754 requires sqrt to be
+    * correctly rounded — so `floor(1e6 · n^α)` is BIT-IDENTICAL on any
+    * compliant engine, where a libm `pow` would not be. Weights and
+    * quotas are then pure BIGINT: `quota_s = budget·w_s div Σw`,
+    * capped at `n_s` (no redistribution — a tail source smaller than
+    * its temperature share contributes everything it has, and the
+    * output may undershoot `budget` by the deficit; upsampling the
+    * tail instead is [[epochRepeat]]'s job). Membership per source is
+    * the same hash-rank prefix as [[capPerGroup]], so the selection is
+    * deterministic, append-stable, and SQL-auditable end to end.
+    *
+    * Scale posture: per-source counts are one map-side-combined hash
+    * agg (|sources| rows); weights/quotas live on that tiny frame and
+    * broadcast back; membership is one window per source. Nothing
+    * data-sized shuffles except the per-source rank, which is the
+    * operator's contract.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+                     budget: Long, alphaQuarters: Int = 2): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters must be 1..4 (α = quarters/4), got $alphaQuarters")
+    val rows = df.filter(col(sourceCol).isNotNull && col(keyCol).isNotNull)
+    val sizes = rows.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val nD = col("_n").cast("double")
+    val w: Column = alphaQuarters match {
+      case 1 => sqrt(sqrt(nD))
+      case 2 => sqrt(nD)
+      case 3 => sqrt(nD) * sqrt(sqrt(nD))
+      case _ => nD
+    }
+    val weights = sizes.withColumn("_w_ppm",
+      floor(lit(1000000.0) * w).cast("long"))
+    val totalW = weights.agg(sum(col("_w_ppm")).as("_tw"))
+    val quotas = weights.crossJoin(broadcast(totalW))
+      .select(col(sourceCol),
+        least(col("_n"), expr(s"${budget}L * _w_ppm div _tw")).as("_quota"))
+    rows.withColumn("_hr", hashRank(sourceCol, keyCol))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("_hr") <= col("_quota"))
+      .drop("_hr", "_quota")
+  }
+
+  /** Deterministic shard manifest for training-data output: every row
+    * gets a `shard` in [0, shards) (hash bucket of its key) and a
+    * 1-based `pos` within the shard (hash order) — the layout contract
+    * a 100 TB corpus needs before it becomes training input, where
+    * "shard 17, position 2 041 223" must mean the same example on every
+    * rebuild, resume, and engine. Shard membership and order depend
+    * only on keys (the [[hashBucket]]/hash-rank discipline), so adding
+    * rows later never reorders existing (shard, pos) prefixes relative
+    * to each other — a newcomer only splices in at its hash position.
+    *
+    * Scale posture: bucket assignment is map-side; the position window
+    * shuffles once by shard and runs `shards`-way parallel with ~n/S
+    * rows per partition — pick `shards` ≥ cluster parallelism and no
+    * single task holds more than a shard. No global window, no driver
+    * state.
+    */
+  def shardManifest(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, "need at least one shard")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("shard", hashBucket(col(keyCol), shards))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(h, col(keyCol))).cast("long"))
+  }
 }

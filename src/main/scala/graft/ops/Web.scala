@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl curation primitives: URL canonicalization, host/domain
+  * extraction, per-domain quotas. Crawl-derived corpora key almost every
+  * curation decision off the URL — exact dedup is "same canonical URL",
+  * quotas are "at most N pages per registrable domain", and quality
+  * priors attach to domains — so the canonicalizer must be deterministic
+  * and engine-auditable, not a library black box.
+  *
+  * All parsing is RE2-portable regexp (no lookaround), the same
+  * discipline as `TextAnalysis.scrubPii`, so the DuckDB oracle applies
+  * the identical character-level rules. Spark's built-in `parse_url` is
+  * the native alternative for host/path/query extraction, but its
+  * semantics (null handling, bare-host URLs) cannot be reproduced
+  * verbatim in the oracle engine — the explicit regexp chain is the
+  * contract here, and it is what both engines run.
+  */
+object Web {
+
+  private val schemePart = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+  /** Lower-cased scheme, or empty when the value has none. */
+  def urlScheme(u: Column): Column = lower(regexp_extract(u, schemePart, 1))
+
+  /** Lower-cased `host[:port]` authority component. */
+  private def hostPort(u: Column): Column =
+    lower(regexp_extract(u, schemePart + "([^/?#]*)", 2))
+
+  /** Canonical host: lower-cased, scheme-default port (`:80` http,
+    * `:443` https) stripped, leading `www.` folded away.
+    */
+  def urlHost(u: Column): Column = {
+    val hp = hostPort(u)
+    val noPort =
+      when(urlScheme(u) === "http", regexp_replace(hp, ":80$", ""))
+        .when(urlScheme(u) === "https", regexp_replace(hp, ":443$", ""))
+        .otherwise(hp)
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Registrable domain, last-two-labels heuristic (`a.b.c.com` →
+    * `c.com`). A full public-suffix-list resolver would treat
+    * multi-label suffixes (`co.uk`) correctly; the PSL is a data file,
+    * not an algorithm change — swap the regexp for a suffix-table join
+    * to upgrade. Hosts with fewer than two labels pass through whole.
+    */
+  def registrableDomain(host: Column): Column =
+    when(host.rlike("[^.]+\\.[^.]+$"), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(host)
+
+  /** Canonical path: duplicate slashes collapsed, trailing slash
+    * stripped, empty path rendered as `/`.
+    */
+  private def urlPath(u: Column): Column = {
+    val raw = regexp_extract(u, schemePart + "[^/?#]*([^?#]*)", 2)
+    val collapsed = regexp_replace(raw, "/{2,}", "/")
+    val stripped = regexp_replace(collapsed, "/+$", "")
+    when(stripped === "", lit("/")).otherwise(stripped)
+  }
+
+  /** Canonical query string: split on `&`, drop empty params and
+    * tracking params (`utm_*`, `fbclid`, `gclid`, `ref`), sort the
+    * survivors (param order is transport noise), rejoin. Empty result →
+    * empty string (no `?` in the canonical form).
+    */
+  private def urlQuery(u: Column): Column = {
+    val raw = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(split(raw, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[A-Za-z]*|fbclid|gclid|ref)="))
+    array_join(array_sort(params), "&")
+  }
+
+  /** Canonical URL: `scheme://host path [?query]` from the pieces above;
+    * the fragment never participates (`#...` is client-side only). Null
+    * for values with no recognizable `scheme://host` — a row without a
+    * parseable URL has no canonical identity, the same contract as
+    * null keys in `Sampling.capPerGroup`.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val host = urlHost(u)
+    val q = urlQuery(u)
+    when(host === "" , lit(null).cast("string")).otherwise(
+      concat(urlScheme(u), lit("://"), host, urlPath(u),
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** Attach `host`, `domain`, `url_canon` to `df`. Pure map-side
+    * projection — a handful of regexp passes per row, no shuffle; at
+    * 100 TB this rides the scan.
+    */
+  def canonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    df.withColumn("host", urlHost(u))
+      .withColumn("domain", registrableDomain(urlHost(u)))
+      .withColumn("url_canon", canonicalUrl(u))
+  }
+
+  /** Per-domain page quota over canonicalized rows — the crawl-corpus
+    * "at most N pages per site" rule, delegated to
+    * [[Sampling.capPerGroup]]'s hash-order contract (deterministic,
+    * append-stable). One window per domain; skew ceiling is the hottest
+    * domain, which is exactly what the cap bounds.
+    */
+  def capPerDomain(df: DataFrame, urlCol: String, keyCol: String,
+                   maxPages: Int): DataFrame =
+    Sampling.capPerGroup(canonicalize(df, urlCol), "domain", keyCol, maxPages)
+}

@@ -51,6 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dsir"       -> "1-row per-corpus LM-normalizer crossJoin",
     "q_dist_shift" -> "1-row per-period total crossJoins (JS-divergence terms)",
     "q_mixture"    -> "1-row capacity frame crossJoin (Sampling.scala:235)",
+    "q_temperature_mix" -> "1-row Σweights crossJoin (Sampling.temperatureMix)",
+    "q_hybrid_rrf" -> "1-row query-vector broadcast (kNN leg) + 1-row corpus-total crossJoin (BM25 leg); fusion itself is union+agg, join-free",
     "q_balance_classes" -> "1-row min-class-size crossJoin (Sampling.scala:364)",
     "q_neg_sample" -> "broadcast candidate pool, |labels| rows of bounded per-label lists by contract (Sampling.scala:496)",
     "q_knn_pq"     -> "m x kCent codebook crossJoin (128 rows, constant)",

@@ -331,4 +331,77 @@ class SamplingSpec extends SparkSpec {
     got.count() shouldBe 50L
     got.select("key").distinct().count() shouldBe 50L
   }
+
+  test("temperatureMix: α=1/2 quotas match the hand formula and cap at n_s") {
+    // sources: a=400, b=100, c=4 rows; w_ppm = floor(1e6*sqrt(n))
+    // Σw = 20e6 + 10e6 + 2e6 = 32e6; budget 160 ->
+    // a: 160*20/32 = 100, b: 160*10/32 = 50, c: min(4, 160*2/32=10) = 4
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 504L).map(i => (i, "c"))).toDF("key", "src")
+    val got = Sampling.temperatureMix(df, "src", "key", budget = 160L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 100L, "b" -> 50L, "c" -> 4L)
+  }
+
+  test("temperatureMix flattens with α: lower α gives the tail a larger share") {
+    val df = ((1L to 900L).map(i => (i, "head")) ++
+      (901L to 1000L).map(i => (i, "tail"))).toDF("key", "src")
+    def tailShare(q: Int): Double = {
+      val m = Sampling.temperatureMix(df, "src", "key", budget = 200L,
+        alphaQuarters = q).groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      m("tail").toDouble / (m("head") + m("tail"))
+    }
+    // natural (α=1) share is 0.1; each temperature step flattens further
+    tailShare(4) shouldBe 0.1 +- 0.01
+    tailShare(3) should be > tailShare(4)
+    tailShare(2) should be > tailShare(3)
+    tailShare(1) should be > tailShare(2)
+  }
+
+  test("temperatureMix selection is partitioning-invariant and a subset of the input") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 4}")).toDF("key", "src")
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMix(d, "src", "key", budget = 100L)
+        .select("key").collect().map(_.getLong(0)).toSet
+    val a = keys(df); val b = keys(df.repartition(13))
+    a shouldBe b
+    a.subsetOf((1L to 300L).toSet) shouldBe true
+  }
+
+  test("shardManifest: positions are 1..|shard| and stable under repartitioning") {
+    val df = (1L to 500L).map(i => s"k$i").toDF("key")
+    val got = Sampling.shardManifest(df, "key", shards = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.length shouldBe 500
+    got.map(_._2).toSet.subsetOf((0L until 8L).toSet) shouldBe true
+    // positions within a shard are a contiguous 1..n run, no gaps/dupes
+    got.groupBy(_._2).values.foreach { rows =>
+      rows.map(_._3).sorted.toSeq shouldBe (1L to rows.length).toSeq
+    }
+    val again = Sampling.shardManifest(df.repartition(11), "key", shards = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.toSet shouldBe again.toSet
+  }
+
+  test("shardManifest append-stability: new keys never reorder surviving neighbors") {
+    val base = (1L to 200L).map(i => s"k$i").toDF("key")
+    val grown = (1L to 260L).map(i => s"k$i").toDF("key")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shardManifest(d, "key", shards = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val before = manifest(base); val after = manifest(grown)
+    // same shard for every surviving key, and the RELATIVE order of the
+    // original keys within a shard is unchanged (newcomers splice in)
+    val afterByKey = after.map(t => t._1 -> ((t._2, t._3))).toMap
+    before.foreach { case (k, s, _) => afterByKey(k)._1 shouldBe s }
+    before.groupBy(_._2).foreach { case (s, rows) =>
+      val origOrder = rows.sortBy(_._3).map(_._1).toSeq
+      val newOrder = after.filter(t => t._2 == s && origOrder.contains(t._1))
+        .sortBy(_._3).map(_._1).toSeq
+      newOrder shouldBe origOrder
+    }
+  }
 }

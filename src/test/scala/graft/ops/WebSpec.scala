@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Map[String, (String, String, String)] =
+    Web.canonicalize(urls.toList.toDF("url"), "url")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+
+  test("canonicalize lower-cases, strips default ports and www, sorts params") {
+    val got = canon("HTTP://WWW.News.Example.COM:80/a/b?b=2&utm_source=x&a=1#frag")
+    got.values.head shouldBe (("news.example.com", "example.com",
+      "http://news.example.com/a/b?a=1&b=2"))
+  }
+
+  test("canonicalize collapses duplicate slashes, strips trailing slash, keeps non-default port") {
+    canon("https://cdn.site.org:443//img///logo/").values.head._3 shouldBe
+      "https://cdn.site.org/img/logo"
+    // non-default port survives (a real origin distinction)
+    canon("https://site.org:8443/x").values.head._3 shouldBe
+      "https://site.org:8443/x"
+    // http's default is :80 only — :443 on http is a real (odd) origin
+    canon("http://site.org:443/x").values.head._3 shouldBe
+      "http://site.org:443/x"
+  }
+
+  test("canonicalize: empty path becomes /, tracking-only query drops the ?") {
+    canon("http://a.io?utm_campaign=c&gclid=1&fbclid=2&ref=hn").values.head._3 shouldBe
+      "http://a.io/"
+  }
+
+  test("canonicalize: single-label host passes through registrableDomain; schemeless input yields null canon") {
+    val got = Web.canonicalize(Seq("http://localhost/x", "not a url").toDF("url"), "url")
+      .select("url", "host", "domain", "url_canon").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), Option(r.getString(3)))))
+      .toMap
+    got("http://localhost/x") shouldBe (("localhost", "localhost",
+      Some("http://localhost/x")))
+    got("not a url")._3 shouldBe None
+  }
+
+  test("canonical-URL dedup: transport-noise variants of one page collapse") {
+    val variants = Seq(
+      "https://Example.com/page/?utm_source=a",
+      "https://www.example.com:443/page",
+      "https://example.com//page/")
+    Web.canonicalize(variants.toDF("url"), "url")
+      .select("url_canon").distinct().count() shouldBe 1L
+  }
+
+  test("capPerDomain enforces the per-site quota deterministically") {
+    val urls = (1L to 90L).map(i =>
+      (i, s"https://site${i % 3}.com/p/$i"))
+      .toDF("doc_id", "url")
+    val got = Web.capPerDomain(urls, "url", "doc_id", maxPages = 10)
+    got.count() shouldBe 30L
+    got.groupBy("domain").count().collect()
+      .foreach(_.getLong(1) shouldBe 10L)
+    // determinism: a repartitioned run keeps the identical page set
+    val again = Web.capPerDomain(urls.repartition(7), "url", "doc_id", maxPages = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
+  }
+
+  test("canonicalize plans no shuffle: the whole chain is map-side") {
+    val df = Web.canonicalize(Seq("https://a.com/x").toDF("url"), "url")
+    Bucketing.shuffleCount(df) shouldBe 0
+  }
+}
