@@ -72,4 +72,28 @@ class WebSpec extends SparkSpec {
     val df = Web.canonicalize(Seq("https://a.com/x").toDF("url"), "url")
     Bucketing.shuffleCount(df) shouldBe 0
   }
+
+  test("canonicalization is idempotent: canonical URLs are fixed points") {
+    // property over a messy generated corpus: re-canonicalizing the
+    // canonical form changes nothing (otherwise "canonical" keys drift
+    // on every pipeline pass and URL-dedup is unstable)
+    val messy = (0 until 200).map { i =>
+      val scheme = if (i % 2 == 0) "HTTP" else "https"
+      val www = if (i % 3 == 0) "WWW." else ""
+      val port = i % 4 match {
+        case 0 => ":80"
+        case 1 => ":443"
+        case 2 => ":8080"
+        case _ => ""
+      }
+      val path = Seq("", "/", "//a", s"/p$i/", s"/x//y$i///").apply(i % 5)
+      val query = Seq("", "?b=2&a=1", "?utm_source=s&z=9", "?ref=r", "?a=1#f").apply(i % 5)
+      s"$scheme://${www}Host$i.Example.ORG$port$path$query"
+    }.toDF("url")
+    val once = Web.canonicalize(messy, "url")
+      .select(col("url_canon").as("url")).filter(col("url").isNotNull)
+    val twice = Web.canonicalize(once, "url")
+      .filter(col("url_canon") =!= col("url"))
+    twice.count() shouldBe 0L
+  }
 }
