@@ -339,6 +339,19 @@ object SparkEntry {
         maxPages = 20)
         .select(col("doc_id"), col("domain"))),
 
+    // domain-blocklist gate with suffix semantics (blocking src3.com
+    // drops cdn.src3.com too) — suffix-explode + equi-semi-join, the
+    // shape that stays an equi-join at million-row blocklists
+    "q_domain_block" -> ((s, dir) => {
+      import s.implicits._
+      val block = Seq("src3.com", "cdn.src5.com").toDF("domain")
+      graft.ops.Web.filterBlockedDomains(
+        graft.ops.Web.canonicalize(
+          syntheticUrls(table(s, dir, "documents")), "url"),
+        "url", "doc_id", block, "domain")
+        .select(col("doc_id"), col("host"))
+    }),
+
     // reciprocal rank fusion of the BM25 lexical ranking (same query
     // terms as q_bm25) with a cosine-kNN semantic ranking for one query
     // vector — integer-ppm RRF, so the fused order has no float ordering
@@ -2053,6 +2066,14 @@ object SparkEntry {
          |  FROM canon
          |)
          |SELECT doc_id, domain FROM ranked WHERE hr <= 20""".stripMargin,
+
+    // suffix semantics spelled as host = b OR host LIKE '%.b' — exactly
+    // the label-boundary suffix set the Spark side explodes into
+    "q_domain_block" ->
+      s"""$urlCanonSql
+         |SELECT doc_id, host FROM canon
+         |WHERE NOT (host = 'src3.com' OR host LIKE '%.src3.com'
+         |        OR host = 'cdn.src5.com' OR host LIKE '%.cdn.src5.com')""".stripMargin,
 
     "q_epochs" ->
       """WITH d AS (

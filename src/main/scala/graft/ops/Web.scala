@@ -107,4 +107,39 @@ object Web {
   def capPerDomain(df: DataFrame, urlCol: String, keyCol: String,
                    maxPages: Int): DataFrame =
     Sampling.capPerGroup(canonicalize(df, urlCol), "domain", keyCol, maxPages)
+
+  /** Every dot-suffix of a host that starts at a label boundary:
+    * `a.b.c.com` → `[a.b.c.com, b.c.com, c.com, com]` — the match
+    * keys for suffix-semantics blocklists.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+  }
+
+  /** Domain-blocklist filter — the crawl-curation gate that removes
+    * pages from known-bad sites. Suffix semantics: blocking `spam.com`
+    * drops `spam.com` and every subdomain (`a.spam.com`), never
+    * `notspam.com`. Rows whose URL has no parseable host pass through
+    * (the blocklist speaks about hosts; hostless rows are the
+    * quarantine path's concern, not this filter's).
+    *
+    * Scale posture: a blocklist is realistically millions of rows, so
+    * the match must be an EQUI-join, not a per-row `LIKE` sweep: each
+    * host explodes into its ≤|labels| suffixes, semi-joins the
+    * blocklist on the suffix key (AQE broadcasts when the list is
+    * small), and the hit keys anti-join back. No nested loop at any
+    * blocklist size.
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String, keyCol: String,
+                           blocklist: DataFrame, blockedCol: String): DataFrame = {
+    val b = blocklist.select(lower(col(blockedCol)).as("_blocked")).distinct()
+    val withHost = df.withColumn("_host", urlHost(col(urlCol)))
+    val hitKeys = withHost
+      .select(col(keyCol), explode(hostSuffixes(col("_host"))).as("_sfx"))
+      .join(b, col("_sfx") === col("_blocked"), "left_semi")
+      .select(col(keyCol)).distinct()
+    withHost.join(hitKeys, Seq(keyCol), "left_anti").drop("_host")
+  }
 }

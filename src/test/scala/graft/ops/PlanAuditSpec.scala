@@ -76,7 +76,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_exact" -> 1, "q_dedup_canonical" -> 5,
     "q_bpe_tokens" -> 0, "q_token_counts" -> 0,
     "q_boilerplate" -> 3, "q_sample_stratified" -> 1,
-    "q_top_paths" -> 2, "q_sessions" -> 1, "q_asof_join" -> 1)
+    "q_top_paths" -> 2, "q_sessions" -> 1, "q_asof_join" -> 1,
+    // curation family: canonicalization MUST stay map-side; the caps/
+    // manifest are one per-group window each; block gate is the
+    // suffix-semi + anti pair; mixture/fusion budgets include their
+    // tiny-frame (≤|sources|-row / ≤|lists|-row) exchanges
+    "q_url_canon" -> 0, "q_domain_cap" -> 1, "q_shard_manifest" -> 1,
+    "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 7)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

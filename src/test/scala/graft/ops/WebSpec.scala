@@ -73,6 +73,34 @@ class WebSpec extends SparkSpec {
     Bucketing.shuffleCount(df) shouldBe 0
   }
 
+  test("hostSuffixes enumerates label-boundary suffixes only") {
+    Web.canonicalize(Seq("https://a.b.c.com/x").toDF("url"), "url")
+      .select(Web.hostSuffixes(col("host"))).collect().head.getSeq[String](0) shouldBe
+      Seq("a.b.c.com", "b.c.com", "c.com", "com")
+  }
+
+  test("filterBlockedDomains: suffix semantics, no substring false positives") {
+    val rows = Seq(
+      (1L, "https://spam.com/a"),        // blocked: exact
+      (2L, "https://ads.spam.com/b"),    // blocked: subdomain
+      (3L, "https://notspam.com/c"),     // kept: substring is NOT a suffix match
+      (4L, "https://spam.com.evil.io/d"),// kept: spam.com is not a label suffix
+      (5L, "not a url"))                 // kept: hostless rows pass through
+      .toDF("doc_id", "url")
+    val block = Seq("spam.com").toDF("domain")
+    val kept = Web.filterBlockedDomains(rows, "url", "doc_id", block, "domain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(3L, 4L, 5L)
+  }
+
+  test("filterBlockedDomains plans equi-joins only — no nested loop at any blocklist size") {
+    val rows = (1L to 50L).map(i => (i, s"https://site$i.com/p")).toDF("doc_id", "url")
+    val block = (1L to 10L).map(i => s"site$i.com").toDF("domain")
+    val df = Web.filterBlockedDomains(rows, "url", "doc_id", block, "domain")
+    PlanAudit.forbiddenJoins(df) shouldBe empty
+    df.count() shouldBe 40L
+  }
+
   test("canonicalization is idempotent: canonical URLs are fixed points") {
     // property over a messy generated corpus: re-canonicalizing the
     // canonical form changes nothing (otherwise "canonical" keys drift

@@ -43,6 +43,25 @@ class StreamingStatelessOpsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("URL canonicalization gates a stream, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SDoc] // text column carries the URL
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Web.canonicalize(df.withColumnRenamed("text", "url"), "url")
+    val q = canon(mem.toDF())
+      .writeStream.format("memory").queryName("scanon")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(SDoc(1L, "HTTP://WWW.A.com:80/x/?utm_source=s&b=1"),
+      SDoc(2L, "https://cdn.b.org//p"), SDoc(3L, "junk"))
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scanon").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = canon(rows.toDF()).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    streamed shouldBe batch
+  }
+
   test("centroid assignment buckets a vector stream, batch-identical") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SVec]
