@@ -262,6 +262,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.unigramLogProbScore(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // bigram-LM (word-order-aware) quality score, Laplace-smoothed —
+    // the CCNet-direction upgrade of q_unigram_score
+    "q_bigram_lm" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bigramLmScore(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // context-window chunking: 64-token windows, 16-token overlap
     "q_chunking" -> ((s, dir) =>
       graft.ops.TextAnalysis.chunkByTokens(
@@ -1886,6 +1892,41 @@ object SparkEntry {
          |  CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_tokens,
          |  ROUND(list_sum(list_transform(arr, s -> s.tf * ln(s.cnt / n_total)))
          |        / list_sum(list_transform(arr, s -> s.tf)), 6) AS avg_logprob
+         |FROM p""".stripMargin,
+
+    // bigram LM from scratch: identical slot construction (toks[i],
+    // toks[i+1]), identical Laplace tree ln((c12+1)/(c1+V)), fold over
+    // the bigram-sorted per-doc array
+    "q_bigram_lm" ->
+      s"""$docToks, base AS (
+         |  SELECT doc_id, toks FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), slots AS (
+         |  SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |      i -> struct_pack(w1 := toks[i], bg := toks[i] || ' ' || toks[i+1]))) AS s
+         |    FROM base WHERE len(toks) >= 2)
+         |), docbg AS (
+         |  SELECT doc_id, w1, bg, COUNT(*)::BIGINT AS tf FROM slots GROUP BY 1, 2, 3
+         |), bgcnt AS (
+         |  SELECT bg, COUNT(*)::BIGINT AS c12 FROM slots GROUP BY 1
+         |), hist AS (
+         |  SELECT w1, COUNT(*)::BIGINT AS c1 FROM slots GROUP BY 1
+         |), vv AS (
+         |  SELECT COUNT(DISTINCT t)::BIGINT AS v
+         |  FROM (SELECT unnest(toks) AS t FROM base)
+         |), p AS (
+         |  SELECT doc_id, any_value(v) AS v,
+         |    list_sort(list(struct_pack(bg := db.bg, tf := db.tf,
+         |                               c12 := c12, c1 := c1))) AS arr
+         |  FROM docbg db JOIN bgcnt USING (bg) JOIN hist USING (w1) CROSS JOIN vv
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_bigrams,
+         |  ROUND(list_sum(list_transform(arr, s ->
+         |          s.tf::DOUBLE * ln((s.c12::DOUBLE + 1.0) / (s.c1::DOUBLE + v::DOUBLE))))
+         |        / CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT), 6)
+         |    AS avg_logprob
          |FROM p""".stripMargin,
 
     // SimHash from scratch in SQL: identical md5-derived 64-bit token

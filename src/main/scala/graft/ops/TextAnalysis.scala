@@ -820,6 +820,62 @@ object TextAnalysis {
       round(score / nTokens, 6).as("avg_logprob"))
   }
 
+  /** Per-doc average BIGRAM conditional log-likelihood under the
+    * corpus' own Laplace-smoothed bigram LM — the step from
+    * [[unigramLogProbScore]]'s bag-of-words signal toward CCNet-style
+    * perplexity filtering: a doc whose word ORDER is unlike the corpus
+    * (shuffled text, stitched fragments, template glitches) scores low
+    * even when its vocabulary is ordinary.
+    *
+    * `score = (1/B) Σ_slots ln((c(w₁,w₂) + 1) / (c(w₁·) + V))` with
+    * `c(w₁,w₂)` the corpus bigram count, `c(w₁·)` the count of `w₁` as
+    * a bigram HISTORY, `V` the corpus distinct-unigram count (Laplace
+    * denominator), `B` the doc's bigram-slot count. Docs with < 2
+    * tokens have no slot and drop (the [[unigramLogProbScore]]
+    * no-token contract).
+    *
+    * Determinism: every LM input is an exact long; the per-doc fold
+    * runs over the BIGRAM-SORTED array; each slot's contribution is
+    * one fixed double tree — engine-bit-identical.
+    *
+    * Scale posture: bigram/history counts are map-side-combined hash
+    * aggs over the slot explode (codegen'd `transform`, no position
+    * self-join); the per-doc frame joins them on the bigram / history
+    * KEY (AQE splits hot grams); only the 1-row V frame broadcasts.
+    * Per-doc state is the doc's own distinct-bigram set.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+    val slots = base.filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_toks) - 1)," +
+          " i -> struct(_toks[i - 1] AS w1," +
+          " concat(_toks[i - 1], ' ', _toks[i]) AS bg))")).as("_s"))
+      .select(col("doc_id"), col("_s.w1").as("w1"), col("_s.bg").as("bg"))
+    val docBg = slots.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("tf"))
+    val bgCnt = slots.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val histCnt = slots.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocabV = base.select(explode(col("_toks")).as("_t"))
+      .agg(countDistinct(col("_t")).as("v"))
+    val perDoc = docBg
+      .join(bgCnt, "bg")
+      .join(histCnt, "w1")
+      .crossJoin(broadcast(vocabV))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+          struct(col("bg"), col("tf"), col("c12"), col("c1")))).as("arr"),
+        first("v").as("v"))
+    val nSlots = aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("tf"))
+    val score = aggregate(col("arr"), lit(0.0), (a, s) =>
+      a + s.getField("tf").cast("double") *
+        log((s.getField("c12").cast("double") + lit(1.0)) /
+            (s.getField("c1").cast("double") + col("v").cast("double"))))
+    perDoc.select(col("doc_id"), nSlots.as("n_bigrams"),
+      round(score / nSlots, 6).as("avg_logprob"))
+  }
+
   /** Overlapping token-window chunking — the context-window preparation
     * step before embedding/training: each doc splits into windows of
     * `chunkTokens` whitespace tokens advancing by `chunkTokens -

@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_tfidf"      -> "1-row corpus-total (N docs) crossJoin for the IDF term",
     "q_bm25"       -> "1-row corpus-total (N, avgdl) crossJoin",
     "q_unigram_score" -> "1-row LM-normalizer crossJoin",
+    "q_bigram_lm"  -> "1-row vocab-size (Laplace denominator) crossJoin",
     "q_assoc_rules" -> "1-row basket-total crossJoin for support/lift",
     "q_collocations" -> "1-row token-total crossJoins (PMI normalizers)",
     "q_composition" -> "1-row corpus-total crossJoin for share-of-corpus",

@@ -174,6 +174,41 @@ class TextAnalysisSpec extends SparkSpec {
     got(1L)._2 should be > got(3L)._2
   }
 
+  test("bigramLmScore: hand-computed Laplace math; word order matters; short docs drop") {
+    import spark.implicits._
+    // slots — doc1 "a b a b": (a b)x2, (b a)x1; doc2 "a b": (a b);
+    // doc3 "x y": (x y). c12: "a b"->3, "b a"->1, "x y"->1.
+    // histories: a->3, b->1, x->1. V covers the WHOLE corpus vocabulary,
+    // including the slotless doc4: |{a,b,x,y,solo}| = 5.
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(2L) shouldBe ((1L, r6(math.log(4.0 / 8))))          // (3+1)/(3+5)
+    got(3L) shouldBe ((1L, r6(math.log(2.0 / 6))))          // (1+1)/(1+5)
+    got(1L) shouldBe ((3L,
+      r6((2 * math.log(4.0 / 8) + math.log(2.0 / 6)) / 3)))
+    got.contains(4L) shouldBe false                         // no bigram slot
+    // the corpus-frequent transition outscores the rare one
+    got(2L)._2 should be > got(3L)._2
+  }
+
+  test("bigramLmScore penalizes shuffled word order that unigram scoring cannot see") {
+    import spark.implicits._
+    // natural docs repeat the transition "the cat"; the shuffled doc
+    // has the same BAG of words but inverted transitions
+    val natural = (1L to 8L).map(i => (i, "the cat sat on the mat"))
+    val shuffled = Seq((9L, "cat the on sat mat the"))
+    val docs = (natural ++ shuffled).toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uni = TextAnalysis.unigramLogProbScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    bi(9L) should be < bi(1L)            // bigram LM separates them…
+    uni(9L) shouldBe uni(1L) +- 1e-9     // …while the unigram LM cannot
+  }
+
   test("chunkByTokens: window boundaries, overlap, final partial chunk, no pure-suffix dup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
