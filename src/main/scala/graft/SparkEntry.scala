@@ -358,6 +358,24 @@ object SparkEntry {
         .select(col("doc_id"), col("host"))
     }),
 
+    // ranking-eval metrics (recall@k, MRR@k, nDCG@k) for the kNN
+    // ranking against a deterministic synthetic qrels set — gains and
+    // membership derived from ids so both engines build identical
+    // judgments; all integer ppm except the rank-order-folded nDCG
+    "q_rank_metrics" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val ranking = graft.ops.Similarity.knnBruteForce(
+          e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
+      val qrels = e.filter(col("vec_id").isNotNull)
+        .select(col("vec_id").as("doc_id"),
+          explode(sequence(lit(0L), lit(9L))).as("query_id"))
+        .filter(pmod(col("doc_id") * 31 + col("query_id"), lit(17)) === 0)
+        .withColumn("rel", lit(1L) + pmod(col("doc_id"), lit(3)))
+      graft.ops.Retrieval.rankingMetrics(ranking, qrels,
+        "query_id", "doc_id", "rn", "rel", k = 10)
+    }),
+
     // reciprocal rank fusion of the BM25 lexical ranking (same query
     // terms as q_bm25) with a cosine-kNN semantic ranking for one query
     // vector — integer-ppm RRF, so the fused order has no float ordering
@@ -3990,6 +4008,52 @@ object SparkEntry {
          |)
          |SELECT doc_id, COUNT(*)::BIGINT AS n_lists, CAST(SUM(c) AS BIGINT) AS rrf_ppm
          |FROM contrib GROUP BY 1 ORDER BY rrf_ppm DESC, doc_id LIMIT 25""".stripMargin,
+
+    // ranking metrics: the same kNN ranking as q_knn (k=10), judged by
+    // the same id-derived qrels; nDCG folds in rank order with
+    // log2(x) spelled ln(x)/ln(2) on both engines
+    "q_rank_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |p AS (
+         |  SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+         |  FROM q, c WHERE query_id <> neighbor_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id AS doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM p QUALIFY rank <= 10
+         |), qr AS (
+         |  SELECT e.vec_id AS doc_id, g.range AS query_id,
+         |         CAST(1 + e.vec_id % 3 AS BIGINT) AS rel
+         |  FROM embeddings e, range(10) g
+         |  WHERE e.vec_id IS NOT NULL AND (e.vec_id * 31 + g.range) % 17 = 0
+         |), ideal AS (
+         |  SELECT query_id, COUNT(*)::BIGINT AS n_rel,
+         |         list_sort(list(-rel)) AS gains
+         |  FROM qr GROUP BY 1
+         |), idcg AS (
+         |  SELECT query_id, n_rel,
+         |    list_sum(list_transform(range(1, least(len(gains), 10) + 1),
+         |      i -> (-gains[i])::DOUBLE / (ln((i + 1)::DOUBLE) / ln(2.0)))) AS idcg
+         |  FROM ideal
+         |), hits AS (
+         |  SELECT r.query_id, r.rank, qr.rel
+         |  FROM r JOIN qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+         |), pq AS (
+         |  SELECT query_id,
+         |    MIN(rank) AS first_rel_rank,
+         |    COUNT(*)::BIGINT AS n_rel_in_k,
+         |    list_sort(list(struct_pack(rank := rank, rel := rel))) AS arr
+         |  FROM hits GROUP BY 1
+         |)
+         |SELECT i.query_id, i.n_rel,
+         |  CAST(COALESCE(p.n_rel_in_k, 0) AS BIGINT) AS n_rel_in_k,
+         |  CAST(COALESCE(p.n_rel_in_k, 0) * 1000000 // i.n_rel AS BIGINT) AS recall_ppm,
+         |  CAST(COALESCE(1000000 // p.first_rel_rank, 0) AS BIGINT) AS mrr_ppm,
+         |  ROUND(COALESCE(list_sum(list_transform(p.arr, s ->
+         |          s.rel::DOUBLE / (ln((s.rank + 1)::DOUBLE) / ln(2.0)))), 0.0)
+         |        / i.idcg, 6) AS ndcg
+         |FROM idcg i LEFT JOIN pq p USING (query_id)""".stripMargin,
 
     "q_kfold" ->
       """WITH r AS (

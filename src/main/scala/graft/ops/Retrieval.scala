@@ -47,6 +47,76 @@ object Retrieval {
       .limit(topN)
   }
 
+  /** Ranking-quality metrics against a relevance-judgment set (qrels) —
+    * the eval half of a retrieval pipeline: after [[rrfFuse]] (or any
+    * ranker) produces per-query rankings, score them per query as
+    *
+    *   - `n_rel` / `n_rel_in_k`: judged-relevant docs, total and inside
+    *     the top-k cut;
+    *   - `recall_ppm = n_rel_in_k·10⁶ div n_rel` (exact integer);
+    *   - `mrr_ppm = 10⁶ div first_rel_rank` (exact integer; 0 when no
+    *     relevant doc is retrieved — the standard convention);
+    *   - `ndcg@k`: DCG with gain `rel/log2(rank+1)` over the top-k,
+    *     normalized by the ideal DCG of the query's judged gains. Both
+    *     sums fold in RANK ORDER (a total order), each term one fixed
+    *     double tree with `log2(x)` spelled `ln(x)/ln(2)` — the same
+    *     engine-reproducibility discipline as the LM scores.
+    *
+    * `ranking`: (queryIdCol, docIdCol, rankCol); `qrels`:
+    * (queryIdCol, docIdCol, relCol ≥ 1 integer gain); unjudged
+    * retrieved docs count as gain 0 (standard). Queries present only in
+    * qrels (nothing retrieved) emit recall/mrr/ndcg 0.
+    *
+    * Scale posture: one equi-join of the ranking with qrels on
+    * (query, doc), then per-query hash aggs whose state is the judged
+    * set / the k-bounded retrieved set — never the corpus. The ideal-DCG
+    * frame aggregates qrels alone. No windows over raw rankings.
+    */
+  def rankingMetrics(ranking: DataFrame, qrels: DataFrame, queryIdCol: String,
+                     docIdCol: String, rankCol: String, relCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val r = ranking.select(col(queryIdCol).cast("long").as("query_id"),
+      col(docIdCol).cast("long").as("doc_id"),
+      col(rankCol).cast("long").as("rank"))
+    val q = qrels
+      .filter(col(relCol).isNotNull && col(relCol) >= 1)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(docIdCol).cast("long").as("doc_id"),
+        col(relCol).cast("long").as("rel"))
+    // judged totals + ideal DCG: gains sorted descending (rel desc) fill
+    // ideal ranks 1..n_rel; fold over the (−rel)-sorted array = rank order
+    val ln2 = lit(math.log(2.0))
+    val ideal = q.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"),
+        array_sort(collect_list(-col("rel"))).as("_gains"))
+      .withColumn("_idcg", expr(s"""aggregate(
+        slice(_gains, 1, $k),
+        named_struct('i', 0L, 's', 0.0d),
+        (a, g) -> named_struct('i', a.i + 1L,
+          's', a.s + (-g) / (ln(CAST(a.i + 2 AS DOUBLE)) / ln(2.0d))),
+        a -> a.s)"""))
+      .select(col("query_id"), col("n_rel"), col("_idcg"))
+    // retrieved ∩ judged, with rank; per-query fold over rank-sorted arr
+    // (all @k: a relevant doc beyond the cut contributes nothing — the
+    // standard metric-at-k convention)
+    val hits = r.join(q, Seq("query_id", "doc_id"))
+    val perQuery = hits.groupBy("query_id")
+      .agg(min(when(col("rank") <= k, col("rank"))).as("first_rel_rank"),
+        count(when(col("rank") <= k, lit(1))).as("n_rel_in_k"),
+        array_sort(collect_list(when(col("rank") <= k,
+          struct(col("rank"), col("rel"))))).as("_arr"))
+    val dcg = aggregate(col("_arr"), lit(0.0), (a, s) =>
+      a + s.getField("rel").cast("double") /
+        (log(s.getField("rank").cast("double") + lit(1.0)) / ln2))
+    ideal.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_rel_in_k"), lit(0L)).as("n_rel_in_k"),
+        expr(s"coalesce(n_rel_in_k, 0L) * 1000000L div n_rel").as("recall_ppm"),
+        coalesce(expr("1000000L div first_rel_rank"), lit(0L)).as("mrr_ppm"),
+        round(coalesce(dcg, lit(0.0)) / col("_idcg"), 6).as("ndcg"))
+  }
+
   /** Turn a scored result into a 1-based ranking by
     * (`scoreCol` desc, `idCol`) — the adapter between score-producing
     * operators ([[TextAnalysis.bm25]]) and [[rrfFuse]]. Rank on the

@@ -54,6 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_mixture"    -> "1-row capacity frame crossJoin (Sampling.scala:235)",
     "q_temperature_mix" -> "1-row Σweights crossJoin (Sampling.temperatureMix)",
     "q_hybrid_rrf" -> "1-row query-vector broadcast (kNN leg) + 1-row corpus-total crossJoin (BM25 leg); fusion itself is union+agg, join-free",
+    "q_rank_metrics" -> "10-row query-vector broadcast in the kNN ranking leg; the metrics themselves are equi-joins + per-query aggs",
     "q_balance_classes" -> "1-row min-class-size crossJoin (Sampling.scala:364)",
     "q_neg_sample" -> "broadcast candidate pool, |labels| rows of bounded per-label lists by contract (Sampling.scala:496)",
     "q_knn_pq"     -> "m x kCent codebook crossJoin (128 rows, constant)",

@@ -54,6 +54,34 @@ class RetrievalSpec extends SparkSpec {
       Map(11L -> 1L, 10L -> 2L, 12L -> 3L)
   }
 
+  test("rankingMetrics: hand-computed recall/MRR/nDCG at k; unjudged and unretrieved edges") {
+    // q1: judged {10→3, 13→1, 20→2}; retrieved [10,11,12,13] — doc 13 at
+    // rank 4 is OUTSIDE k=3, doc 20 never retrieved.
+    // q2: judged {30→2}; nothing relevant retrieved.
+    // q3: retrieved but has no judgments — absent from output.
+    val ranking = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 40L, 1L), (3L, 50L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, 3L), (1L, 13L, 1L), (1L, 20L, 2L),
+      (2L, 30L, 2L)).toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.rankingMetrics(ranking, qrels,
+      "query_id", "doc_id", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    // dcg = 3/log2(2); idcg = 3/log2(2) + 2/log2(3) + 1/log2(4)
+    val ndcg1 = (3.0 / log2(2)) / (3.0 / log2(2) + 2.0 / log2(3) + 1.0 / log2(4))
+    got(1L)._1 shouldBe 3L               // n_rel
+    got(1L)._2 shouldBe 1L               // n_rel_in_k (13 is beyond the cut)
+    got(1L)._3 shouldBe 333333L          // recall_ppm = 1e6 div 3
+    got(1L)._4 shouldBe 1000000L         // mrr: first relevant at rank 1
+    got(1L)._5 shouldBe
+      BigDecimal(ndcg1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(2L) shouldBe ((1L, 0L, 0L, 0L, 0.0)) // judged, nothing found
+    got.contains(3L) shouldBe false          // no judgments → no metric
+  }
+
   test("hybrid fusion end-to-end: bm25 + knn legs over the sf0.001 corpus") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.TestTables.table(spark, dir, "documents")
