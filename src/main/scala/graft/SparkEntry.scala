@@ -268,6 +268,38 @@ object SparkEntry {
       graft.ops.TextAnalysis.bigramLmScore(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // rule-based sentence splitting (RE2-portable extraction form)
+    "q_sentences" -> ((s, dir) =>
+      graft.ops.TextAnalysis.splitSentences(
+        table(s, dir, "documents"), "doc_id", "text")),
+
+    // per-event-type z-score standardization of value (exact cents
+    // sufficient stats, one fixed double tree)
+    "q_standardize" -> ((s, dir) =>
+      graft.ops.Agg.standardizeByGroup(
+        table(s, dir, "events")
+          .filter(col("value").isNotNull),
+        "event_type", "event_id", round(col("value") * 100))),
+
+    // HTML→text extraction over a deterministic markup wrapping of the
+    // corpus (script/style blocks, comments, inline tags, entities,
+    // a stray `<` in script content that must vanish with its block)
+    "q_html_strip" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("lang").isNotNull)
+      val html = concat(
+        lit("<html><head><title>Doc</title><style type=\"text/css\">p { color: red; }</style></head><body><h1>"),
+        col("lang"),
+        lit("</h1>\n<p class=\"main\">"),
+        expr("replace(text, ' scan ', ' <b>scan</b> &amp; <i>more</i> ')"),
+        lit("</p><script>var x = 1 < 2 && 3 > 2;</script><!-- hidden -->" +
+          "<p>&quot;end&quot;&nbsp;&#39;q&apos;</p></body></html>"))
+      val clean = graft.ops.TextAnalysis.stripHtml(html)
+      d.select(col("doc_id"), clean.as("text_clean"),
+        graft.ops.TextAnalysis.tokenCount(clean).cast("long").as("n_tokens"))
+    }),
+
     // context-window chunking: 64-token windows, 16-token overlap
     "q_chunking" -> ((s, dir) =>
       graft.ops.TextAnalysis.chunkByTokens(
@@ -1946,6 +1978,76 @@ object SparkEntry {
          |        / CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT), 6)
          |    AS avg_logprob
          |FROM p""".stripMargin,
+
+    "q_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+        |      x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(arr))) - 1 AS BIGINT) AS sentence_idx,
+        |  unnest(arr) AS sentence
+        |FROM d""".stripMargin,
+
+    "q_standardize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL
+        |), st AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n,
+        |         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.event_type, r.event_id, v AS value_int,
+        |  ROUND(s::DOUBLE / n::DOUBLE, 6) AS group_mean,
+        |  ROUND(CASE WHEN (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE > 0
+        |        THEN (v::DOUBLE - s::DOUBLE / n::DOUBLE)
+        |             / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE)
+        |        END, 6) AS z
+        |FROM r JOIN st USING (event_type)""".stripMargin,
+
+    // same regexp chain as TextAnalysis.stripHtml, with 'g' flags where
+    // Spark's replace-all semantics need them
+    "q_html_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style type="text/css">p { color: red; }</style></head><body><h1>'
+        |    || lang || '</h1>' || chr(10) || '<p class="main">'
+        |    || replace(text, ' scan ', ' <b>scan</b> &amp; <i>more</i> ')
+        |    || '</p><script>var x = 1 < 2 && 3 > 2;</script><!-- hidden --><p>&quot;end&quot;&nbsp;&#39;q&apos;</p></body></html>'
+        |    AS html
+        |  FROM d
+        |), s1 AS (
+        |  SELECT doc_id, regexp_replace(html,
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t FROM h
+        |), s2 AS (
+        |  SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, regexp_replace(t, '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s2
+        |), s4 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g') AS t
+        |  FROM s3
+        |), s5 AS (
+        |  SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM s4
+        |)
+        |SELECT doc_id, text_clean,
+        |  len(list_filter(regexp_split_to_array(text_clean, '\s+'), x -> x <> ''))::BIGINT
+        |    AS n_tokens
+        |FROM s5""".stripMargin,
 
     // SimHash from scratch in SQL: identical md5-derived 64-bit token
     // hash (hi/lo 32-bit halves), identical sign-sum bits, then ALL-PAIRS

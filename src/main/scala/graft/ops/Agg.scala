@@ -161,4 +161,42 @@ object Agg {
       round(when(denom =!= 0.0, slope), 6).as("slope"),
       round(when(denom =!= 0.0, intercept), 6).as("intercept"))
   }
+
+  /** Per-group z-score standardization — the feature-scaling prep step
+    * (normalize a metric within its cohort before thresholding,
+    * ranking, or model input). `valueInt` must render the value as an
+    * exact integer (caller picks the fixed-point scale —
+    * `round(col("value") * 100)` for cents — the
+    * [[graft.ops.TimeSeries.timeWeightedAvg]] contract), so the
+    * per-group Σ and Σ² are exact LONGs and the population
+    * mean/variance/z are ONE fixed double tree each:
+    * `z = (v − s/n) / sqrt((s2 − s·s/n)/n)` — engine-bit-identical,
+    * partition-order independent. Zero-variance groups (and
+    * singletons) yield null z, never NaN/Inf.
+    *
+    * Scale posture: one map-side-combined hash agg to a |groups|-row
+    * stats frame, joined back on the group key (Catalyst broadcasts it
+    * when small — no forced hint, so a high-cardinality group column
+    * degrades to a shuffle join, not an OOM); the z itself is
+    * map-side. Caller owns overflow headroom: Σv² must fit a LONG
+    * (|v| ≤ ~3e6 at a billion rows/group).
+    */
+  def standardizeByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                         valueInt: Column): DataFrame = {
+    val rows = df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn("_v", valueInt.cast("long"))
+      .filter(col("_v").isNotNull)
+    val stats = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"),
+        sum(col("_v") * col("_v")).as("_s2"))
+    val n = col("_n").cast("double")
+    val s = col("_s").cast("double")
+    val mean = s / n
+    val vr = (col("_s2").cast("double") - s * s / n) / n
+    rows.join(stats, Seq(groupCol))
+      .select(col(groupCol), col(keyCol), col("_v").as("value_int"),
+        round(mean, 6).as("group_mean"),
+        round(when(vr > 0d, (col("_v").cast("double") - mean) / sqrt(vr)), 6)
+          .as("z"))
+  }
 }

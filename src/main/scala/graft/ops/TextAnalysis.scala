@@ -946,6 +946,65 @@ object TextAnalysis {
           coalesce(sum("n_tokens").over(w), lit(0L)), lit(budgetTokens)))
   }
 
+  /** HTML → text extraction — the first transform every crawl-derived
+    * corpus applies. Regexp-chain stripper, deliberately RE2-portable
+    * (inline `(?is)` flags, no lookaround) so the exact rules are
+    * auditable and re-runnable on any engine:
+    *
+    *   1. `<script>`/`<style>` blocks (and their content) removed —
+    *      code and CSS must never leak into "text";
+    *   2. HTML comments removed;
+    *   3. every remaining tag replaced by a SPACE (not ""): adjacent
+    *      block elements must not weld words together;
+    *   4. the common entities decoded (`&amp; &lt; &gt; &quot; &#39;
+    *      &apos; &nbsp;`) — `&amp;` decoded LAST so `&amp;lt;` yields
+    *      the literal `&lt;` the author wrote, not a `<`;
+    *   5. whitespace collapsed and trimmed.
+    *
+    * This is the 95% extractor (boilerplate removal on top of it is
+    * [[graft.ops.Boilerplate.removeBoilerplate]]'s job — trafilatura-
+    * class DOM scoring is out of scope by design). Pure map-side
+    * codegen'd string ops — rides the scan at 100 TB.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)</?[a-zA-Z!][^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&" // last: &amp;lt; must become the literal &lt;
+    ).foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Rule-based sentence splitting — the unit-of-work producer for
+    * sentence-level dedup, per-sentence quality filters, and
+    * translation-pair mining. A sentence is a maximal run
+    * `[^.!?]+[.!?]*`: text up to and including its terminator cluster
+    * ("a.. b!" → "a..", "b!"; a terminator-less tail is its own
+    * sentence). RE2-portable by construction — the usual
+    * lookbehind-split (`(?<=[.!?])\s+`) does NOT exist in RE2, so this
+    * extraction form is the one whose behavior every engine can
+    * reproduce. Leading orphan terminators have no sentence to belong
+    * to and drop — documented, identical on both engines. Abbreviation
+    * handling ("Dr.") is a lexicon problem, out of scope by design.
+    *
+    * Output: (doc_id, sentence_idx 0-based, sentence), trimmed,
+    * empties dropped. Pure map-side extract + explode.
+    */
+  def splitSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        filter(transform(
+          regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+          x => trim(x)), x => x =!= "").as("_arr"))
+      .select(col("doc_id"), posexplode(col("_arr")))
+      .select(col("doc_id"), col("pos").cast("long").as("sentence_idx"),
+        col("col").as("sentence"))
+
   /** Whitespace/control normalization for canonicalization-before-dedup:
     * lowercase, control chars → space, runs of whitespace collapsed,
     * trimmed. Pure codegen'd string ops.

@@ -151,4 +151,27 @@ class StatsSpec extends SparkSpec {
     Option(g.get(g.fieldIndex("recall_ppm"))) shouldBe None
     g.getAs[Long]("precision_ppm") shouldBe 0L
   }
+
+  test("standardizeByGroup: hand-computed z; zero-variance and singleton groups yield null") {
+    import org.apache.spark.sql.functions.col
+    // group a: values 2, 4, 6 → mean 4, pop var 8/3; z(6) = 2/sqrt(8/3)
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 4L, 5L), ("b", 5L, 5L),   // zero variance
+      ("c", 6L, 9L))                  // singleton
+      .toDF("g", "k", "v")
+    val got = Agg.standardizeByGroup(df, "g", "k", col("v"))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val z6 = 2.0 / math.sqrt((56.0 - 12.0 * 12.0 / 3.0) / 3.0)
+    got(3L).getAs[Double]("z") shouldBe
+      BigDecimal(z6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(1L).getAs[Double]("group_mean") shouldBe 4.0
+    Option(got(4L).get(got(4L).fieldIndex("z"))) shouldBe None
+    Option(got(6L).get(got(6L).fieldIndex("z"))) shouldBe None
+    // partition-order independence of the exact sums
+    val again = Agg.standardizeByGroup(df.repartition(7), "g", "k", col("v"))
+      .collect().map(r => (r.getLong(1), Option(r.get(r.fieldIndex("z"))))).toMap
+    got.keySet.foreach { k =>
+      again(k) shouldBe Option(got(k).get(got(k).fieldIndex("z")))
+    }
+  }
 }

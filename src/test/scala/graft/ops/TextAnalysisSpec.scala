@@ -174,6 +174,47 @@ class TextAnalysisSpec extends SparkSpec {
     got(1L)._2 should be > got(3L)._2
   }
 
+  test("splitSentences: terminator clusters, tails, leading orphans, empties") {
+    import spark.implicits._
+    val got = TextAnalysis.splitSentences(
+      Seq((1L, "One.. Two! Is it? tail"),
+        (2L, "...leading dots. done"),
+        (3L, "   "),
+        (4L, "no terminator at all"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    got(1L) shouldBe Seq("One..", "Two!", "Is it?", "tail")
+    // leading orphan terminators have no sentence and drop
+    got(2L) shouldBe Seq("leading dots.", "done")
+    got.contains(3L) shouldBe false     // whitespace-only doc: no sentence
+    got(4L) shouldBe Seq("no terminator at all")
+  }
+
+  test("stripHtml: blocks, comments, tags, entities, and the traps between them") {
+    import spark.implicits._
+    def strip(s: String): String = {
+      val r = Seq(Tuple1(s)).toDF("h")
+        .select(TextAnalysis.stripHtml(col("h"))).collect()
+      r.head.getString(0)
+    }
+    // script content (with a stray `<` and `&&`) vanishes WITH its block;
+    // multi-line style too; tags become spaces so words never weld
+    strip("<p>alpha</p><p>beta</p>") shouldBe "alpha beta"
+    strip("a<script>\nvar x = 1 < 2 && y;\n</script>b") shouldBe "a b"
+    strip("a<style media=\"all\">\np { x }\n</style>b") shouldBe "a b"
+    strip("a<!-- multi\nline\ncomment -->b") shouldBe "a b"
+    // a stray `<` in TEXT is not a tag start (needs a letter after it)
+    strip("1 < 2 and 3 > 2") shouldBe "1 < 2 and 3 > 2"
+    // entity decode incl. the &amp;-last rule: escaped markup stays text
+    strip("&quot;q&quot;&nbsp;&#39;a&apos; &lt;b&gt; &amp; &amp;lt;kept&amp;gt;") shouldBe
+      "\"q\" 'a' <b> & &lt;kept&gt;"
+    strip("<html><body class='x'>only   text\t here</body></html>") shouldBe
+      "only text here"
+  }
+
   test("bigramLmScore: hand-computed Laplace math; word order matters; short docs drop") {
     import spark.implicits._
     // slots — doc1 "a b a b": (a b)x2, (b a)x1; doc2 "a b": (a b);
