@@ -268,6 +268,26 @@ object SparkEntry {
       graft.ops.TextAnalysis.bigramLmScore(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // HTTP-response splitting over deterministic synthetic fetches —
+    // CRLF and bare-LF header endings, quoted charset, header-only 301
+    "q_http_parse" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("source").isNotNull)
+      val m = pmod(col("doc_id"), lit(3))
+      val raw = when(m === 0, concat(
+          lit("HTTP/1.1 200 OK\r\nServer: unit\r\nContent-Type: text/HTML; charset=\"UTF-8\"\r\n\r\n<p>"),
+          col("text"), lit("</p>")))
+        .when(m === 1, concat(
+          lit("HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nmissing "),
+          col("doc_id")))
+        .otherwise(concat(lit("HTTP/1.1 301 Moved\r\nLocation: https://"),
+          col("source"), lit(".com/\r\n\r\n")))
+      graft.ops.Web.parseHttp(d.select(col("doc_id"), raw.as("raw")), "raw")
+        .select(col("doc_id"), col("status_code"), col("content_type"),
+          col("charset"), col("body"))
+    }),
+
     // rule-based sentence splitting (RE2-portable extraction form)
     "q_sentences" -> ((s, dir) =>
       graft.ops.TextAnalysis.splitSentences(
@@ -1765,8 +1785,7 @@ object SparkEntry {
         |)
         |SELECT event_id, event_type, ts, value_cents,
         |       CAST(COUNT(*) OVER w AS BIGINT) AS prior_n,
-        |       ROUND(SUM(value_cents) OVER w / 100.0 / COUNT(*) OVER w, 6)
-        |         AS prior_mean
+        |       SUM(value_cents) OVER w / 100.0 / COUNT(*) OVER w AS prior_mean
         |FROM e
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
@@ -1978,6 +1997,48 @@ object SparkEntry {
          |        / CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT), 6)
          |    AS avg_logprob
          |FROM p""".stripMargin,
+
+    // same regexps as Web.parseHttp; raw built with chr(13)/chr(10)
+    "q_http_parse" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |        'Server: unit' || chr(13) || chr(10) ||
+        |        'Content-Type: text/HTML; charset="UTF-8"' || chr(13) || chr(10) ||
+        |        chr(13) || chr(10) || '<p>' || text || '</p>'
+        |      WHEN 1 THEN 'HTTP/1.0 404 Not Found' || chr(10) ||
+        |        'Content-Type: text/plain' || chr(10) || chr(10) ||
+        |        'missing ' || doc_id::VARCHAR
+        |      ELSE 'HTTP/1.1 301 Moved' || chr(13) || chr(10) ||
+        |        'Location: https://' || source || '.com/' || chr(13) || chr(10) ||
+        |        chr(13) || chr(10)
+        |    END AS raw
+        |  FROM d
+        |), p AS (
+        |  SELECT doc_id, raw,
+        |    regexp_matches(raw, '\r?\n\r?\n') AS has_blank,
+        |    CASE WHEN regexp_matches(raw, '\r?\n\r?\n')
+        |         THEN regexp_extract(raw, '(?s)^(.*?)\r?\n\r?\n', 1)
+        |         ELSE raw END AS hdr,
+        |    CASE WHEN regexp_matches(raw, '\r?\n\r?\n')
+        |         THEN regexp_replace(raw, '(?s)^.*?\r?\n\r?\n', '')
+        |         ELSE '' END AS body
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  NULLIF(regexp_extract(raw, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '')::BIGINT
+        |    AS status_code,
+        |  NULLIF(lower(trim(regexp_extract(hdr,
+        |    '(?im)^content-type:[ \t]*([^\r\n;]+)', 1))), '') AS content_type,
+        |  NULLIF(lower(regexp_extract(hdr,
+        |    '(?im)^content-type:[^\r\n]*;[ \t]*charset=["'']?([A-Za-z0-9_.:-]+)', 1)), '')
+        |    AS charset,
+        |  body
+        |FROM p""".stripMargin,
 
     "q_sentences" ->
       """WITH d AS (
@@ -3314,7 +3375,7 @@ object SparkEntry {
         |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
         |)
         |SELECT label, CAST(dim AS BIGINT) AS dim,
-        |       ROUND(SUM(m) / 1000000.0 / COUNT(*), 6) AS centroid,
+        |       SUM(m) / 1000000.0 / COUNT(*) AS centroid,
         |       COUNT(*) AS n_vectors
         |FROM x GROUP BY 1, 2""".stripMargin,
 

@@ -139,8 +139,13 @@ object Agg {
       .select(col(tieCol), col(catCol), col(tsCol),
         round(col(valueCol) * 100).cast("long").as("value_cents"))
       .withColumn("prior_n", count(lit(1)).over(w))
+      // UNROUNDED: the two divisions of exact integers are bit-identical
+      // on any IEEE engine, while round-to-6 put ~1-in-10⁵ rows on a
+      // decimal half boundary where Spark (exact-expansion HALF_UP) and
+      // DuckDB (scaled-double) disagree by 1 ulp — found by the sf0.1
+      // oracle sweep, round 8
       .withColumn("prior_mean",
-        round(sum("value_cents").over(w) / lit(100.0) / col("prior_n"), 6))
+        sum("value_cents").over(w) / lit(100.0) / col("prior_n"))
   }
 
   def linearFit(df: DataFrame, groupCol: String,

@@ -686,7 +686,11 @@ object Similarity {
       .groupBy(col("label"), col("dim").cast("long").as("dim"))
       .agg(sum("_micros").as("_s"), count(lit(1)).as("n_vectors"))
       .select(col("label"), col("dim"),
-        round(col("_s") / 1000000.0 / col("n_vectors"), 6).as("centroid"),
+        // UNROUNDED: both divisions consume exact integers, so the
+        // double is bit-identical cross-engine; round-to-6 was the only
+        // divergence point (decimal half boundary, 1 cell in 640 at
+        // sf0.1 — found by the round-8 sf0.1 oracle sweep)
+        (col("_s") / 1000000.0 / col("n_vectors")).as("centroid"),
         col("n_vectors"))
   }
 }

@@ -108,6 +108,37 @@ object Web {
                    maxPages: Int): DataFrame =
     Sampling.capPerGroup(canonicalize(df, urlCol), "domain", keyCol, maxPages)
 
+  /** Minimal HTTP-response splitter — the step between "fetched bytes"
+    * and [[TextAnalysis.stripHtml]] in a crawl pipeline (WARC response
+    * records carry exactly this shape). Splits on the first blank line
+    * (`\r\n` or bare `\n` — real crawls contain both), extracts the
+    * status code and the `Content-Type` header's media type + charset.
+    * RE2-portable regexps only; a payload with no blank line is all
+    * headers and yields an empty body; a payload that is not an HTTP
+    * response at all yields null status/type/charset (and, having no
+    * header terminator, an empty body). Pure map-side.
+    *
+    * Adds: `status_code` (long), `content_type` (lower-cased media
+    * type), `charset` (lower-cased, quotes stripped), `body`.
+    */
+  def parseHttp(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val statusS = regexp_extract(raw, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    val hasBlank = raw.rlike("\\r?\\n\\r?\\n")
+    val hdr = when(hasBlank,
+      regexp_extract(raw, "(?s)^(.*?)\\r?\\n\\r?\\n", 1)).otherwise(raw)
+    val body = when(hasBlank,
+      regexp_replace(raw, "(?s)^.*?\\r?\\n\\r?\\n", "")).otherwise(lit(""))
+    val ct = lower(trim(regexp_extract(hdr,
+      "(?im)^content-type:[ \\t]*([^\\r\\n;]+)", 1)))
+    val cs = lower(regexp_extract(hdr,
+      "(?im)^content-type:[^\\r\\n]*;[ \\t]*charset=[\"']?([A-Za-z0-9_.:-]+)", 1))
+    df.withColumn("status_code", when(statusS =!= "", statusS.cast("long")))
+      .withColumn("content_type", when(ct =!= "", ct))
+      .withColumn("charset", when(cs =!= "", cs))
+      .withColumn("body", body)
+  }
+
   /** Every dot-suffix of a host that starts at a label boundary:
     * `a.b.c.com` → `[a.b.c.com, b.c.com, c.com, com]` — the match
     * keys for suffix-semantics blocklists.

@@ -86,7 +86,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_url_canon" -> 0, "q_domain_cap" -> 1, "q_shard_manifest" -> 1,
     "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 7,
     "q_html_strip" -> 0, "q_sentences" -> 0, "q_standardize" -> 1,
-    "q_bigram_lm" -> 6, "q_rank_metrics" -> 2)
+    "q_bigram_lm" -> 6, "q_rank_metrics" -> 2, "q_http_parse" -> 0)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

@@ -101,6 +101,41 @@ class WebSpec extends SparkSpec {
     df.count() shouldBe 40L
   }
 
+  test("parseHttp: CRLF and bare-LF endings, quoted charset, degenerate payloads") {
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/HTML; charset=\"UTF-8\"\r\n\r\nbody here"),
+      (2L, "HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nmissing"),
+      (3L, "HTTP/1.1 301 Moved\r\nLocation: https://x.com/\r\n\r\n"),
+      (4L, "HTTP/1.1 200 OK\r\nContent-Type: application/json"), // no blank line
+      (5L, "not an http response at all"))
+      .toDF("id", "raw")
+    val got = Web.parseHttp(rows, "raw")
+      .select("id", "status_code", "content_type", "charset", "body")
+      .collect().map(r => r.getLong(0) -> ((
+        Option(r.get(1)), Option(r.getString(2)), Option(r.getString(3)),
+        r.getString(4))))
+      .toMap
+    got(1L) shouldBe ((Some(200L), Some("text/html"), Some("utf-8"), "body here"))
+    got(2L) shouldBe ((Some(404L), Some("text/plain"), None, "missing"))
+    got(3L) shouldBe ((Some(301L), None, None, ""))
+    // headers never terminated: all headers, empty body, type still parsed
+    got(4L) shouldBe ((Some(200L), Some("application/json"), None, ""))
+    got(5L) shouldBe ((None, None, None, ""))
+  }
+
+  test("crawl chain composes: parseHttp -> stripHtml -> canonical host") {
+    val fetch = Seq((1L,
+      "https://WWW.Site.com:443/a/?utm_source=x",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>Hello <b>world</b></p><script>x()</script></body></html>"))
+      .toDF("id", "url", "raw")
+    val parsed = Web.canonicalize(Web.parseHttp(fetch, "raw"), "url")
+      .withColumn("text", TextAnalysis.stripHtml(col("body")))
+      .select("url_canon", "content_type", "text").collect().head
+    parsed.getString(0) shouldBe "https://site.com/a"
+    parsed.getString(1) shouldBe "text/html"
+    parsed.getString(2) shouldBe "Hello world"
+  }
+
   test("canonicalization is idempotent: canonical URLs are fixed points") {
     // property over a messy generated corpus: re-canonicalizing the
     // canonical form changes nothing (otherwise "canonical" keys drift
