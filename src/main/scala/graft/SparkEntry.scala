@@ -2066,11 +2066,11 @@ object SparkEntry {
         |  FROM r GROUP BY 1
         |)
         |SELECT r.event_type, r.event_id, v AS value_int,
-        |  ROUND(s::DOUBLE / n::DOUBLE, 6) AS group_mean,
-        |  ROUND(CASE WHEN (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE > 0
-        |        THEN (v::DOUBLE - s::DOUBLE / n::DOUBLE)
-        |             / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE)
-        |        END, 6) AS z
+        |  s::DOUBLE / n::DOUBLE AS group_mean,
+        |  CASE WHEN (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE > 0
+        |       THEN (v::DOUBLE - s::DOUBLE / n::DOUBLE)
+        |            / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE)
+        |       END AS z
         |FROM r JOIN st USING (event_type)""".stripMargin,
 
     // same regexp chain as TextAnalysis.stripHtml, with 'g' flags where

@@ -200,8 +200,11 @@ object Agg {
     val vr = (col("_s2").cast("double") - s * s / n) / n
     rows.join(stats, Seq(groupCol))
       .select(col(groupCol), col(keyCol), col("_v").as("value_int"),
-        round(mean, 6).as("group_mean"),
-        round(when(vr > 0d, (col("_v").cast("double") - mean) / sqrt(vr)), 6)
-          .as("z"))
+        // UNROUNDED on purpose: every op in the tree (+,−,×,÷,sqrt) is
+        // IEEE-correctly-rounded over exact integers, so the doubles
+        // are bit-identical cross-engine; rounding would only ADD
+        // decimal-half-boundary divergence (the q_centroids lesson)
+        mean.as("group_mean"),
+        when(vr > 0d, (col("_v").cast("double") - mean) / sqrt(vr)).as("z"))
   }
 }

@@ -161,9 +161,9 @@ class StatsSpec extends SparkSpec {
       .toDF("g", "k", "v")
     val got = Agg.standardizeByGroup(df, "g", "k", col("v"))
       .collect().map(r => r.getLong(1) -> r).toMap
-    val z6 = 2.0 / math.sqrt((56.0 - 12.0 * 12.0 / 3.0) / 3.0)
-    got(3L).getAs[Double]("z") shouldBe
-      BigDecimal(z6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // unrounded: the op emits the raw fixed-tree double (bit-exact)
+    val z6 = (6.0 - 12.0 / 3.0) / math.sqrt((56.0 - 12.0 * 12.0 / 3.0) / 3.0)
+    got(3L).getAs[Double]("z") shouldBe z6
     got(1L).getAs[Double]("group_mean") shouldBe 4.0
     Option(got(4L).get(got(4L).fieldIndex("z"))) shouldBe None
     Option(got(6L).get(got(6L).fieldIndex("z"))) shouldBe None
