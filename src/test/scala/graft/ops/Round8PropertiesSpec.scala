@@ -109,4 +109,73 @@ class Round8PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- round-8b web/curation family ----------------------------------
+
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.oneOf("a.com", "B.Example.ORG", "x.y.z.io", "localhost")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/p", "//a//b/", "/x/y/z///")
+    q <- Gen.oneOf("", "?b=2&a=1", "?utm_source=s", "?z=1&utm_x=2&a=3", "?ref=r#f")
+  } yield s"$scheme://$www$host$port$path$q"
+
+  test("property: URL canonicalization is idempotent on generated URLs") {
+    Seeds.foreach { s =>
+      val urls = Gen.listOfN(120, genUrl)(Gen.Parameters.default, Seed(s))
+        .getOrElse(sys.error("gen failed")).toDF("url")
+      val once = Web.canonicalize(urls, "url")
+        .select(col("url_canon").as("url")).filter(col("url").isNotNull)
+      Web.canonicalize(once, "url")
+        .filter(col("url_canon") =!= col("url")).count() shouldBe 0L
+    }
+  }
+
+  test("property: stripHtml never leaves a tag, for any generated markup") {
+    val genHtml: Gen[String] = for {
+      words <- genDoc
+      tag <- Gen.oneOf("b", "p", "div", "SPAN")
+      junk <- Gen.oneOf("", "<script>var x=1<2;</script>", "<!-- c -->",
+        "<style>p{}</style>", "&amp;lt;", "&nbsp;")
+    } yield s"<$tag class='k'>${words.mkString(" ")}</$tag>$junk"
+    Seeds.foreach { s =>
+      val html = Gen.listOfN(100, genHtml)(Gen.Parameters.default, Seed(s))
+        .getOrElse(sys.error("gen failed")).toDF("h")
+      // no markup survives: nothing matching `<letter` or `</`
+      html.select(TextAnalysis.stripHtml(col("h")).as("t"))
+        .filter(col("t").rlike("<[a-zA-Z!/]")).count() shouldBe 0L
+    }
+  }
+
+  test("property: rrfFuse output is invariant to the ORDER of the ranking lists") {
+    Seeds.foreach { s =>
+      val a = corpus(s, 40).map { case (i, _) => (i, i % 17 + 1) }.toDF("id", "rank")
+      val b = corpus(s + 1, 40).map { case (i, _) => (i, i % 11 + 1) }.toDF("id", "rank")
+      def fused(xs: Seq[org.apache.spark.sql.DataFrame]) =
+        Retrieval.rrfFuse(xs, "id", "rank", topN = 15)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      fused(Seq(a, b)) shouldBe fused(Seq(b, a))
+    }
+  }
+
+  test("property: temperatureMix at α=1 keeps (at most floor-slack under) natural proportions") {
+    Seeds.foreach { s =>
+      val df = corpus(s, 200).map { case (i, w) => (i, s"s${w.length % 3}") }
+        .toDF("key", "src")
+      val natural = df.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = natural.values.sum
+      val budget = total / 2
+      val got = Sampling.temperatureMix(df, "src", "key", budget, alphaQuarters = 4)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      natural.foreach { case (src, n) =>
+        val q = got.getOrElse(src, 0L)
+        // quota_s = floor(budget * n / total), capped at n
+        q should be <= math.min(n, budget * n / total)
+        q should be >= math.max(0L, budget * n / total - 1)
+      }
+    }
+  }
 }
