@@ -98,6 +98,22 @@ object SparkEntry {
     d.select(col("doc_id"), url.as("url"))
   }
 
+  /** Corpus-RELATIVE df bound for the maxDf-family dedup entries:
+    * `max(5, |docs| / 100)` — the knob is a df FRACTION in production
+    * (the `Scale100` probe's discipline), and pinning an absolute value
+    * sized for the sf0.01 gate corpus silently loses recall on bigger
+    * corpora, where shingle dfs grow with volume (found by the round-8
+    * sf0.1 sweep: 10/188 q_dedup_canonical pairs whose every shared
+    * trigram had df 8–10 > 5). At sf0.01 (500 docs) this evaluates to
+    * the historical 5, so the gate results are unchanged; at sf0.1 it
+    * is 50 and recall against the UNBOUNDED oracle is complete again.
+    * Memoized per dir — the count is one column-pruned scan.
+    */
+  private val relMaxDfCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def relMaxDf(s: SparkSession, dir: String): Int =
+    relMaxDfCache.getOrElseUpdate(dir,
+      math.max(5L, table(s, dir, "documents").count() / 100L).toInt)
+
   /** Committed CSV fixtures (reference-data samples + crafted corrupt
     * rows) exercising the ingest module; absolute path because `queries`
     * receives only the testdata dir.
@@ -197,7 +213,7 @@ object SparkEntry {
     "q_dedup_pairs_maxdf" -> ((s, dir) =>
       graft.ops.Dedup.nearDupPairsExact(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5,
-        maxDf = Some(5))),
+        maxDf = Some(relMaxDf(s, dir)))),
 
     "q_dedup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.nearDupPairsMinHash(
@@ -210,7 +226,7 @@ object SparkEntry {
     "q_dedup_canonical" -> ((s, dir) =>
       graft.ops.Dedup.nearDupPairsCanonical(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5,
-        maxDf = Some(5))),
+        maxDf = Some(relMaxDf(s, dir)))),
 
     // 64-bit SimHash quadrant-banded pairs; oracle recomputes the
     // signature from scratch in SQL and does all-pairs exact hamming
@@ -1380,7 +1396,7 @@ object SparkEntry {
     "q_containment_maxdf" -> ((s, dir) =>
       graft.ops.Dedup.containmentPairs(
         table(s, dir, "documents"), "doc_id", "text", n = 3,
-        tauPpm = 800000L, maxDf = Some(5))),
+        tauPpm = 800000L, maxDf = Some(relMaxDf(s, dir)))),
 
     // BM25 relevance for a fixed query over the corpus — exact integer
     // sufficient stats, term-sorted double fold, rounded-score cut

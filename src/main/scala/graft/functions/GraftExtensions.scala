@@ -56,5 +56,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "simhash_sig(tokenHashes)")
         VectorExpressions.SimHashSig(children.head)
       }))
+
+    // Web-curation macros: the SAME Column chains the Scala API runs
+    // (Web.canonicalUrl / registrableDomain, TextAnalysis.stripHtml),
+    // re-expressed as SQL functions — an injected builder may return a
+    // composite expression tree, so SQL users get bit-identical
+    // canonicalization/extraction to the Scala pipeline.
+    def columnMacro(name: String, arity: Int,
+                    f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+    : Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.ops.Web", name),
+        (children: Seq[Expression]) => {
+          require(children.size == arity, s"$name takes $arity argument(s)")
+          org.apache.spark.sql.GraftBridge.expressionEager(
+            f(children.map(org.apache.spark.sql.GraftBridge.column)))
+        }))
+
+    columnMacro("canonical_url", 1, cs => graft.ops.Web.canonicalUrl(cs.head))
+    columnMacro("registrable_domain", 1,
+      cs => graft.ops.Web.registrableDomain(cs.head))
+    columnMacro("strip_html", 1, cs => graft.ops.TextAnalysis.stripHtml(cs.head))
   }
 }

@@ -69,4 +69,27 @@ class GraftExtensionsSpec extends SparkSpec {
       ex.getMessage should include ("dot_product_double(arrayA, arrayB)")
     }
   }
+
+  test("web-curation macros in SQL match the Scala Column chains bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val url = "HTTP://WWW.News.Example.COM:80/a//b/?b=2&utm_source=x&a=1#f"
+    val html = "<p>Hello <b>world</b></p><script>x()</script>&amp;lt;"
+    val (sqlCanon, sqlDom, sqlText) = withExtensionSession { s =>
+      val r = s.sql(
+        s"""SELECT canonical_url('$url') AS c,
+           |       registrable_domain('news.example.com') AS d,
+           |       strip_html('$html') AS t""".stripMargin).collect().head
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+    val scala = Seq((url, html)).toDF("u", "h")
+      .select(graft.ops.Web.canonicalUrl(col("u")),
+        graft.ops.Web.registrableDomain(lit("news.example.com")),
+        graft.ops.TextAnalysis.stripHtml(col("h")))
+      .collect().head
+    sqlCanon shouldBe scala.getString(0)
+    sqlDom shouldBe scala.getString(1)
+    sqlText shouldBe scala.getString(2)
+    sqlCanon shouldBe "http://news.example.com/a/b?a=1&b=2"
+  }
 }
