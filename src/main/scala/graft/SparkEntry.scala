@@ -1555,7 +1555,7 @@ object SparkEntry {
       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) AS hp,
       |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS rawq
       |  FROM u
       |), hostp AS (
       |  SELECT doc_id, url, scheme, rawpath, rawq,
@@ -1565,11 +1565,18 @@ object SparkEntry {
       |           ELSE hp END,
       |      '^www\.', '') AS host
       |  FROM parts
+      |), hostb AS (
+      |  SELECT *, regexp_replace(regexp_replace(regexp_replace(host,
+      |    '^[^/@]*@', ''), ':[0-9]+$', ''), '\.$', '') AS bh
+      |  FROM hostp
       |), pieces AS (
+      |  -- domain over the BARE host (userinfo / any port / FQDN dot
+      |  -- stripped), mirroring Web.bareHost; no-op on this fixture but
+      |  -- kept character-identical with the Scala chain
       |  SELECT doc_id, url, scheme, host,
-      |    CASE WHEN regexp_matches(host, '[^.]+\.[^.]+$')
-      |         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-      |         ELSE host END AS domain,
+      |    CASE WHEN regexp_matches(bh, '[^.]+\.[^.]+$')
+      |         THEN regexp_extract(bh, '([^.]+\.[^.]+)$', 1)
+      |         ELSE bh END AS domain,
       |    CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/+$', '') = ''
       |         THEN '/'
       |         ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/+$', '') END AS path,
@@ -1578,7 +1585,7 @@ object SparkEntry {
       |    COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
       |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z]*|fbclid|gclid|ref)='))),
       |      '&'), '') AS q
-      |  FROM hostp
+      |  FROM hostb
       |), canon AS (
       |  SELECT doc_id, url, host, domain,
       |    CASE WHEN host = '' THEN NULL

@@ -62,21 +62,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // re-expressed as SQL functions — an injected builder may return a
     // composite expression tree, so SQL users get bit-identical
     // canonicalization/extraction to the Scala pipeline.
-    def columnMacro(name: String, arity: Int,
+    def columnMacro(name: String, owner: String, arity: Int,
                     f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
     : Unit =
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo("graft.ops.Web", name),
+        new ExpressionInfo(owner, name),
         (children: Seq[Expression]) => {
           require(children.size == arity, s"$name takes $arity argument(s)")
           org.apache.spark.sql.GraftBridge.expressionEager(
             f(children.map(org.apache.spark.sql.GraftBridge.column)))
         }))
 
-    columnMacro("canonical_url", 1, cs => graft.ops.Web.canonicalUrl(cs.head))
-    columnMacro("registrable_domain", 1,
+    columnMacro("canonical_url", "graft.ops.Web", 1,
+      cs => graft.ops.Web.canonicalUrl(cs.head))
+    columnMacro("registrable_domain", "graft.ops.Web", 1,
       cs => graft.ops.Web.registrableDomain(cs.head))
-    columnMacro("strip_html", 1, cs => graft.ops.TextAnalysis.stripHtml(cs.head))
+    columnMacro("strip_html", "graft.ops.TextAnalysis", 1,
+      cs => graft.ops.TextAnalysis.stripHtml(cs.head))
   }
 }

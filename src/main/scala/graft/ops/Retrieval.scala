@@ -36,9 +36,12 @@ object Retrieval {
     require(k >= 0, "rrf k must be non-negative")
     require(topN >= 1, "topN must be positive")
     val contribs = rankings.map { r =>
-      r.filter(col(idCol).isNotNull && col(rankCol).isNotNull)
-        .select(col(idCol).cast("long").as("doc_id"),
+      // null-filter AFTER the long cast: a non-numeric id casts to null,
+      // and filtering before the cast would quietly merge every such row
+      // into one doc_id=null mega-group instead of dropping it
+      r.select(col(idCol).cast("long").as("doc_id"),
           expr(s"1000000 div ($k + CAST(`$rankCol` AS BIGINT))").as("_c"))
+        .filter(col("doc_id").isNotNull && col("_c").isNotNull)
     }
     contribs.reduce(_ unionAll _)
       .groupBy("doc_id")
@@ -76,14 +79,19 @@ object Retrieval {
                      docIdCol: String, rankCol: String, relCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
+    // null-filter AFTER the casts (the rrfFuse contract): ids that don't
+    // cast drop instead of collapsing into a null join key
     val r = ranking.select(col(queryIdCol).cast("long").as("query_id"),
-      col(docIdCol).cast("long").as("doc_id"),
-      col(rankCol).cast("long").as("rank"))
+        col(docIdCol).cast("long").as("doc_id"),
+        col(rankCol).cast("long").as("rank"))
+      .filter(col("query_id").isNotNull && col("doc_id").isNotNull &&
+        col("rank").isNotNull)
     val q = qrels
       .filter(col(relCol).isNotNull && col(relCol) >= 1)
       .select(col(queryIdCol).cast("long").as("query_id"),
         col(docIdCol).cast("long").as("doc_id"),
         col(relCol).cast("long").as("rel"))
+      .filter(col("query_id").isNotNull && col("doc_id").isNotNull)
     // judged totals + ideal DCG: gains sorted descending (rel desc) fill
     // ideal ranks 1..n_rel; fold over the (−rel)-sorted array = rank order
     val ln2 = lit(math.log(2.0))

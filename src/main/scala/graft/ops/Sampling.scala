@@ -547,9 +547,15 @@ object Sampling {
     val weights = sizes.withColumn("_w_ppm",
       floor(lit(1000000.0) * w).cast("long"))
     val totalW = weights.agg(sum(col("_w_ppm")).as("_tw"))
+    // quota in DECIMAL(38,0): budget × w_ppm overflows LONG at roughly
+    // budget·√n > 9.2e12 (e.g. a 1e8-row budget against a 1e10-row
+    // source) — exactly the scale the operator claims; decimal div
+    // keeps the arithmetic exact and engine-reproducible at any size
     val quotas = weights.crossJoin(broadcast(totalW))
       .select(col(sourceCol),
-        least(col("_n"), expr(s"${budget}L * _w_ppm div _tw")).as("_quota"))
+        least(col("_n"), expr(
+          s"CAST(CAST(${budget} AS DECIMAL(38,0)) * _w_ppm div _tw AS BIGINT)"))
+          .as("_quota"))
     rows.withColumn("_hr", hashRank(sourceCol, keyCol))
       .join(broadcast(quotas), Seq(sourceCol))
       .filter(col("_hr") <= col("_quota"))

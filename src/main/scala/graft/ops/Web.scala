@@ -41,15 +41,28 @@ object Web {
     regexp_replace(noPort, "^www\\.", "")
   }
 
+  /** Host reduced to its bare DNS name for domain-identity purposes:
+    * userinfo (`user@`), ANY port (not just scheme defaults — a
+    * non-default port is a real origin for `url_canon`, but
+    * `spam.com:8080` is still the site `spam.com` to a blocklist or a
+    * quota), and the FQDN trailing dot all stripped.
+    */
+  def bareHost(host: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(host,
+      "^[^/@]*@", ""), ":[0-9]+$", ""), "\\.$", "")
+
   /** Registrable domain, last-two-labels heuristic (`a.b.c.com` →
-    * `c.com`). A full public-suffix-list resolver would treat
+    * `c.com`), over the [[bareHost]] form so ports/userinfo never split
+    * domain identity. A full public-suffix-list resolver would treat
     * multi-label suffixes (`co.uk`) correctly; the PSL is a data file,
     * not an algorithm change — swap the regexp for a suffix-table join
     * to upgrade. Hosts with fewer than two labels pass through whole.
     */
-  def registrableDomain(host: Column): Column =
-    when(host.rlike("[^.]+\\.[^.]+$"), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
-      .otherwise(host)
+  def registrableDomain(host: Column): Column = {
+    val h = bareHost(host)
+    when(h.rlike("[^.]+\\.[^.]+$"), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(h)
+  }
 
   /** Canonical path: duplicate slashes collapsed, trailing slash
     * stripped, empty path rendered as `/`.
@@ -64,10 +77,14 @@ object Web {
   /** Canonical query string: split on `&`, drop empty params and
     * tracking params (`utm_*`, `fbclid`, `gclid`, `ref`), sort the
     * survivors (param order is transport noise), rejoin. Empty result →
-    * empty string (no `?` in the canonical form).
+    * empty string (no `?` in the canonical form). The match is anchored
+    * to the PRE-FRAGMENT prefix (`^[^#]*`) — a `?` that first appears
+    * inside the fragment (`/p#section?x=1`, hash-bang SPA routes) is
+    * client-side state, not a query, and must not leak into the
+    * canonical key.
     */
   private def urlQuery(u: Column): Column = {
-    val raw = regexp_extract(u, "\\?([^#]*)", 1)
+    val raw = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
     val params = filter(split(raw, "&"),
       p => p =!= "" && !p.rlike("^(utm_[A-Za-z]*|fbclid|gclid|ref)="))
     array_join(array_sort(params), "&")
@@ -166,7 +183,9 @@ object Web {
   def filterBlockedDomains(df: DataFrame, urlCol: String, keyCol: String,
                            blocklist: DataFrame, blockedCol: String): DataFrame = {
     val b = blocklist.select(lower(col(blockedCol)).as("_blocked")).distinct()
-    val withHost = df.withColumn("_host", urlHost(col(urlCol)))
+    // match on the BARE host: 'spam.com:8080', 'x@spam.com' and
+    // 'spam.com.' are all the blocked site, whatever the transport form
+    val withHost = df.withColumn("_host", bareHost(urlHost(col(urlCol))))
     val hitKeys = withHost
       .select(col(keyCol), explode(hostSuffixes(col("_host"))).as("_sfx"))
       .join(b, col("_sfx") === col("_blocked"), "left_semi")

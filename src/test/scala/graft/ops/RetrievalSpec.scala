@@ -46,6 +46,22 @@ class RetrievalSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString should include ("TakeOrderedAndProject")
   }
 
+  test("rrfFuse: uncastable ids fail loudly under ANSI, never collapse to a null group") {
+    // ANSI (this engine's default): the long cast of 'doc-1' ERRORS —
+    // garbage ids are a caller bug, not a mergeable null key. Under
+    // ANSI-off deployments the cast nulls and the post-cast filter
+    // drops the row; either way no doc_id=null mega-group can form.
+    val a = Seq(("doc-1", 1L), ("7", 2L)).toDF("id", "rank")
+    val ex = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(a), "id", "rank").collect()
+    }
+    ex.getMessage should include ("CAST_INVALID_INPUT")
+    // numeric-string ids are fine and keep their value
+    val ok = Seq(("7", 1L)).toDF("id", "rank")
+    Retrieval.rrfFuse(Seq(ok), "id", "rank")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(7L)
+  }
+
   test("rankByScore ranks by (score desc, id) on the rounded score") {
     val scored = Seq((10L, 2.5), (11L, 3.5), (12L, 2.5)).toDF("id", "score")
     Retrieval.rankByScore(scored, "id", "score")

@@ -93,6 +93,29 @@ class WebSpec extends SparkSpec {
     kept shouldBe Set(3L, 4L, 5L)
   }
 
+  test("filterBlockedDomains: transport forms of a blocked site cannot slip through") {
+    val rows = Seq(
+      (1L, "https://spam.com:8080/x"),   // non-default port
+      (2L, "https://u@spam.com/y"),      // userinfo
+      (3L, "https://spam.com./z"),       // FQDN trailing dot
+      (4L, "https://ok.org:8080/w"))     // same forms on an unblocked site
+      .toDF("doc_id", "url")
+    val block = Seq("spam.com").toDF("domain")
+    Web.filterBlockedDomains(rows, "url", "doc_id", block, "domain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(4L)
+    // and domain identity ignores the port for quotas too
+    Web.canonicalize(rows, "url").select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .view.filterKeys(_ <= 3L).toMap.values.toSet shouldBe Set("spam.com")
+  }
+
+  test("a '?' that first appears inside the fragment is not a query") {
+    val got = canon("https://a.com/p#section?x=1",
+      "https://a.com/#!/view?id=3")
+    got("https://a.com/p#section?x=1")._3 shouldBe "https://a.com/p"
+    got("https://a.com/#!/view?id=3")._3 shouldBe "https://a.com/"
+  }
+
   test("filterBlockedDomains plans equi-joins only — no nested loop at any blocklist size") {
     val rows = (1L to 50L).map(i => (i, s"https://site$i.com/p")).toDF("doc_id", "url")
     val block = (1L to 10L).map(i => s"site$i.com").toDF("domain")
