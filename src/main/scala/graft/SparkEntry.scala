@@ -388,6 +388,15 @@ object SparkEntry {
         budget = 300L, alphaQuarters = 2)
         .select(col("doc_id"), col("lang"))),
 
+    // epoch-salted reshuffle: a DIFFERENT but fully reproducible
+    // permutation per training epoch
+    "q_epoch_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.epochShuffle(
+        table(s, dir, "events").select(col("event_id"))
+          .filter(col("event_id").isNotNull),
+        "event_id", shards = 8, epoch = 2)
+        .select(col("event_id"), col("epoch"), col("shard"), col("pos"))),
+
     // deterministic training-shard manifest: (shard, pos) from key
     // hashes only — rebuild/resume/engine-stable output layout
     "q_shard_manifest" -> ((s, dir) =>
@@ -2297,6 +2306,19 @@ object SparkEntry {
         |SELECT event_id, shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
         |    ORDER BY md5(event_id::VARCHAR), event_id) AS BIGINT) AS pos
+        |FROM b""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT event_id FROM events WHERE event_id IS NOT NULL
+        |), b AS (
+        |  SELECT event_id,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':2'), 1, 8))::BIGINT % 8 AS shard
+        |  FROM d
+        |)
+        |SELECT event_id, CAST(2 AS BIGINT) AS epoch, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY md5(event_id::VARCHAR || ':2'), event_id) AS BIGINT) AS pos
         |FROM b""".stripMargin,
 
     "q_url_canon" ->

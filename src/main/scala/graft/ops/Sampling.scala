@@ -587,4 +587,28 @@ object Sampling {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(h, col(keyCol))).cast("long"))
   }
+
+  /** Per-epoch reshuffle of the training order — [[shardManifest]]'s
+    * twin with the hash salted by the epoch number: each epoch sees a
+    * DIFFERENT permutation (SGD wants fresh order every pass) that is
+    * still fully deterministic and SQL-auditable (resume/replay
+    * reproduces epoch k's order exactly, on any engine). The salt
+    * always participates (`key || ':' || epoch`), so no epoch is
+    * accidentally the unsalted [[shardManifest]] order. Same scale
+    * posture: map-side bucket, `shards`-way-parallel position windows.
+    * Output: input rows + (epoch, shard, pos).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, shards: Int,
+                   epoch: Int): DataFrame = {
+    require(shards >= 1, "need at least one shard")
+    require(epoch >= 0, "epoch must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val salted = concat(col(keyCol).cast("string"), lit(s":$epoch"))
+    val h = md5(salted.cast("binary"))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("epoch", lit(epoch.toLong))
+      .withColumn("shard", hashBucket(salted, shards))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(h, col(keyCol))).cast("long"))
+  }
 }

@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     // suffix-semi + anti pair; mixture/fusion budgets include their
     // tiny-frame (≤|sources|-row / ≤|lists|-row) exchanges
     "q_url_canon" -> 0, "q_domain_cap" -> 1, "q_shard_manifest" -> 1,
+    "q_epoch_shuffle" -> 1,
     "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 7,
     "q_html_strip" -> 0, "q_sentences" -> 0, "q_standardize" -> 1,
     "q_bigram_lm" -> 6, "q_rank_metrics" -> 2, "q_http_parse" -> 0)

@@ -386,6 +386,22 @@ class SamplingSpec extends SparkSpec {
     got.toSet shouldBe again.toSet
   }
 
+  test("epochShuffle: distinct epochs permute differently; each epoch is deterministic") {
+    val df = (1L to 300L).map(i => s"k$i").toDF("key")
+    def order(epoch: Int, d: org.apache.spark.sql.DataFrame = df) =
+      Sampling.epochShuffle(d, "key", shards = 4, epoch = epoch)
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val e1 = order(1); val e2 = order(2)
+    e1 should not be e2                      // fresh permutation per epoch
+    order(1, df.repartition(7)) shouldBe e1  // …but each epoch reproducible
+    // positions are still a contiguous run per shard
+    val byShard = Sampling.epochShuffle(df, "key", 4, 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).groupBy(_._1)
+    byShard.values.foreach { rows =>
+      rows.map(_._2).sorted.toSeq shouldBe (1L to rows.length).toSeq
+    }
+  }
+
   test("shardManifest append-stability: new keys never reorder surviving neighbors") {
     val base = (1L to 200L).map(i => s"k$i").toDF("key")
     val grown = (1L to 260L).map(i => s"k$i").toDF("key")
