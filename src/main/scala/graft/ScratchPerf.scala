@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dev scratch bench: stage-by-stage probes for whichever query family is
-  * under the profiler this round. Round 8: decompose q_top_paths and
-  * q_sample_stratified (the two 5× outliers of the round-7 10× table)
-  * into scan / per-row-kernel / shuffle stages to attribute the factor.
+  * under the profiler this round. Round 9: decompose the df-bounded
+  * dedup/containment candidate path (the r8 bench's two slowest entries)
+  * into shingling / df-agg / pairing / verify stages, and compare the
+  * posting self-join pairing against the posting-list-collapse tier.
   */
 object ScratchPerf {
   def main(args: Array[String]): Unit = {
@@ -20,33 +21,59 @@ object ScratchPerf {
       }
       println(f"[scratch] $name%-28s ${times.sorted.apply(1)}%.2f s (median of 3)")
     }
-    val events = TestTables.table(spark, sfDir, "events")
-
-    // --- q_sample_stratified decomposition
-    t("strat:scan-only")(events.na.drop(Seq("event_id", "event_type")))
-    t("strat:md5-filter") {
-      val d = events.na.drop(Seq("event_id", "event_type"))
-      d.filter(graft.ops.Sampling.hashBucket(col("event_id"), 100) < lit(50))
+    val docs = TestTables.table(spark, sfDir, "documents")
+    val d = {
+      val n = docs.filter(col("doc_id").isNotNull && col("text").isNotNull).count()
+      math.max(5L, n / 100L).toInt
     }
-    t("strat:full")(
-      graft.ops.Sampling.stratifiedSampleByHash(
-        events.na.drop(Seq("event_id", "event_type")),
-        "event_id", "event_type",
-        Map("click" -> 5, "purchase" -> 100, "error" -> 50))
-        .groupBy("event_type").agg(count(lit(1)).as("n")))
+    println(s"[scratch] relMaxDf bound d = $d")
 
-    // --- q_top_paths decomposition
-    t("paths:scan-only")(events.na.drop(Seq("user_id", "ts", "event_type")))
-    t("paths:windowlimit") {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"), col("event_type"))
-      events.na.drop(Seq("user_id", "ts", "event_type"))
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 3)
+    val sets = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    t("shingle+explode")(posting)
+    val dfAgg = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+    t("df-agg")(dfAgg)
+    val keep = dfAgg.filter(col("df") <= d).select("sh")
+    val bounded = posting.join(keep, "sh")
+    t("bounded-postings")(bounded)
+
+    // old pairing: posting self-join + distinct
+    t("pairs:selfjoin") {
+      val a = bounded.select(col("sh"), col("doc_id").as("a_id"))
+      val b = bounded.select(col("sh"), col("doc_id").as("b_id"))
+      a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
     }
-    t("paths:full")(
-      graft.ops.Funnel.topPaths(events, "user_id", "ts", "event_type", "event_id", k = 3))
+    // new pairing: collapse identical posting lists, explode pairs
+    t("pairs:collapse") {
+      val lists = bounded.groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("_docs"))
+        .filter(size(col("_docs")) >= 2)
+        .select("_docs").distinct()
+      lists.select(explode(col("_docs")).as("a_id"), col("_docs"))
+        .select(col("a_id"),
+          explode(filter(col("_docs"), b => b > col("a_id"))).as("b_id"))
+        .distinct()
+    }
+    // stats: gram/list duplication factor and candidate volume
+    val lists = bounded.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("_docs"))
+      .filter(size(col("_docs")) >= 2).cache()
+    val nGrams = lists.count()
+    val nLists = lists.select("_docs").distinct().count()
+    val pairVolGram = lists.select(sum(expr("cast(size(_docs) as bigint) * (size(_docs) - 1) div 2"))).head.getLong(0)
+    val distinctLists = lists.select("_docs").distinct()
+    val pairVolList = distinctLists.select(sum(expr("cast(size(_docs) as bigint) * (size(_docs) - 1) div 2"))).head.getLong(0)
+    val cands = distinctLists.select(explode(col("_docs")).as("a_id"), col("_docs"))
+      .select(col("a_id"), explode(filter(col("_docs"), b => b > col("a_id"))).as("b_id"))
+      .distinct()
+    val nCands = cands.cache().count()
+    println(s"[scratch] grams(df in [2,$d])=$nGrams distinctLists=$nLists " +
+      s"pairVol(gram)=$pairVolGram pairVol(list)=$pairVolList distinctCands=$nCands")
 
+    // verify stage cost on the candidate set
+    t("verify:exact-jaccard")(
+      graft.ops.Dedup.verifyExactJaccard(cands, sets, 0.5))
     spark.stop()
   }
 }

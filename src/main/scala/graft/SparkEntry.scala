@@ -565,6 +565,30 @@ object SparkEntry {
         table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45,
         allowLowTau = true)),
 
+    // PRODUCTION-regime SemDeDup (r8 verdict #3): τ=0.9, 8 bands × 8
+    // bits (the 64-plane packed-signature layout) — the config a 100 TB
+    // run ships: a random pair collides in ~3% of bands, so bucket
+    // size, not corpus size, bounds the join. The driver corpus
+    // has no pair above cosine 0.7, so the entry plants deterministic
+    // high-τ twins: every 10th vector gets a 0.5-SCALED copy. Power-of-
+    // two scaling is exact in IEEE arithmetic end to end (products,
+    // fold partial sums, sqrt all commute with 2^-1), so the twin's
+    // cosine equals the original's self-cosine tree ≈ 1.0 bit-for-bit
+    // on BOTH engines, and its sign-LSH signature is bit-identical to
+    // the original's → the banded path finds every planted pair
+    // deterministically, at any scale, while random pairs stay <0.7.
+    "q_semdedup_prod" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val twins = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      graft.ops.Similarity.semDedupDrops(
+        e.unionAll(twins), "vec_id", "embedding",
+        tau = 0.9, nPlanes = 64, bandBits = 8)
+    }),
+
     // fixed-centroid cluster assignment: pure map-side argmax-cosine over
     // the pinned centroid constant (cluster-balanced curation's building
     // block); 0 shuffles by construction
@@ -1564,7 +1588,7 @@ object SparkEntry {
       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) AS hp,
       |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
-      |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS rawq
+      |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
       |  FROM u
       |), hostp AS (
       |  SELECT doc_id, url, scheme, rawpath, rawq,
@@ -2436,6 +2460,39 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |), pr AS (
          |  SELECT a_id, b_id FROM p WHERE sim >= 0.45
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION
+         |  SELECT b_id, a_id FROM pr
+         |), reach(node, root) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+         |), cl AS (
+         |  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
+         |)
+         |SELECT doc_id AS dropped_id, cluster_id AS rep_id
+         |FROM cl WHERE doc_id <> cluster_id""".stripMargin,
+
+    // same reachability contract at the production τ=0.9 over the
+    // twin-planted corpus; x::DOUBLE * 0.5 lands on the exact value
+    // Spark's float 0.5f*x casts to (power-of-two scaling is exact)
+    "q_semdedup_prod" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |), corpus AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+         |  FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * 0.5)
+         |  FROM base WHERE vec_id % 10 = 0
+         |), p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |), pr AS (
+         |  SELECT a_id, b_id FROM p WHERE sim >= 0.9
          |), edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM pr
          |  UNION

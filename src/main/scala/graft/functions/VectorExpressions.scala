@@ -196,6 +196,73 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Sign-LSH band keys from an array<double> vector: bit p of the
+    * signature is `sign(v · planes[p])`, packed into
+    * `planes.length / bandBits` keys (bit j of key k is plane
+    * `k·bandBits + j`). One kernel node with the plane matrix as a
+    * REFERENCE OBJECT — the declarative rendering (one `dotD` node per
+    * plane, each with a `dim`-literal array) put nPlanes·dim ≈ 4 096
+    * literals into the plan, and ANALYSIS + codegen of that tree, not
+    * execution, dominated every banded-LSH query at bench scale
+    * (measured r9: the pair stage of q_semdedup_prod at 2 200 vectors
+    * spent ~3.5 s/run almost entirely in planning). Arithmetic is the
+    * same left-to-right dot fold as [[DotProductDouble]], so keys are
+    * bit-identical to the per-plane rendering.
+    */
+  case class SignBandKeys(child: Expression, planes: Array[Array[Double]],
+                          bandBits: Int)
+      extends UnaryExpression {
+
+    require(planes.nonEmpty && planes.length % bandBits == 0,
+      "nPlanes must divide into bands")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "sign_band_keys"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val nPlanes = planes.length
+      val keys = new Array[Long](nPlanes / bandBits)
+      var p = 0
+      while (p < nPlanes) {
+        val row = planes(p)
+        val n = math.min(v.numElements(), row.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * row(i); i += 1 }
+        if (s >= 0) keys(p / bandBits) |= (1L << (p % bandBits))
+        p += 1
+      }
+      ArrayData.toArrayData(keys)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("signPlanes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, v => {
+        // Fresh names — see DotProductDouble.doGenCode.
+        val keys = ctx.freshName("keys")
+        val p    = ctx.freshName("p")
+        val row  = ctx.freshName("row")
+        val n    = ctx.freshName("n")
+        val s    = ctx.freshName("s")
+        val i    = ctx.freshName("i")
+        s"""
+           |long[] $keys = new long[${planes.length / bandBits}];
+           |for (int $p = 0; $p < ${planes.length}; $p++) {
+           |  double[] $row = $planesRef[$p];
+           |  int $n = java.lang.Math.min($v.numElements(), $row.length);
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) { $s += $v.getDouble($i) * $row[$i]; }
+           |  if ($s >= 0) $keys[$p / $bandBits] |= (1L << ($p % $bandBits));
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($keys);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def dotD(a: Column, b: Column): Column =
     GraftBridge.column(DotProductDouble(
       GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -205,4 +272,7 @@ object VectorExpressions {
 
   def simhashSig(xs: Column): Column =
     GraftBridge.column(SimHashSig(GraftBridge.expression(xs)))
+
+  def signBandKeys(v: Column, planes: Array[Array[Double]], bandBits: Int): Column =
+    GraftBridge.column(SignBandKeys(GraftBridge.expression(v), planes, bandBits))
 }

@@ -128,8 +128,15 @@ object Graph {
   def triangles(df: DataFrame, basketCol: String, itemCol: String,
                 minSupport: Long = 2L,
                 maxBasketSize: Int = 1000): DataFrame = {
+    // The edge set is referenced THREE times below (e1/e2/e3); without
+    // materialization the whole co-occurrence derivation (explode →
+    // pair join → support agg) is planned and EXECUTED three times —
+    // measured as 24 planned exchanges and the r8 bench's 2.3× drift.
+    // Support-filtered edges are small relative to the corpus (that is
+    // the filter's job), so one MEMORY_AND_DISK cache is the scale-safe
+    // shape, same discipline as Dedup.shingleSets.
     val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
-      .select("a", "b")
+      .select("a", "b").cache()
     val e1 = e
     val e2 = e.select(col("a").as("b"), col("b").as("c"))
     val e3 = e.select(col("a"), col("b").as("c"))

@@ -538,14 +538,20 @@ object Sampling {
     val rows = df.filter(col(sourceCol).isNotNull && col(keyCol).isNotNull)
     val sizes = rows.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
     val nD = col("_n").cast("double")
-    val w: Column = alphaQuarters match {
-      case 1 => sqrt(sqrt(nD))
-      case 2 => sqrt(nD)
-      case 3 => sqrt(nD) * sqrt(sqrt(nD))
-      case _ => nD
+    // α = 1 stays in pure BIGINT arithmetic: `floor(1e6 · n)` through a
+    // double stops being exact above n ≈ 2^53/1e6 ≈ 9e9 rows per
+    // source, while `n * 1 000 000L` is exact to ~9.2e12 (past which
+    // Spark's ANSI overflow check fails LOUDLY instead of drifting).
+    // The sqrt branches keep the double route — sqrt is IEEE-correctly
+    // rounded, and their magnitudes are √n ≤ ~3e6 ppm-scaled, far
+    // inside the exact-double range.
+    val wPpm: Column = alphaQuarters match {
+      case 1 => floor(lit(1000000.0) * sqrt(sqrt(nD))).cast("long")
+      case 2 => floor(lit(1000000.0) * sqrt(nD)).cast("long")
+      case 3 => floor(lit(1000000.0) * (sqrt(nD) * sqrt(sqrt(nD)))).cast("long")
+      case _ => col("_n") * lit(1000000L)
     }
-    val weights = sizes.withColumn("_w_ppm",
-      floor(lit(1000000.0) * w).cast("long"))
+    val weights = sizes.withColumn("_w_ppm", wPpm)
     val totalW = weights.agg(sum(col("_w_ppm")).as("_tw"))
     // quota in DECIMAL(38,0): budget × w_ppm overflows LONG at roughly
     // budget·√n > 9.2e12 (e.g. a 1e8-row budget against a 1e10-row

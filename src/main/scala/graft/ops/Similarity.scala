@@ -126,21 +126,22 @@ object Similarity {
                   bandBits: Int = 8, seed: Long = 7L): DataFrame = {
     require(nPlanes % bandBits == 0, "nPlanes must divide into bands")
     val ps = planes(dim, nPlanes, seed)
-    // One array<double> cast per row, then nPlanes codegen'd primitive
-    // dot kernels — the HOF version (zip_with + aggregate per plane) is
-    // interpreted and dominated signature time at nPlanes = 64.
-    val vd = col("_vd_sig")
-    val bits: Seq[Column] = ps.toIndexedSeq.map { p =>
-      val pArr = array(p.toIndexedSeq.map(lit(_)): _*)
-      when(graft.functions.VectorExpressions.dotD(vd, pArr) >= 0, lit(1)).otherwise(lit(0))
-    }
-    val bands = bits.grouped(bandBits).zipWithIndex.map { case (bs, i) =>
-      struct(lit(i).as("band"),
-        bs.zipWithIndex.map { case (b, j) => b * (1 << j) }.reduce(_ + _).as("key"))
-    }.toSeq
-    df.withColumn("_vd_sig", asDouble(col(vecCol)))
-      .withColumn("_bands", array(bands: _*))
-      .drop("_vd_sig")
+    // ONE kernel node with the plane matrix as a reference object. The
+    // previous rendering (nPlanes `dotD` nodes, each with a dim-literal
+    // plane array) put nPlanes·dim literals into the plan, and analysis
+    // + codegen of that tree dominated every banded query's wall time
+    // at bench scale (see SignBandKeys's scaladoc). Key arithmetic is
+    // bit-identical: same left-to-right dot fold, same `>= 0` sign,
+    // same little-endian bit packing per band.
+    val bandsN = nPlanes / bandBits
+    val keys = graft.functions.VectorExpressions
+      .signBandKeys(asDouble(col(vecCol)), ps, bandBits)
+    df.withColumn("_keys_sig", keys)
+      .withColumn("_bands",
+        transform(sequence(lit(0), lit(bandsN - 1)),
+          i => struct(i.as("band"),
+            element_at(col("_keys_sig"), i + 1).as("key"))))
+      .drop("_keys_sig")
   }
 
   /** Approximate top-k: candidates share at least one signature band with

@@ -84,7 +84,12 @@ object Web {
     * canonical key.
     */
   private def urlQuery(u: Column): Column = {
-    val raw = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
+    // `[^#?]*` anchors the delimiter to the FIRST pre-fragment '?'
+    // (matching urlPath's stop): '?' is legal INSIDE a query string,
+    // so the greedy `[^#]*\?` form would treat the LAST '?' as the
+    // delimiter and silently drop `a=1?` from `/p?a=1?b=2`, collapsing
+    // distinct URLs onto one canonical dedup key.
+    val raw = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val params = filter(split(raw, "&"),
       p => p =!= "" && !p.rlike("^(utm_[A-Za-z]*|fbclid|gclid|ref)="))
     array_join(array_sort(params), "&")
@@ -179,6 +184,12 @@ object Web {
     * blocklist on the suffix key (AQE broadcasts when the list is
     * small), and the hit keys anti-join back. No nested loop at any
     * blocklist size.
+    *
+    * Contract: `keyCol` must uniquely identify rows (the same contract
+    * as [[Sampling.capPerGroup]]'s hash-rank key). The anti-join drops
+    * every row CARRYING a hit key, so a non-unique key would silently
+    * drop an unblocked row that happens to share its key with a
+    * blocked one.
     */
   def filterBlockedDomains(df: DataFrame, urlCol: String, keyCol: String,
                            blocklist: DataFrame, blockedCol: String): DataFrame = {

@@ -75,7 +75,10 @@ class PlanAuditSpec extends SparkSpec {
   private val shuffleBudget: Map[String, Int] = Map(
     "kpi_user" -> 1, "kpi_genre_daily" -> 2, "kpi_genre_top_songs" -> 2,
     "kpi_genre_top_genres" -> 3, "kpi_trending" -> 4,
-    "q_dedup_exact" -> 1, "q_dedup_canonical" -> 5,
+    // canonical raised 5 → 10 in r9: the count-prune candidate tier adds
+    // the per-doc bounded-count agg + two doc-stats joins — all ≤|docs|-row
+    // frames, traded for the ~1000× cut in full-array verify volume
+    "q_dedup_exact" -> 1, "q_dedup_canonical" -> 10,
     "q_bpe_tokens" -> 0, "q_token_counts" -> 0,
     "q_boilerplate" -> 3, "q_sample_stratified" -> 1,
     "q_top_paths" -> 2, "q_sessions" -> 1, "q_asof_join" -> 1,
@@ -87,7 +90,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_epoch_shuffle" -> 1,
     "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 7,
     "q_html_strip" -> 0, "q_sentences" -> 0, "q_standardize" -> 1,
-    "q_bigram_lm" -> 6, "q_rank_metrics" -> 2, "q_http_parse" -> 0)
+    "q_bigram_lm" -> 6, "q_rank_metrics" -> 2, "q_http_parse" -> 0,
+    // r9 pins (the r8 verdict's drift watchlist): triangles is 4 AFTER
+    // the edge-set cache (was 24 — the whole co-occurrence derivation
+    // planned three times); the maxdf pair is the count-prune tier
+    "q_triangles" -> 4, "q_serve_ids" -> 9, "q_overlap_matrix" -> 9,
+    "q_dedup_pairs_maxdf" -> 8, "q_containment_maxdf" -> 8)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.
