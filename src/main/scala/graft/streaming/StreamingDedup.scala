@@ -43,11 +43,18 @@ object StreamingDedup {
     * dedup op must never discard rows it cannot compare.
     */
   def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
-                 watermark: String = "1 hour"): DataFrame = {
+                 watermark: String = "1 hour"): DataFrame =
+    dedupExactWatermarked(docs.withWatermark(tsCol, watermark), textCol)
+
+  /** [[dedupExact]] over a frame whose watermark is ALREADY set —
+    * the composition entry point: Spark disallows redefining a
+    * watermark, so a chained pipeline ([[StreamingCuration]]) sets it
+    * once upstream and every stateful stage downstream rides it.
+    */
+  def dedupExactWatermarked(docs: DataFrame, textCol: String): DataFrame = {
     val fingerprinted = docs
       .withColumn("fingerprint",
         md5(graft.ops.TextAnalysis.normalizeText(col(textCol)).cast("binary")))
-      .withWatermark(tsCol, watermark)
     fingerprinted
       .filter(col(textCol).isNotNull)
       .dropDuplicatesWithinWatermark("fingerprint")

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.ops.{Sampling, TextAnalysis, Web}
+
+final case class Fetch(doc_id: Long, url: String, raw: String, ts: Timestamp)
+
+/** Convergence gate for [[StreamingCuration]] (r8 verdict #5): the
+  * streaming chain over the `CurationPipelineSpec` crawl corpus must
+  * land on the SAME curated set as the batch chain. Representatives
+  * may differ (streaming keeps the first arrival, batch the hash-min
+  * key), so the asserted surface is the representative-independent
+  * one: the (url_canon, content-fingerprint) set, the per-stage
+  * decision counts, and the shard assignment of every survivor.
+  */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = Timestamp.valueOf(f"2024-06-25 08:${i / 60}%02d:${i % 60}%02d")
+
+  // the CurationPipelineSpec corpus, plus arrival timestamps in id order
+  private def fetches: Seq[Fetch] = (1 to 200).map { i =>
+    val page = i % 100
+    val dom = s"site${i % 5}.com"
+    val url =
+      if (i < 100) s"https://WWW.$dom:443/p/$page?utm_source=x"
+      else s"https://$dom/p/$page/"
+    val body =
+      if (page < 10) "<p>common boilerplate body shared by many pages</p>"
+      else s"<p>unique content for page $page with enough words to keep</p>"
+    val raw =
+      if (i % 10 == 9) "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"
+      else s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html><body>$body<script>x()</script></body></html>"
+    Fetch(i.toLong, url, raw, ts(i))
+  }
+
+  private val blocklist = Seq("site4.com").toDF("domain")
+
+  // the batch chain from CurationPipelineSpec, stopped at the quality
+  // floor (mixture/manifest are corpus-global, out of streaming scope)
+  private def batchCurated: DataFrame = {
+    val in = fetches.toDF()
+    val parsed = Web.parseHttp(in, "raw")
+      .filter(col("status_code") === 200 && col("content_type") === "text/html")
+      .withColumn("text", TextAnalysis.stripHtml(col("body")))
+    val canon = Sampling.capPerGroup(
+      Web.canonicalize(parsed, "url"), "url_canon", "doc_id", 1)
+    val unblocked = Web.filterBlockedDomains(canon, "url", "doc_id",
+      blocklist, "domain")
+    val deduped = Sampling.capPerGroup(
+      unblocked.withColumn("fingerprint",
+        md5(TextAnalysis.normalizeText(col("text")).cast("binary"))),
+      "fingerprint", "doc_id", 1)
+    deduped.filter(TextAnalysis.tokenCount(col("text")) >= 5)
+  }
+
+  private def streamCurated(batches: Seq[Seq[Fetch]]): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fetch]
+    val q = StreamingCuration.curate(mem.toDF(), "url", "raw", "ts",
+        blocklist, "domain", minTokens = 5, watermark = "2 hours", shards = 8)
+      .writeStream.format("memory").queryName("scuration")
+      .outputMode(OutputMode.Append()).start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table("scuration")
+  }
+
+  test("streaming chain converges to the batch chain's curated set") {
+    val batch = batchCurated.cache()
+    val streamed = streamCurated(Seq(fetches.take(70), fetches.slice(70, 150),
+      fetches.drop(150))).cache()
+
+    // same survivor COUNT and the same CONTENT set (fingerprints);
+    // for content that was never duplicated the representative is
+    // forced, so (url_canon, fp) pairs must agree exactly — only the
+    // boilerplate group may pick a different (equally valid) URL
+    streamed.count() shouldBe batch.count()
+    val boilerFp = batchCurated.sparkSession.range(1)
+      .select(md5(TextAnalysis.normalizeText(TextAnalysis.stripHtml(
+        lit("<p>common boilerplate body shared by many pages</p>"))).cast("binary")))
+      .as[String].head()
+    val key = (df: DataFrame) => df
+      .select(col("url_canon"),
+        md5(TextAnalysis.normalizeText(col("text")).cast("binary")).as("fp"))
+      .as[(String, String)].collect().toSet
+    key(streamed).map(_._2) shouldBe key(batch).map(_._2)
+    key(streamed).filterNot(_._2 == boilerFp) shouldBe
+      key(batch).filterNot(_._2 == boilerFp)
+
+    // batch-chain hand counts (from CurationPipelineSpec): 90 canonical
+    // pages − 10 blocked − 7 collapsed boilerplate dups = 73 survivors
+    batch.count() shouldBe 73L
+
+    // every streamed survivor's shard equals the batch bucket of its
+    // canonical key — a row lands in the same shard whichever tense
+    // curated it
+    val mismatch = streamed
+      .withColumn("_expect", Sampling.hashBucket(col("url_canon"), 8))
+      .filter(col("shard") =!= col("_expect")).count()
+    mismatch shouldBe 0L
+  }
+
+  test("suffix blocklist gate: subdomains blocked, lookalike hosts pass, deep hosts handled") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Fetch(1L, "https://spam.com/a", ok("one"), ts(1)),
+      Fetch(2L, "https://a.spam.com/b", ok("two"), ts(2)),       // subdomain: blocked
+      Fetch(3L, "https://notspam.com/c", ok("three"), ts(3)),    // lookalike: passes
+      Fetch(4L, "https://a.b.c.d.e.spam.com/d", ok("four"), ts(4)), // 7 labels: blocked via deep suffix
+      Fetch(5L, "https://fine.com/e", ok("five"), ts(5)))
+    val out = StreamingCuration.filterBlockedDomainsStream(
+      rows.toDF(), "url", Seq("spam.com").toDF("domain"), "domain")
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(3L, 5L)
+  }
+
+  private def ok(body: String) =
+    s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>$body has words enough to keep around</p>"
+
+  test("streaming URL-dedup keeps the first arrival; batch parity is at the set level") {
+    // originals (ids < 100) arrive a full microbatch before their
+    // url_canon variants (ids ≥ 100), so first-arrival is deterministic
+    val streamed = streamCurated(Seq(fetches.take(100), fetches.drop(100)))
+    val ids = streamed.select("doc_id").as[Long].collect().toSeq
+    all(ids) should be < 100L
+  }
+}
