@@ -219,6 +219,72 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairsMinHash(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
 
+    // winnowing fingerprints (MOSS): per-window minimum gram hash —
+    // the ~2/(w+1)-density substring-dedup index; md5-prefix hashes so
+    // the fingerprint sets are engine-bit-identical
+    "q_winnow" -> ((s, dir) =>
+      graft.ops.Dedup.winnowFingerprints(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, w = 4)),
+
+    // ...and the candidate generator over the winnow index: docs
+    // sharing >= 2 fingerprints (long verbatim runs), equi-join shape
+    "q_winnow_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.winnowCandidatePairs(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, w = 4,
+        minShared = 2)),
+
+    // split-leakage audit: hash 80/10/10 split × exact near-dup pairs →
+    // within/cross-split pair matrix (is your eval set clean?)
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bucket = graft.ops.Sampling.hashBucket(col("doc_id"), 10)
+      val assign = docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          when(bucket < 8, lit("train")).when(bucket < 9, lit("val"))
+            .otherwise(lit("test")).as("split"))
+      val pairs = graft.ops.Dedup.nearDupPairsExact(
+        docs, "doc_id", "text", n = 3, tau = 0.5)
+      graft.ops.Dedup.splitLeakage(pairs, assign)
+    }),
+
+    // Unicode-script profile over a deterministically mixed-script
+    // corpus (per-lang foreign-script suffixes make the shares
+    // non-vacuous on the all-ASCII test table)
+    "q_script_profile" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("lang").isNotNull)
+        .select(col("doc_id"),
+          when(col("lang") === "es", concat(col("text"), lit(" кириллица здесь")))
+            .when(col("lang") === "fr", concat(col("text"), lit(" 中文文本")))
+            .when(col("lang") === "de", concat(col("text"), lit(" النص العربي")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.TextAnalysis.scriptProfile(docs, "doc_id", "text")
+    }),
+
+    // curriculum manifest: shard by hash (unbiased slices), read order
+    // walks short-to-long docs — the easy-first training ramp
+    "q_curriculum" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Sampling.curriculumManifest(docs, "doc_id", "n_tokens", shards = 8)
+    }),
+
+    // calibration bins of the hashed quality classifier against the
+    // lang='en' pseudo-label: does "score 0.8" mean 80%?
+    "q_calibration" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = graft.ops.TextAnalysis.linearQualityScore(
+        docs, "doc_id", "text", qualityWeightsPpm, biasPpm = 250000L)
+      val labeled = scored.join(
+        docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("label")),
+        "doc_id")
+      graft.ops.Stats.calibrationBins(labeled, "score", "label", bins = 10)
+    }),
+
     // exact-collapse THEN near-dup: the composition that keeps pair
     // generation linear when duplication is dominated by exact copies
     // (the measured 100x pathology of running near-dup on raw volume);
@@ -307,6 +373,13 @@ object SparkEntry {
     // rule-based sentence splitting (RE2-portable extraction form)
     "q_sentences" -> ((s, dir) =>
       graft.ops.TextAnalysis.splitSentences(
+        table(s, dir, "documents"), "doc_id", "text")),
+
+    // Flesch / Flesch–Kincaid readability from three one-pass regexp
+    // counts; raw doubles from a fixed tree over exact integers (the
+    // never-round-exact-derived-doubles parity rule)
+    "q_readability" -> ((s, dir) =>
+      graft.ops.TextAnalysis.readability(
         table(s, dir, "documents"), "doc_id", "text")),
 
     // per-event-type z-score standardization of value (exact cents
@@ -1719,6 +1792,33 @@ object SparkEntry {
        |SELECT a_id, b_id, ROUND(ni / (na + nb - ni), 6) AS jaccard
        |FROM p WHERE ni / (na + nb - ni) >= 0.5""".stripMargin
 
+  /** Winnowing fingerprint CTE chain (n = 3, w = 4), shared by
+    * q_winnow and q_winnow_pairs: POSITIONAL 3-gram md5-prefix hashes
+    * (same 15-hex→BIGINT idiom as the Spark side), per-window minima
+    * via a 4-row window frame, docs with fewer than 4 grams degrade to
+    * one global minimum. Ends with CTE `wfp` providing (doc_id, fp).
+    */
+  private val winnowSql =
+    s"""$docToks, base AS (
+       |  SELECT doc_id, toks, len(toks) AS nt FROM d
+       |  WHERE doc_id IS NOT NULL AND len(toks) >= 3
+       |), g AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5(array_to_string(toks[i:i + 2], ' ')), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, toks, unnest(range(1, nt - 1)) AS i FROM base)
+       |), wmin AS (
+       |  SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g
+       |), wfp AS (
+       |  SELECT DISTINCT doc_id, fp FROM wmin WHERE ng >= 4 AND i <= ng - 3
+       |  UNION
+       |  SELECT doc_id, min(h) AS fp FROM g
+       |  GROUP BY doc_id HAVING count(*) < 4
+       |)""".stripMargin
+
   /** Shared by q_containment and its df-bounded variant — both plans
     * must hash-match the same exact oracle.
     */
@@ -1901,6 +2001,111 @@ object SparkEntry {
          |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM sm GROUP BY 1, 2""".stripMargin,
     "q_dedup_pairs_maxdf" -> dedupPairsSql,
+
+    "q_winnow" ->
+      s"""$winnowSql
+         |SELECT doc_id, fp FROM wfp""".stripMargin,
+
+    "q_winnow_pairs" ->
+      s"""$winnowSql
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+         |FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // same shingle/pair CTEs as dedupPairsSql + the md5 hash-split
+    "q_split_leakage" ->
+      s"""$docToks, s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM d WHERE len(toks) >= 3
+         |), p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |), pr AS (
+         |  SELECT a_id, b_id FROM p WHERE ni / (na + nb - ni) >= 0.5
+         |), asg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 < 8
+         |         THEN 'train'
+         |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 < 9
+         |         THEN 'val' ELSE 'test' END AS split
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |)
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |       greatest(sa.split, sb.split) AS split_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       (least(sa.split, sb.split) <> greatest(sa.split, sb.split)) AS is_leak
+         |FROM pr JOIN asg sa ON pr.a_id = sa.doc_id
+         |        JOIN asg sb ON pr.b_id = sb.doc_id
+         |GROUP BY 1, 2, 4""".stripMargin,
+
+    // identical char-class ranges (\x{....} — the syntax Java regex and
+    // RE2 share), 'g' flags for Spark's replace-all, BIGINT-div ppm
+    "q_script_profile" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'es' THEN text || ' кириллица здесь'
+        |         WHEN lang = 'fr' THEN text || ' 中文文本'
+        |         WHEN lang = 'de' THEN text || ' النص العربي'
+        |         ELSE text END AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    (length(t) - length(regexp_replace(t, '[^\s]', '', 'g')))::BIGINT AS n_chars,
+        |    (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))::BIGINT AS lat,
+        |    (length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')))::BIGINT AS cyr,
+        |    (length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')))::BIGINT AS cjk,
+        |    (length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')))::BIGINT AS ar
+        |  FROM m
+        |)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars > 0 THEN CAST((lat * 1000000) // n_chars AS BIGINT) END AS latin_ppm,
+        |  CASE WHEN n_chars > 0 THEN CAST((cyr * 1000000) // n_chars AS BIGINT) END AS cyrillic_ppm,
+        |  CASE WHEN n_chars > 0 THEN CAST((cjk * 1000000) // n_chars AS BIGINT) END AS cjk_ppm,
+        |  CASE WHEN n_chars > 0 THEN CAST((ar * 1000000) // n_chars AS BIGINT) END AS arabic_ppm
+        |FROM c""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |)
+        |SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |       ORDER BY n_tokens, h, doc_id) AS BIGINT) AS pos
+        |FROM t""".stripMargin,
+
+    // the q_quality_model score chain + en-pseudo-label + equal-width bins
+    "q_calibration" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, len(toks) AS n,
+        |    coalesce(list_sum(list_transform(toks, t ->
+        |      ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) * 2654435761)
+        |        % 2000001 - 1000000)), 0) AS sp
+        |  FROM d
+        |), sc AS (
+        |  SELECT doc_id,
+        |    ROUND(1.0 / (1.0 + exp(-(0.25 +
+        |      CASE WHEN n > 0 THEN sp / (n * 1000000.0) ELSE 0.0 END))), 6) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM s WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+        |)
+        |SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(y) AS BIGINT) AS n_pos,
+        |       CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_ppm
+        |FROM sc GROUP BY 1""".stripMargin,
     "q_dedup_minhash"     -> dedupPairsSql,
 
     // from-scratch all-pairs restricted to pairs touching the new batch
@@ -2108,6 +2313,25 @@ object SparkEntry {
         |  CAST(unnest(generate_series(1, len(arr))) - 1 AS BIGINT) AS sentence_idx,
         |  unnest(arr) AS sentence
         |FROM d""".stripMargin,
+
+    // identical regexp passes and an identical double tree over the
+    // three exact integer counts — raw doubles, no rounding
+    "q_readability" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[^.!?\s][^.!?]*'))::BIGINT AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835 - 1.015 * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+        |            - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE) END AS flesch,
+        |  CASE WHEN n_words > 0 THEN
+        |    0.39 * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+        |    + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59 END AS fk_grade
+        |FROM r""".stripMargin,
 
     "q_standardize" ->
       """WITH r AS (

@@ -84,6 +84,110 @@ object Dedup {
         TextAnalysis.shinglesFromToks(col("_toks"), n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the
+    * MOSS algorithm): hash every POSITIONAL word `n`-gram, slide a
+    * window of `w` consecutive gram hashes, and keep each window's
+    * minimum — the classic index-size reduction for substring-level
+    * duplicate detection. Guarantee: any shared token run of at least
+    * `w + n − 1` tokens selects at least one COMMON fingerprint in
+    * both documents (the shared run contains a full window, and both
+    * sides pick that window's minimum), so fingerprint collisions are
+    * a complete candidate generator for long matches while the index
+    * holds ~2/(w+1) of the gram volume — the knob that keeps a 10⁹-doc
+    * substring-dedup index affordable where full shingle postings are
+    * not.
+    *
+    * Hashes are the engine-portable md5-prefix idiom (first 15 hex
+    * chars → 60-bit positive BIGINT — never Spark-seeded Murmur3), so
+    * the fingerprint SETS are bit-identical on any engine. Documents
+    * with fewer than `w` grams degrade to one global-minimum
+    * fingerprint (the degenerate whole-doc window). Ties inside a
+    * window need no rule: set semantics only care about the minimum
+    * VALUE. Pure map-side — one projection, no shuffle before the
+    * final explode.
+    *
+    * Output: (doc_id, fp), distinct per doc.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, "need n >= 1 and w >= 1")
+    val gramHash = (g: Column) =>
+      conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(_toks) - $n)," +
+          s" i -> array_join(slice(_toks, i + 1, $n), ' '))").as("_g"))
+      .select(col("doc_id"), transform(col("_g"), gramHash).as("_h"))
+      .select(col("doc_id"),
+        explode(when(size(col("_h")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("_h")) - w),
+            i => array_min(slice(col("_h"), i + lit(1), lit(w))))))
+          .otherwise(array(array_min(col("_h"))))).as("fp"))
+  }
+
+  /** Candidate near-dup/containment pairs from shared winnowing
+    * fingerprints: documents sharing at least `minShared` fingerprints,
+    * with the shared count. The winnowing guarantee makes this the
+    * scale path for "which documents share long verbatim runs" — the
+    * posting list is the FINGERPRINT index (~2/(w+1) of the shingle
+    * index), the join is the same equi-join shape as
+    * [[nearDupPairsExact]], and `maxDf` bounds hot-fingerprint fanout
+    * exactly as there (boilerplate selected everywhere goes hot; the
+    * cap trades those candidates away explicitly). Downstream exact
+    * verification ([[containmentPairs]], [[TextAnalysis.duplicatedSpans]])
+    * restores exactness per surviving pair.
+    *
+    * Output: (a_id, b_id, n_shared_fp), a_id < b_id.
+    */
+  def winnowCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, w: Int = 4, minShared: Int = 2,
+                           maxDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, "minShared must be positive")
+    val fps = winnowFingerprints(docs, idCol, textCol, n, w)
+    val posting = maxDf match {
+      case Some(d) =>
+        val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= d).select("fp")
+        fps.join(keep, "fp")
+      case None => fps
+    }
+    posting.select(col("fp"), col("doc_id").as("a_id"))
+      .join(posting.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
+  /** Train/val/test LEAKAGE audit: given near-dup pairs (from any of
+    * this family's generators) and a split assignment, report how many
+    * pairs land within vs ACROSS splits — the "your eval set leaks into
+    * train through near-duplicates" report that decides whether a split
+    * is publishable. Same bounded shape as [[sourceOverlapMatrix]]: two
+    * id-keyed joins against the assignment, one agg to ≤ |splits|²
+    * rows; the diagonal (within-split duplication) rides along for
+    * context, `is_leak` marks the off-diagonal rows that matter.
+    *
+    * `pairs` needs (a_id, b_id); `assign` maps `idCol` → `splitCol`
+    * (one row per doc — the [[Sampling]] split ops' contract).
+    * Output: (split_a, split_b, n_pairs, is_leak), split_a ≤ split_b.
+    */
+  def splitLeakage(pairs: DataFrame, assign: DataFrame,
+                   idCol: String = "doc_id",
+                   splitCol: String = "split"): DataFrame = {
+    val a = assign.select(col(idCol).as("a_id"), col(splitCol).as("_sa"))
+    val b = assign.select(col(idCol).as("b_id"), col(splitCol).as("_sb"))
+    pairs.select("a_id", "b_id")
+      .join(a, "a_id").join(b, "b_id")
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the FULL
     * shingle sets: whatever generated the candidates (bounded inverted
     * index, LSH bands), the emitted jaccard is the true full-set value —

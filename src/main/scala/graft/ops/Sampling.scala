@@ -617,4 +617,33 @@ object Sampling {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(h, col(keyCol))).cast("long"))
   }
+
+  /** Curriculum-ordered shard manifest — [[shardManifest]]'s sibling
+    * where within-shard order follows a DIFFICULTY signal instead of
+    * pure hash order: position ascends by (`scoreCol`, md5(key), key),
+    * so each shard's read order walks the curriculum (short-to-long
+    * docs, clean-to-noisy, however the caller scores difficulty) while
+    * shard MEMBERSHIP stays the hash bucket — every worker sees the
+    * same easy-first ramp over an unbiased slice of the corpus, which
+    * is what curriculum training wants (a score-ordered SPLIT would
+    * give worker 0 all the easy data instead). Hash tiebreak keeps
+    * equal-score runs deterministic and append-stable.
+    *
+    * Use an exact integer score (token count, integer-ppm quality) for
+    * engine-reproducible order; pass `descending = true` to start from
+    * high scores. Same scale posture as [[shardManifest]]: map-side
+    * bucket, `shards`-way-parallel position windows.
+    * Output: input rows + (shard, pos).
+    */
+  def curriculumManifest(df: DataFrame, keyCol: String, scoreCol: String,
+                         shards: Int, descending: Boolean = false): DataFrame = {
+    require(shards >= 1, "need at least one shard")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    val lead = if (descending) col(scoreCol).desc else col(scoreCol).asc
+    df.filter(col(keyCol).isNotNull && col(scoreCol).isNotNull)
+      .withColumn("shard", hashBucket(col(keyCol), shards))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(lead, h, col(keyCol))).cast("long"))
+  }
 }

@@ -256,4 +256,31 @@ object Stats {
           call_function("div", col("tp") * lit(2000000L),
             lit(2) * col("tp") + col("fp") + col("fn"))))
   }
+
+  /** Calibration (reliability) bins for a probabilistic classifier:
+    * scores in [0, 1] bucket into `bins` equal-width bins (the top
+    * boundary folds into the last bin), and each bin reports its count,
+    * positive count, and empirical positive rate — the table a
+    * reliability diagram plots, and the audit that tells a curation
+    * pipeline whether "score ≥ 0.9" MEANS 90% (a quality-classifier
+    * threshold is only as meaningful as its calibration).
+    *
+    * Rates are integer ppm (BIGINT div — counts are nonnegative, so no
+    * floor-direction hazard); the bin index is `floor(score·bins)` on
+    * the score doubles both engines already agree on. Null scores or
+    * labels are excluded (no opinion ≠ negative). ONE hash agg over the
+    * scored frame; output ≤ `bins` rows.
+    *
+    * Output: (bin, n, n_pos, pos_rate_ppm).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "need at least one bin")
+    val b = least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L))
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(b.as("bin"), col(labelCol).cast("long").as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+      .withColumn("pos_rate_ppm", expr("(n_pos * 1000000L) div n"))
+  }
 }

@@ -57,6 +57,92 @@ object TextAnalysis {
       .drop("_n_tok_safe")
   }
 
+  /** Readability scores — Flesch reading ease and Flesch–Kincaid grade
+    * level, the curation-filter signals for "is this text natural
+    * prose at a sane complexity" (wordlist-free, so they run on any
+    * Latin-script corpus). Classic published formulas over three exact
+    * integer counts, each ONE regexp pass, no explode:
+    *
+    *   - words: `\S+` runs ([[tokenCount]]);
+    *   - sentences: `[^.!?\s][^.!?]*` runs — content runs between
+    *     terminator clusters, the same segmentation contract as
+    *     [[splitSentences]] (terminator-free text = 1 sentence);
+    *   - syllables: `[aeiouy]+` vowel GROUPS in the lowercased text —
+    *     the standard heuristic; groups never span words (any
+    *     non-vowel breaks the run), so a whole-text scan equals the
+    *     per-word sum without materializing words.
+    *
+    * The scores are one fixed double tree over those integers
+    * (`206.835 − 1.015·w/s − 84.6·syl/w`; grade `0.39·w/s +
+    * 11.8·syl/w − 15.59`) — identical trees are bit-identical across
+    * engines, so the raw doubles ship unrounded (the parity
+    * discipline: never round a double derived purely from exact
+    * integers through a fixed tree). Wordless docs yield null scores,
+    * never NaN/Inf. Pure map-side — rides the scan at any corpus size.
+    *
+    * Output: doc frame + (n_words, n_sentences, n_syllables, flesch,
+    * fk_grade).
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val w = tokenCount(text).cast("long")
+    val s = size(regexp_extract_all(text, lit("[^.!?\\s][^.!?]*"), lit(0))).cast("long")
+    val syl = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+    val wD = col("n_words").cast("double")
+    val sD = greatest(col("n_sentences"), lit(1L)).cast("double")
+    val sylD = col("n_syllables").cast("double")
+    docs
+      .filter(col(idCol).isNotNull && text.isNotNull)
+      .select(col(idCol).as("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835) - lit(1.015) * (wD / sD) - lit(84.6) * (sylD / wD)))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          lit(0.39) * (wD / sD) + lit(11.8) * (sylD / wD) - lit(15.59)))
+  }
+
+  /** Unicode-script profile — the multilingual curation signal the
+    * marker-word language ID cannot give: per-document counts and
+    * integer-ppm shares of Latin / Cyrillic / CJK / Arabic characters
+    * over the non-whitespace total. Script shares are how a 100-TB
+    * multilingual pipeline routes documents to per-script tokenizers
+    * and drops mojibake (no script reaching a majority) BEFORE any
+    * model-based language ID spends compute.
+    *
+    * Each count is one regexp pass (`length(text) −
+    * length(regexp_replace(text, class, ''))` — replace-all removes
+    * every matching char, so the length delta IS the count), with
+    * explicit BMP code-point ranges spelled `\x{....}` — the one class
+    * syntax Java regex and RE2 share (named script classes differ
+    * between the engines: `\p{IsCyrillic}` vs `\p{Cyrillic}`). Shares
+    * are BIGINT-div ppm; char-less documents yield null shares, never
+    * a divide-by-zero. Pure map-side.
+    *
+    * Output: (doc_id, n_chars, latin_ppm, cyrillic_ppm, cjk_ppm,
+    * arabic_ppm).
+    */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    def ppm(c: Column): Column =
+      when(col("n_chars") > 0,
+        call_function("div", c * lit(1000000L), col("n_chars")))
+    docs
+      .filter(col(idCol).isNotNull && t.isNotNull)
+      .select(col(idCol).as("doc_id"),
+        cnt("[^\\s]").as("n_chars"),
+        cnt("[A-Za-z]").as("_lat"),
+        cnt("[\\x{0400}-\\x{04FF}]").as("_cyr"),
+        cnt("[\\x{4E00}-\\x{9FFF}]").as("_cjk"),
+        cnt("[\\x{0600}-\\x{06FF}]").as("_ar"))
+      .select(col("doc_id"), col("n_chars"),
+        ppm(col("_lat")).as("latin_ppm"), ppm(col("_cyr")).as("cyrillic_ppm"),
+        ppm(col("_cjk")).as("cjk_ppm"), ppm(col("_ar")).as("arabic_ppm"))
+  }
+
   /** Marker-word sets for the language-ID heuristic: a language scores by
     * how many of its marker words occur in the document (presence, not
     * frequency — robust to length skew).

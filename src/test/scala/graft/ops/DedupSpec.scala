@@ -281,4 +281,62 @@ class DedupSpec extends SparkSpec {
     r.getAs[Long]("a_dups") shouldBe 100L
     r.getAs[Long]("b_dups") shouldBe 1L
   }
+
+  test("winnowing guarantee: a shared run of w+n-1 tokens yields a common fingerprint") {
+    // docs A and B share the 6-token run "alpha beta gamma delta epsilon zeta"
+    // (= w + n - 1 at n=3, w=4) embedded in otherwise-disjoint text
+    val d = Seq(
+      (1L, "one two three alpha beta gamma delta epsilon zeta four five six"),
+      (2L, "seven eight alpha beta gamma delta epsilon zeta nine ten eleven twelve"),
+      (3L, "totally unrelated words nothing shared here at all believe me")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    (byDoc(1L) intersect byDoc(2L)).size should be >= 1
+    (byDoc(1L) intersect byDoc(3L)).size shouldBe 0
+  }
+
+  test("winnowing index is smaller than the gram index; short docs get one fingerprint") {
+    val longDoc = Seq((1L, (1 to 200).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nGrams = 200 - 3 + 1
+    val nFps = Dedup.winnowFingerprints(longDoc, "doc_id", "text", n = 3, w = 4).count()
+    // expected density ~2/(w+1) = 0.4; assert well under the full index
+    nFps.toDouble should be < (nGrams * 0.7)
+    nFps.toDouble should be > 0.0
+    // a doc with >= n tokens but < w grams degrades to ONE global min
+    val short = Seq((9L, "just four tokens here")).toDF("doc_id", "text")
+    Dedup.winnowFingerprints(short, "doc_id", "text", n = 3, w = 4).count() shouldBe 1L
+  }
+
+  test("winnowCandidatePairs finds the quoting pair and honors minShared/maxDf") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, s"leading words then $quote and trailing words here"),
+      (2L, s"different prefix $quote with another suffix entirely"),
+      (3L, "no shared content with anyone else in this corpus at all"),
+      (4L, "also entirely distinct text with its own private words")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(d, "doc_id", "text",
+      n = 3, w = 4, minShared = 2).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
+    pairs.head.getAs[Long]("n_shared_fp") should be >= 2L
+    // maxDf = 1 drops every shared fingerprint (df = 2) -> no candidates
+    Dedup.winnowCandidatePairs(d, "doc_id", "text", n = 3, w = 4,
+      minShared = 1, maxDf = Some(1)).count() shouldBe 0L
+  }
+
+  test("splitLeakage: cross-split pairs flagged, within-split diagonal kept") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val assign = Seq(
+      (1L, "train"), (2L, "test"),   // leak
+      (3L, "train"), (4L, "train"),  // within
+      (5L, "test"), (6L, "train")    // leak, same unordered cell as (1,2)
+    ).toDF("doc_id", "split")
+    val out = Dedup.splitLeakage(pairs, assign)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    out(("test", "train")) shouldBe ((2L, true))
+    out(("train", "train")) shouldBe ((1L, false))
+    out.size shouldBe 2
+  }
 }

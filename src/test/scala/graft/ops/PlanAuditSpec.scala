@@ -95,7 +95,13 @@ class PlanAuditSpec extends SparkSpec {
     // the edge-set cache (was 24 — the whole co-occurrence derivation
     // planned three times); the maxdf pair is the count-prune tier
     "q_triangles" -> 4, "q_serve_ids" -> 9, "q_overlap_matrix" -> 9,
-    "q_dedup_pairs_maxdf" -> 8, "q_containment_maxdf" -> 8)
+    "q_dedup_pairs_maxdf" -> 8, "q_containment_maxdf" -> 8,
+    // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
+    // its whole point vs shingle postings); profile/readability ride
+    // the scan; curriculum is one position window
+    "q_winnow" -> 0, "q_winnow_pairs" -> 1, "q_readability" -> 0,
+    "q_script_profile" -> 0, "q_curriculum" -> 1, "q_calibration" -> 1,
+    "q_split_leakage" -> 2)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

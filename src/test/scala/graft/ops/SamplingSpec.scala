@@ -420,4 +420,31 @@ class SamplingSpec extends SparkSpec {
       newOrder shouldBe origOrder
     }
   }
+
+  test("curriculumManifest: within-shard order walks the score, membership is the hash bucket") {
+    val d = (1L to 200L).map(i => (i, (i * 7919L) % 50L)).toDF("k", "score")
+    val out = Sampling.curriculumManifest(d, "k", "score", shards = 4).collect()
+    out.length shouldBe 200
+    // membership unchanged from shardManifest's bucket
+    val buckets = Sampling.shardManifest(d, "k", shards = 4)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    out.foreach(r => r.getLong(2) shouldBe buckets(r.getLong(0)))
+    // positions 1..|shard| and scores nondecreasing along pos
+    out.groupBy(_.getLong(2)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.map(_.getLong(3)).toSeq shouldBe (1L to rows.length).toSeq
+      sorted.map(_.getLong(1)).toSeq shouldBe sorted.map(_.getLong(1)).sortBy(identity).toSeq
+    }
+    // descending flag reverses the ramp
+    val desc = Sampling.curriculumManifest(d, "k", "score", shards = 4,
+      descending = true).collect()
+    desc.groupBy(_.getLong(2)).values.foreach { rows =>
+      val s = rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      s shouldBe s.sortBy(-_)
+    }
+    // deterministic under repartitioning
+    val again = Sampling.curriculumManifest(d.repartition(13), "k", "score", shards = 4)
+      .select("k", "pos").as[(Long, Long)].collect().toMap
+    out.foreach(r => again(r.getLong(0)) shouldBe r.getLong(3))
+  }
 }

@@ -174,4 +174,18 @@ class StatsSpec extends SparkSpec {
       again(k) shouldBe Option(got(k).get(got(k).fieldIndex("z")))
     }
   }
+
+  test("calibrationBins: hand-binned counts, top-edge fold, null exclusion") {
+    val d = Seq(
+      (0.05, 0L), (0.08, 1L),           // bin 0: n=2, pos=1
+      (0.95, 1L), (1.0, 1L), (0.99, 0L) // bin 9 (score 1.0 folds in): n=3, pos=2
+    ).toDF("score", "y")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Double], java.lang.Long.valueOf(1L)))
+        .toDF("score", "y"))
+    val out = Stats.calibrationBins(d, "score", "y", bins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out.keySet shouldBe Set(0L, 9L)
+    out(0L) shouldBe ((2L, 1L, 500000L))
+    out(9L) shouldBe ((3L, 2L, 666666L))
+  }
 }

@@ -697,4 +697,51 @@ class TextAnalysisSpec extends SparkSpec {
     byRule("too_long") shouldBe 1L  // doc 2 billed here, not to later rules it also violates
     byRule("token_len") shouldBe 1L // doc 3 passes both length gates first
   }
+
+  test("readability: hand-computed counts and formulas, guards, one-sentence fallback") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran away!"),
+      (2L, "no terminator at all here"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 7 words; 2 sentences; syllable groups: the/cat/sat./the/
+    // dog/ran = 1 each, away = "a","ay" = 2 → 8 total
+    out(1L).getLong(1) shouldBe 7L
+    out(1L).getLong(2) shouldBe 2L
+    out(1L).getLong(3) shouldBe 8L
+    out(1L).getDouble(4) shouldBe
+      (206.835 - 1.015 * (7.0 / 2.0) - 84.6 * (8.0 / 7.0)) +- 1e-9
+    out(1L).getDouble(5) shouldBe
+      (0.39 * (7.0 / 2.0) + 11.8 * (8.0 / 7.0) - 15.59) +- 1e-9
+    // no terminator → one sentence
+    out(2L).getLong(2) shouldBe 1L
+    // empty text → zero words, null scores (never NaN/Inf)
+    out(3L).getLong(1) shouldBe 0L
+    out(3L).isNullAt(4) shouldBe true
+    out(3L).isNullAt(5) shouldBe true
+    // null text filtered
+    out.contains(4L) shouldBe false
+  }
+
+  test("scriptProfile: hand-counted scripts, whitespace excluded, empty-doc nulls") {
+    val d = Seq(
+      (1L, "abc где 中文 ال"),  // 3 latin, 3 cyrillic, 2 cjk, 2 arabic → 10 chars
+      (2L, "   "),
+      (3L, "no1! ?")            // digits/punct count in n_chars, no script
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getLong(1) shouldBe 10L
+    out(1L).getLong(2) shouldBe 300000L  // latin
+    out(1L).getLong(3) shouldBe 300000L  // cyrillic
+    out(1L).getLong(4) shouldBe 200000L  // cjk
+    out(1L).getLong(5) shouldBe 200000L  // arabic
+    out(2L).getLong(1) shouldBe 0L
+    out(2L).isNullAt(2) shouldBe true
+    out(3L).getLong(1) shouldBe 5L
+    out(3L).getLong(2) shouldBe 400000L  // 'n','o' of 5 chars
+  }
 }
