@@ -247,6 +247,35 @@ object SparkEntry {
       graft.ops.Dedup.splitLeakage(pairs, assign)
     }),
 
+    // per-doc keyword extraction: top-3 terms by TF-IDF, rounded-score
+    // rank with term tiebreak (two-phase WindowGroupLimit cut)
+    "q_keywords" -> ((s, dir) =>
+      graft.ops.TextAnalysis.keywords(
+        table(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // tokenizer fertility by language: exact BPE token/char mass per
+    // lang and chars-per-token ppm — the "is the tokenizer fair to
+    // this language" audit a multilingual mixture needs
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", bpeMerges)
+        .join(docs.filter(col("lang").isNotNull).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("chars_per_token_ppm",
+          when(col("n_tokens") > 0, expr("(n_chars * 1000000L) div n_tokens")))
+    }),
+
+    // per-domain reputation stats over the synthetic crawl frame —
+    // the blocklist-MINING survey (mirror/SEO farms show as dup_ppm,
+    // crawler traps as n_pages >> n_canonical)
+    "q_domain_stats" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val withUrl = syntheticUrls(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      graft.ops.Web.domainStats(withUrl, "url", "text")
+    }),
+
     // Unicode-script profile over a deterministically mixed-script
     // corpus (per-lang foreign-script suffixes make the shares
     // non-vacuous on the all-ASCII test table)
@@ -2040,6 +2069,69 @@ object SparkEntry {
          |FROM pr JOIN asg sa ON pr.a_id = sa.doc_id
          |        JOIN asg sb ON pr.b_id = sb.doc_id
          |GROUP BY 1, 2, 4""".stripMargin,
+
+    // the q_tfidf chain (minTf = 1) + rounded-score rank window
+    "q_keywords" ->
+      s"""$docToks, x AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM d
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM x GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ROUND(tf.tf * ln(n.n_docs::DOUBLE / dfq.doc_freq::DOUBLE), 6) AS tf_idf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+         |), rk AS (
+         |  SELECT doc_id, term, tf_idf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY tf_idf DESC, term) AS BIGINT) AS rank
+         |  FROM sc
+         |)
+         |SELECT doc_id, rank, term, tf_idf FROM rk WHERE rank <= 3""".stripMargin,
+
+    // the q_bpe_tokens encode chain + lang join + per-lang mass agg
+    "q_bpe_fertility" -> {
+      val enc = graft.ops.Bpe.encodeSql("text", bpeMerges)
+      val norm = "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(length(e) - length(replace(e, '<', ''))
+         |      - (length(e) - length(replace(e, '< >', ''))) / 3 AS BIGINT) AS n_tokens,
+         |    CAST(length(replace(nm, ' ', '')) AS BIGINT) AS n_chars
+         |  FROM (SELECT doc_id, lang, $enc AS e, $norm AS nm FROM documents
+         |        WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
+         |)
+         |SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CASE WHEN SUM(n_tokens) > 0
+         |       THEN CAST((SUM(n_chars) * 1000000) // SUM(n_tokens) AS BIGINT)
+         |  END AS chars_per_token_ppm
+         |FROM t GROUP BY 1""".stripMargin
+    },
+
+    // the shared canon CTE + the q_dedup_exact fingerprint idiom
+    "q_domain_stats" ->
+      s"""$urlCanonSql, txt AS (
+         |  SELECT c.doc_id, c.domain, c.url_canon, dd2.text
+         |  FROM canon c JOIN documents dd2 ON c.doc_id = dd2.doc_id
+         |  WHERE dd2.text IS NOT NULL AND c.domain <> ''
+         |), fpt AS (
+         |  SELECT domain, url_canon,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                  x -> x <> ''))), ' ')) AS f,
+         |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS nt
+         |  FROM txt
+         |)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+         |  CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_canonical,
+         |  CAST(COUNT(DISTINCT f) AS BIGINT) AS n_distinct_text,
+         |  CAST(((COUNT(*) - COUNT(DISTINCT f)) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |FROM fpt GROUP BY 1""".stripMargin,
 
     // identical char-class ranges (\x{....} — the syntax Java regex and
     // RE2 share), 'g' flags for Spark's replace-all, BIGINT-div ppm

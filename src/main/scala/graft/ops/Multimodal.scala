@@ -297,12 +297,54 @@ object Multimodal {
     */
   def imageNearDupPairs(media: Dataset[MediaRecord],
                         maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    hash64BandedPairs(
+      media.flatMap(r => aHash64(r.content).map(h => (r.media_id, h)))
+        .toDF("media_id", "h"),
+      maxHamming)
+  }
+
+  /** Perceptual audio fingerprint: the 64-bucket temporal energy
+    * envelope ([[decodeWavFeatures]]) thresholded at its own mean —
+    * bit i set iff bucket i is louder than the track average. The
+    * threshold is a RATIO of the signal to itself, so the hash is
+    * GAIN-invariant (re-encoded / volume-normalized copies of a track
+    * hash identically) and robust to mild noise, the audio analogue of
+    * [[aHash64]]'s grid-mean rule. `None` when the payload is not an
+    * audio stream the JDK can read.
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    decodeWavFeatures(bytes, 64).map { env =>
+      var total = 0.0
+      var i = 0
+      while (i < 64) { total += env(i); i += 1 }
+      val mean = total / 64
+      var h = 0L
+      i = 0
+      while (i < 64) { if (env(i) > mean) h |= (1L << i); i += 1 }
+      h
+    }
+
+  /** Perceptual near-duplicate audio pairs — [[imageNearDupPairs]]'s
+    * audio twin over [[audioHash64]], same quadrant-banding recall
+    * contract (complete to hamming ≤ 3). Output: (a_id, b_id, hamming).
+    */
+  def audioNearDupPairs(media: Dataset[MediaRecord],
+                        maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    hash64BandedPairs(
+      media.flatMap(r => audioHash64(r.content).map(h => (r.media_id, h)))
+        .toDF("media_id", "h"),
+      maxHamming)
+  }
+
+  /** Shared banded join for 64-bit perceptual hashes: four 16-bit
+    * quadrant bands, pigeonhole-complete for hamming ≤ 3, exact
+    * `bit_count(xor)` only on collisions.
+    */
+  private def hash64BandedPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band pigeonhole guarantees recall only up to hamming 3")
-    import media.sparkSession.implicits._
-    val hashes = media
-      .flatMap(r => aHash64(r.content).map(h => (r.media_id, h)))
-      .toDF("media_id", "h")
     val bands = hashes.select(col("media_id"), col("h"),
       explode(expr(
         "transform(sequence(0, 3)," +

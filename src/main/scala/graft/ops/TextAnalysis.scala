@@ -267,6 +267,27 @@ object TextAnalysis {
           6).as("tf_idf"))
   }
 
+  /** Per-document keyword extraction: the top-`k` terms by TF-IDF —
+    * topical metadata for routing, clustering labels, and
+    * domain-mixture diagnostics. Ranks by the ROUNDED score with a
+    * term tiebreak (the [[bm25]] cut discipline: rounding-stable and
+    * engine-reproducible); the per-doc window plans as two-phase
+    * `WindowGroupLimit` (bounded per-partition heaps before the
+    * exchange), so the cut never sorts whole documents' vocabularies
+    * globally. Output: (doc_id, rank, term, tf_idf), rank 1..k.
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3, minTf: Int = 1): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    tfIdf(docs, idCol, textCol, minTf)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tf_idf").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf_idf")
+  }
+
   /** BM25 relevance scores for a fixed query-term set — the ranking
     * backbone of retrieval-based data selection (find the corpus docs
     * most relevant to a target domain, rank near-dup survivors, build

@@ -203,4 +203,37 @@ object Web {
       .select(col(keyCol)).distinct()
     withHost.join(hitKeys, Seq(keyCol), "left_anti").drop("_host")
   }
+
+  /** Per-domain reputation stats — the survey that MINES a blocklist
+    * instead of consuming one: for each registrable domain, page
+    * volume, distinct canonical URLs, exact-content duplication (ppm
+    * of pages whose normalized text repeats within the domain), and
+    * token mass. Domains with high dup_ppm are mirrors/SEO farms;
+    * domains with huge n_pages and tiny n_canonical are
+    * crawler traps — both are [[filterBlockedDomains]] feed.
+    *
+    * ONE map-side canonicalization pass, one (domain, fingerprint)
+    * collapse, one domain agg — |domains| output rows, no joins back
+    * to the corpus. All counts exact BIGINT; dup_ppm is BIGINT div.
+    *
+    * Output: (domain, n_pages, n_canonical, n_distinct_text,
+    * dup_ppm, n_tokens).
+    */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val canon = canonicalize(
+      df.filter(col(urlCol).isNotNull && col(textCol).isNotNull), urlCol)
+      .filter(col("domain") =!= "")
+      .select(col("domain"), col("url_canon"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("_nt"))
+    canon.groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("url_canon")).as("n_canonical"),
+        countDistinct(col("_fp")).as("n_distinct_text"),
+        sum(col("_nt")).as("n_tokens"))
+      .withColumn("dup_ppm",
+        expr("((n_pages - n_distinct_text) * 1000000L) div n_pages"))
+      .select("domain", "n_pages", "n_canonical", "n_distinct_text",
+        "dup_ppm", "n_tokens")
+  }
 }

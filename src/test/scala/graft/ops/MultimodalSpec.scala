@@ -139,6 +139,53 @@ class MultimodalSpec extends SparkSpec {
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
+  /** A real PCM WAV with a caller-shaped envelope: `pattern(i)` gives
+    * bucket i's amplitude (64 buckets), `gain` scales the whole track.
+    */
+  private def shapedWav(pattern: Int => Double, gain: Double = 1.0,
+                        nSamples: Int = 6400): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val bucket = (i.toLong * 64 / nSamples).toInt
+      val v = math.max(-32768, math.min(32767,
+        (pattern(bucket) * gain * 32767).round.toInt))
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val byteRate = 8000 * 2
+    def le16(v: Int) = bytes(v, v >>> 8)
+    def le32(v: Int) = bytes(v, v >>> 8, v >>> 16, v >>> 24)
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(byteRate) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  test("audioHash64 is gain-invariant and separates envelope shapes") {
+    val pulse = (b: Int) => if (b % 2 == 0) 0.9 else 0.1
+    val ramp = (b: Int) => b / 64.0
+    val loud = audioHash64(shapedWav(pulse)).get
+    val quiet = audioHash64(shapedWav(pulse, gain = 0.25)).get
+    loud shouldBe quiet // mean threshold is a ratio of the signal to itself
+    val other = audioHash64(shapedWav(ramp)).get
+    java.lang.Long.bitCount(loud ^ other) should be > 3
+    audioHash64("not audio at all".getBytes("UTF-8")) shouldBe None
+  }
+
+  test("audioNearDupPairs: re-gained copy pairs up, different shape does not") {
+    val pulse = (b: Int) => if (b % 2 == 0) 0.9 else 0.1
+    val ramp = (b: Int) => b / 64.0
+    val media = spark.createDataset(Seq(
+      MediaRecord(1, shapedWav(pulse), MediaMeta("audio", 0, 0, 8000, 800)),
+      MediaRecord(2, shapedWav(pulse, gain = 0.5), MediaMeta("audio", 0, 0, 8000, 800)),
+      MediaRecord(3, shapedWav(ramp), MediaMeta("audio", 0, 0, 8000, 800)),
+      MediaRecord(4, "garbage payload".getBytes("UTF-8"), MediaMeta("junk", 0, 0, 0, 0))
+    ))(org.apache.spark.sql.Encoders.product[MediaRecord])
+    val pairs = Multimodal.audioNearDupPairs(media).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
+    pairs.head.getLong(2) shouldBe 0L
+  }
+
   test("decodeImageFeatures reads real PNG pixels: spatial luminance profile") {
     // 64 wide, 4 tall, dim=2: bucket 0 covers the first half of the
     // row-major pixel stream. Each ROW is half black half white, so both

@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     // bounded broadcast: build side is O(1)..O(k) rows by construction,
     // so the nested loop is a map-side lookup, total volume O(n*k)
     "q_tfidf"      -> "1-row corpus-total (N docs) crossJoin for the IDF term",
+    "q_keywords"   -> "1-row corpus-total crossJoin inherited from the tfIdf chain",
     "q_bm25"       -> "1-row corpus-total (N, avgdl) crossJoin",
     "q_unigram_score" -> "1-row LM-normalizer crossJoin",
     "q_bigram_lm"  -> "1-row vocab-size (Laplace denominator) crossJoin",
@@ -101,7 +102,8 @@ class PlanAuditSpec extends SparkSpec {
     // the scan; curriculum is one position window
     "q_winnow" -> 0, "q_winnow_pairs" -> 1, "q_readability" -> 0,
     "q_script_profile" -> 0, "q_curriculum" -> 1, "q_calibration" -> 1,
-    "q_split_leakage" -> 2)
+    "q_split_leakage" -> 2,
+    "q_domain_stats" -> 2, "q_bpe_fertility" -> 1, "q_keywords" -> 4)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.
