@@ -444,6 +444,12 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 64, overlap = 16)),
 
+    // content-defined chunking: rolling-3-gram cut rule, expected chunk
+    // 8 tokens — the repeated-passage (block-dedup) catalogue
+    "q_cdc_chunks" -> ((s, dir) =>
+      graft.ops.TextAnalysis.cdcChunks(
+        table(s, dir, "documents"), "doc_id", "text", grams = 3, divisor = 8)),
+
     // greedy sequence packing into 512-token training budgets
     "q_packing" -> ((s, dir) =>
       graft.ops.TextAnalysis.packByTokenBudget(
@@ -642,6 +648,22 @@ object SparkEntry {
       val e = table(s, dir, "embeddings")
       graft.ops.Similarity.topKPerQuery(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+    }),
+
+    // kNN label-noise audit: neighborhood vote vs own label over the
+    // labeled embeddings — the mislabel-detection queue
+    "q_knn_label_noise" -> ((s, dir) =>
+      graft.ops.Similarity.labelNoise(
+        table(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 10)),
+
+    // margin-based bitext mining between the even/odd halves of the
+    // embedding space (the two-"language" surrogate): ratio margin over
+    // top-4 neighborhoods, mutual top-1, margin >= 1.06
+    "q_bitext_mine" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.ops.Similarity.bitextMine(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4)
     }),
 
     // exact all-pairs baseline (kept behind exact=true; O(n²) by design)
@@ -1437,6 +1459,15 @@ object SparkEntry {
         graft.ops.Graph.cooccurrenceDigraph(
           table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
         "src", "dst", iters = 3)),
+
+    // 2-core of the co-purchase graph: peel pendant tails to a fixed
+    // point; the oracle unrolls 16 peel rounds (converges in <= 11 on
+    // every SF measured; extra rounds are no-ops)
+    "q_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCore(
+        graft.ops.Graph.cooccurrenceEdges(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+        "a", "b", k = 2)),
 
     // KMV distinct-count sketch: distinct parts per return flag —
     // deterministic md5 order statistics, reproduced exactly in SQL
@@ -2255,6 +2286,29 @@ object SparkEntry {
          |FROM tf JOIN dfq USING (term) CROSS JOIN n
          |WHERE tf.tf >= 3""".stripMargin,
 
+    // same md5-bucket idiom as the Spark side; range(a,b) is [a,b) so
+    // cut positions run [grams, n-1], never after the last token
+    "q_cdc_chunks" ->
+      s"""$docToks, t AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM d
+         |  WHERE len(toks) >= 1 AND doc_id IS NOT NULL
+         |), b AS (
+         |  SELECT doc_id, toks, n,
+         |    [0] || list_filter(range(3, n), i ->
+         |      ('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 8))::BIGINT % 8 = 0) || [n] AS bs
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(2, len(bs)+1), j ->
+         |      struct_pack(fp := md5(array_to_string(toks[bs[j-1]+1 : bs[j]], ' ')),
+         |                  nt := bs[j] - bs[j-1]))) AS ch
+         |  FROM b
+         |)
+         |SELECT ch.fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(MIN(ch.nt) AS BIGINT) AS n_tokens, MIN(doc_id) AS doc_min
+         |FROM c GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
     // chunking tokenizes WITHOUT lowercasing (chunk text must round-trip
     // the original), hence the standalone toks CTE
     "q_chunking" ->
@@ -2508,6 +2562,56 @@ object SparkEntry {
          |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
     "q_knn"          -> knnSql,
+
+    // sorted-fold neighborhood means (bit-identical across engines),
+    // ppm-integerized margins BEFORE ranking, id tie-breaks everywhere
+    "q_bitext_mine" ->
+      s"""WITH a AS (SELECT vec_id AS left_id, embedding AS av FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS right_id, embedding AS bv FROM embeddings WHERE vec_id % 2 = 1),
+         |s AS (SELECT left_id, right_id, ${duckCosine("av", "bv")} AS sim FROM a, b),
+         |r AS (SELECT left_id, right_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY sim DESC, right_id) AS rnf,
+         |  ROW_NUMBER() OVER (PARTITION BY right_id ORDER BY sim DESC, left_id) AS rnb
+         |  FROM s),
+         |dx AS (SELECT left_id, list_sum(list_sort(list(sim))) / COUNT(*) AS dxv
+         |       FROM r WHERE rnf <= 4 GROUP BY 1),
+         |dy AS (SELECT right_id, list_sum(list_sort(list(sim))) / COUNT(*) AS dyv
+         |       FROM r WHERE rnb <= 4 GROUP BY 1),
+         |m AS (
+         |  SELECT r.left_id, r.right_id, r.sim, r.rnf, r.rnb,
+         |    CAST(FLOOR(2000000.0 * r.sim / (dx.dxv + dy.dyv)) AS BIGINT) AS margin_ppm
+         |  FROM r JOIN dx USING (left_id) JOIN dy USING (right_id)
+         |  WHERE r.rnf <= 4 OR r.rnb <= 4
+         |),
+         |fw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY margin_ppm DESC, right_id) AS bf
+         |       FROM m WHERE rnf <= 4),
+         |bw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY right_id ORDER BY margin_ppm DESC, left_id) AS bb
+         |       FROM m WHERE rnb <= 4)
+         |SELECT fw.left_id, fw.right_id, ROUND(fw.sim, 6) AS sim, fw.margin_ppm
+         |FROM fw JOIN bw ON fw.left_id = bw.left_id AND fw.right_id = bw.right_id
+         |WHERE fw.bf = 1 AND bw.bb = 1 AND fw.margin_ppm >= 1060000""".stripMargin,
+
+    // the knnSql ranking (all labeled queries) + neighbor-label vote
+    "q_knn_label_noise" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+         |  FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+         |), p AS (
+         |  SELECT q.vec_id, q.label, c.label AS nl, c.vec_id AS nid,
+         |         ${duckCosine("q.embedding", "c.embedding")} AS sim
+         |  FROM v q, v c WHERE q.vec_id <> c.vec_id
+         |), r AS (
+         |  SELECT vec_id, label, nl,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS rn
+         |  FROM p
+         |)
+         |SELECT vec_id, label,
+         |  CAST(SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         |  CAST((SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS agreement_ppm,
+         |  (SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) * 1000000) // COUNT(*) < 500000 AS is_suspect
+         |FROM r WHERE rn <= 10 GROUP BY 1, 2""".stripMargin,
     "q_knn_topk_agg" -> knnSql,
     "q_knn_ivf"      -> knnSql, // nprobe = nlist: exhaustive == brute force
     "q_knn_pq"       -> knnSql, // rerank >= corpus: exact re-rank == brute force
@@ -4306,6 +4410,44 @@ object SparkEntry {
         |SELECT n.node,
         |  CAST(150000 + (COALESCE(s3.c, 0) * 850000) // 1000000 AS BIGINT) AS rank_ppm
         |FROM nodes n LEFT JOIN s3 USING (node)""".stripMargin,
+
+    // same und construction as q_pagerank; 16 generated peel rounds
+    // (fixed unroll >= measured convergence depth at every SF; a round
+    // past the fixed point filters nothing). Every CTE is MATERIALIZED:
+    // each round references its predecessor twice, so default inlining
+    // would expand the base scan 2^16-fold (fd exhaustion, not just CPU)
+    "q_kcore" -> {
+      val base =
+        """WITH inc AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          |  FROM lineitem
+          |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+          |), ok AS MATERIALIZED (
+          |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+          |), inc2 AS MATERIALIZED (
+          |  SELECT inc.* FROM inc JOIN ok USING (basket)
+          |), und AS MATERIALIZED (
+          |  SELECT l.item AS a, r.item AS b
+          |  FROM inc2 l JOIN inc2 r USING (basket)
+          |  WHERE l.item < r.item
+          |  GROUP BY 1, 2
+          |  HAVING COUNT(*) >= 2
+          |), e0 AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst FROM und
+          |  UNION ALL
+          |  SELECT b AS src, a AS dst FROM und
+          |)""".stripMargin
+      val rounds = (1 to 16).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e${i - 1} GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT src FROM d$i WHERE c >= 2),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |        JOIN k$i x ON e.src = x.src JOIN k$i y ON e.dst = y.src)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e16 GROUP BY 1""".stripMargin
+    },
 
     "q_kmv_distinct" ->
       """WITH h AS (

@@ -229,4 +229,55 @@ object Graph {
     Checkpoints.free(eDeg)
     r
   }
+
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < `k` (and their edges) until a fixed point — the standard
+    * densest-region extractor (2-core strips pendant tails before
+    * community detection; higher k isolates the cohesive cores that
+    * survive support thresholds). Each round is one degree agg + a
+    * double semi-join on the shrinking edge frame, eagerly
+    * checkpointed so lineage stays flat; rounds are bounded by the
+    * peel DEPTH (the longest pendant chain), not by |V| — single
+    * digits on co-occurrence graphs. Convergence is exact (edge count
+    * fixed point), superseded round frames are freed as they die.
+    * Input: undirected unique pairs (aCol, bCol). Output:
+    * (node, core_deg) for k-core members, core_deg = degree inside
+    * the core.
+    */
+  def kCore(edges: DataFrame, aCol: String = "a", bCol: String = "b",
+            k: Int = 2, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var cur = und
+      .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var n = cur.count()
+    var converged = false
+    var iter = 0
+    try {
+      while (!converged && iter < maxIter) {
+        val keep = cur.groupBy("src").agg(count(lit(1)).as("_d"))
+          .filter(col("_d") >= k).select("src")
+        val next = cur
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        val prev = cur
+        cur = next
+        Checkpoints.free(prev)
+        val m = cur.count()
+        converged = m == n
+        n = m
+        iter += 1
+      }
+      require(converged, s"kCore did not converge in $maxIter rounds")
+    } catch {
+      case t: Throwable =>
+        Checkpoints.free(cur)
+        throw t
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -107,6 +107,117 @@ object Similarity {
         col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("sim"))
   }
 
+  /** kNN label-noise audit: for every labeled vector, the share of its
+    * k nearest labeled neighbors (cosine) that AGREE with its own label
+    * — the classic mislabel detector (Confident-Learning-style neighbor
+    * vote): a point whose neighborhood votes against it is a labeling
+    * suspect, and the suspect list is what a re-annotation queue
+    * consumes. Scoring rides the bounded-heap [[TopKAgg]] (map-side
+    * partial heaps, k rows per query reach the shuffle — never the
+    * n² scored frame); neighbor labels re-attach via one broadcast
+    * equi-join on the k·n survivor rows. The all-pairs scoring itself
+    * is the exact-oracle regime; at corpus scale route candidate
+    * generation through [[knnIvf]] cells first (same contract as
+    * [[hardNegatives]]).
+    * Output: (vec_id, label, n_agree, n_neighbors, agreement_ppm,
+    * is_suspect), one row per labeled vector.
+    */
+  def labelNoise(vectors: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, k: Int = 10,
+                 suspectBelowPpm: Long = 500000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val v = vectors.filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
+      col(vecCol).isNotNull)
+    val q = v.select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"),
+      asDouble(col(vecCol)).as("qv"), norm(col(vecCol)).as("qn"))
+    val c = v.select(col(idCol).as("_nid"), asDouble(col(vecCol)).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val top = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("_nid"))
+      .select(col("vec_id"), col("label"),
+        (graft.functions.VectorExpressions.dotD(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("s"),
+        col("_nid").cast("long").as("nid"))
+      .groupBy("vec_id", "label")
+      .agg(topk(col("s"), col("nid")).as("top"))
+      .select(col("vec_id"), col("label"), explode(col("top._2")).as("_nid"))
+    val nl = v.select(col(idCol).cast("long").as("_nid"),
+      col(labelCol).cast("long").as("_nl"))
+    top.join(broadcast(nl), Seq("_nid"))
+      .groupBy("vec_id", "label")
+      .agg(sum(when(col("_nl") === col("label"), 1L).otherwise(0L)).as("n_agree"),
+        count(lit(1)).as("n_neighbors"))
+      .withColumn("agreement_ppm",
+        expr("(n_agree * 1000000L) div n_neighbors"))
+      .withColumn("is_suspect", col("agreement_ppm") < suspectBelowPpm)
+      .select("vec_id", "label", "n_agree", "n_neighbors", "agreement_ppm",
+        "is_suspect")
+  }
+
+  /** Margin-based bitext mining (the CCMatrix/LASER alignment rule):
+    * score every (left, right) candidate by RATIO MARGIN — cosine
+    * divided by the mean of the two endpoints' top-`k` neighborhood
+    * cosines — and keep pairs that are each other's best margin match
+    * (mutual top-1) above `minMarginPpm`. The margin normalizes away
+    * hubness: a pair only aligns when it stands OUT of both local
+    * neighborhoods, which is what makes mined parallel corpora clean
+    * at low absolute cosine.
+    *
+    * Determinism contract: neighborhood means fold over a SORTED sim
+    * array (bit-identical across engines), margins integerize to ppm
+    * BEFORE ranking, and every rank tie-breaks by id. Scoring here is
+    * the exact all-pairs regime (the oracle baseline, same as
+    * [[knnBruteForce]]); at corpus scale generate candidates per side
+    * with [[knnIvf]]/[[signBuckets]] banding first and feed the same
+    * margin + mutual-top-1 tail.
+    *
+    * Output: (left_id, right_id, sim, margin_ppm), one row per aligned
+    * pair.
+    */
+  def bitextMine(left: DataFrame, right: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 4,
+                 minMarginPpm: Long = 1060000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val a = left.select(col(idCol).as("left_id"), asDouble(col(vecCol)).as("av"),
+      norm(col(vecCol)).as("an"))
+    val b = right.select(col(idCol).as("right_id"), asDouble(col(vecCol)).as("bv"),
+      norm(col(vecCol)).as("bn"))
+    val scored = a.crossJoin(b)
+      .select(col("left_id"), col("right_id"),
+        (graft.functions.VectorExpressions.dotD(col("av"), col("bv")) /
+          (col("an") * col("bn"))).as("sim"))
+    val wf = Window.partitionBy("left_id").orderBy(col("sim").desc, col("right_id"))
+    val wb = Window.partitionBy("right_id").orderBy(col("sim").desc, col("left_id"))
+    val ranked = scored
+      .withColumn("rnf", row_number().over(wf))
+      .withColumn("rnb", row_number().over(wb))
+      .filter(col("rnf") <= k || col("rnb") <= k)
+    def denom(flt: Column, key: String, out: String) = ranked.filter(flt)
+      .groupBy(key)
+      .agg(array_sort(collect_list(col("sim"))).as("_ss"))
+      .select(col(key),
+        (aggregate(col("_ss"), lit(0.0), (acc, x) => acc + x) / size(col("_ss")))
+          .as(out))
+    val m = ranked
+      .join(denom(col("rnf") <= k, "left_id", "_dx"), Seq("left_id"))
+      .join(denom(col("rnb") <= k, "right_id", "_dy"), Seq("right_id"))
+      .withColumn("margin_ppm",
+        floor(lit(2000000.0) * col("sim") / (col("_dx") + col("_dy"))).cast("long"))
+    val fwBest = Window.partitionBy("left_id").orderBy(col("margin_ppm").desc, col("right_id"))
+    val bwBest = Window.partitionBy("right_id").orderBy(col("margin_ppm").desc, col("left_id"))
+    val fw = m.filter(col("rnf") <= k)
+      .withColumn("_bf", row_number().over(fwBest)).filter(col("_bf") === 1)
+      .select("left_id", "right_id", "sim", "margin_ppm")
+    val bw = m.filter(col("rnb") <= k)
+      .withColumn("_bb", row_number().over(bwBest)).filter(col("_bb") === 1)
+      .select("left_id", "right_id")
+    fw.join(bw, Seq("left_id", "right_id"))
+      .filter(col("margin_ppm") >= minMarginPpm)
+      .select(col("left_id"), col("right_id"), round(col("sim"), 6).as("sim"),
+        col("margin_ppm"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (LCG-seeded, unit-free —
     * sign tests don't need normalization). One row per plane.
     */

@@ -288,6 +288,59 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf_idf")
   }
 
+  /** Content-defined chunking: split each document's token stream at
+    * positions where the rolling `grams`-gram hash lands in bucket 0 of
+    * `divisor` (the Rabin/FastCDC boundary rule re-expressed on tokens).
+    * Because boundaries depend only on LOCAL content, an insertion
+    * early in a document shifts chunk boundaries only until the next
+    * cut point — unlike fixed-window chunking, identical passages
+    * re-align and fingerprint identically across edits. The output is
+    * the storage-dedup view: chunks shared by ≥ 2 occurrences, with
+    * occurrence/document counts — the repeated-passage catalogue that
+    * drives block-level dedup at ingest.
+    *
+    * Entirely map-side until the fingerprint agg: boundary selection,
+    * slicing, and hashing run as higher-order functions inside the
+    * per-doc token array (one projection, no explode of positions, no
+    * window). Expected chunk length is `divisor` tokens.
+    *
+    * Output: (fingerprint, n_occurrences, n_docs, n_tokens, doc_min).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                grams: Int = 3, divisor: Int = 8): DataFrame = {
+    require(grams >= 1, "grams must be positive")
+    require(divisor >= 2, "divisor must be >= 2 (1 would cut at every token)")
+    val d = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) >= 1)
+    val n = size(col("_toks"))
+    // cut AFTER 1-based position i, for i in [grams, n-1] (never after
+    // the last token — the final chunk is delimited by n itself)
+    val cuts = when(n > grams,
+      filter(sequence(lit(grams), n - 1), i =>
+        conv(substring(md5(
+          array_join(slice(col("_toks"), i - lit(grams - 1), lit(grams)), " ")
+            .cast("binary")), 1, 8), 16, 10).cast("long") % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(0)), cuts, array(n))
+    val chunks = transform(sequence(lit(1), size(col("_b")) - 1), j =>
+      struct(
+        md5(array_join(slice(col("_toks"), element_at(col("_b"), j) + 1,
+          element_at(col("_b"), j + 1) - element_at(col("_b"), j)), " ")
+          .cast("binary")).as("fp"),
+        (element_at(col("_b"), j + 1) - element_at(col("_b"), j))
+          .cast("long").as("nt")))
+    d.withColumn("_b", bounds)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .groupBy(col("c.fp").as("fingerprint"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("c.nt")).as("n_tokens"),
+        min(col("doc_id")).as("doc_min"))
+      .filter(col("n_occurrences") >= 2)
+  }
+
   /** BM25 relevance scores for a fixed query-term set — the ranking
     * backbone of retrieval-based data selection (find the corpus docs
     * most relevant to a target domain, rank near-dup survivors, build

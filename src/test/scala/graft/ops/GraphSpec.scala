@@ -91,4 +91,17 @@ class GraphSpec extends SparkSpec {
     ranks(dup, iters = 2) shouldBe
       Map(1 -> 1063750L, 2 -> 1361250L, 3 -> 575000L)
   }
+
+  test("kCore peels pendant chains to the triangle, multi-round") {
+    // triangle 1-2-3 plus a pendant chain 3-4-5: node 5 peels in round
+    // 1, which EXPOSES node 4 for round 2 — the fixed point is the
+    // triangle alone, every member at degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graph.kCore(edges, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    // k above the densest degree empties the graph (no rows, no hang)
+    Graph.kCore(edges, "a", "b", k = 3).count() shouldBe 0L
+  }
 }

@@ -34,6 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_embed_dup"  -> "exact=true all-pairs oracle baseline (banded twin q_embed_dup_lsh is audited)",
     "q_knn"        -> "brute-force kNN baseline (scale twins q_knn_ivf/q_knn_pq are audited)",
     "q_knn_topk_agg" -> "brute-force scoring with bounded-heap agg; pins the heap against the window plan",
+    "q_knn_label_noise" -> "brute all-pairs scoring through the bounded heap (k rows/query reach the shuffle); scale path routes candidates through knnIvf cells like hardNegatives",
+    "q_bitext_mine" -> "exact cross-corpus scoring regime (the oracle baseline); at scale candidates come from knnIvf/signBuckets banding per side, same margin + mutual-top-1 tail",
     "q_hard_negatives" -> "brute per-anchor scoring vs a DIFFERENT-label corpus; scale path is routing anchors through knnIvf cells first",
     "q_sem_contamination" -> "eval-set x corpus scoring; the eval set is broadcast-small by contract (thousands of rows, not corpus-scale)",
     // bounded broadcast: build side is O(1)..O(k) rows by construction,

@@ -30,6 +30,37 @@ class SimilaritySpec extends SparkSpec {
     got.toSeq shouldBe Seq((4L, 1L), (2L, 2L)) // 4 is nearly parallel, then 2
   }
 
+  test("labelNoise flags the planted mislabel and spares consistent points") {
+    val d = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.01f)), (3L, 0, Seq(0.98f, 0.02f)),
+      (4L, 1, Seq(0.97f, 0.03f)), // in cluster A but labeled B: the mislabel
+      (5L, 1, Seq(0f, 1f)), (6L, 1, Seq(0.01f, 0.99f)), (7L, 1, Seq(0.02f, 0.98f)),
+      (8L, 0, null) // null vector: excluded entirely
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelNoise(d, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    got(4L) shouldBe ((0L, 3L, 0L, true)) // neighborhood votes 3-0 against
+    got(1L) shouldBe ((2L, 3L, 666666L, false)) // 2-of-3 agree (the mislabel is a neighbor)
+    got(5L)._4 shouldBe false
+    got(6L)._4 shouldBe false
+  }
+
+  test("bitextMine aligns planted translations, margin rejects the ambiguous hub") {
+    val left = df(10L -> Seq(1f, 0f), 20L -> Seq(0f, 1f), 30L -> Seq(0.707f, 0.707f))
+    val right = df(
+      1L -> Seq(0.99f, 0.01f), // l10's translation
+      2L -> Seq(0.01f, 0.99f), // l20's translation
+      5L -> Seq(0.72f, 0.69f), 6L -> Seq(0.69f, 0.72f)) // two near-equal hub mates for l30
+    val got = Similarity.bitextMine(left, right, "vec_id", "embedding",
+      k = 2, minMarginPpm = 1100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted pairs stand out of both neighborhoods; l30 sits between
+    // two equally-good mates, so its margin stays near 1 and is rejected
+    got shouldBe Set((10L, 1L), (20L, 2L))
+  }
+
   test("topKPerQuery (bounded-heap aggregator) equals the brute-force window result") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

@@ -270,6 +270,33 @@ class TextAnalysisSpec extends SparkSpec {
     short shouldBe Array((0L, "a b"))
   }
 
+  test("cdcChunks: edit-shift realignment, shared-chunk counts, single-chunk shorties") {
+    import spark.implicits._
+    // doc 2 = doc 1 with an inserted 2-token prefix. Fixed-window chunks
+    // would all shift and share nothing; content-defined cuts realign at
+    // the first common boundary, so most chunk fingerprints are shared.
+    val base = (1 to 80).map(i => s"w${i % 37}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, "inserted prefix " + base),
+      (3L, "totally different content here"), (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cdcChunks(docs, "doc_id", "text", grams = 3, divisor = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.length should be >= 1
+    all(got.map(_._2)) should be >= 2L // every row is a genuinely shared chunk
+    got.foreach { c => c._5 shouldBe 1L } // shared chunks all originate in doc 1
+    // realigned mass: the shared chunks cover most of the 80-token tail
+    val sharedTokens = got.map(_._4).sum
+    sharedTokens should be >= 40L
+    // a doc below the gram width yields one whole-doc chunk (not zero):
+    // pair it with its twin so the HAVING >= 2 gate keeps it
+    val tiny = TextAnalysis.cdcChunks(
+      Seq((1L, "solo"), (2L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", grams = 3, divisor = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    tiny shouldBe Array((2L, 1L))
+  }
+
   test("packByTokenBudget: prefix-sum pack ids, sharded variant packs per shard") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
