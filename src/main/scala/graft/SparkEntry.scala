@@ -1469,6 +1469,36 @@ object SparkEntry {
           table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
         "a", "b", k = 2)),
 
+    // k-anonymity audit over the customer quasi-identifiers
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymity(
+        table(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"), k = 10L)),
+
+    // l-diversity audit: does any (status, priority) cohort expose its
+    // customers through too few distinct values
+    "q_l_diversity" -> ((s, dir) =>
+      graft.ops.Privacy.lDiversity(
+        table(s, dir, "orders"), Seq("o_orderstatus", "o_orderpriority"),
+        "o_custkey", l = 100L)),
+
+    // log-odds keyness: which terms characterize the English slice
+    // against the rest of the corpus
+    "q_keyness" -> ((s, dir) =>
+      graft.ops.TextAnalysis.keyness(
+        table(s, dir, "documents"), "text", col("lang") === "en")),
+
+    // purity of the fixed-centroid clustering against the embedding
+    // labels — the clustering-vs-labels agreement report
+    "q_cluster_purity" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val asg = graft.ops.Similarity.assignToCentroids(
+        e, "vec_id", "embedding", kmeansCentroids)
+        .select(col("vec_id"), col("cluster"))
+      graft.ops.Similarity.clusterPurity(
+        asg.join(e.select(col("vec_id"), col("label")), "vec_id"),
+        "cluster", "label")
+    }),
+
     // KMV distinct-count sketch: distinct parts per return flag —
     // deterministic md5 order statistics, reproduced exactly in SQL
     "q_kmv_distinct" -> ((s, dir) =>
@@ -4447,6 +4477,74 @@ object SparkEntry {
          |$rounds
          |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
          |FROM e16 GROUP BY 1""".stripMargin
+    },
+
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       COUNT(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_sensitive,
+        |       COUNT(DISTINCT o_custkey) < 100 AS at_risk
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    // identical z tree both sides; z ROUNDS to 6 dp before the
+    // threshold because ln() skews 1 ulp between libm and the JDK;
+    // CASE mirrors Spark's when/otherwise on null lang
+    "q_keyness" ->
+      s"""$docToks, x AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+         |         unnest(toks) AS term
+         |  FROM d WHERE text IS NOT NULL
+         |), c AS (
+         |  SELECT term, CAST(SUM(g) AS BIGINT) AS n_a,
+         |         CAST(SUM(1 - g) AS BIGINT) AS n_b
+         |  FROM x GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
+         |         COUNT(*) AS v
+         |  FROM c
+         |), s AS (
+         |  SELECT term, n_a, n_b,
+         |    ROUND((ln((n_a + 0.5) / (ta + 0.5 * v - n_a - 0.5))
+         |     - ln((n_b + 0.5) / (tb + 0.5 * v - n_b - 0.5)))
+         |    / sqrt(1.0 / (n_a + 0.5) + 1.0 / (n_b + 0.5)), 6) AS z_score
+         |  FROM c CROSS JOIN t
+         |)
+         |SELECT term, n_a, n_b, z_score FROM s WHERE abs(z_score) >= 1.96""".stripMargin,
+
+    // the q_kmeans_assign sims array + per-cluster majority vote
+    "q_cluster_purity" -> {
+      val cents = kmeansCentroids.map(_.map(x => java.lang.Double.toString(x)))
+      val norms = kmeansCentroids.map(c =>
+        java.lang.Double.toString(math.sqrt(c.map(x => x * x).sum)))
+      val sims = cents.zip(norms).map { case (c, cn) =>
+        val lit = c.mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ($lit)[i])) / (vn * $cn)"
+      }.mkString("[", ",\n       ", "]")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, label,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |), asg AS (
+         |  SELECT vec_id, CAST(list_position($sims,
+         |    list_max($sims)) - 1 AS BIGINT) AS cluster, CAST(label AS BIGINT) AS label
+         |  FROM v WHERE label IS NOT NULL
+         |), cl AS (
+         |  SELECT cluster, label, COUNT(*) AS c FROM asg GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT cluster, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY 1
+         |), best AS (
+         |  SELECT cluster, label, c,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn
+         |  FROM cl
+         |)
+         |SELECT b.cluster, t.n AS n_vectors, b.label AS majority_label,
+         |  CAST(b.c AS BIGINT) AS n_majority,
+         |  CAST((b.c * 1000000) // t.n AS BIGINT) AS purity_ppm
+         |FROM best b JOIN tot t USING (cluster) WHERE b.rn = 1""".stripMargin
     },
 
     "q_kmv_distinct" ->

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy audits over quasi-identifier (QI) combinations — the
+  * data-governance gate a corpus passes before release or training.
+  * Both audits are single hash aggregations over the QI key: they
+  * scale as a groupBy on the QI columns (map-side partial agg, one
+  * exchange keyed by the QI tuple) and their output is one row per QI
+  * COHORT — bounded by the QI domain product, never the corpus.
+  *
+  * Null QI values form their own cohort (a null attribute still
+  * identifies the set of rows that share it), matching SQL GROUP BY
+  * semantics on both engines.
+  */
+object Privacy {
+
+  /** k-anonymity audit: every QI cohort with its row count and an
+    * `at_risk` flag when the cohort is smaller than `k` — rows in such
+    * cohorts are re-identifiable by their quasi-identifiers alone
+    * (Sweeney's criterion). The full cohort report (not just the
+    * failures) is emitted so the release decision can weigh cohort
+    * sizes, not only count violations.
+    * Output: (qiCols..., n_rows, at_risk).
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k < 2 makes every cohort anonymous by definition")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
+  /** l-diversity audit: k-anonymity's complement against ATTRIBUTE
+    * disclosure — a cohort whose sensitive attribute takes fewer than
+    * `l` distinct values leaks that attribute even when the cohort is
+    * large (everyone in it shares the secret). Distinct counts ignore
+    * null sensitive values (a null discloses nothing).
+    * Output: (qiCols..., n_rows, n_sensitive, at_risk).
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, "l < 2 makes every cohort diverse by definition")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+}

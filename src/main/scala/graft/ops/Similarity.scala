@@ -379,6 +379,28 @@ object Similarity {
         round(array_max(arr), 6).as("sim"))
   }
 
+  /** Cluster↔label agreement (purity): per cluster, the majority label
+    * and its share — the eval that tells you whether an embedding
+    * clustering (e.g. [[assignToCentroids]] cells feeding SemDeDup or
+    * mixture routing) lines up with known labels. Argmax rides one
+    * struct max (count desc, label asc tie-break) — no window, two
+    * hash aggs, output bounded by |clusters|.
+    * Output: (cluster, n_vectors, majority_label, n_majority,
+    * purity_ppm).
+    */
+  def clusterPurity(assigned: DataFrame, clusterCol: String,
+                    labelCol: String): DataFrame = {
+    val cl = assigned.filter(col(labelCol).isNotNull)
+      .groupBy(col(clusterCol).as("cluster"), col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("c"))
+    cl.groupBy("cluster")
+      .agg(sum(col("c")).as("n_vectors"),
+        max(struct(col("c"), (-col("label")).as("_neg"), col("label"))).as("_b"))
+      .select(col("cluster"), col("n_vectors"),
+        col("_b.label").as("majority_label"), col("_b.c").as("n_majority"),
+        expr("(_b.c * 1000000L) div n_vectors").as("purity_ppm"))
+  }
+
   /** IVF approximate top-k: corpus rows bucket under their nearest
     * centroid (map-side expression), each query probes its `nprobe`
     * closest centroid lists, and candidates re-rank by exact cosine.

@@ -341,6 +341,44 @@ object TextAnalysis {
       .filter(col("n_occurrences") >= 2)
   }
 
+  /** Corpus-comparison keyness (Monroe et al.'s log-odds with a
+    * Dirichlet prior): which terms CHARACTERIZE the `inGroup` slice
+    * against the rest of the corpus. The z-scored log-odds-ratio
+    * corrects raw frequency-ratio ranking's bias toward rare terms
+    * (the variance term shrinks low-count z toward 0), which is what
+    * makes it the standard slice-diagnostics tool — "what is source X
+    * actually full of" before deciding its mixture weight. One token
+    * explode + one term agg + a 1-row totals crossJoin. The z tree
+    * passes through ln(), which is NOT correctly-rounded libm-vs-JDK
+    * (1-ulp skew observed on real inputs), so z is rounded to 6 dp and
+    * the threshold compares the ROUNDED value — the bm25 cut
+    * discipline, stable across engines.
+    * Output: (term, n_a, n_b, z_score) for |round(z, 6)| >= zThreshold.
+    */
+  def keyness(docs: DataFrame, textCol: String, inGroup: Column,
+              zThreshold: Double = 1.96, alpha: Double = 0.5): DataFrame = {
+    require(zThreshold >= 0.0 && alpha > 0.0, "need zThreshold >= 0, alpha > 0")
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(when(inGroup, lit(1L)).otherwise(lit(0L)).as("_g"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = d.groupBy("term").agg(
+      sum(col("_g")).as("n_a"),
+      sum(lit(1L) - col("_g")).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"),
+      count(lit(1)).as("_v"))
+    val aPrior = lit(alpha) * col("_v")
+    val da = (col("n_a") + lit(alpha)) /
+      (col("_ta") + aPrior - col("n_a") - lit(alpha))
+    val db = (col("n_b") + lit(alpha)) /
+      (col("_tb") + aPrior - col("n_b") - lit(alpha))
+    val z = (log(da) - log(db)) /
+      sqrt(lit(1.0) / (col("n_a") + lit(alpha)) + lit(1.0) / (col("n_b") + lit(alpha)))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("z_score", round(z, 6))
+      .filter(abs(col("z_score")) >= zThreshold)
+      .select("term", "n_a", "n_b", "z_score")
+  }
+
   /** BM25 relevance scores for a fixed query-term set — the ranking
     * backbone of retrieval-based data selection (find the corpus docs
     * most relevant to a target domain, rank near-dup survivors, build

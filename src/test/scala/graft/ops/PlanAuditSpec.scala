@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_collocations" -> "1-row token-total crossJoins (PMI normalizers)",
     "q_composition" -> "1-row corpus-total crossJoin for share-of-corpus",
     "q_chi2"       -> "1-row global-total crossJoin (contingency normalizer)",
+    "q_keyness"    -> "1-row corpus-totals crossJoin (log-odds prior normalizers)",
     "q_filter_funnel" -> "1-row corpus-total crossJoin over a 6-row stage frame",
     "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
     "q_kappa"      -> "1-row rater-total crossJoin (expected-agreement term)",

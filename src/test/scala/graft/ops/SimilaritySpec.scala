@@ -47,6 +47,21 @@ class SimilaritySpec extends SparkSpec {
     got(6L)._4 shouldBe false
   }
 
+  test("clusterPurity: majority vote, tie breaks to smaller label, null labels drop") {
+    val asg = Seq(
+      (1L, 0L, Some(5L)), (2L, 0L, Some(5L)), (3L, 0L, Some(7L)),
+      (4L, 1L, Some(2L)), (5L, 1L, Some(9L)), // tie 1-1 -> label 2 wins
+      (6L, 2L, None), (7L, 2L, Some(3L))
+    ).toDF("vec_id", "cluster", "label")
+    val got = Similarity.clusterPurity(asg, "cluster", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got shouldBe Map(
+      0L -> ((3L, 5L, 2L, 666666L)),
+      1L -> ((2L, 2L, 1L, 500000L)),
+      2L -> ((1L, 3L, 1L, 1000000L))) // the null-label row never counted
+  }
+
   test("bitextMine aligns planted translations, margin rejects the ambiguous hub") {
     val left = df(10L -> Seq(1f, 0f), 20L -> Seq(0f, 1f), 30L -> Seq(0.707f, 0.707f))
     val right = df(

@@ -270,6 +270,23 @@ class TextAnalysisSpec extends SparkSpec {
     short shouldBe Array((0L, "a b"))
   }
 
+  test("keyness: slice-characteristic terms score high-|z|, balanced terms drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 'aaa' dominates group A, 'bbb' dominates B, 'mid' is balanced
+    val docs = (1 to 10).map(i => (i.toLong, "A", ("aaa " * 8 + "mid").trim)) ++
+      (11 to 20).map(i => (i.toLong, "B", ("bbb " * 8 + "mid").trim))
+    val got = TextAnalysis.keyness(docs.toDF("doc_id", "grp", "text"),
+      "text", col("grp") === "A", zThreshold = 1.96)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got.keySet shouldBe Set("aaa", "bbb") // 'mid' is 10-10: |z| ~ 0, filtered
+    got("aaa")._1 shouldBe 80L
+    got("aaa")._3 should be > 1.96
+    got("bbb")._3 should be < -1.96
+    // symmetric counts -> antisymmetric z
+    got("aaa")._3 shouldBe -got("bbb")._3 +- 1e-9
+  }
+
   test("cdcChunks: edit-shift realignment, shared-chunk counts, single-chunk shorties") {
     import spark.implicits._
     // doc 2 = doc 1 with an inserted 2-token prefix. Fixed-window chunks
