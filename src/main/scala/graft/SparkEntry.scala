@@ -379,6 +379,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.bigramLmScore(
         table(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet-style perplexity tertiles over the bigram-LM score:
+    // hash-sampled exact thresholds, map-side bucketing, drop the tail
+    "q_ppl_select" -> ((s, dir) =>
+      graft.ops.TextAnalysis.pplBucketSelect(
+        table(s, dir, "documents"), "doc_id", "text")),
+
     // HTTP-response splitting over deterministic synthetic fetches —
     // CRLF and bare-LF header endings, quoted charset, header-only 301
     "q_http_parse" -> ((s, dir) => {
@@ -1487,6 +1493,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.keyness(
         table(s, dir, "documents"), "text", col("lang") === "en")),
 
+    // per-source corpus datasheet: volume, lexical diversity,
+    // duplication, language spread — the mixture-decision report
+    "q_source_datasheet" -> ((s, dir) =>
+      graft.ops.TextAnalysis.sourceDatasheet(
+        table(s, dir, "documents"), "source", "doc_id", "text", "lang")),
+
     // purity of the fixed-centroid clustering against the embedding
     // labels — the clustering-vs-labels agreement report
     "q_cluster_purity" -> ((s, dir) => {
@@ -1929,6 +1941,41 @@ object SparkEntry {
        |)
        |SELECT src_id, dst_id, CAST(c AS BIGINT) AS containment_ppm
        |FROM dir WHERE c >= 800000""".stripMargin
+
+  /** Shared by q_bigram_lm and q_ppl_select (which quantile-buckets the
+    * same score) — both must hash-match the one LM definition.
+    */
+  private val bigramLmSql =
+    s"""$docToks, base AS (
+       |  SELECT doc_id, toks FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), slots AS (
+       |  SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> struct_pack(w1 := toks[i], bg := toks[i] || ' ' || toks[i+1]))) AS s
+       |    FROM base WHERE len(toks) >= 2)
+       |), docbg AS (
+       |  SELECT doc_id, w1, bg, COUNT(*)::BIGINT AS tf FROM slots GROUP BY 1, 2, 3
+       |), bgcnt AS (
+       |  SELECT bg, COUNT(*)::BIGINT AS c12 FROM slots GROUP BY 1
+       |), hist AS (
+       |  SELECT w1, COUNT(*)::BIGINT AS c1 FROM slots GROUP BY 1
+       |), vv AS (
+       |  SELECT COUNT(DISTINCT t)::BIGINT AS v
+       |  FROM (SELECT unnest(toks) AS t FROM base)
+       |), p AS (
+       |  SELECT doc_id, any_value(v) AS v,
+       |    list_sort(list(struct_pack(bg := db.bg, tf := db.tf,
+       |                               c12 := c12, c1 := c1))) AS arr
+       |  FROM docbg db JOIN bgcnt USING (bg) JOIN hist USING (w1) CROSS JOIN vv
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_bigrams,
+       |  ROUND(list_sum(list_transform(arr, s ->
+       |          s.tf::DOUBLE * ln((s.c12::DOUBLE + 1.0) / (s.c1::DOUBLE + v::DOUBLE))))
+       |        / CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT), 6)
+       |    AS avg_logprob
+       |FROM p""".stripMargin
 
   private val knnSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -2403,37 +2450,32 @@ object SparkEntry {
     // bigram LM from scratch: identical slot construction (toks[i],
     // toks[i+1]), identical Laplace tree ln((c12+1)/(c1+V)), fold over
     // the bigram-sorted per-doc array
-    "q_bigram_lm" ->
-      s"""$docToks, base AS (
-         |  SELECT doc_id, toks FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
-         |), slots AS (
-         |  SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-         |      i -> struct_pack(w1 := toks[i], bg := toks[i] || ' ' || toks[i+1]))) AS s
-         |    FROM base WHERE len(toks) >= 2)
-         |), docbg AS (
-         |  SELECT doc_id, w1, bg, COUNT(*)::BIGINT AS tf FROM slots GROUP BY 1, 2, 3
-         |), bgcnt AS (
-         |  SELECT bg, COUNT(*)::BIGINT AS c12 FROM slots GROUP BY 1
-         |), hist AS (
-         |  SELECT w1, COUNT(*)::BIGINT AS c1 FROM slots GROUP BY 1
-         |), vv AS (
-         |  SELECT COUNT(DISTINCT t)::BIGINT AS v
-         |  FROM (SELECT unnest(toks) AS t FROM base)
-         |), p AS (
-         |  SELECT doc_id, any_value(v) AS v,
-         |    list_sort(list(struct_pack(bg := db.bg, tf := db.tf,
-         |                               c12 := c12, c1 := c1))) AS arr
-         |  FROM docbg db JOIN bgcnt USING (bg) JOIN hist USING (w1) CROSS JOIN vv
-         |  GROUP BY 1
+    "q_bigram_lm" -> bigramLmSql,
+
+    // the shared bigram-LM chain + deterministic 25% hash-sample
+    // thresholds (exact sample quantiles) + map-side bucket compare;
+    // the rank-OR filter (not UNION ALL) keeps the threshold multiset
+    // identical to Spark's when two cut ranks coincide on a tiny sample
+    "q_ppl_select" ->
+      s"""WITH sc AS MATERIALIZED (
+         |$bigramLmSql
+         |), n AS (
+         |  SELECT COUNT(*) AS ns FROM sc
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 0
+         |), smp AS (
+         |  SELECT avg_logprob,
+         |    ROW_NUMBER() OVER (ORDER BY avg_logprob, doc_id) AS rn
+         |  FROM sc
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 0
+         |), tl AS (
+         |  SELECT list_sort(list(s.avg_logprob)) AS ts
+         |  FROM smp s, n
+         |  WHERE s.rn = (1 * n.ns + 2) // 3 OR s.rn = (2 * n.ns + 2) // 3
          |)
-         |SELECT doc_id,
-         |  CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_bigrams,
-         |  ROUND(list_sum(list_transform(arr, s ->
-         |          s.tf::DOUBLE * ln((s.c12::DOUBLE + 1.0) / (s.c1::DOUBLE + v::DOUBLE))))
-         |        / CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT), 6)
-         |    AS avg_logprob
-         |FROM p""".stripMargin,
+         |SELECT doc_id, avg_logprob,
+         |  CAST(len(list_filter(ts, x -> avg_logprob > x)) + 1 AS BIGINT) AS ppl_bucket,
+         |  len(list_filter(ts, x -> avg_logprob > x)) + 1 >= 2 AS keep
+         |FROM sc CROSS JOIN tl""".stripMargin,
 
     // same regexps as Web.parseHttp; raw built with chr(13)/chr(10)
     "q_http_parse" ->
@@ -4514,6 +4556,37 @@ object SparkEntry {
          |  FROM c CROSS JOIN t
          |)
          |SELECT term, n_a, n_b, z_score FROM s WHERE abs(z_score) >= 1.96""".stripMargin,
+
+    // doc-level agg + token-type agg joined on source; fingerprint,
+    // token-count, and ppm idioms identical to q_dedup_exact/q_domain_stats
+    "q_source_datasheet" ->
+      """WITH d0 AS (
+        |  SELECT source, lang, text, doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), da AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                  x -> x <> ''))), ' '))) AS BIGINT) AS n_distinct_text,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM d0 GROUP BY 1
+        |), ty AS (
+        |  SELECT source, CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+        |  FROM (SELECT source,
+        |          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             x -> x <> '')) AS t
+        |        FROM d0)
+        |  GROUP BY 1
+        |)
+        |SELECT da.source, n_docs, n_tokens,
+        |  COALESCE(ty.n_types, 0) AS n_types,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST((COALESCE(ty.n_types, 0) * 1000000) // n_tokens AS BIGINT)
+        |  END AS ttr_ppm,
+        |  n_langs, n_distinct_text,
+        |  CAST(((n_docs - n_distinct_text) * 1000000) // n_docs AS BIGINT) AS dup_ppm
+        |FROM da LEFT JOIN ty USING (source)""".stripMargin,
 
     // the q_kmeans_assign sims array + per-cluster majority vote
     "q_cluster_purity" -> {

@@ -232,6 +232,36 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
 
+  /** Per-source datasheet: the one-row-per-source corpus card a
+    * mixture decision reads — volume (docs, tokens), lexical diversity
+    * (distinct types, type-token ratio), exact-duplication ppm
+    * ([[fingerprint]]-collapsed), and language spread. Two hash aggs
+    * (doc-level + one token explode for types) joined on the source
+    * key; output bounded by |sources|. All ratios integer-ppm.
+    * Output: (source, n_docs, n_tokens, n_types, ttr_ppm, n_langs,
+    * n_distinct_text, dup_ppm).
+    */
+  def sourceDatasheet(docs: DataFrame, sourceCol: String, idCol: String,
+                      textCol: String, langCol: String): DataFrame = {
+    val d = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val docAgg = d.groupBy(col(sourceCol).as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      countDistinct(fingerprint(col(textCol))).as("n_distinct_text"),
+      countDistinct(col(langCol)).as("n_langs"))
+    val types = d
+      .select(col(sourceCol).as("source"), explode(tokens(lower(col(textCol)))).as("t"))
+      .groupBy("source").agg(countDistinct(col("t")).as("n_types"))
+    docAgg.join(types, Seq("source"), "left")
+      .withColumn("n_types", coalesce(col("n_types"), lit(0L)))
+      .withColumn("ttr_ppm",
+        when(col("n_tokens") > 0, expr("(n_types * 1000000L) div n_tokens")))
+      .withColumn("dup_ppm",
+        expr("((n_docs - n_distinct_text) * 1000000L) div n_docs"))
+      .select("source", "n_docs", "n_tokens", "n_types", "ttr_ppm", "n_langs",
+        "n_distinct_text", "dup_ppm")
+  }
+
   /** Corpus term statistics: per-(doc, term) frequency, document
     * frequency, and TF-IDF (`tf · ln(N / df)`) — the vocabulary /
     * importance backbone of a training-data pipeline (corpus pruning,
@@ -1072,6 +1102,42 @@ object TextAnalysis {
             (s.getField("c1").cast("double") + col("v").cast("double"))))
     perDoc.select(col("doc_id"), nSlots.as("n_bigrams"),
       round(score / nSlots, 6).as("avg_logprob"))
+  }
+
+  /** CCNet-style perplexity bucketing: score every doc with the
+    * corpus-trained [[bigramLmScore]], cut the distribution into
+    * `buckets` equal slices, and keep everything above the worst
+    * bucket. The cut thresholds come from a DETERMINISTIC md5
+    * hash-sample (1/`sampleMod` of docs) sorted exactly — the
+    * production shape: the sample is bounded (sortable on one
+    * executor-ish scale; tune `sampleMod` to the corpus), the full
+    * corpus only ever compares map-side against the broadcast
+    * threshold array. Ties at a threshold go strictly to the lower
+    * bucket (`score > t`), on the ROUNDED 6-dp score — engine-stable.
+    * Output: (doc_id, avg_logprob, ppl_bucket 1..buckets ascending =
+    * worst..best, keep = bucket >= 2).
+    */
+  def pplBucketSelect(docs: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 3, sampleMod: Int = 4): DataFrame = {
+    require(buckets >= 2 && sampleMod >= 1, "need buckets >= 2, sampleMod >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sc = bigramLmScore(docs, idCol, textCol)
+    val hash = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val smp = sc.filter(hash % sampleMod === 0)
+    val ranked = smp.withColumn("_rn",
+      row_number().over(Window.orderBy(col("avg_logprob"), col("doc_id"))))
+    val nS = smp.agg(count(lit(1)).as("_ns"))
+    val cutRanks = (1 until buckets).map(b =>
+      col("_rn") === expr(s"($b * _ns + ${buckets - 1}) div $buckets"))
+    val th = ranked.crossJoin(broadcast(nS))
+      .filter(cutRanks.reduce(_ || _))
+      .agg(array_sort(collect_list(col("avg_logprob"))).as("_ts"))
+    sc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("avg_logprob"),
+        (size(filter(col("_ts"), t => col("avg_logprob") > t)) + 1)
+          .cast("long").as("ppl_bucket"))
+      .withColumn("keep", col("ppl_bucket") >= 2)
   }
 
   /** Overlapping token-window chunking — the context-window preparation

@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25"       -> "1-row corpus-total (N, avgdl) crossJoin",
     "q_unigram_score" -> "1-row LM-normalizer crossJoin",
     "q_bigram_lm"  -> "1-row vocab-size (Laplace denominator) crossJoin",
+    "q_ppl_select" -> "1-row sample-count + (buckets-1)-row threshold crossJoins over the bigram-LM chain",
     "q_assoc_rules" -> "1-row basket-total crossJoin for support/lift",
     "q_collocations" -> "1-row token-total crossJoins (PMI normalizers)",
     "q_composition" -> "1-row corpus-total crossJoin for share-of-corpus",

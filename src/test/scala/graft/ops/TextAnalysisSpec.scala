@@ -270,6 +270,46 @@ class TextAnalysisSpec extends SparkSpec {
     short shouldBe Array((0L, "a b"))
   }
 
+  test("pplBucketSelect: corpus-unlike word order lands in the dropped tail") {
+    import spark.implicits._
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    // repetition count varies per doc so the slot MIX (and hence the
+    // average) is genuinely distinct — identical docs would tie AT a
+    // cut threshold and all fall to the lower bucket by the strict->
+    // rule
+    val docs = (1 to 8).map(i => (i.toLong, Seq.fill(i)(fluent).mkString(" "))) ++ Seq(
+      (9L, "mat the on rug cat dog and sat the on the the"), // shuffled: rare bigrams
+      (10L, "rug dog mat on and the sat cat the on sat the"))
+    val got = TextAnalysis.pplBucketSelect(docs.toDF("doc_id", "text"),
+      "doc_id", "text", buckets = 3, sampleMod = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    got.size shouldBe 10
+    got.values.foreach { case (_, b, keep) => keep shouldBe (b >= 2) }
+    val worst = got.minBy(_._2._1)
+    worst._1 should (be(9L) or be(10L)) // a shuffled doc scores lowest
+    worst._2._3 shouldBe false
+    got.maxBy(_._2._1)._2._3 shouldBe true // the most corpus-like doc is kept
+    got.values.count(!_._3) should be >= 3 // the tail tertile is dropped
+  }
+
+  test("sourceDatasheet: volume, types, ttr, dup ppm, lang spread per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", Some("en"), "a b a b"), // 4 tokens, 2 types
+      (2L, "s1", Some("fr"), "b a"),     // same fingerprint as doc 1 -> dup
+      (3L, "s1", None, "c"),
+      (4L, "s2", Some("en"), "x y z")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = TextAnalysis.sourceDatasheet(docs, "source", "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // s1: 3 docs, 7 tokens, types {a,b,c}=3, ttr 3/7, langs {en,fr}=2,
+    // fingerprints {ab, c}=2 -> dup (3-2)/3
+    got("s1") shouldBe ((3L, 7L, 3L, 428571L, 2L, 2L, 333333L))
+    got("s2") shouldBe ((1L, 3L, 3L, 1000000L, 1L, 1L, 0L))
+  }
+
   test("keyness: slice-characteristic terms score high-|z|, balanced terms drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
