@@ -1493,6 +1493,25 @@ object SparkEntry {
       graft.ops.TextAnalysis.keyness(
         table(s, dir, "documents"), "text", col("lang") === "en")),
 
+    // meta-robots compliance audit over synthesized crawl HTML: the
+    // noindex/nofollow/none directive parse + indexable verdict
+    // (mixed-case tags exercise the (?i) fold)
+    "q_robots_gate" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val html = concat(
+        lit("<html><head>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .when(col("doc_id") % 4 === 1,
+            lit("<META NAME='robots' CONTENT='NOFOLLOW'>"))
+          .when(col("doc_id") % 4 === 2,
+            lit("<meta name=\"robots\" content=\"index, follow\">"))
+          .otherwise(lit("")),
+        lit("</head><body>ok</body></html>"))
+      graft.ops.Web.metaRobots(d.select(col("doc_id"), html.as("_h")), "_h")
+        .select("doc_id", "robots_content", "noindex", "nofollow", "indexable")
+    }),
+
     // per-source corpus datasheet: volume, lexical diversity,
     // duplication, language spread — the mixture-decision report
     "q_source_datasheet" -> ((s, dir) =>
@@ -4556,6 +4575,31 @@ object SparkEntry {
          |  FROM c CROSS JOIN t
          |)
          |SELECT term, n_a, n_b, z_score FROM s WHERE abs(z_score) >= 1.96""".stripMargin,
+
+    // identical (?i) regexp both sides; DuckDB regexp_extract returns
+    // '' on no match like Spark (probed)
+    "q_robots_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<html><head>' ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+        |      WHEN 1 THEN '<META NAME=''robots'' CONTENT=''NOFOLLOW''>'
+        |      WHEN 2 THEN '<meta name="robots" content="index, follow">'
+        |      ELSE '' END || '</head><body>ok</body></html>' AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), x AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(h,
+        |      '(?i)<meta\s+name\s*=\s*["'']robots["'']\s+content\s*=\s*["'']([^"'']*)["'']',
+        |      1)) AS robots_content
+        |  FROM d
+        |)
+        |SELECT doc_id, robots_content,
+        |  instr(robots_content, 'noindex') > 0 OR instr(robots_content, 'none') > 0 AS noindex,
+        |  instr(robots_content, 'nofollow') > 0 OR instr(robots_content, 'none') > 0 AS nofollow,
+        |  NOT (instr(robots_content, 'noindex') > 0 OR instr(robots_content, 'none') > 0) AS indexable
+        |FROM x""".stripMargin,
 
     // doc-level agg + token-type agg joined on source; fingerprint,
     // token-count, and ppm idioms identical to q_dedup_exact/q_domain_stats

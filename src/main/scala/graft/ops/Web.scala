@@ -204,6 +204,29 @@ object Web {
     withHost.join(hitKeys, Seq(keyCol), "left_anti").drop("_host")
   }
 
+  /** Meta-robots compliance: extract the `<meta name="robots">`
+    * directive from raw HTML and flag `noindex` / `nofollow` (the
+    * `none` shorthand implies both) — the legal/politeness gate a
+    * crawl corpus must pass before training (a noindex page was
+    * explicitly opted out by its publisher). Pure map-side regexp
+    * program (RE2-portable, `(?i)` case folding, no lookaround);
+    * `indexable` is the keep verdict.
+    * Output: input columns + (robots_content, noindex, nofollow,
+    * indexable).
+    */
+  def metaRobots(df: DataFrame, htmlCol: String): DataFrame = {
+    val pat = "(?i)<meta\\s+name\\s*=\\s*[\"']robots[\"']\\s+content\\s*=\\s*[\"']([^\"']*)[\"']"
+    val content = lower(regexp_extract(col(htmlCol), pat, 1))
+    df.withColumn("robots_content", content)
+      .withColumn("noindex",
+        instr(col("robots_content"), "noindex") > 0 ||
+          instr(col("robots_content"), "none") > 0)
+      .withColumn("nofollow",
+        instr(col("robots_content"), "nofollow") > 0 ||
+          instr(col("robots_content"), "none") > 0)
+      .withColumn("indexable", !col("noindex"))
+  }
+
   /** Per-domain reputation stats — the survey that MINES a blocklist
     * instead of consuming one: for each registrable domain, page
     * volume, distinct canonical URLs, exact-content duplication (ppm

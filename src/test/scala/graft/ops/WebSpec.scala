@@ -159,6 +159,24 @@ class WebSpec extends SparkSpec {
     parsed.getString(2) shouldBe "Hello world"
   }
 
+  test("metaRobots: directive parse, none implies both, missing tag indexable") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<html><head><meta name="robots" content="noindex, nofollow"></head></html>"""),
+      (2L, "<HTML><HEAD><META NAME='robots' CONTENT='NOFOLLOW'></HEAD></HTML>"),
+      (3L, """<head><meta name="robots" content="none"></head>"""),
+      (4L, "<html><head><title>t</title></head><body>plain</body></html>")
+    ).toDF("doc_id", "html")
+    val got = Web.metaRobots(pages, "html")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("robots_content"), r.getAs[Boolean]("noindex"),
+          r.getAs[Boolean]("nofollow"), r.getAs[Boolean]("indexable"))).toMap
+    got(1L) shouldBe (("noindex, nofollow", true, true, false))
+    got(2L) shouldBe (("nofollow", false, true, true)) // case-folded tag and value
+    got(3L) shouldBe (("none", true, true, false)) // the shorthand implies both
+    got(4L) shouldBe (("", false, false, true))
+  }
+
   test("canonicalization is idempotent: canonical URLs are fixed points") {
     // property over a messy generated corpus: re-canonicalizing the
     // canonical form changes nothing (otherwise "canonical" keys drift
