@@ -1480,6 +1480,13 @@ object SparkEntry {
       graft.ops.Privacy.kAnonymity(
         table(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"), k = 10L)),
 
+    // seeded-Laplace noisy cohort histogram (epsilon = 0.5) — the
+    // reproducible DP-style release over the same customer QI cohorts
+    "q_dp_counts" -> ((s, dir) =>
+      graft.ops.Privacy.noisyCounts(
+        table(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"),
+        epsilon = 0.5, seed = 7L)),
+
     // l-diversity audit: does any (status, priority) cohort expose its
     // customers through too few distinct values
     "q_l_diversity" -> ((s, dir) =>
@@ -4544,6 +4551,24 @@ object SparkEntry {
       """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       COUNT(*) < 10 AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // identical inverse-CDF tree; chr(1)/chr(2) mirror the Spark
+    // separator/null sentinels; only ln() is ulp-sensitive -> round 6
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM customer GROUP BY 1, 2
+        |), hx AS (
+        |  SELECT *, ('0x' || substr(md5(concat_ws(chr(1),
+        |      COALESCE(c_mktsegment, chr(2)),
+        |      COALESCE(c_nationkey::VARCHAR, chr(2)), '7')), 1, 13))::BIGINT AS hv
+        |  FROM g
+        |)
+        |SELECT c_mktsegment, c_nationkey, n_rows,
+        |  ROUND(n_rows + (-1.0 / 0.5) * sign((hv + 0.5) / 4503599627370496.0 - 0.5)
+        |        * ln(1.0 - 2.0 * abs((hv + 0.5) / 4503599627370496.0 - 0.5)), 6)
+        |    AS noisy_count
+        |FROM hx""".stripMargin,
 
     "q_l_diversity" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,

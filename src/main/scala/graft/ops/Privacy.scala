@@ -32,6 +32,35 @@ object Privacy {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** Laplace-noised cohort histogram — the differential-privacy-style
+    * release shape: each QI cohort's count is perturbed with
+    * Laplace(1/epsilon) noise (count sensitivity 1) drawn by INVERSE
+    * CDF from a SEEDED md5 uniform over the cohort key, so the release
+    * is bit-reproducible run to run and engine to engine (the
+    * reproducible-release discipline of synthetic-data pipelines; a
+    * formal DP deployment swaps the seeded uniform for a CSPRNG draw —
+    * same plan, different entropy source). The uniform is
+    * `(h + 0.5) / 2^52` (exact binary arithmetic, never 0 or 1); only
+    * the final ln() is engine-ulp-sensitive, so the noisy count rounds
+    * to 6 dp.
+    * Output: (qiCols..., n_rows, noisy_count).
+    */
+  def noisyCounts(df: DataFrame, qiCols: Seq[String], epsilon: Double,
+                  seed: Long = 7L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(epsilon > 0.0, "epsilon must be positive")
+    val key = concat_ws("\u0001",
+      (qiCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))) :+
+        lit(seed.toString)): _*)
+    val h = conv(substring(md5(key.cast("binary")), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0) // 2^52: exact division
+    val lap = (lit(-1.0) / lit(epsilon)) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("noisy_count", round(col("n_rows") + lap, 6))
+  }
+
   /** l-diversity audit: k-anonymity's complement against ATTRIBUTE
     * disclosure — a cohort whose sensitive attribute takes fewer than
     * `l` distinct values leaks that attribute even when the cohort is

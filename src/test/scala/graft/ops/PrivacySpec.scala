@@ -24,6 +24,24 @@ class PrivacySpec extends SparkSpec {
       ("<null>", "20s") -> ((2L, false)))
   }
 
+  test("noisyCounts: reproducible seeded noise, seed changes the draw, nonzero perturbation") {
+    val a = Privacy.noisyCounts(people, Seq("city", "age_band"), epsilon = 0.5)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val b = Privacy.noisyCounts(people, Seq("city", "age_band"), epsilon = 0.5)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    a shouldBe b // bit-reproducible release
+    a.size shouldBe 4
+    // the draw is per-cohort noise, not the raw count
+    a.values.count { case (n, noisy) => noisy != n.toDouble } should be >= 3
+    // a different seed is a different release
+    val c = Privacy.noisyCounts(people, Seq("city", "age_band"), epsilon = 0.5, seed = 8L)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getString(1)) ->
+        r.getDouble(3)).toMap
+    a.count { case (k, (_, noisy)) => c(k) != noisy } should be >= 3
+  }
+
   test("lDiversity: distinct sensitive values gate, nulls disclose nothing") {
     // SFO cohort has 3 rows but only 2 distinct persons -> fails l=3;
     // a null sensitive value must not count toward diversity
