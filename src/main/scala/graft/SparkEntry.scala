@@ -672,6 +672,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 4)
     }),
 
+    // IVF scale twin, probing every list: exhaustive == exact, so it
+    // must hash-match q_bitext_mine's oracle (the q_knn_ivf discipline);
+    // the approximate nprobe < nlist regime is recall-tested in
+    // SimilaritySpec
+    "q_bitext_mine_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.ops.Similarity.bitextMineIvf(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, nlist = 16, nprobe = 16)
+    }),
+
+    // IVF scale twin of the label-noise audit, same exhaustive gating
+    "q_knn_label_noise_ivf" -> ((s, dir) =>
+      graft.ops.Similarity.labelNoiseApprox(
+        table(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 10,
+        nlist = 16, nprobe = 16)),
+
     // exact all-pairs baseline (kept behind exact=true; O(n²) by design)
     "q_embed_dup" -> ((s, dir) =>
       graft.ops.Similarity.nearDupCosine(
@@ -1968,6 +1985,55 @@ object SparkEntry {
        |SELECT src_id, dst_id, CAST(c AS BIGINT) AS containment_ppm
        |FROM dir WHERE c >= 800000""".stripMargin
 
+  /** Shared by q_bitext_mine and its exhaustive-probe IVF twin. */
+  private lazy val bitextMineSql =
+      s"""WITH a AS (SELECT vec_id AS left_id, embedding AS av FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS right_id, embedding AS bv FROM embeddings WHERE vec_id % 2 = 1),
+         |s AS (SELECT left_id, right_id, ${duckCosine("av", "bv")} AS sim FROM a, b),
+         |r AS (SELECT left_id, right_id, sim,
+         |  ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY sim DESC, right_id) AS rnf,
+         |  ROW_NUMBER() OVER (PARTITION BY right_id ORDER BY sim DESC, left_id) AS rnb
+         |  FROM s),
+         |dx AS (SELECT left_id, list_sum(list_sort(list(sim))) / COUNT(*) AS dxv
+         |       FROM r WHERE rnf <= 4 GROUP BY 1),
+         |dy AS (SELECT right_id, list_sum(list_sort(list(sim))) / COUNT(*) AS dyv
+         |       FROM r WHERE rnb <= 4 GROUP BY 1),
+         |m AS (
+         |  SELECT r.left_id, r.right_id, r.sim, r.rnf, r.rnb,
+         |    CAST(FLOOR(2000000.0 * r.sim / (dx.dxv + dy.dyv)) AS BIGINT) AS margin_ppm
+         |  FROM r JOIN dx USING (left_id) JOIN dy USING (right_id)
+         |  WHERE r.rnf <= 4 OR r.rnb <= 4
+         |),
+         |fw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY margin_ppm DESC, right_id) AS bf
+         |       FROM m WHERE rnf <= 4),
+         |bw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY right_id ORDER BY margin_ppm DESC, left_id) AS bb
+         |       FROM m WHERE rnb <= 4)
+         |SELECT fw.left_id, fw.right_id, ROUND(fw.sim, 6) AS sim, fw.margin_ppm
+         |FROM fw JOIN bw ON fw.left_id = bw.left_id AND fw.right_id = bw.right_id
+         |WHERE fw.bf = 1 AND bw.bb = 1 AND fw.margin_ppm >= 1060000""".stripMargin
+
+  /** Shared by q_knn_label_noise and its exhaustive-probe IVF twin. */
+  private lazy val labelNoiseSql =
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+         |  FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
+         |), p AS (
+         |  SELECT q.vec_id, q.label, c.label AS nl, c.vec_id AS nid,
+         |         ${duckCosine("q.embedding", "c.embedding")} AS sim
+         |  FROM v q, v c WHERE q.vec_id <> c.vec_id
+         |), r AS (
+         |  SELECT vec_id, label, nl,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS rn
+         |  FROM p
+         |)
+         |SELECT vec_id, label,
+         |  CAST(SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         |  CAST((SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS agreement_ppm,
+         |  (SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) * 1000000) // COUNT(*) < 500000 AS is_suspect
+         |FROM r WHERE rn <= 10 GROUP BY 1, 2""".stripMargin
+
   /** Shared by q_bigram_lm and q_ppl_select (which quantile-buckets the
     * same score) — both must hash-match the one LM definition.
     */
@@ -2662,54 +2728,15 @@ object SparkEntry {
     "q_knn"          -> knnSql,
 
     // sorted-fold neighborhood means (bit-identical across engines),
-    // ppm-integerized margins BEFORE ranking, id tie-breaks everywhere
-    "q_bitext_mine" ->
-      s"""WITH a AS (SELECT vec_id AS left_id, embedding AS av FROM embeddings WHERE vec_id % 2 = 0),
-         |b AS (SELECT vec_id AS right_id, embedding AS bv FROM embeddings WHERE vec_id % 2 = 1),
-         |s AS (SELECT left_id, right_id, ${duckCosine("av", "bv")} AS sim FROM a, b),
-         |r AS (SELECT left_id, right_id, sim,
-         |  ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY sim DESC, right_id) AS rnf,
-         |  ROW_NUMBER() OVER (PARTITION BY right_id ORDER BY sim DESC, left_id) AS rnb
-         |  FROM s),
-         |dx AS (SELECT left_id, list_sum(list_sort(list(sim))) / COUNT(*) AS dxv
-         |       FROM r WHERE rnf <= 4 GROUP BY 1),
-         |dy AS (SELECT right_id, list_sum(list_sort(list(sim))) / COUNT(*) AS dyv
-         |       FROM r WHERE rnb <= 4 GROUP BY 1),
-         |m AS (
-         |  SELECT r.left_id, r.right_id, r.sim, r.rnf, r.rnb,
-         |    CAST(FLOOR(2000000.0 * r.sim / (dx.dxv + dy.dyv)) AS BIGINT) AS margin_ppm
-         |  FROM r JOIN dx USING (left_id) JOIN dy USING (right_id)
-         |  WHERE r.rnf <= 4 OR r.rnb <= 4
-         |),
-         |fw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY margin_ppm DESC, right_id) AS bf
-         |       FROM m WHERE rnf <= 4),
-         |bw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY right_id ORDER BY margin_ppm DESC, left_id) AS bb
-         |       FROM m WHERE rnb <= 4)
-         |SELECT fw.left_id, fw.right_id, ROUND(fw.sim, 6) AS sim, fw.margin_ppm
-         |FROM fw JOIN bw ON fw.left_id = bw.left_id AND fw.right_id = bw.right_id
-         |WHERE fw.bf = 1 AND bw.bb = 1 AND fw.margin_ppm >= 1060000""".stripMargin,
+    // ppm-integerized margins BEFORE ranking, id tie-breaks everywhere;
+    // the _ivf twin probes every list (exhaustive == exact) so both
+    // plans must hash-match the one oracle
+    "q_bitext_mine_ivf" -> bitextMineSql,
+    "q_bitext_mine" -> bitextMineSql,
 
     // the knnSql ranking (all labeled queries) + neighbor-label vote
-    "q_knn_label_noise" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
-         |  FROM embeddings
-         |  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL
-         |), p AS (
-         |  SELECT q.vec_id, q.label, c.label AS nl, c.vec_id AS nid,
-         |         ${duckCosine("q.embedding", "c.embedding")} AS sim
-         |  FROM v q, v c WHERE q.vec_id <> c.vec_id
-         |), r AS (
-         |  SELECT vec_id, label, nl,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nid) AS rn
-         |  FROM p
-         |)
-         |SELECT vec_id, label,
-         |  CAST(SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-         |  CAST(COUNT(*) AS BIGINT) AS n_neighbors,
-         |  CAST((SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS agreement_ppm,
-         |  (SUM(CASE WHEN nl = label THEN 1 ELSE 0 END) * 1000000) // COUNT(*) < 500000 AS is_suspect
-         |FROM r WHERE rn <= 10 GROUP BY 1, 2""".stripMargin,
+    "q_knn_label_noise" -> labelNoiseSql,
+    "q_knn_label_noise_ivf" -> labelNoiseSql,
     "q_knn_topk_agg" -> knnSql,
     "q_knn_ivf"      -> knnSql, // nprobe = nlist: exhaustive == brute force
     "q_knn_pq"       -> knnSql, // rerank >= corpus: exact re-rank == brute force

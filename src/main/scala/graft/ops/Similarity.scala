@@ -144,6 +144,15 @@ object Similarity {
       .select(col("vec_id"), col("label"), explode(col("top._2")).as("_nid"))
     val nl = v.select(col(idCol).cast("long").as("_nid"),
       col(labelCol).cast("long").as("_nl"))
+    neighborVote(top, nl, suspectBelowPpm)
+  }
+
+  /** The shared agreement-vote tail of [[labelNoise]] /
+    * [[labelNoiseApprox]]: k neighbor ids per labeled query →
+    * agreement ppm + suspect flag.
+    */
+  private def neighborVote(top: DataFrame, nl: DataFrame,
+                           suspectBelowPpm: Long): DataFrame =
     top.join(broadcast(nl), Seq("_nid"))
       .groupBy("vec_id", "label")
       .agg(sum(when(col("_nl") === col("label"), 1L).otherwise(0L)).as("n_agree"),
@@ -153,6 +162,30 @@ object Similarity {
       .withColumn("is_suspect", col("agreement_ppm") < suspectBelowPpm)
       .select("vec_id", "label", "n_agree", "n_neighbors", "agreement_ppm",
         "is_suspect")
+
+  /** [[labelNoise]]'s scale twin: neighbor candidates come from the
+    * IVF index ([[knnIvf]] cells) instead of the all-pairs scorer, so
+    * scored volume is ~`n² · nprobe / nlist` and drops with the list
+    * count — the path a corpus-scale audit takes. At `nprobe = nlist`
+    * the probe is exhaustive and the result equals [[labelNoise]]
+    * exactly (the q_knn_ivf gating discipline); below that it is the
+    * usual ANN recall trade, measured in `SimilaritySpec`.
+    */
+  def labelNoiseApprox(vectors: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int = 10,
+                       nlist: Int = 16, nprobe: Int = 4,
+                       suspectBelowPpm: Long = 500000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val v = vectors.filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
+      col(vecCol).isNotNull)
+    val top = ivfTopK(v, v, idCol, vecCol, k, nlist, nprobe)
+      .join(v.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("label")), Seq("query_id"))
+      .select(col("query_id").as("vec_id"), col("label"),
+        col("neighbor_id").cast("long").as("_nid"))
+    val nl = v.select(col(idCol).cast("long").as("_nid"),
+      col(labelCol).cast("long").as("_nl"))
+    neighborVote(top, nl, suspectBelowPpm)
   }
 
   /** Margin-based bitext mining (the CCMatrix/LASER alignment rule):
@@ -193,23 +226,69 @@ object Similarity {
       .withColumn("rnf", row_number().over(wf))
       .withColumn("rnb", row_number().over(wb))
       .filter(col("rnf") <= k || col("rnb") <= k)
-    def denom(flt: Column, key: String, out: String) = ranked.filter(flt)
-      .groupBy(key)
+    marginMutualTail(
+      ranked.filter(col("rnf") <= k).select("left_id", "right_id", "sim"),
+      ranked.filter(col("rnb") <= k).select("left_id", "right_id", "sim"),
+      minMarginPpm)
+  }
+
+  /** [[bitextMine]]'s scale twin: each side's top-k neighborhoods come
+    * from the IVF index instead of the all-pairs scorer (two
+    * [[knnIvf]]-cell passes, one per direction), then the identical
+    * margin + mutual-top-1 tail. At `nprobe = nlist` the probes are
+    * exhaustive and the result EQUALS [[bitextMine]] bit-for-bit (same
+    * raw sims, same denominators); below that, missed neighbors are
+    * the standard ANN recall trade, measured in `SimilaritySpec`.
+    * Caveat shared with any cross-corpus ANN: ids must be disjoint
+    * across sides (an id present in both is treated as the same item
+    * and never pairs with itself).
+    */
+  def bitextMineIvf(left: DataFrame, right: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 4, nlist: Int = 16,
+                    nprobe: Int = 4, minMarginPpm: Long = 1060000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val fwd = ivfTopK(right, left, idCol, vecCol, k, nlist, nprobe)
+      .select(col("query_id").as("left_id"), col("neighbor_id").as("right_id"),
+        col("sim"))
+    val bwd = ivfTopK(left, right, idCol, vecCol, k, nlist, nprobe)
+      .select(col("neighbor_id").as("left_id"), col("query_id").as("right_id"),
+        col("sim"))
+    marginMutualTail(fwd, bwd, minMarginPpm)
+  }
+
+  /** Shared tail of [[bitextMine]] / [[bitextMineIvf]]: given each
+    * side's top-k neighborhood edges (left_id, right_id, sim — RAW
+    * sims), compute sorted-fold neighborhood means, ppm-integerized
+    * ratio margins, and keep mutual best matches above the threshold.
+    * A pair present in both directions carries the same sim bits (the
+    * dot fold is index-ordered, so a·b ≡ b·a), so the max-collapse is
+    * exact.
+    */
+  private def marginMutualTail(fwd: DataFrame, bwd: DataFrame,
+                               minMarginPpm: Long): DataFrame = {
+    def denom(df: DataFrame, key: String, out: String) = df.groupBy(key)
       .agg(array_sort(collect_list(col("sim"))).as("_ss"))
       .select(col(key),
         (aggregate(col("_ss"), lit(0.0), (acc, x) => acc + x) / size(col("_ss")))
           .as(out))
-    val m = ranked
-      .join(denom(col("rnf") <= k, "left_id", "_dx"), Seq("left_id"))
-      .join(denom(col("rnb") <= k, "right_id", "_dy"), Seq("right_id"))
+    val cands = fwd.select(col("left_id"), col("right_id"), col("sim"),
+        lit(1).as("_f"), lit(0).as("_b"))
+      .unionAll(bwd.select(col("left_id"), col("right_id"), col("sim"),
+        lit(0).as("_f"), lit(1).as("_b")))
+      .groupBy("left_id", "right_id")
+      .agg(max(col("sim")).as("sim"), max(col("_f")).as("_f"),
+        max(col("_b")).as("_b"))
+    val m = cands
+      .join(denom(fwd, "left_id", "_dx"), Seq("left_id"))
+      .join(denom(bwd, "right_id", "_dy"), Seq("right_id"))
       .withColumn("margin_ppm",
         floor(lit(2000000.0) * col("sim") / (col("_dx") + col("_dy"))).cast("long"))
     val fwBest = Window.partitionBy("left_id").orderBy(col("margin_ppm").desc, col("right_id"))
     val bwBest = Window.partitionBy("right_id").orderBy(col("margin_ppm").desc, col("left_id"))
-    val fw = m.filter(col("rnf") <= k)
+    val fw = m.filter(col("_f") === 1)
       .withColumn("_bf", row_number().over(fwBest)).filter(col("_bf") === 1)
       .select("left_id", "right_id", "sim", "margin_ppm")
-    val bw = m.filter(col("rnb") <= k)
+    val bw = m.filter(col("_b") === 1)
       .withColumn("_bb", row_number().over(bwBest)).filter(col("_bb") === 1)
       .select("left_id", "right_id")
     fw.join(bw, Seq("left_id", "right_id"))
@@ -418,7 +497,19 @@ object Similarity {
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nlist: Int = 16, nprobe: Int = 4,
-             iters: Int = 5): DataFrame = {
+             iters: Int = 5): DataFrame =
+    ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe, iters)
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("sim"), 6).as("sim"))
+
+  /** [[knnIvf]] with the RAW (un-rounded) cosine — the internal layer
+    * composite ops ([[labelNoiseApprox]], [[bitextMineIvf]]) build on,
+    * so their downstream arithmetic sees the same bits the exact path
+    * would produce.
+    */
+  private def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                      iters: Int = 5): DataFrame = {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     require(nlist <= 256, "coarse quantizer is an inline expression; keep nlist <= 256")
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
@@ -450,8 +541,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rn"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("rn"), col("sim"))
   }
 
   // ------------------------------------------------------------------

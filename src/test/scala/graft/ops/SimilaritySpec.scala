@@ -47,6 +47,34 @@ class SimilaritySpec extends SparkSpec {
     got(6L)._4 shouldBe false
   }
 
+  test("labelNoiseApprox: approximate probes still flag the planted mislabel") {
+    val d = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.01f)), (3L, 0, Seq(0.98f, 0.02f)),
+      (4L, 1, Seq(0.97f, 0.03f)), // in cluster A but labeled B
+      (5L, 1, Seq(0f, 1f)), (6L, 1, Seq(0.01f, 0.99f)), (7L, 1, Seq(0.02f, 0.98f))
+    ).toDF("vec_id", "label", "embedding")
+    // nprobe < nlist: each query probes only its own cell — the two
+    // planted clusters land in different cells, so neighborhoods stay
+    // intact and the verdicts match the exact audit
+    val got = Similarity.labelNoiseApprox(d, "vec_id", "embedding", "label",
+      k = 3, nlist = 2, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    got(4L)._2 shouldBe true
+    got(1L)._2 shouldBe false
+    got(5L)._2 shouldBe false
+  }
+
+  test("bitextMineIvf: approximate probes recover the planted translations") {
+    val left = df(10L -> Seq(1f, 0f), 20L -> Seq(0f, 1f), 30L -> Seq(0.707f, 0.707f))
+    val right = df(
+      1L -> Seq(0.99f, 0.01f), 2L -> Seq(0.01f, 0.99f),
+      5L -> Seq(0.72f, 0.69f), 6L -> Seq(0.69f, 0.72f))
+    val got = Similarity.bitextMineIvf(left, right, "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 2, minMarginPpm = 1100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((10L, 1L), (20L, 2L)) // same verdicts as the exact miner
+  }
+
   test("clusterPurity: majority vote, tie breaks to smaller label, null labels drop") {
     val asg = Seq(
       (1L, 0L, Some(5L)), (2L, 0L, Some(5L)), (3L, 0L, Some(7L)),
