@@ -1524,12 +1524,14 @@ object SparkEntry {
       val d = table(s, dir, "documents").filter(col("doc_id").isNotNull)
       val html = concat(
         lit("<html><head>"),
-        when(col("doc_id") % 4 === 0,
+        when(col("doc_id") % 5 === 0,
           lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
-          .when(col("doc_id") % 4 === 1,
+          .when(col("doc_id") % 5 === 1,
             lit("<META NAME='robots' CONTENT='NOFOLLOW'>"))
-          .when(col("doc_id") % 4 === 2,
+          .when(col("doc_id") % 5 === 2,
             lit("<meta name=\"robots\" content=\"index, follow\">"))
+          .when(col("doc_id") % 5 === 3,
+            lit("<meta content=\"noindex\" id=\"x\" name=\"robots\">"))
           .otherwise(lit("")),
         lit("</head><body>ok</body></html>"))
       graft.ops.Web.metaRobots(d.select(col("doc_id"), html.as("_h")), "_h")
@@ -2000,7 +2002,9 @@ object SparkEntry {
          |       FROM r WHERE rnb <= 4 GROUP BY 1),
          |m AS (
          |  SELECT r.left_id, r.right_id, r.sim, r.rnf, r.rnb,
-         |    CAST(FLOOR(2000000.0 * r.sim / (dx.dxv + dy.dyv)) AS BIGINT) AS margin_ppm
+         |    CASE WHEN dx.dxv + dy.dyv > 0
+         |         THEN CAST(FLOOR(2000000.0 * r.sim / (dx.dxv + dy.dyv)) AS BIGINT)
+         |         ELSE -1000000000 END AS margin_ppm
          |  FROM r JOIN dx USING (left_id) JOIN dy USING (right_id)
          |  WHERE r.rnf <= 4 OR r.rnb <= 4
          |),
@@ -2104,16 +2108,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""$docToks
-         |SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+         |-- COALESCE: array_to_string([]) is NULL in DuckDB, '' via Spark concat_ws
+         |SELECT md5(COALESCE(array_to_string(list_sort(list_distinct(toks)), ' '), '')) AS fingerprint,
          |       COUNT(*) AS n_docs, MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
          |FROM d GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH fp AS (
         |  SELECT doc_id, n_chars,
-        |         md5(array_to_string(list_sort(list_distinct(
+        |         md5(COALESCE(array_to_string(list_sort(list_distinct(
         |           list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                       x -> x <> ''))), ' ')) AS fingerprint
+        |                       x -> x <> ''))), ' '), '')) AS fingerprint
         |  FROM documents
         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
         |), r AS (
@@ -2183,7 +2188,7 @@ object SparkEntry {
     "q_dedup_canonical" ->
       s"""$docToks, fp AS (
          |  SELECT doc_id, toks,
-         |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS f
+         |         md5(COALESCE(array_to_string(list_sort(list_distinct(toks)), ' '), '')) AS f
          |  FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
          |), c AS (
          |  SELECT f, doc_id, toks,
@@ -2320,9 +2325,9 @@ object SparkEntry {
          |  WHERE dd2.text IS NOT NULL AND c.domain <> ''
          |), fpt AS (
          |  SELECT domain, url_canon,
-         |    md5(array_to_string(list_sort(list_distinct(
+         |    md5(COALESCE(array_to_string(list_sort(list_distinct(
          |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |                  x -> x <> ''))), ' ')) AS f,
+         |                  x -> x <> ''))), ' '), '')) AS f,
          |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS nt
          |  FROM txt
          |)
@@ -2560,13 +2565,16 @@ object SparkEntry {
          |  FROM sc
          |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 0
          |), tl AS (
-         |  SELECT list_sort(list(s.avg_logprob)) AS ts
+         |  -- COALESCE: list() over zero sampled rows is NULL in DuckDB,
+         |  -- [] via Spark collect_list; keep fails OPEN when the sample
+         |  -- yields fewer than buckets-1 thresholds (Spark-side mirror)
+         |  SELECT COALESCE(list_sort(list(s.avg_logprob)), []) AS ts
          |  FROM smp s, n
          |  WHERE s.rn = (1 * n.ns + 2) // 3 OR s.rn = (2 * n.ns + 2) // 3
          |)
          |SELECT doc_id, avg_logprob,
          |  CAST(len(list_filter(ts, x -> avg_logprob > x)) + 1 AS BIGINT) AS ppl_bucket,
-         |  len(list_filter(ts, x -> avg_logprob > x)) + 1 >= 2 AS keep
+         |  (len(list_filter(ts, x -> avg_logprob > x)) + 1 >= 2 OR len(ts) < 2) AS keep
          |FROM sc CROSS JOIN tl""".stripMargin,
 
     // same regexps as Web.parseHttp; raw built with chr(13)/chr(10)
@@ -4634,17 +4642,20 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id,
         |    '<html><head>' ||
-        |    CASE doc_id % 4
+        |    CASE doc_id % 5
         |      WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
         |      WHEN 1 THEN '<META NAME=''robots'' CONTENT=''NOFOLLOW''>'
         |      WHEN 2 THEN '<meta name="robots" content="index, follow">'
+        |      WHEN 3 THEN '<meta content="noindex" id="x" name="robots">'
         |      ELSE '' END || '</head><body>ok</body></html>' AS h
         |  FROM documents WHERE doc_id IS NOT NULL
         |), x AS (
+        |  -- two-stage: isolate the robots <meta> tag (any attribute
+        |  -- order), then pull content= from inside it
         |  SELECT doc_id,
-        |    lower(regexp_extract(h,
-        |      '(?i)<meta\s+name\s*=\s*["'']robots["'']\s+content\s*=\s*["'']([^"'']*)["'']',
-        |      1)) AS robots_content
+        |    lower(regexp_extract(
+        |      regexp_extract(h, '(?i)<meta\b[^>]*name\s*=\s*["'']robots["''][^>]*>', 0),
+        |      '(?i)content\s*=\s*["'']([^"'']*)["'']', 1)) AS robots_content
         |  FROM d
         |)
         |SELECT doc_id, robots_content,
@@ -4662,9 +4673,9 @@ object SparkEntry {
         |), da AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
-        |    CAST(COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |    CAST(COUNT(DISTINCT md5(COALESCE(array_to_string(list_sort(list_distinct(
         |      list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                  x -> x <> ''))), ' '))) AS BIGINT) AS n_distinct_text,
+        |                  x -> x <> ''))), ' '), ''))) AS BIGINT) AS n_distinct_text,
         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         |  FROM d0 GROUP BY 1
         |), ty AS (

@@ -155,10 +155,20 @@ object Dedup {
         fps.join(keep, "fp")
       case None => fps
     }
-    posting.select(col("fp"), col("doc_id").as("a_id"))
-      .join(posting.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_fp"))
+    // collapsed pairing (the boundedIndexCandidates shape, measured
+    // faster in ScratchPerf pairs:selfjoin vs pairs:collapse): group
+    // each fingerprint's posting into a sorted doc list, dedupe
+    // IDENTICAL lists with a weight, explode pairs once per distinct
+    // list — boilerplate fingerprints shared by the same m docs cost
+    // one m²/2 expansion total instead of one per fingerprint
+    posting
+      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("_docs"))
+      .filter(size(col("_docs")) >= 2)
+      .groupBy("_docs").agg(count(lit(1)).as("_w"))
+      .select(explode(col("_docs")).as("a_id"), col("_docs"), col("_w"))
+      .select(col("a_id"), col("_w"),
+        explode(filter(col("_docs"), b => b > col("a_id"))).as("b_id"))
+      .groupBy("a_id", "b_id").agg(sum(col("_w")).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= minShared)
   }
 

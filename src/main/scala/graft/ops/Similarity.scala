@@ -144,24 +144,40 @@ object Similarity {
       .select(col("vec_id"), col("label"), explode(col("top._2")).as("_nid"))
     val nl = v.select(col(idCol).cast("long").as("_nid"),
       col(labelCol).cast("long").as("_nl"))
-    neighborVote(top, nl, suspectBelowPpm)
+    val queries = v.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"))
+    neighborVote(queries, top, nl, suspectBelowPpm)
   }
 
   /** The shared agreement-vote tail of [[labelNoise]] /
     * [[labelNoiseApprox]]: k neighbor ids per labeled query →
     * agreement ppm + suspect flag.
+    *
+    * `queries` is the FULL (vec_id, label) set being audited: the
+    * contract is one output row per labeled vector, so a query whose
+    * candidate generation returned nothing (an outlier alone in its
+    * probed IVF cells — precisely the audit's target) is emitted with
+    * zero support and `is_suspect = true` rather than silently
+    * dropped. The exhaustive regimes always have neighbors (any
+    * corpus of ≥ 2 vectors), so the gated oracle is unaffected.
     */
-  private def neighborVote(top: DataFrame, nl: DataFrame,
-                           suspectBelowPpm: Long): DataFrame =
-    top.join(broadcast(nl), Seq("_nid"))
+  private def neighborVote(queries: DataFrame, top: DataFrame, nl: DataFrame,
+                           suspectBelowPpm: Long): DataFrame = {
+    val voted = top.join(broadcast(nl), Seq("_nid"))
       .groupBy("vec_id", "label")
       .agg(sum(when(col("_nl") === col("label"), 1L).otherwise(0L)).as("n_agree"),
         count(lit(1)).as("n_neighbors"))
       .withColumn("agreement_ppm",
         expr("(n_agree * 1000000L) div n_neighbors"))
+    queries.join(voted, Seq("vec_id", "label"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("agreement_ppm"), lit(0L)).as("agreement_ppm"))
       .withColumn("is_suspect", col("agreement_ppm") < suspectBelowPpm)
       .select("vec_id", "label", "n_agree", "n_neighbors", "agreement_ppm",
         "is_suspect")
+  }
 
   /** [[labelNoise]]'s scale twin: neighbor candidates come from the
     * IVF index ([[knnIvf]] cells) instead of the all-pairs scorer, so
@@ -169,7 +185,10 @@ object Similarity {
     * count — the path a corpus-scale audit takes. At `nprobe = nlist`
     * the probe is exhaustive and the result equals [[labelNoise]]
     * exactly (the q_knn_ivf gating discipline); below that it is the
-    * usual ANN recall trade, measured in `SimilaritySpec`.
+    * usual ANN recall trade, measured in `SimilaritySpec`. Coverage
+    * is still total: a labeled vector whose probed cells return no
+    * candidates is emitted with zero support and `is_suspect = true`
+    * (see [[neighborVote]]) instead of vanishing from the audit.
     */
   def labelNoiseApprox(vectors: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, k: Int = 10,
@@ -185,7 +204,9 @@ object Similarity {
         col("neighbor_id").cast("long").as("_nid"))
     val nl = v.select(col(idCol).cast("long").as("_nid"),
       col(labelCol).cast("long").as("_nl"))
-    neighborVote(top, nl, suspectBelowPpm)
+    val queries = v.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("label"))
+    neighborVote(queries, top, nl, suspectBelowPpm)
   }
 
   /** Margin-based bitext mining (the CCMatrix/LASER alignment rule):
@@ -281,8 +302,16 @@ object Similarity {
     val m = cands
       .join(denom(fwd, "left_id", "_dx"), Seq("left_id"))
       .join(denom(bwd, "right_id", "_dy"), Seq("right_id"))
+      // ratio margin is only meaningful against POSITIVE neighborhood
+      // mass: a non-positive _dx+_dy would flip the inequality's sense
+      // (negative/negative ratios rank anti-correlated pairs as
+      // aligned) or divide by zero — such pairs cannot stand out of
+      // both neighborhoods, so they get a sentinel that fails any
+      // positive minMarginPpm and ranks last in the mutual-best windows
       .withColumn("margin_ppm",
-        floor(lit(2000000.0) * col("sim") / (col("_dx") + col("_dy"))).cast("long"))
+        when(col("_dx") + col("_dy") > 0,
+          floor(lit(2000000.0) * col("sim") / (col("_dx") + col("_dy"))))
+          .otherwise(lit(-1000000000L)).cast("long"))
     val fwBest = Window.partitionBy("left_id").orderBy(col("margin_ppm").desc, col("right_id"))
     val bwBest = Window.partitionBy("right_id").orderBy(col("margin_ppm").desc, col("left_id"))
     val fw = m.filter(col("_f") === 1)

@@ -1133,11 +1133,19 @@ object TextAnalysis {
     val th = ranked.crossJoin(broadcast(nS))
       .filter(cutRanks.reduce(_ || _))
       .agg(array_sort(collect_list(col("avg_logprob"))).as("_ts"))
+    // fail OPEN on a degenerate sample: if the hash sample produced
+    // fewer than buckets-1 thresholds (tiny corpus, or no doc_id
+    // lands on the sample residue), bucketing carries no signal —
+    // keeping everything is the only safe verdict (the alternative
+    // silently drops the whole corpus)
     sc.crossJoin(broadcast(th))
       .select(col("doc_id"), col("avg_logprob"),
         (size(filter(col("_ts"), t => col("avg_logprob") > t)) + 1)
-          .cast("long").as("ppl_bucket"))
-      .withColumn("keep", col("ppl_bucket") >= 2)
+          .cast("long").as("ppl_bucket"),
+        size(col("_ts")).as("_nts"))
+      .withColumn("keep",
+        col("ppl_bucket") >= 2 || col("_nts") < lit(buckets - 1))
+      .drop("_nts")
   }
 
   /** Overlapping token-window chunking — the context-window preparation

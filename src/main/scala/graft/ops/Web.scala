@@ -211,12 +211,21 @@ object Web {
     * explicitly opted out by its publisher). Pure map-side regexp
     * program (RE2-portable, `(?i)` case folding, no lookaround);
     * `indexable` is the keep verdict.
+    *
+    * Two-stage extraction: first isolate the whole `<meta ...>` tag
+    * whose attributes include `name="robots"`, then pull `content=`
+    * out of that tag — HTML attribute order is free, so
+    * `<meta content="noindex" name="robots">` and tags with
+    * intervening attributes must gate identically to the
+    * name-first form (a miss here fails open and trains on an
+    * opted-out page).
     * Output: input columns + (robots_content, noindex, nofollow,
     * indexable).
     */
   def metaRobots(df: DataFrame, htmlCol: String): DataFrame = {
-    val pat = "(?i)<meta\\s+name\\s*=\\s*[\"']robots[\"']\\s+content\\s*=\\s*[\"']([^\"']*)[\"']"
-    val content = lower(regexp_extract(col(htmlCol), pat, 1))
+    val tagPat = "(?i)<meta\\b[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>"
+    val tag = regexp_extract(col(htmlCol), tagPat, 0)
+    val content = lower(regexp_extract(tag, "(?i)content\\s*=\\s*[\"']([^\"']*)[\"']", 1))
     df.withColumn("robots_content", content)
       .withColumn("noindex",
         instr(col("robots_content"), "noindex") > 0 ||

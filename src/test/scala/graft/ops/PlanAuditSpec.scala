@@ -104,7 +104,11 @@ class PlanAuditSpec extends SparkSpec {
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window
-    "q_winnow" -> 0, "q_winnow_pairs" -> 1, "q_readability" -> 0,
+    // q_winnow_pairs: 3 = fp-posting collapse + identical-list dedupe +
+    // pair agg (the collapsed pairing trades the old single-exchange
+    // self-join for three SMALL aggs — the join's m² hot-key expansion
+    // was the real cost, not the exchanges)
+    "q_winnow" -> 0, "q_winnow_pairs" -> 3, "q_readability" -> 0,
     "q_script_profile" -> 0, "q_curriculum" -> 1, "q_calibration" -> 1,
     "q_split_leakage" -> 2,
     "q_domain_stats" -> 2, "q_bpe_fertility" -> 1, "q_keywords" -> 4)

@@ -104,6 +104,34 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe Set((10L, 1L), (20L, 2L))
   }
 
+  test("bitextMine: anti-correlated corpora (negative neighborhoods) align nothing") {
+    // every cross sim is negative, so both neighborhood means are
+    // negative — a negative/negative ratio must NOT read as a large
+    // positive margin (the sentinel guard), and a zero denominator
+    // must not divide
+    val left = df(10L -> Seq(1f, 0f), 20L -> Seq(0.9f, 0.1f))
+    val right = df(1L -> Seq(-1f, 0f), 2L -> Seq(-0.9f, -0.2f))
+    val got = Similarity.bitextMine(left, right, "vec_id", "embedding",
+      k = 2, minMarginPpm = 1060000L)
+    got.count() shouldBe 0L
+  }
+
+  test("labelNoiseApprox: one row per labeled vector even when probes return no candidates") {
+    // tight 8-point cluster + a single far outlier: with nlist=2 the
+    // trained centroids split cluster/outlier, so at nprobe=1 the
+    // outlier probes only its own (otherwise empty) cell — the audit
+    // must still emit its row, flagged, not silently drop it
+    val rows = (1L to 8L).map(i =>
+      (i, 0, Seq(1f, (i * 0.001).toFloat))) :+ ((9L, 1, Seq(-1f, 0.9f)))
+    val d = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelNoiseApprox(d, "vec_id", "embedding", "label",
+      k = 3, nlist = 2, nprobe = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_neighbors"), r.getAs[Boolean]("is_suspect"))).toMap
+    got.keySet shouldBe (1L to 9L).toSet // total coverage
+    got(9L) shouldBe ((0L, true)) // unsupported outlier: zero votes, flagged
+  }
+
   test("topKPerQuery (bounded-heap aggregator) equals the brute-force window result") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

@@ -292,6 +292,23 @@ class TextAnalysisSpec extends SparkSpec {
     got.values.count(!_._3) should be >= 3 // the tail tertile is dropped
   }
 
+  test("pplBucketSelect fails open when the hash sample is empty") {
+    import spark.implicits._
+    // a huge prime sampleMod means hash % mod == 0 only for three
+    // specific 32-bit md5 prefixes none of these six doc_ids has —
+    // the sample is empty, no thresholds exist, and the selector
+    // must keep everything (the alternative silently drops the corpus)
+    val docs = (1 to 6).map(i => (i.toLong, "the cat sat on the mat"))
+    val got = TextAnalysis.pplBucketSelect(docs.toDF("doc_id", "text"),
+      "doc_id", "text", buckets = 3, sampleMod = 2147483629)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    got.size shouldBe 6
+    got.values.foreach { case (b, keep) =>
+      b shouldBe 1L // no thresholds -> everyone lands in bucket 1
+      keep shouldBe true // ...and the degenerate sample keeps them all
+    }
+  }
+
   test("sourceDatasheet: volume, types, ttr, dup ppm, lang spread per source") {
     import spark.implicits._
     val docs = Seq(

@@ -165,7 +165,11 @@ class WebSpec extends SparkSpec {
       (1L, """<html><head><meta name="robots" content="noindex, nofollow"></head></html>"""),
       (2L, "<HTML><HEAD><META NAME='robots' CONTENT='NOFOLLOW'></HEAD></HTML>"),
       (3L, """<head><meta name="robots" content="none"></head>"""),
-      (4L, "<html><head><title>t</title></head><body>plain</body></html>")
+      (4L, "<html><head><title>t</title></head><body>plain</body></html>"),
+      // attribute order is free in HTML: content before name, and
+      // intervening attributes, must gate the same as name-first
+      (5L, """<head><meta content="noindex" name="robots"></head>"""),
+      (6L, """<head><meta name="robots" id="x" content="nofollow"></head>""")
     ).toDF("doc_id", "html")
     val got = Web.metaRobots(pages, "html")
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -175,6 +179,8 @@ class WebSpec extends SparkSpec {
     got(2L) shouldBe (("nofollow", false, true, true)) // case-folded tag and value
     got(3L) shouldBe (("none", true, true, false)) // the shorthand implies both
     got(4L) shouldBe (("", false, false, true))
+    got(5L) shouldBe (("noindex", true, false, false)) // content-first order
+    got(6L) shouldBe (("nofollow", false, true, true)) // intervening attribute
   }
 
   test("canonicalization is idempotent: canonical URLs are fixed points") {
