@@ -98,6 +98,80 @@ object SparkEntry {
     d.select(col("doc_id"), url.as("url"))
   }
 
+  /** Deterministic conversation fixture synthesized from `documents`
+    * (the test tables carry no dialogue, so the chat entries plant
+    * one): doc d becomes conv d with `d % 5 + 2` turns; `d % 3 == 0`
+    * convs lead with a system turn; `d % 7 == 0` corrupts turn 1 into
+    * a double-user; `d % 11 == 0` blanks the final turn. Content is
+    * consecutive 5-token slices of the doc text (naturally empty once
+    * the doc runs out — short docs exercise the empty-turn check).
+    * Mirrored verbatim in the `chatTurnsSql` CTE.
+    */
+  private def chatTurns(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("_toks"),
+        (col("doc_id") % 5 + 2).cast("int").as("_k"),
+        when(col("doc_id") % 3 === 0, 1).otherwise(0).as("_off"))
+    d.select(col("doc_id").as("conv_id"), col("_toks"), col("_k"), col("_off"),
+        explode(sequence(lit(0), col("_k") - 1)).as("turn_idx"))
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        when(col("turn_idx") < col("_off"), "system")
+          .when(col("conv_id") % 7 === 0 && col("turn_idx") === 1, "user")
+          .when((col("turn_idx") - col("_off")) % 2 === 0, "user")
+          .otherwise("assistant").as("role"),
+        when(col("conv_id") % 11 === 0 && col("turn_idx") === col("_k") - 1,
+          lit("  "))
+          .otherwise(concat_ws(" ",
+            slice(col("_toks"), col("turn_idx") * 5 + 1, lit(5)))).as("content"))
+  }
+
+  /** Deterministic preference-pair fixture (the test tables carry no
+    * RLHF data): doc d votes item `k % 7` over `(k % 7 + 1 + k % 5) % 7`
+    * for prompt `d % 20`, where `k = d div 20`. Winner and offset both
+    * ride k (coprime moduli 7 and 5), while every prompt sees every k —
+    * so both-direction pairs (e.g. 0≻2 at k≡21 (35), 2≻0 at k≡9) and
+    * 3-cycles (0≻1≻3≻0 at k≡0,1,3) occur in EVERY prompt once the
+    * corpus spans k ≥ 22. Mirrored verbatim in `prefPairsSql`.
+    */
+  private def prefPairs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull)
+      .select((col("doc_id") % 20).as("prompt_id"),
+        expr("(doc_id div 20) % 7").as("chosen"),
+        expr("((doc_id div 20) % 7 + 1 + (doc_id div 20) % 5) % 7").as("rejected"))
+
+  /** DuckDB twin of [[prefPairs]] — shared by the preference oracles. */
+  private lazy val prefPairsSql =
+    """WITH pp AS (
+      |  SELECT doc_id % 20 AS prompt_id,
+      |         (doc_id // 20) % 7 AS chosen,
+      |         ((doc_id // 20) % 7 + 1 + (doc_id // 20) % 5) % 7 AS rejected
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |)""".stripMargin
+
+  /** DuckDB twin of [[chatTurns]] — shared by the three chat oracles. */
+  private lazy val chatTurnsSql =
+    """WITH cd AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+      |         doc_id % 5 + 2 AS k,
+      |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS off
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), ct AS (
+      |  SELECT doc_id AS conv_id, unnest(range(0, k)) AS turn_idx, toks, k, off
+      |  FROM cd
+      |), turns AS (
+      |  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+      |    CASE WHEN turn_idx < off THEN 'system'
+      |         WHEN conv_id % 7 = 0 AND turn_idx = 1 THEN 'user'
+      |         WHEN (turn_idx - off) % 2 = 0 THEN 'user'
+      |         ELSE 'assistant' END AS role,
+      |    CASE WHEN conv_id % 11 = 0 AND turn_idx = k - 1 THEN '  '
+      |         ELSE COALESCE(array_to_string(toks[turn_idx*5+1 : turn_idx*5+5], ' '), '')
+      |    END AS content
+      |  FROM ct
+      |)""".stripMargin
+
   /** Corpus-RELATIVE df bound for the maxDf-family dedup entries:
     * `max(5, |docs| / 100)` — the knob is a df FRACTION in production
     * (the `Scale100` probe's discipline), and pinning an absolute value
@@ -1537,6 +1611,65 @@ object SparkEntry {
       graft.ops.Web.metaRobots(d.select(col("doc_id"), html.as("_h")), "_h")
         .select("doc_id", "robots_content", "noindex", "nofollow", "indexable")
     }),
+
+    // SFT admission gate over the synthesized conversation fixture:
+    // per-conversation structural verdicts + reason CSV
+    "q_chat_validate" -> ((s, dir) =>
+      graft.ops.Chat.validateChat(chatTurns(table(s, dir, "documents")),
+        "conv_id", "turn_idx", "role", "content")),
+
+    // turn-ordered template flatten + token budget count
+    "q_chat_flatten" -> ((s, dir) =>
+      graft.ops.Chat.chatToText(chatTurns(table(s, dir, "documents")),
+        "conv_id", "turn_idx", "role", "content")),
+
+    // token-budget truncation on turn boundaries, trimmed to end on an
+    // assistant turn
+    "q_chat_truncate" -> ((s, dir) =>
+      graft.ops.Chat.truncateChatToBudget(chatTurns(table(s, dir, "documents")),
+        "conv_id", "turn_idx", "role", "content", budget = 12L)),
+
+    // Unicode NFC canonicalization via the native codegen kernel; the
+    // fixture plants decomposed combining sequences (spelled as \u
+    // escapes — literal glyphs in source are normalization-ambiguous)
+    "q_nfc_normalize" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" cafe\u0301")))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(" A\u030angstro\u0308m")))
+            .otherwise(col("text")).as("_t"))
+      val n = graft.functions.StringExpressions.nfc(col("_t"))
+      d.select(col("doc_id"), n.as("text_nfc"),
+        (n =!= col("_t")).as("changed"),
+        (length(col("_t")) - length(n)).cast("long").as("n_composed"))
+    }),
+
+    // sentence-level code-switch report over a deterministically mixed
+    // corpus (per-lang marker sentences appended, as q_script_profile)
+    "q_lang_mix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("lang").isNotNull)
+        .select(col("doc_id"),
+          when(col("lang") === "es", concat(col("text"), lit(". el los que y.")))
+            .when(col("lang") === "fr", concat(col("text"), lit(". le les des est.")))
+            .when(col("lang") === "de", concat(col("text"), lit(". der die das und.")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.TextAnalysis.langMix(docs, "doc_id", "text")
+    }),
+
+    // RLHF preference audits over the synthesized vote fixture
+    "q_pref_contradictions" -> ((s, dir) =>
+      graft.ops.Preference.contradictions(prefPairs(table(s, dir, "documents")),
+        "prompt_id", "chosen", "rejected")),
+    "q_pref_cycles" -> ((s, dir) =>
+      graft.ops.Preference.cycles3(prefPairs(table(s, dir, "documents")),
+        "prompt_id", "chosen", "rejected")),
+    "q_pref_winrates" -> ((s, dir) =>
+      graft.ops.Preference.winRates(prefPairs(table(s, dir, "documents")),
+        "prompt_id", "chosen", "rejected")),
 
     // per-source corpus datasheet: volume, lexical diversity,
     // duplication, language spread — the mixture-decision report
@@ -4663,6 +4796,182 @@ object SparkEntry {
         |  instr(robots_content, 'nofollow') > 0 OR instr(robots_content, 'none') > 0 AS nofollow,
         |  NOT (instr(robots_content, 'noindex') > 0 OR instr(robots_content, 'none') > 0) AS indexable
         |FROM x""".stripMargin,
+
+    // window rank + conditional aggregates over the shared turn
+    // fixture; reason CSV via NULL-skipping concat_ws on both engines
+    "q_chat_validate" ->
+      s"""$chatTurnsSql, ns AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+         |    SUM(CASE WHEN role <> 'system' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nsrn
+         |  FROM turns
+         |), v AS (
+         |  SELECT conv_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_turns,
+         |    bool_and(role <> 'system' OR pos = 1) AS sys_ok,
+         |    COALESCE(bool_or(role <> 'system' AND nsrn = 1 AND role = 'user'),
+         |             FALSE) AS starts_user,
+         |    bool_and(role = 'system' OR
+         |      role = CASE WHEN nsrn % 2 = 1 THEN 'user' ELSE 'assistant' END)
+         |      AS alternates,
+         |    arg_max(role, turn_idx) = 'assistant' AS ends_assistant,
+         |    bool_and(trim(content) <> '') AS no_empty
+         |  FROM ns GROUP BY 1
+         |)
+         |SELECT conv_id, n_turns, sys_ok, starts_user, alternates,
+         |  ends_assistant, no_empty,
+         |  sys_ok AND starts_user AND alternates AND ends_assistant AND no_empty
+         |    AS valid,
+         |  concat_ws(',',
+         |    CASE WHEN NOT sys_ok THEN 'sys_pos' END,
+         |    CASE WHEN NOT starts_user THEN 'starts' END,
+         |    CASE WHEN NOT alternates THEN 'alternation' END,
+         |    CASE WHEN NOT ends_assistant THEN 'ends' END,
+         |    CASE WHEN NOT no_empty THEN 'empty_turn' END) AS reasons
+         |FROM v""".stripMargin,
+
+    "q_chat_flatten" ->
+      s"""$chatTurnsSql, f AS (
+         |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         |    string_agg('<|' || role || '|>' || content, chr(10)
+         |      ORDER BY turn_idx) AS text
+         |  FROM turns GROUP BY 1
+         |)
+         |SELECT conv_id, n_turns, text,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |FROM f""".stripMargin,
+
+    "q_chat_truncate" ->
+      s"""$chatTurnsSql, t2 AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens
+         |  FROM turns
+         |), c AS (
+         |  SELECT *, CAST(SUM(n_tokens)
+         |    OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS cum_tokens
+         |  FROM t2
+         |), kept AS (
+         |  SELECT * FROM c WHERE cum_tokens <= 12
+         |), la AS (
+         |  SELECT conv_id,
+         |    MAX(CASE WHEN role = 'assistant' THEN turn_idx END) AS last_a
+         |  FROM kept GROUP BY 1
+         |)
+         |SELECT kept.conv_id, turn_idx, role, n_tokens, cum_tokens
+         |FROM kept JOIN la USING (conv_id)
+         |WHERE la.last_a IS NOT NULL AND turn_idx <= la.last_a""".stripMargin,
+
+    // DuckDB's built-in nfc_normalize implements the same UAX #15 spec
+    // as java.text.Normalizer; combining marks built with chr()
+    "q_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+        |         WHEN doc_id % 3 = 1
+        |           THEN text || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |         ELSE text END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |)
+        |SELECT doc_id, nfc_normalize(t) AS text_nfc,
+        |  nfc_normalize(t) <> t AS changed,
+        |  CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS n_composed
+        |FROM d""".stripMargin,
+
+    // the q_langid marker scoring per SENTENCE, then the per-doc
+    // majority via (n DESC, lang) window rank
+    "q_lang_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'es' THEN text || '. el los que y.'
+        |         WHEN lang = 'fr' THEN text || '. le les des est.'
+        |         WHEN lang = 'de' THEN text || '. der die das und.'
+        |         ELSE text END AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id, unnest(list_filter(list_transform(
+        |    regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
+        |    x -> x <> '')) AS sentence
+        |  FROM m
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(sentence), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM s
+        |), sc AS (
+        |  SELECT doc_id,
+        |    list_contains(toks,'the')::INT + list_contains(toks,'and')::INT
+        |      + list_contains(toks,'of')::INT + list_contains(toks,'is')::INT AS s_en,
+        |    list_contains(toks,'der')::INT + list_contains(toks,'die')::INT
+        |      + list_contains(toks,'das')::INT + list_contains(toks,'und')::INT AS s_de,
+        |    list_contains(toks,'el')::INT + list_contains(toks,'los')::INT
+        |      + list_contains(toks,'que')::INT + list_contains(toks,'y')::INT AS s_es,
+        |    list_contains(toks,'le')::INT + list_contains(toks,'les')::INT
+        |      + list_contains(toks,'des')::INT + list_contains(toks,'est')::INT AS s_fr
+        |  FROM tk
+        |), lg AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_en >= greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
+        |    WHEN s_fr >= greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS slang
+        |  FROM sc
+        |), bl AS (
+        |  SELECT doc_id, slang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lg GROUP BY 1, 2
+        |), r AS (
+        |  SELECT doc_id, slang, n,
+        |    CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sents,
+        |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rn
+        |  FROM bl
+        |)
+        |SELECT doc_id, n_sents, n_langs, slang AS major_lang,
+        |  CAST((n * 1000000) // n_sents AS BIGINT) AS major_ppm,
+        |  n_langs > 1 AS code_switched
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // directed-edge counts joined to their reverses; the distinct-edge
+    // two-hop join for cycles mirrors Preference.cycles3
+    "q_pref_contradictions" ->
+      s"""$prefPairsSql, e AS (
+         |  SELECT prompt_id, chosen AS winner, rejected AS loser,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pp WHERE chosen <> rejected GROUP BY 1, 2, 3
+         |)
+         |SELECT f.prompt_id, f.winner AS item_a, f.loser AS item_b,
+         |       f.n AS n_ab, b.n AS n_ba
+         |FROM e f JOIN e b
+         |  ON f.prompt_id = b.prompt_id AND f.winner = b.loser
+         |  AND f.loser = b.winner
+         |WHERE f.winner < f.loser""".stripMargin,
+
+    "q_pref_cycles" ->
+      s"""$prefPairsSql, e AS (
+         |  SELECT DISTINCT prompt_id, chosen AS w, rejected AS l
+         |  FROM pp WHERE chosen <> rejected
+         |)
+         |SELECT e1.prompt_id, e1.w AS item_a, e1.l AS item_b, e2.l AS item_c
+         |FROM e e1
+         |JOIN e e2 ON e1.prompt_id = e2.prompt_id AND e1.l = e2.w
+         |JOIN e e3 ON e2.prompt_id = e3.prompt_id AND e2.l = e3.w
+         |  AND e3.l = e1.w
+         |WHERE e2.l <> e1.w AND e1.w < e1.l AND e1.w < e2.l""".stripMargin,
+
+    "q_pref_winrates" ->
+      s"""$prefPairsSql, e AS (
+         |  SELECT prompt_id, chosen, rejected FROM pp WHERE chosen <> rejected
+         |), u AS (
+         |  SELECT prompt_id, chosen AS item, 1 AS w FROM e
+         |  UNION ALL SELECT prompt_id, rejected, 0 FROM e
+         |)
+         |SELECT prompt_id, item,
+         |  CAST(SUM(w) AS BIGINT) AS n_wins,
+         |  CAST(SUM(1 - w) AS BIGINT) AS n_losses,
+         |  CAST((SUM(w) * 1000000) // (SUM(w) + SUM(1 - w)) AS BIGINT) AS win_ppm
+         |FROM u GROUP BY 1, 2""".stripMargin,
 
     // doc-level agg + token-type agg joined on source; fingerprint,
     // token-count, and ppm idioms identical to q_dedup_exact/q_domain_stats

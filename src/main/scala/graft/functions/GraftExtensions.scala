@@ -57,6 +57,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorExpressions.SimHashSig(children.head)
       }))
 
+    // Unicode NFC normalization (UAX #15) — name-compatible with
+    // DuckDB's nfc_normalize so cross-engine SQL ports verbatim.
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[StringExpressions.NfcNormalize].getName,
+        "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize(text)")
+        StringExpressions.NfcNormalize(children.head)
+      }))
+
     // Web-curation macros: the SAME Column chains the Scala API runs
     // (Web.canonicalUrl / registrableDomain, TextAnalysis.stripHtml),
     // re-expressed as SQL functions — an injected builder may return a

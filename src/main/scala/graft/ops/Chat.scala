@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation (SFT / chat) data preparation: structural validation,
+  * template flattening, and token-budget truncation over the
+  * relational turn model `(conv_id, turn_idx, role, content)` — the
+  * natural Spark shape for dialogue corpora (one row per turn, no
+  * nested arrays at rest, every op a window/agg over the conversation
+  * key).
+  *
+  * The reference pipeline has no dialogue surface (music-event KPIs;
+  * cf. `scripts/compute_kpis.py`), but an instruction-tuning corpus at
+  * 100 TB needs exactly these gates before training: a conversation
+  * with broken role alternation or an empty turn poisons the loss
+  * masking, and over-budget conversations must truncate on turn
+  * boundaries, never mid-message.
+  *
+  * Scale design: every op shuffles ONCE on the conversation key (the
+  * window and the aggregate share the partitioning, so Catalyst plans
+  * a single Exchange); conversations are bounded by context length,
+  * so per-group state is O(turns), never O(corpus).
+  */
+object Chat {
+
+  private def base(turns: DataFrame, convCol: String, idxCol: String,
+                   roleCol: String, contentCol: String): DataFrame =
+    turns
+      .filter(col(convCol).isNotNull && col(idxCol).isNotNull &&
+        col(roleCol).isNotNull)
+      .select(col(convCol).as("conv_id"), col(idxCol).cast("long").as("turn_idx"),
+        lower(trim(col(roleCol))).as("role"),
+        coalesce(col(contentCol), lit("")).as("content"))
+
+  /** Per-conversation structural audit — the SFT admission gate:
+    *
+    *  - `sys_ok`: `system` turns appear only in first position;
+    *  - `starts_user`: the first non-system turn is a `user` turn;
+    *  - `alternates`: non-system roles strictly alternate
+    *    user/assistant;
+    *  - `ends_assistant`: the final turn is an `assistant` turn (a
+    *    trailing user turn has no training target);
+    *  - `no_empty`: no turn is empty/whitespace-only.
+    *
+    * `valid` is the conjunction; `reasons` lists the failed checks
+    * (CSV, stable order, '' when valid — the [[TextAnalysis.filterVerdicts]]
+    * convention).
+    * Output: (conv_id, n_turns, sys_ok, starts_user, alternates,
+    * ends_assistant, no_empty, valid, reasons).
+    */
+  def validateChat(turns: DataFrame, convCol: String, idxCol: String,
+                   roleCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val t = base(turns, convCol, idxCol, roleCol, contentCol)
+      .withColumn("_pos", row_number().over(w))
+      .withColumn("_nsrn",
+        sum(when(col("role") =!= "system", 1L).otherwise(0L)).over(w))
+    def all(c: Column): Column = min(when(c, 1).otherwise(0)) === 1
+    val agg = t.groupBy("conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      all(col("role") =!= "system" || col("_pos") === 1).as("sys_ok"),
+      // max over a single-row CASE: the rank-1 non-system turn
+      coalesce(max(when(col("role") =!= "system" && col("_nsrn") === 1,
+        col("role") === "user")), lit(false)).as("starts_user"),
+      all(col("role") === "system" ||
+        col("role") === when(col("_nsrn") % 2 === 1, "user")
+          .otherwise("assistant")).as("alternates"),
+      (max(struct(col("turn_idx"), col("role"))).getField("role") === "assistant")
+        .as("ends_assistant"),
+      all(trim(col("content")) =!= "").as("no_empty"))
+    agg
+      .withColumn("valid",
+        col("sys_ok") && col("starts_user") && col("alternates") &&
+          col("ends_assistant") && col("no_empty"))
+      .withColumn("reasons", concat_ws(",",
+        when(!col("sys_ok"), "sys_pos"),
+        when(!col("starts_user"), "starts"),
+        when(!col("alternates"), "alternation"),
+        when(!col("ends_assistant"), "ends"),
+        when(!col("no_empty"), "empty_turn")))
+  }
+
+  /** Flatten each conversation to a single training text with
+    * `<|role|>` turn tags in turn order (the template a trainer's
+    * tokenizer consumes), plus the whitespace token count for
+    * budgeting. One sorted-array fold per conversation — turn order is
+    * pinned by `array_sort` over (idx, role, content) structs, not by
+    * shuffle luck.
+    * Output: (conv_id, n_turns, text, n_tokens).
+    */
+  def chatToText(turns: DataFrame, convCol: String, idxCol: String,
+                 roleCol: String, contentCol: String): DataFrame =
+    base(turns, convCol, idxCol, roleCol, contentCol)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(col("turn_idx"), col("role"),
+          col("content")))).as("_ts"))
+      .select(col("conv_id"), col("n_turns"),
+        array_join(transform(col("_ts"),
+          t => concat(lit("<|"), t.getField("role"), lit("|>"),
+            t.getField("content"))), "\n").as("text"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+
+  /** Token-budget truncation on TURN boundaries: keep the longest
+    * turn-prefix whose cumulative whitespace token count fits
+    * `budget`, then trim trailing non-assistant turns so the kept
+    * conversation still ends on a training target. Conversations whose
+    * kept prefix contains no assistant turn are dropped entirely (zero
+    * trainable signal). Window cumsum + one small self-aggregate — the
+    * per-conversation max assistant index broadcasts back via the same
+    * conversation-key join.
+    * Output: kept turns as (conv_id, turn_idx, role, n_tokens,
+    * cum_tokens).
+    */
+  def truncateChatToBudget(turns: DataFrame, convCol: String, idxCol: String,
+                           roleCol: String, contentCol: String,
+                           budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val kept = base(turns, convCol, idxCol, roleCol, contentCol)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("content")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+    val lastAssistant = kept.groupBy("conv_id")
+      .agg(max(when(col("role") === "assistant", col("turn_idx"))).as("_last"))
+      .filter(col("_last").isNotNull)
+    kept.join(lastAssistant, "conv_id")
+      .filter(col("turn_idx") <= col("_last"))
+      .select("conv_id", "turn_idx", "role", "n_tokens", "cum_tokens")
+  }
+}

@@ -1277,6 +1277,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("sentence_idx"),
         col("col").as("sentence"))
 
+  /** Sentence-level code-switch report: [[languageId]] each sentence,
+    * then per doc the sentence count, distinct detected languages, the
+    * majority language (ties to the lexicographically smaller code —
+    * the min-struct argmax idiom, no window), its integer-ppm share,
+    * and the code-switch flag. A doc whose `und`-dominant boilerplate
+    * hides embedded foreign paragraphs is exactly what a monolingual
+    * corpus filter needs surfaced before training. Sentence langid is
+    * map-side; two doc-keyed aggs share one shuffle.
+    * Output: (doc_id, n_sents, n_langs, major_lang, major_ppm,
+    * code_switched).
+    */
+  def langMix(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    splitSentences(docs, idCol, textCol)
+      .select(col("doc_id"), languageId(col("sentence")).as("_lang"))
+      .groupBy("doc_id", "_lang").agg(count(lit(1)).as("_n"))
+      .groupBy("doc_id").agg(
+        sum(col("_n")).as("n_sents"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("_n")).as("_neg"), col("_lang").as("_l"))).as("_best"))
+      .select(col("doc_id"), col("n_sents"), col("n_langs"),
+        col("_best").getField("_l").as("major_lang"),
+        expr("((-_best._neg) * 1000000L) div n_sents").as("major_ppm"),
+        (col("n_langs") > 1).as("code_switched"))
+
   /** Whitespace/control normalization for canonicalization-before-dedup:
     * lowercase, control chars → space, runs of whitespace collapsed,
     * trimmed. Pure codegen'd string ops.

@@ -39,6 +39,14 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("extension injects nfc_normalize; SQL output matches the Scala kernel") {
+    withExtensionSession { s =>
+      val got = s.sql(s"SELECT nfc_normalize('cafe\u0301 A\u030a') AS n")
+        .collect().head.getString(0)
+      got shouldBe "caf\u00e9 \u00c5"
+    }
+  }
+
   test("minhash_sig in SQL is bit-identical to the Scala pipeline's signatures") {
     val sqlSig = withExtensionSession { s =>
       s.sql("SELECT minhash_sig(array(7L, 99L, 12345L), 8, 42) AS sig")

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StringExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // every accent is spelled as an explicit \\u escape — a literal accent
+  // in source text is ambiguous about its normalization form
+  test("nfc: composes combining sequences; already-normal text is unchanged") {
+    val df = Seq(
+      (1L, "cafe\u0301"), // e + combining acute -> precomposed e-acute
+      (2L, "A\u030angstro\u0308m"), // A+ring, o+diaeresis compose
+      (3L, "plain ascii"),
+      (4L, "caf\u00e9") // already NFC
+    ).toDF("id", "s")
+    // functions.length is shadowed by the ScalaTest `length` matcher
+    val len = org.apache.spark.sql.functions.length _
+    val got = df.select(col("id"), StringExpressions.nfc(col("s")).as("n"),
+        len(col("s")).as("lr"), len(StringExpressions.nfc(col("s"))).as("ln"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    got(1L) shouldBe (("caf\u00e9", 5, 4))
+    got(2L) shouldBe (("\u00c5ngstr\u00f6m", 10, 8))
+    got(3L) shouldBe (("plain ascii", 11, 11))
+    got(4L) shouldBe (("caf\u00e9", 4, 4))
+  }
+
+  test("nfc: interpreted eval equals the codegen'd path") {
+    // a filter on the expression forces it through codegen inside the
+    // whole-stage pipeline; collecting the projection exercises eval
+    val df = (0L to 99L).map(i => (i, s"e\u0301val$i")).toDF("id", "s")
+    val viaFilter = df.filter(StringExpressions.nfc(col("s")) =!= col("s")).count()
+    viaFilter shouldBe 100L
+    val one = df.select(StringExpressions.nfc(col("s"))).limit(1).collect().head.getString(0)
+    one shouldBe "\u00e9val0"
+  }
+
+  test("nfc: nulls pass through") {
+    val df = Seq((1L, null: String)).toDF("id", "s")
+    df.select(StringExpressions.nfc(col("s"))).collect().head.isNullAt(0) shouldBe true
+  }
+}

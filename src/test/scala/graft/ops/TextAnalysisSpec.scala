@@ -309,6 +309,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langMix: per-sentence langid majority, ppm share, code-switch flag") {
+    import spark.implicits._
+    val docs = Seq(
+      // two English sentences + one German: code-switched, majority en
+      (1L, "the cat is here. the dog is there. der die das und hier."),
+      // pure English
+      (2L, "the cat and the dog. the end of it."),
+      // majority tie en=1, de=1 -> lexicographically smaller 'de' wins
+      (3L, "der die das und. the cat is of.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_sents"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("major_lang"), r.getAs[Long]("major_ppm"),
+          r.getAs[Boolean]("code_switched"))).toMap
+    got(1L) shouldBe ((3L, 2L, "en", 666666L, true))
+    got(2L) shouldBe ((2L, 1L, "en", 1000000L, false))
+    got(3L) shouldBe ((2L, 2L, "de", 500000L, true))
+  }
+
   test("sourceDatasheet: volume, types, ttr, dup ppm, lang spread per source") {
     import spark.implicits._
     val docs = Seq(
