@@ -111,7 +111,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_winnow" -> 0, "q_winnow_pairs" -> 3, "q_readability" -> 0,
     "q_script_profile" -> 0, "q_curriculum" -> 1, "q_calibration" -> 1,
     "q_split_leakage" -> 2,
-    "q_domain_stats" -> 2, "q_bpe_fertility" -> 1, "q_keywords" -> 4)
+    "q_domain_stats" -> 2, "q_bpe_fertility" -> 1, "q_keywords" -> 4,
+    // r9 chat/preference/lang-mix batch: each op shuffles on its group
+    // key only (conversation / prompt / doc); nfc_normalize is the
+    // map-side canonicalization kernel and MUST stay shuffle-free
+    "q_chat_validate" -> 1, "q_chat_flatten" -> 1, "q_chat_truncate" -> 2,
+    "q_pref_contradictions" -> 2, "q_pref_cycles" -> 3,
+    "q_pref_winrates" -> 1, "q_lang_mix" -> 2, "q_nfc_normalize" -> 0)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.
