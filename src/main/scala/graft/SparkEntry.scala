@@ -4802,13 +4802,17 @@ object SparkEntry {
     "q_chat_validate" ->
       s"""$chatTurnsSql, ns AS (
          |  SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+         |    ROW_NUMBER() OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx NULLS FIRST, role, content) AS pos,
          |    SUM(CASE WHEN role <> 'system' THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nsrn
+         |      OVER (PARTITION BY conv_id
+         |        ORDER BY turn_idx NULLS FIRST, role, content) AS nsrn
          |  FROM turns
          |), v AS (
          |  SELECT conv_id,
          |    CAST(COUNT(*) AS BIGINT) AS n_turns,
+         |    bool_and(turn_idx IS NOT NULL AND role IS NOT NULL)
+         |      AND COUNT(DISTINCT turn_idx) = COUNT(*) AS keyed_ok,
          |    bool_and(role <> 'system' OR pos = 1) AS sys_ok,
          |    COALESCE(bool_or(role <> 'system' AND nsrn = 1 AND role = 'user'),
          |             FALSE) AS starts_user,
@@ -4819,11 +4823,12 @@ object SparkEntry {
          |    bool_and(trim(content) <> '') AS no_empty
          |  FROM ns GROUP BY 1
          |)
-         |SELECT conv_id, n_turns, sys_ok, starts_user, alternates,
+         |SELECT conv_id, n_turns, keyed_ok, sys_ok, starts_user, alternates,
          |  ends_assistant, no_empty,
-         |  sys_ok AND starts_user AND alternates AND ends_assistant AND no_empty
-         |    AS valid,
+         |  keyed_ok AND sys_ok AND starts_user AND alternates
+         |    AND ends_assistant AND no_empty AS valid,
          |  concat_ws(',',
+         |    CASE WHEN NOT keyed_ok THEN 'bad_keys' END,
          |    CASE WHEN NOT sys_ok THEN 'sys_pos' END,
          |    CASE WHEN NOT starts_user THEN 'starts' END,
          |    CASE WHEN NOT alternates THEN 'alternation' END,
@@ -4922,14 +4927,21 @@ object SparkEntry {
         |  SELECT doc_id, slang, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM lg GROUP BY 1, 2
         |), r AS (
+        |  -- 'und' is excluded from the language count and the majority
+        |  -- vote (mirrors TextAnalysis.langMix): rank identified langs
+        |  -- first, so the rn=1 row is 'und' only when NOTHING identifies
         |  SELECT doc_id, slang, n,
         |    CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sents,
-        |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rn
+        |    CAST(SUM(CASE WHEN slang <> 'und' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY (slang = 'und'), n DESC, slang) AS rn
         |  FROM bl
         |)
-        |SELECT doc_id, n_sents, n_langs, slang AS major_lang,
-        |  CAST((n * 1000000) // n_sents AS BIGINT) AS major_ppm,
+        |SELECT doc_id, n_sents, n_langs,
+        |  CASE WHEN slang = 'und' THEN 'und' ELSE slang END AS major_lang,
+        |  CASE WHEN slang = 'und' THEN 0
+        |       ELSE CAST((n * 1000000) // n_sents AS BIGINT) END AS major_ppm,
         |  n_langs > 1 AS code_switched
         |FROM r WHERE rn = 1""".stripMargin,
 

@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
   * masking, and over-budget conversations must truncate on turn
   * boundaries, never mid-message.
   *
-  * Scale design: every op shuffles ONCE on the conversation key (the
-  * window and the aggregate share the partitioning, so Catalyst plans
-  * a single Exchange); conversations are bounded by context length,
-  * so per-group state is O(turns), never O(corpus).
+  * Scale design: the validate/flatten ops shuffle ONCE on the
+  * conversation key; truncation adds one bounded conversation-keyed
+  * self-join (2 exchanges total — the pins in `PlanAuditSpec`).
+  * Conversations are bounded by context length, so per-group state is
+  * O(turns), never O(corpus).
   */
 object Chat {
 
+  /** The transformation-side turn model: rows that cannot be keyed or
+    * ordered (null conv/idx/role) are DROPPED — [[validateChat]] is the
+    * gate that flags such conversations (`keyed_ok`); run it first and
+    * admit only `valid` conversations into the flatten/truncate ops.
+    */
   private def base(turns: DataFrame, convCol: String, idxCol: String,
                    roleCol: String, contentCol: String): DataFrame =
     turns
@@ -36,6 +42,10 @@ object Chat {
 
   /** Per-conversation structural audit — the SFT admission gate:
     *
+    *  - `keyed_ok`: every turn has a non-null `turn_idx` and role, and
+    *    turn indexes are unique — a conversation that cannot even be
+    *    ordered must FAIL the gate, not slip through with the bad turn
+    *    silently dropped;
     *  - `sys_ok`: `system` turns appear only in first position;
     *  - `starts_user`: the first non-system turn is a `user` turn;
     *  - `alternates`: non-system roles strictly alternate
@@ -46,20 +56,31 @@ object Chat {
     *
     * `valid` is the conjunction; `reasons` lists the failed checks
     * (CSV, stable order, '' when valid — the [[TextAnalysis.filterVerdicts]]
-    * convention).
-    * Output: (conv_id, n_turns, sys_ok, starts_user, alternates,
-    * ends_assistant, no_empty, valid, reasons).
+    * convention). The positional checks run over the full ordering key
+    * (turn_idx NULLS FIRST, role, content) with null roles read as ''
+    * — deterministic verdicts even on mis-keyed conversations, whose
+    * admission `keyed_ok` already vetoes.
+    * Output: (conv_id, n_turns, keyed_ok, sys_ok, starts_user,
+    * alternates, ends_assistant, no_empty, valid, reasons).
     */
   def validateChat(turns: DataFrame, convCol: String, idxCol: String,
                    roleCol: String, contentCol: String): DataFrame = {
-    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    val t = base(turns, convCol, idxCol, roleCol, contentCol)
+    val w = Window.partitionBy("conv_id")
+      .orderBy(col("turn_idx").asc_nulls_first, col("role"), col("content"))
+    val t = turns
+      .filter(col(convCol).isNotNull)
+      .select(col(convCol).as("conv_id"), col(idxCol).cast("long").as("turn_idx"),
+        lower(trim(col(roleCol))).as("_role0"),
+        coalesce(col(contentCol), lit("")).as("content"))
+      .withColumn("role", coalesce(col("_role0"), lit("")))
       .withColumn("_pos", row_number().over(w))
       .withColumn("_nsrn",
         sum(when(col("role") =!= "system", 1L).otherwise(0L)).over(w))
     def all(c: Column): Column = min(when(c, 1).otherwise(0)) === 1
     val agg = t.groupBy("conv_id").agg(
       count(lit(1)).as("n_turns"),
+      all(col("turn_idx").isNotNull && col("_role0").isNotNull).as("_keys_nn"),
+      countDistinct(col("turn_idx")).as("_n_idx"),
       all(col("role") =!= "system" || col("_pos") === 1).as("sys_ok"),
       // max over a single-row CASE: the rank-1 non-system turn
       coalesce(max(when(col("role") =!= "system" && col("_nsrn") === 1,
@@ -71,15 +92,19 @@ object Chat {
         .as("ends_assistant"),
       all(trim(col("content")) =!= "").as("no_empty"))
     agg
+      .withColumn("keyed_ok", col("_keys_nn") && col("_n_idx") === col("n_turns"))
       .withColumn("valid",
-        col("sys_ok") && col("starts_user") && col("alternates") &&
-          col("ends_assistant") && col("no_empty"))
+        col("keyed_ok") && col("sys_ok") && col("starts_user") &&
+          col("alternates") && col("ends_assistant") && col("no_empty"))
       .withColumn("reasons", concat_ws(",",
+        when(!col("keyed_ok"), "bad_keys"),
         when(!col("sys_ok"), "sys_pos"),
         when(!col("starts_user"), "starts"),
         when(!col("alternates"), "alternation"),
         when(!col("ends_assistant"), "ends"),
         when(!col("no_empty"), "empty_turn")))
+      .select("conv_id", "n_turns", "keyed_ok", "sys_ok", "starts_user",
+        "alternates", "ends_assistant", "no_empty", "valid", "reasons")
   }
 
   /** Flatten each conversation to a single training text with

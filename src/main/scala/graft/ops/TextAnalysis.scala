@@ -1278,13 +1278,16 @@ object TextAnalysis {
         col("col").as("sentence"))
 
   /** Sentence-level code-switch report: [[languageId]] each sentence,
-    * then per doc the sentence count, distinct detected languages, the
-    * majority language (ties to the lexicographically smaller code —
-    * the min-struct argmax idiom, no window), its integer-ppm share,
-    * and the code-switch flag. A doc whose `und`-dominant boilerplate
-    * hides embedded foreign paragraphs is exactly what a monolingual
-    * corpus filter needs surfaced before training. Sentence langid is
-    * map-side; two doc-keyed aggs share one shuffle.
+    * then per doc the sentence count, distinct IDENTIFIED languages
+    * (`und` — no markers matched — is ignorance, not a language: most
+    * short/neutral sentences score `und`, and counting it would fire
+    * the switch flag on clean monolingual docs), the majority
+    * identified language (ties to the lexicographically smaller code —
+    * the min-struct argmax idiom, no window; `und` with share 0 when
+    * NO sentence identifies), its integer-ppm share of all sentences,
+    * and `code_switched` = ≥2 identified languages. Sentence langid is
+    * map-side; the two stacked aggs cost two doc-keyed exchanges (the
+    * first also clusters by language — pinned in `PlanAuditSpec`).
     * Output: (doc_id, n_sents, n_langs, major_lang, major_ppm,
     * code_switched).
     */
@@ -1294,11 +1297,13 @@ object TextAnalysis {
       .groupBy("doc_id", "_lang").agg(count(lit(1)).as("_n"))
       .groupBy("doc_id").agg(
         sum(col("_n")).as("n_sents"),
-        count(lit(1)).as("n_langs"),
-        min(struct((-col("_n")).as("_neg"), col("_lang").as("_l"))).as("_best"))
+        count(when(col("_lang") =!= "und", 1)).as("n_langs"),
+        min(when(col("_lang") =!= "und",
+          struct((-col("_n")).as("_neg"), col("_lang").as("_l")))).as("_best"))
       .select(col("doc_id"), col("n_sents"), col("n_langs"),
-        col("_best").getField("_l").as("major_lang"),
-        expr("((-_best._neg) * 1000000L) div n_sents").as("major_ppm"),
+        coalesce(col("_best").getField("_l"), lit("und")).as("major_lang"),
+        coalesce(expr("((-_best._neg) * 1000000L) div n_sents"), lit(0L))
+          .as("major_ppm"),
         (col("n_langs") > 1).as("code_switched"))
 
   /** Whitespace/control normalization for canonicalization-before-dedup:

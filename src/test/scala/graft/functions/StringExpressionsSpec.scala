@@ -7,7 +7,7 @@ import graft.SparkSpec
 class StringExpressionsSpec extends SparkSpec {
   import spark.implicits._
 
-  // every accent is spelled as an explicit \\u escape — a literal accent
+  // every accent is spelled as an explicit \u escape — a literal accent
   // in source text is ambiguous about its normalization form
   test("nfc: composes combining sequences; already-normal text is unchanged") {
     val df = Seq(
@@ -36,6 +36,26 @@ class StringExpressionsSpec extends SparkSpec {
     viaFilter shouldBe 100L
     val one = df.select(StringExpressions.nfc(col("s"))).limit(1).collect().head.getString(0)
     one shouldBe "\u00e9val0"
+  }
+
+  test("nfc: interpreted nullSafeEval directly (codegen fallback path)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // the DataFrame tests above run whole-stage codegen; Spark falls
+    // back to this eval on codegen compile failure, so pin it directly
+    def nfcEval(s: String) = StringExpressions.NfcNormalize(
+      Literal(UTF8String.fromString(s), StringType)).eval(null)
+    nfcEval("cafe\u0301").toString shouldBe "caf\u00e9"
+    nfcEval("A\u030angstro\u0308m").toString shouldBe "\u00c5ngstr\u00f6m"
+    // already-normalized fast path returns the INPUT instance, no re-encode
+    val in = UTF8String.fromString("caf\u00e9")
+    val fastPath = StringExpressions.NfcNormalize(Literal(in, StringType))
+      .eval(null).asInstanceOf[AnyRef]
+    fastPath should be theSameInstanceAs in
+    val onNull = StringExpressions.NfcNormalize(Literal(null, StringType))
+      .eval(null)
+    (onNull == null) shouldBe true
   }
 
   test("nfc: nulls pass through") {

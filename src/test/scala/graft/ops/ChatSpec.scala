@@ -48,6 +48,46 @@ class ChatSpec extends SparkSpec {
     got(6L) shouldBe ((false, "starts,alternation,ends"))
   }
 
+  test("validateChat: null roles and duplicate indexes fail the gate, never slip through") {
+    val corrupt = Seq(
+      // null role mid-conversation: dropping it would make this LOOK valid
+      (10L, Some(0L), Some("user"), "q"),
+      (10L, Some(1L), None, "leaked"),
+      (10L, Some(2L), Some("assistant"), "a"),
+      // duplicate turn_idx: unorderable, and verdicts must not flip per run
+      (11L, Some(0L), Some("user"), "q"),
+      (11L, Some(0L), Some("user"), "q2"),
+      (11L, Some(1L), Some("assistant"), "a"),
+      // null turn_idx
+      (12L, None, Some("user"), "q"),
+      (12L, Some(1L), Some("assistant"), "a")
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    val got = Chat.validateChat(corrupt, "conv_id", "turn_idx", "role", "content")
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        (r.getAs[Boolean]("keyed_ok"), r.getAs[Boolean]("valid"),
+          r.getAs[Long]("n_turns"), r.getAs[String]("reasons"))).toMap
+    got(10L)._1 shouldBe false
+    got(10L)._2 shouldBe false
+    got(10L)._3 shouldBe 3L // the corrupt turn is COUNTED, not dropped
+    got(10L)._4 should startWith("bad_keys")
+    got(11L)._1 shouldBe false
+    got(11L)._2 shouldBe false
+    got(12L)._1 shouldBe false
+    got(12L)._2 shouldBe false
+  }
+
+  test("validateChat: duplicate-idx verdicts are deterministic across partitionings") {
+    val dup = Seq(
+      (20L, 0L, "system", "s"), (20L, 0L, "user", "u"), (20L, 1L, "assistant", "a"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val verdicts = (1 to 4).map { n =>
+      Chat.validateChat(dup.repartition(n), "conv_id", "turn_idx", "role", "content")
+        .collect().head.getAs[String]("reasons")
+    }
+    verdicts.distinct.size shouldBe 1
+    verdicts.head should startWith("bad_keys")
+  }
+
   test("validateChat: roles are case/whitespace-insensitive") {
     val messy = Seq((9L, 0L, " User ", "q"), (9L, 1L, "ASSISTANT", "a"))
       .toDF("conv_id", "turn_idx", "role", "content")

@@ -329,6 +329,23 @@ class TextAnalysisSpec extends SparkSpec {
     got(3L) shouldBe ((2L, 2L, "de", 500000L, true))
   }
 
+  test("langMix: 'und' sentences are ignorance, not a language") {
+    import spark.implicits._
+    val docs = Seq(
+      // marker-free second sentence must NOT flag a monolingual doc
+      (1L, "the cat is here. Hmm."),
+      // nothing identifies: major 'und' with zero share, not switched
+      (2L, "Hmm. Uh huh.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_sents"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("major_lang"), r.getAs[Long]("major_ppm"),
+          r.getAs[Boolean]("code_switched"))).toMap
+    got(1L) shouldBe ((2L, 1L, "en", 500000L, false))
+    got(2L) shouldBe ((2L, 0L, "und", 0L, false))
+  }
+
   test("sourceDatasheet: volume, types, ttr, dup ppm, lang spread per source") {
     import spark.implicits._
     val docs = Seq(
