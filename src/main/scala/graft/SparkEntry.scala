@@ -149,6 +149,18 @@ object SparkEntry {
       |  FROM documents WHERE doc_id IS NOT NULL
       |)""".stripMargin
 
+  /** Deterministic response-length fixture for the length-bias audit:
+    * each (prompt 0..19, item 0..6) pair carries
+    * `(item·37 + prompt·13) mod 23 + 1` tokens — coprime multipliers
+    * spread lengths across the domain so every prompt sees longer AND
+    * shorter winners. Mirrored in the `q_pref_length_bias` oracle.
+    */
+  private def prefResponses(s: SparkSession): DataFrame =
+    s.range(0, 140).select(
+      expr("id div 7").as("prompt_id"),
+      (col("id") % 7).as("item"),
+      expr("((id % 7) * 37 + (id div 7) * 13) % 23 + 1").as("n_tokens"))
+
   /** DuckDB twin of [[chatTurns]] — shared by the three chat oracles. */
   private lazy val chatTurnsSql =
     """WITH cd AS (
@@ -386,6 +398,37 @@ object SparkEntry {
           .select(col("doc_id"), (col("lang") === "en").cast("long").as("label")),
         "doc_id")
       graft.ops.Stats.calibrationBins(labeled, "score", "label", bins = 10)
+    }),
+
+    // exact ties-averaged ROC-AUC of the quality classifier against the
+    // en-label — the eval gate companion to q_calibration (same frame)
+    "q_auc" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = graft.ops.TextAnalysis.linearQualityScore(
+        docs, "doc_id", "text", qualityWeightsPpm, biasPpm = 250000L)
+      val labeled = scored.join(
+        docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("label")),
+        "doc_id")
+      graft.ops.Stats.aucExact(labeled, "score", "label")
+    }),
+
+    // Krippendorff's alpha over a complete 3-rater design synthesized
+    // from events (raters b/c perturb deterministic id slices)
+    "q_kripp_alpha" -> ((s, dir) =>
+      graft.ops.Stats.krippendorffAlpha(
+        alphaRatings(table(s, dir, "events")), "unit", "rater", "value",
+        ratersPerUnit = 3)),
+
+    // four-fifths-rule disparate-impact audit of the C4-style filter
+    // verdicts by language — does "quality" silently drop a language?
+    "q_filter_impact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val verdicts = graft.ops.TextAnalysis.filterVerdicts(docs, "doc_id", "text")
+      graft.ops.Stats.selectionImpact(
+        verdicts.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "lang", "keep")
+        .withColumnRenamed("group", "lang")
     }),
 
     // exact-collapse THEN near-dup: the composition that keeps pair
@@ -1670,6 +1713,31 @@ object SparkEntry {
     "q_pref_winrates" -> ((s, dir) =>
       graft.ops.Preference.winRates(prefPairs(table(s, dir, "documents")),
         "prompt_id", "chosen", "rejected")),
+    "q_pref_length_bias" -> ((s, dir) =>
+      graft.ops.Preference.lengthBias(prefPairs(table(s, dir, "documents")),
+        prefResponses(s), "prompt_id", "chosen", "rejected",
+        "prompt_id", "item", "n_tokens")),
+    "q_pref_copeland" -> ((s, dir) =>
+      graft.ops.Preference.copeland(prefPairs(table(s, dir, "documents")),
+        "prompt_id", "chosen", "rejected")
+        .withColumn("rnk", col("rnk").cast("long"))),
+    // two fixed MM rounds; strengths are raw doubles — identical fp
+    // trees both sides (in-order opponent folds), so no rounding knob
+    "q_pref_bt" -> ((s, dir) =>
+      graft.ops.Preference.bradleyTerry(prefPairs(table(s, dir, "documents")),
+        "prompt_id", "chosen", "rejected", iters = 2)),
+
+    // count-min sketch self-audit over the event actor key: md5-seeded
+    // cells, min-of-depth estimates vs the exact per-key counts
+    "q_countmin" -> ((s, dir) =>
+      graft.ops.Sketch.countMinAudit(table(s, dir, "events"), "user_id",
+        depth = 3, width = 64)),
+
+    // ordered-EMD distribution audit: does any priority cohort's
+    // status mix stray from the corpus-wide one by more than 2%?
+    "q_t_closeness" -> ((s, dir) =>
+      graft.ops.Privacy.tCloseness(table(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_orderstatus", tPpm = 20000L)),
 
     // per-source corpus datasheet: volume, lexical diversity,
     // duplication, language spread — the mixture-decision report
@@ -1891,6 +1959,25 @@ object SparkEntry {
           .otherwise(when(col("event_type") === "click", lit("view"))
             .when(col("event_type") === "view", lit("click"))
             .otherwise(lit("error"))))
+
+  /** Complete 3-rater long-format fixture for Krippendorff's alpha:
+    * rater `a` is the event type verbatim; `b` flips a 20% id slice
+    * (the [[syntheticRaters]] tree); `c` flips a different 2/7 slice
+    * the other way. Every unit carries exactly 3 ratings. Mirrored in
+    * the `q_kripp_alpha` oracle.
+    */
+  private def alphaRatings(events: DataFrame): DataFrame = {
+    val e = events.filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id").as("unit"), col("event_type").as("t"))
+    val b = when(col("unit") % 10 < 8, col("t"))
+      .otherwise(when(col("t") === "click", lit("view"))
+        .when(col("t") === "view", lit("click")).otherwise(lit("error")))
+    val c = when(col("unit") % 7 < 5, col("t"))
+      .otherwise(when(col("t") === "view", lit("error")).otherwise(lit("view")))
+    e.select(col("unit"), lit("a").as("rater"), col("t").as("value"))
+      .unionAll(e.select(col("unit"), lit("b").as("rater"), b.as("value")))
+      .unionAll(e.select(col("unit"), lit("c").as("rater"), c.as("value")))
+  }
 
   /** DuckDB twin of [[syntheticRaters]] (same CASE tree). */
   private val syntheticRatersSql =
@@ -2536,6 +2623,99 @@ object SparkEntry {
         |       CAST(SUM(y) AS BIGINT) AS n_pos,
         |       CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_ppm
         |FROM sc GROUP BY 1""".stripMargin,
+    // same scoring CTEs as q_calibration, then the integer rank-sum
+    // identity over per-VALUE tie groups (2·midrank = 2c − k + 1)
+    "q_auc" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, len(toks) AS n,
+        |    coalesce(list_sum(list_transform(toks, t ->
+        |      ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) * 2654435761)
+        |        % 2000001 - 1000000)), 0) AS sp
+        |  FROM d
+        |), sc AS (
+        |  SELECT doc_id,
+        |    ROUND(1.0 / (1.0 + exp(-(0.25 +
+        |      CASE WHEN n > 0 THEN sp / (n * 1000000.0) ELSE 0.0 END))), 6) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM s WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+        |), bv AS (
+        |  SELECT score AS v, CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(y) AS BIGINT) AS kp
+        |  FROM sc GROUP BY 1
+        |), cm AS (
+        |  SELECT v, k, kp, CAST(SUM(k) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM bv
+        |)
+        |SELECT CAST(SUM(kp) AS BIGINT) AS n_pos,
+        |  CAST(SUM(k - kp) AS BIGINT) AS n_neg,
+        |  CAST(((SUM(kp * (2 * c - k + 1)) - SUM(kp) * (SUM(kp) + 1)) * 1000000)
+        |    // (2 * SUM(kp) * SUM(k - kp)) AS BIGINT) AS auc_ppm
+        |FROM cm""".stripMargin,
+
+    "q_kripp_alpha" ->
+      """WITH e AS (
+        |  SELECT event_id AS unit, event_type AS t FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT unit, 'a' AS rater, t AS value FROM e
+        |  UNION ALL
+        |  SELECT unit, 'b', CASE WHEN unit % 10 < 8 THEN t
+        |    ELSE CASE WHEN t = 'click' THEN 'view'
+        |              WHEN t = 'view' THEN 'click' ELSE 'error' END END FROM e
+        |  UNION ALL
+        |  SELECT unit, 'c', CASE WHEN unit % 7 < 5 THEN t
+        |    ELSE CASE WHEN t = 'view' THEN 'error' ELSE 'view' END END FROM e
+        |), uc AS (
+        |  SELECT unit, value, CAST(COUNT(*) AS BIGINT) AS nuc
+        |  FROM r GROUP BY 1, 2
+        |), pu AS (
+        |  SELECT unit, SUM(nuc) AS mu, SUM(nuc * nuc) AS ss FROM uc GROUP BY 1
+        |), comp AS (SELECT unit, ss FROM pu WHERE mu = 3
+        |), drp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_units
+        |  FROM pu WHERE mu <> 3
+        |), dos AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |         CAST(SUM(9 - ss) AS BIGINT) AS do_s
+        |  FROM comp
+        |), marg AS (
+        |  SELECT CAST(SUM(nc) AS BIGINT) AS n, CAST(SUM(nc * nc) AS BIGINT) AS ssc
+        |  FROM (SELECT value, SUM(nuc) AS nc FROM uc JOIN comp USING (unit)
+        |        GROUP BY 1)
+        |)
+        |SELECT dos.n_units, drp.n_dropped_units, marg.n AS n_ratings,
+        |  CAST(1000000 - (dos.do_s * (marg.n - 1) * 1000000)
+        |    // (2 * (marg.n * marg.n - marg.ssc)) AS BIGINT) AS alpha_ppm
+        |FROM dos CROSS JOIN drp CROSS JOIN marg""".stripMargin,
+
+    "q_filter_impact" ->
+      s"""$filterVerdictCtes, fv AS (
+         |  SELECT v.doc_id, (v.reasons = '') AS keep FROM v
+         |), j AS (
+         |  SELECT d2.lang, CASE WHEN fv.keep THEN 1 ELSE 0 END AS kq
+         |  FROM fv JOIN documents d2 ON d2.doc_id = fv.doc_id
+         |  WHERE d2.lang IS NOT NULL
+         |), g AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(kq) AS BIGINT) AS n_keep
+         |  FROM j GROUP BY 1
+         |), o AS (SELECT SUM(n_docs) AS nd, SUM(n_keep) AS nk FROM g)
+         |SELECT lang, n_docs, n_keep,
+         |  CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_ppm,
+         |  CAST(CASE WHEN nk = 0 THEN 1000000
+         |    ELSE (n_keep * nd * 1000000) // (n_docs * nk) END AS BIGINT)
+         |    AS impact_ratio_ppm,
+         |  (CASE WHEN nk = 0 THEN 1000000
+         |    ELSE (n_keep * nd * 1000000) // (n_docs * nk) END) < 800000
+         |    AS at_risk
+         |FROM g CROSS JOIN o""".stripMargin,
+
     "q_dedup_minhash"     -> dedupPairsSql,
 
     // from-scratch all-pairs restricted to pairs touching the new batch
@@ -4984,6 +5164,191 @@ object SparkEntry {
          |  CAST(SUM(1 - w) AS BIGINT) AS n_losses,
          |  CAST((SUM(w) * 1000000) // (SUM(w) + SUM(1 - w)) AS BIGINT) AS win_ppm
          |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q_pref_length_bias" ->
+      s"""$prefPairsSql, resp AS (
+         |  SELECT i // 7 AS prompt_id, i % 7 AS item,
+         |         ((i % 7) * 37 + (i // 7) * 13) % 23 + 1 AS n_tokens
+         |  FROM range(0, 140) t(i)
+         |), v AS (
+         |  SELECT pp.prompt_id, rw.n_tokens AS wlen, rl.n_tokens AS llen
+         |  FROM pp
+         |  JOIN resp rw ON rw.prompt_id = pp.prompt_id AND rw.item = pp.chosen
+         |  JOIN resp rl ON rl.prompt_id = pp.prompt_id AND rl.item = pp.rejected
+         |  WHERE pp.chosen <> pp.rejected
+         |)
+         |SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_votes,
+         |  CAST(SUM(CASE WHEN wlen > llen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_longer_wins,
+         |  CAST(SUM(CASE WHEN wlen < llen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shorter_wins,
+         |  CAST(SUM(CASE WHEN wlen = llen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_equal,
+         |  CAST((SUM(CASE WHEN wlen > llen THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS longer_win_ppm
+         |FROM v GROUP BY 1""".stripMargin,
+
+    "q_pref_copeland" ->
+      s"""$prefPairsSql, e AS (
+         |  SELECT prompt_id, chosen AS winner, rejected AS loser,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pp WHERE chosen <> rejected GROUP BY 1, 2, 3
+         |), fwd AS (
+         |  SELECT prompt_id, winner AS item_a, loser AS item_b, n AS n_ab
+         |  FROM e WHERE winner < loser
+         |), bwd AS (
+         |  SELECT prompt_id, loser AS item_a, winner AS item_b, n AS n_ba
+         |  FROM e WHERE winner > loser
+         |), net AS (
+         |  SELECT COALESCE(f.prompt_id, b.prompt_id) AS prompt_id,
+         |         COALESCE(f.item_a, b.item_a) AS item_a,
+         |         COALESCE(f.item_b, b.item_b) AS item_b,
+         |         COALESCE(f.n_ab, 0) AS n_ab, COALESCE(b.n_ba, 0) AS n_ba
+         |  FROM fwd f FULL JOIN bwd b
+         |    ON f.prompt_id = b.prompt_id AND f.item_a = b.item_a
+         |    AND f.item_b = b.item_b
+         |), per AS (
+         |  SELECT prompt_id, item_a AS item,
+         |         CASE WHEN n_ab > n_ba THEN 1 ELSE 0 END AS w,
+         |         CASE WHEN n_ab < n_ba THEN 1 ELSE 0 END AS l FROM net
+         |  UNION ALL
+         |  SELECT prompt_id, item_b,
+         |         CASE WHEN n_ba > n_ab THEN 1 ELSE 0 END,
+         |         CASE WHEN n_ba < n_ab THEN 1 ELSE 0 END FROM net
+         |), agg AS (
+         |  SELECT prompt_id, item, CAST(COUNT(*) AS BIGINT) AS n_opp,
+         |         CAST(SUM(w) AS BIGINT) AS wins, CAST(SUM(l) AS BIGINT) AS losses
+         |  FROM per GROUP BY 1, 2
+         |)
+         |SELECT prompt_id, item, n_opp, wins, losses, wins - losses AS score,
+         |  CAST(DENSE_RANK() OVER (PARTITION BY prompt_id
+         |    ORDER BY wins - losses DESC, item) AS BIGINT) AS rnk
+         |FROM agg""".stripMargin,
+
+    // the same two unrolled MM rounds: round 1's terms are exact binary
+    // halves (any summation order is exact), round 2 folds the opponent
+    // list ORDER BY j — DuckDB's list_sum(list(... ORDER BY j)) is the
+    // same left fold as Spark's aggregate over the sorted array
+    "q_pref_bt" ->
+      s"""$prefPairsSql, e AS (
+         |  SELECT prompt_id, chosen AS winner, rejected AS loser,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pp WHERE chosen <> rejected GROUP BY 1, 2, 3
+         |), fwd AS (
+         |  SELECT prompt_id, winner AS item_a, loser AS item_b, n AS n_ab
+         |  FROM e WHERE winner < loser
+         |), bwd AS (
+         |  SELECT prompt_id, loser AS item_a, winner AS item_b, n AS n_ba
+         |  FROM e WHERE winner > loser
+         |), net AS (
+         |  SELECT COALESCE(f.prompt_id, b.prompt_id) AS prompt_id,
+         |         COALESCE(f.item_a, b.item_a) AS item_a,
+         |         COALESCE(f.item_b, b.item_b) AS item_b,
+         |         COALESCE(f.n_ab, 0) AS n_ab, COALESCE(b.n_ba, 0) AS n_ba
+         |  FROM fwd f FULL JOIN bwd b
+         |    ON f.prompt_id = b.prompt_id AND f.item_a = b.item_a
+         |    AND f.item_b = b.item_b
+         |), pairs AS (
+         |  SELECT prompt_id, item_a AS i, item_b AS j, n_ab + n_ba AS nij FROM net
+         |  UNION ALL
+         |  SELECT prompt_id, item_b, item_a, n_ab + n_ba FROM net
+         |), wins AS (
+         |  SELECT prompt_id, winner AS i, CAST(SUM(n) AS BIGINT) AS n_wins
+         |  FROM e GROUP BY 1, 2
+         |), games AS (
+         |  SELECT prompt_id, i, CAST(SUM(nij) AS BIGINT) AS n_games
+         |  FROM pairs GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT g.prompt_id, g.i, g.n_games,
+         |         CAST(COALESCE(w.n_wins, 0) AS BIGINT) AS n_wins
+         |  FROM games g LEFT JOIN wins w
+         |    ON w.prompt_id = g.prompt_id AND w.i = g.i
+         |), s1 AS (
+         |  SELECT p.prompt_id, p.i,
+         |    CAST(st.n_wins AS DOUBLE) /
+         |      SUM(CAST(p.nij AS DOUBLE) / (1.0 + 1.0)) AS s
+         |  FROM pairs p JOIN stats st
+         |    ON st.prompt_id = p.prompt_id AND st.i = p.i
+         |  GROUP BY p.prompt_id, p.i, st.n_wins
+         |), s2 AS (
+         |  SELECT p.prompt_id, p.i,
+         |    CAST(st.n_wins AS DOUBLE) /
+         |      list_sum(list(CAST(p.nij AS DOUBLE) / (si.s + sj.s)
+         |        ORDER BY p.j)) AS s
+         |  FROM pairs p
+         |  JOIN s1 si ON si.prompt_id = p.prompt_id AND si.i = p.i
+         |  JOIN s1 sj ON sj.prompt_id = p.prompt_id AND sj.i = p.j
+         |  JOIN stats st ON st.prompt_id = p.prompt_id AND st.i = p.i
+         |  GROUP BY p.prompt_id, p.i, st.n_wins
+         |)
+         |SELECT st.prompt_id, st.i AS item, st.n_games, st.n_wins,
+         |       s2.s AS strength
+         |FROM stats st JOIN s2
+         |  ON s2.prompt_id = st.prompt_id AND s2.i = st.i""".stripMargin,
+
+    // md5-seeded cells: identical hash idiom to the Spark hashBucket
+    // (first 8 hex chars of md5("r:key") as an integer, mod width)
+    "q_countmin" ->
+      """WITH k AS (
+        |  SELECT user_id AS key FROM events WHERE user_id IS NOT NULL
+        |), seeds AS (SELECT unnest(range(0, 3)) AS r
+        |), c AS (
+        |  SELECT key, r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |      CAST(key AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM k CROSS JOIN seeds
+        |), sk AS (
+        |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_exact FROM k GROUP BY 1
+        |), q AS (
+        |  SELECT ex.key, ex.n_exact, seeds.r,
+        |    ('0x' || substr(md5(CAST(seeds.r AS VARCHAR) || ':' ||
+        |      CAST(ex.key AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM ex CROSS JOIN seeds
+        |)
+        |SELECT q.key, q.n_exact, CAST(MIN(sk.cnt) AS BIGINT) AS est,
+        |  CAST(MIN(sk.cnt) - q.n_exact AS BIGINT) AS overcount
+        |FROM q JOIN sk ON sk.r = q.r AND sk.bucket = q.bucket
+        |GROUP BY 1, 2""".stripMargin,
+
+    // exact-integer ordered EMD on the common denominator n·N; the
+    // dense grid steps the cumulative even where a cohort misses a value
+    "q_t_closeness" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS qi, o_orderstatus AS v FROM orders
+        |  WHERE o_orderstatus IS NOT NULL
+        |), g AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS gn FROM b GROUP BY 1
+        |), gc AS (
+        |  SELECT v, CAST(SUM(gn) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS g_cum FROM g
+        |), cs AS (
+        |  SELECT qi, CAST(COUNT(*) AS BIGINT) AS n_rows FROM b GROUP BY 1
+        |), ch AS (
+        |  SELECT qi, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(MAX(g_cum) AS BIGINT) AS n_total,
+        |         CAST(COUNT(*) AS BIGINT) AS m FROM gc
+        |), grid AS (
+        |  SELECT cs.qi, cs.n_rows, gc.v, gc.g_cum,
+        |    CAST(SUM(COALESCE(ch.c, 0)) OVER (PARTITION BY cs.qi ORDER BY gc.v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_cum
+        |  FROM cs CROSS JOIN gc
+        |  LEFT JOIN ch ON ch.qi = cs.qi AND ch.v = gc.v
+        |), emd AS (
+        |  SELECT grid.qi, grid.n_rows,
+        |    CAST((SUM(ABS(grid.c_cum * tot.n_total -
+        |      grid.g_cum * grid.n_rows)) * 1000000) //
+        |      (GREATEST(tot.m - 1, 1) * grid.n_rows * tot.n_total) AS BIGINT)
+        |      AS emd_ppm
+        |  FROM grid CROSS JOIN tot
+        |  GROUP BY grid.qi, grid.n_rows, tot.m, tot.n_total
+        |)
+        |SELECT qi AS o_orderpriority, n_rows, emd_ppm,
+        |  emd_ppm > 20000 AS at_risk
+        |FROM emd""".stripMargin,
 
     // doc-level agg + token-type agg joined on source; fingerprint,
     // token-count, and ppm idioms identical to q_dedup_exact/q_domain_stats

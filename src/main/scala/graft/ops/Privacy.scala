@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy audits over quasi-identifier (QI) combinations — the
@@ -76,5 +77,63 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) for an
+    * ORDERED categorical sensitive attribute: a cohort leaks even when
+    * large and diverse if its sensitive-value DISTRIBUTION strays from
+    * the corpus-wide one (the classic "this ward is 90% one diagnosis"
+    * failure that k-anonymity and l-diversity both pass). Distance is
+    * the earth-mover's distance over the value order — for m ordered
+    * values, EMD = Σ|cumulative difference| / (m−1) — computed in EXACT
+    * integer arithmetic on the common denominator n·N (cohort and
+    * corpus sizes), emitted as integer ppm: no float divergence between
+    * engines, no rounding knob.
+    *
+    * Plan: one value-histogram agg per side; the corpus histogram with
+    * its running cumulative is an m-row frame BROADCAST onto the cohort
+    * histogram (dense grid — a cohort missing a value still steps the
+    * EMD), then one cumulative window + one agg per cohort. Output is
+    * one row per cohort; every intermediate is bounded by
+    * |cohorts| × m.
+    * Output: (qiCols..., n_rows, emd_ppm, at_risk).
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tPpm >= 0 && tPpm <= 1000000L, "tPpm is an integer-ppm threshold")
+    val qi = qiCols.map(col)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+    // corpus-wide ordered histogram with running cumulative: m rows
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val global = base.groupBy(col(sensitiveCol).as("v"))
+      .agg(count(lit(1)).as("_g"))
+      .withColumn("g_cum", sum(col("_g")).over(wAll))
+    val cohortSize = base.groupBy(qi: _*).agg(count(lit(1)).as("n_rows"))
+    val cohortHist = base.groupBy(qi :+ col(sensitiveCol).as("v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    // dense (cohort × value) grid via the broadcast m-row global frame
+    val wCoh = Window.partitionBy(qi: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = cohortSize
+      .join(broadcast(global.select(col("v"), col("g_cum"))))
+      .join(cohortHist, qiCols :+ "v", "left")
+      .withColumn("c_cum", sum(coalesce(col("_c"), lit(0L))).over(wCoh))
+    // N = corpus total = last g_cum; m = value count — both from the
+    // bounded global frame, carried as a 1-row broadcast
+    val totals = global.agg(max(col("g_cum")).as("N"),
+      count(lit(1)).as("m"))
+    grid.join(broadcast(totals))
+      // the m-th cumulative difference is 0 by construction, so summing
+      // over ALL m values equals the textbook Σ over k < m; greatest
+      // guards the degenerate single-value corpus (EMD 0 by definition)
+      .groupBy((qi :+ col("n_rows")) :+ col("N") :+ col("m"): _*)
+      .agg(sum(abs(col("c_cum") * col("N") - col("g_cum") * col("n_rows")))
+        .as("_s"))
+      .select(qi ++ Seq(col("n_rows"),
+        expr("(_s * 1000000L) div (greatest(m - 1, 1L) * n_rows * N)")
+          .as("emd_ppm")): _*)
+      .withColumn("at_risk", col("emd_ppm") > tPpm)
   }
 }

@@ -231,4 +231,47 @@ object Sketch {
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
           .as("est_inter"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) with a
+    * deterministic md5 hash family, built AND queried in one pass
+    * shape: `depth` seeded buckets per row stack map-side (explode over
+    * the constant seed range — no shuffle until the agg), the sketch is
+    * the (depth × width)-cell count grid (one bounded hash agg, cells
+    * add under union — mergeable across shards/streams like [[KmvAgg]]),
+    * and each key's estimate is the MIN over its `depth` cells (never
+    * under the true count; over-counts come from bucket collisions,
+    * which the small default width makes visible at test scale).
+    *
+    * The query side joins the keys' cells against the broadcast-sized
+    * sketch frame and compares the estimate with the exact per-key
+    * count — the self-audit a sketch deployment wants (at 100 TB the
+    * exact leg is the thing you DROP; it rides along here because the
+    * audit is the point of the entry).
+    *
+    * Determinism: cell row r of key k hashes `md5(r || ':' || k)` via
+    * [[Sampling.hashBucket]]'s idiom — bit-reproducible in any engine.
+    * Output: (key, n_exact, est, overcount) — all BIGINT.
+    */
+  def countMinAudit(df: DataFrame, keyCol: String,
+                    depth: Int = 3, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 8, "1 <= depth <= 8")
+    require(width >= 1, "width >= 1")
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"))
+    val cells = keyed
+      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket",
+        Sampling.hashBucket(concat_ws(":", col("r"), col("key")), width))
+    val sketch = cells.groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = keyed.groupBy("key").agg(count(lit(1)).as("n_exact"))
+    exact
+      .select(col("key"), col("n_exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket",
+        Sampling.hashBucket(concat_ws(":", col("r"), col("key")), width))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("key", "n_exact").agg(min(col("cnt")).as("est"))
+      .select(col("key"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"))
+  }
 }

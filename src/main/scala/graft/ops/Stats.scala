@@ -283,4 +283,99 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
       .withColumn("pos_rate_ppm", expr("(n_pos * 1000000L) div n"))
   }
+
+  /** EXACT ROC-AUC via the rank-sum (Mann–Whitney) identity with
+    * midrank tie handling, in pure integer arithmetic: for a score
+    * value whose tie group ends at cumulative count c with k members,
+    * twice the average rank is `2c − k + 1` (integral), so
+    * `S2 = Σ_pos n_pos_v · (2c − k + 1)` and
+    * `auc_ppm = 1e6 · (S2 − n_pos(n_pos+1)) / (2 n_pos n_neg)` — no
+    * float ever enters, so the classifier eval is bit-identical on any
+    * engine (a sampled/approximate AUC drifts run to run; an eval gate
+    * must not). One hash agg to per-VALUE counts (bounded by distinct
+    * scores), one cumulative window over that bounded frame, one total.
+    * At petabyte row counts the ppm multiply wants DecimalType headroom
+    * — the formula is unchanged.
+    * Output one row: (n_pos, n_neg, auc_ppm).
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val byValue = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("v"), col(labelCol).cast("long").as("_y"))
+      .groupBy("v").agg(count(lit(1)).as("k"), sum(col("_y")).as("kp"))
+      .withColumn("c", sum(col("k")).over(w))
+    byValue.agg(
+        sum(col("kp")).as("n_pos"),
+        sum(col("k") - col("kp")).as("n_neg"),
+        sum(col("kp") * (lit(2L) * col("c") - col("k") + 1L)).as("_s2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("((_s2 - n_pos * (n_pos + 1L)) * 1000000L) div " +
+          "(2L * n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  /** Krippendorff's alpha (nominal) for a complete rating design —
+    * `m` raters per unit, long format (unit, rater, value) — in EXACT
+    * integer arithmetic: with per-unit value counts n_uc,
+    * `Do·(m−1)·n = Σ_u (m² − Σ_c n_uc²)` (off-diagonal coincidences ×
+    * the constant per-unit denominator) and
+    * `De·n(n−1) = n² − Σ_c n_c²`, so
+    * `alpha_ppm = 1e6 − (1e6 · Do_s · (n−1)) / ((m−1) · De_s)` — the
+    * single integer division is the only rounding, and the subtraction
+    * never floor-divides a negative. Units without exactly `m` ratings
+    * are EXCLUDED (and counted in the output) — the exactness contract;
+    * the general unequal-m estimator needs per-unit rationals that no
+    * fixed integer scale clears. Three bounded aggs.
+    * Output one row: (n_units, n_dropped_units, n_ratings, alpha_ppm).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, raterCol: String,
+                        valueCol: String, ratersPerUnit: Int): DataFrame = {
+    require(ratersPerUnit >= 2, "alpha needs >= 2 raters per unit")
+    val m = ratersPerUnit.toLong
+    val uc = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("u"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("nuc"))
+    val perUnit = uc.groupBy("u").agg(sum(col("nuc")).as("mu"),
+      sum(col("nuc") * col("nuc")).as("ss"))
+    val complete = perUnit.filter(col("mu") === m).cache()
+    val dropped = perUnit.filter(col("mu") =!= m)
+      .agg(count(lit(1)).as("n_dropped_units"))
+    val doS = complete.agg(count(lit(1)).as("n_units"),
+      sum(lit(m * m) - col("ss")).as("_do_s"))
+    val marg = uc.join(complete.select("u"), "u")
+      .groupBy("v").agg(sum(col("nuc")).as("nc"))
+      .agg(sum(col("nc")).as("_n"), sum(col("nc") * col("nc")).as("_ssc"))
+    doS.join(broadcast(dropped)).join(broadcast(marg))
+      .select(col("n_units"), col("n_dropped_units"), col("_n").as("n_ratings"),
+        expr(s"1000000L - (_do_s * (_n - 1L) * 1000000L) div " +
+          s"((${m - 1}L) * (_n * _n - _ssc))").as("alpha_ppm"))
+  }
+
+  /** Disparate-impact audit for a selection step (a quality filter, a
+    * dedup keep-rule): per group, the keep rate in integer ppm and its
+    * ratio to the OVERALL keep rate, flagged by the four-fifths rule
+    * (ratio < 0.8) — the audit that catches a "quality" filter
+    * silently dropping a minority language or source. One group agg +
+    * a 1-row overall crossJoin; exact integers throughout.
+    * Output: (group, n_docs, n_keep, keep_ppm, impact_ratio_ppm,
+    * at_risk).
+    */
+  def selectionImpact(df: DataFrame, groupCol: String,
+                      keepCol: String): DataFrame = {
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(keepCol).cast("long")).as("n_keep"))
+    val overall = g.agg(sum("n_docs").as("_nd"), sum("n_keep").as("_nk"))
+    g.join(broadcast(overall))
+      .withColumn("keep_ppm", expr("(n_keep * 1000000L) div n_docs"))
+      // ratio of rates as exact cross-multiplied integers: group_rate /
+      // overall_rate = (n_keep·_nd) / (n_docs·_nk)
+      .withColumn("impact_ratio_ppm",
+        expr("CASE WHEN _nk = 0 THEN 1000000L " +
+          "ELSE (n_keep * _nd * 1000000L) div (n_docs * _nk) END"))
+      .select(col("group"), col("n_docs"), col("n_keep"), col("keep_ppm"),
+        col("impact_ratio_ppm"),
+        (col("impact_ratio_ppm") < 800000L).as("at_risk"))
+  }
 }

@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_keyness"    -> "1-row corpus-totals crossJoin (log-odds prior normalizers)",
     "q_filter_funnel" -> "1-row corpus-total crossJoin over a 6-row stage frame",
     "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
+    "q_t_closeness" -> "m-row ordered-value frame + 1-row totals broadcast crossJoins (dense EMD grid; m = |sensitive domain|, single digits)",
+    "q_kripp_alpha" -> "two 1-row frames (dropped-unit count, marginal totals) broadcast onto the 1-row coincidence aggregate",
+    "q_filter_impact" -> "1-row overall-totals broadcast crossJoin (the four-fifths denominator)",
     "q_kappa"      -> "1-row rater-total crossJoin (expected-agreement term)",
     "q_dsir"       -> "1-row per-corpus LM-normalizer crossJoin",
     "q_dist_shift" -> "1-row per-period total crossJoins (JS-divergence terms)",
@@ -117,7 +120,18 @@ class PlanAuditSpec extends SparkSpec {
     // map-side canonicalization kernel and MUST stay shuffle-free
     "q_chat_validate" -> 1, "q_chat_flatten" -> 1, "q_chat_truncate" -> 2,
     "q_pref_contradictions" -> 2, "q_pref_cycles" -> 3,
-    "q_pref_winrates" -> 1, "q_lang_mix" -> 2, "q_nfc_normalize" -> 0)
+    "q_pref_winrates" -> 1, "q_lang_mix" -> 2, "q_nfc_normalize" -> 0,
+    // ranking/sketch/EMD batch: BT is 4 POST-CACHE (the bounded pairs/
+    // stats frames are materialized once; uncached the 2-round lineage
+    // planned 81 exchanges); countmin is the sketch agg + exact agg
+    // (the probe join is broadcast); tCloseness is histogram aggs +
+    // bounded-grid windows
+    "q_pref_length_bias" -> 1, "q_pref_copeland" -> 8, "q_pref_bt" -> 4,
+    "q_countmin" -> 2, "q_t_closeness" -> 6,
+    // eval/agreement/impact: AUC is the score agg + the bounded
+    // per-value cum window; alpha/impact are histogram aggs + 1-row
+    // normalizer broadcasts
+    "q_auc" -> 2, "q_kripp_alpha" -> 7, "q_filter_impact" -> 7)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

@@ -55,4 +55,28 @@ class PrivacySpec extends SparkSpec {
     got(("SFO", "30s")) shouldBe ((3L, 2L, true)) // large cohort, homogeneous secret
     got(("LAX", "40s")) shouldBe ((1L, 1L, true))
   }
+
+  test("tCloseness: integer-ppm ordered EMD per cohort, dense over missing values") {
+    import spark.implicits._
+    // global: v1 x4, v2 x6 (N=10, m=2); B never takes v1 (dense grid)
+    val df = (Seq.fill(3)(("A", "v1")) ++ Seq.fill(1)(("A", "v2")) ++
+      Seq.fill(4)(("B", "v2")) ++ Seq(("C", "v1"), ("C", "v2")))
+      .toDF("qi", "v")
+    val got = Privacy.tCloseness(df, Seq("qi"), "v", tPpm = 300000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // EMD_ppm = 1e6 * |c_cum*N - g_cum*n| / ((m-1)*n*N) at the v1 step
+    got("A") shouldBe ((4L, 350000L, true))  // |3*10-4*4|=14 -> 14e6/40
+    got("B") shouldBe ((4L, 400000L, true))  // |0*10-4*4|=16 -> 16e6/40
+    got("C") shouldBe ((2L, 100000L, false)) // |1*10-4*2|=2  -> 2e6/20
+  }
+
+  test("tCloseness: single-value corpus is trivially close (no div-by-zero)") {
+    import spark.implicits._
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x")).toDF("qi", "v")
+    val got = Privacy.tCloseness(df, Seq("qi"), "v", tPpm = 0L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    got("A") shouldBe ((0L, false))
+    got("B") shouldBe ((0L, false))
+  }
 }

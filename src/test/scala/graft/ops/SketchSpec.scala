@@ -111,4 +111,34 @@ class SketchSpec extends SparkSpec {
     got(0.5).toDouble shouldBe 5000.0 +- 1000.0
     got(0.9).toDouble shouldBe 9000.0 +- 1000.0
   }
+
+  test("countMinAudit: estimates never undercount; width 1 collapses to the total") {
+    import spark.implicits._
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).map(Tuple1(_))
+      .toDF("k")
+    // width 1: every key shares the one cell in every row -> est = N
+    val w1 = Sketch.countMinAudit(df, "k", depth = 3, width = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    w1("a") shouldBe ((3L, 6L))
+    w1("b") shouldBe ((2L, 6L))
+    w1("c") shouldBe ((1L, 6L))
+    // wide sketch: 3 keys in 1024 buckets x 3 rows -> exact, overcount 0
+    val wide = Sketch.countMinAudit(df, "k", depth = 3, width = 1024)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    wide("a") shouldBe ((3L, 3L, 0L))
+    wide("b") shouldBe ((2L, 2L, 0L))
+    wide("c") shouldBe ((1L, 1L, 0L))
+  }
+
+  test("countMinAudit is multiplicity-true under any partitioning") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => s"k${i % 7}").map(Tuple1(_)).toDF("k")
+    val ests = (1 to 3).map { n =>
+      Sketch.countMinAudit(df.repartition(n), "k", depth = 3, width = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    ests.distinct.size shouldBe 1 // deterministic sketch, any layout
+    ests.head.foreach { case (_, exact, est) => assert(est >= exact) }
+  }
 }

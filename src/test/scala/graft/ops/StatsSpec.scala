@@ -188,4 +188,64 @@ class StatsSpec extends SparkSpec {
     out(0L) shouldBe ((2L, 1L, 500000L))
     out(9L) shouldBe ((3L, 2L, 666666L))
   }
+
+  test("aucExact: midrank ties, integer ppm; perfect separation reads 1e6") {
+    import spark.implicits._
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("score", "label")
+    Stats.aucExact(perfect, "score", "label").collect().head
+      .getAs[Long]("auc_ppm") shouldBe 1000000L
+    // tie at 0.5 contributes half a win: AUC = (3 + 0.5)/4 = 0.875
+    val tied = Seq((0.9, 1L), (0.5, 1L), (0.5, 0L), (0.1, 0L))
+      .toDF("score", "label")
+    val r = Stats.aucExact(tied, "score", "label").collect().head
+    (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Long]("auc_ppm")) shouldBe ((2L, 2L, 875000L))
+    // label inversion mirrors around 1/2
+    val inv = Stats.aucExact(tied.withColumn("label",
+      org.apache.spark.sql.functions.expr("1 - label")), "score", "label")
+      .collect().head
+    inv.getAs[Long]("auc_ppm") shouldBe 125000L
+  }
+
+  test("krippendorffAlpha: coincidence algebra on a complete 2-rater design") {
+    import spark.implicits._
+    // units: (a,a) (a,b) (b,b) (b,b) -> Do_s=2, n=8, marginals a=3 b=5
+    // alpha = 1 - 14/30; ppm = 1e6 - floor(14e6/30) = 533334
+    val ratings = Seq(
+      (1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "a"), (2L, "r2", "b"),
+      (3L, "r1", "b"), (3L, "r2", "b"),
+      (4L, "r1", "b"), (4L, "r2", "b"),
+      (5L, "r1", "a") // incomplete unit: dropped, counted
+    ).toDF("unit", "rater", "value")
+    val r = Stats.krippendorffAlpha(ratings, "unit", "rater", "value",
+      ratersPerUnit = 2).collect().head
+    r.getAs[Long]("n_units") shouldBe 4L
+    r.getAs[Long]("n_dropped_units") shouldBe 1L
+    r.getAs[Long]("n_ratings") shouldBe 8L
+    r.getAs[Long]("alpha_ppm") shouldBe 533334L
+  }
+
+  test("krippendorffAlpha: perfect agreement reads 1e6") {
+    import spark.implicits._
+    val ratings = Seq(
+      (1L, "r1", "x"), (1L, "r2", "x"),
+      (2L, "r1", "y"), (2L, "r2", "y")
+    ).toDF("unit", "rater", "value")
+    Stats.krippendorffAlpha(ratings, "unit", "rater", "value", 2)
+      .collect().head.getAs[Long]("alpha_ppm") shouldBe 1000000L
+  }
+
+  test("selectionImpact: four-fifths rule on cross-multiplied exact ratios") {
+    import spark.implicits._
+    val v = ((1 to 10).map(i => ("en", i <= 8)) ++
+      (1 to 4).map(i => ("fr", i <= 1))).toDF("lang", "keep")
+    val got = Stats.selectionImpact(v, "lang", "keep")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    got("en") shouldBe ((10L, 8L, 800000L, 1244444L, false))
+    got("fr") shouldBe ((4L, 1L, 250000L, 388888L, true))
+  }
 }
