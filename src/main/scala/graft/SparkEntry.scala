@@ -377,6 +377,22 @@ object SparkEntry {
       graft.ops.TextAnalysis.scriptProfile(docs, "doc_id", "text")
     }),
 
+    // homoglyph audit: Cyrillic-а and Greek-Α confusables planted into
+    // id slices (as \u escapes), plus a pure-Cyrillic negative control
+    "q_mixed_script" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" p\u0430ypal")))
+            .when(col("doc_id") % 13 === 5,
+              concat(col("text"), lit(" \u0391pple")))
+            .when(col("doc_id") % 13 === 7,
+              concat(col("text"), lit(" обычно")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.TextAnalysis.mixedScriptTokens(docs, "doc_id", "text")
+    }),
+
     // curriculum manifest: shard by hash (unbiased slices), read order
     // walks short-to-long docs — the easy-first training ramp
     "q_curriculum" -> ((s, dir) => {
@@ -2584,6 +2600,35 @@ object SparkEntry {
         |  CASE WHEN n_chars > 0 THEN CAST((cjk * 1000000) // n_chars AS BIGINT) END AS cjk_ppm,
         |  CASE WHEN n_chars > 0 THEN CAST((ar * 1000000) // n_chars AS BIGINT) END AS arabic_ppm
         |FROM c""".stripMargin,
+
+    // chr(1072) = Cyrillic а, chr(913) = Greek Α — the same codepoints
+    // the Spark fixture spells as \u escapes
+    "q_mixed_script" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' p' || chr(1072) || 'ypal'
+        |         WHEN doc_id % 13 = 5 THEN text || ' ' || chr(913) || 'pple'
+        |         WHEN doc_id % 13 = 7 THEN text || ' обычно'
+        |         ELSE text END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS toks
+        |  FROM m
+        |), mx AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    list_filter(toks, x ->
+        |      (regexp_matches(x, '[A-Za-z]') AND regexp_matches(x, '[\x{0400}-\x{04FF}]'))
+        |      OR (regexp_matches(x, '[A-Za-z]') AND regexp_matches(x, '[\x{0370}-\x{03FF}]'))
+        |      OR (regexp_matches(x, '[\x{0400}-\x{04FF}]') AND regexp_matches(x, '[\x{0370}-\x{03FF}]'))) AS mixed
+        |  FROM tk
+        |)
+        |SELECT doc_id, n_tokens, len(mixed)::BIGINT AS n_mixed,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST((len(mixed) * 1000000) // n_tokens AS BIGINT)
+        |       ELSE 0 END AS mixed_ppm,
+        |  COALESCE(list_min(mixed), '') AS first_mixed
+        |FROM mx""".stripMargin,
 
     "q_curriculum" ->
       """WITH t AS (

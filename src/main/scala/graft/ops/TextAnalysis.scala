@@ -143,6 +143,81 @@ object TextAnalysis {
         ppm(col("_cjk")).as("cjk_ppm"), ppm(col("_ar")).as("arabic_ppm"))
   }
 
+  /** Mixed-script (homoglyph) token audit: tokens that mix characters
+    * from two of {Latin, Cyrillic, Greek} — the confusable-script
+    * spoofing vector ("pаypal" with a Cyrillic а) that
+    * poisons dedup keys (different bytes, identical glyphs), URL
+    * canonicalization, and NER, and that no per-DOC script profile
+    * ([[scriptProfile]]) can see: a legitimately bilingual doc and a
+    * homoglyph-attacked one have the same document-level mix. Pure
+    * map-side: tokenize, keep tokens matching ≥2 script classes via a
+    * codepoint-range HOF filter (the [[scriptProfile]] portability
+    * discipline — explicit ranges, no engine-private \\p{script}
+    * spellings).
+    * Output: (doc_id, n_tokens, n_mixed, mixed_ppm, first_mixed —
+    * lexicographic min, '' when clean).
+    */
+  def mixedScriptTokens(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val lat = "[A-Za-z]"
+    val cyr = "[\\x{0400}-\\x{04FF}]"
+    val grk = "[\\x{0370}-\\x{03FF}]"
+    val toks = tokens(col(textCol))
+    val mixed = filter(toks, t =>
+      (t.rlike(lat) && t.rlike(cyr)) || (t.rlike(lat) && t.rlike(grk)) ||
+        (t.rlike(cyr) && t.rlike(grk)))
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_tokens"), mixed.as("_m"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("_m")).cast("long").as("n_mixed"),
+        when(col("n_tokens") > 0,
+          call_function("div",
+            size(col("_m")).cast("long") * lit(1000000L), col("n_tokens")))
+          .otherwise(lit(0L)).as("mixed_ppm"),
+        coalesce(array_min(col("_m")), lit("")).as("first_mixed"))
+  }
+
+  /** Deflate compression ratio as a quality signal — the Gopher-family
+    * heuristic the entropy/repetition columns approximate analytically:
+    * machine-generated boilerplate and keyword-stuffed spam compress
+    * far below clean prose, and the compressor "sees" repetition
+    * structures (long-range repeats, near-repeats) that fixed n-gram
+    * statistics miss. Runs in `mapPartitions` so ONE `Deflater` (and
+    * its dictionary buffers) is reused across the whole partition —
+    * per-row `java.util.zip` allocation would dominate at corpus scale.
+    * Deterministic for a given JVM's zlib (same input, level, strategy
+    * → same byte count); there is no cross-engine SQL twin for deflate,
+    * so this op is SPEC-pinned (planted repetitive vs varied fixtures),
+    * not oracle-gated — the documented exception to the registry rule.
+    * Output: (doc_id, n_bytes, n_deflated, ratio_ppm) — ratio_ppm =
+    * deflated·1e6/raw, LOW means repetitive/spammy.
+    */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, "deflate level in [1, 9]")
+    val session = docs.sparkSession
+    import session.implicits._
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+    base.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](64 * 1024)
+      rows.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var out = 0L
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        val ratio =
+          if (raw.length > 0) out * 1000000L / raw.length else 0L
+        (id, raw.length.toLong, out, ratio)
+      }
+    }.toDF("doc_id", "n_bytes", "n_deflated", "ratio_ppm")
+  }
+
   /** Marker-word sets for the language-ID heuristic: a language scores by
     * how many of its marker words occur in the document (presence, not
     * frequency — robust to length skew).

@@ -131,7 +131,9 @@ class PlanAuditSpec extends SparkSpec {
     // eval/agreement/impact: AUC is the score agg + the bounded
     // per-value cum window; alpha/impact are histogram aggs + 1-row
     // normalizer broadcasts
-    "q_auc" -> 2, "q_kripp_alpha" -> 7, "q_filter_impact" -> 7)
+    "q_auc" -> 2, "q_kripp_alpha" -> 7, "q_filter_impact" -> 7,
+    // per-token homoglyph audit MUST stay map-side (HOF filter on the scan)
+    "q_mixed_script" -> 0)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

@@ -882,4 +882,46 @@ class TextAnalysisSpec extends SparkSpec {
     out(3L).getLong(1) shouldBe 5L
     out(3L).getLong(2) shouldBe 400000L  // 'n','o' of 5 chars
   }
+
+  test("mixedScriptTokens: homoglyph tokens flagged, pure-script text clean") {
+    import spark.implicits._
+    val docs = Seq(
+      // Cyrillic \u0430 inside a Latin token: the classic spoof
+      (1L, "pay at p\u0430ypal now"),
+      // Greek capital alpha leading a Latin token
+      (2L, "buy \u0391pple stock"),
+      // pure Cyrillic word next to Latin words: NOT mixed (per-token test)
+      (3L, "the word \u043e\u0431\u044b\u0447\u043d\u043e is fine"),
+      (4L, "plain ascii only")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mixedScriptTokens(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_mixed"),
+          r.getAs[Long]("mixed_ppm"), r.getAs[String]("first_mixed"))).toMap
+    got(1L) shouldBe ((4L, 1L, 250000L, "p\u0430ypal"))
+    got(2L) shouldBe ((3L, 1L, 333333L, "\u0391pple"))
+    got(3L) shouldBe ((5L, 0L, 0L, ""))
+    got(4L) shouldBe ((3L, 0L, 0L, ""))
+  }
+
+  test("compressionRatio: repetition compresses far below varied prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam " * 50),
+      (2L, (1 to 150).map(i => s"w${i * 7919 % 9973}").mkString(" ")),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("n_deflated"),
+          r.getAs[Long]("ratio_ppm"))).toMap
+    got(1L)._3 should be < 100000L      // pure repetition: < 10%
+    got(2L)._3 should be > 400000L      // varied tokens compress poorly
+    got(3L) shouldBe ((0L, got(3L)._2, 0L)) // empty doc: ratio 0 by contract
+    // determinism: the same corpus deflates to the same bytes
+    val again = TextAnalysis.compressionRatio(docs.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_deflated")).toMap
+    again(1L) shouldBe got(1L)._2
+    again(2L) shouldBe got(2L)._2
+  }
 }
