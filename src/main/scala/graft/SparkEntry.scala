@@ -760,6 +760,12 @@ object SparkEntry {
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
     }),
 
+    // int8 scalar-quantization audit: per-vector scale, exact squared
+    // error and orig<->recon cosine ppm — wholly map-side
+    "q_quant_int8" -> ((s, dir) =>
+      graft.ops.Similarity.quantizeInt8Audit(
+        table(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // IVF with nprobe = nlist probes every list — exhaustive by
     // construction, so it must hash-match the brute-force oracle; the
     // approximate regime (nprobe << nlist) is recall-tested in
@@ -3092,6 +3098,35 @@ object SparkEntry {
          |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
     "q_knn"          -> knnSql,
+
+    // same quantize->reconstruct trees: round() on integral halves is
+    // away-from-zero in both engines, fold sums ride list order, sqrt
+    // is correctly rounded — so sq_err/cos ride raw, no rounding knob
+    "q_quant_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), s AS (
+        |  SELECT vec_id, x,
+        |    COALESCE(list_max(list_transform(x, v -> abs(v))), 0.0) AS scale
+        |  FROM e
+        |), r AS (
+        |  SELECT vec_id, x, scale,
+        |    list_transform(x, v -> CASE WHEN scale = 0.0 THEN 0.0
+        |      ELSE round(v * 127.0 / scale) * scale / 127.0 END) AS rc
+        |  FROM s
+        |)
+        |SELECT vec_id, len(x)::BIGINT AS dim, scale,
+        |  list_sum(list_transform(range(1, len(x) + 1),
+        |    i -> (x[i] - rc[i]) * (x[i] - rc[i]))) AS sq_err,
+        |  CASE WHEN scale = 0.0 THEN 1000000
+        |    ELSE CAST(FLOOR(
+        |      list_sum(list_transform(range(1, len(x) + 1), i -> x[i] * rc[i]))
+        |      / (sqrt(list_sum(list_transform(x, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(rc, v -> v * v))))
+        |      * 1000000.0) AS BIGINT) END AS cos_ppm
+        |FROM r""".stripMargin,
 
     // sorted-fold neighborhood means (bit-identical across engines),
     // ppm-integerized margins BEFORE ranking, id tie-breaks everywhere;

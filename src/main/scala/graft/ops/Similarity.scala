@@ -395,6 +395,44 @@ object Similarity {
     */
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Int8 symmetric scalar-quantization audit — the 4× memory cut an
+    * embedding store takes before serving (float32 → int8 with one
+    * per-vector scale), with the loss it costs measured EXACTLY:
+    * `q_i = round(x_i·127/s)`, `s = max|x_i|` (never clips, ±127 hit
+    * by the max component), reconstruction `q_i·s/127`, and per vector
+    * the squared error plus the original↔reconstruction cosine in
+    * integer ppm (the retrieval-facing metric: rank order under cosine
+    * survives iff this stays ≈1e6). Wholly map-side: every column is a
+    * per-row HOF/kernel over the vector — 0 shuffles. All doubles ride
+    * identical expression trees (fold-ordered sums, correctly-rounded
+    * sqrt, integral round), so the audit is bit-reproducible on any
+    * engine. Zero vectors quantize to zero with cos_ppm pinned 1e6.
+    * Output: (vec_id, dim, scale, sq_err, cos_ppm).
+    */
+  def quantizeInt8Audit(emb: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val x = asDouble(col(vecCol))
+    val scale = aggregate(x, lit(0.0), (acc, v) => greatest(acc, abs(v)))
+    val base = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), x.as("_x"), scale.as("scale"))
+    val recon = transform(col("_x"), v =>
+      when(col("scale") === 0.0, lit(0.0))
+        .otherwise(round(v * lit(127.0) / col("scale")) * col("scale")
+          / lit(127.0)))
+    val sqErr = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, v) => acc + v)
+    base.withColumn("_r", recon)
+      .select(col("vec_id"), size(col("_x")).cast("long").as("dim"),
+        col("scale"), sqErr(col("_x"), col("_r")).as("sq_err"),
+        when(col("scale") === 0.0, lit(1000000L))
+          .otherwise(floor(
+            graft.functions.VectorExpressions.dotD(col("_x"), col("_r")) /
+              (sqrt(graft.functions.VectorExpressions.dotD(col("_x"), col("_x"))) *
+                sqrt(graft.functions.VectorExpressions.dotD(col("_r"), col("_r")))) *
+              lit(1000000.0)).cast("long")).as("cos_ppm"))
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN: k-means coarse quantizer + probed buckets
   // ------------------------------------------------------------------

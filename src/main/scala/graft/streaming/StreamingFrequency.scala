@@ -78,4 +78,29 @@ object StreamingFrequency {
       }
       .toDF("shard", "value", "count_lb", "n_shard")
   }
+
+  /** Running count-min cells in update mode — the OTHER bounded-state
+    * frequency design: where [[runningHeavyHitters]] bounds state by
+    * keeping only k candidate VALUES (lower bounds, candidates can be
+    * evicted), the CM grid bounds state by hashing every value into a
+    * FIXED depth×width cell grid (≤ d·w state rows by construction —
+    * an ordinary streaming aggregation is already safe, no custom
+    * state needed) and never forgets: any key's estimate — min over
+    * its d cells, queried against this frame — is an UPPER bound that
+    * a later batch [[graft.ops.Sketch.countMinAudit]] reproduces
+    * exactly (same md5-seeded cells), because cells just add. The
+    * streaming/batch twin is the mergeability contract demonstrated,
+    * not claimed. Output (update mode): (r, bucket, cnt).
+    */
+  def runningCountMinCells(events: DataFrame, keyCol: String,
+                           depth: Int = 3, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 8, "1 <= depth <= 8")
+    require(width >= 1, "width >= 1")
+    events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", graft.ops.Sampling.hashBucket(
+        concat_ws(":", col("r"), col("key")), width))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
 }

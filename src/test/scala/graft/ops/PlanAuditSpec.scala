@@ -133,7 +133,9 @@ class PlanAuditSpec extends SparkSpec {
     // normalizer broadcasts
     "q_auc" -> 2, "q_kripp_alpha" -> 7, "q_filter_impact" -> 7,
     // per-token homoglyph audit MUST stay map-side (HOF filter on the scan)
-    "q_mixed_script" -> 0)
+    "q_mixed_script" -> 0,
+    // quantization audit is per-row vector math: nothing may shuffle
+    "q_quant_int8" -> 0)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

@@ -422,4 +422,26 @@ class SimilaritySpec extends SparkSpec {
     graft.ops.Bucketing.shuffleCount(
       Similarity.assignToCentroids(vecs, "vec_id", "embedding", cents)) shouldBe 0
   }
+
+  test("quantizeInt8Audit: exact per-vector scale, recon error, cosine ppm") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(3.0f, -1.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)) // zero vector: pinned contract
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8Audit(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dim"), r.getAs[Double]("scale"),
+          r.getAs[Double]("sq_err"), r.getAs[Long]("cos_ppm"))).toMap
+    val (d1, s1, e1, c1) = got(1L)
+    d1 shouldBe 3L
+    s1 shouldBe 3.0
+    // q = [127, -64, 0] (-63.5 rounds away from zero); only the -1.5
+    // component reconstructs inexactly: (-1.5 + 64*3/127)^2
+    val expectedErr = math.pow(-1.5 + 64.0 * 3.0 / 127.0, 2)
+    e1 shouldBe expectedErr +- 1e-15
+    c1 should be >= 999900L
+    c1 should be <= 1000000L
+    got(2L) shouldBe ((3L, 0.0, 0.0, 1000000L))
+  }
 }

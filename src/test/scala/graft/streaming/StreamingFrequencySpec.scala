@@ -75,4 +75,39 @@ class StreamingFrequencySpec extends SparkSpec {
     }
     rows.map(_._3).sum shouldBe 100L
   }
+
+  test("runningCountMinCells converge to the batch sketch exactly (mergeable cells)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingFrequency.runningCountMinCells(mem.toDF(), "value",
+        depth = 3, width = 8)
+      .writeStream.format("memory").queryName("scm")
+      .outputMode(OutputMode.Update()).start()
+    val data = (1 to 120).map(i => s"k${i % 9}")
+    mem.addData(data.take(50): _*); q.processAllAvailable()
+    mem.addData(data.drop(50): _*); q.processAllAvailable(); q.stop()
+    // latest emission per cell (counts only grow across triggers)
+    val streamed = spark.table("scm").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).max }
+    // the batch twin over the SAME full input: cells must match exactly
+    val batch = StreamingFrequency.runningCountMinCells(
+      data.toDF("value"), "value", depth = 3, width = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    streamed shouldBe batch
+    // and the min-over-rows estimate upper-bounds every true count
+    val trueCounts = data.groupBy(identity).view.mapValues(_.size.toLong)
+    trueCounts.foreach { case (k, n) =>
+      val est = (0 until 3).map { r =>
+        val b = data.toDF("value").sparkSession.range(1).select(
+          graft.ops.Sampling.hashBucket(
+            org.apache.spark.sql.functions.concat_ws(":",
+              org.apache.spark.sql.functions.lit(r),
+              org.apache.spark.sql.functions.lit(k)), 8).as("b"))
+          .collect().head.getLong(0)
+        batch((r, b))
+      }.min
+      est should be >= n
+    }
+  }
 }
