@@ -280,6 +280,27 @@ object SparkEntry {
           element_at(col("doc_ids"), 1).as("doc_min"),
           element_at(col("doc_ids"), -1).as("doc_max"))),
 
+    // canonicalize-then-dedup composition: every doc gets a decomposed
+    // twin (combining marks + extra whitespace); raw-byte md5 would
+    // see 2N distinct texts, NFC + whitespace canonicalization pairs
+    // every twin — the end-to-end motivation for the nfc kernel
+    "q_dedup_canon_nfc" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val a = docs.select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 ne\u0301e")).as("text"))
+      val b = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit("  caf\u00e9 n\u00e9e ")).as("text"))
+      val canon = a.unionAll(b).select(col("doc_id"),
+        graft.ops.TextAnalysis.normalizeText(
+          graft.functions.StringExpressions.nfc(col("text"))).as("text"))
+      graft.ops.Dedup.exactDuplicateGroups(canon, "doc_id", "text",
+        byRawText = true)
+        .select(col("fingerprint"), col("n_docs"),
+          element_at(col("doc_ids"), 1).as("doc_min"),
+          element_at(col("doc_ids"), -1).as("doc_max"))
+    }),
+
     "q_dedup_pairs" -> ((s, dir) =>
       graft.ops.Dedup.nearDupPairsExact(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
@@ -660,6 +681,29 @@ object SparkEntry {
       graft.ops.Web.canonicalize(syntheticUrls(table(s, dir, "documents")), "url")
         .select(col("doc_id"), col("url"), col("host"), col("domain"),
           col("url_canon"))),
+
+    // robots.txt REP evaluation: per-domain rule parse (header runs,
+    // star groups, comments) + longest-match gate over synthetic URLs
+    "q_robots_txt" -> ((s, dir) => {
+      val robots = s.range(0, 10).select(
+        concat(lit("d"), col("id").cast("string"), lit(".example.com"))
+          .as("domain"),
+        when(col("id") % 3 === 0,
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+          .when(col("id") % 3 === 1,
+            lit("User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp # scratch\n"))
+          .otherwise(lit("User-agent: *\nDisallow:\n")).as("robots_txt"))
+      val urls = table(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(concat(lit("https://d"), (col("doc_id") % 10).cast("string"),
+          lit(".example.com"),
+          when(col("doc_id") % 4 === 0, "/private/x")
+            .when(col("doc_id") % 4 === 1, "/private/ok/page")
+            .when(col("doc_id") % 4 === 2, "/tmp/f")
+            .otherwise("/pub/a"),
+          col("doc_id").cast("string")).as("url"))
+      graft.ops.Web.robotsAllowed(urls,
+        graft.ops.Web.robotsRules(robots, "domain", "robots_txt"), "url")
+    }),
 
     // per-registrable-domain page quota on the canonicalized frame —
     // the crawl-corpus "at most N pages per site" rule
@@ -2355,6 +2399,31 @@ object SparkEntry {
          |       COUNT(*) AS n_docs, MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
          |FROM d GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
 
+    // chr(769) = combining acute, chr(233) = precomposed é — the same
+    // codepoints the Spark fixture spells as \u escapes; DuckDB's
+    // built-in nfc_normalize implements the same UAX #15 as the kernel
+    "q_dedup_canon_nfc" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), u AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ne' || chr(769) || 'e' AS text
+        |  FROM dd
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    text || '  caf' || chr(233) || ' n' || chr(233) || 'e ' AS text
+        |  FROM dd
+        |), c AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(nfc_normalize(text)), '[\x00-\x1f\x7f]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS t
+        |  FROM u
+        |)
+        |SELECT md5(t) AS fingerprint, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+        |FROM c GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
     "q_dedup_keep_best" ->
       """WITH fp AS (
         |  SELECT doc_id, n_chars,
@@ -3294,6 +3363,94 @@ object SparkEntry {
     "q_url_canon" ->
       s"""$urlCanonSql
          |SELECT doc_id, url, host, domain, url_canon FROM canon""".stripMargin,
+
+    // REP parse mirrored window-for-window: header-run grouping via
+    // LAG + running sum, star-group semi-join, longest-match rank with
+    // the allow tie-break
+    "q_robots_txt" ->
+      """WITH rb AS (
+        |  SELECT 'd' || i::VARCHAR || '.example.com' AS domain,
+        |    CASE WHEN i % 3 = 0
+        |      THEN 'User-agent: *' || chr(10) || 'Disallow: /private' ||
+        |           chr(10) || 'Allow: /private/ok' || chr(10)
+        |         WHEN i % 3 = 1
+        |      THEN 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) ||
+        |           chr(10) || 'User-agent: *' || chr(10) ||
+        |           'Disallow: /tmp # scratch' || chr(10)
+        |         ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+        |    END AS t
+        |  FROM range(0, 10) rr(i)
+        |), ln0 AS (
+        |  SELECT domain, regexp_split_to_array(t, '\r?\n') AS ls FROM rb
+        |), ln AS (
+        |  SELECT domain, unnest(range(1, len(ls) + 1)) AS pos, ls FROM ln0
+        |), l2 AS (
+        |  SELECT domain, pos,
+        |         lower(trim(regexp_replace(ls[pos], '#.*$', ''))) AS l
+        |  FROM ln
+        |), gg AS (
+        |  SELECT domain, pos, l,
+        |    CASE WHEN l LIKE 'user-agent:%' THEN 1 ELSE 0 END AS isua
+        |  FROM l2
+        |), stt AS (
+        |  SELECT *, CASE WHEN isua = 1 AND COALESCE(LAG(isua)
+        |    OVER (PARTITION BY domain ORDER BY pos), 0) = 0
+        |    THEN 1 ELSE 0 END AS sg
+        |  FROM gg
+        |), g2 AS (
+        |  SELECT *, SUM(sg) OVER (PARTITION BY domain ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM stt
+        |), star AS (
+        |  SELECT DISTINCT domain, grp FROM g2
+        |  WHERE isua = 1
+        |    AND trim(regexp_extract(l, '^user-agent:\s*(\S*)', 1)) = '*'
+        |), rules AS (
+        |  SELECT DISTINCT g2.domain,
+        |    regexp_extract(l, '^(allow|disallow):', 1) AS rule,
+        |    trim(regexp_extract(l, '^(allow|disallow):\s*(\S*)', 2)) AS prefix
+        |  FROM g2 JOIN star USING (domain, grp)
+        |  WHERE regexp_extract(l, '^(allow|disallow):', 1) <> ''
+        |    AND trim(regexp_extract(l, '^(allow|disallow):\s*(\S*)', 2)) <> ''
+        |), uu AS (
+        |  SELECT 'https://d' || (doc_id % 10)::VARCHAR || '.example.com' ||
+        |    CASE doc_id % 4 WHEN 0 THEN '/private/x'
+        |                    WHEN 1 THEN '/private/ok/page'
+        |                    WHEN 2 THEN '/tmp/f' ELSE '/pub/a' END ||
+        |    doc_id::VARCHAR AS url
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), up AS (
+        |  SELECT url,
+        |    regexp_replace(
+        |      CASE WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http'
+        |        THEN regexp_replace(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)), ':80$', '')
+        |           WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
+        |        THEN regexp_replace(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)), ':443$', '')
+        |           ELSE lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) END,
+        |      '^www\.', '') AS domain,
+        |    CASE WHEN regexp_replace(regexp_replace(
+        |           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
+        |           '/{2,}', '/', 'g'), '/+$', '') = ''
+        |         THEN '/'
+        |         ELSE regexp_replace(regexp_replace(
+        |           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
+        |           '/{2,}', '/', 'g'), '/+$', '') END AS path
+        |  FROM uu
+        |), mt AS (
+        |  SELECT up.url, up.domain, up.path, rules.rule, rules.prefix,
+        |    ROW_NUMBER() OVER (PARTITION BY up.url, up.domain, up.path
+        |      ORDER BY len(rules.prefix) DESC,
+        |        CASE WHEN rules.rule = 'allow' THEN 0 ELSE 1 END,
+        |        rules.rule, rules.prefix) AS rn
+        |  FROM up JOIN rules ON rules.domain = up.domain
+        |  WHERE starts_with(up.path, rules.prefix)
+        |)
+        |SELECT up.url, up.domain, up.path,
+        |  COALESCE(b.rule, '') AS matched_rule,
+        |  COALESCE(b.prefix, '') AS matched_prefix,
+        |  COALESCE(b.rule, 'allow') = 'allow' AS allowed
+        |FROM up LEFT JOIN (SELECT * FROM mt WHERE rn = 1) b
+        |  ON b.url = up.url""".stripMargin,
 
     "q_domain_cap" ->
       s"""$urlCanonSql, ranked AS (

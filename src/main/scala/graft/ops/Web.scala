@@ -268,4 +268,77 @@ object Web {
       .select("domain", "n_pages", "n_canonical", "n_distinct_text",
         "dup_ppm", "n_tokens")
   }
+
+  /** robots.txt rule extraction — the crawl-side compliance companion
+    * to the page-side [[metaRobots]] gate. Parses the original REP
+    * (prefix rules, `#` comments, consecutive `User-agent` lines
+    * forming one group header) and keeps the Allow/Disallow rules of
+    * every group whose header names `*`; named-agent-only groups are
+    * out of scope by contract (a corpus crawler is nobody's special
+    * agent), as are `*`/`$` wildcards (the 2022 RFC 9309 extension) —
+    * prefix semantics only, the documented regime. Empty-prefix rules
+    * drop (an empty Disallow allows everything; an empty Allow says
+    * nothing). One domain-keyed window pass over line positions.
+    * Output: (domain, rule 'allow'|'disallow', prefix) distinct.
+    */
+  def robotsRules(robots: DataFrame, domainCol: String,
+                  txtCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("pos")
+    val lines = robots
+      .filter(col(domainCol).isNotNull && col(txtCol).isNotNull)
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "_raw")))
+      // comments strip BEFORE trimming: "Disallow: /x # note"
+      .withColumn("_l", lower(trim(regexp_replace(col("_raw"), "#.*$", ""))))
+    val isUa = col("_l").startsWith("user-agent:")
+    val grouped = lines
+      // a header RUN of consecutive user-agent lines opens one group
+      .withColumn("_start",
+        (isUa && !coalesce(lag(isUa, 1).over(w), lit(false))).cast("long"))
+      .withColumn("_g", sum(col("_start")).over(w))
+    val starGroups = grouped
+      .filter(isUa &&
+        trim(regexp_extract(col("_l"), "^user-agent:\\s*(\\S*)", 1)) === "*")
+      .select(col("domain"), col("_g")).distinct()
+    grouped
+      .withColumn("rule", regexp_extract(col("_l"), "^(allow|disallow):", 1))
+      .withColumn("prefix",
+        trim(regexp_extract(col("_l"), "^(allow|disallow):\\s*(\\S*)", 2)))
+      .filter(col("rule") =!= "" && col("prefix") =!= "")
+      .join(starGroups, Seq("domain", "_g"))
+      .select("domain", "rule", "prefix").distinct()
+  }
+
+  /** Evaluate URLs against [[robotsRules]] by the REP longest-match
+    * rule: among rules whose prefix starts the URL path, the LONGEST
+    * prefix wins; on equal length Allow beats Disallow (Google's
+    * documented tie-break); no matching rule means allowed. The join
+    * is domain-keyed (per-domain rule sets are tens of rows), the
+    * winner is one min-struct aggregate — no window.
+    * Output: (url, domain, path, matched_rule, matched_prefix,
+    * allowed).
+    */
+  def robotsAllowed(urls: DataFrame, rules: DataFrame,
+                    urlCol: String): DataFrame = {
+    val u = urls.filter(col(urlCol).isNotNull)
+      .select(col(urlCol).as("url"), urlHost(col(urlCol)).as("domain"),
+        urlPath(col(urlCol)).as("path"))
+    val matched = u.join(rules, Seq("domain"))
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy("url", "domain", "path")
+      .agg(min(struct((-length(col("prefix"))).as("_nl"),
+        // allow sorts before disallow at equal length: 0 < 1
+        when(col("rule") === "allow", 0).otherwise(1).as("_p"),
+        col("rule").as("_r"), col("prefix").as("_pr"))).as("_best"))
+      .select(col("url"), col("domain"), col("path"),
+        col("_best").getField("_r").as("matched_rule"),
+        col("_best").getField("_pr").as("matched_prefix"))
+    u.join(matched, Seq("url", "domain", "path"), "left")
+      .select(col("url"), col("domain"), col("path"),
+        coalesce(col("matched_rule"), lit("")).as("matched_rule"),
+        coalesce(col("matched_prefix"), lit("")).as("matched_prefix"),
+        (coalesce(col("matched_rule"), lit("allow")) === "allow")
+          .as("allowed"))
+  }
 }

@@ -135,7 +135,10 @@ class PlanAuditSpec extends SparkSpec {
     // per-token homoglyph audit MUST stay map-side (HOF filter on the scan)
     "q_mixed_script" -> 0,
     // quantization audit is per-row vector math: nothing may shuffle
-    "q_quant_int8" -> 0)
+    "q_quant_int8" -> 0,
+    // robots: line-window parse + star semi-join + match agg + gate join;
+    // nfc dedup is ONE fingerprint agg over the canonicalized union
+    "q_robots_txt" -> 4, "q_dedup_canon_nfc" -> 1)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

@@ -206,4 +206,40 @@ class WebSpec extends SparkSpec {
       .filter(col("url_canon") =!= col("url"))
     twice.count() shouldBe 0L
   }
+
+  test("robotsRules: header runs, star groups, comments, empty prefixes") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: bot\nUser-agent: *\nDisallow: /private # secret\n" +
+        "Allow: /private/ok\n\nUser-agent: other\nDisallow: /all"),
+      ("b.com", "User-agent: *\nDisallow:\n"),  // empty prefix: allows all
+      ("c.com", "# nothing\nUser-agent: special\nDisallow: /x")
+    ).toDF("domain", "robots_txt")
+    val got = Web.robotsRules(robots, "domain", "robots_txt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    got shouldBe Set(
+      ("a.com", "disallow", "/private"),
+      ("a.com", "allow", "/private/ok"))
+  }
+
+  test("robotsAllowed: longest match wins, allow breaks ties, default allow") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "disallow", "/private"), ("a.com", "allow", "/private/ok"),
+      ("t.com", "disallow", "/p"), ("t.com", "allow", "/p")
+    ).toDF("domain", "rule", "prefix")
+    val urls = Seq(
+      "https://a.com/private/x", "https://a.com/private/ok/page",
+      "https://a.com/pub", "https://b.com/anything", "https://t.com/p/q"
+    ).toDF("url")
+    val got = Web.robotsAllowed(urls, rules, "url")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("matched_rule"), r.getAs[String]("matched_prefix"),
+          r.getAs[Boolean]("allowed"))).toMap
+    got("https://a.com/private/x") shouldBe (("disallow", "/private", false))
+    got("https://a.com/private/ok/page") shouldBe (("allow", "/private/ok", true))
+    got("https://a.com/pub") shouldBe (("", "", true))
+    got("https://b.com/anything") shouldBe (("", "", true))
+    got("https://t.com/p/q") shouldBe (("allow", "/p", true)) // tie -> allow
+  }
 }
