@@ -116,7 +116,11 @@ object SparkEntry {
     d.select(col("doc_id").as("conv_id"), col("_toks"), col("_k"), col("_off"),
         explode(sequence(lit(0), col("_k") - 1)).as("turn_idx"))
       .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-        when(col("turn_idx") < col("_off"), "system")
+        // %17 convs corrupt turn 1's role to NULL (listed FIRST so it
+        // wins over the %7 double-user corruption on conv 0)
+        when(col("conv_id") % 17 === 0 && col("turn_idx") === 1,
+          lit(null).cast("string"))
+          .when(col("turn_idx") < col("_off"), "system")
           .when(col("conv_id") % 7 === 0 && col("turn_idx") === 1, "user")
           .when((col("turn_idx") - col("_off")) % 2 === 0, "user")
           .otherwise("assistant").as("role"),
@@ -124,6 +128,12 @@ object SparkEntry {
           lit("  "))
           .otherwise(concat_ws(" ",
             slice(col("_toks"), col("turn_idx") * 5 + 1, lit(5)))).as("content"))
+      // %19 convs carry a duplicate turn_idx 0 row — the unorderable
+      // corruption keyed_ok exists to catch, now exercised through the
+      // DuckDB gate, not just the unit spec
+      .unionByName(d.filter(col("doc_id") % 19 === 0)
+        .select(col("doc_id").as("conv_id"), lit(0L).as("turn_idx"),
+          lit("user").as("role"), lit("dup extra").as("content")))
   }
 
   /** Deterministic preference-pair fixture (the test tables carry no
@@ -174,7 +184,8 @@ object SparkEntry {
       |  FROM cd
       |), turns AS (
       |  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-      |    CASE WHEN turn_idx < off THEN 'system'
+      |    CASE WHEN conv_id % 17 = 0 AND turn_idx = 1 THEN NULL
+      |         WHEN turn_idx < off THEN 'system'
       |         WHEN conv_id % 7 = 0 AND turn_idx = 1 THEN 'user'
       |         WHEN (turn_idx - off) % 2 = 0 THEN 'user'
       |         ELSE 'assistant' END AS role,
@@ -182,6 +193,9 @@ object SparkEntry {
       |         ELSE COALESCE(array_to_string(toks[turn_idx*5+1 : turn_idx*5+5], ' '), '')
       |    END AS content
       |  FROM ct
+      |  UNION ALL
+      |  SELECT doc_id, CAST(0 AS BIGINT), 'user', 'dup extra'
+      |  FROM cd WHERE doc_id % 19 = 0
       |)""".stripMargin
 
   /** Corpus-RELATIVE df bound for the maxDf-family dedup entries:
@@ -5217,27 +5231,41 @@ object SparkEntry {
     // window rank + conditional aggregates over the shared turn
     // fixture; reason CSV via NULL-skipping concat_ws on both engines
     "q_chat_validate" ->
-      s"""$chatTurnsSql, ns AS (
+      s"""$chatTurnsSql, tn AS (
+         |  -- mirror Chat.validateChat's null normalization EXACTLY so the
+         |  -- oracle stays a twin even on corrupt-key conversations the
+         |  -- fixture doesn't (yet) synthesize: role/content coalesce to ''
+         |  -- for every positional check, keys stay raw for keyed_ok
+         |  SELECT conv_id, turn_idx, role AS role0,
+         |         COALESCE(lower(trim(role)), '') AS role_n,
+         |         COALESCE(content, '') AS content_n
+         |  FROM turns
+         |), ns AS (
          |  SELECT *,
          |    ROW_NUMBER() OVER (PARTITION BY conv_id
-         |      ORDER BY turn_idx NULLS FIRST, role, content) AS pos,
-         |    SUM(CASE WHEN role <> 'system' THEN 1 ELSE 0 END)
+         |      ORDER BY turn_idx NULLS FIRST, role_n, content_n) AS pos,
+         |    SUM(CASE WHEN role_n <> 'system' THEN 1 ELSE 0 END)
          |      OVER (PARTITION BY conv_id
-         |        ORDER BY turn_idx NULLS FIRST, role, content) AS nsrn
-         |  FROM turns
+         |        ORDER BY turn_idx NULLS FIRST, role_n, content_n) AS nsrn,
+         |    -- Spark's max(struct(turn_idx, role)): null idx sorts SMALLEST,
+         |    -- role breaks idx ties — spelled as a DESC rank, arg_max would
+         |    -- be nondeterministic on tied indexes and NULL on all-null
+         |    ROW_NUMBER() OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx DESC NULLS LAST, role_n DESC) AS rpos
+         |  FROM tn
          |), v AS (
          |  SELECT conv_id,
          |    CAST(COUNT(*) AS BIGINT) AS n_turns,
-         |    bool_and(turn_idx IS NOT NULL AND role IS NOT NULL)
+         |    bool_and(turn_idx IS NOT NULL AND role0 IS NOT NULL)
          |      AND COUNT(DISTINCT turn_idx) = COUNT(*) AS keyed_ok,
-         |    bool_and(role <> 'system' OR pos = 1) AS sys_ok,
-         |    COALESCE(bool_or(role <> 'system' AND nsrn = 1 AND role = 'user'),
-         |             FALSE) AS starts_user,
-         |    bool_and(role = 'system' OR
-         |      role = CASE WHEN nsrn % 2 = 1 THEN 'user' ELSE 'assistant' END)
+         |    bool_and(role_n <> 'system' OR pos = 1) AS sys_ok,
+         |    COALESCE(bool_or(role_n <> 'system' AND nsrn = 1
+         |      AND role_n = 'user'), FALSE) AS starts_user,
+         |    bool_and(role_n = 'system' OR
+         |      role_n = CASE WHEN nsrn % 2 = 1 THEN 'user' ELSE 'assistant' END)
          |      AS alternates,
-         |    arg_max(role, turn_idx) = 'assistant' AS ends_assistant,
-         |    bool_and(trim(content) <> '') AS no_empty
+         |    bool_or(rpos = 1 AND role_n = 'assistant') AS ends_assistant,
+         |    bool_and(trim(content_n) <> '') AS no_empty
          |  FROM ns GROUP BY 1
          |)
          |SELECT conv_id, n_turns, keyed_ok, sys_ok, starts_user, alternates,
@@ -5255,10 +5283,16 @@ object SparkEntry {
 
     "q_chat_flatten" ->
       s"""$chatTurnsSql, f AS (
+         |  -- mirror Chat.base: unkeyable rows (null role/idx/conv) drop;
+         |  -- the agg ORDER BY carries the FULL struct-sort key so tied
+         |  -- turn_idx rows (the %19 dup corruption) order deterministically
          |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
          |    string_agg('<|' || role || '|>' || content, chr(10)
-         |      ORDER BY turn_idx) AS text
-         |  FROM turns GROUP BY 1
+         |      ORDER BY turn_idx, role, content) AS text
+         |  FROM turns
+         |  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+         |    AND role IS NOT NULL
+         |  GROUP BY 1
          |)
          |SELECT conv_id, n_turns, text,
          |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
@@ -5266,9 +5300,13 @@ object SparkEntry {
 
     "q_chat_truncate" ->
       s"""$chatTurnsSql, t2 AS (
+         |  -- mirror Chat.base's unkeyable-row drop; tied turn_idx rows
+         |  -- share their cumulative (RANGE peers) in BOTH engines
          |  SELECT conv_id, turn_idx, role,
          |    CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens
          |  FROM turns
+         |  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+         |    AND role IS NOT NULL
          |), c AS (
          |  SELECT *, CAST(SUM(n_tokens)
          |    OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS cum_tokens
@@ -5355,8 +5393,7 @@ object SparkEntry {
         |      ORDER BY (slang = 'und'), n DESC, slang) AS rn
         |  FROM bl
         |)
-        |SELECT doc_id, n_sents, n_langs,
-        |  CASE WHEN slang = 'und' THEN 'und' ELSE slang END AS major_lang,
+        |SELECT doc_id, n_sents, n_langs, slang AS major_lang,
         |  CASE WHEN slang = 'und' THEN 0
         |       ELSE CAST((n * 1000000) // n_sents AS BIGINT) END AS major_ppm,
         |  n_langs > 1 AS code_switched

@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Chat {
 
+  /** The ONE turn normalization every Chat op shares (keys cast,
+    * role lower-trimmed, content coalesced) — factored so the gate and
+    * the transforms can never drift apart on what a "role" means.
+    * `_role0` keeps the pre-coalesce role for [[validateChat]]'s
+    * null-key check; `role` is the ''-coalesced form every positional
+    * rule reads.
+    */
+  private def project(turns: DataFrame, convCol: String, idxCol: String,
+                      roleCol: String, contentCol: String): DataFrame =
+    turns.select(col(convCol).as("conv_id"),
+      col(idxCol).cast("long").as("turn_idx"),
+      lower(trim(col(roleCol))).as("_role0"),
+      coalesce(col(contentCol), lit("")).as("content"))
+      .withColumn("role", coalesce(col("_role0"), lit("")))
+
   /** The transformation-side turn model: rows that cannot be keyed or
     * ordered (null conv/idx/role) are DROPPED — [[validateChat]] is the
     * gate that flags such conversations (`keyed_ok`); run it first and
@@ -33,12 +48,10 @@ object Chat {
     */
   private def base(turns: DataFrame, convCol: String, idxCol: String,
                    roleCol: String, contentCol: String): DataFrame =
-    turns
-      .filter(col(convCol).isNotNull && col(idxCol).isNotNull &&
-        col(roleCol).isNotNull)
-      .select(col(convCol).as("conv_id"), col(idxCol).cast("long").as("turn_idx"),
-        lower(trim(col(roleCol))).as("role"),
-        coalesce(col(contentCol), lit("")).as("content"))
+    project(turns, convCol, idxCol, roleCol, contentCol)
+      .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull &&
+        col("_role0").isNotNull)
+      .select("conv_id", "turn_idx", "role", "content")
 
   /** Per-conversation structural audit — the SFT admission gate:
     *
@@ -60,6 +73,12 @@ object Chat {
     * (turn_idx NULLS FIRST, role, content) with null roles read as ''
     * — deterministic verdicts even on mis-keyed conversations, whose
     * admission `keyed_ok` already vetoes.
+    *
+    * BOUNDARY: a turn whose `conv_id` itself is null belongs to NO
+    * conversation and cannot appear in any per-conversation verdict —
+    * the gate cannot conjure the key. A pipeline that can null
+    * conversation keys must count those orphans UPSTREAM (one
+    * `filter(isNull).count`) before trusting any per-conv verdict here.
     * Output: (conv_id, n_turns, keyed_ok, sys_ok, starts_user,
     * alternates, ends_assistant, no_empty, valid, reasons).
     */
@@ -67,12 +86,8 @@ object Chat {
                    roleCol: String, contentCol: String): DataFrame = {
     val w = Window.partitionBy("conv_id")
       .orderBy(col("turn_idx").asc_nulls_first, col("role"), col("content"))
-    val t = turns
-      .filter(col(convCol).isNotNull)
-      .select(col(convCol).as("conv_id"), col(idxCol).cast("long").as("turn_idx"),
-        lower(trim(col(roleCol))).as("_role0"),
-        coalesce(col(contentCol), lit("")).as("content"))
-      .withColumn("role", coalesce(col("_role0"), lit("")))
+    val t = project(turns, convCol, idxCol, roleCol, contentCol)
+      .filter(col("conv_id").isNotNull)
       .withColumn("_pos", row_number().over(w))
       .withColumn("_nsrn",
         sum(when(col("role") =!= "system", 1L).otherwise(0L)).over(w))
