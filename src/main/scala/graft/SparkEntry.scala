@@ -2080,6 +2080,20 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  /** DuckDB expression mirroring `Web.urlHost(urlExpr)` — the ONE
+    * scheme/port/www chain, shared by every oracle that extracts a host
+    * from a url column (urlCanonSql inlines the same chain over its
+    * own CTE names; a change to `Web.urlHost` must land in both).
+    */
+  private def sqlUrlHost(urlExpr: String): String =
+    s"""regexp_replace(
+       |      CASE WHEN lower(regexp_extract($urlExpr, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http'
+       |        THEN regexp_replace(lower(regexp_extract($urlExpr, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)), ':80$$', '')
+       |           WHEN lower(regexp_extract($urlExpr, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
+       |        THEN regexp_replace(lower(regexp_extract($urlExpr, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)), ':443$$', '')
+       |           ELSE lower(regexp_extract($urlExpr, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) END,
+       |      '^www\\.', '')""".stripMargin
+
   /** Shared DuckDB CTE chain mirroring [[syntheticUrls]] + `Web`'s
     * canonicalization rules character-for-character: identical regexp
     * patterns AND group indexes on both engines (the patterns are
@@ -3201,8 +3215,10 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT vec_id, len(x)::BIGINT AS dim, scale,
-        |  list_sum(list_transform(range(1, len(x) + 1),
-        |    i -> (x[i] - rc[i]) * (x[i] - rc[i]))) AS sq_err,
+        |  -- COALESCE: list_sum over an empty vector is NULL in DuckDB
+        |  -- where Spark's aggregate folds to its 0.0 init
+        |  COALESCE(list_sum(list_transform(range(1, len(x) + 1),
+        |    i -> (x[i] - rc[i]) * (x[i] - rc[i]))), 0.0) AS sq_err,
         |  CASE WHEN scale = 0.0 THEN 1000000
         |    ELSE CAST(FLOOR(
         |      list_sum(list_transform(range(1, len(x) + 1), i -> x[i] * rc[i]))
@@ -3382,7 +3398,7 @@ object SparkEntry {
     // LAG + running sum, star-group semi-join, longest-match rank with
     // the allow tie-break
     "q_robots_txt" ->
-      """WITH rb AS (
+      raw"""WITH rb AS (
         |  SELECT 'd' || i::VARCHAR || '.example.com' AS domain,
         |    CASE WHEN i % 3 = 0
         |      THEN 'User-agent: *' || chr(10) || 'Disallow: /private' ||
@@ -3399,12 +3415,15 @@ object SparkEntry {
         |), ln AS (
         |  SELECT domain, unnest(range(1, len(ls) + 1)) AS pos, ls FROM ln0
         |), l2 AS (
+        |  -- case PRESERVED: directive names match (?i), prefixes are
+        |  -- byte-literal paths (RFC 9309) — mirrors Web.robotsRules
         |  SELECT domain, pos,
-        |         lower(trim(regexp_replace(ls[pos], '#.*$', ''))) AS l
+        |         trim(regexp_replace(ls[pos], '#.*$$', '')) AS l
         |  FROM ln
         |), gg AS (
         |  SELECT domain, pos, l,
-        |    CASE WHEN l LIKE 'user-agent:%' THEN 1 ELSE 0 END AS isua
+        |    CASE WHEN regexp_matches(l, '(?i)^user-agent:')
+        |         THEN 1 ELSE 0 END AS isua
         |  FROM l2
         |), stt AS (
         |  SELECT *, CASE WHEN isua = 1 AND COALESCE(LAG(isua)
@@ -3418,14 +3437,14 @@ object SparkEntry {
         |), star AS (
         |  SELECT DISTINCT domain, grp FROM g2
         |  WHERE isua = 1
-        |    AND trim(regexp_extract(l, '^user-agent:\s*(\S*)', 1)) = '*'
+        |    AND trim(regexp_extract(l, '(?i)^user-agent:\s*(\S*)', 1)) = '*'
         |), rules AS (
         |  SELECT DISTINCT g2.domain,
-        |    regexp_extract(l, '^(allow|disallow):', 1) AS rule,
-        |    trim(regexp_extract(l, '^(allow|disallow):\s*(\S*)', 2)) AS prefix
+        |    lower(regexp_extract(l, '(?i)^(allow|disallow):', 1)) AS rule,
+        |    trim(regexp_extract(l, '(?i)^(allow|disallow):\s*(\S*)', 2)) AS prefix
         |  FROM g2 JOIN star USING (domain, grp)
-        |  WHERE regexp_extract(l, '^(allow|disallow):', 1) <> ''
-        |    AND trim(regexp_extract(l, '^(allow|disallow):\s*(\S*)', 2)) <> ''
+        |  WHERE regexp_extract(l, '(?i)^(allow|disallow):', 1) <> ''
+        |    AND trim(regexp_extract(l, '(?i)^(allow|disallow):\s*(\S*)', 2)) <> ''
         |), uu AS (
         |  SELECT 'https://d' || (doc_id % 10)::VARCHAR || '.example.com' ||
         |    CASE doc_id % 4 WHEN 0 THEN '/private/x'
@@ -3434,21 +3453,14 @@ object SparkEntry {
         |    doc_id::VARCHAR AS url
         |  FROM documents WHERE doc_id IS NOT NULL
         |), up AS (
+        |  -- RAW path (empty -> '/'), not the dedup-canonical form:
+        |  -- REP matching is byte-literal, trailing slashes included
         |  SELECT url,
-        |    regexp_replace(
-        |      CASE WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http'
-        |        THEN regexp_replace(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)), ':80$', '')
-        |           WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
-        |        THEN regexp_replace(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)), ':443$', '')
-        |           ELSE lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)) END,
-        |      '^www\.', '') AS domain,
-        |    CASE WHEN regexp_replace(regexp_replace(
-        |           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
-        |           '/{2,}', '/', 'g'), '/+$', '') = ''
+        |    ${sqlUrlHost("url")} AS domain,
+        |    CASE WHEN regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2) = ''
         |         THEN '/'
-        |         ELSE regexp_replace(regexp_replace(
-        |           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
-        |           '/{2,}', '/', 'g'), '/+$', '') END AS path
+        |         ELSE regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2)
+        |    END AS path
         |  FROM uu
         |), mt AS (
         |  SELECT up.url, up.domain, up.path, rules.rule, rules.prefix,

@@ -54,4 +54,54 @@ object StringExpressions {
 
   def nfc(s: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
+
+  /** One zlib deflater + scratch buffer per EXECUTOR THREAD, reused for
+    * the thread's lifetime: per-row allocation would dominate, and the
+    * thread-local bound means native zlib memory is O(threads), never
+    * O(partitions) — no reliance on finalization to release it.
+    */
+  private val deflaters =
+    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(), new Array[Byte](64 * 1024))
+    }
+
+  /** JVM kernel for [[DeflatedSize]] (public: codegen calls it). */
+  def deflatedBytes(bytes: Array[Byte], level: Int): Long = {
+    val (d, buf) = deflaters.get()
+    d.setLevel(level)
+    d.reset() // level change takes effect at reset
+    d.setInput(bytes)
+    d.finish()
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out
+  }
+
+  /** Deflated size (bytes) of a string's UTF-8 encoding at the given
+    * zlib level — the kernel under `TextAnalysis.compressionRatio`.
+    * Accepts any input the engine can hand it (no id-typing contract);
+    * deterministic for a given JVM's zlib.
+    */
+  case class DeflatedSize(child: Expression, level: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "deflated_size"
+
+    override protected def nullSafeEval(input: Any): Any =
+      StringExpressions.deflatedBytes(
+        input.asInstanceOf[UTF8String].getBytes, level)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.StringExpressions.deflatedBytes(" +
+          s"$c.getBytes(), $level);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def deflatedSize(s: Column, level: Int = 6): Column =
+    GraftBridge.column(DeflatedSize(GraftBridge.expression(s), level))
 }

@@ -30,18 +30,10 @@ object Preference {
     * `item_a < item_b`: (prompt_id, item_a, item_b, n_ab, n_ba).
     */
   def contradictions(prefs: DataFrame, promptCol: String, chosenCol: String,
-                     rejectedCol: String): DataFrame = {
-    val e = edges(prefs, promptCol, chosenCol, rejectedCol)
-      .groupBy("prompt_id", "winner", "loser").agg(count(lit(1)).as("n"))
-    val fwd = e.filter(col("winner") < col("loser"))
-      .select(col("prompt_id"), col("winner").as("item_a"),
-        col("loser").as("item_b"), col("n").as("n_ab"))
-    val bwd = e.filter(col("winner") > col("loser"))
-      .select(col("prompt_id"), col("loser").as("item_a"),
-        col("winner").as("item_b"), col("n").as("n_ba"))
-    fwd.join(bwd, Seq("prompt_id", "item_a", "item_b"))
+                     rejectedCol: String): DataFrame =
+    pairNet(prefs, promptCol, chosenCol, rejectedCol)
+      .filter(col("n_ab") > 0 && col("n_ba") > 0)
       .select("prompt_id", "item_a", "item_b", "n_ab", "n_ba")
-  }
 
   /** Directed 3-cycles `a≻b≻c≻a` within a prompt — the intransitive
     * triples that make a Bradley–Terry fit impossible to satisfy.

@@ -183,11 +183,13 @@ object TextAnalysis {
     * machine-generated boilerplate and keyword-stuffed spam compress
     * far below clean prose, and the compressor "sees" repetition
     * structures (long-range repeats, near-repeats) that fixed n-gram
-    * statistics miss. Runs in `mapPartitions` so ONE `Deflater` (and
-    * its dictionary buffers) is reused across the whole partition —
-    * per-row `java.util.zip` allocation would dominate at corpus scale.
-    * Deterministic for a given JVM's zlib (same input, level, strategy
-    * → same byte count); there is no cross-engine SQL twin for deflate,
+    * statistics miss. The deflate kernel is a codegen'd Catalyst
+    * expression ([[graft.functions.StringExpressions.DeflatedSize]])
+    * over a THREAD-LOCAL reused `Deflater` — native zlib memory is
+    * O(executor threads), never O(partitions), and the op stays inside
+    * whole-stage codegen with the id column's type untouched (no
+    * Dataset encoder, no numeric-id contract). Deterministic for a
+    * given JVM's zlib; there is no cross-engine SQL twin for deflate,
     * so this op is SPEC-pinned (planted repetitive vs varied fixtures),
     * not oracle-gated — the documented exception to the registry rule.
     * Output: (doc_id, n_bytes, n_deflated, ratio_ppm) — ratio_ppm =
@@ -196,26 +198,14 @@ object TextAnalysis {
   def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
                        level: Int = 6): DataFrame = {
     require(level >= 1 && level <= 9, "deflate level in [1, 9]")
-    val session = docs.sparkSession
-    import session.implicits._
-    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-      .as[(Long, String)]
-    base.mapPartitions { rows =>
-      val deflater = new java.util.zip.Deflater(level)
-      val buf = new Array[Byte](64 * 1024)
-      rows.map { case (id, text) =>
-        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        deflater.reset()
-        deflater.setInput(raw)
-        deflater.finish()
-        var out = 0L
-        while (!deflater.finished()) out += deflater.deflate(buf)
-        val ratio =
-          if (raw.length > 0) out * 1000000L / raw.length else 0L
-        (id, raw.length.toLong, out, ratio)
-      }
-    }.toDF("doc_id", "n_bytes", "n_deflated", "ratio_ppm")
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.functions.StringExpressions.deflatedSize(col(textCol), level)
+          .as("n_deflated"))
+      .withColumn("ratio_ppm",
+        when(col("n_bytes") > 0,
+          expr("(n_deflated * 1000000L) div n_bytes")).otherwise(0L))
   }
 
   /** Marker-word sets for the language-ID heuristic: a language scores by

@@ -289,9 +289,13 @@ object Web {
       .filter(col(domainCol).isNotNull && col(txtCol).isNotNull)
       .select(col(domainCol).as("domain"),
         posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "_raw")))
-      // comments strip BEFORE trimming: "Disallow: /x # note"
-      .withColumn("_l", lower(trim(regexp_replace(col("_raw"), "#.*$", ""))))
-    val isUa = col("_l").startsWith("user-agent:")
+      // comments strip BEFORE trimming: "Disallow: /x # note". The line
+      // keeps its CASE: directive names are case-insensitive (the (?i)
+      // patterns below) but rule PREFIXES are case-sensitive paths per
+      // RFC 9309 — lowercasing them would fail the gate open on any
+      // robots.txt with uppercase path characters
+      .withColumn("_l", trim(regexp_replace(col("_raw"), "#.*$", "")))
+    val isUa = col("_l").rlike("(?i)^user-agent:")
     val grouped = lines
       // a header RUN of consecutive user-agent lines opens one group
       .withColumn("_start",
@@ -299,12 +303,13 @@ object Web {
       .withColumn("_g", sum(col("_start")).over(w))
     val starGroups = grouped
       .filter(isUa &&
-        trim(regexp_extract(col("_l"), "^user-agent:\\s*(\\S*)", 1)) === "*")
+        trim(regexp_extract(col("_l"), "(?i)^user-agent:\\s*(\\S*)", 1)) === "*")
       .select(col("domain"), col("_g")).distinct()
     grouped
-      .withColumn("rule", regexp_extract(col("_l"), "^(allow|disallow):", 1))
+      .withColumn("rule",
+        lower(regexp_extract(col("_l"), "(?i)^(allow|disallow):", 1)))
       .withColumn("prefix",
-        trim(regexp_extract(col("_l"), "^(allow|disallow):\\s*(\\S*)", 2)))
+        trim(regexp_extract(col("_l"), "(?i)^(allow|disallow):\\s*(\\S*)", 2)))
       .filter(col("rule") =!= "" && col("prefix") =!= "")
       .join(starGroups, Seq("domain", "_g"))
       .select("domain", "rule", "prefix").distinct()
@@ -313,17 +318,22 @@ object Web {
   /** Evaluate URLs against [[robotsRules]] by the REP longest-match
     * rule: among rules whose prefix starts the URL path, the LONGEST
     * prefix wins; on equal length Allow beats Disallow (Google's
-    * documented tie-break); no matching rule means allowed. The join
-    * is domain-keyed (per-domain rule sets are tens of rows), the
-    * winner is one min-struct aggregate — no window.
+    * documented tie-break); no matching rule means allowed. Matching
+    * runs on the RAW path (empty → `/`), NOT [[urlPath]]'s
+    * dedup-canonical form — stripping a trailing slash would unmatch
+    * the `Disallow: /dir/` directory idiom, the most common rule shape,
+    * and REP matching is byte-literal. The join is domain-keyed
+    * (per-domain rule sets are tens of rows), the winner is one
+    * min-struct aggregate — no window.
     * Output: (url, domain, path, matched_rule, matched_prefix,
     * allowed).
     */
   def robotsAllowed(urls: DataFrame, rules: DataFrame,
                     urlCol: String): DataFrame = {
+    val rawPath = regexp_extract(col(urlCol), schemePart + "[^/?#]*([^?#]*)", 2)
     val u = urls.filter(col(urlCol).isNotNull)
       .select(col(urlCol).as("url"), urlHost(col(urlCol)).as("domain"),
-        urlPath(col(urlCol)).as("path"))
+        when(rawPath === "", lit("/")).otherwise(rawPath).as("path"))
     val matched = u.join(rules, Seq("domain"))
       .filter(col("path").startsWith(col("prefix")))
       .groupBy("url", "domain", "path")

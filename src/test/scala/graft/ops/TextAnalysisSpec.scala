@@ -924,4 +924,12 @@ class TextAnalysisSpec extends SparkSpec {
     again(1L) shouldBe got(1L)._2
     again(2L) shouldBe got(2L)._2
   }
+
+  test("compressionRatio: id column keeps its type (string ids work)") {
+    import spark.implicits._
+    val docs = Seq(("doc-001", "text text text text")).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(docs, "doc_id", "text").collect().head
+    r.getString(0) shouldBe "doc-001"
+    r.getAs[Long]("n_deflated") should be > 0L
+  }
 }

@@ -222,6 +222,35 @@ class WebSpec extends SparkSpec {
       ("a.com", "allow", "/private/ok"))
   }
 
+  test("robotsRules: directive names case-insensitive, prefixes case-PRESERVED") {
+    import spark.implicits._
+    val robots = Seq(
+      ("u.com", "USER-AGENT: *\nDISALLOW: /CGI-BIN\nAllow: /CGI-BIN/pub")
+    ).toDF("domain", "robots_txt")
+    val got = Web.robotsRules(robots, "domain", "robots_txt")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    // RFC 9309: lowercasing the prefix would fail the gate OPEN on
+    // any uppercase path characters
+    got shouldBe Set(("disallow", "/CGI-BIN"), ("allow", "/CGI-BIN/pub"))
+  }
+
+  test("robotsAllowed: byte-literal RAW path - directory rules keep their slash") {
+    import spark.implicits._
+    val rules = Seq(("a.com", "disallow", "/private/"))
+      .toDF("domain", "rule", "prefix")
+    val urls = Seq(
+      "https://a.com/private/",      // raw path keeps the trailing slash
+      "https://a.com/private",       // the directory itself, no slash
+      "https://a.com/CGI-BIN/x"
+    ).toDF("url")
+    val got = Web.robotsAllowed(urls, rules, "url")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("path"), r.getAs[Boolean]("allowed"))).toMap
+    got("https://a.com/private/") shouldBe (("/private/", false))
+    got("https://a.com/private") shouldBe (("/private", true))
+    got("https://a.com/CGI-BIN/x") shouldBe (("/CGI-BIN/x", true))
+  }
+
   test("robotsAllowed: longest match wins, allow breaks ties, default allow") {
     import spark.implicits._
     val rules = Seq(
