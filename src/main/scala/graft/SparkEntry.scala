@@ -98,6 +98,27 @@ object SparkEntry {
     d.select(col("doc_id"), url.as("url"))
   }
 
+  /** Deterministic candidate/reference token pairs for the eval
+    * metrics (BLEU/ROUGE): reference = the doc's whitespace tokens
+    * (lowercased, ≥ 8 of them); candidate = the reference with every
+    * 7th token dropped and every 11th reversed — a synthetic "model
+    * output" with real n-gram overlap, misses, and a length delta.
+    * Mirrored verbatim in the `evalPairsSql` CTE.
+    */
+  private def evalPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(lower(col("text"))).as("ref"))
+      .filter(size(col("ref")) >= 8)
+    d.withColumn("cand", expr(
+      """filter(transform(sequence(1, size(ref)),
+        |  i -> CASE WHEN (i - 1) % 7 = 3 THEN CAST(NULL AS STRING)
+        |            WHEN (i - 1) % 11 = 5 THEN reverse(ref[i - 1])
+        |            ELSE ref[i - 1] END),
+        |  x -> x IS NOT NULL)""".stripMargin))
+  }
+
   /** Deterministic conversation fixture synthesized from `documents`
     * (the test tables carry no dialogue, so the chat entries plant
     * one): doc d becomes conv d with `d % 5 + 2` turns; `d % 3 == 0`
@@ -552,6 +573,27 @@ object SparkEntry {
     "q_ppl_select" -> ((s, dir) =>
       graft.ops.TextAnalysis.pplBucketSelect(
         table(s, dir, "documents"), "doc_id", "text")),
+
+    // interpolated Kneser–Ney bigram LM score (modern-smoothing
+    // upgrade of q_bigram_lm: absolute discount + continuation prob)
+    "q_kneser_ney" -> ((s, dir) =>
+      graft.ops.TextAnalysis.kneserNeyScore(
+        table(s, dir, "documents"), "doc_id", "text")),
+
+    // sentence-level smoothed log-BLEU-4 over deterministic
+    // candidate/reference pairs (candidate = reference with every 7th
+    // token dropped and every 11th reversed — an eval-harness fixture)
+    "q_bleu" -> ((s, dir) =>
+      graft.ops.EvalMetrics.bleu(evalPairs(s, dir), "doc_id", "cand", "ref")),
+
+    // pooled corpus-level BLEU over the same pairs (1 row)
+    "q_bleu_corpus" -> ((s, dir) =>
+      graft.ops.EvalMetrics.bleuCorpus(evalPairs(s, dir), "doc_id", "cand", "ref")),
+
+    // ROUGE-1/ROUGE-2 precision/recall/F1 per pair — raw rational
+    // doubles from exact counts (never rounded)
+    "q_rouge" -> ((s, dir) =>
+      graft.ops.EvalMetrics.rouge(evalPairs(s, dir), "doc_id", "cand", "ref")),
 
     // HTTP-response splitting over deterministic synthetic fetches —
     // CRLF and bare-LF header endings, quoted charset, header-only 301
@@ -1523,6 +1565,12 @@ object SparkEntry {
     "q_wow" -> ((s, dir) =>
       graft.ops.TimeSeries.weekOverWeek(table(s, dir, "events"), "event_type", "ts")),
 
+    // half-per-step exponentially-decayed daily trend per event type —
+    // every decay term is an exact power-of-two scale, so the score is
+    // bit-identical cross-engine with NO rounding
+    "q_decay_trend" -> ((s, dir) =>
+      graft.ops.TimeSeries.decayTrend(table(s, dir, "events"), "event_type", "ts")),
+
     // per-source token-distribution drift: entropy + KL vs corpus
     "q_dist_shift" -> ((s, dir) =>
       graft.ops.TextAnalysis.tokenDistributionShift(
@@ -2387,6 +2435,64 @@ object SparkEntry {
        |    AS avg_logprob
        |FROM p""".stripMargin
 
+  /** Shared by q_bleu / q_bleu_corpus / q_rouge: the evalPairs fixture
+    * (mirrors `evalPairs` verbatim; Spark `ref[i-1]` 0-based ==
+    * DuckDB `ref[i]` 1-based) plus the clipped n-gram overlap wide
+    * frame (m1..m4, cand-slot totals t1..t4).
+    */
+  private val evalOverlapSql =
+    """WITH d0 AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ref
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), base AS (
+      |  SELECT doc_id, ref,
+      |    list_filter(list_transform(range(1, len(ref) + 1),
+      |      i -> CASE WHEN (i - 1) % 7 = 3 THEN NULL
+      |                WHEN (i - 1) % 11 = 5 THEN reverse(ref[i])
+      |                ELSE ref[i] END),
+      |      x -> x IS NOT NULL) AS cand
+      |  FROM d0 WHERE len(ref) >= 8
+      |), ns AS (SELECT unnest([1, 2, 3, 4]) AS n
+      |), cg AS (
+      |  SELECT doc_id, n, gram, COUNT(*)::BIGINT AS cf FROM (
+      |    SELECT doc_id, n, unnest(list_transform(range(1, len(cand) - n + 2),
+      |      i -> array_to_string(cand[i:i+n-1], ' '))) AS gram
+      |    FROM base, ns)
+      |  GROUP BY 1, 2, 3
+      |), rg AS (
+      |  SELECT doc_id, n, gram, COUNT(*)::BIGINT AS rf FROM (
+      |    SELECT doc_id, n, unnest(list_transform(range(1, len(ref) - n + 2),
+      |      i -> array_to_string(ref[i:i+n-1], ' '))) AS gram
+      |    FROM base, ns)
+      |  GROUP BY 1, 2, 3
+      |), mm AS (
+      |  SELECT cg.doc_id, cg.n, CAST(SUM(least(cf, rf)) AS BIGINT) AS m
+      |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.gram = rg.gram
+      |  GROUP BY 1, 2
+      |), wide0 AS (
+      |  SELECT b.doc_id, len(cand)::BIGINT AS len_cand, len(ref)::BIGINT AS len_ref,
+      |    CAST(COALESCE(MAX(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+      |    CAST(COALESCE(MAX(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+      |    CAST(COALESCE(MAX(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+      |    CAST(COALESCE(MAX(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4
+      |  FROM base b LEFT JOIN mm ON b.doc_id = mm.doc_id
+      |  GROUP BY 1, 2, 3
+      |), wide AS (
+      |  SELECT *,
+      |    greatest(len_cand - 0, 0) AS t1, greatest(len_cand - 1, 0) AS t2,
+      |    greatest(len_cand - 2, 0) AS t3, greatest(len_cand - 3, 0) AS t4,
+      |    greatest(len_ref - 0, 0) AS tr1, greatest(len_ref - 1, 0) AS tr2
+      |  FROM wide0
+      |)""".stripMargin
+
+  private val logBleuSqlExpr =
+    """least(0.0, 1.0 - len_ref::DOUBLE / len_cand::DOUBLE) +
+      |    0.25 * (ln((m1::DOUBLE + 1.0) / (t1::DOUBLE + 1.0))
+      |          + ln((m2::DOUBLE + 1.0) / (t2::DOUBLE + 1.0))
+      |          + ln((m3::DOUBLE + 1.0) / (t3::DOUBLE + 1.0))
+      |          + ln((m4::DOUBLE + 1.0) / (t4::DOUBLE + 1.0)))""".stripMargin
+
   private val knnSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -3009,6 +3115,96 @@ object SparkEntry {
     // toks[i+1]), identical Laplace tree ln((c12+1)/(c1+V)), fold over
     // the bigram-sorted per-doc array
     "q_bigram_lm" -> bigramLmSql,
+
+    "q_kneser_ney" ->
+      s"""$docToks, base AS (
+         |  SELECT doc_id, toks FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), slots AS (
+         |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.bg AS bg FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1],
+         |                       bg := toks[i] || ' ' || toks[i+1]))) AS s
+         |    FROM base WHERE len(toks) >= 2)
+         |), docbg AS (
+         |  SELECT doc_id, w1, w2, bg, COUNT(*)::BIGINT AS tf FROM slots GROUP BY 1, 2, 3, 4
+         |), bgcnt AS (
+         |  SELECT bg, COUNT(*)::BIGINT AS c12 FROM slots GROUP BY 1
+         |), hist AS (
+         |  SELECT w1, COUNT(*)::BIGINT AS c1, COUNT(DISTINCT w2)::BIGINT AS f1
+         |  FROM slots GROUP BY 1
+         |), prec AS (
+         |  SELECT w2, COUNT(DISTINCT w1)::BIGINT AS p2 FROM slots GROUP BY 1
+         |), bb AS (
+         |  SELECT COUNT(DISTINCT bg)::BIGINT AS b FROM slots
+         |), p AS (
+         |  SELECT doc_id, any_value(b) AS b,
+         |    list_sort(list(struct_pack(bg := db.bg, tf := db.tf,
+         |      c12 := c12, c1 := c1, f1 := f1, p2 := p2))) AS arr
+         |  FROM docbg db JOIN bgcnt USING (bg) JOIN hist USING (w1)
+         |    JOIN prec USING (w2) CROSS JOIN bb
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_bigrams,
+         |  ROUND(list_sum(list_transform(arr, s ->
+         |    s.tf::DOUBLE * ln(greatest(s.c12::DOUBLE - 0.75, 0.0) / s.c1::DOUBLE
+         |      + 0.75 * s.f1::DOUBLE / s.c1::DOUBLE * (s.p2::DOUBLE / b::DOUBLE))))
+         |    / CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT), 6)
+         |    AS avg_logprob
+         |FROM p""".stripMargin,
+
+    "q_bleu" ->
+      s"""$evalOverlapSql
+         |SELECT doc_id, len_cand, len_ref, m1, m2, m3, m4,
+         |  ROUND($logBleuSqlExpr, 6) AS log_bleu
+         |FROM wide""".stripMargin,
+
+    "q_bleu_corpus" ->
+      s"""$evalOverlapSql
+         |SELECT n_pairs, len_cand, len_ref, m1, m2, m3, m4,
+         |  ROUND($logBleuSqlExpr, 6) AS log_bleu
+         |FROM (
+         |  SELECT COUNT(*)::BIGINT AS n_pairs,
+         |    CAST(SUM(len_cand) AS BIGINT) AS len_cand,
+         |    CAST(SUM(len_ref) AS BIGINT) AS len_ref,
+         |    CAST(SUM(m1) AS BIGINT) AS m1, CAST(SUM(m2) AS BIGINT) AS m2,
+         |    CAST(SUM(m3) AS BIGINT) AS m3, CAST(SUM(m4) AS BIGINT) AS m4,
+         |    CAST(SUM(t1) AS BIGINT) AS t1, CAST(SUM(t2) AS BIGINT) AS t2,
+         |    CAST(SUM(t3) AS BIGINT) AS t3, CAST(SUM(t4) AS BIGINT) AS t4
+         |  FROM wide)""".stripMargin,
+
+    "q_rouge" ->
+      s"""$evalOverlapSql
+         |SELECT doc_id, len_cand, len_ref,
+         |  CASE WHEN m1 = 0 THEN 0.0 ELSE m1::DOUBLE / t1::DOUBLE END AS r1_p,
+         |  CASE WHEN m1 = 0 THEN 0.0 ELSE m1::DOUBLE / tr1::DOUBLE END AS r1_r,
+         |  CASE WHEN m1 = 0 THEN 0.0 ELSE
+         |    2.0 * (m1::DOUBLE / t1::DOUBLE) * (m1::DOUBLE / tr1::DOUBLE) /
+         |    (m1::DOUBLE / t1::DOUBLE + m1::DOUBLE / tr1::DOUBLE) END AS r1_f,
+         |  CASE WHEN m2 = 0 THEN 0.0 ELSE m2::DOUBLE / t2::DOUBLE END AS r2_p,
+         |  CASE WHEN m2 = 0 THEN 0.0 ELSE m2::DOUBLE / tr2::DOUBLE END AS r2_r,
+         |  CASE WHEN m2 = 0 THEN 0.0 ELSE
+         |    2.0 * (m2::DOUBLE / t2::DOUBLE) * (m2::DOUBLE / tr2::DOUBLE) /
+         |    (m2::DOUBLE / t2::DOUBLE + m2::DOUBLE / tr2::DOUBLE) END AS r2_f
+         |FROM wide""".stripMargin,
+
+    "q_decay_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), pk AS (
+        |  SELECT event_type,
+        |    list_sort(list(struct_pack(day := day, n := n))) AS arr
+        |  FROM daily GROUP BY 1
+        |), e AS (
+        |  SELECT event_type, unnest(list_transform(range(1, len(arr) + 1),
+        |    j -> struct_pack(day := arr[j].day, n := arr[j].n,
+        |      trend := list_sum(list_transform(range(greatest(1, j - 31), j + 1),
+        |        i -> arr[i].n::DOUBLE / (1::BIGINT << (j - i + 1))::DOUBLE))))) AS s
+        |  FROM pk
+        |)
+        |SELECT event_type, s.day AS day, s.n AS n, s.trend AS trend FROM e""".stripMargin,
 
     // the shared bigram-LM chain + deterministic 25% hash-sample
     // thresholds (exact sample quantiles) + map-side bucket compare;

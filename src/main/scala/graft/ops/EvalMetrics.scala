@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reference-based text generation metrics (BLEU, ROUGE-N) over
+  * candidate/reference token-array pairs — the eval-harness side of a
+  * training-data pipeline: scoring model outputs against references,
+  * regression-gating a fine-tune, or ranking synthetic rewrites of a
+  * corpus against their sources.
+  *
+  * Both metrics ride ONE shared primitive: clipped n-gram multiset
+  * overlap (`matched_n = Σ_g min(cf(g), rf(g))`), computed as a
+  * per-(doc, n, gram) equi-join of two map-side-combined hash
+  * aggregations over codegen'd `transform`+`explode` gram slots.
+  * Nothing is quadratic, nothing broadcasts but literals, and per-doc
+  * reduce state is the doc's own distinct-gram set — the same scale
+  * posture as [[TextAnalysis.bigramLmScore]].
+  *
+  * Determinism: every count is an exact long; ratios and logs are one
+  * fixed double tree per output (engine-bit-identical); only the
+  * ln-derived BLEU score is rounded (6 dp), the pure-rational ROUGE
+  * ratios ship raw per the never-round-exact-derived-doubles rule.
+  *
+  * Reference behavior studied: the reference pipeline has no eval
+  * module; this extends the engine's curation surface (quality
+  * scoring family, `scripts/compute_kpis.py`-style derived metrics)
+  * with the standard corpus-eval definitions.
+  */
+object EvalMetrics {
+
+  /** All (n, gram, side) slots of one token-array column, for every n
+    * in `ns`, as ONE codegen'd nested transform — the whole gram
+    * lattice materializes in a single pass over the pair row. Grams
+    * are space-joined token runs (the cross-engine-stable key); `n`
+    * values longer than the doc are filtered out BEFORE the inner
+    * `sequence` so it never runs descending.
+    */
+  private def gramSlots(arrCol: String, side: Int, ns: Seq[Int]): String =
+    s"""flatten(transform(
+       |  filter(array(${ns.mkString(", ")}), n -> size($arrCol) >= n),
+       |  n -> transform(sequence(1, size($arrCol) - n + 1),
+       |    i -> struct(cast(n AS bigint) AS n,
+       |                array_join(slice($arrCol, i, n), ' ') AS gram,
+       |                $side AS side))))""".stripMargin
+
+  /** Clipped n-gram overlap per (id, n): `m_clip = Σ_g min(cf, rf)`.
+    * Both sides explode from the SAME pass (side-tagged), so the
+    * whole primitive costs one (id, n, gram) hash agg plus one
+    * (id, n) roll-up — no per-n unions, no cand/ref join.
+    */
+  def clippedOverlap(pairs: DataFrame, idCol: String, candCol: String,
+                     refCol: String, ns: Seq[Int]): DataFrame =
+    pairs.select(col(idCol), explode(expr(
+        s"concat(${gramSlots(candCol, 1, ns)}, ${gramSlots(refCol, 0, ns)})"))
+        .as("_s"))
+      .select(col(idCol), col("_s.n").as("n"), col("_s.gram").as("gram"),
+        col("_s.side").as("side"))
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(sum(when(col("side") === 1, lit(1L)).otherwise(lit(0L))).as("cf"),
+           sum(when(col("side") === 0, lit(1L)).otherwise(lit(0L))).as("rf"))
+      .filter(col("cf") > 0 && col("rf") > 0)
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(least(col("cf"), col("rf"))).as("m_clip"))
+
+  /** Per-pair lengths + per-n clipped matches, pivoted wide:
+    * (id, len_cand, len_ref, m_1..m_maxN). The scaffold is the pair
+    * frame itself so zero-overlap docs keep a row (m=0).
+    */
+  private def overlapWide(pairs: DataFrame, idCol: String, candCol: String,
+                          refCol: String, maxN: Int): DataFrame = {
+    val mAggs = (1 to maxN).map(n =>
+      sum(when(col("n") === n, col("m_clip"))).as(s"_m$n"))
+    val m = clippedOverlap(pairs, idCol, candCol, refCol, 1 to maxN)
+      .groupBy(col(idCol))
+      .agg(mAggs.head, mAggs.tail: _*)
+    pairs.select(col(idCol),
+        size(col(candCol)).cast("long").as("len_cand"),
+        size(col(refCol)).cast("long").as("len_ref"))
+      .join(m, Seq(idCol), "left")
+      .select(col(idCol) +: col("len_cand") +: col("len_ref") +:
+        ((1 to maxN).map(n =>
+          coalesce(col(s"_m$n"), lit(0L)).as(s"m$n")) ++
+         (1 to maxN).map(n =>
+           greatest(col("len_cand") - lit(n - 1L), lit(0L)).as(s"t$n"))): _*)
+  }
+
+  /** Log-space brevity penalty + geometric-mean precision term over
+    * exact longs: `min(0, 1 - len_r/len_c) + (1/N) Σ_n ln((m_n+1)/(t_n+1))`
+    * with `t_n = max(len_c - n + 1, 0)`. Add-one smoothing is applied
+    * to EVERY order (documented deviation from Chen–Cherry smooth-1,
+    * which leaves n=1 raw) so the score is total even on disjoint
+    * pairs. Kept in log space: `exp` is not cross-engine
+    * bit-reproducible, `ln` of identical doubles is.
+    */
+  private def logBleuExpr(maxN: Int): org.apache.spark.sql.Column = {
+    val prec = (1 to maxN).map { n =>
+      log((col(s"m$n").cast("double") + lit(1.0)) /
+          (col(s"t$n").cast("double") + lit(1.0)))
+    }.reduce(_ + _)
+    least(lit(0.0),
+      lit(1.0) - col("len_ref").cast("double") / col("len_cand").cast("double")) +
+      lit(1.0 / maxN) * prec
+  }
+
+  /** Sentence-level (per-pair) smoothed log-BLEU-4.
+    * Output: (id, len_cand, len_ref, m1..m4, log_bleu).
+    */
+  def bleu(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String, maxN: Int = 4): DataFrame =
+    overlapWide(pairs, idCol, candCol, refCol, maxN)
+      .withColumn("log_bleu", round(logBleuExpr(maxN), 6))
+      .select(col(idCol) +: col("len_cand") +: col("len_ref") +:
+        ((1 to maxN).map(n => col(s"m$n")) :+ col("log_bleu")): _*)
+
+  /** Corpus-level BLEU: the standard pooled form — per-pair clipped
+    * matches `m_n` and slot totals `t_n = max(len_c − n + 1, 0)` are
+    * summed over all pairs FIRST, then one log tree runs on the exact
+    * long sums. One row: (n_pairs, len_cand, len_ref, m1..m4,
+    * log_bleu). Integer sums are order-free.
+    */
+  def bleuCorpus(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String, maxN: Int = 4): DataFrame = {
+    val wide = overlapWide(pairs, idCol, candCol, refCol, maxN)
+    val aggs = sum("len_cand").as("len_cand") +:
+      sum("len_ref").as("len_ref") +:
+      ((1 to maxN).map(n => sum(s"m$n").as(s"m$n")) ++
+       (1 to maxN).map(n => sum(s"t$n").as(s"t$n")))
+    wide.agg(count(lit(1)).as("n_pairs"), aggs: _*)
+      .withColumn("log_bleu", round(logBleuExpr(maxN), 6))
+      .select(col("n_pairs") +: col("len_cand") +: col("len_ref") +:
+        ((1 to maxN).map(n => col(s"m$n")) :+ col("log_bleu")): _*)
+  }
+
+  /** ROUGE-1/ROUGE-2 precision / recall / F1 per pair, from the same
+    * clipped-overlap primitive: `p_n = m_n / t_cand_n`,
+    * `r_n = m_n / t_ref_n`, `f_n = 2 p r / (p + r)` (0 when m = 0).
+    * All ratios are fixed trees over exact longs — shipped raw,
+    * unrounded. Output: (id, len_cand, len_ref,
+    * r1_p, r1_r, r1_f, r2_p, r2_r, r2_f).
+    */
+  def rouge(pairs: DataFrame, idCol: String, candCol: String,
+            refCol: String): DataFrame = {
+    val wide = overlapWide(pairs, idCol, candCol, refCol, 2)
+    def pr(n: Int) = {
+      val m = col(s"m$n").cast("double")
+      val tc = greatest(col("len_cand") - lit(n - 1L), lit(0L)).cast("double")
+      val tr = greatest(col("len_ref") - lit(n - 1L), lit(0L)).cast("double")
+      val p = when(col(s"m$n") === 0, lit(0.0)).otherwise(m / tc)
+      val r = when(col(s"m$n") === 0, lit(0.0)).otherwise(m / tr)
+      val f = when(col(s"m$n") === 0, lit(0.0))
+        .otherwise(lit(2.0) * (m / tc) * (m / tr) / (m / tc + m / tr))
+      Seq(p.as(s"r${n}_p"), r.as(s"r${n}_r"), f.as(s"r${n}_f"))
+    }
+    wide.select(col(idCol) +: col("len_cand") +: col("len_ref") +:
+      (pr(1) ++ pr(2)): _*)
+  }
+}

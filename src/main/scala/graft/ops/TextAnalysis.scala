@@ -1169,6 +1169,70 @@ object TextAnalysis {
       round(score / nSlots, 6).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram score — the modern-smoothing
+    * upgrade of [[bigramLmScore]]'s Laplace LM, and the standard
+    * n-gram baseline for CCNet-style perplexity filtering:
+    *
+    * `P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/B`
+    *
+    * with discount `D = 0.75` (exactly representable), `N₁₊(w₁·)` the
+    * distinct-follower count of `w₁`, `N₁₊(·w₂)` the distinct-history
+    * count of `w₂` (the continuation numerator), and `B` the corpus
+    * distinct-bigram-type count (the continuation denominator). The
+    * corpus is its own training set, so every doc bigram has
+    * `c(w₁w₂) ≥ 1` and the discounted term never needs a backoff-only
+    * branch. Docs with < 2 tokens drop (no slot — the
+    * [[bigramLmScore]] contract).
+    *
+    * Determinism: all LM inputs are exact longs, `D` is a dyadic
+    * double, each slot is ONE fixed double tree inside `ln`, and the
+    * per-doc sum folds over the BIGRAM-SORTED array.
+    *
+    * Scale posture: identical to [[bigramLmScore]] plus two more
+    * map-side-combined distinct aggregations (follower / history
+    * counts), all joined on the gram KEY; only the 1-row B frame
+    * broadcasts.
+    */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+    val slots = base.filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_toks) - 1)," +
+          " i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2," +
+          " concat(_toks[i - 1], ' ', _toks[i]) AS bg))")).as("_s"))
+      .select(col("doc_id"), col("_s.w1").as("w1"), col("_s.w2").as("w2"),
+        col("_s.bg").as("bg"))
+    val docBg = slots.groupBy("doc_id", "w1", "w2", "bg")
+      .agg(count(lit(1)).as("tf"))
+    val bgCnt = slots.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val histCnt = slots.groupBy("w1")
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("f1"))
+    val precCnt = slots.groupBy("w2").agg(countDistinct(col("w1")).as("p2"))
+    val bTypes = slots.agg(countDistinct(col("bg")).as("b"))
+    val perDoc = docBg
+      .join(bgCnt, "bg")
+      .join(histCnt, "w1")
+      .join(precCnt, "w2")
+      .crossJoin(broadcast(bTypes))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+          struct(col("bg"), col("tf"), col("c12"), col("c1"),
+            col("f1"), col("p2")))).as("arr"),
+        first("b").as("b"))
+    val nSlots = aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("tf"))
+    val score = aggregate(col("arr"), lit(0.0), (a, s) =>
+      a + s.getField("tf").cast("double") * log(
+        greatest(s.getField("c12").cast("double") - lit(0.75), lit(0.0)) /
+          s.getField("c1").cast("double") +
+        lit(0.75) * s.getField("f1").cast("double") /
+          s.getField("c1").cast("double") *
+          (s.getField("p2").cast("double") / col("b").cast("double"))))
+    perDoc.select(col("doc_id"), nSlots.as("n_bigrams"),
+      round(score / nSlots, 6).as("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing: score every doc with the
     * corpus-trained [[bigramLmScore]], cut the distribution into
     * `buckets` equal slices, and keep everything above the worst

@@ -239,4 +239,52 @@ object TimeSeries {
     daily.select(col("day"), col("n_new"),
       sum("n_new").over(w).as("n_total"))
   }
+
+  /** Exponentially-decayed daily trend score per key: for each
+    * (key, active day j), `trend_j = Σ_{i ∈ [j−W+1, j]} n_i · 2^−(j−i+1)`
+    * over the key's ACTIVE-day series (row-indexed, not
+    * calendar-indexed) — the half-per-step decayed trailing sum behind
+    * "hot now" ranking (HN/Reddit-style), with yesterday's activity
+    * worth exactly half of today's.
+    *
+    * The decay base is 2 ON PURPOSE: every term `n · 2^−k` is an
+    * EXACT double (power-of-two scaling only touches the exponent),
+    * so the score is a sum of exact terms in ascending-day order —
+    * engine-bit-identical with no rounding step at all. A base like
+    * 0.9 would make every term carry libm `pow` noise. The window is
+    * capped at `window` rows (default 32) both because `2^−33` is
+    * already below any ranking resolution and to keep the shift
+    * exponent inside a long.
+    *
+    * Scale posture: the expensive part is ONE hash aggregation to
+    * daily counts; the per-key series fold is O(span · window) over
+    * the AGGREGATED frame (≤ 31 rows/key/month), so per-key state is
+    * span-bounded like [[gapFillDaily]]'s calendar, never
+    * event-bounded. No window function, no calendar explode.
+    */
+  def decayTrend(df: DataFrame, keyCol: String, tsCol: String,
+                 window: Int = 32): DataFrame = {
+    require(window >= 1 && window <= 62, "shift exponent must fit a long")
+    val daily = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val perKey = daily.groupBy(keyCol)
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("_arr"))
+      // re-tag each element with its 0-based series index so the
+      // nested fold can address the trailing window by POSITION
+      .withColumn("_ix", expr(
+        "transform(_arr, (x, i) -> struct(i AS i, x.day AS day, x.n AS n))"))
+    perKey
+      .select(col(keyCol), explode(expr(
+        s"""transform(_ix, e -> struct(e.day AS day, e.n AS n,
+           |  aggregate(
+           |    filter(_ix, x -> x.i >= e.i - ${window - 1} AND x.i <= e.i),
+           |    cast(0.0 AS double),
+           |    (a, x) -> a + cast(x.n AS double) /
+           |      cast(shiftleft(cast(1 AS bigint), e.i - x.i + 1) AS double))
+           |  AS trend))""".stripMargin)).as("_e"))
+      .select(col(keyCol), col("_e.day").as("day"),
+        col("_e.n").as("n"), col("_e.trend").as("trend"))
+  }
 }

@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_neg_sample" -> "broadcast candidate pool, |labels| rows of bounded per-label lists by contract (Sampling.scala:496)",
     "q_knn_pq"     -> "m x kCent codebook crossJoin (128 rows, constant)",
     "q_kmv_overlap" -> "pairwise join of |groups|-row KMV sketch frames — kilobytes by design, never the corpus (Sketch.scala:225)",
-    "q_rolling_distinct" -> "range join over per-(key,day) KMV sketch frames, 7-day window bound — pre-aggregated, not row-scale"
+    "q_rolling_distinct" -> "range join over per-(key,day) KMV sketch frames, 7-day window bound — pre-aggregated, not row-scale",
+    "q_kneser_ney" -> "1-row distinct-bigram-type total (continuation denominator) crossJoin"
   )
 
   /** query -> why a small-estimate shuffle join is acceptable there. */
@@ -138,7 +139,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_quant_int8" -> 0,
     // robots: line-window parse + star semi-join + match agg + gate join;
     // nfc dedup is ONE fingerprint agg over the canonicalized union
-    "q_robots_txt" -> 4, "q_dedup_canon_nfc" -> 1)
+    "q_robots_txt" -> 4, "q_dedup_canon_nfc" -> 1,
+    // eval-metrics batch: the whole gram lattice (n=1..4, cand+ref)
+    // explodes in ONE pass — one (id,n,gram) agg, one (id,n) roll-up,
+    // one scaffold join; corpus BLEU adds the 1-row pooled agg.
+    // decay trend is the daily agg + per-key series fold, window-free
+    "q_bleu" -> 3, "q_bleu_corpus" -> 4, "q_rouge" -> 3,
+    "q_kneser_ney" -> 9, "q_decay_trend" -> 2)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.
