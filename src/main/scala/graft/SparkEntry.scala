@@ -1891,6 +1891,30 @@ object SparkEntry {
       graft.ops.Sketch.kmvDistinct(
         table(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)),
 
+    // deterministic HyperLogLog (md5-register, engine-mergeable) vs
+    // exact distinct — user_id exercises the linear-counting branch
+    // (150 distinct, m=256), event_id the harmonic branch (~2000)
+    "q_hll" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.ops.Sketch.hllDistinct(ev, "event_type", "user_id")
+        .withColumn("key_kind", lit("user_id"))
+        .unionByName(
+          graft.ops.Sketch.hllDistinct(ev, "event_type", "event_id")
+            .withColumn("key_kind", lit("event_id")))
+    }),
+
+    // dominant embedding direction by 3-round power iteration
+    // (all-but-the-top): two-level ordered folds, d-double driver state
+    "q_pca_top" -> ((s, dir) =>
+      graft.ops.Pca.topComponent(s, table(s, dir, "embeddings"),
+        "vec_id", "embedding")),
+
+    // per-vector projection onto that direction (the component an
+    // all-but-the-top repair subtracts)
+    "q_abtt" -> ((s, dir) =>
+      graft.ops.Pca.projections(table(s, dir, "embeddings"),
+        "vec_id", "embedding")),
+
     // chi-square independence: order status vs priority, zero cells
     // included, sorted-cell fold for the one double sum
     "q_chi2" -> ((s, dir) =>
@@ -2485,6 +2509,78 @@ object SparkEntry {
       |    greatest(len_ref - 0, 0) AS tr1, greatest(len_ref - 1, 0) AS tr2
       |  FROM wide0
       |)""".stripMargin
+
+  /** One HLL leg of the q_hll oracle (mirrors `Sketch.hllRegisters` +
+    * `hllEstimate` at b=8: 48-bit md5 hash, top 8 bits bucket, ρ via
+    * exact bin-length, bucket-sorted 2^−r fold, harmonic/linear-
+    * counting switch at E ≤ 2.5m).
+    */
+  private def hllLegSql(key: String): String =
+    s"""SELECT x.event_type, '$key' AS key_kind, n_exact, n_used,
+       |  ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / (v::DOUBLE + sm) <= 640.0 AND v > 0
+       |    THEN 256.0 * ln(256.0 / v::DOUBLE)
+       |    ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / (v::DOUBLE + sm) END, 6) AS est
+       |FROM (
+       |  SELECT event_type, COUNT(DISTINCT $key)::BIGINT AS n_exact
+       |  FROM events WHERE event_type IS NOT NULL AND $key IS NOT NULL GROUP BY 1
+       |) x JOIN (
+       |  SELECT event_type, len(arr)::BIGINT AS n_used, (256 - len(arr))::BIGINT AS v,
+       |    list_sum(list_transform(arr, s -> 1.0 / (1::BIGINT << s.r)::DOUBLE)) AS sm
+       |  FROM (
+       |    SELECT event_type, list_sort(list(struct_pack(bucket := bucket, r := r))) AS arr
+       |    FROM (
+       |      SELECT event_type, h >> 40 AS bucket,
+       |        MAX(41 - CASE WHEN h % 1099511627776 = 0 THEN 0
+       |                      ELSE length(bin(h % 1099511627776)) END)::BIGINT AS r
+       |      FROM (SELECT event_type, ('0x'||substr(md5($key::VARCHAR),1,12))::BIGINT AS h
+       |            FROM events WHERE event_type IS NOT NULL AND $key IS NOT NULL)
+       |      GROUP BY 1, 2)
+       |    GROUP BY 1)
+       |) g ON x.event_type = g.event_type""".stripMargin
+
+  /** One power-iteration round of the q_pca_top / q_abtt oracle
+    * (mirrors `Pca.topDirection`: row dot in dim order, two-level
+    * vec-then-cell ordered per-dim fold, fold-tree norm).
+    */
+  private def pcaIterSql(k: Int): String = {
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    s"""s$k AS (SELECT vec_id, cv, list_sum(list_transform(cv, (x, i) -> x * vl[i])) AS s
+       |  FROM c CROSS JOIN $prev),
+       |ws$k AS (SELECT vec_id, u.j AS j, u.t AS t FROM (
+       |   SELECT vec_id, unnest(list_transform(cv, (x, i) -> struct_pack(j := i - 1, t := s * x))) AS u FROM s$k)),
+       |wc$k AS (SELECT j, vec_id % 256 AS cell,
+       |   list_sum(list_transform(list_sort(list(struct_pack(vec_id := vec_id, t := t))), e2 -> e2.t)) AS p
+       |   FROM ws$k GROUP BY 1, 2),
+       |w$k AS (SELECT j, list_sum(list_transform(list_sort(list(struct_pack(cell := cell, p := p))), s2 -> s2.p)) AS w
+       |   FROM wc$k GROUP BY 1),
+       |wl$k AS (SELECT list(w ORDER BY j) AS wl FROM w$k),
+       |v$k AS (SELECT list_transform(wl, x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS vl FROM wl$k)""".stripMargin
+  }
+
+  /** Shared q_pca_top / q_abtt prefix: centered matrix + 3 unrolled
+    * power-iteration rounds + the sign-fixed final direction `vf`.
+    */
+  private lazy val pcaSqlPrefix: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |nn AS (SELECT COUNT(*)::BIGINT AS n FROM e),
+       |slots AS (
+       |  SELECT vec_id, u.j AS j, u.x AS x FROM (
+       |    SELECT vec_id, unnest(list_transform(embedding, (x, i) -> struct_pack(j := i - 1, x := x))) AS u FROM e)
+       |),
+       |mc AS (SELECT j, vec_id % 256 AS cell,
+       |  list_sum(list_transform(list_sort(list(struct_pack(vec_id := vec_id, t := x::DOUBLE))), s -> s.t)) AS p
+       |  FROM slots GROUP BY 1, 2),
+       |mean AS (SELECT j,
+       |  list_sum(list_transform(list_sort(list(struct_pack(cell := cell, p := p))), s -> s.p)) / (SELECT n::DOUBLE FROM nn) AS mu
+       |  FROM mc GROUP BY 1),
+       |ml AS (SELECT list(mu ORDER BY j) AS ml FROM mean),
+       |c AS (SELECT vec_id, list_transform(embedding, (x, i) -> x::DOUBLE - ml[i]) AS cv FROM e CROSS JOIN ml),
+       |v0 AS (SELECT list_transform(range(1, len(ml) + 1), i -> 0.125) AS vl FROM ml),
+       |${pcaIterSql(1)},
+       |${pcaIterSql(2)},
+       |${pcaIterSql(3)},
+       |vf AS (SELECT CASE WHEN vl[1] < 0 THEN list_transform(vl, x -> -x) ELSE vl END AS vl FROM v3)""".stripMargin
 
   private val logBleuSqlExpr =
     """least(0.0, 1.0 - len_ref::DOUBLE / len_cand::DOUBLE) +
@@ -3187,6 +3283,21 @@ object SparkEntry {
          |    2.0 * (m2::DOUBLE / t2::DOUBLE) * (m2::DOUBLE / tr2::DOUBLE) /
          |    (m2::DOUBLE / t2::DOUBLE + m2::DOUBLE / tr2::DOUBLE) END AS r2_f
          |FROM wide""".stripMargin,
+
+    "q_hll" ->
+      s"""${hllLegSql("user_id")}
+         |UNION ALL
+         |${hllLegSql("event_id")}""".stripMargin,
+
+    "q_pca_top" ->
+      s"""$pcaSqlPrefix
+         |SELECT CAST(u.i - 1 AS BIGINT) AS dim, ROUND(u.x, 6) AS loading
+         |FROM (SELECT unnest(list_transform(vl, (x, i) -> struct_pack(i := i, x := x))) AS u FROM vf)""".stripMargin,
+
+    "q_abtt" ->
+      s"""$pcaSqlPrefix
+         |SELECT vec_id, ROUND(list_sum(list_transform(cv, (x, i) -> x * vl[i])), 6) AS proj
+         |FROM c CROSS JOIN vf""".stripMargin,
 
     "q_decay_trend" ->
       """WITH daily AS (

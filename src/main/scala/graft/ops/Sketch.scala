@@ -274,4 +274,74 @@ object Sketch {
       .select(col("key"), col("n_exact"), col("est"),
         (col("est") - col("n_exact")).as("overcount"))
   }
+
+  /** Deterministic HyperLogLog registers (Flajolet et al. 2007) —
+    * [[kmvDistinct]]'s fixed-memory sibling, built on the SAME
+    * engine-portable md5 so a DuckDB oracle reproduces every register
+    * bit-for-bit (Spark's own `approx_count_distinct` is HLL too, but
+    * over an engine-private hash no other system can verify or merge).
+    *
+    * Hash = top 12 hex chars of md5 (48 bits): the top `b` bits pick
+    * the register, the low `48−b` bits feed `ρ` = 1 + leading-zero
+    * count (via `48−b − bitlength`, exact integer ops — no float log).
+    * Register value = max ρ — monotone under union, so the register
+    * frame is mergeable across shards/streams by construction.
+    * Output: (group, bucket, r) — one row per NON-EMPTY register,
+    * ≤ 2^b rows per group regardless of cardinality.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                   b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, "4 <= b <= 16")
+    val w = 48 - b
+    val h = conv(substring(md5(col(valueCol).cast("string").cast("binary")),
+      1, 12), 16, 10).cast("long")
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), h.as("_h"))
+      .select(col("grp"), shiftright(col("_h"), w).as("bucket"),
+        (col("_h") % lit(1L << w)).as("_rem"))
+      .withColumn("_rho", lit(1 + w) -
+        when(col("_rem") === 0, lit(0)).otherwise(length(bin(col("_rem")))))
+      .groupBy("grp", "bucket").agg(max(col("_rho")).cast("long").as("r"))
+  }
+
+  /** HLL estimate from a register frame: harmonic-mean raw estimate
+    * `α_m · m² / (V + Σ 2^−r)` with the standard small-range
+    * linear-counting switch (`E ≤ 2.5m` and empty registers exist →
+    * `m · ln(m/V)`). Every `2^−r` term is an exact power-of-two double
+    * and the sum folds over the BUCKET-SORTED register array, so the
+    * raw estimate is engine-bit-identical; `ln` enters only via the
+    * linear-counting branch (rounded 6 dp at the output like the LM
+    * scores). Output: (group, n_used, est).
+    */
+  def hllEstimate(regs: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val perG = regs.groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("r")))).as("_arr"))
+      .select(col("grp"), size(col("_arr")).cast("long").as("n_used"),
+        (lit(m.toLong) - size(col("_arr"))).as("_v"),
+        expr("aggregate(_arr, cast(0.0 as double), (a, s) -> " +
+          "a + cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), s.r) as double))")
+          .as("_sum"))
+    val s = col("_v").cast("double") + col("_sum")
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit((m.toLong * m).toDouble) / s
+    val est = when(raw <= lit(2.5 * m) && col("_v") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("_v").cast("double")))
+      .otherwise(raw)
+    perG.select(col("grp"), col("n_used"), round(est, 6).as("est"))
+  }
+
+  /** [[hllRegisters]] + [[hllEstimate]] + the exact distinct count the
+    * audit compares against (the exact leg is what a 100 TB run drops;
+    * see [[countMinAudit]]). Output: (group, n_exact, n_used, est).
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  b: Int = 8): DataFrame = {
+    val est = hllEstimate(hllRegisters(df, groupCol, valueCol, b), b)
+    val exact = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    exact.join(est, "grp")
+      .select(col("grp").as(groupCol), col("n_exact"), col("n_used"), col("est"))
+  }
 }

@@ -145,7 +145,12 @@ class PlanAuditSpec extends SparkSpec {
     // one scaffold join; corpus BLEU adds the 1-row pooled agg.
     // decay trend is the daily agg + per-key series fold, window-free
     "q_bleu" -> 3, "q_bleu_corpus" -> 4, "q_rouge" -> 3,
-    "q_kneser_ney" -> 9, "q_decay_trend" -> 2)
+    "q_kneser_ney" -> 9, "q_decay_trend" -> 2,
+    // hll = 2 key-kinds × (register agg + bucket-sorted estimate agg +
+    // 2-phase exact countDistinct leg); pca/abtt AUDITED plans are
+    // map-side — the bounded power-iteration prep runs at construction
+    // (codebook precedent), driver state is d doubles per round
+    "q_hll" -> 8, "q_pca_top" -> 0, "q_abtt" -> 0)
 
   // Planning some entries executes bounded prep work (codebook training,
   // CC iteration); at sf0.001 the whole sweep stays cheap.

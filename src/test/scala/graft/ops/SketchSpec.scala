@@ -141,4 +141,44 @@ class SketchSpec extends SparkSpec {
     ests.distinct.size shouldBe 1 // deterministic sketch, any layout
     ests.head.foreach { case (_, exact, est) => assert(est >= exact) }
   }
+
+  test("hllDistinct: linear-counting regime tracks a small cardinality") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => ("g", s"v$i")).toDF("g", "k")
+    val r = Sketch.hllDistinct(df, "g", "k").collect().head
+    r.getLong(1) shouldBe 40L // exact leg
+    // n << m=256 -> empty buckets exist -> linear counting branch
+    math.abs(r.getDouble(3) - 40.0) / 40.0 should be < 0.15
+  }
+
+  test("hllDistinct: harmonic regime within ~3 sigma at load factor 20") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("g", s"item-$i")).toDF("g", "k")
+    val r = Sketch.hllDistinct(df, "g", "k").collect().head
+    // m=256 -> sigma ~ 1.04/sqrt(256) = 6.5%
+    math.abs(r.getDouble(3) - 5000.0) / 5000.0 should be < 0.20
+  }
+
+  test("hll registers are mergeable: max-union of halves == whole") {
+    import spark.implicits._
+    val all = (1 to 1000).map(i => ("g", s"x$i")).toDF("g", "k")
+    val whole = Sketch.hllRegisters(all, "g", "k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val merged = Sketch.hllRegisters(all.filter($"k" < "x5"), "g", "k")
+      .unionByName(Sketch.hllRegisters(all.filter($"k" >= "x5"), "g", "k"))
+      .groupBy("grp", "bucket")
+      .agg(org.apache.spark.sql.functions.max("r").as("r"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    merged shouldBe whole
+  }
+
+  test("hllDistinct is partitioning-invariant (sorted register fold)") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"u${i % 700}")).toDF("g", "k")
+    val runs = (1 to 3).map { n =>
+      Sketch.hllDistinct(df.repartition(n), "g", "k")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    }
+    runs.distinct.size shouldBe 1
+  }
 }
