@@ -1915,6 +1915,40 @@ object SparkEntry {
       graft.ops.Pca.projections(table(s, dir, "embeddings"),
         "vec_id", "embedding")),
 
+    // Kaplan–Meier right-censored churn survival over customer order
+    // histories: lifetime = first..last order day, censored within 90
+    // days of the horizon (events users are all horizon-active, so
+    // orders is the table where the hazard fold actually moves:
+    // ~1000/1500 customers churn across ~800 distinct lifetimes)
+    "q_survival" -> ((s, dir) =>
+      graft.ops.Survival.kaplanMeier(table(s, dir, "orders"),
+        "o_custkey", "o_orderdate", censorDays = 90)),
+
+    // Johnson–Lindenstrauss ±1 sign projection of the 64-d embeddings
+    // to 16 components; the sign matrix regenerates from md5("j_i")
+    "q_jl_project" -> ((s, dir) =>
+      graft.ops.Projection.jlProject(s, table(s, dir, "embeddings"),
+        "vec_id", "embedding", d = 64, k = 16)),
+
+    // per-vector JL norm-distortion audit (d/k · ‖y‖²/‖x‖², near 1)
+    "q_jl_audit" -> ((s, dir) =>
+      graft.ops.Projection.jlDistortion(s, table(s, dir, "embeddings"),
+        "vec_id", "embedding", d = 64, k = 16)),
+
+    // linear multi-touch attribution: each purchase splits 1e6 ppm
+    // equally over its prior-7-day touches (remainder to the last),
+    // via the bucketed range join — never a nested-loop range plan
+    "q_attribution" -> ((s, dir) =>
+      graft.ops.Attribution.linearTouch(table(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", "purchase")),
+
+    // Welch two-sample z on md5-split arms: per-user spend in exact
+    // cents; mean/var/z through one fixed tree, raw-double parity
+    "q_ab_ztest" -> ((s, dir) =>
+      graft.ops.Stats.welchZ(
+        table(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", round(col("value") * 100).cast("long"))),
+
     // chi-square independence: order status vs priority, zero cells
     // included, sorted-cell fold for the one double sum
     "q_chi2" -> ((s, dir) =>
@@ -3298,6 +3332,147 @@ object SparkEntry {
       s"""$pcaSqlPrefix
          |SELECT vec_id, ROUND(list_sum(list_transform(cv, (x, i) -> x * vl[i])), 6) AS proj
          |FROM c CROSS JOIN vf""".stripMargin,
+
+    // Kaplan–Meier twin: exact BIGINT risk sets, ln-term list fold in
+    // duration order; the d = n terminal factor (ln 0) masks to NULL on
+    // both engines (Spark ln(0) is NULL, DuckDB -inf)
+    "q_survival" ->
+      """WITH pu AS (
+        |  SELECT o_custkey AS u, min(date_trunc('day', o_orderdate)) AS f,
+        |         max(date_trunc('day', o_orderdate)) AS l
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1
+        |), hz AS (SELECT max(l) AS h FROM pu),
+        |us AS (
+        |  SELECT u, date_diff('day', f, l)::BIGINT AS t,
+        |         date_diff('day', l, h) > 90 AS churned
+        |  FROM pu, hz
+        |), bt AS (
+        |  SELECT t, CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         COUNT(*)::BIGINT AS c
+        |  FROM us GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bt),
+        |rk AS (
+        |  SELECT t, d, c,
+        |    CAST(tot.n - COALESCE(SUM(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr
+        |  FROM bt, tot
+        |), arr AS (
+        |  SELECT list(struct_pack(t := t,
+        |    term := ln(1.0 - d::DOUBLE / nr::DOUBLE)) ORDER BY t) AS a
+        |  FROM rk WHERE d < nr
+        |)
+        |SELECT rk.t AS t_days, rk.nr AS n_risk, rk.d AS d_churn, rk.c AS n_end,
+        |  CASE WHEN rk.d >= rk.nr THEN NULL
+        |       ELSE list_sum(list_transform(list_filter(arr.a, s -> s.t <= rk.t),
+        |                                    s -> s.term)) END AS log_surv
+        |FROM rk, arr""".stripMargin,
+
+    // JL sign projection: the ±1 matrix regenerates symbolically from
+    // md5 parity; in-order fold over dims ≡ Spark's zip_with aggregate
+    "q_jl_project" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |), sg AS (
+         |  SELECT j,
+         |    list_transform(range(0, 64), i ->
+         |      CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 8))::BIGINT % 2 = 0
+         |           THEN 1.0 ELSE -1.0 END) AS s
+         |  FROM range(0, 16) t(j)
+         |)
+         |SELECT e.vec_id, CAST(sg.j AS BIGINT) AS comp,
+         |  list_sum(list_transform(range(0, 64), i -> e.v[i + 1] * sg.s[i + 1])) AS proj
+         |FROM e, sg""".stripMargin,
+
+    "q_jl_audit" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |), sg AS (
+         |  SELECT j,
+         |    list_transform(range(0, 64), i ->
+         |      CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 8))::BIGINT % 2 = 0
+         |           THEN 1.0 ELSE -1.0 END) AS s
+         |  FROM range(0, 16) t(j)
+         |), p AS (
+         |  SELECT e.vec_id, sg.j AS comp,
+         |    list_sum(list_transform(range(0, 64), i -> e.v[i + 1] * sg.s[i + 1])) AS proj
+         |  FROM e, sg
+         |), yn AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(list(struct_pack(c := comp, p := proj) ORDER BY comp),
+         |                            s -> s.p * s.p)) AS ynorm
+         |  FROM p GROUP BY 1
+         |), xn AS (
+         |  SELECT vec_id, list_sum(list_transform(v, x -> x * x)) AS xnorm FROM e
+         |)
+         |SELECT xn.vec_id,
+         |  CASE WHEN xn.xnorm = 0 THEN NULL
+         |       ELSE (64.0 / 16.0) * yn.ynorm / xn.xnorm END AS ratio
+         |FROM xn JOIN yn USING (vec_id)""".stripMargin,
+
+    // attribution twin: plain inequality join (the bucketed join's
+    // oracle baseline), floor-second containment + strict µs gate,
+    // exact BIGINT ppm with remainder-to-last
+    "q_attribution" ->
+      """WITH c AS (
+        |  SELECT event_id AS conv_id, user_id AS u, ts AS cts
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL
+        |), t AS (
+        |  SELECT event_id AS tid, user_id AS u, ts AS tts, event_type AS ttype
+        |  FROM events WHERE event_type <> 'purchase' AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+        |), p AS (
+        |  SELECT c.conv_id, t.tid, t.tts, t.ttype
+        |  FROM c JOIN t ON c.u = t.u
+        |    AND FLOOR(epoch(t.tts)) >= FLOOR(epoch(c.cts)) - 604800
+        |    AND FLOOR(epoch(t.tts)) <= FLOOR(epoch(c.cts))
+        |    AND t.tts < c.cts
+        |), r AS (
+        |  SELECT ttype, conv_id,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tts, tid) AS rn,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM p
+        |)
+        |SELECT ttype AS touch_type,
+        |  CAST(SUM(1000000 // n +
+        |           CASE WHEN rn = n THEN 1000000 % n ELSE 0 END) AS BIGINT)
+        |    AS credit_ppm,
+        |  COUNT(*)::BIGINT AS n_touches,
+        |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Welch z twin: identical md5-parity assignment and one identical
+    // mean/var/z expression tree from exact BIGINT sufficient stats
+    "q_ab_ztest" ->
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), a AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(u::VARCHAR), 1, 8))::BIGINT % 2 = 0
+        |              THEN 0 ELSE 1 END AS v, x
+        |  FROM per
+        |), g AS (
+        |  SELECT v, COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS s,
+        |         CAST(SUM(x * x) AS BIGINT) AS s2
+        |  FROM a GROUP BY 1
+        |), m AS (
+        |  SELECT v, n, s::DOUBLE / n::DOUBLE AS mean,
+        |    CASE WHEN n < 2 THEN NULL
+        |         ELSE (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |              / (n - 1)::DOUBLE END AS var
+        |  FROM g
+        |)
+        |SELECT c.n AS n_control, t.n AS n_treat, c.mean AS mean_control,
+        |  t.mean AS mean_treat, c.var AS var_control, t.var AS var_treat,
+        |  CASE WHEN c.var IS NULL OR t.var IS NULL THEN NULL
+        |       ELSE (t.mean - c.mean) /
+        |            sqrt(t.var / t.n::DOUBLE + c.var / c.n::DOUBLE) END AS z
+        |FROM (SELECT * FROM m WHERE v = 0) c, (SELECT * FROM m WHERE v = 1) t""".stripMargin,
 
     "q_decay_trend" ->
       """WITH daily AS (

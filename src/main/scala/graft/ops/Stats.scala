@@ -378,4 +378,62 @@ object Stats {
         col("impact_ratio_ppm"),
         (col("impact_ratio_ppm") < 800000L).as("at_risk"))
   }
+
+  /** Welch two-sample z-test for an A/B experiment with DETERMINISTIC
+    * unit assignment: variant = md5-parity of the unit key (the
+    * engine-portable hash idiom — any system, or the DuckDB oracle,
+    * re-derives who was in which arm; a `rand()` split is neither
+    * reproducible nor auditable). The per-unit metric must be an exact
+    * integer (cents, counts), so n/Σx/Σx² are exact BIGINTs and mean,
+    * Welch variance, and z are doubles derived through one fixed tree —
+    * cross-engine bit-identical with sqrt's IEEE guarantee, no
+    * rounding.
+    *
+    * Σx² stays in BIGINT: callers must bound the per-unit metric to
+    * ~3e9 so the squared sum clears ANSI overflow at ~1e18 (here:
+    * cents-per-user against a 9.2e18 ceiling — fine through ~1e5× this
+    * corpus; beyond that, bucket the metric).
+    *
+    * Arms with fewer than 2 units mask var/z to NULL. Output is ONE
+    * row: (n_control, n_treat, mean_control, mean_treat, var_control,
+    * var_treat, z).
+    *
+    * Scale posture: one per-unit agg over the log (map-side
+    * combinable), then a 2-row agg; the z math runs on two 1-row
+    * frames. Nothing after the first exchange is data-sized.
+    */
+  def welchZ(df: DataFrame, unitCol: String, metric: Column): DataFrame = {
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(sum(metric).cast("long").as("_x"))
+    val g = per.select(
+        (conv(substring(md5(col("_u").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 2).as("_v"), col("_x"))
+      .groupBy("_v")
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).cast("long").as("_s"),
+        sum(col("_x") * col("_x")).cast("long").as("_s2"))
+    val m = g.select(col("_v"), col("_n"),
+      (col("_s").cast("double") / col("_n").cast("double")).as("_mean"),
+      when(col("_n") < 2, lit(null).cast("double"))
+        .otherwise((col("_s2").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") /
+            col("_n").cast("double")) /
+          (col("_n") - 1).cast("double")).as("_var"))
+      .cache() // 2 rows; consumed by both arm legs — without it the
+               // data-sized per-unit agg plans twice
+    val c = m.filter(col("_v") === 0)
+      .select(col("_n").as("n_control"), col("_mean").as("mean_control"),
+        col("_var").as("var_control"))
+    val t = m.filter(col("_v") === 1)
+      .select(col("_n").as("n_treat"), col("_mean").as("mean_treat"),
+        col("_var").as("var_treat"))
+    c.crossJoin(t).select(
+      col("n_control"), col("n_treat"), col("mean_control"), col("mean_treat"),
+      col("var_control"), col("var_treat"),
+      when(col("var_control").isNull || col("var_treat").isNull,
+        lit(null).cast("double"))
+        .otherwise((col("mean_treat") - col("mean_control")) /
+          sqrt(col("var_treat") / col("n_treat").cast("double") +
+            col("var_control") / col("n_control").cast("double"))).as("z"))
+  }
 }

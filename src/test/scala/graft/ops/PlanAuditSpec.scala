@@ -56,6 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_t_closeness" -> "m-row ordered-value frame + 1-row totals broadcast crossJoins (dense EMD grid; m = |sensitive domain|, single digits)",
     "q_kripp_alpha" -> "two 1-row frames (dropped-unit count, marginal totals) broadcast onto the 1-row coincidence aggregate",
     "q_filter_impact" -> "1-row overall-totals broadcast crossJoin (the four-fifths denominator)",
+    "q_survival" -> "three 1-row broadcasts (horizon, user total, sorted hazard-term array) onto calendar-bounded frames",
+    "q_jl_project" -> "k-row (16) sign-matrix broadcast — the projection is a map-side lookup, O(n*k) by construction",
+    "q_jl_audit" -> "inherits the k-row sign-matrix broadcast from the jlProject chain",
+    "q_ab_ztest" -> "two 1-row arm-summary frames crossJoined into the single output row",
     "q_kappa"      -> "1-row rater-total crossJoin (expected-agreement term)",
     "q_dsir"       -> "1-row per-corpus LM-normalizer crossJoin",
     "q_dist_shift" -> "1-row per-period total crossJoins (JS-divergence terms)",
@@ -105,6 +109,14 @@ class PlanAuditSpec extends SparkSpec {
     // planned three times); the maxdf pair is the count-prune tier
     "q_triangles" -> 4, "q_serve_ids" -> 9, "q_overlap_matrix" -> 9,
     "q_dedup_pairs_maxdf" -> 8, "q_containment_maxdf" -> 8,
+    // JL projection is the data-independent-sketch contract: 0 shuffles
+    // (sign matrix broadcast, fold map-side); the audit adds one
+    // per-vector agg; survival's visible shuffle is the per-user agg
+    // (the two tiny cached frames truncate the rest)
+    "q_jl_project" -> 0, "q_jl_audit" -> 1, "q_survival" -> 1,
+    // attribution = bucketed range join + per-conversion window + channel
+    // agg; the z-test's visible plan is cache-truncated to the 1-row math
+    "q_attribution" -> 2, "q_ab_ztest" -> 0,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -247,5 +248,57 @@ class StatsSpec extends SparkSpec {
           r.getBoolean(5))).toMap
     got("en") shouldBe ((10L, 8L, 800000L, 1244444L, false))
     got("fr") shouldBe ((4L, 1L, 250000L, 388888L, true))
+  }
+
+  test("welchZ matches an independent JVM computation of the md5 split") {
+    import spark.implicits._
+    // per-unit metric = sum of integral values; 40 units, 3 rows each
+    val rows = (0 until 40).flatMap { u =>
+      (0 until 3).map(i => (u.toLong, (u * 13 + i * 7) % 101))
+    }
+    val df = rows.toDF("unit", "v")
+    val got = Stats.welchZ(df, "unit", col("v")).collect().head
+    // independent reference: same md5-parity assignment, plain doubles
+    def arm(p: Long) = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2.toLong).sum).toMap
+      .filter { case (u, _) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+        val hex = d.take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 2 == p
+      }.values.map(_.toDouble).toSeq
+    val (a, b) = (arm(0), arm(1))
+    def stats(xs: Seq[Double]) = {
+      val n = xs.size; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (nc, mc, vc) = stats(a); val (nt, mt, vt) = stats(b)
+    got.getLong(0) shouldBe nc.toLong
+    got.getLong(1) shouldBe nt.toLong
+    got.getDouble(2) shouldBe mc +- 1e-9
+    got.getDouble(3) shouldBe mt +- 1e-9
+    got.getDouble(4) shouldBe vc +- 1e-6
+    got.getDouble(5) shouldBe vt +- 1e-6
+    got.getDouble(6) shouldBe
+      ((mt - mc) / math.sqrt(vt / nt + vc / nc)) +- 1e-9
+  }
+
+  test("welchZ masks z to NULL when an arm has fewer than 2 units") {
+    import spark.implicits._
+    def parity(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    // deterministically pick 2 control units and 1 treatment unit
+    val ids = (0L until 64L)
+    val cs = ids.filter(parity(_) == 0).take(2)
+    val ts = ids.filter(parity(_) == 1).take(1)
+    val df = (cs ++ ts).map(u => (u, 10)).toDF("unit", "v")
+    val row = Stats.welchZ(df, "unit", col("v")).collect().head
+    row.getLong(0) shouldBe 2L
+    row.getLong(1) shouldBe 1L
+    row.isNullAt(5) shouldBe true // treat variance undefined
+    row.isNullAt(6) shouldBe true // z masked
   }
 }
