@@ -1949,6 +1949,41 @@ object SparkEntry {
         table(s, dir, "events").filter(col("value").isNotNull),
         "user_id", round(col("value") * 100).cast("long"))),
 
+    // deterministic Poisson bootstrap: 64 replicate means of per-user
+    // spend cents, multiplicities from md5-threshold cuts
+    "q_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Bootstrap.poissonBootstrapMeans(
+        table(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", round(col("value") * 100).cast("long"), reps = 64)),
+
+    // inter-event-gap regularity (cv² of floor-second gaps): metronome
+    // and same-second-burst actors flagged bot_like
+    "q_bot_score" -> ((s, dir) =>
+      graft.ops.TimeSeries.interEventRegularity(
+        table(s, dir, "events"), "user_id", "ts")),
+
+    // difference-in-differences: md5-split arms × Jan-16 cutover —
+    // four exact-BIGINT cell means, one fixed did tree
+    "q_did" -> ((s, dir) =>
+      graft.ops.Stats.diffInDiff(
+        table(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", "ts", round(col("value") * 100).cast("long"),
+        "2024-01-16 00:00:00")),
+
+    // Zipf rank–frequency fit per source: OLS of ln(freq) on ln(rank)
+    // over the top-200 ranks, five in-order regression-sum folds
+    "q_zipf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.zipfFit(
+        table(s, dir, "documents"), "source", "text")),
+
+    // template-fingerprint groups: digits → '#', whitespace collapsed,
+    // lowercased — order-preserving template identity. minGroup=1 so
+    // EVERY fingerprint value goes through the oracle (the ≥2 dup
+    // report would be near-empty at gate scale — a trivial hash)
+    "q_template_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.templateDuplicateGroups(
+        table(s, dir, "documents"), "doc_id", "text", minGroup = 1)),
+
     // chi-square independence: order status vs priority, zero cells
     // included, sorted-cell fold for the one double sum
     "q_chi2" -> ((s, dir) =>
@@ -3473,6 +3508,137 @@ object SparkEntry {
         |       ELSE (t.mean - c.mean) /
         |            sqrt(t.var / t.n::DOUBLE + c.var / c.n::DOUBLE) END AS z
         |FROM (SELECT * FROM m WHERE v = 0) c, (SELECT * FROM m WHERE v = 1) t""".stripMargin,
+
+    // Poisson-bootstrap twin: same md5 ppm hash, same cumulative
+    // thresholds, exact BIGINT weighted sums per replicate
+    "q_bootstrap_ci" ->
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), slots AS (
+        |  SELECT u, x, r.rep,
+        |    ('0x' || substr(md5(u::VARCHAR || '_' || r.rep::VARCHAR), 1, 8))::BIGINT
+        |      % 1000000 AS h
+        |  FROM per, range(0, 64) r(rep)
+        |), m AS (
+        |  SELECT rep, x,
+        |    CASE WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+        |         WHEN h < 919698 THEN 2 WHEN h < 981011 THEN 3
+        |         WHEN h < 996340 THEN 4 WHEN h < 999405 THEN 5
+        |         WHEN h < 999916 THEN 6 WHEN h < 999989 THEN 7
+        |         WHEN h < 999998 THEN 8 ELSE 9 END AS mult
+        |  FROM slots
+        |)
+        |SELECT CAST(rep AS BIGINT) AS rep, CAST(SUM(mult) AS BIGINT) AS n_eff,
+        |  CAST(SUM(mult * x) AS BIGINT) AS wsum,
+        |  CASE WHEN SUM(mult) = 0 THEN NULL
+        |       ELSE CAST(SUM(mult * x) AS BIGINT)::DOUBLE /
+        |            CAST(SUM(mult) AS BIGINT)::DOUBLE END AS mean
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // regularity twin: floor-second lag gaps (tie order cannot move the
+    // gap multiset), exact BIGINT n/Σg/Σg², one fixed cv² tree
+    "q_bot_score" ->
+      """WITH e AS (
+        |  SELECT user_id AS a, FLOOR(epoch(ts))::BIGINT AS s
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), g AS (
+        |  SELECT a, s - lag(s) OVER (PARTITION BY a ORDER BY s) AS gp FROM e
+        |), ag AS (
+        |  SELECT a, COUNT(*)::BIGINT AS n_events,
+        |    CAST(SUM(gp) AS BIGINT) AS sg, CAST(SUM(gp * gp) AS BIGINT) AS sg2,
+        |    COUNT(gp)::BIGINT AS ng
+        |  FROM g GROUP BY 1 HAVING COUNT(*) >= 5
+        |), sc AS (
+        |  SELECT a AS user_id, n_events,
+        |    sg::DOUBLE / ng::DOUBLE AS mean_gap_s,
+        |    CASE WHEN sg = 0 THEN NULL
+        |         ELSE ((sg2::DOUBLE - sg::DOUBLE * sg::DOUBLE / ng::DOUBLE)
+        |               / (ng - 1)::DOUBLE)
+        |              / ((sg::DOUBLE / ng::DOUBLE) * (sg::DOUBLE / ng::DOUBLE))
+        |    END AS cv2
+        |  FROM ag
+        |)
+        |SELECT user_id, n_events, mean_gap_s, cv2,
+        |  (cv2 IS NULL OR cv2 < 0.09) AS bot_like
+        |FROM sc""".stripMargin,
+
+    // DiD twin: same md5 arms, same cutover, identical cell-mean and
+    // did trees; empty cells NULL-propagate through the did arithmetic
+    "q_did" ->
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS p,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(u::VARCHAR), 1, 8))::BIGINT % 2 = 0
+        |              THEN 0 ELSE 1 END AS v,
+        |         p, COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS s
+        |  FROM per GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT v, p, n, s::DOUBLE / n::DOUBLE AS mean FROM cells
+        |), r AS (
+        |  SELECT
+        |    CAST(COALESCE(MAX(CASE WHEN v = 0 AND p = 0 THEN n END), 0) AS BIGINT) AS n_c_pre,
+        |    CAST(COALESCE(MAX(CASE WHEN v = 0 AND p = 1 THEN n END), 0) AS BIGINT) AS n_c_post,
+        |    CAST(COALESCE(MAX(CASE WHEN v = 1 AND p = 0 THEN n END), 0) AS BIGINT) AS n_t_pre,
+        |    CAST(COALESCE(MAX(CASE WHEN v = 1 AND p = 1 THEN n END), 0) AS BIGINT) AS n_t_post,
+        |    MAX(CASE WHEN v = 0 AND p = 0 THEN mean END) AS mean_c_pre,
+        |    MAX(CASE WHEN v = 0 AND p = 1 THEN mean END) AS mean_c_post,
+        |    MAX(CASE WHEN v = 1 AND p = 0 THEN mean END) AS mean_t_pre,
+        |    MAX(CASE WHEN v = 1 AND p = 1 THEN mean END) AS mean_t_post
+        |  FROM cm
+        |)
+        |SELECT r.*, (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
+        |FROM r""".stripMargin,
+
+    // Zipf twin: docToks tokenization, (freq DESC, term) ranks, ln of
+    // identical values, five in-order list_sum folds, one OLS tree
+    "q_zipf" ->
+      """WITH d AS (
+        |  SELECT source AS g,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |), x AS (
+        |  SELECT g, unnest(toks) AS t FROM d
+        |), tf AS (
+        |  SELECT g, t, COUNT(*)::BIGINT AS f FROM x GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT g, ROW_NUMBER() OVER (PARTITION BY g ORDER BY f DESC, t) AS r, f
+        |  FROM tf
+        |), top AS (
+        |  SELECT g, r::BIGINT AS r, ln(r::DOUBLE) AS xx, ln(f::DOUBLE) AS yy
+        |  FROM rk WHERE r <= 200
+        |), fold AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n_terms,
+        |    list_sum(list(xx ORDER BY r)) AS sx,
+        |    list_sum(list(yy ORDER BY r)) AS sy,
+        |    list_sum(list(xx * yy ORDER BY r)) AS sxy,
+        |    list_sum(list(xx * xx ORDER BY r)) AS sxx,
+        |    list_sum(list(yy * yy ORDER BY r)) AS syy
+        |  FROM top GROUP BY 1
+        |)
+        |SELECT g AS source, n_terms,
+        |  CASE WHEN n_terms < 3 THEN NULL
+        |       ELSE ROUND(-((n_terms::DOUBLE * sxy - sx * sy)
+        |              / (n_terms::DOUBLE * sxx - sx * sx)), 6) END AS alpha,
+        |  CASE WHEN n_terms < 3 OR (n_terms::DOUBLE * syy - sy * sy) = 0 THEN NULL
+        |       ELSE ROUND((n_terms::DOUBLE * sxy - sx * sy) * (n_terms::DOUBLE * sxy - sx * sy)
+        |            / ((n_terms::DOUBLE * sxx - sx * sx) * (n_terms::DOUBLE * syy - sy * sy)), 6)
+        |  END AS r2
+        |FROM fold""".stripMargin,
+
+    "q_template_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[0-9]+', '#', 'g'), '\s+', ' ', 'g'))) AS template_fp,
+        |  COUNT(*)::BIGINT AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_decay_trend" ->
       """WITH daily AS (

@@ -34,6 +34,36 @@ object Dedup {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Template-fingerprint duplicate groups: docs that are the same
+    * TEMPLATE instantiated with different values — "Order #123
+    * shipped" vs "Order #456 shipped" — which byte-exact dedup misses
+    * and shingle dedup only catches at high n-gram cost. The key is
+    * md5 of the text with every digit run collapsed to `#`, whitespace
+    * collapsed, lowercased — word ORDER preserved (unlike
+    * [[graft.ops.TextAnalysis.fingerprint]]'s order-free token set).
+    * Templated boilerplate (receipts, log lines, form letters) is a
+    * dominant dup class in crawled training data; an instruction
+    * corpus full of "what is 2+3" variants is one template, not a
+    * thousand examples.
+    *
+    * Wholly map-side until the one fingerprint agg. Output:
+    * (template_fp, n_docs, canonical_id = smallest member id), groups
+    * of ≥ `minGroup` (default 2 — the dup report; 1 = the full
+    * template profile, which is what the oracle entry gates so every
+    * fingerprint value is checked, not just the collapsed few).
+    */
+  def templateDuplicateGroups(docs: DataFrame, idCol: String,
+                              textCol: String, minGroup: Int = 2): DataFrame = {
+    require(minGroup >= 1, "minGroup >= 1")
+    val tpl = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[0-9]+", "#"), "\\s+", " "))
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), md5(tpl.cast("binary")).as("template_fp"))
+      .groupBy("template_fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("_id")).as("canonical_id"))
+      .filter(col("n_docs") >= minGroup)
+  }
+
   /** Canonical-document selection — the KEEP side of exact dedup: every
     * fingerprint group (including singletons) emits exactly the one doc
     * with the highest `scoreCol` (ties broken by smallest doc id), plus

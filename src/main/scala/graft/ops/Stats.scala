@@ -402,6 +402,55 @@ object Stats {
     * combinable), then a 2-row agg; the z math runs on two 1-row
     * frames. Nothing after the first exchange is data-sized.
     */
+  /** Difference-in-differences estimate over an event log — the
+    * workhorse quasi-experimental design when treatment switched ON at
+    * a known cutover: the treated arm's pre→post change minus the
+    * control arm's pre→post change nets out the shared time trend a
+    * naive before/after comparison absorbs. Arms are the
+    * [[welchZ]] md5-parity split (re-derivable by any engine); periods
+    * split at `cutoverTs`; the per-(unit, period) metric must be
+    * integral, so all four cell means are exact-BIGINT ratios and
+    * `did` is one fixed double tree — raw cross-engine parity.
+    *
+    * Output is ONE row: per-cell unit counts and means
+    * (n/mean × {c,t} × {pre,post}) and
+    * `did = (mean_t_post − mean_t_pre) − (mean_c_post − mean_c_pre)`.
+    * A unit active in both periods contributes to both cells (the
+    * standard repeated-cross-section form). Any empty cell masks
+    * `did` to NULL.
+    *
+    * Scale posture: one per-(unit, period) agg over the log, then a
+    * 4-row cell agg collapsed by conditional aggregates into the
+    * single output row — no joins at all past the first exchange.
+    */
+  def diffInDiff(df: DataFrame, unitCol: String, tsCol: String,
+                 metric: Column, cutoverTs: String): DataFrame = {
+    val per = df.filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_p", (col(tsCol) >= to_timestamp(lit(cutoverTs))).cast("int"))
+      .groupBy(col(unitCol).as("_u"), col("_p"))
+      .agg(sum(metric).cast("long").as("_x"))
+    val cells = per.select(
+        (conv(substring(md5(col("_u").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 2).as("_v"), col("_p"), col("_x"))
+      .groupBy("_v", "_p")
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).cast("long").as("_s"))
+      .withColumn("_mean", col("_s").cast("double") / col("_n").cast("double"))
+    def pick(v: Int, p: Int, c: Column) =
+      max(when(col("_v") === v && col("_p") === p, c))
+    val row = cells.agg(
+      coalesce(pick(0, 0, col("_n")), lit(0L)).as("n_c_pre"),
+      coalesce(pick(0, 1, col("_n")), lit(0L)).as("n_c_post"),
+      coalesce(pick(1, 0, col("_n")), lit(0L)).as("n_t_pre"),
+      coalesce(pick(1, 1, col("_n")), lit(0L)).as("n_t_post"),
+      pick(0, 0, col("_mean")).as("mean_c_pre"),
+      pick(0, 1, col("_mean")).as("mean_c_post"),
+      pick(1, 0, col("_mean")).as("mean_t_pre"),
+      pick(1, 1, col("_mean")).as("mean_t_post"))
+    row.withColumn("did",
+      (col("mean_t_post") - col("mean_t_pre")) -
+        (col("mean_c_post") - col("mean_c_pre")))
+  }
+
   def welchZ(df: DataFrame, unitCol: String, metric: Column): DataFrame = {
     val per = df.filter(col(unitCol).isNotNull)
       .groupBy(col(unitCol).as("_u"))

@@ -30,6 +30,65 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
 
+  /** Zipf rank–frequency fit per corpus slice — the one-number
+    * naturalness diagnostic: natural language's term frequencies fall
+    * as ~rank^−α with α ≈ 1; machine-generated or templated text bends
+    * the curve (flat head = keyword stuffing, cliff tail = boilerplate
+    * vocabulary). Per group, OLS of ln(freq) on ln(rank) over the top
+    * `topK` ranks: `alpha = −slope`, plus r² for fit quality.
+    *
+    * Determinism: freqs are exact BIGINTs; ranks are `row_number` by
+    * (freq DESC, term) — tied freqs may permute terms across adjacent
+    * ranks but carry the same y, so every regression sum is invariant;
+    * the five sums fold over the RANK-SORTED array (one in-order fold
+    * each). `ln` itself is the one NON-portable ingredient: Java's
+    * `Math.log` and glibc's (DuckDB's) `log` disagree by 1 ulp on some
+    * inputs (measured here: ln 3, ln 48) — the first counterexample to
+    * the repo's "ln of identical doubles matches" rule — so alpha/r²
+    * are rounded to 6 dp at the output, the sanctioned remedy when the
+    * folded INPUTS can differ between engines.
+    * Output: (group, n_terms, alpha, r2).
+    *
+    * Scale posture: one (group, term) hash agg over the token explode,
+    * one per-group top-K window (heap-bounded by `topK`), then a
+    * ≤topK-element array fold per group. Groups with < 3 ranks mask to
+    * NULL (a 2-point fit is exact and meaningless).
+    */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+              topK: Int = 200): DataFrame = {
+    require(topK >= 3 && topK <= 10000, "3 <= topK <= 10000")
+    val tf = docs.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        explode(tokens(lower(col(textCol)))).as("_t"))
+      .groupBy("_g", "_t").agg(count(lit(1)).as("_f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy(col("_f").desc, col("_t"))
+    val ranked = tf.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= topK)
+      .select(col("_g"), col("_r").cast("long").as("_r"),
+        log(col("_r").cast("double")).as("_x"),
+        log(col("_f").cast("double")).as("_y"))
+    val folded = ranked.groupBy("_g")
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("_r"), col("_x"), col("_y"))))
+          .as("_a"))
+      .select(col("_g"), col("n_terms"),
+        expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._x)").as("_sx"),
+        expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._y)").as("_sy"),
+        expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._x * s._y)").as("_sxy"),
+        expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._x * s._x)").as("_sxx"),
+        expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._y * s._y)").as("_syy"))
+    val n = col("n_terms").cast("double")
+    val covN = n * col("_sxy") - col("_sx") * col("_sy")
+    val varXN = n * col("_sxx") - col("_sx") * col("_sx")
+    val varYN = n * col("_syy") - col("_sy") * col("_sy")
+    folded.select(col("_g").as(groupCol), col("n_terms"),
+      when(col("n_terms") < 3, lit(null).cast("double"))
+        .otherwise(round(-(covN / varXN), 6)).as("alpha"),
+      when(col("n_terms") < 3 || varYN === 0.0, lit(null).cast("double"))
+        .otherwise(round(covN * covN / (varXN * varYN), 6)).as("r2"))
+  }
+
   /** Default stopword list for quality scoring. */
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -287,4 +287,52 @@ object TimeSeries {
       .select(col(keyCol), col("_e.day").as("day"),
         col("_e.n").as("n"), col("_e.trend").as("trend"))
   }
+
+  /** Inter-event-time regularity per actor — the classic bot/scripted
+    * -traffic signal: humans arrive with bursty, high-variance gaps;
+    * schedulers and replay scripts tick with machine-regular ones. Per
+    * actor the squared coefficient of variation `cv² = var/mean²` of
+    * consecutive floor-second gaps; `cv² ≈ 1` is memoryless (Poisson)
+    * arrival, `cv² → 0` is a metronome. Flag `bot_like` when the mean
+    * gap is 0 (a same-second burst dump) or cv² < 0.09 (gap σ under
+    * 30% of the mean).
+    *
+    * Determinism: gap sums are over the multiset of differences of the
+    * per-actor SORTED timestamp multiset — tie order between equal
+    * timestamps cannot change it — and n/Σg/Σg² are exact BIGINTs
+    * (floor-second gaps: Σg² clears ANSI far beyond calendar spans),
+    * so mean/var/cv² are one fixed double tree, raw-parity. Near-zero
+    * variance can cancel to ±1 ulp in that tree; the 0.09 flag cut is
+    * robust to it and both engines compute the identical double.
+    *
+    * Scale posture: one lag window per actor (the only data-sized
+    * shuffle, skew-bounded by events-per-actor) into a per-actor agg.
+    * Output: (actor, n_events, mean_gap_s, cv2, bot_like) for actors
+    * with ≥ `minEvents` events.
+    */
+  def interEventRegularity(df: DataFrame, actorCol: String, tsCol: String,
+                           minEvents: Int = 5): DataFrame = {
+    require(minEvents >= 3, "cv needs at least 2 gaps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_a").orderBy("_s")
+    val gaps = df.filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(actorCol).as("_a"), unix_timestamp(col(tsCol)).as("_s"))
+      .withColumn("_g", col("_s") - lag(col("_s"), 1).over(w))
+    val agg = gaps.groupBy("_a")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_g")).cast("long").as("_sg"),
+        sum(col("_g") * col("_g")).cast("long").as("_sg2"),
+        count(col("_g")).as("_ng"))
+      .filter(col("n_events") >= minEvents)
+    val mean = col("_sg").cast("double") / col("_ng").cast("double")
+    val variance = (col("_sg2").cast("double") -
+      col("_sg").cast("double") * col("_sg").cast("double") /
+        col("_ng").cast("double")) / (col("_ng") - 1).cast("double")
+    agg.select(col("_a").as(actorCol), col("n_events"),
+        mean.as("mean_gap_s"),
+        when(col("_sg") === 0, lit(null).cast("double"))
+          .otherwise(variance / (mean * mean)).as("cv2"))
+      .withColumn("bot_like",
+        col("cv2").isNull || col("cv2") < 0.09)
+  }
 }

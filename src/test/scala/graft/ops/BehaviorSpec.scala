@@ -133,4 +133,40 @@ class BehaviorSpec extends SparkSpec {
       .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect()
     got shouldBe Array((1L, 2L, 1L), (2L, 3L, 1L))
   }
+
+  test("interEventRegularity: metronome flags bot, bursty human does not") {
+    // bot: exactly every 60 s (cv2 = 0); human: gaps 10, 600, 30, 3600 s;
+    // burst: 5 events in the same second (mean gap 0 -> NULL cv2, flagged)
+    val bot = (0 until 6).map(i => (1L, ts(s"2024-01-01 10:0${i}:00")))
+    val human = Seq(0, 10, 610, 640, 4240).map(s =>
+      (2L, new Timestamp(ts("2024-01-01 10:00:00").getTime + s * 1000L)))
+    val burst = (0 until 5).map(_ => (3L, ts("2024-01-01 10:00:00")))
+    val df = (bot ++ human ++ burst).toDF("user_id", "ts")
+    val got = TimeSeries.interEventRegularity(df, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    got(1L)._1 shouldBe 6L
+    got(1L)._2 shouldBe 60.0
+    got(1L)._3 shouldBe true // cv2 exactly 0
+    got(2L)._3 shouldBe false // bursty gaps, cv2 >> 0.09
+    got(3L)._2 shouldBe 0.0
+    got(3L)._3 shouldBe true // same-second dump
+    // below-min-events actors are absent entirely
+    val small = Seq((9L, ts("2024-01-01 10:00:00")), (9L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts")
+    TimeSeries.interEventRegularity(small, "user_id", "ts").count() shouldBe 0L
+  }
+
+  test("templateDuplicateGroups: digit variants collapse, word order does not") {
+    val df = Seq(
+      (1L, "Order #123 shipped  on 2024-01-05"),
+      (2L, "order #9 SHIPPED on 1999-12-31"),
+      (3L, "shipped order #9 on 1999-12-31"), // reordered -> different template
+      (4L, "unrelated text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.templateDuplicateGroups(df, "doc_id", "text").collect()
+    got.length shouldBe 1
+    got(0).getLong(1) shouldBe 2L
+    got(0).getLong(2) shouldBe 1L // canonical = smallest id
+  }
 }

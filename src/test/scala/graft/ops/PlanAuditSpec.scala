@@ -117,6 +117,14 @@ class PlanAuditSpec extends SparkSpec {
     // attribution = bucketed range join + per-conversion window + channel
     // agg; the z-test's visible plan is cache-truncated to the 1-row math
     "q_attribution" -> 2, "q_ab_ztest" -> 0,
+    // bootstrap = per-unit agg + replicate agg (the B-way explode is
+    // map-side between them); bot-score = one per-actor lag window;
+    // template dedup = one fingerprint agg off the scan
+    "q_bootstrap_ci" -> 2, "q_bot_score" -> 1, "q_template_dedup" -> 1,
+    // did = per-(unit,period) agg + 4-cell agg + the cell pivot exchange;
+    // zipf = token agg + per-source rank window (top-200 cut keeps the
+    // regression fold's frame bounded)
+    "q_did" -> 3, "q_zipf" -> 2,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

@@ -283,6 +283,46 @@ class StatsSpec extends SparkSpec {
       ((mt - mc) / math.sqrt(vt / nt + vc / nc)) +- 1e-9
   }
 
+  test("diffInDiff nets out the shared trend: planted effect recovered") {
+    import spark.implicits._
+    def parity(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val ctl = (0L until 64L).filter(parity(_) == 0).take(3)
+    val trt = (0L until 64L).filter(parity(_) == 1).take(3)
+    val pre = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    // control: 10 -> 20 (shared trend +10); treated: 30 -> 55 (+10
+    // trend +15 effect); constant within cell so means are exact
+    val rows =
+      ctl.flatMap(u => Seq((u, pre, 10), (u, post, 20))) ++
+      trt.flatMap(u => Seq((u, pre, 30), (u, post, 55)))
+    val got = Stats.diffInDiff(rows.toDF("user_id", "ts", "v"),
+      "user_id", "ts", col("v"), "2024-01-10 00:00:00").collect().head
+    got.getLong(0) shouldBe 3L; got.getLong(3) shouldBe 3L
+    got.getDouble(4) shouldBe 10.0; got.getDouble(5) shouldBe 20.0
+    got.getDouble(6) shouldBe 30.0; got.getDouble(7) shouldBe 55.0
+    got.getDouble(8) shouldBe 15.0
+  }
+
+  test("diffInDiff: an empty cell NULL-propagates into did") {
+    import spark.implicits._
+    def parity(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val u0 = (0L until 64L).find(parity(_) == 0).get
+    val pre = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val got = Stats.diffInDiff(Seq((u0, pre, 5)).toDF("user_id", "ts", "v"),
+      "user_id", "ts", col("v"), "2024-01-10 00:00:00").collect().head
+    got.getLong(0) shouldBe 1L
+    got.getLong(3) shouldBe 0L
+    got.isNullAt(8) shouldBe true
+  }
+
   test("welchZ masks z to NULL when an arm has fewer than 2 units") {
     import spark.implicits._
     def parity(u: Long): Long = {

@@ -932,4 +932,33 @@ class TextAnalysisSpec extends SparkSpec {
     r.getString(0) shouldBe "doc-001"
     r.getAs[Long]("n_deflated") should be > 0L
   }
+
+  test("zipfFit recovers a planted power law exactly (alpha 2, r2 1)") {
+    import spark.implicits._
+    // freqs 36, 9, 4 at ranks 1, 2, 3: ln f = ln 36 - 2 ln r exactly
+    val text = (Seq.fill(36)("aa") ++ Seq.fill(9)("bb") ++ Seq.fill(4)("cc"))
+      .mkString(" ")
+    val got = TextAnalysis.zipfFit(
+      Seq(("s1", text)).toDF("source", "text"), "source", "text")
+      .collect().head
+    got.getLong(1) shouldBe 3L
+    got.getDouble(2) shouldBe 2.0 +- 1e-9
+    got.getDouble(3) shouldBe 1.0 +- 1e-9
+  }
+
+  test("zipfFit: under 3 ranks masks to NULL; tied freqs are order-invariant") {
+    import spark.implicits._
+    val two = TextAnalysis.zipfFit(
+      Seq(("s", "x x y")).toDF("source", "text"), "source", "text")
+      .collect().head
+    two.isNullAt(2) shouldBe true
+    // ties: b and c both freq 2 -> rank permutation cannot move the fit
+    val t = "a a a a b b c c d"
+    val base = Seq(("s", t)).toDF("source", "text")
+    val a = TextAnalysis.zipfFit(base, "source", "text").collect().head
+    val b = TextAnalysis.zipfFit(base.repartition(5), "source", "text")
+      .collect().head
+    a.getDouble(2) shouldBe b.getDouble(2)
+    a.getDouble(3) shouldBe b.getDouble(3)
+  }
 }
