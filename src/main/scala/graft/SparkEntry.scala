@@ -3612,10 +3612,11 @@ object SparkEntry {
         |  SELECT g, ROW_NUMBER() OVER (PARTITION BY g ORDER BY f DESC, t) AS r, f
         |  FROM tf
         |), top AS (
-        |  SELECT g, r::BIGINT AS r, ln(r::DOUBLE) AS xx, ln(f::DOUBLE) AS yy
+        |  SELECT g, r::BIGINT AS r, f, ln(r::DOUBLE) AS xx, ln(f::DOUBLE) AS yy
         |  FROM rk WHERE r <= 200
         |), fold AS (
         |  SELECT g, COUNT(*)::BIGINT AS n_terms,
+        |    MIN(f) AS fmin, MAX(f) AS fmax,
         |    list_sum(list(xx ORDER BY r)) AS sx,
         |    list_sum(list(yy ORDER BY r)) AS sy,
         |    list_sum(list(xx * yy ORDER BY r)) AS sxy,
@@ -3624,10 +3625,10 @@ object SparkEntry {
         |  FROM top GROUP BY 1
         |)
         |SELECT g AS source, n_terms,
-        |  CASE WHEN n_terms < 3 THEN NULL
+        |  CASE WHEN n_terms < 3 OR fmin = fmax THEN NULL
         |       ELSE ROUND(-((n_terms::DOUBLE * sxy - sx * sy)
         |              / (n_terms::DOUBLE * sxx - sx * sx)), 6) END AS alpha,
-        |  CASE WHEN n_terms < 3 OR (n_terms::DOUBLE * syy - sy * sy) = 0 THEN NULL
+        |  CASE WHEN n_terms < 3 OR fmin = fmax THEN NULL
         |       ELSE ROUND((n_terms::DOUBLE * sxy - sx * sy) * (n_terms::DOUBLE * sxy - sx * sy)
         |            / ((n_terms::DOUBLE * sxx - sx * sx) * (n_terms::DOUBLE * syy - sy * sy)), 6)
         |  END AS r2

@@ -50,14 +50,16 @@ object Bootstrap {
   def poissonBootstrapMeans(df: DataFrame, unitCol: String, metric: Column,
                             reps: Int = 64): DataFrame = {
     require(reps >= 1 && reps <= 4096, "1 <= reps <= 4096")
-    val per = df.filter(col(unitCol).isNotNull)
+    // metric NULLs are dropped up front: a unit whose rows are ALL-NULL
+    // must vanish entirely, not keep contributing multiplicities to
+    // n_eff while adding nothing to wsum (a silent downward bias)
+    val per = df.filter(col(unitCol).isNotNull && metric.isNotNull)
       .groupBy(col(unitCol).as("_u"))
       .agg(sum(metric).cast("long").as("_x"))
     val slots = per.select(col("_u"), col("_x"),
         explode(sequence(lit(0), lit(reps - 1))).as("rep"))
       .withColumn("_h",
-        conv(substring(md5(concat_ws("_", col("_u"), col("rep"))
-          .cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L)
+        Sampling.hashBucket(concat_ws("_", col("_u"), col("rep")), 1000000))
       .withColumn("_m", multiplicity(col("_h")).cast("long"))
     slots.groupBy(col("rep").cast("long").as("rep"))
       .agg(sum(col("_m")).cast("long").as("n_eff"),

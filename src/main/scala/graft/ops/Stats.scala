@@ -430,8 +430,7 @@ object Stats {
       .groupBy(col(unitCol).as("_u"), col("_p"))
       .agg(sum(metric).cast("long").as("_x"))
     val cells = per.select(
-        (conv(substring(md5(col("_u").cast("string").cast("binary")), 1, 8),
-          16, 10).cast("long") % 2).as("_v"), col("_p"), col("_x"))
+        Sampling.hashBucket(col("_u"), 2).as("_v"), col("_p"), col("_x"))
       .groupBy("_v", "_p")
       .agg(count(lit(1)).as("_n"), sum(col("_x")).cast("long").as("_s"))
       .withColumn("_mean", col("_s").cast("double") / col("_n").cast("double"))
@@ -455,9 +454,7 @@ object Stats {
     val per = df.filter(col(unitCol).isNotNull)
       .groupBy(col(unitCol).as("_u"))
       .agg(sum(metric).cast("long").as("_x"))
-    val g = per.select(
-        (conv(substring(md5(col("_u").cast("string").cast("binary")), 1, 8),
-          16, 10).cast("long") % 2).as("_v"), col("_x"))
+    val g = per.select(Sampling.hashBucket(col("_u"), 2).as("_v"), col("_x"))
       .groupBy("_v")
       .agg(count(lit(1)).as("_n"), sum(col("_x")).cast("long").as("_s"),
         sum(col("_x") * col("_x")).cast("long").as("_s2"))

@@ -51,8 +51,9 @@ object TextAnalysis {
     *
     * Scale posture: one (group, term) hash agg over the token explode,
     * one per-group top-K window (heap-bounded by `topK`), then a
-    * ≤topK-element array fold per group. Groups with < 3 ranks mask to
-    * NULL (a 2-point fit is exact and meaningless).
+    * ≤topK-element array fold per group. Groups with < 3 ranks, or
+    * whose top-rank freqs are ALL tied (zero y-variance — the fit is
+    * undefined and the fp residual engine-unstable), mask to NULL.
     */
   def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
               topK: Int = 200): DataFrame = {
@@ -65,14 +66,15 @@ object TextAnalysis {
       .partitionBy("_g").orderBy(col("_f").desc, col("_t"))
     val ranked = tf.withColumn("_r", row_number().over(w))
       .filter(col("_r") <= topK)
-      .select(col("_g"), col("_r").cast("long").as("_r"),
+      .select(col("_g"), col("_f"), col("_r").cast("long").as("_r"),
         log(col("_r").cast("double")).as("_x"),
         log(col("_f").cast("double")).as("_y"))
     val folded = ranked.groupBy("_g")
       .agg(count(lit(1)).as("n_terms"),
+        min(col("_f")).as("_fmin"), max(col("_f")).as("_fmax"),
         array_sort(collect_list(struct(col("_r"), col("_x"), col("_y"))))
           .as("_a"))
-      .select(col("_g"), col("n_terms"),
+      .select(col("_g"), col("n_terms"), col("_fmin"), col("_fmax"),
         expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._x)").as("_sx"),
         expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._y)").as("_sy"),
         expr("aggregate(_a, cast(0.0 as double), (a, s) -> a + s._x * s._y)").as("_sxy"),
@@ -82,10 +84,19 @@ object TextAnalysis {
     val covN = n * col("_sxy") - col("_sx") * col("_sy")
     val varXN = n * col("_sxx") - col("_sx") * col("_sx")
     val varYN = n * col("_syy") - col("_sy") * col("_sy")
+    // Degenerate-variance mask must be DISCRETE (all top-rank freqs
+    // tied), not `varYN === 0.0`: with all-tied freqs the variance is a
+    // pure cancellation residual that one engine's ln can leave at
+    // exactly 0.0 and the other's 1-ulp-shifted ln at a tiny ±δ — a
+    // NULL-vs-±0.0 gate mismatch the 6-dp rounding cannot repair. With
+    // UNTIED integer freqs the true varYN is bounded below by
+    // ~n·(1/fmax)², which clears the fp cancellation floor for any
+    // corpus with fmax ≲ 1e7 — documented regime, so no fp guard needed.
+    val degenerate = col("n_terms") < 3 || col("_fmin") === col("_fmax")
     folded.select(col("_g").as(groupCol), col("n_terms"),
-      when(col("n_terms") < 3, lit(null).cast("double"))
+      when(degenerate, lit(null).cast("double"))
         .otherwise(round(-(covN / varXN), 6)).as("alpha"),
-      when(col("n_terms") < 3 || varYN === 0.0, lit(null).cast("double"))
+      when(degenerate, lit(null).cast("double"))
         .otherwise(round(covN * covN / (varXN * varYN), 6)).as("r2"))
   }
 

@@ -48,6 +48,17 @@ class BootstrapSpec extends SparkSpec {
     (totalM / 8000.0) shouldBe 1.0 +- 0.05
   }
 
+  test("a unit whose metric is NULL on every row is excluded entirely") {
+    val df = Seq((1L, Some(10)), (2L, None), (2L, None), (3L, Some(20)))
+      .toDF("unit", "v")
+    val withNullUnit = Bootstrap.poissonBootstrapMeans(df, "unit", col("v"), 8)
+      .orderBy("rep").collect().map(_.toSeq).toSeq
+    val without = Bootstrap.poissonBootstrapMeans(
+      df.filter(col("v").isNotNull), "unit", col("v"), 8)
+      .orderBy("rep").collect().map(_.toSeq).toSeq
+    withNullUnit shouldBe without // no n_eff inflation from the NULL unit
+  }
+
   test("deterministic under repartitioning") {
     val df = (0 until 100).map(u => (u.toLong, u % 13)).toDF("unit", "v")
     val a = Bootstrap.poissonBootstrapMeans(df, "unit", col("v"), 16)

@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions.col
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Independent JVM re-derivation of the md5-parity arm split shared
+    * by welchZ / diffInDiff (first 4 md5 bytes as hex, mod 2). */
+  private def parity(u: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+  }
+
   private def run(rows: Seq[(String, String)]) =
     Stats.chiSquare(rows.toDF("r", "c"), "r", "c").collect().head
 
@@ -285,11 +293,6 @@ class StatsSpec extends SparkSpec {
 
   test("diffInDiff nets out the shared trend: planted effect recovered") {
     import spark.implicits._
-    def parity(u: Long): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(u.toString.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
-    }
     val ctl = (0L until 64L).filter(parity(_) == 0).take(3)
     val trt = (0L until 64L).filter(parity(_) == 1).take(3)
     val pre = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
@@ -309,11 +312,6 @@ class StatsSpec extends SparkSpec {
 
   test("diffInDiff: an empty cell NULL-propagates into did") {
     import spark.implicits._
-    def parity(u: Long): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(u.toString.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
-    }
     val u0 = (0L until 64L).find(parity(_) == 0).get
     val pre = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
     val got = Stats.diffInDiff(Seq((u0, pre, 5)).toDF("user_id", "ts", "v"),
@@ -325,11 +323,6 @@ class StatsSpec extends SparkSpec {
 
   test("welchZ masks z to NULL when an arm has fewer than 2 units") {
     import spark.implicits._
-    def parity(u: Long): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(u.toString.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
-    }
     // deterministically pick 2 control units and 1 treatment unit
     val ids = (0L until 64L)
     val cs = ids.filter(parity(_) == 0).take(2)

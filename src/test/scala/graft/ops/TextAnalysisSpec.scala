@@ -952,6 +952,14 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(("s", "x x y")).toDF("source", "text"), "source", "text")
       .collect().head
     two.isNullAt(2) shouldBe true
+    // ALL freqs tied: zero y-variance, the fit is undefined — masked by
+    // the discrete fmin=fmax guard (never the engine-unstable fp residual)
+    val tied = TextAnalysis.zipfFit(
+      Seq(("s", "p p q q r r")).toDF("source", "text"), "source", "text")
+      .collect().head
+    tied.getLong(1) shouldBe 3L
+    tied.isNullAt(2) shouldBe true
+    tied.isNullAt(3) shouldBe true
     // ties: b and c both freq 2 -> rank permutation cannot move the fit
     val t = "a a a a b b c c d"
     val base = Seq(("s", t)).toDF("source", "text")
