@@ -1984,6 +1984,38 @@ object SparkEntry {
       graft.ops.Dedup.templateDuplicateGroups(
         table(s, dir, "documents"), "doc_id", "text", minGroup = 1)),
 
+    // CUPED: pre-period covariate regression shifts the arm means;
+    // same md5 arms and Jan-16 cutover as q_did
+    "q_cuped" -> ((s, dir) =>
+      graft.ops.Stats.cuped(
+        table(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", "ts", round(col("value") * 100).cast("long"),
+        "2024-01-16 00:00:00")),
+
+    // experiment health: MDE at alpha=.05/power=.8 from literal z's +
+    // sample-ratio-mismatch z on the realized md5 split
+    "q_exp_health" -> ((s, dir) =>
+      graft.ops.Stats.experimentHealth(
+        table(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", round(col("value") * 100).cast("long"))),
+
+    // Benford first-digit audit over extended-price cents
+    "q_benford" -> ((s, dir) =>
+      graft.ops.Stats.benfordDigits(
+        table(s, dir, "lineitem"),
+        round(col("l_extendedprice") * 100).cast("long"))),
+
+    // Gini concentration of per-user event counts within event_type
+    "q_gini" -> ((s, dir) =>
+      graft.ops.Stats.giniIndex(
+        table(s, dir, "events"), "event_type", "user_id", lit(1L))),
+
+    // CUSUM max cumulative-deviation drift + change-point day per
+    // event_type daily series, integer-exact via the prefix identity
+    "q_cusum" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumDrift(
+        table(s, dir, "events"), "event_type", "ts")),
+
     // chi-square independence: order status vs priority, zero cells
     // included, sorted-cell fold for the one double sum
     "q_chi2" -> ((s, dir) =>
@@ -3640,6 +3672,161 @@ object SparkEntry {
         |  COUNT(*)::BIGINT AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS canonical_id
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // CUPED twin: identical md5 arms, cutover, pooled-theta and
+    // adjusted-mean trees; xmin=xmax masks theta-dependent outputs
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |    CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1
+        |), arms AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(u::VARCHAR), 1, 8))::BIGINT % 2 = 0
+        |              THEN 0 ELSE 1 END AS v,
+        |    COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM per GROUP BY 1
+        |), pooled AS (
+        |  SELECT COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    MIN(x) AS xmin, MAX(x) AS xmax
+        |  FROM per
+        |), p AS (
+        |  SELECT
+        |    CASE WHEN xmin = xmax THEN NULL
+        |         ELSE (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    END AS theta,
+        |    sx::DOUBLE / n::DOUBLE AS mx,
+        |    CASE WHEN xmin = xmax
+        |           OR (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) = 0
+        |         THEN NULL
+        |         ELSE (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |            * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |            / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |             * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |    END AS var_reduction
+        |  FROM pooled
+        |), a AS (
+        |  SELECT v, n, sy::DOUBLE / n::DOUBLE AS my, sx::DOUBLE / n::DOUBLE AS mxa
+        |  FROM arms
+        |)
+        |SELECT c.n AS n_control, t.n AS n_treat, p.theta,
+        |  c.my - p.theta * (c.mxa - p.mx) AS adj_mean_control,
+        |  t.my - p.theta * (t.mxa - p.mx) AS adj_mean_treat,
+        |  (t.my - p.theta * (t.mxa - p.mx)) - (c.my - p.theta * (c.mxa - p.mx))
+        |    AS adj_lift,
+        |  p.var_reduction
+        |FROM (SELECT * FROM a WHERE v = 0) c, (SELECT * FROM a WHERE v = 1) t, p""".stripMargin,
+
+    // MDE + SRM twin: welchZ variance tree, literal z-quantile sum,
+    // exact-int SRM ratio
+    "q_exp_health" ->
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(u::VARCHAR), 1, 8))::BIGINT % 2 = 0
+        |              THEN 0 ELSE 1 END AS v,
+        |    COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(x * x) AS BIGINT) AS s2
+        |  FROM per GROUP BY 1
+        |), m AS (
+        |  SELECT v, n,
+        |    CASE WHEN n < 2 THEN NULL
+        |         ELSE (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |              / (n - 1)::DOUBLE END AS var
+        |  FROM g
+        |)
+        |SELECT c.n AS n_control, t.n AS n_treat,
+        |  (1.9599639845400545 + 0.8416212335729143) *
+        |    sqrt(c.var / c.n::DOUBLE + t.var / t.n::DOUBLE) AS mde_abs,
+        |  (t.n - c.n)::DOUBLE / sqrt((c.n + t.n)::DOUBLE) AS srm_z,
+        |  abs((t.n - c.n)::DOUBLE / sqrt((c.n + t.n)::DOUBLE)) > 3.0 AS srm_alarm
+        |FROM (SELECT * FROM m WHERE v = 0) c, (SELECT * FROM m WHERE v = 1) t""".stripMargin,
+
+    // Benford twin: integer-string first digit, literal log10(1+1/d)
+    // expectations, exact-int shares
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT substr((CAST(round(l_extendedprice * 100) AS BIGINT))::VARCHAR,
+        |                1, 1)::INTEGER AS digit
+        |  FROM lineitem WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+        |), counts AS (
+        |  SELECT digit, COUNT(*)::BIGINT AS n_obs FROM d GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM counts)
+        |SELECT digit, n_obs,
+        |  n_obs::DOUBLE / t::DOUBLE AS share,
+        |  CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+        |    WHEN 9 THEN 0.04575749056067514 END AS benford_p,
+        |  n_obs::DOUBLE / t::DOUBLE -
+        |  CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+        |    WHEN 9 THEN 0.04575749056067514 END AS excess
+        |FROM counts, tot""".stripMargin,
+
+    // Gini twin: exact-int rank identity, (x, id) tie-break
+    "q_gini" ->
+      """WITH per AS (
+        |  SELECT event_type AS g, user_id AS id, CAST(SUM(1) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, id)::BIGINT AS i
+        |  FROM per
+        |), ag AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n_units, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(i * x) AS BIGINT) AS six
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT g AS event_type, n_units,
+        |  CASE WHEN sx = 0 THEN NULL
+        |       ELSE (2.0 * six::DOUBLE - (n_units + 1)::DOUBLE * sx::DOUBLE)
+        |            / (n_units::DOUBLE * sx::DOUBLE) END AS gini
+        |FROM ag""".stripMargin,
+
+    // CUSUM twin: the same prefix-sum / running-min identity, all
+    // BIGINT; first-attaining day via (drift DESC, day) row_number
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, COUNT(*)::BIGINT AS nd, CAST(SUM(x) AS BIGINT) AS sx
+        |  FROM daily GROUP BY 1
+        |), pre AS (
+        |  SELECT d.g, d.day, t.nd,
+        |    SUM(t.nd * d.x - t.sx) OVER (PARTITION BY d.g ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM daily d JOIN tot t ON d.g = t.g
+        |), dr AS (
+        |  SELECT g, day, nd,
+        |    p - least(MIN(p) OVER (PARTITION BY g ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS drift
+        |  FROM pre
+        |), pick AS (
+        |  SELECT g, day, nd, drift,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY drift DESC, day) AS rn
+        |  FROM dr
+        |)
+        |SELECT g AS event_type, nd AS n_days, CAST(drift AS BIGINT) AS drift_scaled,
+        |  day AS drift_day
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     "q_decay_trend" ->
       """WITH daily AS (

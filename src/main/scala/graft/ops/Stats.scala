@@ -482,4 +482,197 @@ object Stats {
           sqrt(col("var_treat") / col("n_treat").cast("double") +
             col("var_control") / col("n_control").cast("double"))).as("z"))
   }
+
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data") — the standard A/B precision lever: regress
+    * the experiment metric on a PRE-period covariate and shift each
+    * arm mean by θ·(arm covariate mean − pooled covariate mean),
+    * cutting readout variance by the squared correlation ρ² without
+    * touching the randomization. Units are the [[welchZ]] md5-parity
+    * arms; per unit `x` is the pre-cutover metric sum and `y` the
+    * post-cutover sum (0 when the unit has no rows in a period —
+    * absence is the signal, not a missing value). θ = cov(x,y)/var(x)
+    * is pooled over BOTH arms: randomization makes θ
+    * treatment-independent, and pooling avoids an arm-specific fit
+    * biasing the contrast.
+    *
+    * Determinism: n/Σx/Σy/Σxy/Σx²/Σy² are exact BIGINTs (ANSI bound:
+    * per-unit sums ≲ 3e9 keep Σx² inside BIGINT at 1e12 units — same
+    * envelope as [[welchZ]]); θ, the adjusted means, `adj_lift`, and
+    * `var_reduction` = ρ² flow through one fixed double tree → raw
+    * cross-engine parity. A degenerate covariate (all x tied, e.g. a
+    * cutover before any data) masks θ-dependent outputs to NULL via
+    * the DISCRETE min(x)=max(x) guard; `var_reduction` additionally
+    * masks on exact-int-derived varYN = 0 (identical both engines —
+    * unlike the ln-fed residual zipfFit had to avoid).
+    *
+    * Scale posture: one per-unit conditional agg over the log
+    * (map-side combinable), then a 2-row arm agg and a 1-row pooled
+    * tree; nothing after the first exchange is data-sized.
+    */
+  def cuped(df: DataFrame, unitCol: String, tsCol: String,
+            metric: Column, cutoverTs: String): DataFrame = {
+    val cut = to_timestamp(lit(cutoverTs))
+    val per = df.filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(coalesce(sum(when(col(tsCol) < cut, metric)), lit(0L))
+             .cast("long").as("_x"),
+           coalesce(sum(when(col(tsCol) >= cut, metric)), lit(0L))
+             .cast("long").as("_y"))
+    val arms = per.select(Sampling.hashBucket(col("_u"), 2).as("_v"),
+        col("_x"), col("_y"))
+      .groupBy("_v")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x")).cast("long").as("_sx"),
+        sum(col("_y")).cast("long").as("_sy"))
+      .cache() // 2 rows; consumed by both arm legs
+    val pooled = per.agg(count(lit(1)).as("_n"),
+      sum(col("_x")).cast("long").as("_sx"),
+      sum(col("_y")).cast("long").as("_sy"),
+      sum(col("_x") * col("_x")).cast("long").as("_sxx"),
+      sum(col("_x") * col("_y")).cast("long").as("_sxy"),
+      sum(col("_y") * col("_y")).cast("long").as("_syy"),
+      min(col("_x")).as("_xmin"), max(col("_x")).as("_xmax"))
+    val n = col("_n").cast("double")
+    val covN = n * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val varXN = n * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val varYN = n * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    val p = pooled.select(
+      when(col("_xmin") === col("_xmax"), lit(null).cast("double"))
+        .otherwise(covN / varXN).as("_theta"),
+      (col("_sx").cast("double") / n).as("_mx"),
+      when(col("_xmin") === col("_xmax") || varYN === 0.0,
+           lit(null).cast("double"))
+        .otherwise(covN * covN / (varXN * varYN)).as("var_reduction"))
+    val a = arms.select(col("_v"), col("_n"),
+      (col("_sy").cast("double") / col("_n").cast("double")).as("_my"),
+      (col("_sx").cast("double") / col("_n").cast("double")).as("_mxa"))
+    val c = a.filter(col("_v") === 0).select(col("_n").as("n_control"),
+      col("_my").as("_myc"), col("_mxa").as("_mxc"))
+    val t = a.filter(col("_v") === 1).select(col("_n").as("n_treat"),
+      col("_my").as("_myt"), col("_mxa").as("_mxt"))
+    val adjC = col("_myc") - col("_theta") * (col("_mxc") - col("_mx"))
+    val adjT = col("_myt") - col("_theta") * (col("_mxt") - col("_mx"))
+    c.crossJoin(t).crossJoin(p) // 1x1x1 rows
+      .select(col("n_control"), col("n_treat"), col("_theta").as("theta"),
+        adjC.as("adj_mean_control"), adjT.as("adj_mean_treat"),
+        (adjT - adjC).as("adj_lift"), col("var_reduction"))
+  }
+
+  /** Minimum detectable effect + sample-ratio-mismatch — the two
+    * pre-readout health numbers of every experiment. From the
+    * [[welchZ]] arm sufficient stats: `mde_abs` is the two-sided
+    * α=0.05 / power-0.8 detectable lift
+    * `(z₀.₉₇₅ + z₀.₈)·sqrt(var_c/n_c + var_t/n_t)` — the z's are
+    * correctly-rounded double LITERALS, so no erf/quantile function
+    * runs at query time — and `srm_z = (n_t − n_c)/sqrt(n_c + n_t)`
+    * scores the realized split against the designed 50/50, alarming
+    * at |z| > 3 (an SRM means the bucketing itself is broken and no
+    * metric readout downstream can be trusted — the first dashboard
+    * any experimentation platform checks). sqrt is IEEE-exact →
+    * both outputs raw-parity; an arm with < 2 units masks `mde_abs`
+    * to NULL (variance undefined), never the SRM fields.
+    *
+    * Scale posture: identical to [[welchZ]] — one map-side-combinable
+    * per-unit agg, a 2-row arm agg, 1-row math.
+    */
+  def experimentHealth(df: DataFrame, unitCol: String, metric: Column): DataFrame = {
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(sum(metric).cast("long").as("_x"))
+    val g = per.select(Sampling.hashBucket(col("_u"), 2).as("_v"), col("_x"))
+      .groupBy("_v")
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).cast("long").as("_s"),
+        sum(col("_x") * col("_x")).cast("long").as("_s2"))
+    val m = g.select(col("_v"), col("_n"),
+      when(col("_n") < 2, lit(null).cast("double"))
+        .otherwise((col("_s2").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") /
+            col("_n").cast("double")) /
+          (col("_n") - 1).cast("double")).as("_var"))
+      .cache() // 2 rows; consumed by both arm legs
+    val c = m.filter(col("_v") === 0)
+      .select(col("_n").as("n_control"), col("_var").as("_vc"))
+    val t = m.filter(col("_v") === 1)
+      .select(col("_n").as("n_treat"), col("_var").as("_vt"))
+    val zsum = lit(1.9599639845400545) + lit(0.8416212335729143)
+    val srmZ = (col("n_treat") - col("n_control")).cast("double") /
+      sqrt((col("n_control") + col("n_treat")).cast("double"))
+    c.crossJoin(t).select( // 1x1 rows
+      col("n_control"), col("n_treat"),
+      (zsum * sqrt(col("_vc") / col("n_control").cast("double") +
+        col("_vt") / col("n_treat").cast("double"))).as("mde_abs"),
+      srmZ.as("srm_z"), (abs(srmZ) > 3.0).as("srm_alarm"))
+  }
+
+  /** Benford first-significant-digit audit — the fabricated-numbers
+    * screen: naturally-occurring multiplicative quantities (prices,
+    * balances, populations) put ~30.1% of first digits at 1 tapering
+    * to 4.6% at 9; invented, capped, or constructed data does not.
+    * Digit extraction is INTEGER-string based (first char of the
+    * positive BIGINT's decimal form — no float formatting, no log10
+    * at runtime); expected shares are hardcoded correctly-rounded
+    * log10(1+1/d) double literals (identical decimal→double parses on
+    * every engine). Output ≤ 9 rows: (digit, n_obs, share, benford_p,
+    * excess) — share is an exact-int ratio, excess one subtraction:
+    * raw parity. Wholly map-side into a ≤9-row agg.
+    */
+  def benfordDigits(df: DataFrame, metric: Column): DataFrame = {
+    val benfordP: Seq[(Int, Double)] = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val pCol = benfordP.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, pr)) => when(col("digit") === d, lit(pr)).otherwise(acc)
+    }
+    val counts = df.select(metric.as("_m")).filter(col("_m") > 0)
+      .select(substring(col("_m").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).cast("long").as("_t"))
+    val share = col("n_obs").cast("double") / col("_t").cast("double")
+    counts.crossJoin(tot) // <=9 x 1 rows
+      .select(col("digit"), col("n_obs"), share.as("share"),
+        pCol.as("benford_p"), (share - pCol).as("excess"))
+  }
+
+  /** Gini index of a nonnegative integral metric per group — the
+    * concentration number behind "10% of users generate 90% of
+    * plays" and "three sources dominate the training mix". Exact
+    * integer identity over the ascending sort:
+    * `G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)` with i = 1..n ranked by
+    * (x, id) — the deterministic tie-break makes Σ i·x₍ᵢ₎ invariant
+    * (tied x share the same value, so rank permutation within a tie
+    * moves nothing). Numerators are BIGINT-exact (i·x ≤ n·xmax; ANSI
+    * bound n·xmax ≲ 9e18 documented); the single division is raw
+    * parity. All-zero groups mask to NULL (concentration of nothing).
+    *
+    * Scale posture: one per-(group,id) agg, one per-group rank window
+    * (the only data-sized exchange beyond the agg), one per-group
+    * fold. Skew ceiling is rows-per-group in the window sort.
+    */
+  def giniIndex(df: DataFrame, groupCol: String, idCol: String,
+                metric: Column): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(idCol).as("_id"))
+      .agg(sum(metric).cast("long").as("_x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy(col("_x"), col("_id"))
+    val ranked = per.withColumn("_i", row_number().over(w).cast("long"))
+    ranked.groupBy("_g")
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_x")).cast("long").as("_sx"),
+        sum(col("_i") * col("_x")).cast("long").as("_six"))
+      .select(col("_g").as(groupCol), col("n_units"),
+        when(col("_sx") === 0, lit(null).cast("double"))
+          .otherwise((lit(2.0) * col("_six").cast("double") -
+            (col("n_units") + 1).cast("double") * col("_sx").cast("double")) /
+            (col("n_units").cast("double") * col("_sx").cast("double")))
+          .as("gini"))
+  }
 }

@@ -335,4 +335,43 @@ object TimeSeries {
       .withColumn("bot_like",
         col("cv2").isNull || col("cv2") < 0.09)
   }
+
+  /** CUSUM drift per series over daily counts — the change-point
+    * screen: how far does the cumulative deviation from the series'
+    * own mean run before correcting? A level shift (deploy, outage,
+    * bot onset) shows as a long one-sided excursion; stationary noise
+    * self-cancels. The classic recursion s_j = max(0, s_{j-1} +
+    * (x_j − mean)) is computed WITHOUT a recursive fold via the
+    * prefix identity `s_j = P_j − min(0, min_{i≤j} P_i)` with
+    * P_j = Σ_{i≤j} (n·x_i − Σx) — scaling by n avoids the rational
+    * mean, so every P_j is an exact BIGINT and the argmax day is an
+    * exact comparison: engine-bit-identical with two windows, no
+    * iteration. (ANSI bound: |P| ≤ n·Σx ≲ 9e18 ⇒ Σx ≲ 2.5e16 daily
+    * events per series at a 365-day window — far past any real log.)
+    *
+    * Output per series: (series, n_days, drift_scaled = max_j s_j in
+    * n·count units, drift_day = first day attaining it). drift_scaled
+    * = 0 means the series never runs above its mean cumulatively.
+    *
+    * Scale posture: one (series, day) agg collapses the log; both
+    * windows and the rank run on |series|·|days| rows (≤ 365·|series|
+    * — bounded by calendar, not by data).
+    */
+  def cusumDrift(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+    val tot = daily.groupBy("_g")
+      .agg(count(lit(1)).as("_nd"), sum(col("_x")).cast("long").as("_sx"))
+    val w = Window.partitionBy("_g").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val drift = daily.join(tot, Seq("_g"))
+      .withColumn("_p", sum(col("_nd") * col("_x") - col("_sx")).over(w))
+      .withColumn("_drift", col("_p") - least(min(col("_p")).over(w), lit(0L)))
+    val pick = Window.partitionBy("_g").orderBy(col("_drift").desc, col("day"))
+    drift.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("_g").as(seriesCol), col("_nd").as("n_days"),
+        col("_drift").cast("long").as("drift_scaled"), col("day").as("drift_day"))
+  }
 }

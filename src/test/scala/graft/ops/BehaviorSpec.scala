@@ -169,4 +169,26 @@ class BehaviorSpec extends SparkSpec {
     got(0).getLong(1) shouldBe 2L
     got(0).getLong(2) shouldBe 1L // canonical = smallest id
   }
+
+  test("cusumDrift: level shift peaks at the shift's last day; flat series drifts 0") {
+    // series "shift": 5 days at 10/day then 5 days at 30/day. n=10,
+    // sx=200, contributions 10*x-200: -100 x5 then +100 x5; prefix
+    // runs -100..-500 then -400..0; drift = p - min(p,0) peaks at the
+    // final day with 500. Flat series: all contributions 0.
+    val shift = (1 to 10).flatMap { d =>
+      val n = if (d <= 5) 10 else 30
+      (0 until n).map(_ => ("shift", ts(f"2024-01-$d%02d 09:00:00")))
+    }
+    val flat = (1 to 4).flatMap(d =>
+      (0 until 7).map(_ => ("flat", ts(f"2024-02-$d%02d 09:00:00"))))
+    val got = TimeSeries.cusumDrift((shift ++ flat).toDF("event_type", "ts"),
+      "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getTimestamp(3)))).toMap
+    got("shift")._1 shouldBe 10L
+    got("shift")._2 shouldBe 500L
+    got("shift")._3 shouldBe ts("2024-01-10 00:00:00")
+    got("flat")._2 shouldBe 0L
+    got("flat")._3 shouldBe ts("2024-02-01 00:00:00") // first day on ties
+  }
 }

@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_pq"     -> "m x kCent codebook crossJoin (128 rows, constant)",
     "q_kmv_overlap" -> "pairwise join of |groups|-row KMV sketch frames — kilobytes by design, never the corpus (Sketch.scala:225)",
     "q_rolling_distinct" -> "range join over per-(key,day) KMV sketch frames, 7-day window bound — pre-aggregated, not row-scale",
-    "q_kneser_ney" -> "1-row distinct-bigram-type total (continuation denominator) crossJoin"
+    "q_kneser_ney" -> "1-row distinct-bigram-type total (continuation denominator) crossJoin",
+    "q_cuped" -> "two 1-row arm frames + 1-row pooled-theta frame crossJoined into the single output row (the q_ab_ztest shape)",
+    "q_exp_health" -> "two 1-row arm-summary frames crossJoined into the single output row (the q_ab_ztest shape)",
+    "q_benford" -> "1-row digit-total crossJoin onto the <=9-row digit frame"
   )
 
   /** query -> why a small-estimate shuffle join is acceptable there. */
@@ -125,6 +128,12 @@ class PlanAuditSpec extends SparkSpec {
     // zipf = token agg + per-source rank window (top-200 cut keeps the
     // regression fold's frame bounded)
     "q_did" -> 3, "q_zipf" -> 2,
+    // cuped/exp_health collapse to per-unit aggs then 1-2-row math
+    // (health's visible plan is cache-truncated like q_ab_ztest);
+    // benford = digit agg + 1-row total + broadcast; gini = per-unit
+    // agg + per-group rank window; cusum = daily agg + tot + 2 windows
+    "q_cuped" -> 2, "q_exp_health" -> 0, "q_benford" -> 3,
+    "q_gini" -> 2, "q_cusum" -> 4,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -333,5 +333,83 @@ class StatsSpec extends SparkSpec {
     row.getLong(1) shouldBe 1L
     row.isNullAt(5) shouldBe true // treat variance undefined
     row.isNullAt(6) shouldBe true // z masked
+  }
+
+  test("cuped: exact linear pre/post relation gives rho2 1 and theta recovered") {
+    import spark.implicits._
+    // y = 3x exactly per unit: theta = 3, var_reduction = 1, and the
+    // adjusted means collapse the covariate spread entirely
+    val pre = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 12:00:00")
+    val rows = (0L until 40L).flatMap { u =>
+      val x = (u % 7 + 1).toInt
+      Seq((u, pre, x), (u, post, 3 * x))
+    }
+    val got = Stats.cuped(rows.toDF("user_id", "ts", "v"),
+      "user_id", "ts", col("v"), "2024-01-16 00:00:00").collect().head
+    got.getDouble(2) shouldBe 3.0 +- 1e-12          // theta
+    got.getDouble(6) shouldBe 1.0 +- 1e-12          // var_reduction
+    // adjusted arm means both equal the pooled post mean under y = 3x
+    got.getDouble(3) shouldBe got.getDouble(4) +- 1e-9
+  }
+
+  test("cuped: all-tied covariate masks theta-dependent outputs to NULL") {
+    import spark.implicits._
+    val post = java.sql.Timestamp.valueOf("2024-01-20 12:00:00")
+    val rows = (0L until 10L).map(u => (u, post, (u % 3 + 1).toInt))
+    val got = Stats.cuped(rows.toDF("user_id", "ts", "v"),
+      "user_id", "ts", col("v"), "2024-01-16 00:00:00").collect().head
+    got.isNullAt(2) shouldBe true  // theta: every x = 0 (no pre period)
+    got.isNullAt(5) shouldBe true  // adj_lift propagates
+    got.isNullAt(6) shouldBe true
+  }
+
+  test("experimentHealth matches a hand-computed MDE and flags a forced SRM") {
+    import spark.implicits._
+    // split 0..63 by the md5 parity, verify mde against the JVM formula
+    val rows = (0L until 64L).map(u => (u, ((u * 13) % 29 + 1).toInt))
+    val df = rows.toDF("user_id", "v")
+    val got = Stats.experimentHealth(df, "user_id", col("v")).collect().head
+    val byArm = rows.groupBy { case (u, _) => parity(u) }
+    val stats = byArm.map { case (v, xs) =>
+      val n = xs.size; val s = xs.map(_._2.toLong).sum
+      val s2 = xs.map(t => t._2.toLong * t._2).sum
+      v -> ((n, (s2.toDouble - s.toDouble * s / n) / (n - 1)))
+    }
+    val (nc, vc) = stats(0L); val (nt, vt) = stats(1L)
+    got.getLong(0) shouldBe nc.toLong
+    got.getLong(1) shouldBe nt.toLong
+    val mde = (1.9599639845400545 + 0.8416212335729143) *
+      math.sqrt(vc / nc + vt / nt)
+    got.getDouble(2) shouldBe mde +- 1e-12
+    math.abs(got.getDouble(3)) should be < 3.0
+    got.getBoolean(4) shouldBe false
+  }
+
+  test("benfordDigits: counts exact, shares sum to 1, nonpositive dropped") {
+    import spark.implicits._
+    val vals = Seq(123L, 1999L, 2L, 25L, 34L, 91L, 9L, 0L, -5L, 111L)
+    val got = Stats.benfordDigits(vals.toDF("m"), col("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 9 -> 2L)
+    val shares = Stats.benfordDigits(vals.toDF("m"), col("m"))
+      .collect().map(_.getDouble(2)).sum
+    shares shouldBe 1.0 +- 1e-12
+  }
+
+  test("giniIndex: equal counts give 0-ish, full concentration near 1") {
+    import spark.implicits._
+    // group a: 4 units x 5 events each -> G = 0 exactly by the identity
+    val equal = (0 until 4).flatMap(u => Seq.fill(5)(("a", u.toLong)))
+    // group b: 9 units with 1 event, 1 unit with 91 -> heavy concentration
+    val conc = (0 until 9).map(u => ("b", u.toLong)) ++
+      Seq.fill(91)(("b", 9L))
+    val df = (equal ++ conc).toDF("g", "u")
+    val got = Stats.giniIndex(df, "g", "u", lit(1L))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got("a") shouldBe 0.0 +- 1e-12
+    // hand: n=10, sx=100, six = 1*1+..+9*1 + 10*91 = 45 + 910 = 955
+    // G = (2*955 - 11*100) / (10*100) = 810/1000
+    got("b") shouldBe 0.81 +- 1e-12
   }
 }
