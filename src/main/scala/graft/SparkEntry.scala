@@ -119,6 +119,19 @@ object SparkEntry {
         |  x -> x IS NOT NULL)""".stripMargin))
   }
 
+  /** Deterministic mojibake plant: the synthetic docs are clean, so an
+    * encoding audit would gate on all-zeros; each damage class rides
+    * its own doc_id residue (mirrored verbatim in the SQL twin), so
+    * the DuckDB gate exercises every detector — the round-9 chat
+    * fixture's planted-corruption discipline.
+    */
+  private def mojibakeDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 23 === 0, lit(" caf\uFFFDe")).otherwise(lit("")),
+      when(col("doc_id") % 29 === 0, lit(" caf\u00C3\u00A9")).otherwise(lit("")),
+      when(col("doc_id") % 31 === 0, lit(" x\u0085y")).otherwise(lit("")),
+      when(col("doc_id") % 37 === 0, lit(" a\u00A0b")).otherwise(lit(""))))
+
   /** Deterministic conversation fixture synthesized from `documents`
     * (the test tables carry no dialogue, so the chat entries plant
     * one): doc d becomes conv d with `d % 5 + 2` turns; `d % 3 == 0`
@@ -2016,6 +2029,63 @@ object SparkEntry {
       graft.ops.TimeSeries.cusumDrift(
         table(s, dir, "events"), "event_type", "ts")),
 
+    // blocked Jaro-Winkler fuzzy pairs over part names — candidates
+    // only from (brand, size, first-letter) blocks: the first-initial
+    // key is the canonical linkage blocking move that keeps block size
+    // bounded as the catalog grows (measured 8x pair cut at 10x for a
+    // 10.5% candidate-recall trade, the documented contract); codegen
+    // kernel vs the oracle engine's native jaro_winkler_similarity,
+    // raw-double parity
+    "q_jw_match" -> ((s, dir) =>
+      graft.ops.Dedup.fuzzyMatchPairs(
+        table(s, dir, "part").withColumn("p_initial",
+          substring(col("p_name"), 1, 1)),
+        "p_partkey", "p_name",
+        Seq("p_brand", "p_size", "p_initial"), minSim = 0.88)),
+
+    // encoding-damage audit per source over the mojibake-planted docs
+    "q_mojibake" -> ((s, dir) =>
+      graft.ops.TextAnalysis.encodingAudit(
+        mojibakeDocs(table(s, dir, "documents")), "source", "text")),
+
+    // FK orphan matrix across the TPC-H relation graph; two relations
+    // carry planted orphans (key remaps), the rest gate at zero
+    "q_ref_integrity" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val ords = table(s, dir, "orders")
+      graft.ops.Integrity.orphanAudit(Seq(
+        ("lineitem->orders",
+          li.withColumn("l_orderkey",
+            when(col("l_orderkey") % 97 === 0, col("l_orderkey") + 1000000000L)
+              .otherwise(col("l_orderkey"))), "l_orderkey", ords, "o_orderkey"),
+        ("orders->customer", ords, "o_custkey",
+          table(s, dir, "customer"), "c_custkey"),
+        ("lineitem->part",
+          li.withColumn("l_partkey",
+            when(col("l_partkey") % 89 === 0, -col("l_partkey"))
+              .otherwise(col("l_partkey"))), "l_partkey",
+          table(s, dir, "part"), "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey",
+          table(s, dir, "supplier"), "s_suppkey"),
+        ("customer->nation", table(s, dir, "customer"), "c_nationkey",
+          table(s, dir, "nation"), "n_nationkey"),
+        ("supplier->nation", table(s, dir, "supplier"), "s_nationkey",
+          table(s, dir, "nation"), "n_nationkey")))
+    }),
+
+    // HITS on the DIRECTED buyer->part bipartite graph (prefixed node
+    // ids keep the two key domains disjoint): hubs = diverse heavy
+    // buyers, authorities = parts bought by them; 2 ppm rounds
+    "q_hits" -> ((s, dir) => {
+      val edges = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey").isNotNull && col("l_partkey").isNotNull)
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("P"), col("l_partkey")).as("dst"))
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
+    }),
+
     // chi-square independence: order status vs priority, zero cells
     // included, sorted-cell fold for the one double sum
     "q_chi2" -> ((s, dir) =>
@@ -3827,6 +3897,133 @@ object SparkEntry {
         |SELECT g AS event_type, nd AS n_days, CAST(drift AS BIGINT) AS drift_scaled,
         |  day AS drift_day
         |FROM pick WHERE rn = 1""".stripMargin,
+
+    // blocked Jaro-Winkler twin: the oracle engine's NATIVE scorer vs
+    // the repo's codegen kernel — raw-double equality, fuzz-verified
+    "q_jw_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |  WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+        |    AND p_brand IS NOT NULL AND p_size IS NOT NULL
+        |)
+        |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  a.p_name AS a_val, b.p_name AS b_val,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
+
+    // mojibake twin: identical residue plants via chr(), identical
+    // codepoint-class patterns
+    "q_mojibake" ->
+      """WITH m AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 23 = 0 THEN ' caf' || chr(65533) || 'e' ELSE '' END ||
+        |    CASE WHEN doc_id % 29 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END ||
+        |    CASE WHEN doc_id % 31 = 0 THEN ' x' || chr(133) || 'y' ELSE '' END ||
+        |    CASE WHEN doc_id % 37 = 0 THEN ' a' || chr(160) || 'b' ELSE '' END AS text
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  CAST(SUM(CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_replacement,
+        |  CAST(SUM(CASE WHEN regexp_matches(text,
+        |      chr(195) || '[' || chr(128) || '-' || chr(191) || ']')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_double_utf8,
+        |  CAST(SUM(CASE WHEN regexp_matches(text,
+        |      '[' || chr(128) || '-' || chr(159) || ']')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_c1_controls,
+        |  CAST(SUM(CASE WHEN contains(text, chr(160)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nbsp
+        |FROM m WHERE source IS NOT NULL AND text IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // orphan-audit twin: same key remaps, per-relation LEFT JOIN vs the
+    // distinct parent keyset, exact-ppm division
+    "q_ref_integrity" ->
+      """WITH
+        |lio AS (SELECT CASE WHEN l_orderkey % 97 = 0
+        |  THEN l_orderkey + 1000000000 ELSE l_orderkey END AS k
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |lip AS (SELECT CASE WHEN l_partkey % 89 = 0
+        |  THEN -l_partkey ELSE l_partkey END AS k
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |r1 AS (SELECT 'lineitem->orders' AS relation, COUNT(*)::BIGINT AS n_child,
+        |  CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+        |  FROM lio LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
+        |    WHERE o_orderkey IS NOT NULL) o USING (k)),
+        |r2 AS (SELECT 'orders->customer', COUNT(*)::BIGINT,
+        |  CAST(SUM(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL) x
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+        |    WHERE c_custkey IS NOT NULL) c USING (k)),
+        |r3 AS (SELECT 'lineitem->part', COUNT(*)::BIGINT,
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lip LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part
+        |    WHERE p_partkey IS NOT NULL) p USING (k)),
+        |r4 AS (SELECT 'lineitem->supplier', COUNT(*)::BIGINT,
+        |  CAST(SUM(CASE WHEN sp.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey IS NOT NULL) x
+        |  LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier
+        |    WHERE s_suppkey IS NOT NULL) sp USING (k)),
+        |r5 AS (SELECT 'customer->nation', COUNT(*)::BIGINT,
+        |  CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT c_nationkey AS k FROM customer WHERE c_nationkey IS NOT NULL) x
+        |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation
+        |    WHERE n_nationkey IS NOT NULL) n USING (k)),
+        |r6 AS (SELECT 'supplier->nation', COUNT(*)::BIGINT,
+        |  CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT s_nationkey AS k FROM supplier WHERE s_nationkey IS NOT NULL) x
+        |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation
+        |    WHERE n_nationkey IS NOT NULL) n USING (k)),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |  SELECT * FROM r3 UNION ALL SELECT * FROM r4 UNION ALL
+        |  SELECT * FROM r5 UNION ALL SELECT * FROM r6)
+        |SELECT relation, n_child, n_orphan,
+        |  CASE WHEN n_child = 0 THEN NULL
+        |       ELSE (n_orphan * 1000000) // n_child END AS orphan_ppm
+        |FROM u""".stripMargin,
+
+    // HITS twin: prefixed-bipartite edges, 2 unrolled rounds of
+    // sum-push + max-normalize in BIGINT ppm (the q_pagerank style)
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'C' || o_custkey AS src, 'P' || l_partkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), h0 AS (
+        |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e
+        |), a1r AS (
+        |  SELECT e.dst AS node, CAST(SUM(h0.h) AS BIGINT) AS raw
+        |  FROM h0 JOIN e ON h0.node = e.src GROUP BY 1
+        |), a1 AS (
+        |  SELECT node, CAST((raw * 1000000) // (SELECT MAX(raw) FROM a1r)
+        |    AS BIGINT) AS a FROM a1r
+        |), h1r AS (
+        |  SELECT e.src AS node, CAST(SUM(a1.a) AS BIGINT) AS raw
+        |  FROM a1 JOIN e ON a1.node = e.dst GROUP BY 1
+        |), h1 AS (
+        |  SELECT node, CAST((raw * 1000000) // (SELECT MAX(raw) FROM h1r)
+        |    AS BIGINT) AS h FROM h1r
+        |), a2r AS (
+        |  SELECT e.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS raw
+        |  FROM h1 JOIN e ON h1.node = e.src GROUP BY 1
+        |), a2 AS (
+        |  SELECT node, CAST((raw * 1000000) // (SELECT MAX(raw) FROM a2r)
+        |    AS BIGINT) AS a FROM a2r
+        |), h2r AS (
+        |  SELECT e.src AS node, CAST(SUM(a2.a) AS BIGINT) AS raw
+        |  FROM a2 JOIN e ON a2.node = e.dst GROUP BY 1
+        |), h2 AS (
+        |  SELECT node, CAST((raw * 1000000) // (SELECT MAX(raw) FROM h2r)
+        |    AS BIGINT) AS h FROM h2r
+        |)
+        |SELECT COALESCE(h2.node, a2.node) AS node,
+        |  CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_ppm,
+        |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_ppm
+        |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node""".stripMargin,
 
     "q_decay_trend" ->
       """WITH daily AS (

@@ -1060,4 +1060,37 @@ object Dedup {
         greatest(col("_id"), col("_rid")).as("b_id"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** Blocked fuzzy-match pairs by Jaro–Winkler — the record-linkage
+    * primitive (names, titles, labels) where byte/template dedup
+    * misses transpositions and shingle cosine is too heavy for short
+    * strings. Candidates come ONLY from equality on `blockCols` (the
+    * standard blocking discipline: the pair generator is an
+    * equi-self-join, never an all-pairs scan); each candidate scores
+    * through the codegen'd
+    * [[graft.functions.StringExpressions.JaroWinkler]] kernel and
+    * survives at `minSim` or above. Pair cost is Σ_blocks |block|² —
+    * the blocking key's selectivity is the caller's scale lever (add a
+    * prefix/length bucket to tighten; same game as
+    * [[editDistancePairs]]'s blocks).
+    *
+    * Output: (a_id, b_id, a_val, b_val, jw), a_id < b_id.
+    */
+  def fuzzyMatchPairs(df: DataFrame, idCol: String, valCol: String,
+                      blockCols: Seq[String], minSim: Double): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, "0 <= minSim <= 1")
+    require(blockCols.nonEmpty, "blocking columns required (no all-pairs)")
+    val base = df.filter(col(idCol).isNotNull && col(valCol).isNotNull &&
+        blockCols.map(col(_).isNotNull).reduce(_ && _))
+    val l = base.select(blockCols.map(col) :+ col(idCol).as("a_id") :+
+      col(valCol).as("a_val"): _*)
+    val r = base.select(blockCols.map(col) :+ col(idCol).as("b_id") :+
+      col(valCol).as("b_val"): _*)
+    l.join(r, blockCols)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_val"), col("b_val"),
+        graft.functions.StringExpressions.jaroWinkler(col("a_val"), col("b_val"))
+          .as("jw"))
+      .filter(col("jw") >= minSim)
+  }
 }

@@ -280,4 +280,55 @@ object Graph {
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** HITS hubs & authorities (Kleinberg's link-analysis pair) over a
+    * DIRECTED edge set — the mutually-reinforcing centralities one
+    * PageRank score can't express: a good HUB points at good
+    * authorities, a good AUTHORITY is pointed at by good hubs. On a
+    * bipartite frame (buyer → product, user → track) the two sides
+    * get genuinely different rankings; on a symmetric digraph they
+    * coincide — feed it real direction.
+    *
+    * Integer ppm arithmetic throughout (the [[pageRank]] discipline):
+    * each half-step is a sum-push along edges then MAX-normalization
+    * `raw * 1e6 div max(raw)` — exact BIGINT, engine-bit-identical.
+    * The textbook's L2 norm is irrelevant to RANKING semantics and
+    * would break exactness. Overflow: raw ≤ deg·1e6 and raw·1e6 must
+    * stay < 2⁶³ ⇒ deg ≲ 9.2e6 — far above any support-filtered or
+    * per-key-capped edge frame (document, don't assert).
+    *
+    * Output: (node, hub_ppm, auth_ppm); 0 on the side a node never
+    * scores (a pure sink has no hub mass). Same materialization
+    * discipline as [[pageRank]]: eager checkpoints per round,
+    * superseded frames freed.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 50, "1 <= iters <= 50")
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h_ppm", lit(1000000L)).localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h, e("src") === h("node"))
+        .groupBy(e("dst").as("node")).agg(sum(col("h_ppm")).as("_raw"))
+      val anext = araw.crossJoin(araw.agg(max(col("_raw")).as("_mx")))
+        .select(col("node"), expr("_raw * 1000000L div _mx").as("a_ppm"))
+        .localCheckpoint(true)
+      if (a != null) Checkpoints.free(a)
+      a = anext
+      val hraw = e.join(a, e("dst") === a("node"))
+        .groupBy(e("src").as("node")).agg(sum(col("a_ppm")).as("_raw"))
+      val hnext = hraw.crossJoin(hraw.agg(max(col("_raw")).as("_mx")))
+        .select(col("node"), expr("_raw * 1000000L div _mx").as("h_ppm"))
+        .localCheckpoint(true)
+      Checkpoints.free(h)
+      h = hnext
+    }
+    val out = h.join(a, Seq("node"), "full")
+      .select(col("node"), coalesce(col("h_ppm"), lit(0L)).as("hub_ppm"),
+        coalesce(col("a_ppm"), lit(0L)).as("auth_ppm"))
+    out
+  }
 }

@@ -1750,4 +1750,27 @@ object TextAnalysis {
             col("sum_ppm").cast("double") / (col("n_tokens") * 1e6))
             .otherwise(lit(0.0))))), 6))
   }
+
+  /** Encoding-damage (mojibake) audit per group — the corpus-health
+    * check that catches bad transcodes before they poison a tokenizer:
+    * U+FFFD replacement chars (a decode already failed upstream), the
+    * 'Ã'+continuation-range signature of UTF-8 bytes re-decoded as
+    * Latin-1 (café → cafÃ©), raw C1 controls U+0080–U+009F (almost
+    * always windows-1252 mislabeled ISO-8859-1), and NBSP (layout
+    * residue that splits tokenizers). Doc-level flags — a doc is
+    * damaged or it isn't; occurrence counts would double-weight long
+    * docs. Wholly map-side into one agg; the patterns are codepoint
+    * classes java.util.regex and RE2 read identically.
+    */
+  def encodingAudit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def flag(c: Column) = sum(when(c, 1L).otherwise(0L)).cast("long")
+    df.filter(col(groupCol).isNotNull && t.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        flag(t.contains("\uFFFD")).as("n_replacement"),
+        flag(t.rlike("\u00C3[\u0080-\u00BF]")).as("n_double_utf8"),
+        flag(t.rlike("[\u0080-\u009F]")).as("n_c1_controls"),
+        flag(t.contains("\u00A0")).as("n_nbsp"))
+  }
 }

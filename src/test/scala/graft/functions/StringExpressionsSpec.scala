@@ -62,4 +62,30 @@ class StringExpressionsSpec extends SparkSpec {
     val df = Seq((1L, null: String)).toDF("id", "s")
     df.select(StringExpressions.nfc(col("s"))).collect().head.isNullAt(0) shouldBe true
   }
+
+  test("jaroWinkler: textbook values and the oracle-engine conventions") {
+    import graft.functions.StringKernels.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    jw(u("martha"), u("marhta")) shouldBe 0.9611111111111111
+    jw(u("DWAYNE"), u("DUANE")) shouldBe 0.8400000000000001
+    jw(u("DIXON"), u("DICKSONX")) shouldBe 0.8133333333333332
+    // below the 0.7 boost threshold the prefix boost must NOT apply
+    jw(u("sky"), u("soup")) shouldBe 0.5277777777777778
+    // oracle-engine conventions: empty sides are 0 even when equal
+    jw(u(""), u("")) shouldBe 0.0
+    jw(u(""), u("abc")) shouldBe 0.0
+    jw(u("abc"), u("abc")) shouldBe 1.0
+  }
+
+  test("jaroWinkler column runs codegen'd and null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("martha", "marhta"), ("abc", null), (null, "x"))
+      .toDF("a", "b")
+      .select(StringExpressions.jaroWinkler(col("a"), col("b")).as("jw"))
+    val rows = df.collect()
+    rows(0).getDouble(0) shouldBe 0.9611111111111111
+    rows(1).isNullAt(0) shouldBe true
+    rows(2).isNullAt(0) shouldBe true
+  }
 }

@@ -339,4 +339,22 @@ class DedupSpec extends SparkSpec {
     out(("train", "train")) shouldBe ((1L, false))
     out.size shouldBe 2
   }
+
+  test("fuzzyMatchPairs: blocked JW pairs only, threshold honored, kernel-exact") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val df = Seq(
+      (1L, "martha stewart", "b1"),
+      (2L, "marhta stewart", "b1"),   // transposition inside block
+      (3L, "completely other", "b1"),
+      (4L, "martha stewart", "b2")    // identical text, other block
+    ).toDF("id", "name", "blk")
+    val got = Dedup.fuzzyMatchPairs(df, "id", "name", Seq("blk"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    got.length shouldBe 1
+    got.head._1 shouldBe 1L
+    got.head._2 shouldBe 2L
+    got.head._3 shouldBe graft.functions.StringKernels.jaroWinkler(
+      u("martha stewart"), u("marhta stewart"))
+  }
 }

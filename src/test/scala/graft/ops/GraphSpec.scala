@@ -104,4 +104,28 @@ class GraphSpec extends SparkSpec {
     // k above the densest degree empties the graph (no rows, no hang)
     Graph.kCore(edges, "a", "b", k = 3).count() shouldBe 0L
   }
+
+  test("hits: hand-computed 2-round ppm scores on a directed bipartite graph") {
+    import spark.implicits._
+    // C1->{P1,P2}, C2->P1. Round 1: a(P1)=1e6, a(P2)=500000;
+    // h(C1)=1e6, h(C2)=1e12 div 1.5e6 = 666666. Round 2:
+    // a(P1)=1e6, a(P2)=1e12 div 1666666 = 600000; h(C1)=1e6,
+    // h(C2)=1e12 div 1600000 = 625000.
+    val e = Seq(("C1", "P1"), ("C1", "P2"), ("C2", "P1")).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got("C1") shouldBe ((1000000L, 0L))
+    got("C2") shouldBe ((625000L, 0L))
+    got("P1") shouldBe ((0L, 1000000L))
+    got("P2") shouldBe ((0L, 600000L))
+  }
+
+  test("hits is deterministic under repartitioning") {
+    import spark.implicits._
+    val e = (1 to 60).map(i => (s"u${i % 7}", s"v${i % 11}")).toDF("src", "dst")
+    val a = Graph.hits(e, "src", "dst", 2).orderBy("node").collect().map(_.toSeq)
+    val b = Graph.hits(e.repartition(7), "src", "dst", 2)
+      .orderBy("node").collect().map(_.toSeq)
+    a shouldBe b
+  }
 }

@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_kneser_ney" -> "1-row distinct-bigram-type total (continuation denominator) crossJoin",
     "q_cuped" -> "two 1-row arm frames + 1-row pooled-theta frame crossJoined into the single output row (the q_ab_ztest shape)",
     "q_exp_health" -> "two 1-row arm-summary frames crossJoined into the single output row (the q_ab_ztest shape)",
-    "q_benford" -> "1-row digit-total crossJoin onto the <=9-row digit frame"
+    "q_benford" -> "1-row digit-total crossJoin onto the <=9-row digit frame",
+    "q_ref_integrity" -> "six 1-row x 1-row crossJoins (per-relation orphan agg x child total)"
   )
 
   /** query -> why a small-estimate shuffle join is acceptable there. */
@@ -134,6 +135,11 @@ class PlanAuditSpec extends SparkSpec {
     // agg + per-group rank window; cusum = daily agg + tot + 2 windows
     "q_cuped" -> 2, "q_exp_health" -> 0, "q_benford" -> 3,
     "q_gini" -> 2, "q_cusum" -> 4,
+    // jw-match's block self-join broadcasts (part is dim-sized);
+    // mojibake is one map-side agg; ref-integrity is 6 independent
+    // agg→anti→agg relations; hits' rounds are checkpoint leaves
+    "q_jw_match" -> 0, "q_mojibake" -> 1, "q_ref_integrity" -> 24,
+    "q_hits" -> 2,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

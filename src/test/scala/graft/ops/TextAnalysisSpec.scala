@@ -969,4 +969,21 @@ class TextAnalysisSpec extends SparkSpec {
     a.getDouble(2) shouldBe b.getDouble(2)
     a.getDouble(3) shouldBe b.getDouble(3)
   }
+
+  test("encodingAudit flags each damage class at doc level, once per doc") {
+    import spark.implicits._
+    val df = Seq(
+      ("s", "clean text"),
+      ("s", "bad \uFFFD here and \uFFFD again"),   // counted once
+      ("s", "caf\u00C3\u00A9 moji"),
+      ("s", "c1 \u0085 control"),
+      ("s", "nb\u00A0sp")
+    ).toDF("source", "text")
+    val r = TextAnalysis.encodingAudit(df, "source", "text").collect().head
+    r.getLong(1) shouldBe 5L  // n_docs
+    r.getLong(2) shouldBe 1L  // replacement docs (not occurrences)
+    r.getLong(3) shouldBe 1L  // double-utf8
+    r.getLong(4) shouldBe 1L  // c1
+    r.getLong(5) shouldBe 1L  // nbsp
+  }
 }
