@@ -2086,6 +2086,37 @@ object SparkEntry {
       graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
     }),
 
+    // Spearman rank correlation per return flag: doubled average ranks
+    // are exact ints even under ties; 128-bit exact product sums
+    "q_spearman" -> ((s, dir) =>
+      graft.ops.Stats.spearman(
+        table(s, dir, "lineitem"), "l_returnflag",
+        col("l_quantity"), round(col("l_extendedprice")))),
+
+    // day-of-week seasonality profile per event type, integer ppm
+    "q_dow_profile" -> ((s, dir) =>
+      graft.ops.TimeSeries.weekdayProfile(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // split-conformal 90% interval for price-on-quantity: exact-int
+    // OLS, order-stat calibration quantile, ppm coverage self-check
+    "q_conformal" -> ((s, dir) =>
+      graft.ops.Stats.conformalInterval(
+        table(s, dir, "lineitem"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+        col("l_quantity"), round(col("l_extendedprice")))),
+
+    // entity resolution end-to-end: blocked JW pairs at 0.92 into
+    // min-label connected components — (doc_id, cluster_id) per
+    // matched part
+    "q_er_clusters" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupClusters(
+        graft.ops.Dedup.fuzzyMatchPairs(
+          table(s, dir, "part").withColumn("p_initial",
+            substring(col("p_name"), 1, 1)),
+          "p_partkey", "p_name",
+          Seq("p_brand", "p_size", "p_initial"), minSim = 0.92))),
+
     // chi-square independence: order status vs priority, zero cells
     // included, sorted-cell fold for the one double sum
     "q_chi2" -> ((s, dir) =>
@@ -4024,6 +4055,132 @@ object SparkEntry {
         |  CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_ppm,
         |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_ppm
         |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node""".stripMargin,
+
+    // Spearman twin: identical doubled-rank windows, HUGEINT exact
+    // product sums (Spark side: DECIMAL(38,0)), one fixed corr tree
+    "q_spearman" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), r AS (
+        |  SELECT g,
+        |    2 * RANK() OVER (PARTITION BY g ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY g, x) - 1 AS u,
+        |    2 * RANK() OVER (PARTITION BY g ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY g, y) - 1 AS v,
+        |    x, y
+        |  FROM v
+        |), s AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n,
+        |    MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax,
+        |    CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+        |    SUM(u * v) AS suv, SUM(u * u) AS suu, SUM(v * v) AS svv
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN n < 2 OR xmin = xmax OR ymin = ymax THEN NULL
+        |       ELSE ROUND((n::DOUBLE * suv::DOUBLE - su::DOUBLE * sv::DOUBLE)
+        |            / (sqrt(n::DOUBLE * suu::DOUBLE - su::DOUBLE * su::DOUBLE)
+        |             * sqrt(n::DOUBLE * svv::DOUBLE - sv::DOUBLE * sv::DOUBLE)), 6)
+        |  END AS spearman_rho
+        |FROM s""".stripMargin,
+
+    // dow-profile twin: DuckDB's native 0=Sunday numbering is the spec;
+    // peak via lexicographic struct max, identical on both engines
+    "q_dow_profile" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, dayofweek(ts)::INTEGER AS dow,
+        |    COUNT(*)::BIGINT AS n_events
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), t AS (
+        |  SELECT g, dow, n_events,
+        |    CAST(SUM(n_events) OVER (PARTITION BY g) AS BIGINT) AS tot,
+        |    MAX(struct_pack(n := n_events, d := dow)) OVER (PARTITION BY g) AS pk
+        |  FROM d
+        |)
+        |SELECT g AS event_type, dow, n_events,
+        |  (n_events * 1000000) // tot AS share_ppm,
+        |  (pk.n = n_events AND pk.d = dow) AS is_peak_dow
+        |FROM t""".stripMargin,
+
+    // conformal twin: identical md5 split buckets, exact-int OLS,
+    // (9(n+1)+9)//10 integer order-stat index, ppm coverage
+    "q_conformal" ->
+      """WITH base AS (
+        |  SELECT l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS id,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '_' ||
+        |       l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n_train,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM base WHERE b < 90
+        |), f2 AS (
+        |  SELECT n_train,
+        |    (n_train::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n_train::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+        |  FROM f
+        |), f3 AS (
+        |  SELECT n_train, slope,
+        |    (syd - slope * sxd) / n_train::DOUBLE AS intercept
+        |  FROM f2
+        |), caln AS (
+        |  SELECT COUNT(*)::BIGINT AS n_cal FROM base WHERE b >= 90 AND b < 95
+        |), calr AS (
+        |  SELECT abs(y::DOUBLE - (intercept + slope * x::DOUBLE)) AS r, id
+        |  FROM base, f3 WHERE b >= 90 AND b < 95
+        |), qq AS (
+        |  SELECT n_cal, r AS q90 FROM
+        |    (SELECT r, id, ROW_NUMBER() OVER (ORDER BY r, id) AS rn FROM calr) z,
+        |    caln
+        |  WHERE rn = (9 * (n_cal + 1) + 9) // 10
+        |), tst AS (
+        |  SELECT abs(y::DOUBLE - (intercept + slope * x::DOUBLE)) AS r
+        |  FROM base, f3 WHERE b >= 95
+        |), t2 AS (
+        |  SELECT COUNT(*)::BIGINT AS n_test,
+        |    CAST(SUM(CASE WHEN r <= q90 THEN 1 ELSE 0 END) AS BIGINT) AS cov
+        |  FROM tst, qq
+        |)
+        |SELECT f3.n_train, qq.n_cal, t2.n_test, f3.slope, f3.intercept, qq.q90,
+        |  CASE WHEN t2.n_test = 0 THEN NULL
+        |       ELSE (t2.cov * 1000000) // t2.n_test END AS coverage_ppm
+        |FROM f3, qq, t2""".stripMargin,
+
+    // ER-clusters twin: the q_jw_match pair generator at 0.92 into the
+    // recursive min-label closure (the q_dedup_clusters reach pattern)
+    "q_er_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |  WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+        |    AND p_brand IS NOT NULL AND p_size IS NOT NULL
+        |), pr AS (
+        |  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION
+        |  SELECT b_id, a_id FROM pr
+        |), reach(node, root) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        |)
+        |SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
 
     "q_decay_trend" ->
       """WITH daily AS (

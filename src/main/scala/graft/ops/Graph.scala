@@ -329,6 +329,9 @@ object Graph {
     val out = h.join(a, Seq("node"), "full")
       .select(col("node"), coalesce(col("h_ppm"), lit(0L)).as("hub_ppm"),
         coalesce(col("a_ppm"), lit(0L)).as("auth_ppm"))
+    // out depends only on the checkpointed h/a leaves; the |E|-row edge
+    // cache is dead weight from here (pageRank's free discipline)
+    Checkpoints.free(e)
     out
   }
 }

@@ -32,12 +32,17 @@ object Integrity {
     relations.map { case (name, child, ck, parent, pk) =>
       val ckeys = child.filter(col(ck).isNotNull)
         .groupBy(col(ck).as("_k")).agg(count(lit(1)).as("_n"))
-      val orphanSum = ckeys
-        .join(parent.filter(col(pk).isNotNull)
-          .select(col(pk).as("_k")).distinct(), Seq("_k"), "left_anti")
-        .agg(coalesce(sum(col("_n")), lit(0L)).cast("long").as("n_orphan"))
-      val total = child.agg(count(col(ck)).cast("long").as("n_child"))
-      orphanSum.crossJoin(total) // 1 x 1 rows
+      // ONE pass: a left join against the distinct parent keyset marks
+      // hits, and a single agg derives both totals from the collapsed
+      // |distinct keys| frame — no second child-table scan, no cache
+      val marked = ckeys.join(
+        parent.filter(col(pk).isNotNull)
+          .select(col(pk).as("_k"), lit(1).as("_hit")).distinct(),
+        Seq("_k"), "left")
+      marked.agg(
+          coalesce(sum(col("_n")), lit(0L)).cast("long").as("n_child"),
+          coalesce(sum(when(col("_hit").isNull, col("_n"))), lit(0L))
+            .cast("long").as("n_orphan"))
         .select(lit(name).as("relation"), col("n_child"), col("n_orphan"),
           when(col("n_child") === 0, lit(null).cast("long"))
             .otherwise(expr("n_orphan * 1000000L div n_child")).as("orphan_ppm"))

@@ -520,6 +520,9 @@ object Stats {
              .cast("long").as("_x"),
            coalesce(sum(when(col(tsCol) >= cut, metric)), lit(0L))
              .cast("long").as("_y"))
+      .cache() // |units| rows; both the arm agg and the pooled stats
+               // consume it — without it the data-sized per-unit agg
+               // over the log plans twice (the welchZ cache lesson)
     val arms = per.select(Sampling.hashBucket(col("_u"), 2).as("_v"),
         col("_x"), col("_y"))
       .groupBy("_v")
@@ -581,31 +584,16 @@ object Stats {
     * per-unit agg, a 2-row arm agg, 1-row math.
     */
   def experimentHealth(df: DataFrame, unitCol: String, metric: Column): DataFrame = {
-    val per = df.filter(col(unitCol).isNotNull)
-      .groupBy(col(unitCol).as("_u"))
-      .agg(sum(metric).cast("long").as("_x"))
-    val g = per.select(Sampling.hashBucket(col("_u"), 2).as("_v"), col("_x"))
-      .groupBy("_v")
-      .agg(count(lit(1)).as("_n"), sum(col("_x")).cast("long").as("_s"),
-        sum(col("_x") * col("_x")).cast("long").as("_s2"))
-    val m = g.select(col("_v"), col("_n"),
-      when(col("_n") < 2, lit(null).cast("double"))
-        .otherwise((col("_s2").cast("double") -
-          col("_s").cast("double") * col("_s").cast("double") /
-            col("_n").cast("double")) /
-          (col("_n") - 1).cast("double")).as("_var"))
-      .cache() // 2 rows; consumed by both arm legs
-    val c = m.filter(col("_v") === 0)
-      .select(col("_n").as("n_control"), col("_var").as("_vc"))
-    val t = m.filter(col("_v") === 1)
-      .select(col("_n").as("n_treat"), col("_var").as("_vt"))
+    // one source of truth for the md5 split and the Bessel variance
+    // tree: everything MDE/SRM needs is already on welchZ's output row
+    val w = welchZ(df, unitCol, metric)
     val zsum = lit(1.9599639845400545) + lit(0.8416212335729143)
     val srmZ = (col("n_treat") - col("n_control")).cast("double") /
       sqrt((col("n_control") + col("n_treat")).cast("double"))
-    c.crossJoin(t).select( // 1x1 rows
+    w.select(
       col("n_control"), col("n_treat"),
-      (zsum * sqrt(col("_vc") / col("n_control").cast("double") +
-        col("_vt") / col("n_treat").cast("double"))).as("mde_abs"),
+      (zsum * sqrt(col("var_control") / col("n_control").cast("double") +
+        col("var_treat") / col("n_treat").cast("double"))).as("mde_abs"),
       srmZ.as("srm_z"), (abs(srmZ) > 3.0).as("srm_alarm"))
   }
 
@@ -674,5 +662,126 @@ object Stats {
             (col("n_units") + 1).cast("double") * col("_sx").cast("double")) /
             (col("n_units").cast("double") * col("_sx").cast("double")))
           .as("gini"))
+  }
+
+  /** Spearman rank correlation per group — Pearson's monotone sibling,
+    * the robust dependence check when the relation is nonlinear or the
+    * scales are ordinal. Ranks are DOUBLED average ranks, which are
+    * integers even under ties (`2·avgrank = 2·rank_min + tiecount − 1`),
+    * so every sufficient statistic is an exact integer: n/Σu/Σv in
+    * BIGINT; Σuv/Σu²/Σv² accumulate through DECIMAL(38,0) (exact
+    * 128-bit sums — the BIGINT ceiling is n³-shaped and a 10× corpus
+    * already clears it) and convert to double once (round-to-nearest of
+    * the same exact integer on every engine). The correlation tree is
+    * then fixed and raw-parity; output rounds at 6 dp (house corr
+    * style). Degenerate sides (all x tied or all y tied) mask via
+    * DISCRETE min=max guards — the fp-residual-zero trap zipfFit hit.
+    *
+    * Scale posture: two rank windows per group (the data-sized
+    * exchanges, skew-bounded by rows-per-group) + one per-group agg.
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: Column,
+               yCol: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull &&
+        xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol).as("_g"), xCol.cast("long").as("_x"),
+        yCol.cast("long").as("_y"))
+    import org.apache.spark.sql.expressions.Window
+    def doubledRank(c: String) =
+      lit(2) * rank().over(Window.partitionBy("_g").orderBy(c)) +
+        count(lit(1)).over(Window.partitionBy("_g", c)) - 1
+    val ranked = base
+      .withColumn("_u", doubledRank("_x").cast("long"))
+      .withColumn("_v", doubledRank("_y").cast("long"))
+    val agg0 = ranked.groupBy("_g").agg(
+      count(lit(1)).as("n"),
+      min(col("_x")).as("_xmin"), max(col("_x")).as("_xmax"),
+      min(col("_y")).as("_ymin"), max(col("_y")).as("_ymax"),
+      sum(col("_u")).cast("long").as("_su"),
+      sum(col("_v")).cast("long").as("_sv"),
+      sum((col("_u") * col("_v")).cast("decimal(38,0)")).as("_suv"),
+      sum((col("_u") * col("_u")).cast("decimal(38,0)")).as("_suu"),
+      sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_svv"))
+    val n = col("n").cast("double")
+    val su = col("_su").cast("double"); val sv = col("_sv").cast("double")
+    val covN = n * col("_suv").cast("double") - su * sv
+    val varU = n * col("_suu").cast("double") - su * su
+    val varV = n * col("_svv").cast("double") - sv * sv
+    agg0.select(col("_g").as(groupCol), col("n"),
+      when(col("n") < 2 || col("_xmin") === col("_xmax") ||
+           col("_ymin") === col("_ymax"), lit(null).cast("double"))
+        .otherwise(round(covN / (sqrt(varU) * sqrt(varV)), 6))
+        .as("spearman_rho"))
+  }
+
+  /** Split-conformal regression interval — distribution-free predictive
+    * uncertainty with a finite-sample coverage GUARANTEE (Vovk et al.;
+    * Lei et al. 2018): fit on a train split, take the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual on a held-out
+    * calibration split, and y ± that quantile covers a fresh point
+    * with probability ≥ 1−α under exchangeability alone — no
+    * distributional assumption, which is why it's the standard
+    * model-shipping uncertainty wrapper. Empirical coverage on a third
+    * split is reported as the self-check.
+    *
+    * Splits are md5-bucket deterministic (train 0–89, cal 90–94,
+    * test 95–99 of 100). The OLS fit flows from exact LONG sums
+    * (UNROUNDED slope/intercept — identical doubles both engines);
+    * residuals are then identical doubles, the calibration order
+    * statistic is an exact (residual, id)-ordered pick at the pure-
+    * integer index `(9·(n_cal+1)+9) div 10`, and coverage is an exact
+    * ppm ratio. Output ONE row: (n_train, n_cal, n_test, slope,
+    * intercept, q90, coverage_ppm).
+    *
+    * Scale posture: the fit is one map-side-combinable agg; the
+    * calibration sort is ONE bounded split (5% by construction — the
+    * q_ppl_select sample-sort precedent: conformal validity needs
+    * exchangeability, not the full corpus, so the cal split IS the
+    * knob that keeps the global order statistic cheap); the coverage
+    * pass is map-side against the broadcast 1-row fit/quantile frame.
+    */
+  def conformalInterval(df: DataFrame, idCol: Column, xCol: Column,
+                        yCol: Column): DataFrame = {
+    val base = df.filter(idCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
+      .select(idCol.cast("string").as("_id"), xCol.cast("long").as("_x"),
+        yCol.cast("long").as("_y"))
+      .withColumn("_b", Sampling.hashBucket(col("_id"), 100))
+    val train = base.filter(col("_b") < 90)
+    val fit = train.agg(count(lit(1)).as("n_train"),
+        sum(col("_x")).cast("long").as("_sx"),
+        sum(col("_y")).cast("long").as("_sy"),
+        sum(col("_x") * col("_x")).cast("long").as("_sxx"),
+        sum(col("_x") * col("_y")).cast("long").as("_sxy"))
+      .select(col("n_train"),
+        ((col("n_train").cast("double") * col("_sxy").cast("double") -
+          col("_sx").cast("double") * col("_sy").cast("double")) /
+         (col("n_train").cast("double") * col("_sxx").cast("double") -
+          col("_sx").cast("double") * col("_sx").cast("double"))).as("slope"),
+        col("_sx").cast("double").as("_sxd"),
+        col("_sy").cast("double").as("_syd"))
+      .select(col("n_train"), col("slope"),
+        ((col("_syd") - col("slope") * col("_sxd")) /
+          col("n_train").cast("double")).as("intercept"))
+    def resid = abs(col("_y").cast("double") -
+      (col("intercept") + col("slope") * col("_x").cast("double")))
+    val cal = base.filter(col("_b") >= 90 && col("_b") < 95)
+      .crossJoin(fit).withColumn("_r", resid)
+    import org.apache.spark.sql.expressions.Window
+    val calN = cal.agg(count(lit(1)).as("n_cal"))
+    val q = cal.withColumn("_rn",
+        row_number().over(Window.orderBy(col("_r"), col("_id"))))
+      .crossJoin(calN)
+      .filter(col("_rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("n_cal"), col("_r").as("q90"))
+    val test = base.filter(col("_b") >= 95).crossJoin(fit).crossJoin(q)
+    test.agg(count(lit(1)).as("n_test"),
+        sum(when(resid <= col("q90"), 1L).otherwise(0L)).cast("long").as("_cov"),
+        first(col("n_train")).as("n_train"), first(col("n_cal")).as("n_cal"),
+        first(col("slope")).as("slope"), first(col("intercept")).as("intercept"),
+        first(col("q90")).as("q90"))
+      .select(col("n_train"), col("n_cal"), col("n_test"), col("slope"),
+        col("intercept"), col("q90"),
+        when(col("n_test") === 0, lit(null).cast("long"))
+          .otherwise(expr("_cov * 1000000L div n_test")).as("coverage_ppm"))
   }
 }

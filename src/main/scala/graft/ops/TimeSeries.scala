@@ -374,4 +374,28 @@ object TimeSeries {
       .select(col("_g").as(seriesCol), col("_nd").as("n_days"),
         col("_drift").cast("long").as("drift_scaled"), col("day").as("drift_day"))
   }
+
+  /** Day-of-week traffic profile per series — the first seasonality
+    * question every ops dashboard answers (is the dip a weekend or an
+    * incident?). Exact integers end to end: per-(series, dow) counts,
+    * share in ppm by integer division, and the peak day flagged by an
+    * exact (count, dow) comparison. `dow` is 0=Sunday..6=Saturday
+    * (Spark's 1-based `dayofweek` shifted down — the oracle engine's
+    * native numbering). One (series, dow) agg collapses the log to
+    * ≤ 7·|series| rows; the share/peak math runs on that frame.
+    */
+  def weekdayProfile(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val byDow = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"),
+        (dayofweek(col(tsCol)) - 1).cast("int").as("dow"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("_g")
+    byDow
+      .withColumn("_tot", sum(col("n_events")).over(w))
+      .withColumn("_peak", max(struct(col("n_events"), col("dow"))).over(w))
+      .select(col("_g").as(seriesCol), col("dow"), col("n_events"),
+        expr("n_events * 1000000L div _tot").as("share_ppm"),
+        (col("_peak.n_events") === col("n_events") &&
+         col("_peak.dow") === col("dow")).as("is_peak_dow"))
+  }
 }

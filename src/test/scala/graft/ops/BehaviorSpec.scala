@@ -191,4 +191,16 @@ class BehaviorSpec extends SparkSpec {
     got("flat")._2 shouldBe 0L
     got("flat")._3 shouldBe ts("2024-02-01 00:00:00") // first day on ties
   }
+
+  test("weekdayProfile: shares sum to ~1e6 per series, peak flagged once") {
+    // 2024-01-07 is a Sunday (dow 0); plant 3 Sundays, 1 Monday
+    val rows = Seq(
+      ("a", ts("2024-01-07 10:00:00")), ("a", ts("2024-01-14 10:00:00")),
+      ("a", ts("2024-01-21 10:00:00")), ("a", ts("2024-01-08 10:00:00")))
+    val got = TimeSeries.weekdayProfile(rows.toDF("event_type", "ts"),
+      "event_type", "ts").collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    got(0) shouldBe ((3L, 750000L, true))
+    got(1) shouldBe ((1L, 250000L, false))
+  }
 }

@@ -76,7 +76,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_cuped" -> "two 1-row arm frames + 1-row pooled-theta frame crossJoined into the single output row (the q_ab_ztest shape)",
     "q_exp_health" -> "two 1-row arm-summary frames crossJoined into the single output row (the q_ab_ztest shape)",
     "q_benford" -> "1-row digit-total crossJoin onto the <=9-row digit frame",
-    "q_ref_integrity" -> "six 1-row x 1-row crossJoins (per-relation orphan agg x child total)"
+    "q_conformal" -> "1-row fit / quantile / count frames broadcast onto the split scans (cal sort is a bounded 5% sample by construction)"
   )
 
   /** query -> why a small-estimate shuffle join is acceptable there. */
@@ -133,13 +133,19 @@ class PlanAuditSpec extends SparkSpec {
     // (health's visible plan is cache-truncated like q_ab_ztest);
     // benford = digit agg + 1-row total + broadcast; gini = per-unit
     // agg + per-group rank window; cusum = daily agg + tot + 2 windows
-    "q_cuped" -> 2, "q_exp_health" -> 0, "q_benford" -> 3,
+    "q_cuped" -> 1, "q_exp_health" -> 0, "q_benford" -> 3,
     "q_gini" -> 2, "q_cusum" -> 4,
     // jw-match's block self-join broadcasts (part is dim-sized);
     // mojibake is one map-side agg; ref-integrity is 6 independent
     // agg→anti→agg relations; hits' rounds are checkpoint leaves
-    "q_jw_match" -> 0, "q_mojibake" -> 1, "q_ref_integrity" -> 24,
+    "q_jw_match" -> 0, "q_mojibake" -> 1, "q_ref_integrity" -> 18,
     "q_hits" -> 2,
+    // spearman's two per-group rank windows share one exchange (AQE
+    // reuse); dow-profile = (series,dow) agg + per-series window;
+    // conformal = three split aggs + the bounded 5%-sample sort;
+    // er_clusters' CC rounds are checkpoint leaves
+    "q_spearman" -> 1, "q_dow_profile" -> 2, "q_conformal" -> 5,
+    "q_er_clusters" -> 0,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

@@ -412,4 +412,68 @@ class StatsSpec extends SparkSpec {
     // G = (2*955 - 11*100) / (10*100) = 810/1000
     got("b") shouldBe 0.81 +- 1e-12
   }
+
+  test("spearman: monotone nonlinear is exactly 1; reversed is -1; ties handled") {
+    import spark.implicits._
+    // y = x^3 is monotone -> rho 1 regardless of nonlinearity
+    val mono = (1 to 20).map(i => ("m", i.toLong, (i.toLong * i * i)))
+    val rev = (1 to 20).map(i => ("r", i.toLong, (21 - i).toLong))
+    // ties: x has duplicates, y strictly increasing; doubled avg ranks stay exact
+    val tied = Seq(("t", 1L, 1L), ("t", 1L, 2L), ("t", 2L, 3L), ("t", 2L, 4L))
+    val df = (mono ++ rev ++ tied).toDF("g", "x", "y")
+    val got = Stats.spearman(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got("m") shouldBe 1.0
+    got("r") shouldBe -1.0
+    got("t") shouldBe 0.894427 +- 1e-6 // hand: u=(3,3,7,7), v=(2,4,6,8)
+  }
+
+  test("spearman: all-tied side masks to NULL (discrete guard)") {
+    import spark.implicits._
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 2L), ("g", 5L, 3L)).toDF("g", "x", "y")
+    Stats.spearman(df, "g", col("x"), col("y")).collect().head.isNullAt(2) shouldBe true
+  }
+
+  test("conformalInterval: exact fit recovery and full coverage on noiseless data") {
+    import spark.implicits._
+    // y = 7x exactly: slope 7, intercept 0, all residuals 0 -> q90 = 0,
+    // coverage 100% (0 <= 0)
+    val rows = (1 to 4000).map(i => (i.toString, (i % 97 + 1).toLong, 7L * (i % 97 + 1)))
+    val df = rows.toDF("id", "x", "y")
+    val got = Stats.conformalInterval(df, col("id"), col("x"), col("y"))
+      .collect().head
+    (got.getLong(0) + got.getLong(1) + got.getLong(2)) shouldBe 4000L
+    got.getDouble(3) shouldBe 7.0 +- 1e-12
+    got.getDouble(4) shouldBe 0.0 +- 1e-9
+    got.getDouble(5) shouldBe 0.0 +- 1e-9
+    got.getLong(6) shouldBe 1000000L
+  }
+
+  test("conformalInterval: calibration quantile is the ceil((n+1)*0.9) order stat") {
+    import spark.implicits._
+    // noise on a known line; verify q90 equals the JVM-computed order stat
+    val rows = (1 to 5000).map { i =>
+      val x = (i % 50 + 1).toLong
+      val noise = (i * 37 % 11).toLong - 5 // deterministic, mean ~0
+      (i.toString, x, 3L * x + noise)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val got = Stats.conformalInterval(df, col("id"), col("x"), col("y"))
+      .collect().head
+    val nCal = got.getLong(1)
+    val k = (9 * (nCal + 1) + 9) / 10
+    // recompute residuals for the cal split in the JVM
+    def bucket(id: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val slope = got.getDouble(3); val intercept = got.getDouble(4)
+    val calR = rows.filter(r => { val b = bucket(r._1); b >= 90 && b < 95 })
+      .map(r => math.abs(r._3.toDouble - (intercept + slope * r._2.toDouble)))
+      .sorted
+    got.getDouble(5) shouldBe calR(k.toInt - 1)
+    // coverage should be near 90% on exchangeable noise
+    got.getLong(6).toDouble / 1e6 should (be >= 0.8 and be <= 1.0)
+  }
 }
