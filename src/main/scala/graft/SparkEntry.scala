@@ -2086,6 +2086,25 @@ object SparkEntry {
       graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
     }),
 
+    // lag-1 autocorrelation of daily counts per event type: n-scaled
+    // integer deviations, DECIMAL-exact product sums, raw-parity ratio
+    "q_autocorr" -> ((s, dir) =>
+      graft.ops.TimeSeries.lag1Autocorr(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // Hill tail-index over price cents: top-201 order stats, exact-int
+    // ratios, ln fold rounded 6 dp
+    "q_tail_index" -> ((s, dir) =>
+      graft.ops.Stats.hillTailIndex(
+        table(s, dir, "lineitem"),
+        round(col("l_extendedprice") * 100).cast("long"), k = 200)),
+
+    // entropy rate of the event-type Markov chain: how predictable is
+    // the next action given the current one
+    "q_markov_entropy" -> ((s, dir) =>
+      graft.ops.Funnel.markovEntropyRate(
+        table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")),
+
     // Spearman rank correlation per return flag: doubled average ranks
     // are exact ints even under ties; 128-bit exact product sums
     "q_spearman" -> ((s, dir) =>
@@ -4055,6 +4074,81 @@ object SparkEntry {
         |  CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_ppm,
         |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_ppm
         |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node""".stripMargin,
+
+    // autocorr twin: n-scaled integer deviations u = nd*x - sx are
+    // exact BIGINTs; HUGEINT product sums (Spark: DECIMAL(38,0)) cast
+    // to double are correctly-rounded on both engines → raw-parity ratio
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, COUNT(*)::BIGINT AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |    MIN(x) AS xmin, MAX(x) AS xmax
+        |  FROM daily GROUP BY 1
+        |), u AS (
+        |  SELECT daily.g, nd, xmin, xmax, nd * x - sx AS u,
+        |    LEAD(nd * x - sx) OVER (PARTITION BY daily.g ORDER BY day) AS un
+        |  FROM daily JOIN tot ON daily.g = tot.g
+        |)
+        |SELECT g AS event_type, MIN(nd) AS n_days,
+        |  CASE WHEN MIN(xmin) = MIN(xmax) THEN NULL
+        |       ELSE CAST(SUM(u::HUGEINT * un) AS DOUBLE)
+        |          / CAST(SUM(u::HUGEINT * u) AS DOUBLE)
+        |  END AS r1
+        |FROM u GROUP BY 1""".stripMargin,
+
+    // Hill twin: the top-(k+1) multiset of an integral metric is
+    // deterministic under ties; per-term ratio is a division of exact
+    // ints; ln feeds the fold so the output rounds at 6 dp
+    "q_tail_index" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+        |), top AS (
+        |  SELECT v FROM v ORDER BY v DESC LIMIT 201
+        |), f AS (
+        |  SELECT list_sort(list(v)) AS a, COUNT(*)::BIGINT AS n FROM top
+        |), g AS (
+        |  SELECT n, a[1] AS thr,
+        |    list_sum(list_transform(a[2:],
+        |      x -> ln(x::DOUBLE / a[1]::DOUBLE))) AS lnsum
+        |  FROM f
+        |)
+        |SELECT (n - 1)::BIGINT AS k, thr::BIGINT AS threshold,
+        |  CASE WHEN n < 2 OR lnsum = 0.0 THEN NULL
+        |       ELSE ROUND((n - 1)::DOUBLE / lnsum, 6) END AS hill_alpha
+        |FROM g""".stripMargin,
+
+    // Markov-entropy twin: integer cell counts, one value-ordered list
+    // fold (f,t determines n,rt so the ORDER BY key is complete),
+    // ln → output rounded 6 dp
+    "q_markov_entropy" ->
+      """WITH p AS (
+        |  SELECT event_type AS f,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |), cells AS (
+        |  SELECT f, t, COUNT(*)::BIGINT AS n
+        |  FROM p WHERE t IS NOT NULL GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT f, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1
+        |), agg AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_transitions,
+        |    COUNT(DISTINCT cells.f)::BIGINT AS n_states,
+        |    list(struct_pack(n := n, rt := rt) ORDER BY cells.f, t) AS a
+        |  FROM cells JOIN rt ON cells.f = rt.f
+        |)
+        |SELECT n_transitions, n_states,
+        |  ROUND(list_sum(list_transform(a, s ->
+        |    (s.n::DOUBLE / n_transitions::DOUBLE)
+        |      * ln(s.rt::DOUBLE / s.n::DOUBLE))), 6) AS entropy_rate_nats
+        |FROM agg""".stripMargin,
 
     // Spearman twin: identical doubled-rank windows, HUGEINT exact
     // product sums (Spark side: DECIMAL(38,0)), one fixed corr tree

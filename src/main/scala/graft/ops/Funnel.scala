@@ -215,4 +215,45 @@ object Funnel {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n") / col("_total"), 6).as("p"))
   }
+
+  /** Entropy rate (nats/step) of the first-order Markov chain over
+    * adjacent event-type transitions — how predictable is the NEXT
+    * action given the current one? 0 means deterministic flows
+    * (scripted traffic, rigid funnels); ln(|states|) means uniform
+    * chaos. Empirical plug-in over the same per-user adjacent pairs
+    * as [[transitions]]:
+    *
+    *   H = Σ_ij (n_ij / N) · ln(rt_i / n_ij)
+    *
+    * (π weighting falls out of the joint counts). Integer sufficient
+    * stats, one sorted-cell fold, ln → rounded at 6 dp — the
+    * `Stats.mutualInformation` discipline. Output ONE row:
+    * (n_transitions, n_states, entropy_rate_nats).
+    */
+  def markovEntropyRate(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("_f"),
+        lead(col(typeCol), 1).over(ord).as("_t"))
+      .filter(col("_t").isNotNull)
+      .groupBy("_f", "_t").agg(count(lit(1)).as("_n"))
+      // row totals via a window over the |states|²-bounded cell frame —
+      // one lineage, no join, no re-derivation of the transition scan
+      .withColumn("_rt",
+        sum(col("_n")).over(Window.partitionBy(col("_f"))).cast("long"))
+    val folded = cells
+      .agg(array_sort(collect_list(struct(col("_f"), col("_t"), col("_n"),
+        col("_rt")))).as("_a"),
+        sum(col("_n")).cast("long").as("n_transitions"),
+        countDistinct(col("_f")).as("n_states"))
+    val h = aggregate(col("_a"), lit(0.0), (acc, s) =>
+      acc + (s.getField("_n").cast("double") /
+          col("n_transitions").cast("double")) *
+        log(s.getField("_rt").cast("double") / s.getField("_n").cast("double")))
+    folded.select(col("n_transitions"), col("n_states"),
+      round(h, 6).as("entropy_rate_nats"))
+  }
 }

@@ -784,4 +784,36 @@ object Stats {
         when(col("n_test") === 0, lit(null).cast("long"))
           .otherwise(expr("_cov * 1000000L div n_test")).as("coverage_ppm"))
   }
+
+  /** Hill tail-index estimator over the top-k order statistics — the
+    * heavy-tail audit: α̂ ≈ 1 means plan for extreme outliers (no
+    * finite variance; sampling/quota logic must cap), α̂ > 2 means
+    * variance exists and mean-based sizing is safe. Classic Hill:
+    * `α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))` over the k largest
+    * values with x_(k+1) the threshold order stat. The top-(k+1)
+    * MULTISET of an integral metric is deterministic under ties, the
+    * per-term ratio is exact-int division, and the fold runs over the
+    * value-sorted array; ln feeds the fold, so the output rounds at
+    * 6 dp (the zipfFit ln-ulp rule). All-tied top values sum to
+    * exactly 0.0 on both engines (ln 1) and mask to NULL.
+    *
+    * Scale posture: the only data-sized work is a distributed top-k
+    * (TakeOrdered — no global sort); the fold is a ≤k-element array
+    * in one row.
+    */
+  def hillTailIndex(df: DataFrame, metric: Column, k: Int = 200): DataFrame = {
+    require(k >= 10 && k <= 10000, "10 <= k <= 10000")
+    val v = df.select(metric.cast("long").as("_v")).filter(col("_v") > 0)
+    val top = v.orderBy(col("_v").desc).limit(k + 1)
+    val folded = top.agg(array_sort(collect_list(col("_v"))).as("_a"),
+      count(lit(1)).as("_n"))
+    val thr = element_at(col("_a"), 1)
+    val lnSum = aggregate(expr("slice(_a, 2, size(_a) - 1)"),
+      lit(0.0), (acc, x) => acc + log(x.cast("double") / thr.cast("double")))
+    folded.select((col("_n") - 1).cast("long").as("k"),
+      thr.cast("long").as("threshold"),
+      when(col("_n") < 2 || lnSum === 0.0, lit(null).cast("double"))
+        .otherwise(round((col("_n") - 1).cast("double") / lnSum, 6))
+        .as("hill_alpha"))
+  }
 }

@@ -398,4 +398,44 @@ object TimeSeries {
         (col("_peak.n_events") === col("n_events") &&
          col("_peak.dow") === col("dow")).as("is_peak_dow"))
   }
+
+  /** Lag-1 autocorrelation of daily counts per series — the "is
+    * today's volume predicted by yesterday's" number that separates
+    * trending/bursty series (r₁ → 1) from memoryless ones (r₁ → 0)
+    * and oscillating ones (r₁ < 0). Exact integers end to end via the
+    * [[cusumDrift]] n-scaling: u_t = n·x_t − Σx is BIGINT, the lag
+    * pairs come from one window, and Σu_t·u_{t+1} / Σu_t² multiply AND
+    * accumulate in DECIMAL(38,0) (operands cast before the product, so
+    * no LONG overflow at any daily-count regime; 38 digits cover
+    * u² ≤ 1e38), so r₁
+    * is one division of engine-identical doubles — raw parity, no
+    * rounding. Constant series (all x tied) mask to NULL via the
+    * discrete min=max guard.
+    *
+    * Scale posture: the (series, day) agg collapses the log; windows
+    * run on ≤ 365·|series| rows.
+    */
+  def lag1Autocorr(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+    val tot = daily.groupBy("_g")
+      .agg(count(lit(1)).as("_nd"), sum(col("_x")).cast("long").as("_sx"),
+        min(col("_x")).as("_xmin"), max(col("_x")).as("_xmax"))
+    val w = Window.partitionBy("_g").orderBy("day")
+    val u = daily.join(tot, Seq("_g"))
+      .withColumn("_u", col("_nd") * col("_x") - col("_sx"))
+      .withColumn("_un", lead(col("_u"), 1).over(w))
+    u.groupBy("_g")
+      .agg(first(col("_nd")).as("n_days"),
+        first(col("_xmin")).as("_xmin"), first(col("_xmax")).as("_xmax"),
+        sum(col("_u").cast("decimal(19,0)") * col("_un").cast("decimal(19,0)"))
+          .as("_num"),
+        sum(col("_u").cast("decimal(19,0)") * col("_u").cast("decimal(19,0)"))
+          .as("_den"))
+      .select(col("_g").as(seriesCol), col("n_days"),
+        when(col("_xmin") === col("_xmax"), lit(null).cast("double"))
+          .otherwise(col("_num").cast("double") / col("_den").cast("double"))
+          .as("r1"))
+  }
 }

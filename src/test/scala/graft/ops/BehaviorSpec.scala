@@ -203,4 +203,52 @@ class BehaviorSpec extends SparkSpec {
     got(0) shouldBe ((3L, 750000L, true))
     got(1) shouldBe ((1L, 250000L, false))
   }
+
+  test("markovEntropyRate is 0 for a deterministic chain") {
+    // A->B->A->B: every state has exactly one successor
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "B", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "A", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "B", 4L)
+    ).toDF("u", "t", "e", "id")
+    val got = Funnel.markovEntropyRate(df, "u", "t", "e", "id").collect().head
+    got.getLong(0) shouldBe 3L
+    got.getLong(1) shouldBe 2L
+    got.getDouble(2) shouldBe 0.0
+  }
+
+  test("markovEntropyRate matches the hand-computed plug-in estimate") {
+    // A,A,A,B: cells (A,A)=2 (A,B)=1, row total A=3, N=3
+    // H = (2/3)ln(3/2) + (1/3)ln(3)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "A", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "A", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "B", 4L)
+    ).toDF("u", "t", "e", "id")
+    val got = Funnel.markovEntropyRate(df, "u", "t", "e", "id").collect().head
+    got.getLong(0) shouldBe 3L
+    got.getLong(1) shouldBe 1L // only A has outgoing transitions
+    val h = (2.0 / 3) * math.log(3.0 / 2) + (1.0 / 3) * math.log(3.0)
+    got.getDouble(2) shouldBe BigDecimal(h)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("lag1Autocorr recovers the exact hand value and masks constants") {
+    // series s1 daily counts (1,3,2): u = (-3,3,0), num=-9, den=18 -> -0.5
+    // series s2 constant (2,2): min=max -> NULL
+    val rows =
+      Seq.fill(1)(("s1", ts("2024-01-01 05:00:00"))) ++
+        Seq.fill(3)(("s1", ts("2024-01-02 06:00:00"))) ++
+        Seq.fill(2)(("s1", ts("2024-01-03 07:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-01 08:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-02 09:00:00")))
+    val got = TimeSeries.lag1Autocorr(rows.toDF("g", "t"), "g", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    got("s1").getLong(1) shouldBe 3L
+    got("s1").getDouble(2) shouldBe -0.5
+    got("s2").getLong(1) shouldBe 2L
+    got("s2").isNullAt(2) shouldBe true
+  }
 }

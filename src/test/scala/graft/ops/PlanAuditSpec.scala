@@ -146,6 +146,10 @@ class PlanAuditSpec extends SparkSpec {
     // er_clusters' CC rounds are checkpoint leaves
     "q_spearman" -> 1, "q_dow_profile" -> 2, "q_conformal" -> 5,
     "q_er_clusters" -> 0,
+    // autocorr = (series,day) agg + per-series tot agg/join + lag
+    // window; tail_index is a distributed TakeOrdered (0 exchanges);
+    // markov = per-user lag window + cell agg + cell-frame window + agg
+    "q_autocorr" -> 3, "q_tail_index" -> 0, "q_markov_entropy" -> 4,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

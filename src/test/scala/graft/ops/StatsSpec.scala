@@ -476,4 +476,24 @@ class StatsSpec extends SparkSpec {
     // coverage should be near 90% on exchangeable noise
     got.getLong(6).toDouble / 1e6 should (be >= 0.8 and be <= 1.0)
   }
+
+  test("hillTailIndex matches the hand-computed fold over top-k order stats") {
+    // values 1..15, k=10: top-11 = {5..15}, threshold x_(k+1) = 5,
+    // lnSum folds ascending over {6..15}: sum ln(i/5)
+    val df = (1 to 15).map(_.toLong).toDF("v")
+    val got = Stats.hillTailIndex(df, col("v"), k = 10).collect().head
+    got.getLong(0) shouldBe 10L
+    got.getLong(1) shouldBe 5L
+    val lnSum = (6 to 15).foldLeft(0.0)((a, i) => a + math.log(i / 5.0))
+    got.getDouble(2) shouldBe BigDecimal(10.0 / lnSum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("hillTailIndex masks all-tied tops to NULL and drops non-positives") {
+    // 12 copies of 7 plus junk below zero: top-11 all tied -> lnSum 0
+    val df = (Seq.fill(12)(7L) ++ Seq(-3L, 0L)).toDF("v")
+    val got = Stats.hillTailIndex(df, col("v"), k = 10).collect().head
+    got.getLong(1) shouldBe 7L
+    got.isNullAt(2) shouldBe true
+  }
 }
