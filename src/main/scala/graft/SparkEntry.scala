@@ -2105,6 +2105,27 @@ object SparkEntry {
       graft.ops.Funnel.markovEntropyRate(
         table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")),
 
+    // day-of-week seasonal strength per event type: scaled-integer
+    // sums of squares, 7-element dow fold, raw-parity ratio
+    "q_seasonal_strength" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalStrength(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // delete-one-bucket jackknife SE for cents-per-unit: order-level
+    // resampling units, exact-int replicate ratios, raw parity
+    "q_jackknife" -> ((s, dir) =>
+      graft.ops.Stats.jackknifeRatio(
+        table(s, dir, "lineitem"), col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"), b = 100)),
+
+    // matched-cohort uplift: md5-parity arms, exact pre-activity
+    // strata (LEAST cap), post-period cents outcome, weighted fold
+    "q_matched_uplift" -> ((s, dir) =>
+      graft.ops.Stats.matchedUplift(
+        table(s, dir, "events"), "user_id", "ts",
+        round(col("value") * 100).cast("long"), preCap = 20)),
+
     // Spearman rank correlation per return flag: doubled average ranks
     // are exact ints even under ties; 128-bit exact product sums
     "q_spearman" -> ((s, dir) =>
@@ -4149,6 +4170,127 @@ object SparkEntry {
         |    (s.n::DOUBLE / n_transitions::DOUBLE)
         |      * ln(s.rt::DOUBLE / s.n::DOUBLE))), 6) AS entropy_rate_nats
         |FROM agg""".stripMargin,
+
+    // seasonal-strength twin: scaled-integer SS numerators in HUGEINT
+    // (Spark: DECIMAL(38,0)), dow-ordered term fold, identical
+    // 1 − (fold·n²)/T tree → raw double parity
+    "q_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x,
+        |    dayofweek(date_trunc('day', ts))::INTEGER AS dow
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), dt AS (
+        |  SELECT g, dow, COUNT(*)::BIGINT AS nd, CAST(SUM(x) AS BIGINT) AS sd
+        |  FROM daily GROUP BY 1, 2
+        |), u AS (
+        |  SELECT daily.g, daily.dow, tot.n, dt.nd,
+        |    (tot.n * x - tot.s)::HUGEINT AS u,
+        |    (dt.nd * x - dt.sd)::HUGEINT AS ud
+        |  FROM daily JOIN tot ON daily.g = tot.g
+        |    JOIN dt ON daily.g = dt.g AND daily.dow = dt.dow
+        |), cells AS (
+        |  SELECT g, dow, MIN(nd) AS nd, MIN(n) AS n,
+        |    SUM(ud * ud) AS rd, SUM(u * u) AS tpart
+        |  FROM u GROUP BY 1, 2
+        |), per AS (
+        |  SELECT g, MIN(n) AS n_days, COUNT(DISTINCT dow)::BIGINT AS n_dows,
+        |    SUM(tpart) AS t,
+        |    list(struct_pack(rd := rd, nd := nd) ORDER BY dow) AS a
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT g AS event_type, n_days, n_dows,
+        |  CASE WHEN t = 0 THEN NULL
+        |       ELSE 1.0 - (list_sum(list_transform(a, s ->
+        |         s.rd::DOUBLE / (s.nd::DOUBLE * s.nd::DOUBLE)))
+        |         * (n_days::DOUBLE * n_days::DOUBLE)) / t::DOUBLE
+        |  END AS seasonal_strength
+        |FROM per""".stripMargin,
+
+    // jackknife twin: identical md5 buckets, exact-int leave-one-out
+    // ratios, bucket-ordered folds, sqrt of identical doubles
+    "q_jackknife" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
+        |      % 100 AS bk,
+        |    COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS yb,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wb
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_units, COUNT(*)::BIGINT AS b,
+        |    CAST(SUM(yb) AS BIGINT) AS sy, CAST(SUM(wb) AS BIGINT) AS sw,
+        |    list(struct_pack(yb := yb, wb := wb) ORDER BY bk) AS a
+        |  FROM b
+        |), m AS (
+        |  SELECT n_units, b, sy, sw, a,
+        |    list_sum(list_transform(a, s ->
+        |      (sy - s.yb)::DOUBLE / (sw - s.wb)::DOUBLE)) / b::DOUBLE AS tb
+        |  FROM t
+        |)
+        |SELECT n_units, b, sy::DOUBLE / sw::DOUBLE AS theta,
+        |  CASE WHEN b < 2 THEN NULL
+        |       ELSE sqrt(((b - 1)::DOUBLE / b::DOUBLE)
+        |         * list_sum(list_transform(a, s ->
+        |           ((sy - s.yb)::DOUBLE / (sw - s.wb)::DOUBLE - tb)
+        |           * ((sy - s.yb)::DOUBLE / (sw - s.wb)::DOUBLE - tb))))
+        |  END AS jk_se
+        |FROM m""".stripMargin,
+
+    // matched-uplift twin: identical md5 parity arms, LEAST strata,
+    // integer-midpoint split, FILTERed matched-stratum list (DuckDB
+    // list() keeps NULLs where Spark collect_list drops them),
+    // stratum-ordered ATT fold — raw parity
+    "q_matched_uplift" ->
+      """WITH base AS (
+        |  SELECT user_id::VARCHAR AS k, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), span AS (
+        |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM base
+        |), units AS (
+        |  SELECT k,
+        |    LEAST(CAST(SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT),
+        |      20) AS s,
+        |    (('0x' || substr(md5(k), 1, 8))::BIGINT % 2)::INTEGER AS arm,
+        |    CAST(SUM(CASE WHEN us >= mid THEN COALESCE(y, 0) ELSE 0 END)
+        |      AS BIGINT) AS post
+        |  FROM base, span GROUP BY k
+        |), strata AS (
+        |  SELECT s,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS yt,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS yc
+        |  FROM units GROUP BY 1
+        |), f AS (
+        |  SELECT CAST(SUM(nt + nc) AS BIGINT) AS n_units,
+        |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_strata_matched,
+        |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+        |      AS BIGINT) AS ntm,
+        |    CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt + nc ELSE 0 END)
+        |      AS BIGINT) AS nm,
+        |    list(struct_pack(nt := nt, nc := nc, yt := yt, yc := yc)
+        |      ORDER BY s) FILTER (WHERE nt > 0 AND nc > 0) AS a
+        |  FROM strata
+        |)
+        |SELECT n_units, n_strata_matched,
+        |  (nm * 1000000) // n_units AS matched_ppm,
+        |  CASE WHEN n_strata_matched = 0 THEN NULL
+        |       ELSE list_sum(list_transform(a, s ->
+        |         (s.nt::DOUBLE / ntm::DOUBLE)
+        |         * (s.yt::DOUBLE / s.nt::DOUBLE - s.yc::DOUBLE / s.nc::DOUBLE)))
+        |  END AS att
+        |FROM f""".stripMargin,
 
     // Spearman twin: identical doubled-rank windows, HUGEINT exact
     // product sums (Spark side: DECIMAL(38,0)), one fixed corr tree

@@ -816,4 +816,121 @@ object Stats {
         .otherwise(round((col("_n") - 1).cast("double") / lnSum, 6))
         .as("hill_alpha"))
   }
+
+  /** Delete-one-bucket jackknife standard error for a ratio-of-sums
+    * metric θ = Σy/Σw — the honest uncertainty for per-unit ratios
+    * (revenue per item, clicks per session) where the naive SE
+    * ignores the denominator's variance. Units hash into B md5
+    * buckets (the [[welchZ]] split idiom); each leave-one-out
+    * replicate θ₍ᵢ₎ = (Sy−yᵢ)/(Sw−wᵢ) is one division of exact
+    * integer sums, and SE² = (B−1)/B · Σ(θ₍ᵢ₎−θ̄)² folds over the
+    * bucket-sorted replicate array. Every double is derived from
+    * identical exact-int operands through one fixed tree (no ln), so
+    * the output is raw-parity — no rounding. Output ONE row:
+    * (n_units, b, theta, jk_se).
+    *
+    * Scale posture: one map-side-combinable agg collapses the data to
+    * ≤B rows; the fold is a ≤B-element array in one row.
+    */
+  def jackknifeRatio(df: DataFrame, unitKey: Column, y: Column, w: Column,
+                     b: Int = 100): DataFrame = {
+    require(b >= 10 && b <= 10000, "10 <= b <= 10000")
+    val bucketed = df
+      .select(unitKey.cast("string").as("_k"), y.cast("long").as("_y"),
+        w.cast("long").as("_w"))
+      .filter(col("_k").isNotNull && col("_y").isNotNull && col("_w").isNotNull)
+      .withColumn("_b", Sampling.hashBucket(col("_k"), b))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).cast("long").as("_yb"),
+        sum(col("_w")).cast("long").as("_wb"))
+    val tot = bucketed
+      .agg(sum(col("_n")).cast("long").as("n_units"),
+        count(lit(1)).cast("long").as("b"),
+        sum(col("_yb")).cast("long").as("_sy"),
+        sum(col("_wb")).cast("long").as("_sw"),
+        array_sort(collect_list(struct(col("_b"), col("_yb"), col("_wb"))))
+          .as("_a"))
+    // θ̄ over replicates, then the squared-deviation fold — two passes
+    // over the same ≤B-element array, one row
+    val rep = (s: Column) =>
+      (col("_sy") - s.getField("_yb")).cast("double") /
+        (col("_sw") - s.getField("_wb")).cast("double")
+    val thetaBar = aggregate(col("_a"), lit(0.0), (acc, s) => acc + rep(s)) /
+      col("b").cast("double")
+    val ssq = aggregate(col("_a"), lit(0.0), (acc, s) =>
+      acc + (rep(s) - thetaBar) * (rep(s) - thetaBar))
+    tot.select(col("n_units"), col("b"),
+      (col("_sy").cast("double") / col("_sw").cast("double")).as("theta"),
+      when(col("b") < 2, lit(null).cast("double"))
+        .otherwise(sqrt(((col("b") - 1).cast("double") / col("b").cast("double"))
+          * ssq))
+        .as("jk_se"))
+  }
+
+  /** Matched-cohort uplift (coarsened-exact-matching flavor): units
+    * stratify on an exact pre-period activity level, and the treated
+    * arm's effect is the stratum-size-weighted difference of post-
+    * period outcome means — the selection-bias-aware alternative to
+    * [[welchZ]]'s raw arm difference when assignment correlates with
+    * prior activity. Strata missing either arm are excluded (that is
+    * the matching); the match rate is reported so a low-overlap
+    * read is visible.
+    *
+    * ATT = Σ_s (nt_s/NT)·(ȳt_s − ȳc_s) — every term is a division of
+    * exact integer sums, folded over the stratum-sorted array through
+    * one fixed tree; raw double parity, no rounding. Arm = md5(unit)
+    * parity (1 = treated), stratum = LEAST(pre, cap): exact integer
+    * coarsening, no ln/ntile (floor(log2) through doubles flips on
+    * exact powers across engines). Pre/post split at the integer
+    * midpoint of the observed epoch-microsecond span. Output ONE row:
+    * (n_units, n_strata_matched, matched_ppm, att).
+    *
+    * Scale posture: one per-unit agg collapses the events; strata
+    * (≤cap+1 rows) and the fold are driver-free single-row work.
+    */
+  def matchedUplift(df: DataFrame, unitCol: String, tsCol: String, y: Column,
+                    preCap: Int = 20): DataFrame = {
+    require(preCap >= 1 && preCap <= 1000, "1 <= preCap <= 1000")
+    val base = df
+      .filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(unitCol).cast("string").as("_k"),
+        unix_micros(col(tsCol)).as("_us"), y.cast("long").as("_y"))
+    val span = base.agg(min(col("_us")).as("_lo"), max(col("_us")).as("_hi"))
+      .select(expr("(_lo + _hi) div 2").as("_mid"))
+    val units = base.crossJoin(broadcast(span))
+      .groupBy("_k")
+      .agg(sum(when(col("_us") < col("_mid"), 1L).otherwise(0L)).as("_pre"),
+        sum(when(col("_us") >= col("_mid"), coalesce(col("_y"), lit(0L)))
+          .otherwise(0L)).cast("long").as("_post"))
+      .select(col("_k"),
+        least(col("_pre"), lit(preCap.toLong)).as("_s"),
+        Sampling.hashBucket(col("_k"), 2).cast("int").as("_arm"),
+        col("_post"))
+    val strata = units.groupBy("_s")
+      .agg(sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_arm") === 1, col("_post")).otherwise(0L))
+          .cast("long").as("_yt"),
+        sum(when(col("_arm") === 0, col("_post")).otherwise(0L))
+          .cast("long").as("_yc"))
+    val folded = strata
+      .agg(sum(col("_nt") + col("_nc")).cast("long").as("n_units"),
+        sum(when(col("_nt") > 0 && col("_nc") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_strata_matched"),
+        sum(when(col("_nt") > 0 && col("_nc") > 0, col("_nt")).otherwise(0L))
+          .cast("long").as("_ntm"),
+        sum(when(col("_nt") > 0 && col("_nc") > 0,
+          col("_nt") + col("_nc")).otherwise(0L)).cast("long").as("_nm"),
+        array_sort(collect_list(when(col("_nt") > 0 && col("_nc") > 0,
+          struct(col("_s"), col("_nt"), col("_nc"), col("_yt"), col("_yc")))))
+          .as("_a"))
+    val att = aggregate(col("_a"), lit(0.0), (acc, s) =>
+      acc + (s.getField("_nt").cast("double") / col("_ntm").cast("double")) *
+        (s.getField("_yt").cast("double") / s.getField("_nt").cast("double")
+          - s.getField("_yc").cast("double") / s.getField("_nc").cast("double")))
+    folded.select(col("n_units"), col("n_strata_matched"),
+      expr("_nm * 1000000L div n_units").as("matched_ppm"),
+      when(col("n_strata_matched") === 0, lit(null).cast("double"))
+        .otherwise(att).as("att"))
+  }
 }

@@ -415,6 +415,65 @@ object TimeSeries {
     * Scale posture: the (series, day) agg collapses the log; windows
     * run on ≤ 365·|series| rows.
     */
+  /** Day-of-week seasonal strength per series: 1 − SS_resid/SS_total
+    * over daily counts, where SS_resid deviates from each weekday's own
+    * mean — 1 means the weekly profile explains everything (pure
+    * weekday pattern), 0 means the weekly profile explains nothing.
+    * The decomposition every forecast/anomaly layer should check
+    * before assuming weekday-adjusted baselines help.
+    *
+    * Exactness: with S=Σx over n days and S_d=Σx over the n_d days of
+    * weekday d, both sums of squares scale to integers —
+    * SS_total = Σ(n·x−S)²/n² and SS_resid = Σ_d R_d/n_d² with
+    * R_d = Σ(n_d·x−S_d)². The numerators multiply and accumulate in
+    * DECIMAL(38,0); each per-dow term is one division of exact
+    * operands, folded over the ≤7-element dow-sorted array, and the
+    * final 1 − (fold·n²)/T tree is stated identically in the oracle —
+    * raw double parity, no rounding. Constant series (T=0) → NULL.
+    * Weekday numbering is 0=Sunday ([[weekdayProfile]] convention).
+    *
+    * Scale posture: the (series,day) agg collapses the log; everything
+    * after runs on ≤7·|series| rows.
+    */
+  def seasonalStrength(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val dec = "decimal(19,0)"
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+    // per-series and per-(series,dow) totals as windows over the
+    // ≤365·|series| daily frame — one lineage, no joins, the events
+    // scan runs exactly once
+    val wg = Window.partitionBy("_g")
+    val wgd = Window.partitionBy("_g", "dow")
+    val u = daily
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_s", sum(col("_x")).over(wg).cast("long"))
+      .withColumn("_nd", count(lit(1)).over(wgd))
+      .withColumn("_sd", sum(col("_x")).over(wgd).cast("long"))
+      .withColumn("_u", (col("_n") * col("_x") - col("_s")).cast(dec))
+      .withColumn("_ud", (col("_nd") * col("_x") - col("_sd")).cast(dec))
+    val cells = u.groupBy("_g", "dow")
+      .agg(first(col("_nd")).as("_nd"), first(col("_n")).as("_n"),
+        sum(col("_ud") * col("_ud")).as("_rd"),
+        sum(col("_u") * col("_u")).as("_tpart"))
+    val perG = cells.groupBy("_g")
+      .agg(first(col("_n")).as("n_days"),
+        countDistinct(col("dow")).as("n_dows"),
+        sum(col("_tpart")).as("_t"),
+        array_sort(collect_list(struct(col("dow"), col("_rd"), col("_nd"))))
+          .as("_a"))
+    val resid = aggregate(col("_a"), lit(0.0), (acc, s) =>
+      acc + s.getField("_rd").cast("double") /
+        (s.getField("_nd").cast("double") * s.getField("_nd").cast("double")))
+    perG.select(col("_g").as(seriesCol), col("n_days"), col("n_dows"),
+      when(col("_t") === 0, lit(null).cast("double"))
+        .otherwise(lit(1.0) -
+          (resid * (col("n_days").cast("double") * col("n_days").cast("double")))
+            / col("_t").cast("double"))
+        .as("seasonal_strength"))
+  }
+
   def lag1Autocorr(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
     val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))

@@ -235,6 +235,37 @@ class BehaviorSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("seasonalStrength is 1 on a pure weekday pattern, NULL on constants") {
+    // s1: Sundays always 5, Mondays always 1 -> dow explains everything
+    // s2: constant 2 every day -> T = 0 -> NULL
+    val rows =
+      Seq.fill(5)(("s1", ts("2024-01-07 10:00:00"))) ++
+        Seq.fill(5)(("s1", ts("2024-01-14 10:00:00"))) ++
+        Seq.fill(1)(("s1", ts("2024-01-08 10:00:00"))) ++
+        Seq.fill(1)(("s1", ts("2024-01-15 10:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-07 10:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-08 10:00:00")))
+    val got = TimeSeries.seasonalStrength(rows.toDF("g", "t"), "g", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    got("s1").getLong(1) shouldBe 4L
+    got("s1").getLong(2) shouldBe 2L
+    got("s1").getDouble(3) shouldBe 1.0
+    got("s2").isNullAt(3) shouldBe true
+  }
+
+  test("seasonalStrength matches the hand-computed partial decomposition") {
+    // Sundays 5 and 3 (R_sun = 8, n_d = 2), Mondays 1 and 1 (R_mon = 0)
+    // n = 4, S = 10, T = 176 -> 1 - (8/4 * 16) / 176
+    val rows =
+      Seq.fill(5)(("s1", ts("2024-01-07 10:00:00"))) ++
+        Seq.fill(3)(("s1", ts("2024-01-14 10:00:00"))) ++
+        Seq.fill(1)(("s1", ts("2024-01-08 10:00:00"))) ++
+        Seq.fill(1)(("s1", ts("2024-01-15 10:00:00")))
+    val got = TimeSeries.seasonalStrength(rows.toDF("g", "t"), "g", "t")
+      .collect().head
+    got.getDouble(3) shouldBe (1.0 - ((8.0 / 4.0 + 0.0 / 4.0) * 16.0) / 176.0)
+  }
+
   test("lag1Autocorr recovers the exact hand value and masks constants") {
     // series s1 daily counts (1,3,2): u = (-3,3,0), num=-9, den=18 -> -0.5
     // series s2 constant (2,2): min=max -> NULL

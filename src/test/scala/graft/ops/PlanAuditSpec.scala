@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_cuped" -> "two 1-row arm frames + 1-row pooled-theta frame crossJoined into the single output row (the q_ab_ztest shape)",
     "q_exp_health" -> "two 1-row arm-summary frames crossJoined into the single output row (the q_ab_ztest shape)",
     "q_benford" -> "1-row digit-total crossJoin onto the <=9-row digit frame",
-    "q_conformal" -> "1-row fit / quantile / count frames broadcast onto the split scans (cal sort is a bounded 5% sample by construction)"
+    "q_conformal" -> "1-row fit / quantile / count frames broadcast onto the split scans (cal sort is a bounded 5% sample by construction)",
+    "q_matched_uplift" -> "1-row epoch-midpoint frame broadcast onto the per-unit scan (bounded-broadcast category)"
   )
 
   /** query -> why a small-estimate shuffle join is acceptable there. */
@@ -150,6 +151,10 @@ class PlanAuditSpec extends SparkSpec {
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg
     "q_autocorr" -> 3, "q_tail_index" -> 0, "q_markov_entropy" -> 4,
+    // seasonal = daily agg + shared window exchange on the collapsed
+    // frame (events scanned once); jackknife = bucket agg + 1-row agg;
+    // uplift = per-unit agg + stratum agg + 1-row span broadcast + agg
+    "q_seasonal_strength" -> 2, "q_jackknife" -> 2, "q_matched_uplift" -> 4,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

@@ -489,6 +489,63 @@ class StatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** General md5 hash bucket (first 4 bytes as unsigned int, mod m) —
+    * the JVM re-derivation of Sampling.hashBucket. */
+  private def bucket(u: Long, m: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % m
+  }
+
+  test("jackknifeRatio matches the JVM leave-one-out re-derivation") {
+    val rows = (1L to 200L).map(u => (u, u % 7 + 1, u % 3 + 1))
+    val df = rows.toDF("u", "y", "w")
+    val got = Stats.jackknifeRatio(df, col("u"), col("y"), col("w"), b = 10)
+      .collect().head
+    // re-derive: bucket sums in bucket order, then the same folds
+    val byB = rows.groupBy(r => bucket(r._1, 10)).toSeq.sortBy(_._1)
+    val (sy, sw) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val reps = byB.map { case (_, rs) =>
+      (sy - rs.map(_._2).sum).toDouble / (sw - rs.map(_._3).sum).toDouble
+    }
+    val tb = reps.foldLeft(0.0)(_ + _) / byB.size
+    val ssq = reps.foldLeft(0.0)((a, t) => a + (t - tb) * (t - tb))
+    got.getLong(0) shouldBe 200L
+    got.getLong(1) shouldBe byB.size.toLong
+    got.getDouble(2) shouldBe sy.toDouble / sw.toDouble
+    got.getDouble(3) shouldBe math.sqrt((byB.size - 1).toDouble / byB.size * ssq)
+  }
+
+  test("matchedUplift excludes one-armed strata and weights by treated size") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-31 00:00:00")
+    // users 1..40: pre-activity level = 1 for u<=20 else 2 (both arms
+    // present in each by hash luck with 40 users); post outcome = u%5
+    val rows = (1L to 40L).flatMap { u =>
+      val pre = if (u <= 20) Seq((u, t0, 0L)) else Seq((u, t0, 0L), (u, t0, 0L))
+      pre ++ Seq((u, t1, u % 5))
+    }
+    val got = Stats.matchedUplift(rows.toDF("u", "t", "y"), "u", "t",
+      col("y") * 100, preCap = 20).collect().head
+    // JVM re-derivation with the same arm hash and midpoint semantics
+    val units = (1L to 40L).map { u =>
+      (if (u <= 20) 1L else 2L, bucket(u, 2), (u % 5) * 100)
+    }
+    val strata = units.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, us) =>
+      val t = us.filter(_._2 == 1); val c = us.filter(_._2 == 0)
+      (s, t.size.toLong, c.size.toLong, t.map(_._3).sum, c.map(_._3).sum)
+    }.filter(x => x._2 > 0 && x._3 > 0)
+    val ntm = strata.map(_._2).sum
+    val att = strata.foldLeft(0.0) { case (a, (_, nt, nc, yt, yc)) =>
+      a + (nt.toDouble / ntm) * (yt.toDouble / nt - yc.toDouble / nc)
+    }
+    got.getLong(0) shouldBe 40L
+    got.getLong(1) shouldBe strata.size.toLong
+    got.getLong(2) shouldBe strata.map(x => x._2 + x._3).sum * 1000000L / 40L
+    got.getDouble(3) shouldBe att
+  }
+
   test("hillTailIndex masks all-tied tops to NULL and drops non-positives") {
     // 12 copies of 7 plus junk below zero: top-11 all tied -> lnSum 0
     val df = (Seq.fill(12)(7L) ++ Seq(-3L, 0L)).toDF("v")
