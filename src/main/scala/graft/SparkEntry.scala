@@ -2126,6 +2126,64 @@ object SparkEntry {
         table(s, dir, "events"), "user_id", "ts",
         round(col("value") * 100).cast("long"), preCap = 20)),
 
+    // dominant observed 3-step flows: two stacked leads per user
+    // stream, exact counts, deterministic top-20
+    "q_event_trigrams" -> ((s, dir) =>
+      graft.ops.Funnel.sequentialPatterns(
+        table(s, dir, "events"), "user_id", "ts", "event_type",
+        "event_id", topK = 20)),
+
+    // first-view -> first-purchase latency: integer gap seconds,
+    // nearest-rank p50/p90 via the 100·cum >= p·n predicate
+    "q_stage_latency" -> ((s, dir) =>
+      graft.ops.Funnel.stageLatency(
+        table(s, dir, "events"), "user_id", "ts", "event_type",
+        "event_id", fromType = "view", toType = "purchase")),
+
+    // Heaps'-law vocab-growth fit across sources: exact (N, V) points,
+    // ln-ln OLS folded in group order, 6 dp outputs
+    "q_heaps_fit" -> ((s, dir) =>
+      graft.ops.TextAnalysis.heapsFit(
+        table(s, dir, "documents"), "source", "text")),
+
+    // "bought X also bought Y": top-50 item pairs by co-occurrence
+    // cosine — exact counts, sqrt raw parity, deterministic cut
+    "q_item_cooc" -> ((s, dir) =>
+      graft.ops.Graph.itemCosine(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L, topK = 50)),
+
+    // per-type data-freshness audit: integer lag vs the global max
+    "q_freshness" -> ((s, dir) =>
+      graft.ops.TimeSeries.freshness(
+        table(s, dir, "events"), "event_type", "ts", staleAfterS = 86400L)),
+
+    // revenue concentration by customer decile: tie-consistent
+    // integer decile rule, exact cents, ppm shares
+    "q_decile_share" -> ((s, dir) =>
+      graft.ops.Stats.decileShare(
+        table(s, dir, "orders"), "o_custkey",
+        round(col("o_totalprice") * 100))),
+
+    // cross-doc trigram diversity/novelty per source: distinct +
+    // singleton shares of per-doc distinct shingles, all-integer
+    "q_ngram_diversity" -> ((s, dir) =>
+      graft.ops.TextAnalysis.ngramDiversity(
+        table(s, dir, "documents"), "source", "text", n = 3)),
+
+    // Fano factor of daily counts per event type: is volume even
+    // Poisson-like before anomaly math assumes it
+    "q_dispersion" -> ((s, dir) =>
+      graft.ops.TimeSeries.dispersion(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // Wilson 95% CI on per-user purchase conversion per md5 arm:
+    // exact counts through one fixed literal-1.96 tree, raw parity
+    "q_wilson_ci" -> ((s, dir) =>
+      graft.ops.Stats.wilsonCi(
+        table(s, dir, "events"), "user_id",
+        col("event_type") === "purchase")),
+
     // Spearman rank correlation per return flag: doubled average ranks
     // are exact ints even under ties; 128-bit exact product sums
     "q_spearman" -> ((s, dir) =>
@@ -2390,6 +2448,14 @@ object SparkEntry {
   private val docToks =
     """WITH d AS (
       |  SELECT doc_id, text, lang,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  // docToks keyed by corpus slice instead of doc id (Heaps fit)
+  private val docToksSource =
+    """WITH d AS (
+      |  SELECT source,
       |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
       |  FROM documents
       |)""".stripMargin
@@ -4170,6 +4236,233 @@ object SparkEntry {
         |    (s.n::DOUBLE / n_transitions::DOUBLE)
         |      * ln(s.rt::DOUBLE / s.n::DOUBLE))), 6) AS entropy_rate_nats
         |FROM agg""".stripMargin,
+
+    // diversity twin: the dedup-family shingle CTE (per-doc distinct
+    // trigrams), integer df cells, ppm idiom
+    "q_ngram_diversity" ->
+      s"""$docToksSource, s AS (
+        |  SELECT source AS g,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |  FROM d WHERE len(toks) >= 3
+        |), df1 AS (
+        |  SELECT g, sh, COUNT(*)::BIGINT AS df FROM s GROUP BY 1, 2
+        |)
+        |SELECT g AS source,
+        |  CAST(SUM(df) AS BIGINT) AS n_occurrences,
+        |  COUNT(*)::BIGINT AS n_distinct,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  (COUNT(*) * 1000000) // CAST(SUM(df) AS BIGINT) AS distinct_ppm,
+        |  (CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // COUNT(*) AS singleton_ppm
+        |FROM df1 GROUP BY 1""".stripMargin,
+
+    // dispersion twin: scaled-integer T in HUGEINT, one raw-parity
+    // division T/(n·(n−1)·S)
+    "q_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), u AS (
+        |  SELECT g,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS s,
+        |    (COUNT(*) OVER (PARTITION BY g) * x
+        |      - CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT))::HUGEINT AS uu
+        |  FROM daily
+        |)
+        |SELECT g AS event_type, MIN(n)::BIGINT AS n_days,
+        |  CASE WHEN MIN(n) < 2 THEN NULL
+        |       ELSE CAST(SUM(uu * uu) AS DOUBLE)
+        |          / ((MIN(n) * (MIN(n) - 1))::HUGEINT * MIN(s))::DOUBLE
+        |  END AS dispersion
+        |FROM u GROUP BY 1""".stripMargin,
+
+    // Wilson twin: identical md5 arms, the same literal-1.96 tree
+    "q_wilson_ci" ->
+      """WITH units AS (
+        |  SELECT user_id::VARCHAR AS k,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), arms AS (
+        |  SELECT (('0x' || substr(md5(k), 1, 8))::BIGINT % 2)::INTEGER AS arm,
+        |    COUNT(*)::BIGINT AS n_units, CAST(SUM(s) AS BIGINT) AS n_success
+        |  FROM units GROUP BY 1
+        |)
+        |SELECT arm, n_units, n_success,
+        |  n_success::DOUBLE / n_units::DOUBLE AS p_hat,
+        |  (n_success::DOUBLE / n_units::DOUBLE
+        |      + (1.96 * 1.96) / (2.0 * n_units::DOUBLE))
+        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE)
+        |  - (1.96 * sqrt(n_success::DOUBLE / n_units::DOUBLE
+        |        * (1.0 - n_success::DOUBLE / n_units::DOUBLE)
+        |        / n_units::DOUBLE
+        |      + (1.96 * 1.96)
+        |        / (4.0 * n_units::DOUBLE * n_units::DOUBLE)))
+        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE) AS wilson_lo,
+        |  (n_success::DOUBLE / n_units::DOUBLE
+        |      + (1.96 * 1.96) / (2.0 * n_units::DOUBLE))
+        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE)
+        |  + (1.96 * sqrt(n_success::DOUBLE / n_units::DOUBLE
+        |        * (1.0 - n_success::DOUBLE / n_units::DOUBLE)
+        |        / n_units::DOUBLE
+        |      + (1.96 * 1.96)
+        |        / (4.0 * n_units::DOUBLE * n_units::DOUBLE)))
+        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE) AS wilson_hi
+        |FROM arms""".stripMargin,
+
+    // item-cosine twin: the assoc-rules incidence chain, cosine as one
+    // division/sqrt of exact counts, (cosine DESC, a, b) top-50
+    "q_item_cooc" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b, COUNT(*)::BIGINT AS pair_cnt
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3
+        |), icnt AS (
+        |  SELECT item, COUNT(*)::BIGINT AS cnt FROM inc2 GROUP BY 1
+        |)
+        |SELECT a, b, pair_cnt, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+        |  pair_cnt::DOUBLE / sqrt(ia.cnt::DOUBLE * ib.cnt::DOUBLE) AS cosine
+        |FROM edges
+        |JOIN icnt ia ON ia.item = a
+        |JOIN icnt ib ON ib.item = b
+        |ORDER BY cosine DESC, a, b LIMIT 50""".stripMargin,
+
+    // freshness twin: integer epoch-us lag vs the global max,
+    // make_timestamp for the emitted max_ts
+    "q_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type AS g, COUNT(*)::BIGINT AS n_events,
+        |    MAX(epoch_us(ts)) AS mx
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT g AS event_type, n_events, make_timestamp(mx) AS max_ts,
+        |  ((SELECT MAX(mx) FROM per) - mx) // 1000000 AS lag_s,
+        |  ((SELECT MAX(mx) FROM per) - mx) // 1000000 > 86400 AS is_stale
+        |FROM per""".stripMargin,
+
+    // decile-share twin: identical distinct-value cum frame and the
+    // tie-consistent ceil(10·cum/n) integer decile rule
+    "q_decile_share" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS u,
+        |    CAST(SUM(COALESCE(CAST(round(o_totalprice * 100) AS BIGINT), 0))
+        |      AS BIGINT) AS v
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), cells AS (
+        |  SELECT v, COUNT(*)::BIGINT AS c, CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM per GROUP BY 1
+        |), cum AS (
+        |  SELECT v, c, sv,
+        |    CAST(SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cm,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(sv) OVER () AS BIGINT) AS tot
+        |  FROM cells
+        |)
+        |SELECT (10 * cm + n - 1) // n AS decile,
+        |  CAST(SUM(c) AS BIGINT) AS n_units,
+        |  CAST(SUM(sv) AS BIGINT) AS value_cents,
+        |  (CAST(SUM(sv) AS BIGINT) * 1000000) // MIN(tot) AS share_ppm
+        |FROM cum GROUP BY 1""".stripMargin,
+
+    // trigram twin: identical stacked leads, deterministic
+    // (n DESC, e1, e2, e3) top-k on integer counts
+    "q_event_trigrams" ->
+      """WITH p AS (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), c AS (
+        |  SELECT e1, e2, e3, COUNT(*)::BIGINT AS n
+        |  FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3
+        |)
+        |SELECT e1, e2, e3, n,
+        |  ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3)::BIGINT AS rank
+        |FROM c ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    // stage-latency twin: identical running-min window, integer gap
+    // seconds, the same 100·cum >= p·n nearest-rank predicate
+    "q_stage_latency" ->
+      """WITH g AS (
+        |  SELECT user_id AS u, event_type AS e, epoch_us(ts) AS us,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS UNBOUNDED PRECEDING) AS from_min
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_type IN ('view', 'purchase')
+        |), per AS (
+        |  SELECT u, MIN(CASE WHEN e = 'purchase' AND from_min IS NOT NULL
+        |    THEN (us - from_min) // 1000000 END) AS gap_s
+        |  FROM g GROUP BY 1
+        |), cells AS (
+        |  SELECT gap_s, COUNT(*)::BIGINT AS c FROM per
+        |  WHERE gap_s IS NOT NULL GROUP BY 1
+        |), cum AS (
+        |  SELECT gap_s,
+        |    CAST(SUM(c) OVER (ORDER BY gap_s ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cm,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |)
+        |SELECT MIN(n)::BIGINT AS n_converted,
+        |  CAST(MIN(CASE WHEN cm * 100 >= n * 50 THEN gap_s END) AS BIGINT)
+        |    AS p50_s,
+        |  CAST(MIN(CASE WHEN cm * 100 >= n * 90 THEN gap_s END) AS BIGINT)
+        |    AS p90_s
+        |FROM cum""".stripMargin,
+
+    // Heaps twin: the shared docToks tokenizer, exact (N, V) cells,
+    // source-ordered ln folds, 6 dp (zipf discipline)
+    "q_heaps_fit" ->
+      s"""$docToksSource, x AS (
+        |  SELECT source AS g, unnest(toks) AS term FROM d
+        |), cells AS (
+        |  SELECT g, COUNT(*)::BIGINT AS nt, COUNT(DISTINCT term)::BIGINT AS nv
+        |  FROM x GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n, MIN(nt) AS xmin, MAX(nt) AS xmax,
+        |    list(struct_pack(nt := nt, nv := nv) ORDER BY g) AS a
+        |  FROM cells
+        |), m AS (
+        |  SELECT n, xmin, xmax,
+        |    list_sum(list_transform(a, s -> ln(s.nt::DOUBLE))) AS sx,
+        |    list_sum(list_transform(a, s -> ln(s.nv::DOUBLE))) AS sy,
+        |    list_sum(list_transform(a, s ->
+        |      ln(s.nt::DOUBLE) * ln(s.nv::DOUBLE))) AS sxy,
+        |    list_sum(list_transform(a, s ->
+        |      ln(s.nt::DOUBLE) * ln(s.nt::DOUBLE))) AS sxx
+        |  FROM f
+        |), sl AS (
+        |  SELECT n, xmin, xmax, sx, sy,
+        |    (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx) AS slope
+        |  FROM m
+        |)
+        |SELECT n AS n_points,
+        |  CASE WHEN n < 2 OR xmin = xmax THEN NULL
+        |       ELSE ROUND(slope, 6) END AS heaps_beta,
+        |  CASE WHEN n < 2 OR xmin = xmax THEN NULL
+        |       ELSE ROUND((sy - slope * sx) / n::DOUBLE, 6) END AS heaps_lnk
+        |FROM sl""".stripMargin,
 
     // seasonal-strength twin: scaled-integer SS numerators in HUGEINT
     // (Spark: DECIMAL(38,0)), dow-ordered term fold, identical

@@ -216,6 +216,89 @@ object Funnel {
         round(col("n") / col("_total"), 6).as("p"))
   }
 
+  /** Top-k sequential 3-grams of the per-user event stream — the
+    * "what flows actually happen" mining pass behind funnel design:
+    * [[funnel]] checks a HYPOTHESIZED stage order, this surfaces the
+    * dominant observed orders. Two stacked `lead`s over the same
+    * per-user window produce adjacent triples; exact integer counts;
+    * deterministic top-k by (n DESC, e1, e2, e3).
+    *
+    * Scale posture: one per-user window (the only data-sized
+    * exchange) into a |types|³-bounded cell agg; the rank window runs
+    * on the cut's ≤topK rows.
+    */
+  def sequentialPatterns(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, tieCol: String,
+                         topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1 && topK <= 10000, "1 <= topK <= 10000")
+    val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(ord).as("e2"),
+        lead(col(typeCol), 2).over(ord).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+    cells
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col("e1"), col("e2"), col("e3")))
+        .cast("long"))
+  }
+
+  /** Exact time-to-convert percentiles between two event types: per
+    * user, the gap from the FIRST `fromType` to the first `toType` at
+    * or after it, then the nearest-rank p50/p90 of the gap-seconds
+    * multiset. The latency distribution behind funnel stage design —
+    * a mean hides the bimodal "instant vs came-back-next-day" shape
+    * that decides session windows and retargeting delays.
+    *
+    * Exactness end to end: gaps are integer epoch-second differences;
+    * the percentile predicate is the integer cross-multiplication
+    * `100·cum ≥ p·n` (⟺ cum ≥ ⌈p·n/100⌉, nearest-rank-ceil), so no
+    * index arithmetic or doubles exist anywhere. The first-to-after-
+    * first-from gap rides a running-min window: at any `toType` row
+    * the running min of from-times IS the user's first from-time, so
+    * `min(to_ts − running_from_min)` is exactly (first qualifying to)
+    * − (first from).
+    *
+    * Scale posture: one per-user window + per-user agg collapse the
+    * events; the cumulative window runs on the distinct-gap frame
+    * (bounded by distinct second-counts, not users).
+    */
+  def stageLatency(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, tieCol: String,
+                   fromType: String, toType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gaps = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull &&
+        col(typeCol).isin(fromType, toType))
+      .select(col(userCol).as("_u"), col(typeCol).as("_e"),
+        unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"))
+      .withColumn("_from_min",
+        min(when(col("_e") === fromType, col("_us"))).over(
+          Window.partitionBy(col("_u")).orderBy(col("_us"), col("_tie"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("_u")
+      .agg(min(when(col("_e") === toType && col("_from_min").isNotNull,
+        expr("(_us - _from_min) div 1000000"))).as("_gap_s"))
+      .filter(col("_gap_s").isNotNull)
+    val cum = gaps.groupBy("_gap_s").agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.orderBy("_gap_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy()))
+    cum.agg(first(col("_n")).cast("long").as("n_converted"),
+      min(when(col("_cum") * 100 >= col("_n") * 50, col("_gap_s")))
+        .cast("long").as("p50_s"),
+      min(when(col("_cum") * 100 >= col("_n") * 90, col("_gap_s")))
+        .cast("long").as("p90_s"))
+  }
+
   /** Entropy rate (nats/step) of the first-order Markov chain over
     * adjacent event-type transitions — how predictable is the NEXT
     * action given the current one? 0 means deterministic flows

@@ -110,6 +110,49 @@ object Graph {
           .cast("long").as("lift_ppm"))
   }
 
+  /** Top-k item-item cosine similarity over basket co-occurrence —
+    * the classic "customers who bought X also bought Y" scoring:
+    * cos(a,b) = pair_cnt / √(cnt_a·cnt_b) down-weights promiscuous
+    * items that [[associationRules]]' raw support over-ranks. The
+    * cosine is one division/sqrt of exact integer counts (sqrt is
+    * IEEE-correctly-rounded everywhere — raw double parity), and the
+    * cut is a deterministic (cosine DESC, a, b) top-k.
+    * Output: (a, b, pair_cnt, cnt_a, cnt_b, cosine).
+    *
+    * Plan shape: [[cooccurrenceEdges]]' single co-located self-join is
+    * the only data-sized work; per-item counts broadcast onto the
+    * support-filtered edge set; the cut plans as TakeOrdered (no
+    * global sort).
+    */
+  def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long = 2L, topK: Int = 50,
+                 maxBasketSize: Int = 1000): DataFrame = {
+    require(topK >= 1 && topK <= 100000, "1 <= topK <= 100000")
+    import org.apache.spark.sql.expressions.Window
+    // per-item basket counts ride the incidence frame as a window and
+    // flow THROUGH the pairing join — no separate count branch, so the
+    // incidence lineage is derived once per join side, same as
+    // cooccurrenceEdges itself
+    val inc = incidence(df, basketCol, itemCol, maxBasketSize)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("item"))))
+    val l = inc.select(col("basket"), col("item").as("a"),
+      col("cnt").as("cnt_a"))
+    val r = inc.select(col("basket"), col("item").as("b"),
+      col("cnt").as("cnt_b"))
+    l.join(r, Seq("basket"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "cnt_a", "cnt_b")
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+      .select(col("a"), col("b"), col("pair_cnt"), col("cnt_a"), col("cnt_b"),
+        (col("pair_cnt").cast("double") /
+          sqrt(col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Triangles of the co-occurrence graph: ordered triples a < b < c
     * where all three edges clear `minSupport`. Two hash joins over the
     * support-filtered edge set E: E(a,b) ⋈ E(b,c) ⋈ E(a,c) — the a<b<c

@@ -867,6 +867,80 @@ object Stats {
         .as("jk_se"))
   }
 
+  /** Wilson 95% score interval per md5-parity arm for a binary
+    * per-unit outcome (did the unit ever satisfy `successCond`) — the
+    * proportion CI that stays honest at small n and extreme rates,
+    * where the Wald interval [[welchZ]]-style math would collapse or
+    * escape [0,1]. z is pinned at 1.96 and spelled as the LITERAL
+    * PRODUCT 1.96·1.96 in one fixed tree on both engines; every other
+    * operand is an exact integer count, so lo/hi are raw-parity
+    * doubles (sqrt is correctly rounded — no rounding applied).
+    * Output per arm: (arm, n_units, n_success, p_hat, wilson_lo,
+    * wilson_hi).
+    *
+    * Scale posture: one per-unit agg (the only data-sized shuffle)
+    * then a 2-row arm agg; the interval math is constant work.
+    */
+  def wilsonCi(df: DataFrame, unitCol: String,
+               successCond: Column): DataFrame = {
+    val units = df.filter(col(unitCol).isNotNull)
+      .select(col(unitCol).cast("string").as("_k"),
+        when(successCond, 1L).otherwise(0L).as("_s"))
+      .groupBy("_k").agg(max(col("_s")).as("_succ"))
+      .select(Sampling.hashBucket(col("_k"), 2).cast("int").as("arm"),
+        col("_succ"))
+    val arms = units.groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n_units"),
+        sum(col("_succ")).cast("long").as("n_success"))
+    val zz = lit(1.96) * lit(1.96)
+    val nD = col("n_units").cast("double")
+    val kD = col("n_success").cast("double")
+    val phat = kD / nD
+    val denom = lit(1.0) + zz / nD
+    val center = (phat + zz / (lit(2.0) * nD)) / denom
+    val half = (lit(1.96) * sqrt(phat * (lit(1.0) - phat) / nD +
+      zz / (lit(4.0) * nD * nD))) / denom
+    arms.select(col("arm"), col("n_units"), col("n_success"),
+      phat.as("p_hat"), (center - half).as("wilson_lo"),
+      (center + half).as("wilson_hi"))
+  }
+
+  /** Decile concentration table for a per-unit metric — the Lorenz
+    * curve [[gini]] summarizes, materialized as "the top 10% of
+    * customers carry X% of revenue" rows. Deciles assign by the
+    * all-integer tie-consistent rule d = ⌈10·cum/n⌉ over the
+    * distinct-value frame (units tied on the metric always land in
+    * the same decile; no global row sort, no ntile). All outputs are
+    * exact integers; share is ppm via the `·1000000 div` idiom
+    * (exact while decile totals stay under ~9.2e12 — the long-multiply
+    * regime every ppm column in this engine documents).
+    * Output: (decile, n_units, value_cents, share_ppm), decile 1 = top.
+    *
+    * Scale posture: the per-unit agg is the only data-sized shuffle;
+    * the cumulative window runs on the distinct-value frame.
+    */
+  def decileShare(df: DataFrame, unitCol: String, metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(sum(coalesce(metric.cast("long"), lit(0L))).cast("long").as("_v"))
+    val cells = per.groupBy("_v")
+      .agg(count(lit(1)).as("_c"), sum(col("_v")).cast("long").as("_sv"))
+    val cum = cells
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.orderBy(col("_v").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy()))
+      .withColumn("_tot", sum(col("_sv")).over(Window.partitionBy()))
+    cum
+      .groupBy(expr("(10 * _cum + _n - 1) div _n").as("decile"))
+      .agg(sum(col("_c")).cast("long").as("n_units"),
+        sum(col("_sv")).cast("long").as("value_cents"),
+        first(col("_tot")).as("_t"))
+      .select(col("decile"), col("n_units"), col("value_cents"),
+        expr("value_cents * 1000000L div _t").as("share_ppm"))
+  }
+
   /** Matched-cohort uplift (coarsened-exact-matching flavor): units
     * stratify on an exact pre-period activity level, and the treated
     * arm's effect is the stratum-size-weighted difference of post-

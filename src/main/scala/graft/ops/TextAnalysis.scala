@@ -1773,4 +1773,81 @@ object TextAnalysis {
         flag(t.rlike("[\u0080-\u009F]")).as("n_c1_controls"),
         flag(t.contains("\u00A0")).as("n_nbsp"))
   }
+
+  /** Distinct-n diversity / novelty profile per corpus slice: of the
+    * per-doc DISTINCT word n-grams each source contributes, how many
+    * survive as corpus-distinct (template-ness: low distinct share =
+    * the same phrasing stamped across documents) and how many appear
+    * in exactly one document (novelty tail \u2014 what a dedup pass can
+    * never collapse). The corpus-level complement of the per-doc
+    * [[dupNgramCoverage]]: that flags copying INSIDE a doc, this
+    * flags copying ACROSS docs. All-integer outputs.
+    * Output: (group, n_occurrences, n_distinct, n_singletons,
+    * distinct_ppm, singleton_ppm).
+    *
+    * Scale posture: the shingle explode feeds one (group, shingle)
+    * agg then a per-group agg \u2014 the dedup-family shuffle shape, no
+    * pair joins anywhere.
+    */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    val sh = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        explode(shinglesFromToks(tokens(lower(col(textCol))), n)).as("_sh"))
+    sh.groupBy("_g", "_sh").agg(count(lit(1)).as("_df"))
+      .groupBy("_g")
+      .agg(sum(col("_df")).cast("long").as("n_occurrences"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_singletons"))
+      .select(col("_g").as(groupCol), col("n_occurrences"), col("n_distinct"),
+        col("n_singletons"),
+        expr("n_distinct * 1000000L div n_occurrences").as("distinct_ppm"),
+        expr("n_singletons * 1000000L div n_distinct").as("singleton_ppm"))
+  }
+
+  /** Heaps'-law fit V \u2248 K\u00B7N\u1D5D across corpus slices: ln-ln OLS of
+    * vocabulary size on token count over per-group (tokens, vocab)
+    * points \u2014 the vocab-growth exponent that sizes tokenizer vocab
+    * and OOV budgets before a 100\u00D7 corpus scale-up (English \u03B2 \u2248
+    * 0.5\u20130.6; \u03B2 near 1 screams id-like junk tokens, \u03B2 near 0 means
+    * the corpus is saturating). Sister diagnostic to the Zipf fit and
+    * the same determinism discipline: exact integer (N, V) sufficient
+    * stats, group-sorted ln folds, outputs rounded at 6 dp (ln feeds
+    * the folds \u2014 the zipfFit ln-ulp rule). Degenerate spreads (all N
+    * equal) mask via the integer min=max guard, never a double==0
+    * test. Output ONE row: (n_points, heaps_beta, heaps_lnk).
+    *
+    * Scale posture: token explode \u2192 one (group, term) distinct-ish
+    * agg (countDistinct plans as a two-level hash agg); the fold runs
+    * over the |groups|-element array in one row.
+    */
+  def heapsFit(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val cells = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        explode(tokens(lower(col(textCol)))).as("_term"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_nt"), countDistinct(col("_term")).as("_nv"))
+    val folded = cells.agg(
+      count(lit(1)).cast("long").as("n_points"),
+      min(col("_nt")).as("_xmin"), max(col("_nt")).as("_xmax"),
+      array_sort(collect_list(struct(col("_g"), col("_nt"), col("_nv"))))
+        .as("_a"))
+    val lx = (s: Column) => log(s.getField("_nt").cast("double"))
+    val ly = (s: Column) => log(s.getField("_nv").cast("double"))
+    def fold(f: Column => Column) =
+      aggregate(col("_a"), lit(0.0), (acc, s) => acc + f(s))
+    val (sx, sy) = (fold(lx), fold(ly))
+    val (sxy, sxx) = (fold(s => lx(s) * ly(s)), fold(s => lx(s) * lx(s)))
+    val nD = col("n_points").cast("double")
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    val degenerate = col("n_points") < 2 || col("_xmin") === col("_xmax")
+    folded.select(col("n_points"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(slope, 6)).as("heaps_beta"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((sy - slope * sx) / nD, 6)).as("heaps_lnk"))
+  }
 }

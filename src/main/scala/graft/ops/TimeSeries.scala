@@ -415,6 +415,64 @@ object TimeSeries {
     * Scale posture: the (series, day) agg collapses the log; windows
     * run on ≤ 365·|series| rows.
     */
+  /** Index of dispersion (Fano factor) of daily counts per series:
+    * Var/mean — 1 under Poisson arrivals, ≫1 for bursty/clumped
+    * traffic, ≪1 for rate-limited/scripted flows. The one-number
+    * companion to [[lag1Autocorr]] (memory) and [[seasonalStrength]]
+    * (structure): dispersion says whether volume even IS Poisson-like
+    * before anomaly thresholds assume it. With S=Σx over n days and
+    * T=Σ(n·x−S)² (DECIMAL-exact), sample Var/mean = T/(n·(n−1)·S) —
+    * one division of exact operands, raw double parity; constant
+    * series give exactly 0.0 on both engines; n<2 masks to NULL.
+    *
+    * Scale posture: the (series,day) agg collapses the log; totals
+    * ride one window over the collapsed frame.
+    */
+  def dispersion(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+    val wg = Window.partitionBy("_g")
+    daily
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_s", sum(col("_x")).over(wg).cast("long"))
+      .withColumn("_u", (col("_n") * col("_x") - col("_s")).cast("decimal(19,0)"))
+      .groupBy("_g")
+      .agg(first(col("_n")).cast("long").as("n_days"),
+        first(col("_s")).as("_sg"),
+        sum(col("_u") * col("_u")).as("_t"))
+      .select(col("_g").as(seriesCol), col("n_days"),
+        when(col("n_days") < 2, lit(null).cast("double"))
+          .otherwise(col("_t").cast("double") /
+            ((col("n_days") * (col("n_days") - 1)).cast("decimal(38,0)")
+              * col("_sg")).cast("double"))
+          .as("dispersion"))
+  }
+
+  /** Per-series data-freshness audit: last-event time, lag behind the
+    * freshest series, and a staleness flag — the first page of any
+    * ingestion runbook ("which sources stopped flowing?"). Lag is an
+    * integer epoch-second difference against the global max, so a
+    * clock-skewed "future" source surfaces as everyone else lagging.
+    * Output: (series, n_events, max_ts, lag_s, is_stale).
+    *
+    * Scale posture: one map-side-combinable agg collapses the log to
+    * |series| rows; the global max rides a window on that frame.
+    */
+  def freshness(df: DataFrame, seriesCol: String, tsCol: String,
+                staleAfterS: Long = 86400L): DataFrame = {
+    val per = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col(tsCol))).as("_mx"))
+    per
+      .withColumn("_gmx", max(col("_mx")).over(Window.partitionBy()))
+      .select(col("_g").as(seriesCol), col("n_events"),
+        timestamp_micros(col("_mx")).as("max_ts"),
+        expr("(_gmx - _mx) div 1000000").as("lag_s"),
+        (expr("(_gmx - _mx) div 1000000") > staleAfterS).as("is_stale"))
+  }
+
   /** Day-of-week seasonal strength per series: 1 − SS_resid/SS_total
     * over daily counts, where SS_resid deviates from each weekday's own
     * mean — 1 means the weekly profile explains everything (pure

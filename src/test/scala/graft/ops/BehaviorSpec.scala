@@ -235,6 +235,81 @@ class BehaviorSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("dispersion recovers Var/mean exactly and masks single-day series") {
+    // s1 daily counts (1,3,2): T = 18, disp = 18/(3·2·6) = 0.5
+    // s2 constant (2,2): exactly 0; s3 one day: NULL
+    val rows =
+      Seq.fill(1)(("s1", ts("2024-01-01 05:00:00"))) ++
+        Seq.fill(3)(("s1", ts("2024-01-02 06:00:00"))) ++
+        Seq.fill(2)(("s1", ts("2024-01-03 07:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-01 08:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-02 09:00:00"))) ++
+        Seq.fill(4)(("s3", ts("2024-01-01 10:00:00")))
+    val got = TimeSeries.dispersion(rows.toDF("g", "t"), "g", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    got("s1").getDouble(2) shouldBe 0.5
+    got("s2").getDouble(2) shouldBe 0.0
+    got("s3").isNullAt(2) shouldBe true
+  }
+
+  test("freshness lags against the global max and flags stale series") {
+    val df = Seq(
+      ("a", ts("2024-01-03 00:00:00")), ("a", ts("2024-01-01 00:00:00")),
+      ("b", ts("2024-01-01 00:00:00"))
+    ).toDF("g", "t")
+    val got = TimeSeries.freshness(df, "g", "t", staleAfterS = 86400L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    got("a").getLong(1) shouldBe 2L
+    got("a").getLong(3) shouldBe 0L
+    got("a").getBoolean(4) shouldBe false
+    got("b").getLong(3) shouldBe 172800L
+    got("b").getBoolean(4) shouldBe true
+    got("b").getTimestamp(2) shouldBe ts("2024-01-01 00:00:00")
+  }
+
+  test("sequentialPatterns counts adjacent triples with deterministic rank") {
+    // u1: A B C D -> ABC, BCD; u2: A B C -> ABC; u3: X Y (too short)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "B", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "C", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "D", 4L),
+      (2L, ts("2024-01-01 11:00:00"), "A", 5L),
+      (2L, ts("2024-01-01 11:01:00"), "B", 6L),
+      (2L, ts("2024-01-01 11:02:00"), "C", 7L),
+      (3L, ts("2024-01-01 12:00:00"), "X", 8L),
+      (3L, ts("2024-01-01 12:01:00"), "Y", 9L)
+    ).toDF("u", "t", "e", "id")
+    val got = Funnel.sequentialPatterns(df, "u", "t", "e", "id", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    got shouldBe Array(("A", "B", "C", 2L, 1L), ("B", "C", "D", 1L, 2L))
+  }
+
+  test("stageLatency takes first-to-after-first-from, nearest-rank p50/p90") {
+    // u1: view@0, purchase@10s, purchase@20s -> gap 10
+    // u2: purchase@5s (before any view), view@10s, purchase@40s -> gap 30
+    // u3: view only -> excluded; u4: view@0, purchase@0 -> gap 0
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:00:10"), "purchase", 2L),
+      (1L, ts("2024-01-01 10:00:20"), "purchase", 3L),
+      (2L, ts("2024-01-01 11:00:05"), "purchase", 4L),
+      (2L, ts("2024-01-01 11:00:10"), "view", 5L),
+      (2L, ts("2024-01-01 11:00:40"), "purchase", 6L),
+      (3L, ts("2024-01-01 12:00:00"), "view", 7L),
+      (4L, ts("2024-01-01 13:00:00"), "view", 8L),
+      (4L, ts("2024-01-01 13:00:00"), "purchase", 9L)
+    ).toDF("u", "t", "e", "id")
+    val got = Funnel.stageLatency(df, "u", "t", "e", "id", "view", "purchase")
+      .collect().head
+    got.getLong(0) shouldBe 3L
+    // gaps multiset {0, 10, 30}: p50 -> cum*100 >= 150 first at 10;
+    // p90 -> cum*100 >= 270 first at 30
+    got.getLong(1) shouldBe 10L
+    got.getLong(2) shouldBe 30L
+  }
+
   test("seasonalStrength is 1 on a pure weekday pattern, NULL on constants") {
     // s1: Sundays always 5, Mondays always 1 -> dow explains everything
     // s2: constant 2 every day -> T = 0 -> NULL

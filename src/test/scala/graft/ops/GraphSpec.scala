@@ -128,4 +128,17 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").collect().map(_.toSeq)
     a shouldBe b
   }
+
+  test("itemCosine down-weights promiscuous items and cuts deterministically") {
+    import spark.implicits._
+    // baskets: b1{1,2} b2{1,2} b3{1,3} -> cnt 1=3, 2=2, 3=1
+    val df = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L),
+      (30L, 3L)).toDF("b", "i")
+    val got = Graph.itemCosine(df, "b", "i", minSupport = 1L, topK = 10)
+      .collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((1L, 2L, 2L), (1L, 3L, 1L))
+    got(0).getDouble(5) shouldBe 2.0 / math.sqrt(3.0 * 2.0)
+    got(1).getDouble(5) shouldBe 1.0 / math.sqrt(3.0 * 1.0)
+  }
 }

@@ -155,6 +155,17 @@ class PlanAuditSpec extends SparkSpec {
     // frame (events scanned once); jackknife = bucket agg + 1-row agg;
     // uplift = per-unit agg + stratum agg + 1-row span broadcast + agg
     "q_seasonal_strength" -> 2, "q_jackknife" -> 2, "q_matched_uplift" -> 4,
+    // trigrams = per-user window + cell agg (rank rides the topK cut);
+    // stage_latency = per-user window+agg, distinct-gap cum frame;
+    // heaps = (group,term) two-level distinct agg + 1-row fold
+    "q_event_trigrams" -> 2, "q_stage_latency" -> 3, "q_heaps_fit" -> 3,
+    // item_cooc = incidence distinct + size semi-join + per-item window
+    // riding the pairing self-join (counts flow THROUGH the join — no
+    // separate count branch); freshness/decile collapse then window
+    "q_item_cooc" -> 8, "q_freshness" -> 2, "q_decile_share" -> 3,
+    // diversity = shingle explode into (group,shingle) agg + group agg;
+    // dispersion = (series,day) agg + window; wilson = unit agg + arm agg
+    "q_ngram_diversity" -> 2, "q_dispersion" -> 2, "q_wilson_ci" -> 2,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

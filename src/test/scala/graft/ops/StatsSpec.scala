@@ -516,6 +516,48 @@ class StatsSpec extends SparkSpec {
     got.getDouble(3) shouldBe math.sqrt((byB.size - 1).toDouble / byB.size * ssq)
   }
 
+  test("wilsonCi matches the JVM fixed-tree re-derivation per arm") {
+    // unit u succeeds iff u % 3 == 0; one event row per (u, flag)
+    val rows = (1L to 60L).flatMap(u =>
+      Seq((u, if (u % 3 == 0) "hit" else "miss"), (u, "miss")))
+    val got = Stats.wilsonCi(rows.toDF("u", "e"), "u", col("e") === "hit")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val byArm = (1L to 60L).groupBy(u => bucket(u, 2).toInt)
+    byArm.foreach { case (arm, us) =>
+      val n = us.size.toDouble
+      val k = us.count(_ % 3 == 0).toDouble
+      val zz = 1.96 * 1.96
+      val p = k / n
+      val denom = 1.0 + zz / n
+      val center = (p + zz / (2.0 * n)) / denom
+      val half = (1.96 * math.sqrt(p * (1.0 - p) / n +
+        zz / (4.0 * n * n))) / denom
+      got(arm).getLong(1) shouldBe us.size.toLong
+      got(arm).getDouble(3) shouldBe p
+      got(arm).getDouble(4) shouldBe (center - half)
+      got(arm).getDouble(5) shouldBe (center + half)
+    }
+  }
+
+  test("decileShare assigns tie-consistent integer deciles and exact shares") {
+    // distinct values 1..10: one unit per decile, top value -> decile 1
+    val df = (1L to 10L).map(v => (v, v)).toDF("u", "m")
+    val got = Stats.decileShare(df, "u", col("m"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    got(1).getLong(2) shouldBe 10L   // decile 1 holds the top value
+    got(10).getLong(2) shouldBe 1L
+    got(1).getLong(3) shouldBe (10L * 1000000L / 55L)
+    got.keySet shouldBe (1L to 10L).toSet
+
+    // all-tied values land in ONE decile (10), never split
+    val tied = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("u", "m")
+    val t = Stats.decileShare(tied, "u", col("m")).collect()
+    t.length shouldBe 1
+    t.head.getLong(0) shouldBe 10L
+    t.head.getLong(1) shouldBe 4L
+    t.head.getLong(3) shouldBe 1000000L
+  }
+
   test("matchedUplift excludes one-armed strata and weights by treated size") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")

@@ -986,4 +986,47 @@ class TextAnalysisSpec extends SparkSpec {
     r.getLong(4) shouldBe 1L  // c1
     r.getLong(5) shouldBe 1L  // nbsp
   }
+
+  test("heapsFit matches the JVM ln-ln OLS over exact (N, V) points") {
+    val docs = Seq(
+      ("a", "a b c a"),        // N=4, V=3
+      ("b", "x y"),            // N=2, V=2
+      ("c", "p q r s t p q")   // N=7, V=5
+    ).toDF("source", "text")
+    val got = TextAnalysis.heapsFit(docs, "source", "text").collect().head
+    val ordered = Seq((4L, 3L), (2L, 2L), (7L, 5L)) // fold order = source order
+    def f(g: ((Long, Long)) => Double) = ordered.foldLeft(0.0)((a, p) => a + g(p))
+    val (sx, sy) = (f(p => math.log(p._1.toDouble)), f(p => math.log(p._2.toDouble)))
+    val sxy = f(p => math.log(p._1.toDouble) * math.log(p._2.toDouble))
+    val sxx = f(p => math.log(p._1.toDouble) * math.log(p._1.toDouble))
+    val n = 3.0
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.getLong(0) shouldBe 3L
+    got.getDouble(1) shouldBe r6(slope)
+    got.getDouble(2) shouldBe r6((sy - slope * sx) / n)
+  }
+
+  test("ngramDiversity counts cross-doc distinct and singleton shingles") {
+    // doc1 distinct trigrams {xyz, yzx, zxy}; doc2 {xyz}
+    // df: xyz=2, yzx=1, zxy=1 -> occ 4, distinct 3, singletons 2
+    val docs = Seq(("a", "x y z x y z"), ("a", "x y z"))
+      .toDF("source", "text")
+    val got = TextAnalysis.ngramDiversity(docs, "source", "text", n = 3)
+      .collect().head
+    got.getLong(1) shouldBe 4L
+    got.getLong(2) shouldBe 3L
+    got.getLong(3) shouldBe 2L
+    got.getLong(4) shouldBe 750000L
+    got.getLong(5) shouldBe 666666L
+  }
+
+  test("heapsFit masks the all-equal-N degenerate spread to NULL") {
+    val docs = Seq(("a", "x y"), ("b", "p q")).toDF("source", "text")
+    val got = TextAnalysis.heapsFit(docs, "source", "text").collect().head
+    got.getLong(0) shouldBe 2L
+    got.isNullAt(1) shouldBe true
+    got.isNullAt(2) shouldBe true
+  }
 }
