@@ -2177,12 +2177,35 @@ object SparkEntry {
       graft.ops.TimeSeries.dispersion(
         table(s, dir, "events"), "event_type", "ts")),
 
-    // Wilson 95% CI on per-user purchase conversion per md5 arm:
-    // exact counts through one fixed literal-1.96 tree, raw parity
+    // cohort LTV matrix: first-active-week cohorts (the fixture spans
+    // 30 days — monthly would degenerate to one cell), integer week
+    // ages, exact cents, window-carried cohort sizes
+    "q_cohort_ltv" -> ((s, dir) =>
+      graft.ops.Funnel.cohortLtv(
+        table(s, dir, "events"), "user_id", "ts",
+        round(col("value") * 100), periodDays = 7)),
+
+    // embedding drift canary: quantized-centroid cosine between two
+    // md5 halves of the vector corpus
+    "q_embed_drift" -> ((s, dir) =>
+      graft.ops.Similarity.embedDrift(
+        table(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // binary-segmentation change point per event type: where did the
+    // daily level shift (cusum says that it drifted, this says where)
+    "q_changepoint" -> ((s, dir) =>
+      graft.ops.TimeSeries.changepoint(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // Wilson 95% CI on per-user big-ticket conversion per md5 arm:
+    // exact counts through one fixed literal-1.96 tree, raw parity.
+    // The >180 threshold keeps 0 < p̂ < 1 at both fixture scales so
+    // the ORACLE exercises the full interval math (a condition every
+    // user satisfies degenerates to p̂=1 and gates nothing)
     "q_wilson_ci" -> ((s, dir) =>
       graft.ops.Stats.wilsonCi(
         table(s, dir, "events"), "user_id",
-        col("event_type") === "purchase")),
+        col("event_type") === "purchase" && col("value") > 180)),
 
     // Spearman rank correlation per return flag: doubled average ranks
     // are exact ints even under ties; 128-bit exact product sums
@@ -2452,12 +2475,16 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
-  // docToks keyed by corpus slice instead of doc id (Heaps fit)
+  // docToks keyed by corpus slice instead of doc id (Heaps fit,
+  // n-gram diversity). The NULL filters mirror the Spark sides'
+  // groupCol/textCol isNotNull guards — without them a NULL-source
+  // fixture row would become an extra oracle group.
   private val docToksSource =
     """WITH d AS (
       |  SELECT source,
       |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
       |  FROM documents
+      |  WHERE source IS NOT NULL AND text IS NOT NULL
       |)""".stripMargin
 
   /** DuckDB expression mirroring `Web.urlHost(urlExpr)` — the ONE
@@ -4237,6 +4264,98 @@ object SparkEntry {
         |      * ln(s.rt::DOUBLE / s.n::DOUBLE))), 6) AS entropy_rate_nats
         |FROM agg""".stripMargin,
 
+    // cohort-LTV twin: identical epoch-week ints, age-0 size carried
+    // by first_value, integer division LTV
+    "q_cohort_ltv" ->
+      """WITH um AS (
+        |  SELECT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS m,
+        |    CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0))
+        |      AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT u, m, v, MIN(m) OVER (PARTITION BY u) AS m0 FROM um
+        |), byage AS (
+        |  SELECT m0, m - m0 AS age_periods, COUNT(*)::BIGINT AS n_active,
+        |    CAST(SUM(v) AS BIGINT) AS rev_cents
+        |  FROM w GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT m0, age_periods, n_active, rev_cents,
+        |    FIRST_VALUE(n_active) OVER
+        |      (PARTITION BY m0 ORDER BY age_periods
+        |       ROWS UNBOUNDED PRECEDING) AS cohort_size,
+        |    CAST(SUM(rev_cents) OVER
+        |      (PARTITION BY m0 ORDER BY age_periods
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM byage
+        |)
+        |SELECT m0 AS cohort_period, age_periods, n_active, cohort_size,
+        |  rev_cents, cum_cents,
+        |  cum_cents // cohort_size AS ltv_per_user_cents
+        |FROM cum""".stripMargin,
+
+    // embed-drift twin: identical md5 halves, the centroid-family
+    // round(1e6·x) quantization, DECIMAL/HUGEINT-exact dim sums
+    "q_embed_drift" ->
+      """WITH x AS (
+        |  SELECT (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+        |      % 2)::INTEGER AS h,
+        |    unnest(generate_series(1, len(embedding))) - 1 AS d,
+        |    unnest(list_transform(embedding,
+        |      e -> CAST(round(e::DOUBLE * 1000000) AS BIGINT))) AS q
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), cells AS (
+        |  SELECT d,
+        |    CAST(SUM(CASE WHEN h = 0 THEN q ELSE 0 END) AS HUGEINT) AS c0,
+        |    CAST(SUM(CASE WHEN h = 1 THEN q ELSE 0 END) AS HUGEINT) AS c1,
+        |    CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt0,
+        |    CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT CAST(MAX(cnt0) AS BIGINT) AS n_a,
+        |  CAST(MAX(cnt1) AS BIGINT) AS n_b,
+        |  CASE WHEN SUM(c0 * c0) = 0 OR SUM(c1 * c1) = 0 THEN NULL
+        |       ELSE CAST(SUM(c0 * c1) AS DOUBLE)
+        |          / (sqrt(CAST(SUM(c0 * c0) AS DOUBLE))
+        |             * sqrt(CAST(SUM(c1 * c1) AS DOUBLE)))
+        |  END AS centroid_cosine
+        |FROM cells""".stripMargin,
+
+    // changepoint twin: identical prefix windows, DECIMAL/HUGEINT
+    // numerator, (score DESC, day DESC) deterministic argmax
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT g, day,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS s,
+        |    COUNT(*) OVER (PARTITION BY g ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS k,
+        |    CAST(SUM(x) OVER (PARTITION BY g ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk
+        |  FROM daily
+        |), f AS (
+        |  SELECT g, day, n, s, k, sk,
+        |    CAST((n * sk - k * s)::HUGEINT * (n * sk - k * s) AS DOUBLE)
+        |      / (k * (n - k))::DOUBLE AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+        |      CAST((n * sk - k * s)::HUGEINT * (n * sk - k * s) AS DOUBLE)
+        |        / (k * (n - k))::DOUBLE DESC, day DESC) AS rn
+        |  FROM scored WHERE k < n
+        |)
+        |SELECT g AS event_type, n::BIGINT AS n_days, day AS split_day,
+        |  k::BIGINT AS n_before,
+        |  sk::DOUBLE / k::DOUBLE AS mean_before,
+        |  (s - sk)::DOUBLE / (n - k)::DOUBLE AS mean_after,
+        |  score
+        |FROM f WHERE rn = 1""".stripMargin,
+
     // diversity twin: the dedup-family shingle CTE (per-doc distinct
     // trigrams), integer df cells, ppm idiom
     "q_ngram_diversity" ->
@@ -4281,11 +4400,15 @@ object SparkEntry {
         |  END AS dispersion
         |FROM u GROUP BY 1""".stripMargin,
 
-    // Wilson twin: identical md5 arms, the same literal-1.96 tree
+    // Wilson twin: identical md5 arms, the same literal-1.96 tree.
+    // z² MUST be 1.96::DOUBLE * 1.96::DOUBLE — bare 1.96*1.96 is
+    // DECIMAL(6,4) arithmetic in the oracle engine (exactly 3.8416),
+    // 1 ulp above Spark's double product 3.8415999999999997
     "q_wilson_ci" ->
       """WITH units AS (
         |  SELECT user_id::VARCHAR AS k,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 180
+        |      THEN 1 ELSE 0 END) AS s
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
         |), arms AS (
         |  SELECT (('0x' || substr(md5(k), 1, 8))::BIGINT % 2)::INTEGER AS arm,
@@ -4295,23 +4418,25 @@ object SparkEntry {
         |SELECT arm, n_units, n_success,
         |  n_success::DOUBLE / n_units::DOUBLE AS p_hat,
         |  (n_success::DOUBLE / n_units::DOUBLE
-        |      + (1.96 * 1.96) / (2.0 * n_units::DOUBLE))
-        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE)
-        |  - (1.96 * sqrt(n_success::DOUBLE / n_units::DOUBLE
+        |      + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0 * n_units::DOUBLE))
+        |    / (1.0 + (1.96::DOUBLE * 1.96::DOUBLE) / n_units::DOUBLE)
+        |  - (1.96::DOUBLE * sqrt(n_success::DOUBLE / n_units::DOUBLE
         |        * (1.0 - n_success::DOUBLE / n_units::DOUBLE)
         |        / n_units::DOUBLE
-        |      + (1.96 * 1.96)
+        |      + (1.96::DOUBLE * 1.96::DOUBLE)
         |        / (4.0 * n_units::DOUBLE * n_units::DOUBLE)))
-        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE) AS wilson_lo,
+        |    / (1.0 + (1.96::DOUBLE * 1.96::DOUBLE) / n_units::DOUBLE)
+        |    AS wilson_lo,
         |  (n_success::DOUBLE / n_units::DOUBLE
-        |      + (1.96 * 1.96) / (2.0 * n_units::DOUBLE))
-        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE)
-        |  + (1.96 * sqrt(n_success::DOUBLE / n_units::DOUBLE
+        |      + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0 * n_units::DOUBLE))
+        |    / (1.0 + (1.96::DOUBLE * 1.96::DOUBLE) / n_units::DOUBLE)
+        |  + (1.96::DOUBLE * sqrt(n_success::DOUBLE / n_units::DOUBLE
         |        * (1.0 - n_success::DOUBLE / n_units::DOUBLE)
         |        / n_units::DOUBLE
-        |      + (1.96 * 1.96)
+        |      + (1.96::DOUBLE * 1.96::DOUBLE)
         |        / (4.0 * n_units::DOUBLE * n_units::DOUBLE)))
-        |    / (1.0 + (1.96 * 1.96) / n_units::DOUBLE) AS wilson_hi
+        |    / (1.0 + (1.96::DOUBLE * 1.96::DOUBLE) / n_units::DOUBLE)
+        |    AS wilson_hi
         |FROM arms""".stripMargin,
 
     // item-cosine twin: the assoc-rules incidence chain, cosine as one
@@ -4507,17 +4632,21 @@ object SparkEntry {
     // jackknife twin: identical md5 buckets, exact-int leave-one-out
     // ratios, bucket-ordered folds, sqrt of identical doubles
     "q_jackknife" ->
-      """WITH b AS (
-        |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
-        |      % 100 AS bk,
-        |    COUNT(*)::BIGINT AS n,
+      """WITH u AS (
+        |  SELECT l_orderkey::VARCHAR AS k,
         |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      AS BIGINT) AS yb,
-        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wb
+        |      AS BIGINT) AS yu,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wu
         |  FROM lineitem
         |  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
         |    AND l_quantity IS NOT NULL
         |  GROUP BY 1
+        |), b AS (
+        |  SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT % 100 AS bk,
+        |    COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(yu) AS BIGINT) AS yb,
+        |    CAST(SUM(wu) AS BIGINT) AS wb
+        |  FROM u GROUP BY 1
         |), t AS (
         |  SELECT CAST(SUM(n) AS BIGINT) AS n_units, COUNT(*)::BIGINT AS b,
         |    CAST(SUM(yb) AS BIGINT) AS sy, CAST(SUM(wb) AS BIGINT) AS sw,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered conversion funnels and cohort retention — the two
@@ -214,6 +214,54 @@ object Funnel {
       .withColumn("_total", sum("n").over(Window.partitionBy("from_type")))
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n") / col("_total"), 6).as("p"))
+  }
+
+  /** Cohort lifetime-value table: users grouped by first-active
+    * period (the cohort — UTC-aligned `periodDays`-day buckets,
+    * weekly by default), revenue accumulated by periods-since-first
+    * (the age) — the "how much is a week-1 signup worth by week 3"
+    * matrix behind payback-period decisions, and the value-weighted
+    * sibling of [[retention]]'s user counts. All-integer: cents sum
+    * per (user, period) first, period indices are epoch-day integer
+    * divisions, the cohort size is the age-0 active-user count
+    * (every cohort member is by definition active in their first
+    * period) carried down the age axis by a window, and per-user LTV
+    * is integer division.
+    * Output: (cohort_period, age_periods, n_active, cohort_size,
+    * rev_cents, cum_cents, ltv_per_user_cents).
+    *
+    * Scale posture: the (user, period) agg collapses the log; the
+    * user-window and all later frames are user-period sized; single
+    * lineage (no joins, sizes ride a first_value window).
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                cents: Column, periodDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(periodDays >= 1 && periodDays <= 366, "1 <= periodDays <= 366")
+    val periodUs = 86400000000L * periodDays
+    val um = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("_u"),
+        expr(s"unix_micros(${tsCol}) div ${periodUs}L").as("_m"))
+      .agg(sum(coalesce(cents.cast("long"), lit(0L))).cast("long").as("_v"))
+      .withColumn("_m0", min(col("_m")).over(Window.partitionBy("_u")))
+    val byAge = um
+      .groupBy(col("_m0"), (col("_m") - col("_m0")).as("age_periods"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum(col("_v")).cast("long").as("rev_cents"))
+    val wc = Window.partitionBy("_m0").orderBy("age_periods")
+    byAge
+      .withColumn("cohort_size",
+        first(col("n_active")).over(
+          wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_cents",
+        sum(col("rev_cents")).over(
+          wc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .select(col("_m0").as("cohort_period"),
+        col("age_periods"), col("n_active"), col("cohort_size"),
+        col("rev_cents"), col("cum_cents"),
+        expr("cum_cents div cohort_size").as("ltv_per_user_cents"))
   }
 
   /** Top-k sequential 3-grams of the per-user event stream — the

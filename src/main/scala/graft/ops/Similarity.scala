@@ -968,6 +968,52 @@ object Similarity {
     * (label, dim) — |labels|·dim output cells regardless of corpus
     * size. No collect, no window.
     */
+  /** Embedding-distribution drift monitor: cosine between the
+    * quantized centroids of two md5-halves of the corpus — the cheap
+    * canary that an embedding model change, a re-ingest, or a corrupt
+    * batch shifted the representation space (stable pipelines read
+    * ≈ 1.0; anything persistently lower says the halves no longer
+    * come from the same distribution — split by ingest batch instead
+    * of a hash for a real before/after read). Floats quantize to
+    * round(1e6·x) BEFORE summation so the per-(half,dim) centroid
+    * numerators are EXACT integers (a raw float sum would be
+    * partition-order dependent); the cosine is dot/(√n0·√n1) over
+    * DECIMAL-exact dim sums — raw double parity, no rounding.
+    * Output ONE row: (n_a, n_b, centroid_cosine).
+    *
+    * Scale posture: one posexplode into a (half,dim)-keyed agg
+    * (2·dims cells), then a dims-sized conditional agg — no pair
+    * joins, no driver materialization.
+    */
+  def embedDrift(embeddings: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
+    val dims = embeddings
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(Sampling.hashBucket(col(idCol), 2).cast("int").as("_h"),
+        posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .withColumn("_q", round(col("_x").cast("double") * 1000000).cast("long"))
+    // per-half vec counts ride the same cells agg (identical at every
+    // dim, folded back out with max) — one scan, no second branch
+    val cells = dims.groupBy("_d")
+      .agg(sum(when(col("_h") === 0, col("_q")).otherwise(0L))
+        .cast("decimal(19,0)").as("_c0"),
+        sum(when(col("_h") === 1, col("_q")).otherwise(0L))
+          .cast("decimal(19,0)").as("_c1"),
+        sum(when(col("_h") === 0, 1L).otherwise(0L)).as("_cnt0"),
+        sum(when(col("_h") === 1, 1L).otherwise(0L)).as("_cnt1"))
+    cells
+      .agg(max(col("_cnt0")).cast("long").as("n_a"),
+        max(col("_cnt1")).cast("long").as("n_b"),
+        sum(col("_c0") * col("_c1")).as("_dot"),
+        sum(col("_c0") * col("_c0")).as("_n0"),
+        sum(col("_c1") * col("_c1")).as("_n1"))
+      .select(col("n_a"), col("n_b"),
+        when(col("_n0") === 0 || col("_n1") === 0, lit(null).cast("double"))
+          .otherwise(col("_dot").cast("double") /
+            (sqrt(col("_n0").cast("double")) * sqrt(col("_n1").cast("double"))))
+          .as("centroid_cosine"))
+  }
+
   def labelCentroids(embeddings: DataFrame, labelCol: String,
                      vecCol: String): DataFrame = {
     embeddings

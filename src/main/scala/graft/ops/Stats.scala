@@ -835,14 +835,20 @@ object Stats {
   def jackknifeRatio(df: DataFrame, unitKey: Column, y: Column, w: Column,
                      b: Int = 100): DataFrame = {
     require(b >= 10 && b <= 10000, "10 <= b <= 10000")
+    // collapse to UNITS first: n_units must count resampling units,
+    // not input rows (a unit key spanning several rows — an order over
+    // its line items — would otherwise inflate the reported n)
     val bucketed = df
       .select(unitKey.cast("string").as("_k"), y.cast("long").as("_y"),
         w.cast("long").as("_w"))
       .filter(col("_k").isNotNull && col("_y").isNotNull && col("_w").isNotNull)
+      .groupBy("_k")
+      .agg(sum(col("_y")).cast("long").as("_yu"),
+        sum(col("_w")).cast("long").as("_wu"))
       .withColumn("_b", Sampling.hashBucket(col("_k"), b))
       .groupBy("_b")
-      .agg(count(lit(1)).as("_n"), sum(col("_y")).cast("long").as("_yb"),
-        sum(col("_w")).cast("long").as("_wb"))
+      .agg(count(lit(1)).as("_n"), sum(col("_yu")).cast("long").as("_yb"),
+        sum(col("_wu")).cast("long").as("_wb"))
     val tot = bucketed
       .agg(sum(col("_n")).cast("long").as("n_units"),
         count(lit(1)).cast("long").as("b"),

@@ -399,22 +399,59 @@ object TimeSeries {
          col("_peak.dow") === col("dow")).as("is_peak_dow"))
   }
 
-  /** Lag-1 autocorrelation of daily counts per series — the "is
-    * today's volume predicted by yesterday's" number that separates
-    * trending/bursty series (r₁ → 1) from memoryless ones (r₁ → 0)
-    * and oscillating ones (r₁ < 0). Exact integers end to end via the
-    * [[cusumDrift]] n-scaling: u_t = n·x_t − Σx is BIGINT, the lag
-    * pairs come from one window, and Σu_t·u_{t+1} / Σu_t² multiply AND
-    * accumulate in DECIMAL(38,0) (operands cast before the product, so
-    * no LONG overflow at any daily-count regime; 38 digits cover
-    * u² ≤ 1e38), so r₁
-    * is one division of engine-identical doubles — raw parity, no
-    * rounding. Constant series (all x tied) mask to NULL via the
-    * discrete min=max guard.
+  /** Single change-point detection per series: the day boundary that
+    * maximizes the between-segment sum of squares of daily counts —
+    * binary segmentation's first (and usually decisive) split,
+    * locating WHERE the level shifted, where [[cusumDrift]] only says
+    * THAT it drifted. For a split after the k-th of n days with
+    * prefix sum S_k (total S), the score maximized is
+    * (n·S_k − k·S)²/(k·(n−k)) — the between-SS up to a constant.
+    * The numerator is DECIMAL-exact; the score is one division of
+    * exact operands (identical doubles cross-engine), and the argmax
+    * rides a lexicographic struct max with the day as tiebreak, so
+    * ties break deterministically to the LATEST day. Means before and
+    * after the split are raw-parity divisions of exact ints.
+    * Output: (series, n_days, split_day, n_before, mean_before,
+    * mean_after, score) — split_day is the LAST day of the left
+    * segment; single-day series mask to NULL rows are omitted (n < 2
+    * leaves no candidate split).
     *
-    * Scale posture: the (series, day) agg collapses the log; windows
-    * run on ≤ 365·|series| rows.
+    * Scale posture: the (series,day) agg collapses the log; prefix
+    * sums and the argmax run on the ≤365·|series| daily frame.
     */
+  def changepoint(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+    val wg = Window.partitionBy("_g")
+    val wk = Window.partitionBy("_g").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_s", sum(col("_x")).over(wg).cast("long"))
+      .withColumn("_k", count(lit(1)).over(wk))
+      .withColumn("_sk", sum(col("_x")).over(wk).cast("long"))
+      .filter(col("_k") < col("_n"))
+      .withColumn("_num",
+        (col("_n") * col("_sk") - col("_k") * col("_s")).cast("decimal(19,0)"))
+      .withColumn("_score", (col("_num") * col("_num")).cast("double") /
+        (col("_k") * (col("_n") - col("_k"))).cast("double"))
+    scored
+      .groupBy("_g")
+      .agg(first(col("_n")).cast("long").as("n_days"),
+        first(col("_s")).as("_sg"),
+        max(struct(col("_score"), col("day"), col("_k"), col("_sk")))
+          .as("_best"))
+      .select(col("_g").as(seriesCol), col("n_days"),
+        col("_best.day").as("split_day"),
+        col("_best._k").cast("long").as("n_before"),
+        (col("_best._sk").cast("double") / col("_best._k").cast("double"))
+          .as("mean_before"),
+        ((col("_sg") - col("_best._sk")).cast("double") /
+          (col("n_days") - col("_best._k")).cast("double")).as("mean_after"),
+        col("_best._score").as("score"))
+  }
+
   /** Index of dispersion (Fano factor) of daily counts per series:
     * Var/mean — 1 under Poisson arrivals, ≫1 for bursty/clumped
     * traffic, ≪1 for rate-limited/scripted flows. The one-number
@@ -467,10 +504,10 @@ object TimeSeries {
         max(unix_micros(col(tsCol))).as("_mx"))
     per
       .withColumn("_gmx", max(col("_mx")).over(Window.partitionBy()))
+      .withColumn("lag_s", expr("(_gmx - _mx) div 1000000"))
       .select(col("_g").as(seriesCol), col("n_events"),
         timestamp_micros(col("_mx")).as("max_ts"),
-        expr("(_gmx - _mx) div 1000000").as("lag_s"),
-        (expr("(_gmx - _mx) div 1000000") > staleAfterS).as("is_stale"))
+        col("lag_s"), (col("lag_s") > staleAfterS).as("is_stale"))
   }
 
   /** Day-of-week seasonal strength per series: 1 − SS_resid/SS_total
@@ -532,6 +569,21 @@ object TimeSeries {
         .as("seasonal_strength"))
   }
 
+  /** Lag-1 autocorrelation of daily counts per series — the "is
+    * today's volume predicted by yesterday's" number that separates
+    * trending/bursty series (r₁ → 1) from memoryless ones (r₁ → 0)
+    * and oscillating ones (r₁ < 0). Exact integers end to end via the
+    * [[cusumDrift]] n-scaling: u_t = n·x_t − Σx is BIGINT, the lag
+    * pairs come from one window, and Σu_t·u_{t+1} / Σu_t² multiply AND
+    * accumulate in DECIMAL(38,0) (operands cast before the product, so
+    * no LONG overflow at any daily-count regime; 38 digits cover
+    * u² ≤ 1e38), so r₁ is one division of engine-identical doubles —
+    * raw parity, no rounding. Constant series (all x tied) mask to
+    * NULL via the discrete min=max guard.
+    *
+    * Scale posture: the (series, day) agg collapses the log; windows
+    * run on ≤ 365·|series| rows.
+    */
   def lag1Autocorr(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
     val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))

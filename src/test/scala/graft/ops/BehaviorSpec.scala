@@ -235,6 +235,42 @@ class BehaviorSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("cohortLtv carries the age-0 cohort size and accumulates cents") {
+    // u1 first active in week A (100c), again week A+1 (50c);
+    // u2 first active in week A+1 (200c)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-09 10:00:00"), 50L),
+      (2L, ts("2024-01-09 11:00:00"), 200L)
+    ).toDF("u", "t", "c")
+    val got = Funnel.cohortLtv(df, "u", "t", col("c"), periodDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val wA = ts("2024-01-01 10:00:00").getTime * 1000L / 604800000000L
+    val a0 = got((wA, 0L)); val a1 = got((wA, 1L)); val b0 = got((wA + 1, 0L))
+    a0.getLong(3) shouldBe 1L   // cohort_size
+    a0.getLong(5) shouldBe 100L // cum_cents
+    a1.getLong(5) shouldBe 150L
+    a1.getLong(6) shouldBe 150L // ltv per user
+    b0.getLong(3) shouldBe 1L
+    b0.getLong(4) shouldBe 200L
+  }
+
+  test("changepoint finds the argmax between-SS split with exact stats") {
+    // daily counts (1,1,1,5,5): scores k=1..4 are 16, 1.5, 96, 36
+    val rows = (1 to 5).flatMap { d =>
+      val n = if (d <= 3) 1 else 5
+      Seq.fill(n)(("s", ts(f"2024-01-0$d%d 10:00:00")))
+    }
+    val got = TimeSeries.changepoint(rows.toDF("g", "t"), "g", "t")
+      .collect().head
+    got.getLong(1) shouldBe 5L
+    got.getTimestamp(2) shouldBe ts("2024-01-03 00:00:00")
+    got.getLong(3) shouldBe 3L
+    got.getDouble(4) shouldBe 1.0
+    got.getDouble(5) shouldBe 5.0
+    got.getDouble(6) shouldBe 96.0
+  }
+
   test("dispersion recovers Var/mean exactly and masks single-day series") {
     // s1 daily counts (1,3,2): T = 18, disp = 18/(3·2·6) = 0.5
     // s2 constant (2,2): exactly 0; s3 one day: NULL

@@ -154,7 +154,9 @@ class PlanAuditSpec extends SparkSpec {
     // seasonal = daily agg + shared window exchange on the collapsed
     // frame (events scanned once); jackknife = bucket agg + 1-row agg;
     // uplift = per-unit agg + stratum agg + 1-row span broadcast + agg
-    "q_seasonal_strength" -> 2, "q_jackknife" -> 2, "q_matched_uplift" -> 4,
+    // jackknife = unit agg + bucket agg + 1-row agg (review pass: rows
+    // are not resampling units — the unit collapse is semantic)
+    "q_seasonal_strength" -> 2, "q_jackknife" -> 3, "q_matched_uplift" -> 4,
     // trigrams = per-user window + cell agg (rank rides the topK cut);
     // stage_latency = per-user window+agg, distinct-gap cum frame;
     // heaps = (group,term) two-level distinct agg + 1-row fold
@@ -166,6 +168,10 @@ class PlanAuditSpec extends SparkSpec {
     // diversity = shingle explode into (group,shingle) agg + group agg;
     // dispersion = (series,day) agg + window; wilson = unit agg + arm agg
     "q_ngram_diversity" -> 2, "q_dispersion" -> 2, "q_wilson_ci" -> 2,
+    // cohort_ltv = (user,period) agg + user window + (cohort,age) agg +
+    // cohort window, single lineage; embed_drift = posexplode into a
+    // dims agg + 1-row agg; changepoint = daily agg + prefix windows
+    "q_cohort_ltv" -> 4, "q_embed_drift" -> 2, "q_changepoint" -> 2,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

@@ -444,4 +444,26 @@ class SimilaritySpec extends SparkSpec {
     c1 should be <= 1000000L
     got(2L) shouldBe ((3L, 0.0, 0.0, 1000000L))
   }
+
+  test("embedDrift matches the JVM quantized-centroid cosine") {
+    def bucket(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val vecs = (1L to 8L).map(i =>
+      (i, Array(i.toFloat / 10, (9 - i).toFloat / 10, 0.5f)))
+    val got = Similarity.embedDrift(vecs.toDF("id", "v"), "id", "v")
+      .collect().head
+    val halves = vecs.groupBy(v => bucket(v._1))
+    def cen(h: Long): Array[Long] = (0 until 3).map(d =>
+      halves(h).map(v => math.round(v._2(d).toDouble * 1000000)).sum).toArray
+    val (c0, c1) = (cen(0L), cen(1L))
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    got.getLong(0) shouldBe halves(0L).size.toLong
+    got.getLong(1) shouldBe halves(1L).size.toLong
+    got.getDouble(2) shouldBe (dot(c0, c1).toDouble /
+      (math.sqrt(dot(c0, c0).toDouble) * math.sqrt(dot(c1, c1).toDouble)))
+  }
 }
