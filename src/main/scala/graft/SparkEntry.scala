@@ -2177,6 +2177,24 @@ object SparkEntry {
       graft.ops.TimeSeries.dispersion(
         table(s, dir, "events"), "event_type", "ts")),
 
+    // weekday-conditioned 3σ anomalies: all-integer cross-multiplied
+    // test, no float threshold anywhere
+    "q_dow_anomalies" -> ((s, dir) =>
+      graft.ops.TimeSeries.dowAnomalies(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // two-sample KS on order value cents between md5 customer arms:
+    // exact integer sup, raw-parity D
+    "q_ks_test" -> ((s, dir) =>
+      graft.ops.Stats.ksTest(
+        table(s, dir, "orders"), "o_custkey",
+        round(col("o_totalprice") * 100))),
+
+    // Wald–Wolfowitz runs test on above/below-median daily counts
+    "q_runs_test" -> ((s, dir) =>
+      graft.ops.TimeSeries.runsTest(
+        table(s, dir, "events"), "event_type", "ts")),
+
     // cohort LTV matrix: first-active-week cohorts (the fixture spans
     // 30 days — monthly would degenerate to one cell), integer week
     // ages, exact cents, window-carried cohort sizes
@@ -4262,6 +4280,118 @@ object SparkEntry {
         |  ROUND(list_sum(list_transform(a, s ->
         |    (s.n::DOUBLE / n_transitions::DOUBLE)
         |      * ln(s.rt::DOUBLE / s.n::DOUBLE))), 6) AS entropy_rate_nats
+        |FROM agg""".stripMargin,
+
+    // dow-anomaly twin: identical integer cross-multiplication in
+    // HUGEINT, same ≥3-day guard
+    "q_dow_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x,
+        |    dayofweek(date_trunc('day', ts))::INTEGER AS dow
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT g, day, dow, x,
+        |    COUNT(*) OVER wd AS nd,
+        |    CAST(SUM(x) OVER wd AS BIGINT) AS sd,
+        |    (COUNT(*) OVER wd * x
+        |      - CAST(SUM(x) OVER wd AS BIGINT))::HUGEINT AS ud
+        |  FROM daily
+        |  WINDOW wd AS (PARTITION BY g, dow)
+        |), r AS (
+        |  SELECT g, day, dow, x, nd, sd, ud,
+        |    SUM(ud * ud) OVER (PARTITION BY g, dow) AS rd
+        |  FROM scored
+        |)
+        |SELECT g AS event_type, day, dow, x AS n_events,
+        |  nd::BIGINT AS n_dow_days,
+        |  sd::DOUBLE / nd::DOUBLE AS dow_mean,
+        |  CASE WHEN rd * 9 = 0 THEN NULL
+        |       ELSE CAST(ud * ud * (nd - 1) AS DOUBLE)
+        |          / CAST(rd * 9 AS DOUBLE) END AS score,
+        |  (nd >= 3 AND ud * ud * (nd - 1) > rd * 9) AS is_anomaly
+        |FROM r""".stripMargin,
+
+    // KS twin: identical md5 arms, exact HUGEINT sup, (diff DESC,
+    // v DESC) argmax
+    "q_ks_test" ->
+      """WITH cells AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND CAST(round(o_totalprice * 100) AS BIGINT) IS NOT NULL
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    CAST(SUM(c0) OVER w AS BIGINT) AS cum0,
+        |    CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+        |    CAST(SUM(c0) OVER () AS BIGINT) AS n0,
+        |    CAST(SUM(c1) OVER () AS BIGINT) AS n1
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |), d AS (
+        |  SELECT v, n0, n1,
+        |    abs(cum0::HUGEINT * n1 - cum1::HUGEINT * n0) AS diff,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      abs(cum0::HUGEINT * n1 - cum1::HUGEINT * n0) DESC, v DESC) AS rn
+        |  FROM cum
+        |)
+        |SELECT n0 AS n_a, n1 AS n_b,
+        |  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+        |       ELSE CAST(diff AS DOUBLE)
+        |          / CAST(n0::HUGEINT * n1 AS DOUBLE) END AS ks_d,
+        |  v AS ks_at_value
+        |FROM d WHERE rn = 1""".stripMargin,
+
+    // runs twin: identical RANGE-window median, exact run counts, the
+    // same DECIMAL variance numerator and z tree
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT g, day, x,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    COUNT(*) OVER (PARTITION BY g ORDER BY x
+        |      RANGE UNBOUNDED PRECEDING) AS le
+        |  FROM daily
+        |), med AS (
+        |  SELECT g, day, x,
+        |    MIN(CASE WHEN le * 2 >= n THEN x END) OVER (PARTITION BY g)
+        |      AS medx
+        |  FROM m
+        |), s AS (
+        |  SELECT g, medx, (x > medx)::INTEGER AS sign,
+        |    LAG((x > medx)::INTEGER) OVER (PARTITION BY g ORDER BY day)
+        |      AS prev
+        |  FROM med WHERE x <> medx
+        |), agg AS (
+        |  SELECT g, CAST(MIN(medx) AS BIGINT) AS median_x,
+        |    CAST(SUM(sign) AS BIGINT) AS n_above,
+        |    CAST(SUM(1 - sign) AS BIGINT) AS n_below,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sign
+        |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT g AS event_type, median_x, n_above, n_below, runs,
+        |  CASE WHEN n_above = 0 OR n_below = 0
+        |         OR n_above * n_below * 2 <= n_above + n_below THEN NULL
+        |       ELSE (runs::DOUBLE
+        |           - (1.0 + (n_above * n_below * 2)::DOUBLE
+        |                  / (n_above + n_below)::DOUBLE))
+        |         / sqrt(CAST((n_above * n_below * 2)::HUGEINT
+        |               * (n_above * n_below * 2 - (n_above + n_below))
+        |               AS DOUBLE)
+        |             / ((n_above + n_below) * (n_above + n_below)
+        |                * (n_above + n_below - 1))::DOUBLE)
+        |  END AS z
         |FROM agg""".stripMargin,
 
     // cohort-LTV twin: identical epoch-week ints, age-0 size carried

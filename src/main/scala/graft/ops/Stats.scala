@@ -873,6 +873,49 @@ object Stats {
         .as("jk_se"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between md5-parity arms
+    * on an integral metric: D = max|F₀−F₁| — "did the whole
+    * DISTRIBUTION move?", catching variance/shape shifts that the
+    * mean-based [[welchZ]] misses entirely. The sup runs over the
+    * merged distinct-value frame with the difference held as the
+    * EXACT integer |cum₀·n₁ − cum₁·n₀| (DECIMAL — no float CDF
+    * exists to disagree), the argmax is a lexicographic struct max
+    * with the value as tiebreak (ties → largest value), and D is one
+    * division of exact operands — raw double parity.
+    * Output ONE row: (n_a, n_b, ks_d, ks_at_value).
+    *
+    * Scale posture: one (value)-keyed conditional agg collapses the
+    * data; the cumulative window runs on the distinct-value frame.
+    */
+  def ksTest(df: DataFrame, unitCol: String, metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(unitCol).isNotNull)
+      .select(Sampling.hashBucket(col(unitCol).cast("string"), 2)
+        .cast("int").as("_arm"), metric.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("_v")
+      .agg(sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("_c1"))
+    val wCum = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("_cum0", sum(col("_c0")).over(wCum).cast("long"))
+      .withColumn("_cum1", sum(col("_c1")).over(wCum).cast("long"))
+      .withColumn("_n0", sum(col("_c0")).over(Window.partitionBy()).cast("long"))
+      .withColumn("_n1", sum(col("_c1")).over(Window.partitionBy()).cast("long"))
+      .withColumn("_diff",
+        abs(col("_cum0").cast("decimal(19,0)") * col("_n1")
+          - col("_cum1").cast("decimal(19,0)") * col("_n0")))
+    cum.agg(first(col("_n0")).as("n_a"), first(col("_n1")).as("n_b"),
+      max(struct(col("_diff"), col("_v"))).as("_best"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(col("_best._diff").cast("double") /
+            (col("n_a").cast("decimal(19,0)") * col("n_b")).cast("double"))
+          .as("ks_d"),
+        col("_best._v").as("ks_at_value"))
+  }
+
   /** Wilson 95% score interval per md5-parity arm for a binary
     * per-unit outcome (did the unit ever satisfy `successCond`) — the
     * proportion CI that stays honest at small n and extreme rates,

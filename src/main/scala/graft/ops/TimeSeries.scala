@@ -399,6 +399,103 @@ object TimeSeries {
          col("_peak.dow") === col("dow")).as("is_peak_dow"))
   }
 
+  /** Weekday-conditioned daily anomalies: days whose count deviates
+    * from THEIR OWN weekday's mean by more than 3 of that weekday's
+    * sample standard deviations — the seasonal-aware counterpart of a
+    * raw daily z-score, which flags every ordinary Saturday on a
+    * weekday-heavy series. The 3σ test is the ALL-INTEGER cross-
+    * multiplication (n_d·x − S_d)²·(n_d−1) > 9·R_d (both sides
+    * DECIMAL-exact, R_d = Σ(n_d·x−S_d)² within the weekday), so no
+    * float threshold exists to disagree across engines; weekdays with
+    * fewer than 3 observed days never flag (no variance estimate).
+    * EVERY day is emitted with its flag and score — not just the
+    * flagged ones — so the oracle gate exercises the test on every
+    * row even when a fixture contains no anomalies at all.
+    * Output: (series, day, dow, n_events, n_dow_days, dow_mean,
+    * score, is_anomaly); score = LHS/RHS of the test (NULL when the
+    * weekday has zero variance).
+    *
+    * Scale posture: the (series,day) agg collapses the log; both
+    * weekday windows run on the collapsed frame, single lineage.
+    */
+  def dowAnomalies(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+    val wgd = Window.partitionBy("_g", "dow")
+    val scored = daily
+      .withColumn("_nd", count(lit(1)).over(wgd))
+      .withColumn("_sd", sum(col("_x")).over(wgd).cast("long"))
+      .withColumn("_ud", (col("_nd") * col("_x") - col("_sd"))
+        .cast("decimal(19,0)"))
+      .withColumn("_rd", sum(col("_ud") * col("_ud")).over(wgd))
+      .withColumn("_lhs", col("_ud") * col("_ud") * (col("_nd") - 1))
+      .withColumn("_rhs", col("_rd") * 9)
+    scored
+      .select(col("_g").as(seriesCol), col("day"), col("dow"),
+        col("_x").cast("long").as("n_events"),
+        col("_nd").cast("long").as("n_dow_days"),
+        (col("_sd").cast("double") / col("_nd").cast("double")).as("dow_mean"),
+        when(col("_rhs") === 0, lit(null).cast("double"))
+          .otherwise(col("_lhs").cast("double") / col("_rhs").cast("double"))
+          .as("score"),
+        (col("_nd") >= 3 && col("_lhs") > col("_rhs")).as("is_anomaly"))
+  }
+
+  /** Wald–Wolfowitz runs test on the above/below-median sign sequence
+    * of daily counts — "is the series random around its level, or do
+    * highs clump?" A significant negative z (too few runs) means
+    * regime persistence that IID-based alerting will misread; the
+    * nonparametric companion to [[lag1Autocorr]]. The median is the
+    * all-integer nearest-rank `2·cnt_le ≥ n` rule via a RANGE window
+    * (ties included), median-equal days are dropped (classic test),
+    * and R, n₁, n₂ are exact counts feeding one fixed z tree — the
+    * variance numerator multiplies in DECIMAL (2n₁n₂·(2n₁n₂−n) can
+    * pass 9.2e18), everything else stays long. Raw double parity.
+    * Degenerate splits (either side empty, or 2n₁n₂ ≤ n₁+n₂ ⇒ V=0)
+    * mask z to NULL. Output: (series, median_x, n_above, n_below,
+    * runs, z).
+    *
+    * Scale posture: all windows run on the collapsed (series,day)
+    * frame; single lineage (the median is a second window, not a
+    * join-back).
+    */
+  def runsTest(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+    val wg = Window.partitionBy("_g")
+    val wRange = Window.partitionBy("_g").orderBy("_x")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val signed = daily
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_le", count(lit(1)).over(wRange))
+      .withColumn("_med", min(when(col("_le") * 2 >= col("_n"), col("_x")))
+        .over(wg))
+      .filter(col("_x") =!= col("_med"))
+      .withColumn("_sign", (col("_x") > col("_med")).cast("int"))
+      .withColumn("_prev", lag(col("_sign"), 1).over(
+        Window.partitionBy("_g").orderBy("day")))
+    val agg = signed.groupBy("_g")
+      .agg(first(col("_med")).cast("long").as("median_x"),
+        sum(col("_sign")).cast("long").as("n_above"),
+        sum(lit(1) - col("_sign")).cast("long").as("n_below"),
+        (sum(when(col("_prev").isNotNull && col("_prev") =!= col("_sign"), 1L)
+          .otherwise(0L)) + 1).cast("long").as("runs"))
+    val n1 = col("n_above"); val n2 = col("n_below")
+    val twoN = n1 * n2 * 2
+    val tot = n1 + n2
+    val e = lit(1.0) + twoN.cast("double") / tot.cast("double")
+    val vNum = (twoN.cast("decimal(19,0)") * (twoN - tot).cast("decimal(19,0)"))
+    val vDen = tot * tot * (tot - 1)
+    agg.select(col("_g").as(seriesCol), col("median_x"), n1, n2, col("runs"),
+      when(n1 === 0 || n2 === 0 || twoN <= tot, lit(null).cast("double"))
+        .otherwise((col("runs").cast("double") - e) /
+          sqrt(vNum.cast("double") / vDen.cast("double")))
+        .as("z"))
+  }
+
   /** Single change-point detection per series: the day boundary that
     * maximizes the between-segment sum of squares of daily counts —
     * binary segmentation's first (and usually decisive) split,

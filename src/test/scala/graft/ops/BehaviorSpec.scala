@@ -235,6 +235,53 @@ class BehaviorSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("dowAnomalies flags only beyond-3-sigma days via integer cross-mult") {
+    // 13 Sundays: twelve 5s and one 50 -> lhs 540²·12 = 3499200 >
+    // rhs 9·315900 = 2843100 for the spike; 24300 < rhs for the rest
+    val rows = (0 until 13).flatMap { k =>
+      val n = if (k == 12) 50 else 5
+      val day = java.time.LocalDate.of(2024, 1, 7).plusDays(7L * k)
+      Seq.fill(n)(("s", ts(s"$day 10:00:00")))
+    }
+    val got = TimeSeries.dowAnomalies(rows.toDF("g", "t"), "g", "t").collect()
+    got.length shouldBe 13
+    val flagged = got.filter(_.getBoolean(7))
+    flagged.map(_.getLong(3)).toSeq shouldBe Seq(50L)
+    flagged.head.getDouble(6) shouldBe 3499200.0 / 2843100.0
+    got.filter(!_.getBoolean(7)).foreach(_.getLong(3) shouldBe 5L)
+  }
+
+  test("runsTest computes the exact Wald-Wolfowitz z on a hand sequence") {
+    // daily counts (1,9,2,8,3,7): median 3 (dropped), signs 0,1,0,1,1
+    // -> runs 4, n1=3, n2=2, z = (4-3.4)/sqrt(84/100)
+    val counts = Seq(1, 9, 2, 8, 3, 7)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n)(("s", ts(f"2024-01-0${d + 1}%d 10:00:00")))
+    }
+    val got = TimeSeries.runsTest(rows.toDF("g", "t"), "g", "t")
+      .collect().head
+    got.getLong(1) shouldBe 3L  // median
+    got.getLong(2) shouldBe 3L  // above
+    got.getLong(3) shouldBe 2L  // below
+    got.getLong(4) shouldBe 4L  // runs
+    got.getDouble(5) shouldBe (4.0 - (1.0 + 12.0 / 5.0)) /
+      math.sqrt(84.0 / 100.0)
+  }
+
+  test("runsTest masks one-sided splits to NULL") {
+    // (1,5,5): nearest-rank median is 5 (dropped) -> only the single
+    // below-side day remains
+    val rows = Seq.fill(1)(("s", ts("2024-01-01 10:00:00"))) ++
+      Seq.fill(5)(("s", ts("2024-01-02 10:00:00"))) ++
+      Seq.fill(5)(("s", ts("2024-01-03 10:00:00")))
+    val got = TimeSeries.runsTest(rows.toDF("g", "t"), "g", "t")
+      .collect().head
+    got.getLong(1) shouldBe 5L
+    got.getLong(2) shouldBe 0L
+    got.getLong(3) shouldBe 1L
+    got.isNullAt(5) shouldBe true
+  }
+
   test("cohortLtv carries the age-0 cohort size and accumulates cents") {
     // u1 first active in week A (100c), again week A+1 (50c);
     // u2 first active in week A+1 (200c)

@@ -172,6 +172,8 @@ class PlanAuditSpec extends SparkSpec {
     // cohort window, single lineage; embed_drift = posexplode into a
     // dims agg + 1-row agg; changepoint = daily agg + prefix windows
     "q_cohort_ltv" -> 4, "q_embed_drift" -> 2, "q_changepoint" -> 2,
+    // all three collapse to distinct-value/daily frames before windows
+    "q_dow_anomalies" -> 2, "q_ks_test" -> 2, "q_runs_test" -> 2,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

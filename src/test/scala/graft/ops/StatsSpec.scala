@@ -516,6 +516,25 @@ class StatsSpec extends SparkSpec {
     got.getDouble(3) shouldBe math.sqrt((byB.size - 1).toDouble / byB.size * ssq)
   }
 
+  test("ksTest matches the JVM exact-integer sup re-derivation") {
+    val rows = (1L to 40L).map(u => (u, u % 5))
+    val got = Stats.ksTest(rows.toDF("u", "m"), "u", col("m")).collect().head
+    val byArm = rows.groupBy(r => bucket(r._1, 2))
+    val (n0, n1) = (byArm(0L).size.toLong, byArm(1L).size.toLong)
+    val values = rows.map(_._2).distinct.sorted
+    var best = (BigInt(-1), -1L)
+    var (c0, c1) = (0L, 0L)
+    values.foreach { v =>
+      c0 += byArm(0L).count(_._2 == v); c1 += byArm(1L).count(_._2 == v)
+      val diff = (BigInt(c0) * n1 - BigInt(c1) * n0).abs
+      if (diff >= best._1) best = (diff, v) // ties -> largest v
+    }
+    got.getLong(0) shouldBe n0
+    got.getLong(1) shouldBe n1
+    got.getDouble(2) shouldBe best._1.toDouble / (BigInt(n0) * n1).toDouble
+    got.getLong(3) shouldBe best._2
+  }
+
   test("wilsonCi matches the JVM fixed-tree re-derivation per arm") {
     // unit u succeeds iff u % 3 == 0; one event row per (u, flag)
     val rows = (1L to 60L).flatMap(u =>
