@@ -2177,6 +2177,23 @@ object SparkEntry {
       graft.ops.TimeSeries.dispersion(
         table(s, dir, "events"), "event_type", "ts")),
 
+    // Mann-Kendall monotone-trend test: exact integer S and
+    // tie-corrected variance, pair join bounded by days²
+    "q_mann_kendall" -> ((s, dir) =>
+      graft.ops.TimeSeries.mannKendall(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // view->purchase conversion with 1m/1h/1d window breakdowns
+    "q_conv_windows" -> ((s, dir) =>
+      graft.ops.Funnel.conversionWindows(
+        table(s, dir, "events"), "user_id", "ts", "event_type",
+        "event_id", fromType = "view", toType = "purchase")),
+
+    // seasonal-naive vs naive MAE ratio: does weekly structure predict
+    "q_mase" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalNaiveError(
+        table(s, dir, "events"), "event_type", "ts")),
+
     // weekday-conditioned 3σ anomalies: all-integer cross-multiplied
     // test, no float threshold anywhere
     "q_dow_anomalies" -> ((s, dir) =>
@@ -4281,6 +4298,103 @@ object SparkEntry {
         |    (s.n::DOUBLE / n_transitions::DOUBLE)
         |      * ln(s.rt::DOUBLE / s.n::DOUBLE))), 6) AS entropy_rate_nats
         |FROM agg""".stripMargin,
+
+    // MK twin: identical sign-sum pair join, exact tie-corrected
+    // variance, the same continuity-corrected z tree
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT a.g, CAST(SUM(sign(b.x - a.x)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+        |  GROUP BY 1
+        |), ties AS (
+        |  SELECT g, CAST(SUM(t) AS BIGINT) AS n_days,
+        |    CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS corr
+        |  FROM (SELECT g, x, COUNT(*)::BIGINT AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT ties.g AS event_type, n_days, s_stat,
+        |  CASE WHEN abs(s_stat) <= 1
+        |         OR n_days * (n_days - 1) * (n_days * 2 + 5) - corr <= 0
+        |       THEN NULL
+        |       ELSE (s_stat::DOUBLE - sign(s_stat)::DOUBLE)
+        |          / sqrt((n_days * (n_days - 1) * (n_days * 2 + 5)
+        |              - corr)::DOUBLE / 18.0)
+        |  END AS z
+        |FROM ties JOIN s ON ties.g = s.g""".stripMargin,
+
+    // conv-windows twin: identical running-min gaps, exact-count ppms
+    "q_conv_windows" ->
+      """WITH g AS (
+        |  SELECT user_id AS u, event_type AS e, epoch_us(ts) AS us,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS UNBOUNDED PRECEDING) AS from_min
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_type IN ('view', 'purchase')
+        |), per AS (
+        |  SELECT u,
+        |    MAX(CASE WHEN e = 'view' THEN 1 ELSE 0 END) AS has_from,
+        |    MIN(CASE WHEN e = 'purchase' AND from_min IS NOT NULL
+        |      THEN us - from_min END) AS gap_us
+        |  FROM g GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n_eligible,
+        |    COUNT(gap_us)::BIGINT AS n_converted,
+        |    CAST(SUM(CASE WHEN gap_us <= 60000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1m,
+        |    CAST(SUM(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1h,
+        |    CAST(SUM(CASE WHEN gap_us <= 86400000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1d
+        |  FROM per WHERE has_from = 1
+        |)
+        |SELECT n_eligible, n_converted,
+        |  CASE WHEN n_eligible = 0 THEN NULL
+        |       ELSE (n_converted * 1000000) // n_eligible END AS conv_ppm,
+        |  CASE WHEN n_eligible = 0 THEN NULL
+        |       ELSE (c1m * 1000000) // n_eligible END AS conv_1m_ppm,
+        |  CASE WHEN n_eligible = 0 THEN NULL
+        |       ELSE (c1h * 1000000) // n_eligible END AS conv_1h_ppm,
+        |  CASE WHEN n_eligible = 0 THEN NULL
+        |       ELSE (c1d * 1000000) // n_eligible END AS conv_1d_ppm
+        |FROM f""".stripMargin,
+
+    // MASE twin: identical row lags, exact abs-diff sums, one fixed
+    // ratio tree
+    "q_mase" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), l AS (
+        |  SELECT g, x,
+        |    LAG(x, 1) OVER (PARTITION BY g ORDER BY day) AS l1,
+        |    LAG(x, 7) OVER (PARTITION BY g ORDER BY day) AS l7
+        |  FROM daily
+        |), a AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n_days,
+        |    CAST(SUM(abs(x - l1)) AS BIGINT) AS sn,
+        |    COUNT(l1)::BIGINT AS n1,
+        |    CAST(SUM(abs(x - l7)) AS BIGINT) AS s7,
+        |    COUNT(l7)::BIGINT AS n7
+        |  FROM l GROUP BY 1
+        |)
+        |SELECT g AS event_type, n_days,
+        |  CASE WHEN n1 = 0 THEN NULL
+        |       ELSE sn::DOUBLE / n1::DOUBLE END AS mae_naive,
+        |  CASE WHEN n7 = 0 THEN NULL
+        |       ELSE s7::DOUBLE / n7::DOUBLE END AS mae_seasonal,
+        |  CASE WHEN n1 = 0 OR n7 = 0 OR sn = 0 THEN NULL
+        |       ELSE (s7::DOUBLE / n7::DOUBLE) / (sn::DOUBLE / n1::DOUBLE)
+        |  END AS mase
+        |FROM a""".stripMargin,
 
     // dow-anomaly twin: identical integer cross-multiplication in
     // HUGEINT, same ≥3-day guard

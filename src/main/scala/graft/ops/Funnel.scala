@@ -347,6 +347,59 @@ object Funnel {
         .cast("long").as("p90_s"))
   }
 
+  /** Funnel conversion with time-window breakdowns: of the users who
+    * ever reached `fromType`, how many converted to `toType` at all,
+    * and how many within 1 minute / 1 hour / 1 day — the
+    * time-decomposed completion read that [[stageLatency]]'s
+    * percentiles summarize from the other side. Same running-min gap
+    * machinery (gap = first qualifying `to` minus first `from`);
+    * every output is an exact count or a `·1000000 div` ppm of
+    * exact counts. Output ONE row: (n_eligible, n_converted,
+    * conv_ppm, conv_1m_ppm, conv_1h_ppm, conv_1d_ppm).
+    *
+    * Scale posture: one per-user window + per-user agg; the window
+    * breakdown is a single 1-row agg over the per-user frame.
+    */
+  def conversionWindows(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String,
+                        fromType: String, toType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull &&
+        col(typeCol).isin(fromType, toType))
+      .select(col(userCol).as("_u"), col(typeCol).as("_e"),
+        unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"))
+      .withColumn("_from_min",
+        min(when(col("_e") === fromType, col("_us"))).over(
+          Window.partitionBy(col("_u")).orderBy(col("_us"), col("_tie"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("_u")
+      .agg(max(when(col("_e") === fromType, 1L).otherwise(0L)).as("_has_from"),
+        min(when(col("_e") === toType && col("_from_min").isNotNull,
+          col("_us") - col("_from_min"))).as("_gap_us"))
+      .filter(col("_has_from") === 1)
+    perUser
+      .agg(count(lit(1)).cast("long").as("n_eligible"),
+        count(col("_gap_us")).cast("long").as("n_converted"),
+        sum(when(col("_gap_us") <= 60000000L, 1L).otherwise(0L))
+          .cast("long").as("_c1m"),
+        sum(when(col("_gap_us") <= 3600000000L, 1L).otherwise(0L))
+          .cast("long").as("_c1h"),
+        sum(when(col("_gap_us") <= 86400000000L, 1L).otherwise(0L))
+          .cast("long").as("_c1d"))
+      .select(col("n_eligible"), col("n_converted"),
+        ppmOf("n_converted").as("conv_ppm"),
+        ppmOf("_c1m").as("conv_1m_ppm"),
+        ppmOf("_c1h").as("conv_1h_ppm"),
+        ppmOf("_c1d").as("conv_1d_ppm"))
+  }
+
+  /** ppm of `n_eligible`, NULL-masked when the funnel is empty. */
+  private def ppmOf(c: String): Column =
+    when(col("n_eligible") === 0, lit(null).cast("long"))
+      .otherwise(expr(s"$c * 1000000L div n_eligible"))
+
   /** Entropy rate (nats/step) of the first-order Markov chain over
     * adjacent event-type transitions — how predictable is the NEXT
     * action given the current one? 0 means deterministic flows

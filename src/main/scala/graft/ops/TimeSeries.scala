@@ -399,6 +399,92 @@ object TimeSeries {
          col("_peak.dow") === col("dow")).as("is_peak_dow"))
   }
 
+  /** Mann–Kendall trend test per series: S = Σ_{i<j} sgn(x_j − x_i)
+    * over daily counts — the nonparametric "is there a monotone
+    * trend" answer that is immune to the outliers and level spikes
+    * that wreck an OLS slope; the significance sibling of
+    * [[changepoint]] (which locates a shift, not a direction). S, the
+    * tie-corrected variance 18·V = n(n−1)(2n+5) − Σt(t−1)(2t+5), and
+    * the continuity correction are ALL exact integers; z is one fixed
+    * tree over them — raw double parity. |S| ≤ 1 (or V ≤ 0) masks z
+    * to NULL.  Output: (series, n_days, s_stat, z).
+    *
+    * Scale posture: the pair join runs on the (series,day)-collapsed
+    * frame — cost is DAYS² per series (365² ≈ 66k pairs/series/year),
+    * independent of event volume; the frame is cached because three
+    * branches (pair sides + tie groups) would otherwise re-derive the
+    * events scan.
+    */
+  def mannKendall(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+      .cache()
+    val a = daily.select(col("_g"), col("day").as("_d1"), col("_x").as("_x1"))
+    val b = daily.select(col("_g"), col("day").as("_d2"), col("_x").as("_x2"))
+    val s = a.join(b, Seq("_g")).filter(col("_d1") < col("_d2"))
+      .groupBy("_g")
+      .agg(sum(signum(col("_x2") - col("_x1")).cast("long")).cast("long")
+        .as("s_stat"))
+    val ties = daily.groupBy("_g", "_x").agg(count(lit(1)).as("_t"))
+      .groupBy("_g")
+      .agg(sum(col("_t")).cast("long").as("n_days"),
+        sum(col("_t") * (col("_t") - 1) * (col("_t") * 2 + 5)).cast("long")
+          .as("_corr"))
+    val n = col("n_days")
+    val var18 = n * (n - 1) * (n * 2 + 5) - col("_corr")
+    val sigma = sqrt(var18.cast("double") / lit(18.0))
+    ties.join(s, Seq("_g"))
+      .select(col("_g").as(seriesCol), col("n_days"), col("s_stat"),
+        when(abs(col("s_stat")) <= 1 || var18 <= 0, lit(null).cast("double"))
+          .otherwise(
+            (col("s_stat").cast("double") - signum(col("s_stat").cast("double")))
+              / sigma)
+          .as("z"))
+  }
+
+  /** Seasonal-naive vs naive forecast-error ratio per series: MAE of
+    * the "same weekday last week" forecast over MAE of the "same as
+    * yesterday" forecast, on daily counts. Ratio < 1 means weekly
+    * structure genuinely predicts (use seasonal baselines downstream);
+    * ≥ 1 means the weekly pattern adds nothing a lag-1 copy doesn't.
+    * Row lags over the observed-day sequence (assumes near-complete
+    * series — run gap-fill first if days can be missing). Absolute
+    * differences and counts are exact integers; the two MAEs and
+    * their ratio are a fixed tree of exact-operand divisions — raw
+    * double parity. Output: (series, n_days, mae_naive,
+    * mae_seasonal, mase).
+    *
+    * Scale posture: two lags over the (series,day)-collapsed frame.
+    */
+  def seasonalNaiveError(df: DataFrame, seriesCol: String,
+                         tsCol: String): DataFrame = {
+    val w = Window.partitionBy("_g").orderBy("day")
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+      .withColumn("_l1", lag(col("_x"), 1).over(w))
+      .withColumn("_l7", lag(col("_x"), 7).over(w))
+    daily.groupBy("_g")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(abs(col("_x") - col("_l1"))).cast("long").as("_sn"),
+        count(col("_l1")).cast("long").as("_n1"),
+        sum(abs(col("_x") - col("_l7"))).cast("long").as("_s7"),
+        count(col("_l7")).cast("long").as("_n7"))
+      .select(col("_g").as(seriesCol), col("n_days"),
+        when(col("_n1") === 0, lit(null).cast("double"))
+          .otherwise(col("_sn").cast("double") / col("_n1").cast("double"))
+          .as("mae_naive"),
+        when(col("_n7") === 0, lit(null).cast("double"))
+          .otherwise(col("_s7").cast("double") / col("_n7").cast("double"))
+          .as("mae_seasonal"),
+        when(col("_n1") === 0 || col("_n7") === 0 || col("_sn") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("_s7").cast("double") / col("_n7").cast("double"))
+            / (col("_sn").cast("double") / col("_n1").cast("double")))
+          .as("mase"))
+  }
+
   /** Weekday-conditioned daily anomalies: days whose count deviates
     * from THEIR OWN weekday's mean by more than 3 of that weekday's
     * sample standard deviations — the seasonal-aware counterpart of a

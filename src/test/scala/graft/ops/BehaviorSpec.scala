@@ -235,6 +235,60 @@ class BehaviorSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("mannKendall computes exact S and tie-corrected z") {
+    // s1 counts (1,2,3): S = 3, var18 = 66, z = 2/sqrt(66/18)
+    // s2 constant (2,2): S = 0 -> NULL
+    val rows =
+      Seq.fill(1)(("s1", ts("2024-01-01 10:00:00"))) ++
+        Seq.fill(2)(("s1", ts("2024-01-02 10:00:00"))) ++
+        Seq.fill(3)(("s1", ts("2024-01-03 10:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-01 10:00:00"))) ++
+        Seq.fill(2)(("s2", ts("2024-01-02 10:00:00")))
+    val got = TimeSeries.mannKendall(rows.toDF("g", "t"), "g", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    got("s1").getLong(2) shouldBe 3L
+    got("s1").getDouble(3) shouldBe (3.0 - 1.0) / math.sqrt(66.0 / 18.0)
+    got("s2").getLong(2) shouldBe 0L
+    got("s2").isNullAt(3) shouldBe true
+  }
+
+  test("conversionWindows breaks conversions down by gap window") {
+    // u1 converts in 30s; u2 never; u3 converts in 2h (pre-view
+    // purchase ignored); u4 has no view -> not eligible
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:00:30"), "purchase", 2L),
+      (2L, ts("2024-01-01 11:00:00"), "view", 3L),
+      (3L, ts("2024-01-01 09:00:00"), "purchase", 4L),
+      (3L, ts("2024-01-01 12:00:00"), "view", 5L),
+      (3L, ts("2024-01-01 14:00:00"), "purchase", 6L),
+      (4L, ts("2024-01-01 15:00:00"), "purchase", 7L)
+    ).toDF("u", "t", "e", "id")
+    val got = Funnel.conversionWindows(df, "u", "t", "e", "id",
+      "view", "purchase").collect().head
+    got.getLong(0) shouldBe 3L
+    got.getLong(1) shouldBe 2L
+    got.getLong(2) shouldBe 666666L
+    got.getLong(3) shouldBe 333333L  // 1m: only u1
+    got.getLong(4) shouldBe 333333L  // 1h: only u1
+    got.getLong(5) shouldBe 666666L  // 1d: u1 + u3
+  }
+
+  test("seasonalNaiveError scores a pure weekly pattern as mase 0") {
+    // 14 days of [5,1,1,1,1,1,1] twice: lag-7 errors all 0
+    val rows = (0 until 14).flatMap { d =>
+      val n = if (d % 7 == 0) 5 else 1
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+      Seq.fill(n)(("s", ts(s"$day 10:00:00")))
+    }
+    val got = TimeSeries.seasonalNaiveError(rows.toDF("g", "t"), "g", "t")
+      .collect().head
+    got.getLong(1) shouldBe 14L
+    got.getDouble(2) shouldBe 12.0 / 13.0 // mae_naive
+    got.getDouble(3) shouldBe 0.0         // mae_seasonal
+    got.getDouble(4) shouldBe 0.0         // mase
+  }
+
   test("dowAnomalies flags only beyond-3-sigma days via integer cross-mult") {
     // 13 Sundays: twelve 5s and one 50 -> lhs 540²·12 = 3499200 >
     // rhs 9·315900 = 2843100 for the spike; 24300 < rhs for the rest

@@ -174,6 +174,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_cohort_ltv" -> 4, "q_embed_drift" -> 2, "q_changepoint" -> 2,
     // all three collapse to distinct-value/daily frames before windows
     "q_dow_anomalies" -> 2, "q_ks_test" -> 2, "q_runs_test" -> 2,
+    // mann_kendall joins the CACHED daily frame (pairs bounded by
+    // days², cache kills the triple scan); conv_windows/mase collapse
+    "q_mann_kendall" -> 3, "q_conv_windows" -> 2, "q_mase" -> 2,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window
