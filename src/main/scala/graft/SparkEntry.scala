@@ -2177,6 +2177,25 @@ object SparkEntry {
       graft.ops.TimeSeries.dispersion(
         table(s, dir, "events"), "event_type", "ts")),
 
+    // shared-opening duplicate groups: first-32-token fingerprints,
+    // wholly map-side into one agg
+    "q_prefix_dup" -> ((s, dir) =>
+      graft.ops.Dedup.prefixDupGroups(
+        table(s, dir, "documents"), "doc_id", "text", k = 32)),
+
+    // cluster-size histogram over the near-dup connected components
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      graft.ops.Dedup.clusterSizeHistogram(
+        graft.ops.Dedup.nearDupClusters(
+          graft.ops.Dedup.nearDupPairsExact(
+            table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.3)))),
+
+    // lexical drift: terms whose df share moved most between md5
+    // halves — exact integer cross-difference ranking
+    "q_term_drift" -> ((s, dir) =>
+      graft.ops.TextAnalysis.termDrift(
+        table(s, dir, "documents"), "doc_id", "text", topK = 20)),
+
     // Mann-Kendall monotone-trend test: exact integer S and
     // tie-corrected variance, pair join bounded by days²
     "q_mann_kendall" -> ((s, dir) =>
@@ -4298,6 +4317,77 @@ object SparkEntry {
         |    (s.n::DOUBLE / n_transitions::DOUBLE)
         |      * ln(s.rt::DOUBLE / s.n::DOUBLE))), 6) AS entropy_rate_nats
         |FROM agg""".stripMargin,
+
+    // prefix-dup twin: the shared tokenizer, toks[1:32] slice,
+    // COALESCE for the empty-token doc (DuckDB array_to_string([])
+    // is NULL where Spark array_join is '')
+    "q_prefix_dup" ->
+      s"""$docToks
+        |SELECT md5(COALESCE(array_to_string(toks[1:32], ' '), '')) AS prefix_md5,
+        |  COUNT(*)::BIGINT AS n_docs,
+        |  MIN(doc_id) AS min_doc_id
+        |FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // cluster-size histogram twin: the recursive-CTE clusters chain
+    // plus two counting aggs
+    "q_dedup_cluster_sizes" ->
+      s"""${docToks.replaceFirst("WITH", "WITH RECURSIVE")}, s AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM d WHERE len(toks) >= 3
+         |), pq AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |), pr AS (
+         |  SELECT a_id, b_id FROM pq WHERE ni / (na + nb - ni) >= 0.3
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION
+         |  SELECT b_id, a_id FROM pr
+         |), reach(node, root) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+         |), clus AS (
+         |  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
+         |), sz AS (
+         |  SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+         |  FROM clus GROUP BY 1
+         |)
+         |SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    // term-drift twin: identical md5 halves, per-doc distinct terms,
+    // HUGEINT cross-difference ranking, (score DESC, term) top-20
+    "q_term_drift" ->
+      s"""$docToks, h AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2)
+        |      ::INTEGER AS hh,
+        |    toks
+        |  FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), tot AS (
+        |  SELECT CAST(SUM(CASE WHEN hh = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN hh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM h
+        |), x AS (
+        |  SELECT hh, unnest(list_distinct(toks)) AS term FROM h
+        |), dfs AS (
+        |  SELECT term,
+        |    CAST(SUM(CASE WHEN hh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+        |    CAST(SUM(CASE WHEN hh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT term, df_a, df_b, n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE df_a::DOUBLE / n_a::DOUBLE - df_b::DOUBLE / n_b::DOUBLE
+        |  END AS share_delta
+        |FROM dfs CROSS JOIN tot
+        |ORDER BY abs(df_a::HUGEINT * n_b - df_b::HUGEINT * n_a) DESC, term
+        |LIMIT 20""".stripMargin,
 
     // MK twin: identical sign-sum pair join, exact tie-corrected
     // variance, the same continuity-corrected z tree

@@ -1093,4 +1093,43 @@ object Dedup {
           .as("jw"))
       .filter(col("jw") >= minSim)
   }
+
+  /** Shared-opening duplicate groups: documents whose first `k`
+    * tokens are identical — the crawl signature of templated page
+    * openings, licence headers, and syndication lead-ins that
+    * full-document fingerprints miss once the bodies diverge. Docs
+    * shorter than `k` tokens fingerprint their whole token stream
+    * (they group with exact-prefix copies of themselves). Only
+    * groups with ≥ 2 docs are emitted: (prefix_md5, n_docs,
+    * min_doc_id).
+    *
+    * Scale posture: wholly map-side fingerprinting into one hash
+    * agg — the dedup family's cheapest shape.
+    */
+  def prefixDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32): DataFrame = {
+    require(k >= 1 && k <= 4096, "1 <= k <= 4096")
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        md5(array_join(slice(TextAnalysis.tokens(lower(col(textCol))), 1, k),
+          " ").cast("binary")).as("prefix_md5"))
+      .groupBy("prefix_md5")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Cluster-size histogram over [[nearDupClusters]] output — the
+    * "is duplication long-tail pairs or a few mega-clusters" read
+    * that decides whether keep-one-per-cluster dedup meaningfully
+    * shrinks the corpus. Output: (cluster_size, n_clusters).
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame = {
+    clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .select(col("cluster_size").cast("long").as("cluster_size"),
+        col("n_clusters"))
+  }
 }

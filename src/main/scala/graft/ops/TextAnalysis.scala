@@ -1774,6 +1774,48 @@ object TextAnalysis {
         flag(t.contains("\u00A0")).as("n_nbsp"))
   }
 
+  /** Term-level corpus-drift monitor: the terms whose document-
+    * frequency SHARE moved most between two md5 halves of the corpus
+    * — the lexical twin of `Similarity.embedDrift` (that says THAT
+    * the distribution moved; this says WHICH words moved it). The
+    * ranking key is the exact integer cross-difference
+    * |df₀·n₁ − df₁·n₀| (the KS discipline — no float share exists to
+    * disagree), the cut is a deterministic (score DESC, term) top-k,
+    * and the emitted share delta is a fixed tree of exact-int
+    * divisions — raw double parity. Per-half doc totals come from a
+    * doc_id-only second branch (column-pruned count scan — the
+    * explode is never re-derived).
+    * Output: (term, df_a, df_b, n_a, n_b, share_delta).
+    */
+  def termDrift(docs: DataFrame, idCol: String, textCol: String,
+                topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 100000, "1 <= topK <= 100000")
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val halves = base
+      .select(Sampling.hashBucket(col(idCol), 2).cast("int").as("_h"))
+      .groupBy()
+      .agg(sum(when(col("_h") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("_h") === 1, 1L).otherwise(0L)).cast("long").as("n_b"))
+    val dfs = base
+      .select(Sampling.hashBucket(col(idCol), 2).cast("int").as("_h"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("_term"))
+      .groupBy("_term")
+      .agg(sum(when(col("_h") === 0, 1L).otherwise(0L)).cast("long").as("df_a"),
+        sum(when(col("_h") === 1, 1L).otherwise(0L)).cast("long").as("df_b"))
+    dfs.crossJoin(broadcast(halves))
+      .withColumn("_score",
+        abs(col("df_a").cast("decimal(19,0)") * col("n_b")
+          - col("df_b").cast("decimal(19,0)") * col("n_a")))
+      .orderBy(col("_score").desc, col("_term"))
+      .limit(topK)
+      .select(col("_term").as("term"), col("df_a"), col("df_b"),
+        col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(col("df_a").cast("double") / col("n_a").cast("double")
+            - col("df_b").cast("double") / col("n_b").cast("double"))
+          .as("share_delta"))
+  }
+
   /** Distinct-n diversity / novelty profile per corpus slice: of the
     * per-doc DISTINCT word n-grams each source contributes, how many
     * survive as corpus-distinct (template-ness: low distinct share =

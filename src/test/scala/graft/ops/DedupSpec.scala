@@ -357,4 +357,23 @@ class DedupSpec extends SparkSpec {
     got.head._3 shouldBe graft.functions.StringKernels.jaroWinkler(
       u("martha stewart"), u("marhta stewart"))
   }
+
+  test("prefixDupGroups groups identical openings, short docs whole-stream") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"),  // share first 3 tokens
+      (3L, "x y z"),                     // unique opening
+      (4L, "a b"), (5L, "a b")           // short: whole stream matches
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixDupGroups(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    got shouldBe Array((2L, 1L), (2L, 4L))
+  }
+
+  test("clusterSizeHistogram counts clusters by size") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L),
+      (30L, 3L), (31L, 3L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterSizeHistogram(clusters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(3L -> 1L, 2L -> 2L)
+  }
 }

@@ -77,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_exp_health" -> "two 1-row arm-summary frames crossJoined into the single output row (the q_ab_ztest shape)",
     "q_benford" -> "1-row digit-total crossJoin onto the <=9-row digit frame",
     "q_conformal" -> "1-row fit / quantile / count frames broadcast onto the split scans (cal sort is a bounded 5% sample by construction)",
-    "q_matched_uplift" -> "1-row epoch-midpoint frame broadcast onto the per-unit scan (bounded-broadcast category)"
+    "q_matched_uplift" -> "1-row epoch-midpoint frame broadcast onto the per-unit scan (bounded-broadcast category)",
+    "q_term_drift" -> "1-row per-half doc-count frame broadcast onto the term-df agg (bounded-broadcast category)"
   )
 
   /** query -> why a small-estimate shuffle join is acceptable there. */
@@ -177,6 +178,10 @@ class PlanAuditSpec extends SparkSpec {
     // mann_kendall joins the CACHED daily frame (pairs bounded by
     // days², cache kills the triple scan); conv_windows/mase collapse
     "q_mann_kendall" -> 3, "q_conv_windows" -> 2, "q_mase" -> 2,
+    // prefix_dup is map-side into ONE agg; term_drift = explode agg +
+    // 1-row count broadcast (TakeOrdered cut); cluster_sizes rides the
+    // checkpointed CC output with two counting aggs
+    "q_prefix_dup" -> 1, "q_term_drift" -> 2, "q_dedup_cluster_sizes" -> 2,
     // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
     // its whole point vs shingle postings); profile/readability ride
     // the scan; curriculum is one position window

@@ -1008,6 +1008,32 @@ class TextAnalysisSpec extends SparkSpec {
     got.getDouble(2) shouldBe r6((sy - slope * sx) / n)
   }
 
+  test("termDrift ranks by the exact integer cross-difference") {
+    def bucket(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    // term "common" in every doc (zero drift when halves are equal
+    // sized); "drifty" only in docs of one half
+    val ids = (1L to 20L)
+    val h0 = ids.filter(bucket(_) == 0)
+    val docs = ids.map { i =>
+      val extra = if (bucket(i) == 0) " drifty" else ""
+      (i, s"common$extra")
+    }
+    val got = TextAnalysis.termDrift(docs.toDF("doc_id", "text"),
+      "doc_id", "text", topK = 5).collect()
+    got.head.getString(0) shouldBe "drifty"
+    got.head.getLong(1) shouldBe h0.size.toLong
+    got.head.getLong(2) shouldBe 0L
+    got.head.getDouble(5) shouldBe
+      (h0.size.toDouble / h0.size - 0.0 / (20 - h0.size))
+    // "common" drift score is |n0*n1 - n1*n0| = 0
+    val common = got.find(_.getString(0) == "common").get
+    common.getDouble(5) shouldBe (1.0 - 1.0)
+  }
+
   test("ngramDiversity counts cross-doc distinct and singleton shingles") {
     // doc1 distinct trigrams {xyz, yzx, zxy}; doc2 {xyz}
     // df: xyz=2, yzx=1, zxy=1 -> occ 4, distinct 3, singletons 2
