@@ -2714,6 +2714,34 @@ object SparkEntry {
        |SELECT a_id, b_id, ROUND(ni / (na + nb - ni), 6) AS jaccard
        |FROM p WHERE ni / (na + nb - ni) >= 0.5""".stripMargin
 
+  /** Near-dup connected-components CTE chain (3-gram Jaccard ≥ 0.3
+    * pairs → undirected closure), shared by q_dedup_clusters and
+    * q_dedup_cluster_sizes so the two twins can never drift. Ends
+    * with CTE `clus` providing (doc_id, cluster_id).
+    */
+  private val dedupClustersChain =
+    s"""${docToks.replaceFirst("WITH", "WITH RECURSIVE")}, s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM d WHERE len(toks) >= 3
+       |), pq AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |), pr AS (
+       |  SELECT a_id, b_id FROM pq WHERE ni / (na + nb - ni) >= 0.3
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pr
+       |  UNION
+       |  SELECT b_id, a_id FROM pr
+       |), reach(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+       |), clus AS (
+       |  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
+       |)""".stripMargin
+
   /** Winnowing fingerprint CTE chain (n = 3, w = 4), shared by
     * q_winnow and q_winnow_pairs: POSITIONAL 3-gram md5-prefix hashes
     * (same 15-hex→BIGINT idiom as the Spark side), per-window minima
@@ -3478,26 +3506,8 @@ object SparkEntry {
     // connected components from scratch: same pair query (tau=0.3), then
     // a recursive reachability closure; cluster id = min reachable doc id
     "q_dedup_clusters" ->
-      s"""${docToks.replaceFirst("WITH", "WITH RECURSIVE")}, s AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM d WHERE len(toks) >= 3
-         |), pq AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |), pr AS (
-         |  SELECT a_id, b_id FROM pq WHERE ni / (na + nb - ni) >= 0.3
-         |), edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pr
-         |  UNION
-         |  SELECT b_id, a_id FROM pr
-         |), reach(node, root) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
-         |)
-         |SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+      s"""$dedupClustersChain
+         |SELECT doc_id, cluster_id FROM clus""".stripMargin,
 
     "q_tfidf" ->
       s"""$docToks, x AS (
@@ -4329,30 +4339,11 @@ object SparkEntry {
         |FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
 
-    // cluster-size histogram twin: the recursive-CTE clusters chain
-    // plus two counting aggs
+    // cluster-size histogram twin: the SHARED recursive-CC chain
+    // (dedupClustersChain — cannot drift from q_dedup_clusters) plus
+    // two counting aggs
     "q_dedup_cluster_sizes" ->
-      s"""${docToks.replaceFirst("WITH", "WITH RECURSIVE")}, s AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM d WHERE len(toks) >= 3
-         |), pq AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |), pr AS (
-         |  SELECT a_id, b_id FROM pq WHERE ni / (na + nb - ni) >= 0.3
-         |), edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pr
-         |  UNION
-         |  SELECT b_id, a_id FROM pr
-         |), reach(node, root) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
-         |), clus AS (
-         |  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1
-         |), sz AS (
+      s"""$dedupClustersChain, sz AS (
          |  SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
          |  FROM clus GROUP BY 1
          |)
@@ -4545,11 +4536,11 @@ object SparkEntry {
         |      abs(cum0::HUGEINT * n1 - cum1::HUGEINT * n0) DESC, v DESC) AS rn
         |  FROM cum
         |)
-        |SELECT n0 AS n_a, n1 AS n_b,
-        |  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+        |SELECT MIN(n0) AS n_a, MIN(n1) AS n_b,
+        |  MIN(CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
         |       ELSE CAST(diff AS DOUBLE)
-        |          / CAST(n0::HUGEINT * n1 AS DOUBLE) END AS ks_d,
-        |  v AS ks_at_value
+        |          / CAST(n0::HUGEINT * n1 AS DOUBLE) END) AS ks_d,
+        |  MIN(v) AS ks_at_value
         |FROM d WHERE rn = 1""".stripMargin,
 
     // runs twin: identical RANGE-window median, exact run counts, the

@@ -321,16 +321,8 @@ object Funnel {
                    typeCol: String, tieCol: String,
                    fromType: String, toType: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gaps = events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull &&
-        col(typeCol).isin(fromType, toType))
-      .select(col(userCol).as("_u"), col(typeCol).as("_e"),
-        unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"))
-      .withColumn("_from_min",
-        min(when(col("_e") === fromType, col("_us"))).over(
-          Window.partitionBy(col("_u")).orderBy(col("_us"), col("_tie"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gaps = fromMinAnnotated(events, userCol, tsCol, typeCol, tieCol,
+      fromType, toType)
       .groupBy("_u")
       .agg(min(when(col("_e") === toType && col("_from_min").isNotNull,
         expr("(_us - _from_min) div 1000000"))).as("_gap_s"))
@@ -363,17 +355,8 @@ object Funnel {
   def conversionWindows(events: DataFrame, userCol: String, tsCol: String,
                         typeCol: String, tieCol: String,
                         fromType: String, toType: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perUser = events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull &&
-        col(typeCol).isin(fromType, toType))
-      .select(col(userCol).as("_u"), col(typeCol).as("_e"),
-        unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"))
-      .withColumn("_from_min",
-        min(when(col("_e") === fromType, col("_us"))).over(
-          Window.partitionBy(col("_u")).orderBy(col("_us"), col("_tie"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perUser = fromMinAnnotated(events, userCol, tsCol, typeCol, tieCol,
+      fromType, toType)
       .groupBy("_u")
       .agg(max(when(col("_e") === fromType, 1L).otherwise(0L)).as("_has_from"),
         min(when(col("_e") === toType && col("_from_min").isNotNull,
@@ -399,6 +382,30 @@ object Funnel {
   private def ppmOf(c: String): Column =
     when(col("n_eligible") === 0, lit(null).cast("long"))
       .otherwise(expr(s"$c * 1000000L div n_eligible"))
+
+  /** The shared running-min gap frame behind [[stageLatency]] and
+    * [[conversionWindows]]: events filtered to the two stage types,
+    * annotated with `_from_min` = the user's earliest `fromType`
+    * epoch-μs at or before each row. At any `toType` row the running
+    * min IS the user's first from-time, so a per-user min over
+    * `_us − _from_min` is exactly (first qualifying to) − (first
+    * from). Columns: (_u, _e, _us, _from_min).
+    */
+  private def fromMinAnnotated(events: DataFrame, userCol: String,
+                               tsCol: String, typeCol: String, tieCol: String,
+                               fromType: String, toType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull &&
+        col(typeCol).isin(fromType, toType))
+      .select(col(userCol).as("_u"), col(typeCol).as("_e"),
+        unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"))
+      .withColumn("_from_min",
+        min(when(col("_e") === fromType, col("_us"))).over(
+          Window.partitionBy(col("_u")).orderBy(col("_us"), col("_tie"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 
   /** Entropy rate (nats/step) of the first-order Markov chain over
     * adjacent event-type transitions — how predictable is the NEXT

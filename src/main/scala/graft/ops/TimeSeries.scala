@@ -416,10 +416,14 @@ object TimeSeries {
     * events scan.
     */
   def mannKendall(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    // localCheckpoint, not cache: eagerly materializes the ≤365·|series|
+    // frame once for the three consumers below WITHOUT pinning blocks
+    // for the session lifetime (the un-freeable-cache leak class the
+    // nearDupClusters comment documents)
     val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
       .agg(count(lit(1)).as("_x"))
-      .cache()
+      .localCheckpoint()
     val a = daily.select(col("_g"), col("day").as("_d1"), col("_x").as("_x1"))
     val b = daily.select(col("_g"), col("day").as("_d2"), col("_x").as("_x2"))
     val s = a.join(b, Seq("_g")).filter(col("_d1") < col("_d2"))
