@@ -310,8 +310,11 @@ object Stats {
         sum(col("k") - col("kp")).as("n_neg"),
         sum(col("kp") * (lit(2L) * col("c") - col("k") + 1L)).as("_s2"))
       .select(col("n_pos"), col("n_neg"),
-        expr("((_s2 - n_pos * (n_pos + 1L)) * 1000000L) div " +
-          "(2L * n_pos * n_neg)").as("auc_ppm"))
+        // single-class input (no positives or no negatives) has no
+        // defined AUC — NULL, never an ANSI divide-by-zero
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
+          "ELSE ((_s2 - n_pos * (n_pos + 1L)) * 1000000L) div " +
+          "(2L * n_pos * n_neg) END").as("auc_ppm"))
   }
 
   /** Krippendorff's alpha (nominal) for a complete rating design —
@@ -347,8 +350,11 @@ object Stats {
       .agg(sum(col("nc")).as("_n"), sum(col("nc") * col("nc")).as("_ssc"))
     doS.join(broadcast(dropped)).join(broadcast(marg))
       .select(col("n_units"), col("n_dropped_units"), col("_n").as("n_ratings"),
-        expr(s"1000000L - (_do_s * (_n - 1L) * 1000000L) div " +
-          s"((${m - 1}L) * (_n * _n - _ssc))").as("alpha_ppm"))
+        // perfect agreement (every rating the same value) gives De=0:
+        // alpha is undefined — NULL, never an ANSI divide-by-zero
+        expr(s"CASE WHEN _n * _n = _ssc THEN NULL " +
+          s"ELSE 1000000L - (_do_s * (_n - 1L) * 1000000L) div " +
+          s"((${m - 1}L) * (_n * _n - _ssc)) END").as("alpha_ppm"))
   }
 
   /** Disparate-impact audit for a selection step (a quality filter, a
@@ -768,10 +774,16 @@ object Stats {
       .crossJoin(fit).withColumn("_r", resid)
     import org.apache.spark.sql.expressions.Window
     val calN = cal.agg(count(lit(1)).as("n_cal"))
+    // rank index clamped to n_cal: with fewer than 9 calibration
+    // points the ceil-rank ⌈0.9(n+1)⌉ exceeds n_cal and the split-
+    // conformal 90% coverage guarantee does NOT hold (the interval
+    // degrades to "widest observed residual") — callers wanting the
+    // guarantee need n_cal ≥ 9; the clamp keeps small inputs total
+    // instead of silently emitting an all-NULL row with n_test=0.
     val q = cal.withColumn("_rn",
         row_number().over(Window.orderBy(col("_r"), col("_id"))))
       .crossJoin(calN)
-      .filter(col("_rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .filter(col("_rn") === expr("LEAST((9 * (n_cal + 1) + 9) div 10, n_cal)"))
       .select(col("n_cal"), col("_r").as("q90"))
     val test = base.filter(col("_b") >= 95).crossJoin(fit).crossJoin(q)
     test.agg(count(lit(1)).as("n_test"),
@@ -987,7 +999,10 @@ object Stats {
         sum(col("_sv")).cast("long").as("value_cents"),
         first(col("_tot")).as("_t"))
       .select(col("decile"), col("n_units"), col("value_cents"),
-        expr("value_cents * 1000000L div _t").as("share_ppm"))
+        // an all-zero metric has no shares to apportion — NULL, never
+        // an ANSI divide-by-zero (mirrors giniIndex's all-zero mask)
+        expr("CASE WHEN _t = 0 THEN NULL " +
+          "ELSE value_cents * 1000000L div _t END").as("share_ppm"))
   }
 
   /** Matched-cohort uplift (coarsened-exact-matching flavor): units

@@ -78,7 +78,11 @@ object TimeSeries {
         sum("_dur").as("held_seconds"),
         sum(col("_cents") * col("_dur")).as("_wsum"))
       .select(col(keyCol), col("n_intervals"), col("held_seconds"),
-        round(col("_wsum") / lit(100.0) / col("held_seconds"), 6).as("tw_avg"))
+        // all surviving intervals zero-duration (same floor-second
+        // events) → no held time to weight by: NULL, not Inf/NaN
+        when(col("held_seconds") === 0, lit(null).cast("double"))
+          .otherwise(round(col("_wsum") / lit(100.0) / col("held_seconds"), 6))
+          .as("tw_avg"))
   }
 
   /** Period-over-period change of per-key weekly volumes:

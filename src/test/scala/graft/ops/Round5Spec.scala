@@ -303,6 +303,21 @@ class Round5Spec extends SparkSpec {
     got shouldBe Array((1L, 2L, 240L, 3.25))
   }
 
+  test("timeWeightedAvg masks tw_avg to NULL when all intervals are zero-length") {
+    // three samples on the SAME floor second: every interval is 0 s,
+    // held_seconds = 0 -> tw_avg NULL, never Infinity/NaN
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.00),
+      (1L, ts("2024-01-01 10:00:00"), 2L, 4.00),
+      (1L, ts("2024-01-01 10:00:00"), 3L, 9.00)
+    ).toDF("u", "t", "id", "v")
+    val got = TimeSeries.timeWeightedAvg(df, "u", "t", round(col("v") * 100), "id")
+      .collect()
+    got.length shouldBe 1
+    got.head.getLong(2) shouldBe 0L
+    got.head.isNullAt(3) shouldBe true
+  }
+
   test("weekOverWeek computes pct change with a null first period") {
     val df = Seq(
       ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-02 10:00:00")),

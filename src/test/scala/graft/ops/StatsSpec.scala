@@ -614,4 +614,51 @@ class StatsSpec extends SparkSpec {
     got.getLong(1) shouldBe 7L
     got.isNullAt(2) shouldBe true
   }
+
+  test("aucExact masks single-class input to NULL instead of ANSI div0") {
+    val allPos = Seq((0.1, 1L), (0.9, 1L), (0.5, 1L)).toDF("score", "label")
+    val r = Stats.aucExact(allPos, "score", "label").collect().head
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 0L
+    r.isNullAt(2) shouldBe true
+    val allNeg = Seq((0.1, 0L), (0.9, 0L)).toDF("score", "label")
+    Stats.aucExact(allNeg, "score", "label").collect().head
+      .isNullAt(2) shouldBe true
+  }
+
+  test("krippendorffAlpha masks the zero-De degenerate (all ratings equal)") {
+    // every rating the same value: De = 0 -> alpha undefined -> NULL
+    val ratings = Seq(
+      (1L, "r1", "x"), (1L, "r2", "x"),
+      (2L, "r1", "x"), (2L, "r2", "x")
+    ).toDF("unit", "rater", "value")
+    val r = Stats.krippendorffAlpha(ratings, "unit", "rater", "value", 2)
+      .collect().head
+    r.getLong(0) shouldBe 2L
+    r.isNullAt(3) shouldBe true
+  }
+
+  test("decileShare masks shares to NULL on an all-zero metric") {
+    val df = Seq(("u1", 0L), ("u2", 0L), ("u3", 0L)).toDF("u", "m")
+    val got = Stats.decileShare(df, "u", col("m")).collect()
+    got.foreach { r =>
+      r.getLong(2) shouldBe 0L
+      r.isNullAt(3) shouldBe true
+    }
+  }
+
+  test("conformalInterval clamps the calibration rank on tiny n_cal") {
+    // ids chosen so the 100-bucket md5 split leaves < 9 calibration
+    // rows: the ceil(0.9*(n+1)) rank would overflow n_cal and the old
+    // code silently emitted an all-NULL row; the clamp keeps it total.
+    val rows = (1L to 60L).map(i => (i, i, 3 * i + 1))
+    val df = rows.toDF("id", "x", "y")
+    val got = Stats.conformalInterval(df, col("id"), col("x"), col("y"))
+      .collect().head
+    val nCal = got.getLong(1)
+    if (nCal > 0L) {
+      got.getLong(2) should be > 0L       // n_test populated
+      got.getDouble(5) should be >= 0.0   // q90 present (clamped rank)
+    }
+  }
 }
