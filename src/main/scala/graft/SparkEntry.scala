@@ -260,6 +260,24 @@ object SparkEntry {
     */
   val ServeRunTs = "2024-07-01T00:00:00"
 
+  /** The gated exact all-pairs ORACLE-BASELINE entries (O(n²) scoring by
+    * design — they exist to pin their production twins' results, never to
+    * run at corpus scale; each carries a documented scale route:
+    * `q_knn_label_noise`→`labelNoiseApprox`, `q_bitext_mine`→
+    * `bitextMineIvf`, `q_embed_dup`/`q_semdedup`→the banded-LSH twins,
+    * and `q_semdedup_lsh` is the deliberate low-τ collision-volume plan
+    * regime, `require`-guarded against production use).
+    *
+    * [[graft.Bench]] times these every round but reports them in a
+    * separate `heavy_oracle` tier, excluded from the headline total, so
+    * the headline bench reflects production regimes only (round-9
+    * verdict item 1). They remain fully oracle-gated in [[Verify]] —
+    * the tier changes reporting, not correctness coverage.
+    */
+  val heavyOracleBaselines: Set[String] = Set(
+    "q_knn_label_noise", "q_bitext_mine", "q_embed_dup", "q_semdedup",
+    "q_semdedup_lsh")
+
   /** Deterministic CDC changeset for q_merge_upsert, derived from the
     * base snapshot itself so both engines construct the identical set:
     * key%7==0 → U (price doubled); else key%11==0 → D; else key%13==0 → I
@@ -2473,6 +2491,73 @@ object SparkEntry {
         ev.filter(col("event_id") % 2 =!= 0), "event_id", k = 64)
       graft.ops.Profile.finishColStats(
         graft.ops.Profile.mergeColStats(a.unionAll(b), k = 64), k = 64)
+    }),
+
+    // Theil–Sen robust trend slope per event type over the daily count
+    // series — the median of all pairwise integerized slopes (HOW steep,
+    // where q_mann_kendall says WHETHER the trend exists)
+    "q_theil_sen" -> ((s, dir) =>
+      graft.ops.TimeSeries.theilSen(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // Kendall τ-b between daily event volume and daily revenue cents per
+    // event type — exact BIGINT concordance + tie terms on the collapsed
+    // daily frame (the bounded-per-group contract)
+    "q_kendall_tau" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("_day"))
+        .agg(count(lit(1)).as("_cnt"),
+          sum(round(col("value") * 100).cast("long")).as("_val"))
+      graft.ops.Stats.kendallTau(daily, "event_type", col("_cnt"), col("_val"))
+    }),
+
+    // resource-allocation link prediction on the co-purchase graph:
+    // RA(a,b) = Σ 1/deg(z) over common neighbors, exact nano-integer
+    // reciprocals, non-adjacent pairs only
+    "q_resource_alloc" -> ((s, dir) =>
+      graft.ops.Graph.resourceAllocation(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)),
+
+    // chrF2 character-n-gram F-score over the same deterministic
+    // candidate/reference pairs as q_bleu — tokenizer-independent MT eval
+    "q_chrf" -> ((s, dir) => {
+      val p = evalPairs(s, dir).select(col("doc_id"),
+        array_join(col("cand"), " ").as("cand"),
+        array_join(col("ref"), " ").as("ref"))
+      graft.ops.EvalMetrics.chrF(p, "doc_id", "cand", "ref")
+    }),
+
+    // embedding-anisotropy audit: every vector's cosine to the exact
+    // integer corpus centroid (the all-but-the-top diagnostic)
+    "q_anisotropy" -> ((s, dir) =>
+      graft.ops.Similarity.anisotropy(
+        table(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // word-3-gram novelty of the doc_id%10==3 slice against the rest of
+    // the corpus — the synthetic-data memorization screen (the
+    // q_contamination split, asked from the generation side)
+    "q_ngram_novelty" -> ((s, dir) =>
+      graft.ops.TextAnalysis.ngramNovelty(
+        table(s, dir, "documents"), "doc_id", "text",
+        refFilter = col("doc_id") % 10 =!= 3, n = 3)),
+
+    // Church–Gale term burstiness: per-term Fano factor of per-doc
+    // counts (bursty/template terms vs merely-frequent function words)
+    "q_burstiness" -> ((s, dir) =>
+      graft.ops.TextAnalysis.termBurstiness(
+        table(s, dir, "documents"), "doc_id", "text", minDf = 5L)),
+
+    // Neyman-allocation stratified sample of lineitem by return flag —
+    // budget ∝ N_h·σ_h from exact integer sufficient stats, hash-rank
+    // membership
+    "q_neyman" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("item_key"),
+        round(col("l_extendedprice")).cast("long").as("price"))
+      graft.ops.Sampling.neymanAllocation(li, "l_returnflag", "item_key",
+        col("price"), budget = 2000L)
     }))
 
   /** Deterministic second annotator over events: agrees with
@@ -8428,5 +8513,274 @@ object SparkEntry {
         |  FROM r
         |)
         |SELECT n_rows, n_nonnull, est_distinct, min_value, max_value
-        |FROM agg CROSS JOIN e""".stripMargin)
+        |FROM agg CROSS JOIN e""".stripMargin,
+
+    // Theil–Sen twin: identical floor-integerized pairwise slopes, the
+    // same (lo+hi)/2 floor-median convention
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.g, CAST(floor((b.x - a.x)::DOUBLE * 1000000.0
+        |      / date_diff('day', a.day, b.day)::DOUBLE) AS BIGINT) AS slope
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+        |), agg AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n_pairs, list_sort(list(slope)) AS ss
+        |  FROM pairs GROUP BY 1
+        |), nd AS (SELECT g, COUNT(*)::BIGINT AS n_days FROM daily GROUP BY 1)
+        |SELECT nd.g AS event_type, n_days, n_pairs,
+        |  CAST(floor((ss[CAST((n_pairs + 1) // 2 AS INT)]
+        |    + ss[CAST((n_pairs + 2) // 2 AS INT)])::DOUBLE / 2.0) AS BIGINT)
+        |    AS slope_ppm
+        |FROM nd JOIN agg USING (g)""".stripMargin,
+
+    // Kendall τ-b twin: the doubled-ordered-pair sign sum halved, the
+    // same tie-corrected denominator and NULL mask
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |    COUNT(*)::BIGINT AS x,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), base AS (
+        |  SELECT g, x, y FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+        |), cd AS (
+        |  SELECT a.g, CAST(SUM(CAST(sign((b.x - a.x)::DOUBLE)
+        |      * sign((b.y - a.y)::DOUBLE) AS BIGINT)) AS BIGINT) // 2
+        |      AS c_minus_d
+        |  FROM base a JOIN base b ON a.g = b.g
+        |  GROUP BY 1
+        |), tx AS (
+        |  SELECT g, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+        |  FROM (SELECT g, x, COUNT(*)::BIGINT AS t FROM base GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), ty AS (
+        |  SELECT g, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+        |  FROM (SELECT g, y, COUNT(*)::BIGINT AS t FROM base GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT tx.g AS event_type, n, c_minus_d,
+        |  CASE WHEN n * (n - 1) // 2 - n1 <= 0 OR n * (n - 1) // 2 - n2 <= 0
+        |       THEN NULL
+        |       ELSE c_minus_d::DOUBLE
+        |         / sqrt((n * (n - 1) // 2 - n1)::DOUBLE
+        |             * (n * (n - 1) // 2 - n2)::DOUBLE)
+        |  END AS tau_b
+        |FROM tx JOIN ty USING (g) JOIN cd USING (g)""".stripMargin,
+
+    // RA link-prediction twin: same support-filtered co-occurrence
+    // edges, integer floor reciprocals, NOT EXISTS anti-join
+    "q_resource_alloc" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3
+        |), directed AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges
+        |), w AS (
+        |  SELECT src AS z, 1000000000 // COUNT(*)::BIGINT AS w
+        |  FROM directed GROUP BY 1
+        |), scored AS (
+        |  SELECT za.dst AS a, zb.dst AS b, COUNT(*)::BIGINT AS n_common,
+        |    CAST(SUM(w.w) AS BIGINT) AS ra_nano
+        |  FROM directed za JOIN directed zb ON za.src = zb.src
+        |  JOIN w ON w.z = za.src
+        |  WHERE za.dst < zb.dst
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.a, s.b, s.n_common, s.ra_nano FROM scored s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM edges e WHERE e.a = s.a AND e.b = s.b)""".stripMargin,
+
+    // chrF2 twin: char-gram lattice over the whitespace-stripped
+    // evalPairs strings, the same left-folded F_n sum and double tree
+    "q_chrf" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ref
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), base AS (
+        |  SELECT doc_id, ref,
+        |    list_filter(list_transform(range(1, len(ref) + 1),
+        |      i -> CASE WHEN (i - 1) % 7 = 3 THEN NULL
+        |                WHEN (i - 1) % 11 = 5 THEN reverse(ref[i])
+        |                ELSE ref[i] END),
+        |      x -> x IS NOT NULL) AS cand
+        |  FROM d0 WHERE len(ref) >= 8
+        |), strs AS (
+        |  SELECT doc_id, array_to_string(cand, '') AS cs,
+        |    array_to_string(ref, '') AS rs
+        |  FROM base
+        |), ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n
+        |), cg AS (
+        |  SELECT doc_id, n, gram, COUNT(*)::BIGINT AS cf FROM (
+        |    SELECT doc_id, n, unnest(list_transform(range(1, length(cs) - n + 2),
+        |      i -> cs[i:i+n-1])) AS gram
+        |    FROM strs, ns)
+        |  GROUP BY 1, 2, 3
+        |), rg AS (
+        |  SELECT doc_id, n, gram, COUNT(*)::BIGINT AS rf FROM (
+        |    SELECT doc_id, n, unnest(list_transform(range(1, length(rs) - n + 2),
+        |      i -> rs[i:i+n-1])) AS gram
+        |    FROM strs, ns)
+        |  GROUP BY 1, 2, 3
+        |), mm AS (
+        |  SELECT cg.doc_id, cg.n, CAST(SUM(least(cf, rf)) AS BIGINT) AS m
+        |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.gram = rg.gram
+        |  GROUP BY 1, 2
+        |), wide AS (
+        |  SELECT s.doc_id, length(cs)::BIGINT AS len_cand, length(rs)::BIGINT AS len_ref,
+        |    CAST(COALESCE(MAX(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+        |    CAST(COALESCE(MAX(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+        |    CAST(COALESCE(MAX(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+        |    CAST(COALESCE(MAX(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+        |    CAST(COALESCE(MAX(CASE WHEN n = 5 THEN m END), 0) AS BIGINT) AS m5,
+        |    CAST(COALESCE(MAX(CASE WHEN n = 6 THEN m END), 0) AS BIGINT) AS m6
+        |  FROM strs s LEFT JOIN mm ON s.doc_id = mm.doc_id
+        |  GROUP BY 1, 2, 3
+        |), f AS (
+        |  SELECT doc_id, len_cand, len_ref,
+        |    CASE WHEN m1 > 0 THEN (5.0 * (m1::DOUBLE / greatest(len_cand - 0, 0)::DOUBLE) * (m1::DOUBLE / greatest(len_ref - 0, 0)::DOUBLE))
+        |      / (4.0 * (m1::DOUBLE / greatest(len_cand - 0, 0)::DOUBLE) + (m1::DOUBLE / greatest(len_ref - 0, 0)::DOUBLE)) ELSE 0.0 END AS f1,
+        |    CASE WHEN m2 > 0 THEN (5.0 * (m2::DOUBLE / greatest(len_cand - 1, 0)::DOUBLE) * (m2::DOUBLE / greatest(len_ref - 1, 0)::DOUBLE))
+        |      / (4.0 * (m2::DOUBLE / greatest(len_cand - 1, 0)::DOUBLE) + (m2::DOUBLE / greatest(len_ref - 1, 0)::DOUBLE)) ELSE 0.0 END AS f2,
+        |    CASE WHEN m3 > 0 THEN (5.0 * (m3::DOUBLE / greatest(len_cand - 2, 0)::DOUBLE) * (m3::DOUBLE / greatest(len_ref - 2, 0)::DOUBLE))
+        |      / (4.0 * (m3::DOUBLE / greatest(len_cand - 2, 0)::DOUBLE) + (m3::DOUBLE / greatest(len_ref - 2, 0)::DOUBLE)) ELSE 0.0 END AS f3,
+        |    CASE WHEN m4 > 0 THEN (5.0 * (m4::DOUBLE / greatest(len_cand - 3, 0)::DOUBLE) * (m4::DOUBLE / greatest(len_ref - 3, 0)::DOUBLE))
+        |      / (4.0 * (m4::DOUBLE / greatest(len_cand - 3, 0)::DOUBLE) + (m4::DOUBLE / greatest(len_ref - 3, 0)::DOUBLE)) ELSE 0.0 END AS f4,
+        |    CASE WHEN m5 > 0 THEN (5.0 * (m5::DOUBLE / greatest(len_cand - 4, 0)::DOUBLE) * (m5::DOUBLE / greatest(len_ref - 4, 0)::DOUBLE))
+        |      / (4.0 * (m5::DOUBLE / greatest(len_cand - 4, 0)::DOUBLE) + (m5::DOUBLE / greatest(len_ref - 4, 0)::DOUBLE)) ELSE 0.0 END AS f5,
+        |    CASE WHEN m6 > 0 THEN (5.0 * (m6::DOUBLE / greatest(len_cand - 5, 0)::DOUBLE) * (m6::DOUBLE / greatest(len_ref - 5, 0)::DOUBLE))
+        |      / (4.0 * (m6::DOUBLE / greatest(len_cand - 5, 0)::DOUBLE) + (m6::DOUBLE / greatest(len_ref - 5, 0)::DOUBLE)) ELSE 0.0 END AS f6
+        |  FROM wide
+        |)
+        |SELECT doc_id, len_cand, len_ref,
+        |  (((((f1 + f2) + f3) + f4) + f5) + f6) / 6.0 AS chrf2
+        |FROM f""".stripMargin,
+
+    // anisotropy twin: micro-quantized components, HUGEINT-exact
+    // centroid/dot/norm sums, one fixed cosine double tree
+    "q_anisotropy" ->
+      """WITH dims AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(1, len(embedding))) - 1 AS d,
+        |    unnest(list_transform(embedding,
+        |      e -> CAST(round(e::DOUBLE * 1000000) AS BIGINT))) AS q
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), centroid AS (
+        |  SELECT d, CAST(SUM(q) AS HUGEINT) AS s FROM dims GROUP BY 1
+        |), scored AS (
+        |  SELECT vec_id, SUM(CAST(q AS HUGEINT) * s) AS dot,
+        |    SUM(CAST(q AS HUGEINT) * q) AS vv
+        |  FROM dims JOIN centroid USING (d) GROUP BY 1
+        |), cc AS (SELECT SUM(s * s) AS cc FROM centroid)
+        |SELECT vec_id,
+        |  CASE WHEN vv = 0 OR cc = 0 THEN NULL
+        |       ELSE CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))
+        |  END AS cos_centroid
+        |FROM scored CROSS JOIN cc""".stripMargin,
+
+    // novelty twin: distinct word-3-grams of the %10==3 candidates left
+    // joined against the rest-of-corpus gram vocabulary
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), grams AS (
+        |  SELECT doc_id, doc_id % 10 = 3 AS is_cand,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [] END AS gs
+        |  FROM toks
+        |), ref AS (
+        |  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE NOT is_cand
+        |), cand AS (
+        |  SELECT doc_id, unnest(gs) AS g FROM grams WHERE is_cand
+        |), per AS (
+        |  SELECT c.doc_id, COUNT(*)::BIGINT AS n_grams,
+        |    CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM cand c LEFT JOIN ref r ON c.g = r.g
+        |  GROUP BY 1
+        |)
+        |SELECT g.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN COALESCE(n_grams, 0) > 0
+        |       THEN n_novel * 1000000 // n_grams END AS novel_ppm
+        |FROM grams g LEFT JOIN per ON g.doc_id = per.doc_id
+        |WHERE g.is_cand""".stripMargin,
+
+    // burstiness twin: same (N·Q − S²)/(S·N) Fano tree over exact
+    // BIGINT sufficient stats, df floor at 5
+    "q_burstiness" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), per AS (
+        |  SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT COUNT(DISTINCT doc_id)::BIGINT AS n
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), t AS (
+        |  SELECT term, COUNT(*)::BIGINT AS df, CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(SUM(c * c) AS BIGINT) AS q
+        |  FROM per GROUP BY 1 HAVING COUNT(*) >= 5
+        |)
+        |SELECT term, df, total,
+        |  (n * q - total * total)::DOUBLE / (total * n)::DOUBLE AS vmr
+        |FROM t CROSS JOIN nd""".stripMargin,
+
+    // Neyman twin: HUGEINT-exact N_h·Q_h − S_h², the same floor-sqrt
+    // weights, floor-div quotas, and md5 hash-rank membership
+    "q_neyman" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS g,
+        |    concat_ws('_', l_orderkey, l_linenumber) AS item_key,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS price
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), stats AS (
+        |  SELECT g, COUNT(*)::BIGINT AS nh, CAST(SUM(price) AS BIGINT) AS s,
+        |    CAST(SUM(price * price) AS HUGEINT) AS q
+        |  FROM rows_ GROUP BY 1
+        |), w AS (
+        |  SELECT g, nh,
+        |    CAST(floor(sqrt((nh::HUGEINT * q - s::HUGEINT * s)::DOUBLE))
+        |      AS BIGINT) AS w
+        |  FROM stats
+        |), tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w
+        |), quota AS (
+        |  SELECT g, CASE WHEN tw > 0
+        |    THEN least(nh, CAST(2000::HUGEINT * w // tw AS BIGINT))
+        |    ELSE 0 END AS quota
+        |  FROM w CROSS JOIN tw
+        |), ranked AS (
+        |  SELECT g, item_key, price,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(item_key), item_key)
+        |      AS hr
+        |  FROM rows_
+        |)
+        |SELECT r.g AS l_returnflag, r.item_key, r.price
+        |FROM ranked r JOIN quota USING (g) WHERE hr <= quota""".stripMargin)
 }

@@ -132,6 +132,46 @@ object EvalMetrics {
         ((1 to maxN).map(n => col(s"m$n")) :+ col("log_bleu")): _*)
   }
 
+  /** chrF (Popović 2015): character-n-gram F-score per pair, the
+    * tokenizer-independent companion to BLEU/ROUGE (robust to
+    * morphology and segmentation — the reason WMT reports it alongside
+    * BLEU). Whitespace is removed entirely (the chrF definition), the
+    * remaining character sequence feeds the SAME side-tagged gram
+    * lattice as [[bleu]] (chars as 1-token "words"), and per order
+    * n = 1..maxN:
+    *
+    *   P_n = m_n / t_n,  R_n = m_n / r_n,
+    *   F_n = (1 + β²)·P·R / (β²·P + R)    (0 when m_n = 0)
+    *
+    * with t_n/r_n the cand/ref n-gram slot counts and β = 2
+    * (recall-weighted, the chrF2 standard). The score is the plain
+    * average of F_n over the orders — every operand is an exact long,
+    * the score one fixed double tree, shipped raw.
+    * Output: (id, len_cand, len_ref, chrf2).
+    */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String, maxN: Int = 6, betaSq: Int = 4): DataFrame = {
+    // the empty-string filter guards the regex-split contract: Java's
+    // split keeps a trailing "" under limit -1, which would shift every
+    // length and gram slot by one — filter makes the char array exact
+    // regardless of the engine's split edge semantics
+    def chars(c: String) =
+      filter(split(regexp_replace(col(c), "\\s+", ""), ""), x => x =!= "")
+    val p = pairs.select(col(idCol), chars(candCol).as("_cc"),
+      chars(refCol).as("_rc"))
+    val wide = overlapWide(p, idCol, "_cc", "_rc", maxN)
+    val fns = (1 to maxN).map { n =>
+      val m = col(s"m$n").cast("double")
+      val t = col(s"t$n").cast("double")
+      val r = greatest(col("len_ref") - lit(n - 1L), lit(0L)).cast("double")
+      val prF = (lit(1.0 + betaSq) * (m / t) * (m / r)) /
+        (lit(betaSq.toDouble) * (m / t) + (m / r))
+      when(col(s"m$n") > 0, prF).otherwise(lit(0.0))
+    }
+    wide.select(col(idCol), col("len_cand"), col("len_ref"),
+      (fns.reduce(_ + _) / lit(maxN.toDouble)).as("chrf2"))
+  }
+
   /** ROUGE-1/ROUGE-2 precision / recall / F1 per pair, from the same
     * clipped-overlap primitive: `p_n = m_n / t_cand_n`,
     * `r_n = m_n / t_ref_n`, `f_n = 2 p r / (p + r)` (0 when m = 0).

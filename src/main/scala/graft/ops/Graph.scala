@@ -188,6 +188,45 @@ object Graph {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Resource-Allocation link prediction (Zhou–Lü–Zhang) over the
+    * co-occurrence graph: for every NON-adjacent pair (a < b) with at
+    * least one common neighbor, `ra = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z)` —
+    * the common-neighbor score family's exact-arithmetic member (its
+    * cousin Adamic–Adar needs `1/ln(deg)`, and `ln` is not guaranteed
+    * correctly rounded cross-engine; RA's reciprocal integerizes
+    * exactly: each z contributes `10⁹ div deg(z)` in BIGINT — the
+    * [[pageRank]] spec-not-accident floor discipline).
+    *
+    * Plan: degrees are one agg on the directed edge view; wedges join
+    * the z→a view with the z→b view (work Σ_z deg(z)² — bounded by the
+    * support filter like [[triangles]]); existing edges leave via one
+    * anti-join. The edge set is cached once (the triangles r9 lesson:
+    * three uncached references re-execute the whole pair derivation).
+    * Output: (a, b, n_common, ra_nano).
+    */
+  def resourceAllocation(df: DataFrame, basketCol: String, itemCol: String,
+                         minSupport: Long = 2L,
+                         maxBasketSize: Int = 1000): DataFrame = {
+    val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select("a", "b").cache()
+    val directed = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val deg = directed.groupBy(col("src").as("_z")).agg(count(lit(1)).as("_deg"))
+    val w = deg.select(col("_z"),
+      // integral `div`, NOT `/`: long / long is a DOUBLE division in
+      // Spark, and trunc(1e9/d as double) can land one off floor(1e9/d)
+      // for large d — the scaladoc's `10⁹ div deg(z)` is the contract
+      expr("1000000000L div _deg").as("_w"))
+    val za = directed.select(col("src").as("_z"), col("dst").as("a"))
+    val zb = directed.select(col("src").as("_z"), col("dst").as("b"))
+    za.join(zb, Seq("_z"))
+      .filter(col("a") < col("b"))
+      .join(w, Seq("_z"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("ra_nano"))
+      .join(e, Seq("a", "b"), "left_anti") // predict NEW links only
+  }
+
   /** Undirected co-occurrence edge set rendered as a DIRECTED edge list
     * (both orientations), the input shape [[pageRank]] wants. */
   def cooccurrenceDigraph(df: DataFrame, basketCol: String, itemCol: String,

@@ -89,4 +89,226 @@ object PlanAudit {
   /** Formatted plan for failure messages. */
   def planString(df: DataFrame): String =
     unwrap(df.queryExecution.executedPlan).treeString
+
+  /** query -> why an O(n*m) join node is acceptable in that entry's plan
+    * (the audit allowlist enforced by `PlanAuditSpec`, surfaced in the
+    * generated OPERATORS.md index).
+    */
+  val allowForbidden: Map[String, String] = Map(
+    // exact=true / brute-force oracle baselines — quadratic BY DESIGN,
+    // each paired with an audited banded/indexed twin that ships
+    // (q_semdedup/q_semdedup_lsh need no entry: their CC iteration runs at
+    // frame-construction time, so the audited final plan is a checkpoint
+    // leaf — their pair-generation plans are exactly q_embed_dup's (exact,
+    // allowlisted) and q_embed_dup_lsh's (banded, audited clean).)
+    "q_embed_dup"  -> "exact=true all-pairs oracle baseline (banded twin q_embed_dup_lsh is audited)",
+    "q_knn"        -> "brute-force kNN baseline (scale twins q_knn_ivf/q_knn_pq are audited)",
+    "q_knn_topk_agg" -> "brute-force scoring with bounded-heap agg; pins the heap against the window plan",
+    "q_knn_label_noise" -> "brute all-pairs scoring through the bounded heap (k rows/query reach the shuffle); scale path routes candidates through knnIvf cells like hardNegatives",
+    "q_bitext_mine" -> "exact cross-corpus scoring regime (the oracle baseline); at scale candidates come from knnIvf/signBuckets banding per side, same margin + mutual-top-1 tail",
+    "q_hard_negatives" -> "brute per-anchor scoring vs a DIFFERENT-label corpus; scale path is routing anchors through knnIvf cells first",
+    "q_sem_contamination" -> "eval-set x corpus scoring; the eval set is broadcast-small by contract (thousands of rows, not corpus-scale)",
+    // bounded broadcast: build side is O(1)..O(k) rows by construction,
+    // so the nested loop is a map-side lookup, total volume O(n*k)
+    "q_tfidf"      -> "1-row corpus-total (N docs) crossJoin for the IDF term",
+    "q_keywords"   -> "1-row corpus-total crossJoin inherited from the tfIdf chain",
+    "q_bm25"       -> "1-row corpus-total (N, avgdl) crossJoin",
+    "q_unigram_score" -> "1-row LM-normalizer crossJoin",
+    "q_bigram_lm"  -> "1-row vocab-size (Laplace denominator) crossJoin",
+    "q_ppl_select" -> "1-row sample-count + (buckets-1)-row threshold crossJoins over the bigram-LM chain",
+    "q_assoc_rules" -> "1-row basket-total crossJoin for support/lift",
+    "q_collocations" -> "1-row token-total crossJoins (PMI normalizers)",
+    "q_composition" -> "1-row corpus-total crossJoin for share-of-corpus",
+    "q_chi2"       -> "1-row global-total crossJoin (contingency normalizer)",
+    "q_keyness"    -> "1-row corpus-totals crossJoin (log-odds prior normalizers)",
+    "q_filter_funnel" -> "1-row corpus-total crossJoin over a 6-row stage frame",
+    "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
+    "q_t_closeness" -> "m-row ordered-value frame + 1-row totals broadcast crossJoins (dense EMD grid; m = |sensitive domain|, single digits)",
+    "q_kripp_alpha" -> "two 1-row frames (dropped-unit count, marginal totals) broadcast onto the 1-row coincidence aggregate",
+    "q_filter_impact" -> "1-row overall-totals broadcast crossJoin (the four-fifths denominator)",
+    "q_survival" -> "three 1-row broadcasts (horizon, user total, sorted hazard-term array) onto calendar-bounded frames",
+    "q_jl_project" -> "k-row (16) sign-matrix broadcast — the projection is a map-side lookup, O(n*k) by construction",
+    "q_jl_audit" -> "inherits the k-row sign-matrix broadcast from the jlProject chain",
+    "q_ab_ztest" -> "two 1-row arm-summary frames crossJoined into the single output row",
+    "q_kappa"      -> "1-row rater-total crossJoin (expected-agreement term)",
+    "q_dsir"       -> "1-row per-corpus LM-normalizer crossJoin",
+    "q_dist_shift" -> "1-row per-period total crossJoins (JS-divergence terms)",
+    "q_mixture"    -> "1-row capacity frame crossJoin (Sampling.scala:235)",
+    "q_temperature_mix" -> "1-row Σweights crossJoin (Sampling.temperatureMix)",
+    "q_hybrid_rrf" -> "1-row query-vector broadcast (kNN leg) + 1-row corpus-total crossJoin (BM25 leg); fusion itself is union+agg, join-free",
+    "q_rank_metrics" -> "10-row query-vector broadcast in the kNN ranking leg; the metrics themselves are equi-joins + per-query aggs",
+    "q_balance_classes" -> "1-row min-class-size crossJoin (Sampling.scala:364)",
+    "q_neg_sample" -> "broadcast candidate pool, |labels| rows of bounded per-label lists by contract (Sampling.scala:496)",
+    "q_knn_pq"     -> "m x kCent codebook crossJoin (128 rows, constant)",
+    "q_kmv_overlap" -> "pairwise join of |groups|-row KMV sketch frames — kilobytes by design, never the corpus (Sketch.scala:225)",
+    "q_rolling_distinct" -> "range join over per-(key,day) KMV sketch frames, 7-day window bound — pre-aggregated, not row-scale",
+    "q_kneser_ney" -> "1-row distinct-bigram-type total (continuation denominator) crossJoin",
+    "q_cuped" -> "two 1-row arm frames + 1-row pooled-theta frame crossJoined into the single output row (the q_ab_ztest shape)",
+    "q_exp_health" -> "two 1-row arm-summary frames crossJoined into the single output row (the q_ab_ztest shape)",
+    "q_benford" -> "1-row digit-total crossJoin onto the <=9-row digit frame",
+    "q_conformal" -> "1-row fit / quantile / count frames broadcast onto the split scans (cal sort is a bounded 5% sample by construction)",
+    "q_matched_uplift" -> "1-row epoch-midpoint frame broadcast onto the per-unit scan (bounded-broadcast category)",
+    "q_term_drift" -> "1-row per-half doc-count frame broadcast onto the term-df agg (bounded-broadcast category)",
+    // r10 additions, all the same 1-row-normalizer shape
+    "q_anisotropy" -> "1-row centroid-norm (ΣS²) crossJoin onto the per-vector agg",
+    "q_burstiness" -> "1-row corpus doc-count (the Fano N) crossJoin onto the term agg",
+    "q_neyman" -> "1-row Σweights crossJoin onto the |strata|-row quota frame (the temperatureMix shape)"
+  )
+
+
+  /** query -> why a small-estimate shuffle join is acceptable there. */
+  val allowMissedBroadcast: Map[String, String] = Map.empty
+
+  /** Pinned shuffle budgets for headline queries (measured by
+    * `graft.ShuffleCounts`): a NEW Exchange in one of these plans is a
+    * regression a human signs off on by raising the pin, never a silent
+    * diff. Every groupBy/join/window costs a shuffle at 100 TB — these
+    * numbers ARE the scale story of the flagship paths (q_bpe_tokens at
+    * 0 proves the whole BPE chain is map-side).
+    */
+  val shuffleBudget: Map[String, Int] = Map(
+    "kpi_user" -> 1, "kpi_genre_daily" -> 2, "kpi_genre_top_songs" -> 2,
+    "kpi_genre_top_genres" -> 3, "kpi_trending" -> 4,
+    // canonical raised 5 → 10 in r9: the count-prune candidate tier adds
+    // the per-doc bounded-count agg + two doc-stats joins — all ≤|docs|-row
+    // frames, traded for the ~1000× cut in full-array verify volume
+    "q_dedup_exact" -> 1, "q_dedup_canonical" -> 10,
+    "q_bpe_tokens" -> 0, "q_token_counts" -> 0,
+    "q_boilerplate" -> 3, "q_sample_stratified" -> 1,
+    "q_top_paths" -> 2, "q_sessions" -> 1, "q_asof_join" -> 1,
+    // curation family: canonicalization MUST stay map-side; the caps/
+    // manifest are one per-group window each; block gate is the
+    // suffix-semi + anti pair; mixture/fusion budgets include their
+    // tiny-frame (≤|sources|-row / ≤|lists|-row) exchanges
+    "q_url_canon" -> 0, "q_domain_cap" -> 1, "q_shard_manifest" -> 1,
+    "q_epoch_shuffle" -> 1,
+    "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 7,
+    "q_html_strip" -> 0, "q_sentences" -> 0, "q_standardize" -> 1,
+    "q_bigram_lm" -> 6, "q_rank_metrics" -> 2, "q_http_parse" -> 0,
+    // r9 pins (the r8 verdict's drift watchlist): triangles is 4 AFTER
+    // the edge-set cache (was 24 — the whole co-occurrence derivation
+    // planned three times); the maxdf pair is the count-prune tier
+    "q_triangles" -> 4, "q_serve_ids" -> 9, "q_overlap_matrix" -> 9,
+    "q_dedup_pairs_maxdf" -> 8, "q_containment_maxdf" -> 8,
+    // JL projection is the data-independent-sketch contract: 0 shuffles
+    // (sign matrix broadcast, fold map-side); the audit adds one
+    // per-vector agg; survival's visible shuffle is the per-user agg
+    // (the two tiny cached frames truncate the rest)
+    "q_jl_project" -> 0, "q_jl_audit" -> 1, "q_survival" -> 1,
+    // attribution = bucketed range join + per-conversion window + channel
+    // agg; the z-test's visible plan is cache-truncated to the 1-row math
+    "q_attribution" -> 2, "q_ab_ztest" -> 0,
+    // bootstrap = per-unit agg + replicate agg (the B-way explode is
+    // map-side between them); bot-score = one per-actor lag window;
+    // template dedup = one fingerprint agg off the scan
+    "q_bootstrap_ci" -> 2, "q_bot_score" -> 1, "q_template_dedup" -> 1,
+    // did = per-(unit,period) agg + 4-cell agg + the cell pivot exchange;
+    // zipf = token agg + per-source rank window (top-200 cut keeps the
+    // regression fold's frame bounded)
+    "q_did" -> 3, "q_zipf" -> 2,
+    // cuped/exp_health collapse to per-unit aggs then 1-2-row math
+    // (health's visible plan is cache-truncated like q_ab_ztest);
+    // benford = digit agg + 1-row total + broadcast; gini = per-unit
+    // agg + per-group rank window; cusum = daily agg + tot + 2 windows
+    "q_cuped" -> 1, "q_exp_health" -> 0, "q_benford" -> 3,
+    "q_gini" -> 2, "q_cusum" -> 4,
+    // jw-match's block self-join broadcasts (part is dim-sized);
+    // mojibake is one map-side agg; ref-integrity is 6 independent
+    // agg→anti→agg relations; hits' rounds are checkpoint leaves
+    "q_jw_match" -> 0, "q_mojibake" -> 1, "q_ref_integrity" -> 18,
+    "q_hits" -> 2,
+    // spearman's two per-group rank windows share one exchange (AQE
+    // reuse); dow-profile = (series,dow) agg + per-series window;
+    // conformal = three split aggs + the bounded 5%-sample sort;
+    // er_clusters' CC rounds are checkpoint leaves
+    "q_spearman" -> 1, "q_dow_profile" -> 2, "q_conformal" -> 5,
+    "q_er_clusters" -> 0,
+    // autocorr = (series,day) agg + per-series tot agg/join + lag
+    // window; tail_index is a distributed TakeOrdered (0 exchanges);
+    // markov = per-user lag window + cell agg + cell-frame window + agg
+    "q_autocorr" -> 3, "q_tail_index" -> 0, "q_markov_entropy" -> 4,
+    // seasonal = daily agg + shared window exchange on the collapsed
+    // frame (events scanned once); jackknife = bucket agg + 1-row agg;
+    // uplift = per-unit agg + stratum agg + 1-row span broadcast + agg
+    // jackknife = unit agg + bucket agg + 1-row agg (review pass: rows
+    // are not resampling units — the unit collapse is semantic)
+    "q_seasonal_strength" -> 2, "q_jackknife" -> 3, "q_matched_uplift" -> 4,
+    // trigrams = per-user window + cell agg (rank rides the topK cut);
+    // stage_latency = per-user window+agg, distinct-gap cum frame;
+    // heaps = (group,term) two-level distinct agg + 1-row fold
+    "q_event_trigrams" -> 2, "q_stage_latency" -> 3, "q_heaps_fit" -> 3,
+    // item_cooc = incidence distinct + size semi-join + per-item window
+    // riding the pairing self-join (counts flow THROUGH the join — no
+    // separate count branch); freshness/decile collapse then window
+    "q_item_cooc" -> 8, "q_freshness" -> 2, "q_decile_share" -> 3,
+    // diversity = shingle explode into (group,shingle) agg + group agg;
+    // dispersion = (series,day) agg + window; wilson = unit agg + arm agg
+    "q_ngram_diversity" -> 2, "q_dispersion" -> 2, "q_wilson_ci" -> 2,
+    // cohort_ltv = (user,period) agg + user window + (cohort,age) agg +
+    // cohort window, single lineage; embed_drift = posexplode into a
+    // dims agg + 1-row agg; changepoint = daily agg + prefix windows
+    "q_cohort_ltv" -> 4, "q_embed_drift" -> 2, "q_changepoint" -> 2,
+    // all three collapse to distinct-value/daily frames before windows
+    "q_dow_anomalies" -> 2, "q_ks_test" -> 2, "q_runs_test" -> 2,
+    // mann_kendall joins the CACHED daily frame (pairs bounded by
+    // days², cache kills the triple scan); conv_windows/mase collapse
+    "q_mann_kendall" -> 3, "q_conv_windows" -> 2, "q_mase" -> 2,
+    // prefix_dup is map-side into ONE agg; term_drift = explode agg +
+    // 1-row count broadcast (TakeOrdered cut); cluster_sizes rides the
+    // checkpointed CC output with two counting aggs
+    "q_prefix_dup" -> 1, "q_term_drift" -> 2, "q_dedup_cluster_sizes" -> 2,
+    // r9 additions: the winnow index is MAP-SIDE (0 shuffles — that is
+    // its whole point vs shingle postings); profile/readability ride
+    // the scan; curriculum is one position window
+    // q_winnow_pairs: 3 = fp-posting collapse + identical-list dedupe +
+    // pair agg (the collapsed pairing trades the old single-exchange
+    // self-join for three SMALL aggs — the join's m² hot-key expansion
+    // was the real cost, not the exchanges)
+    "q_winnow" -> 0, "q_winnow_pairs" -> 3, "q_readability" -> 0,
+    "q_script_profile" -> 0, "q_curriculum" -> 1, "q_calibration" -> 1,
+    "q_split_leakage" -> 2,
+    "q_domain_stats" -> 2, "q_bpe_fertility" -> 1, "q_keywords" -> 4,
+    // r9 chat/preference/lang-mix batch: each op shuffles on its group
+    // key only (conversation / prompt / doc); nfc_normalize is the
+    // map-side canonicalization kernel and MUST stay shuffle-free
+    "q_chat_validate" -> 1, "q_chat_flatten" -> 1, "q_chat_truncate" -> 2,
+    "q_pref_contradictions" -> 2, "q_pref_cycles" -> 3,
+    "q_pref_winrates" -> 1, "q_lang_mix" -> 2, "q_nfc_normalize" -> 0,
+    // ranking/sketch/EMD batch: BT is 4 POST-CACHE (the bounded pairs/
+    // stats frames are materialized once; uncached the 2-round lineage
+    // planned 81 exchanges); countmin is the sketch agg + exact agg
+    // (the probe join is broadcast); tCloseness is histogram aggs +
+    // bounded-grid windows
+    "q_pref_length_bias" -> 1, "q_pref_copeland" -> 8, "q_pref_bt" -> 4,
+    "q_countmin" -> 2, "q_t_closeness" -> 6,
+    // eval/agreement/impact: AUC is the score agg + the bounded
+    // per-value cum window; alpha/impact are histogram aggs + 1-row
+    // normalizer broadcasts
+    "q_auc" -> 2, "q_kripp_alpha" -> 7, "q_filter_impact" -> 7,
+    // per-token homoglyph audit MUST stay map-side (HOF filter on the scan)
+    "q_mixed_script" -> 0,
+    // quantization audit is per-row vector math: nothing may shuffle
+    "q_quant_int8" -> 0,
+    // robots: line-window parse + star semi-join + match agg + gate join;
+    // nfc dedup is ONE fingerprint agg over the canonicalized union
+    "q_robots_txt" -> 4, "q_dedup_canon_nfc" -> 1,
+    // eval-metrics batch: the whole gram lattice (n=1..4, cand+ref)
+    // explodes in ONE pass — one (id,n,gram) agg, one (id,n) roll-up,
+    // one scaffold join; corpus BLEU adds the 1-row pooled agg.
+    // decay trend is the daily agg + per-key series fold, window-free
+    "q_bleu" -> 3, "q_bleu_corpus" -> 4, "q_rouge" -> 3,
+    "q_kneser_ney" -> 9, "q_decay_trend" -> 2,
+    // hll = 2 key-kinds × (register agg + bucket-sorted estimate agg +
+    // 2-phase exact countDistinct leg); pca/abtt AUDITED plans are
+    // map-side — the bounded power-iteration prep runs at construction
+    // (codebook precedent), driver state is d doubles per round
+    "q_hll" -> 8, "q_pca_top" -> 0, "q_abtt" -> 0,
+    // r10 pins (the r9 verdict's drift watchlist): winsorize is the
+    // percentile agg + map-side clamp; trending_exact is the daily agg +
+    // the shared range-frame window exchange; token_budget is the
+    // per-doc token agg + source roll-up + cum-window on the bounded
+    // per-source frame. All three re-measured isolated (PERF.md r10) —
+    // the r9 drift was whole-bench jitter, not plan growth.
+    "q_winsorize" -> 1, "q_trending_exact" -> 2, "q_token_budget" -> 3)
+
 }

@@ -568,6 +568,61 @@ object Sampling {
       .drop("_hr", "_quota")
   }
 
+  /** Neyman-allocation stratified sampling: the budget splits across
+    * strata ∝ N_h·σ_h — variance-OPTIMAL for estimating a mean of
+    * `valueCol` under a fixed sample budget, where proportional
+    * allocation ([[stratifiedSample]]'s regime) wastes draws on large
+    * homogeneous strata. The textbook allocation, made engine-exact:
+    *
+    *   w_h     = floor(√(N_h·Q_h − S_h²))      (= N_h·σ_h, integerized)
+    *   quota_h = min(N_h, budget·w_h div Σw)
+    *
+    * S/Q are exact BIGINT sufficient stats; √ of an exact integer is
+    * IEEE-correctly-rounded on every engine, so the floor is
+    * deterministic; the quota division runs in DECIMAL(38,0) (the
+    * [[temperatureMix]] overflow discipline). Zero-variance strata get
+    * w = 0 — Neyman assigns them nothing beyond the floor-div residue
+    * (one draw tells you everything about a constant stratum; callers
+    * wanting a minimum take `greatest(quota, lit(1))` downstream).
+    * Membership is hash-rank (the append-stable [[capPerGroup]]
+    * contract).
+    *
+    * Scale posture: stats are one map-side-combined agg (|strata|
+    * rows); quotas broadcast back; the only data-sized shuffle is the
+    * per-stratum rank window — [[temperatureMix]]'s exact shape.
+    * Output: input rows that made their stratum's quota.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, keyCol: String,
+                       valueCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val rows = df.filter(col(stratumCol).isNotNull && col(keyCol).isNotNull &&
+      valueCol.isNotNull)
+    val stats = rows.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_nh"),
+        sum(valueCol.cast("long")).as("_s"),
+        sum(valueCol.cast("long") * valueCol.cast("long")).as("_q"))
+      // N_h·Q_h and S_h² overflow BIGINT once strata pass ~10⁵ rows of
+      // ~10⁵-scale values (cents of TPC-H prices do at sf0.1 already) —
+      // the products run in DECIMAL(38,0), exact to 10³⁸; the decimal →
+      // double conversion is correctly rounded on every engine, so the
+      // floor(sqrt(·)) below stays deterministic even past 2^53
+      .withColumn("_w",
+        floor(sqrt((col("_nh").cast("decimal(38,0)") * col("_q") -
+            col("_s").cast("decimal(38,0)") * col("_s"))
+          .cast("double"))).cast("long"))
+    val totalW = stats.agg(sum(col("_w")).as("_tw"))
+    val quotas = stats.crossJoin(broadcast(totalW))
+      .select(col(stratumCol),
+        when(col("_tw") > 0,
+          least(col("_nh"), expr(
+            s"CAST(CAST($budget AS DECIMAL(38,0)) * _w div _tw AS BIGINT)")))
+          .otherwise(lit(0L)).as("_quota"))
+    rows.withColumn("_hr", hashRank(stratumCol, keyCol))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("_hr") <= col("_quota"))
+      .drop("_hr", "_quota")
+  }
+
   /** Deterministic shard manifest for training-data output: every row
     * gets a `shard` in [0, shards) (hash bucket of its key) and a
     * 1-based `pos` within the shard (hash order) — the layout contract

@@ -1014,6 +1014,47 @@ object Similarity {
           .as("centroid_cosine"))
   }
 
+  /** Embedding-anisotropy audit: every vector's cosine to the CORPUS
+    * CENTROID — the "all-but-the-top" diagnostic (Mu–Viswanath): an
+    * anisotropic embedding space has a dominant common direction, and
+    * vectors hugging it (cos → 1) carry little discriminative signal;
+    * the per-vector score both measures the pathology corpus-wide and
+    * flags the worst offenders for the [[graft.ops.Pca.allButTheTop]]
+    * correction.
+    *
+    * Exactness: components integerize to micros
+    * (`round(x·10⁶)` — the [[embedDrift]] discipline), the centroid is
+    * the exact BIGINT per-dim sum (cosine is scale-invariant, so the
+    * un-divided sum IS the centroid direction — no mean division, no
+    * rational drift), and dot/norm accumulate in DECIMAL(38,0); the
+    * cosine is one fixed double tree over exact operands, shipped raw.
+    *
+    * Plan: one posexplode pass; the d-row centroid frame broadcasts
+    * back onto the same exploded frame; one per-vector agg. No joins
+    * at corpus volume, no driver state.
+    * Output: (vec_id, cos_centroid), one row per vector.
+    */
+  def anisotropy(embeddings: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
+    val dims = embeddings
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .withColumn("_q", round(col("_x").cast("double") * 1000000).cast("long"))
+    val centroid = dims.groupBy("_d")
+      .agg(sum(col("_q")).cast("decimal(38,0)").as("_s"))
+    val scored = dims.join(broadcast(centroid), Seq("_d"))
+      .groupBy("vec_id")
+      .agg(sum(col("_q").cast("decimal(38,0)") * col("_s")).as("_dot"),
+        sum(col("_q").cast("decimal(38,0)") * col("_q")).as("_vv"))
+    val cc = centroid.agg(sum(col("_s") * col("_s")).as("_cc"))
+    scored.crossJoin(broadcast(cc))
+      .select(col("vec_id"),
+        when(col("_vv") === 0 || col("_cc") === 0, lit(null).cast("double"))
+          .otherwise(col("_dot").cast("double") /
+            (sqrt(col("_vv").cast("double")) * sqrt(col("_cc").cast("double"))))
+          .as("cos_centroid"))
+  }
+
   def labelCentroids(embeddings: DataFrame, labelCol: String,
                      vecCol: String): DataFrame = {
     embeddings

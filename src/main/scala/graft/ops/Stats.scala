@@ -686,6 +686,64 @@ object Stats {
     * Scale posture: two rank windows per group (the data-sized
     * exchanges, skew-bounded by rows-per-group) + one per-group agg.
     */
+  /** Kendall's τ-b per group between two integer-valued columns — the
+    * concordance-based rank correlation that [[spearman]] approximates:
+    * robust to monotone transforms, with the b-variant tie correction
+    * so heavily-tied integer data (counts, cents) stays in [-1, 1].
+    *
+    *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+    *
+    * with n₀ = n(n−1)/2, n₁/n₂ = Σ t(t−1)/2 over x/y tie groups. C − D,
+    * n₀, n₁, n₂ are exact BIGINTs (one pairwise sign sum + two tie
+    * aggs); τ-b is one fixed double tree over them, shipped raw. NULL
+    * when either tie-corrected denominator term is 0 (a constant
+    * column — concordance undefined, the [[spearman]] masking rule).
+    *
+    * Scale posture: the pairwise join is over the PRE-COLLAPSED input
+    * (callers pass a bounded per-group frame — daily aggregates, not
+    * events; the [[graft.ops.TimeSeries.theilSen]] contract); tie
+    * counts are two hash aggs on the same frame.
+    * Output: (group, n, concordant_minus_discordant, tau_b).
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: Column,
+                 yCol: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull &&
+        xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol).as("_g"), xCol.cast("long").as("_x"),
+        yCol.cast("long").as("_y"))
+      .localCheckpoint()
+    val l = base.select(col("_g"), col("_x").as("_x1"), col("_y").as("_y1"))
+    val r = base.select(col("_g"), col("_x").as("_x2"), col("_y").as("_y2"))
+    // every unordered pair once: join on group, keep one orientation by
+    // the (x, y) lexicographic key with a stable arbitrary-but-total
+    // order; equal (x, y) pairs contribute 0 either way so halving the
+    // double-counted diagonal-free join is exact
+    val s = l.join(r, Seq("_g"))
+      .select(col("_g"),
+        (signum((col("_x2") - col("_x1")).cast("double")) *
+          signum((col("_y2") - col("_y1")).cast("double"))).cast("long").as("_cd"))
+      .groupBy("_g")
+      // the full ordered-pair sum counts each unordered pair twice
+      .agg((sum(col("_cd")) / lit(2)).cast("long").as("c_minus_d"))
+    def tieTerm(c: String, out: String) =
+      base.groupBy(col("_g"), col(c)).agg(count(lit(1)).as("_t"))
+        .groupBy("_g")
+        .agg(sum(col("_t")).cast("long").as(s"_n$out"),
+          sum(col("_t") * (col("_t") - 1) / lit(2)).cast("long").as(out))
+    val tx = tieTerm("_x", "n1")
+    val ty = tieTerm("_y", "n2").withColumnRenamed("_nn2", "_drop")
+    val joined = tx.join(ty.drop("_drop"), Seq("_g")).join(s, Seq("_g"))
+    val n = col("_nn1")
+    val n0 = (n * (n - 1) / lit(2)).cast("long")
+    val d1 = n0 - col("n1")
+    val d2 = n0 - col("n2")
+    joined.select(col("_g").as(groupCol), n.as("n"), col("c_minus_d"),
+      when(d1 <= 0 || d2 <= 0, lit(null).cast("double"))
+        .otherwise(col("c_minus_d").cast("double") /
+          sqrt(d1.cast("double") * d2.cast("double")))
+        .as("tau_b"))
+  }
+
   def spearman(df: DataFrame, groupCol: String, xCol: Column,
                yCol: Column): DataFrame = {
     val base = df.filter(col(groupCol).isNotNull &&

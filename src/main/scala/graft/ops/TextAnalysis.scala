@@ -55,6 +55,79 @@ object TextAnalysis {
     * whose top-rank freqs are ALL tied (zero y-variance — the fit is
     * undefined and the fp residual engine-unstable), mask to NULL.
     */
+  /** Per-document n-gram NOVELTY against a reference corpus half: the
+    * share of the doc's DISTINCT word n-grams that appear nowhere in
+    * the reference — the generation-side mirror of the contamination
+    * audit (contamination asks "is eval text in train?"; novelty asks
+    * "how much of this candidate text is new vs the corpus it claims
+    * to extend?" — the memorization/novelty screen a synthetic-data
+    * pipeline runs before admitting generated docs).
+    *
+    * Plan: candidate docs explode to DISTINCT (doc, gram) pairs
+    * (per-doc state = the doc's own gram set); the reference half
+    * collapses to a distinct gram vocabulary; one left join + per-doc
+    * agg. Counts exact; `novel_ppm` is BIGINT-div. Docs too short for
+    * one n-gram emit (0, 0, NULL) — total coverage, the
+    * [[graft.ops.Similarity]] neighborVote discipline.
+    * Output: (doc_id, n_grams, n_novel, novel_ppm) for every candidate
+    * (non-reference) doc.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   refFilter: Column, n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram order must be positive")
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("_toks", tokens(lower(col(textCol))))
+    def grams(c: Column): Column =
+      when(size(c) >= n,
+        array_distinct(transform(sequence(lit(1), size(c) - lit(n - 1)),
+          i => array_join(slice(c, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    val refVocab = base.filter(refFilter)
+      .select(explode(grams(col("_toks"))).as("_g")).distinct()
+    val cand = base.filter(!refFilter)
+      .select(col(idCol).as("doc_id"), explode_outer(grams(col("_toks"))).as("_g"))
+    cand.join(refVocab.withColumn("_seen", lit(1)), Seq("_g"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("_g")).as("n_grams"),
+        sum(when(col("_g").isNotNull && col("_seen").isNull, 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novel_ppm",
+        when(col("n_grams") > 0,
+          expr("(n_novel * 1000000L) div n_grams")))
+  }
+
+  /** Term burstiness (Church–Gale): per term, the variance-to-mean
+    * ratio (Fano factor) of its per-document count over ALL documents
+    * — a Poisson scatter has VMR ≈ 1; topical/bursty terms (and
+    * template spam) land far above, and the statistic separates them
+    * from merely-frequent function words where raw df cannot. With
+    * S = Σ c_d, Q = Σ c_d² over all N docs (zeros included — they ride
+    * the closed form, never materialize):
+    *
+    *   vmr = (N·Q − S²) / (S·N)
+    *
+    * S, Q, N are exact BIGINTs (one (term, doc) agg + one term agg +
+    * a 1-row doc-count broadcast); vmr is a fixed double tree over
+    * them, raw. Terms in fewer than `minDf` docs are dropped (their
+    * VMR is noise). Output: (term, df, total, vmr).
+    */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                     minDf: Long = 5L): DataFrame = {
+    val perDoc = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("_doc"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("_doc", "term").agg(count(lit(1)).as("_c"))
+    val nDocs = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .agg(countDistinct(col(idCol)).as("_n"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("_c")).as("total"),
+        sum(col("_c") * col("_c")).as("_q"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("total"),
+        ((col("_n") * col("_q") - col("total") * col("total")).cast("double") /
+          (col("total") * col("_n")).cast("double")).as("vmr"))
+  }
+
   def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
               topK: Int = 200): DataFrame = {
     require(topK >= 3 && topK <= 10000, "3 <= topK <= 10000")
@@ -153,24 +226,37 @@ object TextAnalysis {
     * Output: doc frame + (n_words, n_sentences, n_syllables, flesch,
     * fk_grade).
     */
-  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = col(textCol)
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        readabilityStruct(col(textCol)).as("_r"))
+      .select(col("doc_id"), col("_r.*"))
+
+  /** The [[readability]] kernel as ONE struct-typed Column — the tree the
+    * DataFrame op and the SQL macro (`readability(text)`, see
+    * [[graft.functions.GraftExtensions]]) share, so pure-SQL users get
+    * bit-identical scores (the `canonical_url` discipline). Count
+    * subtrees repeat inside the struct; whole-stage codegen's
+    * subexpression elimination evaluates each regexp pass once per row —
+    * the same shape `CollapseProject` produced for the old two-stage
+    * projection.
+    */
+  def readabilityStruct(text: Column): Column = {
     val w = tokenCount(text).cast("long")
     val s = size(regexp_extract_all(text, lit("[^.!?\\s][^.!?]*"), lit(0))).cast("long")
     val syl = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
-    val wD = col("n_words").cast("double")
-    val sD = greatest(col("n_sentences"), lit(1L)).cast("double")
-    val sylD = col("n_syllables").cast("double")
-    docs
-      .filter(col(idCol).isNotNull && text.isNotNull)
-      .select(col(idCol).as("doc_id"), w.as("n_words"), s.as("n_sentences"),
-        syl.as("n_syllables"))
-      .withColumn("flesch",
-        when(col("n_words") > 0,
-          lit(206.835) - lit(1.015) * (wD / sD) - lit(84.6) * (sylD / wD)))
-      .withColumn("fk_grade",
-        when(col("n_words") > 0,
-          lit(0.39) * (wD / sD) + lit(11.8) * (sylD / wD) - lit(15.59)))
+    val wD = w.cast("double")
+    val sD = greatest(s, lit(1L)).cast("double")
+    val sylD = syl.cast("double")
+    struct(
+      w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"),
+      when(w > 0,
+        lit(206.835) - lit(1.015) * (wD / sD) - lit(84.6) * (sylD / wD))
+        .as("flesch"),
+      when(w > 0,
+        lit(0.39) * (wD / sD) + lit(11.8) * (sylD / wD) - lit(15.59))
+        .as("fk_grade"))
   }
 
   /** Unicode-script profile — the multilingual curation signal the
@@ -193,24 +279,28 @@ object TextAnalysis {
     * Output: (doc_id, n_chars, latin_ppm, cyrillic_ppm, cjk_ppm,
     * arabic_ppm).
     */
-  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    def cnt(cls: String): Column =
-      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
-    def ppm(c: Column): Column =
-      when(col("n_chars") > 0,
-        call_function("div", c * lit(1000000L), col("n_chars")))
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .filter(col(idCol).isNotNull && t.isNotNull)
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        cnt("[^\\s]").as("n_chars"),
-        cnt("[A-Za-z]").as("_lat"),
-        cnt("[\\x{0400}-\\x{04FF}]").as("_cyr"),
-        cnt("[\\x{4E00}-\\x{9FFF}]").as("_cjk"),
-        cnt("[\\x{0600}-\\x{06FF}]").as("_ar"))
-      .select(col("doc_id"), col("n_chars"),
-        ppm(col("_lat")).as("latin_ppm"), ppm(col("_cyr")).as("cyrillic_ppm"),
-        ppm(col("_cjk")).as("cjk_ppm"), ppm(col("_ar")).as("arabic_ppm"))
+        scriptProfileStruct(col(textCol)).as("_s"))
+      .select(col("doc_id"), col("_s.*"))
+
+  /** The [[scriptProfile]] kernel as ONE struct-typed Column shared with
+    * the SQL macro `script_profile(text)` — see [[readabilityStruct]]
+    * for the sharing + subexpression-elimination contract.
+    */
+  def scriptProfileStruct(text: Column): Column = {
+    def cnt(cls: String): Column =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    val n = cnt("[^\\s]")
+    def ppm(c: Column): Column =
+      when(n > 0, call_function("div", c * lit(1000000L), n))
+    struct(n.as("n_chars"),
+      ppm(cnt("[A-Za-z]")).as("latin_ppm"),
+      ppm(cnt("[\\x{0400}-\\x{04FF}]")).as("cyrillic_ppm"),
+      ppm(cnt("[\\x{4E00}-\\x{9FFF}]")).as("cjk_ppm"),
+      ppm(cnt("[\\x{0600}-\\x{06FF}]")).as("arabic_ppm"))
   }
 
   /** Mixed-script (homoglyph) token audit: tokens that mix characters
@@ -228,24 +318,31 @@ object TextAnalysis {
     * lexicographic min, '' when clean).
     */
   def mixedScriptTokens(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String): DataFrame =
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        mixedScriptStruct(col(textCol)).as("_m"))
+      .select(col("doc_id"), col("_m.*"))
+
+  /** The [[mixedScriptTokens]] kernel as ONE struct-typed Column shared
+    * with the SQL macro `mixed_script(text)` — see [[readabilityStruct]]
+    * for the sharing + subexpression-elimination contract.
+    */
+  def mixedScriptStruct(text: Column): Column = {
     val lat = "[A-Za-z]"
     val cyr = "[\\x{0400}-\\x{04FF}]"
     val grk = "[\\x{0370}-\\x{03FF}]"
-    val toks = tokens(col(textCol))
+    val toks = tokens(text)
     val mixed = filter(toks, t =>
       (t.rlike(lat) && t.rlike(cyr)) || (t.rlike(lat) && t.rlike(grk)) ||
         (t.rlike(cyr) && t.rlike(grk)))
-    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        size(toks).cast("long").as("n_tokens"), mixed.as("_m"))
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("_m")).cast("long").as("n_mixed"),
-        when(col("n_tokens") > 0,
-          call_function("div",
-            size(col("_m")).cast("long") * lit(1000000L), col("n_tokens")))
-          .otherwise(lit(0L)).as("mixed_ppm"),
-        coalesce(array_min(col("_m")), lit("")).as("first_mixed"))
+    val nToks = size(toks).cast("long")
+    struct(nToks.as("n_tokens"),
+      size(mixed).cast("long").as("n_mixed"),
+      when(nToks > 0,
+        call_function("div", size(mixed).cast("long") * lit(1000000L), nToks))
+        .otherwise(lit(0L)).as("mixed_ppm"),
+      coalesce(array_min(mixed), lit("")).as("first_mixed"))
   }
 
   /** Deflate compression ratio as a quality signal — the Gopher-family

@@ -451,6 +451,49 @@ object TimeSeries {
           .as("z"))
   }
 
+  /** Theil–Sen trend estimate per series: the MEDIAN of all pairwise
+    * slopes of the daily count series — the robust companion to
+    * [[mannKendall]] (MK says WHETHER a monotone trend exists; Theil–Sen
+    * says HOW STEEP, with a 29% breakdown point where least squares has
+    * 0). Slopes are integerized per pair before the median —
+    * `floor(1e6 · Δcount / Δdays)` with both operands exact integers
+    * through an exact-double division (|Δcount·1e6| ≤ 2^53 for any
+    * daily-count series this runs on), so the slope set is BIGINT and
+    * the median is engine-exact: middle element for odd counts, the
+    * floor-average `(lo + hi) div 2`-via-`floor((lo+hi)/2.0)` of the
+    * two middles for even (documented tie convention; the sum is exact
+    * in a double at these magnitudes).
+    *
+    * Scale posture: the pairwise join runs on the (series, day)
+    * COLLAPSED frame (≤365·|series| rows, localCheckpoint'd once — the
+    * [[mannKendall]] discipline), never on events; the per-series
+    * median sorts the ≤days²/2 slope array inside one agg.
+    * Output: (series, n_days, n_pairs, slope_ppm).
+    */
+  def theilSen(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+      .localCheckpoint()
+    val a = daily.select(col("_g"), col("day").as("_d1"), col("_x").as("_x1"))
+    val b = daily.select(col("_g"), col("day").as("_d2"), col("_x").as("_x2"))
+    val slope = floor(
+      (col("_x2") - col("_x1")).cast("double") * lit(1000000.0) /
+        datediff(col("_d2"), col("_d1")).cast("double")).cast("long")
+    val slopes = a.join(b, Seq("_g")).filter(col("_d1") < col("_d2"))
+      .select(col("_g"), slope.as("_s"))
+      .groupBy("_g")
+      .agg(sort_array(collect_list(col("_s"))).as("_ss"),
+        count(lit(1)).as("n_pairs"))
+    val nDays = daily.groupBy("_g").agg(count(lit(1)).as("n_days"))
+    val n = col("n_pairs")
+    val lo = element_at(col("_ss"), ((n + 1L) / 2L).cast("int"))
+    val hi = element_at(col("_ss"), ((n + 2L) / 2L).cast("int"))
+    nDays.join(slopes, Seq("_g"))
+      .select(col("_g").as(seriesCol), col("n_days"), col("n_pairs"),
+        floor((lo + hi).cast("double") / lit(2.0)).cast("long").as("slope_ppm"))
+  }
+
   /** Seasonal-naive vs naive forecast-error ratio per series: MAE of
     * the "same weekday last week" forecast over MAE of the "same as
     * yesterday" forecast, on daily counts. Ratio < 1 means weekly

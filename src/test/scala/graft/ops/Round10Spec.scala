@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 operator pins: Theil–Sen slope, Kendall τ-b,
+  * resource-allocation link prediction, chrF2, embedding anisotropy,
+  * n-gram novelty, term burstiness, and Neyman-allocation sampling —
+  * each against a hand-computed fixture.
+  */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("theilSen: median of pairwise integerized slopes") {
+    // daily counts 1, 2, 4 -> slopes ppm: (2-1)/1=1e6, (4-1)/2=1.5e6,
+    // (4-2)/1=2e6 -> median 1,500,000
+    val rows = Seq.fill(1)(ts(1)) ++ Seq.fill(2)(ts(2)) ++ Seq.fill(4)(ts(3))
+    val df = rows.map(("a", _)).toDF("series", "t")
+    val got = TimeSeries.theilSen(df, "series", "t").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("slope_ppm") == 1500000L)
+  }
+
+  test("theilSen: even pair count takes the floor-average of the middles") {
+    // daily counts 1, 2 on days 1, 3 for series b; plus series c with a
+    // single day (no pairs -> dropped entirely, the mannKendall contract)
+    val rows = Seq(("b", ts(1)), ("b", ts(3)), ("b", ts(3)), ("c", ts(1)))
+    val got = TimeSeries.theilSen(rows.toDF("series", "t"), "series", "t")
+      .collect()
+    assert(got.map(_.getString(0)).toSet == Set("b"))
+    // one pair: (2-1)*1e6/2 = 500000
+    assert(got.head.getAs[Long]("slope_ppm") == 500000L)
+  }
+
+  test("kendallTau: tie-corrected concordance on a hand case") {
+    // (x, y) = (1,2) (2,1) (3,3) (3,4): C=4, D=1, x-ties n1=1, y-ties 0
+    // tau_b = 3 / sqrt(5 * 6)
+    val df = Seq((1L, 2L), (2L, 1L), (3L, 3L), (3L, 4L))
+      .toDF("x", "y").withColumn("g", lit("g"))
+    val r = Stats.kendallTau(df, "g", col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("c_minus_d") == 3L)
+    assert(math.abs(r.getAs[Double]("tau_b") - 3.0 / math.sqrt(30.0)) < 1e-12)
+  }
+
+  test("kendallTau: constant column masks tau to NULL") {
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L))
+      .toDF("x", "y").withColumn("g", lit("g"))
+    val r = Stats.kendallTau(df, "g", col("x"), col("y")).collect().head
+    assert(r.isNullAt(r.fieldIndex("tau_b")))
+  }
+
+  test("resourceAllocation: 1/deg sums over common neighbors, new links only") {
+    // graph 1-2, 1-3, 2-4 (each pair co-occurs in 2 baskets)
+    val df = Seq(
+      ("b1", 1), ("b1", 2), ("b2", 1), ("b2", 2),
+      ("b3", 1), ("b3", 3), ("b4", 1), ("b4", 3),
+      ("b5", 2), ("b5", 4), ("b6", 2), ("b6", 4)
+    ).toDF("basket", "item")
+    val got = Graph.resourceAllocation(df, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("ra_nano"))).toMap
+    // deg(1)=2, deg(2)=2: (2,3) via node 1 -> 1e9 div 2; (1,4) via node 2
+    assert(got == Map((2, 3) -> (1L, 500000000L), (1, 4) -> (1L, 500000000L)))
+  }
+
+  test("chrF: perfect match scores matched orders at 1, others 0") {
+    // cand = "a b", ref = "ab": whitespace strips away -> identical "ab"
+    // m1=2 -> F1=1; m2=1 -> F2=1; n=3..6 empty -> 0; chrf2 = 2/6
+    val df = Seq((1L, "a b", "ab")).toDF("id", "cand", "ref")
+    val r = EvalMetrics.chrF(df, "id", "cand", "ref").collect().head
+    assert(r.getAs[Long]("len_cand") == 2L)
+    assert(r.getAs[Long]("len_ref") == 2L)
+    assert(math.abs(r.getAs[Double]("chrf2") - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("chrF: recall-weighted beta favors the reference side") {
+    // cand "ab", ref "abab": m1=2, t1=2, r1=4 -> P=1, R=.5
+    // F1 = 5*1*.5 / (4*1 + .5) = 2.5/4.5
+    val df = Seq((1L, "ab", "abab")).toDF("id", "cand", "ref")
+    val r = EvalMetrics.chrF(df, "id", "cand", "ref").collect().head
+    val p1 = 2.0 / 2.0; val r1 = 2.0 / 4.0
+    val f1 = (5.0 * p1 * r1) / (4.0 * p1 + r1)
+    val p2 = 1.0 / 1.0; val r2 = 1.0 / 3.0 // "ab" in "abab": ab,ba,ab -> 1
+    val f2 = (5.0 * p2 * r2) / (4.0 * p2 + r2)
+    assert(math.abs(r.getAs[Double]("chrf2") - (f1 + f2) / 6.0) < 1e-12)
+  }
+
+  test("anisotropy: cosine to the exact integer centroid") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.anisotropy(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cos_centroid")).toMap
+    // centroid direction (2, 2): cos(v1)=cos(v2)=1/sqrt(2), cos(v3)=1
+    assert(math.abs(got(1L) - 1.0 / math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(got(2L) - 1.0 / math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(got(3L) - 1.0) < 1e-9)
+  }
+
+  test("ngramNovelty: share of candidate grams unseen in the reference") {
+    val df = Seq(
+      (1L, "a b c d", true),  // ref: grams {a b c, b c d}
+      (2L, "a b c x", false), // cand: {a b c, b c x} -> 1 of 2 novel
+      (3L, "a b", false)      // cand too short -> (0, 0, NULL)
+    ).toDF("doc_id", "text", "is_ref")
+    val got = TextAnalysis.ngramNovelty(df, "doc_id", "text",
+        refFilter = col("is_ref"), n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(2L).getAs[Long]("n_grams") == 2L)
+    assert(got(2L).getAs[Long]("n_novel") == 1L)
+    assert(got(2L).getAs[Long]("novel_ppm") == 500000L)
+    assert(got(3L).getAs[Long]("n_grams") == 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("novel_ppm")))
+  }
+
+  test("termBurstiness: Fano factor from exact sufficient stats") {
+    // term t: counts (2, 1, 0) over 3 docs -> S=3, Q=5, N=3
+    // vmr = (3*5 - 9) / (3*3) = 2/3; term u has df=1 < minDf -> dropped
+    val df = Seq((1L, "t t"), (2L, "t"), (3L, "u")).toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(df, "doc_id", "text", minDf = 2L)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("term") == "t")
+    assert(r.getAs[Long]("df") == 2L && r.getAs[Long]("total") == 3L)
+    assert(math.abs(r.getAs[Double]("vmr") - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("neymanAllocation: budget flows to the high-variance stratum") {
+    // A: values {0,10,0,10} -> w = sqrt(4*200 - 400) = 20
+    // B: constant 5s -> w = 0 (one draw tells you everything)
+    val df = Seq(
+      ("A", "a1", 0L), ("A", "a2", 10L), ("A", "a3", 0L), ("A", "a4", 10L),
+      ("B", "b1", 5L), ("B", "b2", 5L)
+    ).toDF("stratum", "key", "v")
+    val got = Sampling.neymanAllocation(df, "stratum", "key", col("v"),
+      budget = 2L).collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getString(0) == "A"))
+  }
+
+  test("neymanAllocation: membership is hash-stable under appends") {
+    val base = (1 to 20).map(i => ("S", s"k$i", i.toLong)).toDF("g", "k", "v")
+    val kept = Sampling.neymanAllocation(base, "g", "k", col("v"), budget = 5L)
+      .collect().map(_.getString(1)).toSet
+    // re-run on the same data: identical survivors (derandomized contract)
+    val again = Sampling.neymanAllocation(base, "g", "k", col("v"), budget = 5L)
+      .collect().map(_.getString(1)).toSet
+    assert(kept == again && kept.size == 5)
+  }
+}
