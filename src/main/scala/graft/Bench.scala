@@ -96,6 +96,16 @@ object Bench {
       // outside it holds cached/checkpointed frames across queries) — a
       // blanket unpersist is safe here but NOT in library code.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Pay GC debt OUTSIDE the timers. Spark's ContextCleaner only reaps
+      // unreferenced broadcast/shuffle state when the driver JVM actually
+      // GCs, and on a 128 GiB heap a full collection may not happen for
+      // dozens of queries — so allocation-heavy entries (the all-pairs
+      // vector crossJoins churn ~GBs of boxed array garbage per pass)
+      // were absorbing a 10-20 s collection pause INSIDE a timed run
+      // (r9: q_knn_label_noise 17.2 s in-suite vs 3.3 s isolated; even
+      // isolated, back-to-back passes ranged 3.6-23 s). Forcing the
+      // collection here makes each timed pass start from a clean heap.
+      System.gc()
       KpiQueries.persistEnriched(enriched) // …so re-register it…
       materialize(enriched)                // …and re-materialize, un-timed
     }
@@ -115,8 +125,12 @@ object Bench {
         errors(name) = msg
       }
       val cachesInternally = spark.sparkContext.getPersistentRDDs.size > rddsBefore
+      // Heavy all-pairs entries churn GBs of array garbage per pass;
+      // reset (incl. forced GC) before EVERY timed run so a collection
+      // triggered by pass N's garbage never lands inside pass N+1.
+      val resetEachRun = cachesInternally || SparkEntry.heavyOracleBaselines(name)
       val runs = (1 to 3).map { _ =>
-        if (cachesInternally) resetCaches()
+        if (resetEachRun) resetCaches()
         time(fn) match {
           case Right(s) => s
           case Left(msg) =>
@@ -126,19 +140,28 @@ object Bench {
       name -> (if (runs.contains(-1.0)) -1.0 else median3(runs))
     }
 
-    val ok = medians.filter(_._2 >= 0)
+    // Two-tier reporting (round-9 verdict item 1): the gated exact
+    // all-pairs oracle baselines are timed every round for continuity,
+    // but live in their own `heavy_oracle` section and are excluded from
+    // the headline total — the headline reflects production regimes only
+    // (each heavy entry's production twin IS in the headline set).
+    val (heavy, prod) = medians.partition(m => SparkEntry.heavyOracleBaselines(m._1))
+    val ok = prod.filter(_._2 >= 0)
+    val heavyOk = heavy.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
-    val qs = medians.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val heavyTotal = heavyOk.map(_._2).sum
+    val qs = prod.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val heavyQs = heavy.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}"""" }.mkString("{", ",", "}")
     // Self-describing failure count (round-6 verdict task 7): a partial run
     // must never read as a clean total at a glance — `status` flips to
     // "partial" and `n_err` is in BOTH the full line and the tail summary.
-    val nErr = medians.size - ok.size
+    val nErr = medians.size - ok.size - heavyOk.size
     val status = if (nErr == 0) "ok" else "partial"
     val commit = gitCommit()
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"commit":"$commit","queries":$qs,"errors":$errJson,"n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"commit":"$commit","queries":$qs,"heavy_oracle":$heavyQs,"heavy_total":${"%.3f".format(heavyTotal)},"errors":$errJson,"n_ok":${ok.size},"n_heavy":${heavy.size},"n":${medians.size},"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's tail-keeping capture
     // window in round 5 ("parsed": null — head of the line was cut, so the
     // JSON never parsed). Emit the full line first, then a SHORT summary as
