@@ -91,5 +91,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => graft.ops.Web.registrableDomain(cs.head))
     columnMacro("strip_html", "graft.ops.TextAnalysis", 1,
       cs => graft.ops.TextAnalysis.stripHtml(cs.head))
+
+    // r10 sweep (round-9 verdict item 4): the r9 audit families' map-side
+    // kernels, registered on the SAME Column trees the DataFrame ops
+    // build (struct-returning macros — `SELECT readability(text).flesch`)
+    // so pure-SQL curation stacks compute bit-identical verdicts.
+    columnMacro("readability", "graft.ops.TextAnalysis", 1,
+      cs => graft.ops.TextAnalysis.readabilityStruct(cs.head))
+    columnMacro("script_profile", "graft.ops.TextAnalysis", 1,
+      cs => graft.ops.TextAnalysis.scriptProfileStruct(cs.head))
+    columnMacro("mixed_script", "graft.ops.TextAnalysis", 1,
+      cs => graft.ops.TextAnalysis.mixedScriptStruct(cs.head))
+    columnMacro("meta_robots", "graft.ops.Web", 1,
+      cs => graft.ops.Web.metaRobotsStruct(cs.head))
+    columnMacro("language_id", "graft.ops.TextAnalysis", 1,
+      cs => graft.ops.TextAnalysis.languageId(cs.head))
+    columnMacro("bpeish_token_count", "graft.ops.TextAnalysis", 1,
+      cs => graft.ops.TextAnalysis.bpeishTokenCount(cs.head))
+
+    // Codegen'd scalar kernels exposed directly (no macro indirection).
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[StringExpressions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaro_winkler(a, b)")
+        StringExpressions.JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("deflated_size"),
+      new ExpressionInfo(classOf[StringExpressions.DeflatedSize].getName,
+        "deflated_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "deflated_size(text[, level])")
+        val level = if (children.size == 2) litInt(children(1), "level") else 6
+        StringExpressions.DeflatedSize(children.head, level)
+      }))
   }
 }

@@ -223,17 +223,25 @@ object Web {
     * indexable).
     */
   def metaRobots(df: DataFrame, htmlCol: String): DataFrame = {
+    val cols = df.columns.map(col).toSeq
+    df.withColumn("_mr", metaRobotsStruct(col(htmlCol)))
+      .select(cols :+ col("_mr.robots_content") :+ col("_mr.noindex") :+
+        col("_mr.nofollow") :+ col("_mr.indexable"): _*)
+  }
+
+  /** The [[metaRobots]] kernel as ONE struct-typed Column shared with
+    * the SQL macro `meta_robots(html)` (see
+    * [[graft.functions.GraftExtensions]]) — pure-SQL gates evaluate the
+    * bit-identical directive extraction the Scala pipeline runs.
+    */
+  def metaRobotsStruct(html: Column): Column = {
     val tagPat = "(?i)<meta\\b[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>"
-    val tag = regexp_extract(col(htmlCol), tagPat, 0)
+    val tag = regexp_extract(html, tagPat, 0)
     val content = lower(regexp_extract(tag, "(?i)content\\s*=\\s*[\"']([^\"']*)[\"']", 1))
-    df.withColumn("robots_content", content)
-      .withColumn("noindex",
-        instr(col("robots_content"), "noindex") > 0 ||
-          instr(col("robots_content"), "none") > 0)
-      .withColumn("nofollow",
-        instr(col("robots_content"), "nofollow") > 0 ||
-          instr(col("robots_content"), "none") > 0)
-      .withColumn("indexable", !col("noindex"))
+    val noindex = instr(content, "noindex") > 0 || instr(content, "none") > 0
+    val nofollow = instr(content, "nofollow") > 0 || instr(content, "none") > 0
+    struct(content.as("robots_content"), noindex.as("noindex"),
+      nofollow.as("nofollow"), (!noindex).as("indexable"))
   }
 
   /** Per-domain reputation stats — the survey that MINES a blocklist
