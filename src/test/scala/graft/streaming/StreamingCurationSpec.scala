@@ -124,6 +124,99 @@ class StreamingCurationSpec extends SparkSpec {
   private def ok(body: String) =
     s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>$body has words enough to keep around</p>"
 
+  // ---- r10 (round-9 verdict item 6): the COMPLETE manifest story ----
+
+  /** Corpus variant whose duplicate content stays WITHIN one domain
+    * (boilerplate body is domain-specific). Representatives may still
+    * differ between tenses (first-arrival vs hash-min doc_id), but
+    * their (domain, fingerprint) pair is then FORCED equal — which is
+    * exactly what makes the content-addressed manifest comparable.
+    * Cross-domain duplicates keep the documented set-level contract
+    * (the convergence test above); quota attribution follows the
+    * representative there.
+    */
+  private def fetchesWithinDomainDups: Seq[Fetch] = (1 to 200).map { i =>
+    val page = i % 100
+    val dom = s"site${i % 5}.com"
+    val url =
+      if (i < 100) s"https://WWW.$dom:443/p/$page?utm_source=x"
+      else s"https://$dom/p/$page/"
+    val body =
+      if (page < 10) s"<p>common boilerplate for $dom shared by many pages</p>"
+      else s"<p>unique content for page $page with enough words to keep</p>"
+    val raw =
+      if (i % 10 == 9) "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"
+      else s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html><body>$body<script>x()</script></body></html>"
+    Fetch(i.toLong, url, raw, ts(i))
+  }
+
+  /** Corpus-global batch compaction shared by both tenses: temperature
+    * mix by domain KEYED ON THE CONTENT FINGERPRINT, then the
+    * content-addressed shard manifest — representative-independent by
+    * construction (fingerprints, not doc ids, are the manifest keys).
+    */
+  private def compact(curated: DataFrame): Set[(String, Long, Long)] =
+    Sampling.shardManifest(
+      Sampling.temperatureMix(curated.select("domain", "fingerprint"),
+        "domain", "fingerprint", budget = 20L),
+      "fingerprint", shards = 4)
+      .select(col("fingerprint"), col("shard").cast("long"), col("pos"))
+      .as[(String, Long, Long)].collect().toSet
+
+  test("Trigger.AvailableNow end to end: streaming gate -> batch compaction -> " +
+    "manifest equals the pure-batch chain's") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("scuration_e2e").toString
+
+    // fetches land as three parquet files (three crawl deliveries)
+    val all = fetchesWithinDomainDups
+    all.take(70).toDF().coalesce(1).write.mode("append").parquet(s"$base/src")
+    all.slice(70, 150).toDF().coalesce(1).write.mode("append").parquet(s"$base/src")
+    all.drop(150).toDF().coalesce(1).write.mode("append").parquet(s"$base/src")
+
+    // streaming gate, AvailableNow: drain everything now, then stop —
+    // the cron-style batch-of-the-stream deployment mode
+    val stream = spark.readStream
+      .schema(all.take(1).toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/src")
+    val q = StreamingCuration.curate(stream, "url", "raw", "ts",
+        blocklist, "domain", minTokens = 5, watermark = "2 hours", shards = 4)
+      .writeStream.format("parquet")
+      .option("path", s"$base/gated")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) shouldBe true
+
+    // batch compaction over the streamed store
+    val streamedManifest = compact(spark.read.parquet(s"$base/gated"))
+
+    // the pure-batch chain over the same corpus, same compaction
+    val in = all.toDF()
+    val parsed = Web.parseHttp(in, "raw")
+      .filter(col("status_code") === 200 && col("content_type") === "text/html")
+      .withColumn("text", TextAnalysis.stripHtml(col("body")))
+    val canon = Sampling.capPerGroup(
+      Web.canonicalize(parsed, "url"), "url_canon", "doc_id", 1)
+    val unblocked = Web.filterBlockedDomains(canon, "url", "doc_id",
+      blocklist, "domain")
+    val deduped = Sampling.capPerGroup(
+      unblocked.withColumn("fingerprint",
+        md5(TextAnalysis.normalizeText(col("text")).cast("binary"))),
+      "fingerprint", "doc_id", 1)
+    val batchManifest = compact(
+      deduped.filter(TextAnalysis.tokenCount(col("text")) >= 5))
+
+    streamedManifest shouldBe batchManifest
+    streamedManifest.size shouldBe 20 // the mix budget binds (73 survivors)
+    // manifest positions are 1..n per shard on both sides
+    streamedManifest.groupBy(_._2).values.foreach { rows =>
+      rows.map(_._3).toSeq.sorted shouldBe (1L to rows.size).toSeq
+    }
+  }
+
   test("streaming URL-dedup keeps the first arrival; batch parity is at the set level") {
     // originals (ids < 100) arrive a full microbatch before their
     // url_canon variants (ids ≥ 100), so first-arrival is deterministic
