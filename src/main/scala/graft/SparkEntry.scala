@@ -2514,10 +2514,13 @@ object SparkEntry {
 
     // resource-allocation link prediction on the co-purchase graph:
     // RA(a,b) = Σ 1/deg(z) over common neighbors, exact nano-integer
-    // reciprocals, non-adjacent pairs only
+    // reciprocals, non-adjacent pairs only. minSupport=2 (not the
+    // assoc-rules 3): repeat co-purchases get RARER as the catalog
+    // grows, and support 3 leaves a 2-edge graph at sf0.1 (0 candidate
+    // pairs) — a gate that exercises nothing
     "q_resource_alloc" -> ((s, dir) =>
       graft.ops.Graph.resourceAllocation(
-        table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)),
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)),
 
     // chrF2 character-n-gram F-score over the same deterministic
     // candidate/reference pairs as q_bleu — tokenizer-independent MT eval
@@ -8589,7 +8592,7 @@ object SparkEntry {
         |  FROM inc2 l JOIN inc2 r USING (basket)
         |  WHERE l.item < r.item
         |  GROUP BY 1, 2
-        |  HAVING COUNT(*) >= 3
+        |  HAVING COUNT(*) >= 2
         |), directed AS (
         |  SELECT a AS src, b AS dst FROM edges
         |  UNION ALL SELECT b, a FROM edges
