@@ -388,6 +388,13 @@ object SparkEntry {
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5,
         maxDf = Some(relMaxDf(s, dir)))),
 
+    // prefix-filter index (AllPairs/PPJoin): LOSSLESS candidate
+    // generation — df-ordered prefixes shed hot shingles without the
+    // maxDf recall trade, so this must hash-match the full-index oracle
+    "q_dedup_pairs_prefix" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupPairsPrefix(
+        table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
+
     "q_dedup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.nearDupPairsMinHash(
         table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)),
@@ -828,6 +835,22 @@ object SparkEntry {
         .filter(pmod(col("doc_id") * 31 + col("query_id"), lit(17)) === 0)
         .withColumn("rel", lit(1L) + pmod(col("doc_id"), lit(3)))
       graft.ops.Retrieval.rankingMetrics(ranking, qrels,
+        "query_id", "doc_id", "rn", "rel", k = 10)
+    }),
+
+    // average precision over the same ranking/qrels fixture — the
+    // order-sensitive single-number complement to q_rank_metrics
+    "q_avg_precision" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val ranking = graft.ops.Similarity.knnBruteForce(
+          e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
+      val qrels = e.filter(col("vec_id").isNotNull)
+        .select(col("vec_id").as("doc_id"),
+          explode(sequence(lit(0L), lit(9L))).as("query_id"))
+        .filter(pmod(col("doc_id") * 31 + col("query_id"), lit(17)) === 0)
+        .withColumn("rel", lit(1L) + pmod(col("doc_id"), lit(3)))
+      graft.ops.Retrieval.averagePrecision(ranking, qrels,
         "query_id", "doc_id", "rn", "rel", k = 10)
     }),
 
@@ -1955,6 +1978,14 @@ object SparkEntry {
       graft.ops.Survival.kaplanMeier(table(s, dir, "orders"),
         "o_custkey", "o_orderdate", censorDays = 90)),
 
+    // two-cohort log-rank churn test over the same observation model,
+    // cohorts = md5 parity arms; O/E/V folds in duration order
+    "q_logrank" -> ((s, dir) =>
+      graft.ops.Survival.logRank(table(s, dir, "orders"),
+        "o_custkey", "o_orderdate",
+        graft.ops.Sampling.hashBucket(col("o_custkey"), 2),
+        censorDays = 90)),
+
     // Johnson–Lindenstrauss ±1 sign projection of the 64-d embeddings
     // to 16 components; the sign matrix regenerates from md5("j_i")
     "q_jl_project" -> ((s, dir) =>
@@ -2286,6 +2317,14 @@ object SparkEntry {
         table(s, dir, "lineitem"), "l_returnflag",
         col("l_quantity"), round(col("l_extendedprice")))),
 
+    // one-way Welch ANOVA: did mean line price move across return
+    // flags? k-group welchZ without the equal-variance assumption;
+    // exact-int sufficient stats, one group-sorted 1-row fold
+    "q_welch_anova" -> ((s, dir) =>
+      graft.ops.Stats.welchAnova(
+        table(s, dir, "lineitem"), "l_returnflag",
+        round(col("l_extendedprice")).cast("long"))),
+
     // day-of-week seasonality profile per event type, integer ppm
     "q_dow_profile" -> ((s, dir) =>
       graft.ops.TimeSeries.weekdayProfile(
@@ -2341,6 +2380,24 @@ object SparkEntry {
         .withColumn("score_ppm", expr("(n_distinct * 1000000L) div n_tokens"))
       graft.ops.Sampling.selectByScoreBudget(
         scored, "doc_id", "score_ppm", "n_tokens", budget = 10000L)
+    }),
+
+    // 2-D Pareto skyline over the same (tokens, score) frame: the
+    // quality-per-cost frontier the budget cut samples one point of;
+    // two-level bucketed running max — no global window
+    "q_pareto_front" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val scored = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokens(lower(col("text"))).as("_toks"))
+        .filter(size(col("_toks")) > 0)
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("_toks"))).cast("long").as("n_distinct"))
+        .withColumn("score_ppm", expr("(n_distinct * 1000000L) div n_tokens"))
+      graft.ops.Sampling.paretoFront(
+        scored, "doc_id", "n_tokens", "score_ppm", bucketShift = 4)
     }),
 
     // A-ES weighted sampling without replacement: 200 orders, inclusion
@@ -3281,6 +3338,8 @@ object SparkEntry {
          |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM sm GROUP BY 1, 2""".stripMargin,
     "q_dedup_pairs_maxdf" -> dedupPairsSql,
+    // the prefix filter is lossless: identical contract to the full index
+    "q_dedup_pairs_prefix" -> dedupPairsSql,
 
     "q_winnow" ->
       s"""$winnowSql
@@ -3820,6 +3879,67 @@ object SparkEntry {
         |       ELSE list_sum(list_transform(list_filter(arr.a, s -> s.t <= rk.t),
         |                                    s -> s.term)) END AS log_surv
         |FROM rk, arr""".stripMargin,
+
+    // log-rank: same per-user frame + md5 parity cohorts; E1/V fold in
+    // duration order, no-variance degenerate decided on exact integers
+    "q_logrank" ->
+      """WITH pu AS (
+        |  SELECT o_custkey AS u,
+        |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 2 AS g,
+        |    min(date_trunc('day', o_orderdate)) AS f,
+        |    max(date_trunc('day', o_orderdate)) AS l
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1, 2
+        |), hz AS (SELECT max(l) AS h FROM pu),
+        |us AS (
+        |  SELECT u, g, date_diff('day', f, l)::BIGINT AS t,
+        |         date_diff('day', l, h) > 90 AS churned
+        |  FROM pu, hz
+        |), bt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN churned AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    COUNT(*)::BIGINT AS c,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM us GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS n1
+        |  FROM bt
+        |), rk AS (
+        |  SELECT t, d, d1,
+        |    CAST(tot.n - COALESCE(SUM(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr,
+        |    CAST(tot.n1 - COALESCE(SUM(c1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1r
+        |  FROM bt, tot
+        |), ev AS (SELECT * FROM rk WHERE d > 0),
+        |fold AS (
+        |  SELECT COUNT(*)::BIGINT AS n_event_times,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    MAX(CASE WHEN n1r > 0 AND n1r < nr AND nr > 1 THEN 1 END) AS hasv,
+        |    list(struct_pack(t := t, d := d, nr := nr, n1r := n1r)
+        |         ORDER BY t) AS a
+        |  FROM ev
+        |), ee AS (
+        |  SELECT *,
+        |    COALESCE(list_sum(list_transform(a, s ->
+        |      s.d::DOUBLE * s.n1r::DOUBLE / s.nr::DOUBLE)), 0.0) AS e1r,
+        |    COALESCE(list_sum(list_transform(a, s ->
+        |      CASE WHEN s.nr > 1 THEN
+        |        s.d::DOUBLE * (s.n1r::DOUBLE / s.nr::DOUBLE)
+        |          * (1.0 - s.n1r::DOUBLE / s.nr::DOUBLE)
+        |          * (s.nr::DOUBLE - s.d::DOUBLE) / (s.nr::DOUBLE - 1.0)
+        |      ELSE 0.0 END)), 0.0) AS vr
+        |  FROM fold
+        |)
+        |SELECT tot.n AS n_users, tot.n1 AS n_users_1, ee.n_event_times,
+        |  COALESCE(ee.o1, 0) AS o1, ROUND(ee.e1r, 6) AS e1, ROUND(ee.vr, 6) AS v,
+        |  CASE WHEN ee.hasv IS NULL THEN NULL
+        |       ELSE ROUND((ee.o1::DOUBLE - ee.e1r) / sqrt(ee.vr), 6) END AS z,
+        |  CASE WHEN ee.hasv IS NULL THEN NULL
+        |       ELSE ROUND(((ee.o1::DOUBLE - ee.e1r) / sqrt(ee.vr))
+        |              * ((ee.o1::DOUBLE - ee.e1r) / sqrt(ee.vr)), 6) END AS chi2
+        |FROM ee, tot""".stripMargin,
 
     // JL sign projection: the ±1 matrix regenerates symbolically from
     // md5 parity; in-order fold over dims ≡ Spark's zip_with aggregate
@@ -5129,6 +5249,64 @@ object SparkEntry {
 
     // Spearman twin: identical doubled-rank windows, HUGEINT exact
     // product sums (Spark side: DECIMAL(38,0)), one fixed corr tree
+    // Welch ANOVA: the group frame folds group-sorted (list_sum ==
+    // Spark's left fold over the array_sort'd struct array); variance
+    // zero / tiny-group degenerates decided on exact integers
+    "q_welch_anova" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS grp, COUNT(*)::BIGINT AS n,
+        |    SUM(CAST(round(l_extendedprice) AS BIGINT)::HUGEINT) AS s,
+        |    SUM((CAST(round(l_extendedprice) AS BIGINT)
+        |       * CAST(round(l_extendedprice) AS BIGINT))::HUGEINT) AS s2
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    MAX(CASE WHEN n < 2 THEN 1 END) AS tiny,
+        |    MAX(CASE WHEN n >= 2 AND n::HUGEINT * s2 = s * s THEN 1 END) AS zerovar,
+        |    list_sort(list(struct_pack(g := grp::VARCHAR, n := n, s := s, s2 := s2))) AS a
+        |  FROM g
+        |), w AS (
+        |  SELECT *,
+        |    list_sum(list_transform(a, t -> t.n::DOUBLE /
+        |      ((t.s2::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)
+        |        / (t.n::DOUBLE - 1.0)))) AS bigw,
+        |    list_sum(list_transform(a, t -> (t.n::DOUBLE /
+        |      ((t.s2::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)
+        |        / (t.n::DOUBLE - 1.0)))
+        |      * (t.s::DOUBLE / t.n::DOUBLE))) AS wmean
+        |  FROM f
+        |), x AS (
+        |  SELECT *, wmean / bigw AS xbar FROM w
+        |), y AS (
+        |  SELECT *,
+        |    list_sum(list_transform(a, t -> (t.n::DOUBLE /
+        |      ((t.s2::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)
+        |        / (t.n::DOUBLE - 1.0)))
+        |      * (t.s::DOUBLE / t.n::DOUBLE - xbar)
+        |      * (t.s::DOUBLE / t.n::DOUBLE - xbar))) AS anum,
+        |    list_sum(list_transform(a, t ->
+        |      (1.0 - (t.n::DOUBLE /
+        |        ((t.s2::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)
+        |          / (t.n::DOUBLE - 1.0))) / bigw)
+        |      * (1.0 - (t.n::DOUBLE /
+        |        ((t.s2::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)
+        |          / (t.n::DOUBLE - 1.0))) / bigw)
+        |      / (t.n::DOUBLE - 1.0))) AS c
+        |  FROM x
+        |)
+        |SELECT k, n_total,
+        |  CASE WHEN k < 2 OR tiny IS NOT NULL OR zerovar IS NOT NULL THEN NULL
+        |       ELSE ROUND((anum / (k::DOUBLE - 1.0))
+        |         / (1.0 + 2.0 * (k::DOUBLE - 2.0) / (k::DOUBLE * k::DOUBLE - 1.0) * c), 6)
+        |  END AS f_stat,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  CASE WHEN k < 2 OR tiny IS NOT NULL OR zerovar IS NOT NULL THEN NULL
+        |       ELSE ROUND((k::DOUBLE * k::DOUBLE - 1.0) / (3.0 * c), 6)
+        |  END AS df2
+        |FROM y""".stripMargin,
+
     "q_spearman" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
@@ -8077,6 +8255,29 @@ object SparkEntry {
          |)
          |SELECT key, score_ppm, n_tokens FROM c WHERE cum <= 10000""".stripMargin,
 
+    // Pareto skyline on the same (tokens, score) frame: survive iff
+    // score beats every strictly-cheaper row's max AND equals the max
+    // at the row's own cost (equal-point duplicates survive together)
+    "q_pareto_front" ->
+      s"""$docToks, t AS (
+         |  SELECT doc_id AS key,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |  FROM d WHERE len(toks) > 0
+         |), sc AS (
+         |  SELECT key, n_tokens AS cost,
+         |         (n_distinct * 1000000) // n_tokens AS score
+         |  FROM t
+         |), m AS (
+         |  SELECT *,
+         |    MAX(score) OVER (ORDER BY cost
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+         |    MAX(score) OVER (PARTITION BY cost) AS am
+         |  FROM sc
+         |)
+         |SELECT key, cost, score FROM m
+         |WHERE (pm IS NULL OR score > pm) AND score = am""".stripMargin,
+
     "q_weighted_sample" ->
       """WITH c AS (
         |  SELECT o_orderkey AS key,
@@ -8288,6 +8489,41 @@ object SparkEntry {
          |          s.rel::DOUBLE / (ln((s.rank + 1)::DOUBLE) / ln(2.0)))), 0.0)
          |        / i.idcg, 6) AS ndcg
          |FROM idcg i LEFT JOIN pq p USING (query_id)""".stripMargin,
+
+    // average precision over the same ranking/qrels: at the i-th hit in
+    // rank order the term is i/rank — the fold is rank-sorted, same
+    // list_sum == Spark-left-fold equivalence as the nDCG oracle
+    "q_avg_precision" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |p AS (
+         |  SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+         |  FROM q, c WHERE query_id <> neighbor_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id AS doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM p QUALIFY rank <= 10
+         |), qr AS (
+         |  SELECT e.vec_id AS doc_id, g.range AS query_id
+         |  FROM embeddings e, range(10) g
+         |  WHERE e.vec_id IS NOT NULL AND (e.vec_id * 31 + g.range) % 17 = 0
+         |), ideal AS (
+         |  SELECT query_id, COUNT(*)::BIGINT AS n_rel FROM qr GROUP BY 1
+         |), hits AS (
+         |  SELECT r.query_id, r.rank
+         |  FROM r JOIN qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+         |  WHERE r.rank <= 10
+         |), pq AS (
+         |  SELECT query_id, COUNT(*)::BIGINT AS n_rel_in_k,
+         |         list_sort(list(rank)) AS ranks
+         |  FROM hits GROUP BY 1
+         |)
+         |SELECT i.query_id, i.n_rel,
+         |  CAST(COALESCE(p.n_rel_in_k, 0) AS BIGINT) AS n_rel_in_k,
+         |  ROUND(COALESCE(list_sum(list_transform(range(1, len(p.ranks) + 1),
+         |          ii -> ii::DOUBLE / p.ranks[ii]::DOUBLE)), 0.0)
+         |        / i.n_rel::DOUBLE, 6) AS ap
+         |FROM ideal i LEFT JOIN pq p USING (query_id)""".stripMargin,
 
     "q_kfold" ->
       """WITH r AS (

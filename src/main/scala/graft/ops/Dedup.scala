@@ -383,6 +383,76 @@ object Dedup {
     }
   }
 
+  /** Near-duplicate pairs with exact n-gram Jaccard ≥ `tau`, candidates
+    * from the PREFIX-FILTER index (AllPairs / PPJoin — Bayardo, Ma &
+    * Srikant, WWW 2007; Xiao, Wang, Lin & Yu, WWW 2008): order every
+    * document's shingle set by ascending corpus df (rarest first,
+    * shingle-lexicographic tiebreak — a per-doc `array_sort`, NO global
+    * rank assignment), index only the first `|x| − ⌈τ·|x|⌉ + 1`
+    * shingles, and generate candidates from prefix-prefix collisions.
+    *
+    * Why this beats the df-bounded index at 100 TB: `maxDf` trades
+    * recall for fanout (a pair sharing only hot shingles is lost);
+    * the prefix filter is LOSSLESS — if J(x,y) ≥ τ then the overlap is
+    * ≥ ⌈τ·|x|⌉ on each side, so dropping the last ⌈τ·|x|⌉ − 1 ordered
+    * shingles cannot remove every common one, and both prefixes retain
+    * a shared entry. Hot shingles sit LAST in the df order, so they
+    * fall out of almost every prefix and the index sheds exactly the
+    * posting lists that explode — same skew cure, zero recall cost.
+    * Candidates then pass three sound prunes before the full-set
+    * verify: the symmetric length filter (τ·|x| ≤ |y|), the required-
+    * overlap bound t = ⌈τ·(|x|+|y|)/(1+τ)⌉, and PPJoin's positional
+    * bound — for a shared prefix shingle at 0-based ordered positions
+    * (pa, pb), common elements globally before it number ≤ min(pa, pb)
+    * and after it ≤ min(|x|−1−pa, |y|−1−pb), so
+    * `overlap ≤ min(pa,pb) + min(|x|−1−pa, |y|−1−pb) + 1`; the pair
+    * keeps its TIGHTEST bound across shared prefix shingles.
+    *
+    * Output: (a_id, b_id, jaccard), a_id < b_id — identical contract
+    * (and oracle) to [[nearDupPairsExact]] with `maxDf = None`.
+    */
+  def nearDupPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "0 < tau <= 1")
+    val sets = shingleSets(docs, idCol, textCol, n).cache()
+    val posting = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfCounts = posting.groupBy("sh").agg(count(lit(1)).as("_df"))
+    // per-doc df-ordered shingle array; the order is (df, sh) so every
+    // document sorts by the SAME global order without materializing it
+    val ordered = posting.join(dfCounts, "sh")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("_df"), col("sh")))).as("_osh"),
+        count(lit(1)).as("n"))
+    // prefix length |x| − ⌈τ·|x|⌉ + 1; posexplode keeps the 0-based
+    // ordered position the positional bound needs
+    val pfx = ordered
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("_osh"), lit(1),
+          col("n") - ceil(col("n") * lit(tau)).cast("int") + 1)))
+      .select(col("doc_id"), col("n"), col("pos"), col("col.sh").as("_k"))
+    val a = pfx.select(col("_k"), col("doc_id").as("a_id"),
+      col("n").as("n_a"), col("pos").as("pa"))
+    val b = pfx.select(col("_k"), col("doc_id").as("b_id"),
+      col("n").as("n_b"), col("pos").as("pb"))
+    val cands = a.join(b, Seq("_k"))
+      .filter(col("a_id") < col("b_id") &&
+        // symmetric length filter: τ·n_a ≤ n_b and τ·n_b ≤ n_a
+        col("n_b") >= col("n_a") * lit(tau - 1e-9) &&
+        col("n_a") >= col("n_b") * lit(tau - 1e-9))
+      .withColumn("_ub",
+        least(col("pa"), col("pb")) +
+          least(col("n_a") - 1 - col("pa"), col("n_b") - 1 - col("pb")) + 1)
+      .groupBy("a_id", "b_id")
+      .agg(min(col("_ub")).as("_ub"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      // required overlap t = ⌈τ(n_a+n_b)/(1+τ)⌉; 1e-9 slack covers
+      // double rounding (the exact verify decides τ)
+      .filter(col("_ub") >=
+        ceil((col("n_a") + col("n_b")) * lit(tau / (1.0 + tau) - 1e-9)))
+      .select(col("a_id"), col("b_id"))
+    verifyExactJaccard(cands, sets, tau)
+  }
+
   /** Exact-collapse-first near-dup — the composition a production corpus
     * pipeline actually ships: collapse byte/token-identical copies to one
     * canonical doc per fingerprint group (smallest id), THEN run the

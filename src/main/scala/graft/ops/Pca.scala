@@ -34,9 +34,19 @@ object Pca {
   /** Per-dim two-level ordered-fold sum of `termCol` over frame
     * (_id, _j, term) → (_j, total). Addition order: vec-id within
     * cell, then cell — deterministic and bounded per group.
+    *
+    * `ordered = false` is the PRODUCTION fold-swap knob: plain
+    * partial+final `sum` (map-side combine, no collect_list state,
+    * no per-group sort). It gives up cross-engine bit-equality of the
+    * double addition tree — the oracle regime keeps `ordered = true`;
+    * a 100 TB run that only needs ~1e-12-relative stability takes the
+    * swap (measured at fair 100× in PERF.md r10).
     */
-  private def dimSums(slots: DataFrame, cells: Int): DataFrame =
-    slots
+  private def dimSums(slots: DataFrame, cells: Int,
+                      ordered: Boolean = true): DataFrame =
+    if (!ordered)
+      slots.groupBy(col("_j")).agg(sum(col("_t")).as("total"))
+    else slots
       .groupBy(col("_j"), pmod(col("_id"), lit(cells)).as("_cell"))
       .agg(array_sort(collect_list(struct(col("_id"), col("_t")))).as("_a"))
       .select(col("_j"), col("_cell"),
@@ -48,13 +58,13 @@ object Pca {
 
   /** (means, n): per-dim mean as an Array[Double] in dim order. */
   def dimMeans(df: DataFrame, idCol: String, vecCol: String,
-               cells: Int = 256): (Array[Double], Long) = {
+               cells: Int = 256, ordered: Boolean = true): (Array[Double], Long) = {
     val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     val n = base.count()
     val slots = base.select(col(idCol).as("_id"),
         posexplode(col(vecCol)).as(Seq("_j", "_x")))
       .select(col("_id"), col("_j"), col("_x").cast("double").as("_t"))
-    val sums = dimSums(slots, cells).orderBy("_j").collect()
+    val sums = dimSums(slots, cells, ordered).orderBy("_j").collect()
     (sums.map(r => r.getDouble(1) / n.toDouble), n)
   }
 
@@ -76,9 +86,10 @@ object Pca {
     * length-d, sign-fixed so v(0) ≥ 0.
     */
   def topDirection(df: DataFrame, idCol: String, vecCol: String,
-                   iters: Int = 3, cells: Int = 256): (Array[Double], Array[Double]) = {
+                   iters: Int = 3, cells: Int = 256,
+                   ordered: Boolean = true): (Array[Double], Array[Double]) = {
     require(iters >= 1 && iters <= 10, "1 <= iters <= 10")
-    val (means, _) = dimMeans(df, idCol, vecCol, cells)
+    val (means, _) = dimMeans(df, idCol, vecCol, cells, ordered)
     val d = means.length
     val c = centered(df, idCol, vecCol, means).cache()
     try {
@@ -87,7 +98,7 @@ object Pca {
         val slots = c.select(col("_id"), dot(col("_cv"), v).as("_s"),
             posexplode(col("_cv")).as(Seq("_j", "_xc")))
           .select(col("_id"), col("_j"), (col("_s") * col("_xc")).as("_t"))
-        val w = dimSums(slots, cells).orderBy("_j").collect()
+        val w = dimSums(slots, cells, ordered).orderBy("_j").collect()
           .map(_.getDouble(1))
         // same tree as the oracle: fold j ascending from 0.0, IEEE sqrt
         val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
@@ -100,8 +111,9 @@ object Pca {
 
   /** Entry surface: the final direction as (dim, loading). */
   def topComponent(spark: SparkSession, df: DataFrame, idCol: String,
-                   vecCol: String, iters: Int = 3, cells: Int = 256): DataFrame = {
-    val (v, _) = topDirection(df, idCol, vecCol, iters, cells)
+                   vecCol: String, iters: Int = 3, cells: Int = 256,
+                   ordered: Boolean = true): DataFrame = {
+    val (v, _) = topDirection(df, idCol, vecCol, iters, cells, ordered)
     import spark.implicits._
     v.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq
       .toDF("dim", "_l")
@@ -113,8 +125,9 @@ object Pca {
     * pass with v and μ injected as literals. Output: (id, proj).
     */
   def projections(df: DataFrame, idCol: String, vecCol: String,
-                  iters: Int = 3, cells: Int = 256): DataFrame = {
-    val (v, means) = topDirection(df, idCol, vecCol, iters, cells)
+                  iters: Int = 3, cells: Int = 256,
+                  ordered: Boolean = true): DataFrame = {
+    val (v, means) = topDirection(df, idCol, vecCol, iters, cells, ordered)
     centered(df, idCol, vecCol, means)
       .select(col("_id").as(idCol), round(dot(col("_cv"), v), 6).as("proj"))
   }

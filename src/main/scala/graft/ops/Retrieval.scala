@@ -125,6 +125,62 @@ object Retrieval {
         round(coalesce(dcg, lit(0.0)) / col("_idcg"), 6).as("ndcg"))
   }
 
+  /** Average precision at `k` per query — the order-sensitive
+    * complement to [[rankingMetrics]]'s recall/MRR/NDCG: AP integrates
+    * precision at every relevant hit, so it penalizes a relevant doc at
+    * rank 9 that NDCG's log discount barely notices, and MAP over it is
+    * the classic single-number retrieval score (TREC convention:
+    * binary relevance = judged gain ≥ 1; denominator is the query's
+    * TOTAL judged-relevant count, so relevant docs outside the top-k
+    * cost recall, not just discount).
+    *
+    *   ap = ( Σ_{hits i ≤ k, rank order} cum_hits(i) / rank(i) ) / n_rel
+    *
+    * The per-query sum folds over the rank-sorted hit array (≤ k
+    * entries — a total order, one fixed double tree), same
+    * engine-reproducibility discipline as the NDCG fold. Queries with
+    * judged docs but no retrieved hit emit ap = 0.
+    *
+    * Input contract matches [[rankingMetrics]]; output:
+    * (query_id, n_rel, n_rel_in_k, ap).
+    *
+    * Scale posture: one (query, doc) equi-join, per-query hash aggs
+    * with k-bounded state; no windows over raw rankings.
+    */
+  def averagePrecision(ranking: DataFrame, qrels: DataFrame,
+                       queryIdCol: String, docIdCol: String, rankCol: String,
+                       relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val r = ranking.select(col(queryIdCol).cast("long").as("query_id"),
+        col(docIdCol).cast("long").as("doc_id"),
+        col(rankCol).cast("long").as("rank"))
+      .filter(col("query_id").isNotNull && col("doc_id").isNotNull &&
+        col("rank").isNotNull)
+    val q = qrels
+      .filter(col(relCol).isNotNull && col(relCol) >= 1)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(docIdCol).cast("long").as("doc_id"))
+      .filter(col("query_id").isNotNull && col("doc_id").isNotNull)
+    val totals = q.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val perQuery = r.join(q, Seq("query_id", "doc_id"))
+      .filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel_in_k"),
+        array_sort(collect_list(col("rank"))).as("_ranks"))
+      // fold carries (hits so far, precision sum): at the i-th hit with
+      // rank r the term is i / r
+      .withColumn("_psum", expr("""aggregate(_ranks,
+        named_struct('h', 0L, 's', 0.0d),
+        (a, r) -> named_struct('h', a.h + 1L,
+          's', a.s + CAST(a.h + 1 AS DOUBLE) / CAST(r AS DOUBLE)),
+        a -> a.s)"""))
+    totals.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_rel_in_k"), lit(0L)).as("n_rel_in_k"),
+        round(coalesce(col("_psum"), lit(0.0)) /
+          col("n_rel").cast("double"), 6).as("ap"))
+  }
+
   /** Turn a scored result into a 1-based ranking by
     * (`scoreCol` desc, `idCol`) — the adapter between score-producing
     * operators ([[TextAnalysis.bm25]]) and [[rrfFuse]]. Rank on the

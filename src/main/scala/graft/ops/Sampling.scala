@@ -460,6 +460,56 @@ object Sampling {
       .select(col("key"), col("score_ppm"), col("n_tokens"))
   }
 
+  /** 2-D Pareto front (skyline): the rows not dominated under
+    * (minimize `costCol`, maximize `scoreCol`) — the data-selection
+    * frontier question "which documents are the best quality you can
+    * get at each token cost?" that a greedy budget cut
+    * ([[selectByScoreBudget]]) answers only for ONE budget. A row is
+    * dominated iff some other row has cost ≤ AND score ≥ with at least
+    * one strict; equal (cost, score) duplicates survive together
+    * (neither dominates).
+    *
+    * The textbook rendering — sort by cost, keep rows whose score
+    * exceeds the running max — is a single-partition global window.
+    * Here the running max is TWO-LEVEL, the [[selectByScoreBudget]]
+    * bucket trick on the cost axis: per-bucket max scores (tiny frame)
+    * give exclusive prefix maxes over buckets; within a bucket a
+    * RANGE-frame window (`cost` strictly preceding) supplies the
+    * intra-bucket prefix max, `2^shift`-odd buckets in parallel; a
+    * per-cost window supplies the max at the row's own cost. Survive =
+    * score > every strictly-cheaper row's max AND score = own-cost max.
+    * All comparisons are BIGINT — no float ordering to pin.
+    *
+    * Output: the frontier as (key, cost, score), the keeps only.
+    */
+  def paretoFront(df: DataFrame, keyCol: String, costCol: String,
+                  scoreCol: String, bucketShift: Int = 16): DataFrame = {
+    require(bucketShift >= 0 && bucketShift <= 48, "bucketShift in [0, 48]")
+    import org.apache.spark.sql.expressions.Window
+    val cand = df
+      .filter(col(keyCol).isNotNull && col(costCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .select(col(keyCol).as("key"), col(costCol).cast("long").as("cost"),
+        col(scoreCol).cast("long").as("score"))
+      .withColumn("_bk", shiftright(col("cost"), bucketShift))
+    val bucketMax = cand.groupBy("_bk").agg(max("score").as("_bm"))
+    val wOff = Window.orderBy(col("_bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketMax
+      .withColumn("_om", max("_bm").over(wOff)) // null for the first bucket
+      .select(col("_bk"), col("_om"))
+    val wIn = Window.partitionBy(col("_bk")).orderBy(col("cost"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wAt = Window.partitionBy(col("_bk"), col("cost"))
+    cand
+      .join(broadcast(offsets), Seq("_bk"))
+      .withColumn("_pm", greatest(coalesce(col("_om"), lit(Long.MinValue)),
+        coalesce(max("score").over(wIn), lit(Long.MinValue))))
+      .withColumn("_am", max("score").over(wAt))
+      .filter(col("score") > col("_pm") && col("score") === col("_am"))
+      .select(col("key"), col("cost"), col("score"))
+  }
+
   /** Deterministic contrastive negative sampling: for each anchor row,
     * `k` rows with a DIFFERENT label, drawn from a bounded
     * hash-selected candidate pool — the random-negatives companion to

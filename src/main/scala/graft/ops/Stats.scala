@@ -1129,4 +1129,82 @@ object Stats {
       when(col("n_strata_matched") === 0, lit(null).cast("double"))
         .otherwise(att).as("att"))
   }
+
+  /** One-way Welch ANOVA (Welch 1951) — "did the metric mean move
+    * across k groups?" without the equal-variance assumption the
+    * classic F-test needs (segment sizes and variances differ wildly
+    * in real telemetry, which is exactly when pooled-variance ANOVA
+    * lies). The k-group generalization of [[welchZ]]:
+    *
+    *   w_i = n_i/s_i²,  W = Σw_i,  x̄ = Σw_i·x̄_i / W
+    *   F = [Σw_i(x̄_i−x̄)²/(k−1)] / [1 + 2(k−2)/(k²−1)·C],
+    *   C = Σ(1−w_i/W)²/(n_i−1),  df1 = k−1,  df2 = (k²−1)/(3C)
+    *
+    * Determinism: per-group n/Σx/Σx² are exact integers (Σx² in
+    * DECIMAL(38) — the spearman 128-bit-product discipline, so the
+    * envelope is ~1e12 rows of 1e6-scale metrics per group, not the
+    * BIGINT 9e18 line); every cross-group sum folds over the ONE
+    * group-sorted array (k rows) in a fixed double tree. Degenerates
+    * mask to NULL: k < 2, any n_i < 2, or any s_i² = 0 (the exact
+    * integer test n·Σx² = (Σx)² — decided identically on both engines,
+    * never a double ≈ 0 probe).
+    *
+    * Output is ONE row: (k, n_total, f_stat, df1, df2).
+    *
+    * Scale posture: one map-side-combinable hash agg collapses the data
+    * to k rows; everything after is a 1-row fold. Nothing downstream of
+    * the first exchange is data-sized.
+    */
+  def welchAnova(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(metric.cast("decimal(38,0)")).as("_s"),
+        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+    val folded = per
+      .agg(count(lit(1)).as("k"), sum(col("_n")).cast("long").as("n_total"),
+        max(when(col("_n") < 2, 1)).as("_tiny"),
+        // exact-integer zero-variance probe: n·Σx² == (Σx)²
+        max(when(col("_n") >= 2 &&
+          col("_n").cast("decimal(38,0)") * col("_s2") === col("_s") * col("_s"),
+          1)).as("_zerovar"),
+        array_sort(collect_list(struct(col("_g").cast("string").as("_g"),
+          col("_n"), col("_s"), col("_s2")))).as("_a"))
+    def nD(s: Column) = s.getField("_n").cast("double")
+    def meanOf(s: Column) =
+      s.getField("_s").cast("double") / nD(s)
+    def varOf(s: Column) =
+      (s.getField("_s2").cast("double") -
+        s.getField("_s").cast("double") * s.getField("_s").cast("double") /
+          nD(s)) / (nD(s) - lit(1.0))
+    def wOf(s: Column) = nD(s) / varOf(s)
+    // degenerates short-circuit BEFORE any fold evaluates: a zero-variance
+    // or n=1 group would divide by zero inside the fold under ANSI
+    val deg =
+      col("k") < 2 || col("_tiny").isNotNull || col("_zerovar").isNotNull
+    def guarded(c: Column) = when(deg, lit(null).cast("double")).otherwise(c)
+    val bigW = aggregate(col("_a"), lit(0.0), (a, s) => a + wOf(s))
+    val wMeanSum = aggregate(col("_a"), lit(0.0), (a, s) => a + wOf(s) * meanOf(s))
+    val withW = folded
+      .withColumn("_W", guarded(bigW))
+      .withColumn("_xbar", guarded(wMeanSum / col("_W")))
+    val aNum = aggregate(col("_a"), lit(0.0), (a, s) => {
+      val d = meanOf(s) - col("_xbar")
+      a + wOf(s) * d * d
+    })
+    val cSum = aggregate(col("_a"), lit(0.0), (a, s) => {
+      val r = lit(1.0) - wOf(s) / col("_W")
+      a + r * r / (nD(s) - lit(1.0))
+    })
+    val kD = col("k").cast("double")
+    withW
+      .withColumn("_C", guarded(cSum))
+      .select(col("k"), col("n_total"),
+        guarded(round((aNum / (kD - lit(1.0))) /
+          (lit(1.0) + lit(2.0) * (kD - lit(2.0)) / (kD * kD - lit(1.0)) *
+            col("_C")), 6)).as("f_stat"),
+        (col("k") - 1).cast("long").as("df1"),
+        guarded(round((kD * kD - lit(1.0)) / (lit(3.0) * col("_C")), 6))
+          .as("df2"))
+  }
 }

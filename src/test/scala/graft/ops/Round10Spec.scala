@@ -156,4 +156,118 @@ class Round10Spec extends SparkSpec {
       .collect().map(_.getString(1)).toSet
     assert(kept == again && kept.size == 5)
   }
+
+  // ---- prefix-filter set-similarity join (AllPairs/PPJoin) ----------
+
+  test("nearDupPairsPrefix: equals the full-index result (lossless filter)") {
+    // near-dups, an exact dup, a hot shared phrase, and unrelated docs —
+    // the prefix filter must reproduce the complete index bit-for-bit
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different text about spark shuffle exchange plans"),
+      (5L, "another unrelated document mentioning the quick brown fox once"),
+      (6L, "the lazy dog sleeps while the quick brown fox runs far away")
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(key).sortBy(p => (p._1, p._2))
+    val pfx = Dedup.nearDupPairsPrefix(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(key).sortBy(p => (p._1, p._2))
+    assert(full.nonEmpty && (pfx.toSeq == full.toSeq))
+  }
+
+  test("nearDupPairsPrefix: tau = 1 keeps only identical shingle sets") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupPairsPrefix(docs, "doc_id", "text", n = 3, tau = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  // ---- average precision --------------------------------------------
+
+  test("averagePrecision: hits at ranks 1 and 3 with two judged docs") {
+    val ranking = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 10L, 1L)).toDF("q", "d", "r")
+    val qrels = Seq((1L, 10L, 1L), (1L, 12L, 2L), (2L, 99L, 1L))
+      .toDF("q", "d", "rel")
+    val got = Retrieval.averagePrecision(ranking, qrels, "q", "d", "r", "rel",
+        k = 10)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // q1: (1/1 + 2/3) / 2 = 0.833333; q2: judged, nothing hit -> 0
+    assert(got(1L) == ((2L, 2L, 0.833333)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+  }
+
+  test("averagePrecision: a relevant doc beyond k costs recall, not error") {
+    val ranking = Seq((1L, 10L, 1L), (1L, 11L, 12L)).toDF("q", "d", "r")
+    val qrels = Seq((1L, 10L, 1L), (1L, 11L, 1L)).toDF("q", "d", "rel")
+    val r = Retrieval.averagePrecision(ranking, qrels, "q", "d", "r", "rel",
+      k = 10).collect().head
+    // hit at rank 1 only; denominator stays 2
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 0.5)
+  }
+
+  // ---- Pareto front --------------------------------------------------
+
+  test("paretoFront: keeps the skyline, drops dominated rows, keeps ties") {
+    val pts = Seq(
+      ("a", 1L, 5L), ("b", 2L, 7L), ("b2", 2L, 7L), ("c", 2L, 6L),
+      ("d", 3L, 7L), ("e", 3L, 9L), ("f", 5L, 9L)
+    ).toDF("key", "cost", "score")
+    val got = Sampling.paretoFront(pts, "key", "cost", "score")
+      .collect().map(_.getString(0)).toSet
+    // c dominated at its own cost (score 6 < 7); d dominated by b
+    // (cost 2 < 3, score 7 >= 7); f dominated by e; the (2,7) twins
+    // survive together (neither dominates the other)
+    assert(got == Set("a", "b", "b2", "e"))
+  }
+
+  test("paretoFront: bucket boundaries do not change the answer") {
+    val pts = (1 to 200).map(i =>
+      (s"k$i", i.toLong, ((i * 7919) % 400).toLong)).toDF("key", "cost", "score")
+    def front(shift: Int) =
+      Sampling.paretoFront(pts, "key", "cost", "score", bucketShift = shift)
+        .collect().map(_.getString(0)).toSet
+    assert(front(0) == front(3) && front(3) == front(16))
+  }
+
+  // ---- Welch ANOVA ----------------------------------------------------
+
+  test("welchAnova: matches the hand-computed statistic") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 4L), ("b", 6L),
+      ("c", 5L), ("c", 5L), ("c", 8L)).toDF("g", "x")
+    val r = Stats.welchAnova(df, "g", col("x")).collect().head
+    // reference computation (same formula, plain doubles)
+    val groups = Seq(Seq(1.0, 2.0, 3.0), Seq(2.0, 4.0, 6.0), Seq(5.0, 5.0, 8.0))
+    val k = groups.size.toDouble
+    val stats = groups.map { g =>
+      val n = g.size.toDouble; val m = g.sum / n
+      val v = g.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, n / v)
+    }
+    val bigW = stats.map(_._3).sum
+    val xbar = stats.map(s => s._3 * s._2).sum / bigW
+    val aNum = stats.map(s => s._3 * (s._2 - xbar) * (s._2 - xbar)).sum
+    val c = stats.map(s => math.pow(1 - s._3 / bigW, 2) / (s._1 - 1)).sum
+    val f = (aNum / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * c)
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_total") == 9L)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-6)
+    assert(math.abs(r.getAs[Double]("df2") - (k * k - 1) / (3 * c)) < 1e-6)
+  }
+
+  test("welchAnova: zero-variance and tiny groups mask to NULL") {
+    val zv = Seq(("a", 5L), ("a", 5L), ("b", 1L), ("b", 3L)).toDF("g", "x")
+    val r1 = Stats.welchAnova(zv, "g", col("x")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("f_stat")))
+    val tiny = Seq(("a", 5L), ("b", 1L), ("b", 3L)).toDF("g", "x")
+    val r2 = Stats.welchAnova(tiny, "g", col("x")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("f_stat")))
+  }
 }
