@@ -2011,6 +2011,26 @@ object SparkEntry {
         table(s, dir, "events").filter(col("value").isNotNull),
         "user_id", round(col("value") * 100).cast("long"))),
 
+    // exact-p permutation test per event type: md5-derandomized unit
+    // relabels, cross-multiplied integer exceedance — p is a small
+    // rational both engines state identically
+    "q_perm_test" -> ((s, dir) =>
+      graft.ops.Bootstrap.permutationTest(
+        table(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", "event_type", round(col("value") * 100).cast("long"),
+        reps = 99)),
+
+    // Benjamini–Hochberg over that family: the multiple-testing gate a
+    // per-segment metrics sweep needs (exact rational p's in, stable
+    // rank order, q-values + step-up rejections out)
+    "q_fdr_bh" -> ((s, dir) =>
+      graft.ops.Stats.bhFdr(
+        graft.ops.Bootstrap.permutationTest(
+          table(s, dir, "events").filter(col("value").isNotNull),
+          "user_id", "event_type", round(col("value") * 100).cast("long"),
+          reps = 99),
+        "stratum", "p", alpha = 0.1)),
+
     // deterministic Poisson bootstrap: 64 replicate means of per-user
     // spend cents, multiplicities from md5-threshold cuts
     "q_bootstrap_ci" -> ((s, dir) =>
@@ -2766,6 +2786,61 @@ object SparkEntry {
       |              CASE WHEN q = '' THEN '' ELSE '?' || q END
       |    END AS url_canon
       |  FROM pieces
+      |)""".stripMargin
+
+  /** Shared q_perm_test / q_fdr_bh prefix: the md5-derandomized
+    * permutation test as CTEs ending in `pt` =
+    * (stratum, n_units, n_treat, n_control, diff, n_exceed, p) —
+    * exceedance is a HUGEINT cross-multiplied comparison, p an exact
+    * rational (reps = 99 → /100).
+    */
+  private val permTestSql =
+    """WITH per AS (
+      |  SELECT event_type AS stratum, user_id AS u,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |), pa AS (
+      |  SELECT *, CASE WHEN ('0x' || substr(md5(u::VARCHAR), 1, 8))::BIGINT % 2 = 1
+      |                 THEN 1 ELSE 0 END AS arm
+      |  FROM per
+      |), obs AS (
+      |  SELECT stratum, COUNT(*)::BIGINT AS n_units,
+      |    CAST(SUM(arm) AS BIGINT) AS n_treat,
+      |    CAST(SUM(1 - arm) AS BIGINT) AS n_control,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0
+      |  FROM pa GROUP BY 1
+      |), sl AS (
+      |  SELECT p.stratum, p.x, br.range AS b,
+      |    CASE WHEN ('0x' || substr(md5(p.u::VARCHAR || '_' || br.range::VARCHAR), 1, 8))::BIGINT % 2 = 1
+      |         THEN 1 ELSE 0 END AS ab
+      |  FROM per p, range(99) br
+      |), reps AS (
+      |  SELECT stratum, b,
+      |    CAST(SUM(ab) AS BIGINT) AS n1b, CAST(SUM(1 - ab) AS BIGINT) AS n0b,
+      |    CAST(SUM(CASE WHEN ab = 1 THEN x ELSE 0 END) AS BIGINT) AS s1b,
+      |    CAST(SUM(CASE WHEN ab = 0 THEN x ELSE 0 END) AS BIGINT) AS s0b
+      |  FROM sl GROUP BY 1, 2
+      |), ex AS (
+      |  SELECT r.stratum,
+      |    CAST(SUM(CASE WHEN r.n1b = 0 OR r.n0b = 0 THEN 1
+      |      WHEN abs(r.s1b::HUGEINT * r.n0b - r.s0b::HUGEINT * r.n1b)
+      |             * (o.n_treat::HUGEINT * o.n_control)
+      |        >= abs(o.s1::HUGEINT * o.n_control - o.s0::HUGEINT * o.n_treat)
+      |             * (r.n1b::HUGEINT * r.n0b)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+      |  FROM reps r JOIN obs o USING (stratum) GROUP BY 1
+      |), pt AS (
+      |  SELECT o.stratum, o.n_units, o.n_treat, o.n_control,
+      |    CASE WHEN o.n_treat = 0 OR o.n_control = 0 THEN NULL
+      |         ELSE ROUND(o.s1::DOUBLE / o.n_treat::DOUBLE
+      |                  - o.s0::DOUBLE / o.n_control::DOUBLE, 6) END AS diff,
+      |    e.n_exceed,
+      |    CASE WHEN o.n_treat = 0 OR o.n_control = 0 THEN NULL
+      |         ELSE (e.n_exceed + 1)::DOUBLE / 100.0 END AS p
+      |  FROM obs o JOIN ex e USING (stratum)
       |)""".stripMargin
 
   /** DuckDB cosine similarity matching `Similarity.cosine` exactly:
@@ -4046,6 +4121,37 @@ object SparkEntry {
         |       ELSE (t.mean - c.mean) /
         |            sqrt(t.var / t.n::DOUBLE + c.var / c.n::DOUBLE) END AS z
         |FROM (SELECT * FROM m WHERE v = 0) c, (SELECT * FROM m WHERE v = 1) t""".stripMargin,
+
+    "q_perm_test" ->
+      s"""$permTestSql
+         |SELECT * FROM pt""".stripMargin,
+
+    // BH over the permutation family: rank by (p, id), reverse-running
+    // min for q, step-up k* for rejections — all on the tiny test frame
+    "q_fdr_bh" ->
+      s"""$permTestSql, wp AS (
+         |  SELECT stratum AS test_id, p FROM pt WHERE p IS NOT NULL
+         |), mm AS (SELECT COUNT(*)::BIGINT AS m FROM wp),
+         |rk AS (
+         |  SELECT test_id, p,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY p, test_id) AS BIGINT) AS rank, m
+         |  FROM wp, mm
+         |), qq AS (
+         |  SELECT *,
+         |    MIN(least(1.0, p * m::DOUBLE / rank::DOUBLE)) OVER (
+         |      ORDER BY p DESC, test_id DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q,
+         |    p <= 0.1 * rank::DOUBLE / m::DOUBLE AS pass
+         |  FROM rk
+         |), ks AS (
+         |  SELECT COALESCE(MAX(CASE WHEN pass THEN rank END), 0) AS k FROM qq
+         |)
+         |SELECT test_id, p, rank, ROUND(q, 6) AS q_value,
+         |       rank <= ks.k AS rejected
+         |FROM qq, ks
+         |UNION ALL
+         |SELECT stratum AS test_id, p, NULL, NULL, NULL
+         |FROM pt WHERE p IS NULL""".stripMargin,
 
     // Poisson-bootstrap twin: same md5 ppm hash, same cumulative
     // thresholds, exact BIGINT weighted sums per replicate

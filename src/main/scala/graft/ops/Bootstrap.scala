@@ -69,4 +69,93 @@ object Bootstrap {
           .otherwise(col("wsum").cast("double") / col("n_eff").cast("double"))
           .as("mean"))
   }
+
+  /** Derandomized two-sample permutation test, one test per stratum —
+    * the EXACT-p companion to [[Stats.welchZ]]: no normal approximation,
+    * no transcendental CDF, so the p-value is a small rational both
+    * engines state identically (the property [[Stats.bhFdr]] needs to
+    * gate a multiple-testing sweep bit-exactly).
+    *
+    * Units are per-(stratum, unit) metric sums; the OBSERVED split is
+    * the md5 parity arm (the welchZ assignment); replicate `b`
+    * reassigns every unit by `md5(unit_b) % 2` — under H₀ (no arm
+    * effect) relabeling is measure-preserving, and the derandomized
+    * relabels are fixed for any engine, run, and partitioning.
+    *
+    *   p = (1 + #{b : |diff_b| ≥ |diff_obs|}) / (B + 1)
+    *
+    * The exceedance test cross-multiplies instead of dividing:
+    * |s1b·n0b − s0b·n1b| · (n1·n0) ≥ |s1·n0 − s0·n1| · (n1b·n0b),
+    * all DECIMAL(38) integer products — the comparison is exact, so
+    * `n_exceed` (hence p) is engine-bit-identical. A replicate that
+    * lands every unit in one arm has no statistic and counts as
+    * exceeding (conservative, probability ~2^{1−n}); a stratum whose
+    * OBSERVED split is one-armed masks diff/p to NULL.
+    *
+    * Output: (stratum, n_units, n_treat, n_control, diff, n_exceed, p)
+    * with diff = mean₁ − mean₀ ROUND(…, 6) and p raw (an exact small
+    * rational, division of ≤ 4-digit ints — identical IEEE result).
+    *
+    * Scale posture: one per-(stratum, unit) agg over the log, then a
+    * B-way map-side explode into a (stratum, b) agg — B × |units| slot
+    * rows through one exchange, the Poisson-bootstrap cost shape. The
+    * exceedance compare joins the B-row frame to the 1-row-per-stratum
+    * observed frame (broadcast).
+    */
+  def permutationTest(df: DataFrame, unitCol: String, strataCol: String,
+                      metric: Column, reps: Int = 199): DataFrame = {
+    require(reps >= 1 && reps <= 4096, "1 <= reps <= 4096")
+    val per = df.filter(col(unitCol).isNotNull && col(strataCol).isNotNull &&
+        metric.isNotNull)
+      .groupBy(col(strataCol).as("stratum"), col(unitCol).as("_u"))
+      .agg(sum(metric).cast("long").as("_x"))
+      .withColumn("_arm", Sampling.hashBucket(col("_u"), 2))
+      .cache() // |units| rows; feeds the observed agg AND the explode
+    val obs = per.groupBy("stratum").agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("_arm") === 1, col("_x")).otherwise(0L))
+          .cast("long").as("_s1"),
+        sum(when(col("_arm") === 0, col("_x")).otherwise(0L))
+          .cast("long").as("_s0"))
+    val repFrame = per
+      .select(col("stratum"), col("_u"), col("_x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("_ab",
+        Sampling.hashBucket(concat_ws("_", col("_u"), col("b")), 2))
+      .groupBy("stratum", "b")
+      .agg(sum(when(col("_ab") === 1, 1L).otherwise(0L)).as("_n1b"),
+        sum(when(col("_ab") === 0, 1L).otherwise(0L)).as("_n0b"),
+        sum(when(col("_ab") === 1, col("_x")).otherwise(0L))
+          .cast("long").as("_s1b"),
+        sum(when(col("_ab") === 0, col("_x")).otherwise(0L))
+          .cast("long").as("_s0b"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val exceed = repFrame.join(broadcast(obs), Seq("stratum"))
+      .withColumn("_ex",
+        when(col("_n1b") === 0 || col("_n0b") === 0, lit(1L)) // degenerate relabel
+          .when(
+            abs(dec(col("_s1b")) * dec(col("_n0b")) -
+              dec(col("_s0b")) * dec(col("_n1b"))) *
+              dec(col("n_treat") * col("n_control")) >=
+            abs(dec(col("_s1")) * dec(col("n_control")) -
+              dec(col("_s0")) * dec(col("n_treat"))) *
+              dec(col("_n1b") * col("_n0b")), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy("stratum").agg(sum(col("_ex")).cast("long").as("n_exceed"))
+    obs.join(exceed, Seq("stratum"))
+      .select(col("stratum"), col("n_units"), col("n_treat"), col("n_control"),
+        when(col("n_treat") === 0 || col("n_control") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("_s1").cast("double") /
+              col("n_treat").cast("double") -
+            col("_s0").cast("double") / col("n_control").cast("double"), 6))
+          .as("diff"),
+        col("n_exceed"),
+        when(col("n_treat") === 0 || col("n_control") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("n_exceed") + 1).cast("double") /
+            lit((reps + 1).toDouble)).as("p"))
+  }
 }

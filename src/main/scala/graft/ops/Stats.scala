@@ -1130,6 +1130,61 @@ object Stats {
         .otherwise(att).as("att"))
   }
 
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995) over a
+    * family of tests — the multiple-testing gate a metrics sweep needs:
+    * run one test per segment/metric and the expected share of false
+    * "significant" calls among the winners is held at `alpha`, where
+    * per-test thresholds would let it grow with the family size.
+    *
+    * Input is ONE ROW PER TEST — a frame bounded by the experiment
+    * design (segments × metrics), never data-sized; the windows below
+    * run on that tiny frame by construction (the chiSquare contingency
+    * precedent). p-values should be exact rationals
+    * ([[Bootstrap.permutationTest]]) or ROUND(…, 6) statistics so the
+    * rank order is engine-stable; ties break by test id.
+    *
+    *   rank i by (p asc, id asc);  k* = max{ i : p_i ≤ α·i/m }
+    *   rejected_i = (i ≤ k*);      q_i = min_{j ≥ i} min(1, p_j·m/j)
+    *
+    * Output: (test_id, p, rank, q_value, rejected) — `q_value` is the
+    * standard BH-adjusted p (monotone step-up envelope), ROUND(…, 6).
+    * NULL p-values are excluded from the family (m counts tests with a
+    * p), emitted with NULL rank/q/rejected.
+    */
+  def bhFdr(tests: DataFrame, idCol: String, pCol: String,
+            alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "0 < alpha < 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = tests.select(col(idCol).as("test_id"),
+      col(pCol).cast("double").as("p"))
+    val withP = base.filter(col("p").isNotNull)
+    val m = withP.agg(count(lit(1)).as("_m"))
+    val wRank = Window.orderBy(col("p"), col("test_id"))
+    val wRev = Window.orderBy(col("p").desc, col("test_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = withP.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("_adj", least(lit(1.0),
+        col("p") * col("_m").cast("double") / col("rank").cast("double")))
+      .withColumn("_q", min(col("_adj")).over(wRev))
+      .withColumn("_pass",
+        col("p") <= lit(alpha) * col("rank").cast("double") /
+          col("_m").cast("double"))
+      .cache() // tiny (m rows) but consumed by both k* and the output —
+               // without it an upstream data-sized p-producer plans twice
+    val kStar = ranked.agg(
+      coalesce(max(when(col("_pass"), col("rank"))), lit(0L)).as("_k"))
+    val scored = ranked.crossJoin(broadcast(kStar))
+      .select(col("test_id"), col("p"), col("rank"),
+        round(col("_q"), 6).as("q_value"),
+        (col("rank") <= col("_k")).as("rejected"))
+    val nullP = base.filter(col("p").isNull)
+      .select(col("test_id"), col("p"), lit(null).cast("long").as("rank"),
+        lit(null).cast("double").as("q_value"),
+        lit(null).cast("boolean").as("rejected"))
+    scored.unionAll(nullP)
+  }
+
   /** One-way Welch ANOVA (Welch 1951) — "did the metric mean move
     * across k groups?" without the equal-variance assumption the
     * classic F-test needs (segment sizes and variances differ wildly

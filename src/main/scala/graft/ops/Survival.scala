@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,7 +119,7 @@ object Survival {
     * calendar-bounded array. Same shape as [[kaplanMeier]].
     */
   def logRank(events: DataFrame, userCol: String, tsCol: String,
-              group: org.apache.spark.sql.Column,
+              group: Column,
               censorDays: Int = 7): DataFrame = {
     require(censorDays >= 0, "censorDays >= 0")
     val perUser = events

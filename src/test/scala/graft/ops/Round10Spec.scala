@@ -270,4 +270,77 @@ class Round10Spec extends SparkSpec {
     val r2 = Stats.welchAnova(tiny, "g", col("x")).collect().head
     assert(r2.isNullAt(r2.fieldIndex("f_stat")))
   }
+
+  // ---- log-rank test --------------------------------------------------
+
+  test("logRank: hand-computed O/E/V on a 4-user fixture") {
+    // g1: u1 (d1..d3, t=2, churns), u2 (d1, t=0, churns)
+    // g0: u3 (d1..d6, censored), u4 (d2..d6, censored); horizon = d6
+    val ev = Seq(("u1", 1), ("u1", 3), ("u2", 1), ("u3", 1), ("u3", 6),
+      ("u4", 2), ("u4", 6)).map { case (u, d) => (u, ts(d)) }.toDF("u", "t")
+    val g = when(col("u").isin("u1", "u2"), 1L).otherwise(0L)
+    val r = Survival.logRank(ev, "u", "t", g, censorDays = 2).collect().head
+    assert(r.getAs[Long]("n_users") == 4L && r.getAs[Long]("n_users_1") == 2L)
+    assert(r.getAs[Long]("n_event_times") == 2L && r.getAs[Long]("o1") == 2L)
+    // E1 = 1*(2/4) + 1*(1/3); V = 1*(1/2)(1/2)*(3/3) + 1*(1/3)(2/3)*(2/2)
+    val e1 = 0.5 + 1.0 / 3.0
+    val v = 0.25 + 2.0 / 9.0
+    assert(math.abs(r.getAs[Double]("e1") - e1) < 1e-6)
+    assert(math.abs(r.getAs[Double]("v") - v) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - (2.0 - e1) / math.sqrt(v)) < 1e-6)
+  }
+
+  test("logRank: single-group data masks z to NULL") {
+    val ev = Seq(("u1", 1), ("u1", 2), ("u2", 1), ("u2", 9), ("u3", 1),
+      ("u3", 9)).map { case (u, d) => (u, ts(d)) }.toDF("u", "t")
+    // every user in group 0 -> n1(t) = 0 at every event time
+    val r = Survival.logRank(ev, "u", "t", lit(0L), censorDays = 2)
+      .collect().head
+    assert(r.getAs[Long]("o1") == 0L)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  // ---- permutation test + BH-FDR --------------------------------------
+
+  test("permutationTest: a null effect (constant metric) gives p = 1") {
+    // every unit contributes the same value -> |diff_obs| = 0 and every
+    // relabel's diff is 0 >= 0, so n_exceed = B and p = (B+1)/(B+1)
+    val df = (1 to 40).map(i => (s"u$i", "s", 100L)).toDF("u", "strat", "x")
+    val r = Bootstrap.permutationTest(df, "u", "strat", col("x"), reps = 19)
+      .collect().head
+    assert(r.getAs[Long]("n_exceed") == 19L)
+    assert(r.getAs[Double]("p") == 1.0)
+    assert(r.getAs[Double]("diff") == 0.0)
+  }
+
+  test("permutationTest: derandomized — identical across runs") {
+    val df = (1 to 60).map(i => (s"u$i", "s", (i * 37 % 11).toLong))
+      .toDF("u", "strat", "x")
+    def run() = Bootstrap.permutationTest(df, "u", "strat", col("x"),
+      reps = 49).collect().head
+    val (a, b) = (run(), run())
+    assert(a.getAs[Long]("n_exceed") == b.getAs[Long]("n_exceed"))
+    assert(a.getAs[Double]("p") == b.getAs[Double]("p"))
+    assert(a.getAs[Double]("p") >= 1.0 / 50.0 && a.getAs[Double]("p") <= 1.0)
+  }
+
+  test("bhFdr: step-up rejections and monotone q-values on a hand case") {
+    val tests = Seq(("t1", Some(0.01)), ("t2", Some(0.02)),
+      ("t3", Some(0.2)), ("t4", Some(0.9)), ("t5", None))
+      .toDF("id", "p")
+    val got = Stats.bhFdr(tests, "id", "p", alpha = 0.1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // m=4; thresholds 0.025/0.05/0.075/0.1 -> k*=2
+    assert(got("t1").getAs[Boolean]("rejected"))
+    assert(got("t2").getAs[Boolean]("rejected"))
+    assert(!got("t3").getAs[Boolean]("rejected"))
+    assert(!got("t4").getAs[Boolean]("rejected"))
+    assert(got("t1").getAs[Double]("q_value") == 0.04)
+    assert(got("t2").getAs[Double]("q_value") == 0.04)
+    assert(math.abs(got("t3").getAs[Double]("q_value") - 0.266667) < 1e-9)
+    assert(got("t4").getAs[Double]("q_value") == 0.9)
+    // NULL p stays out of the family but is emitted
+    assert(got("t5").isNullAt(got("t5").fieldIndex("rank")))
+    assert(got("t5").isNullAt(got("t5").fieldIndex("rejected")))
+  }
 }
