@@ -2112,6 +2112,35 @@ object SparkEntry {
         "p_partkey", "p_name",
         Seq("p_brand", "p_size", "p_initial"), minSim = 0.88)),
 
+    // Fellegi–Sunter weights over looser-blocked JW candidates:
+    // exact value-frequency u-probabilities, fixed m = 0.9
+    "q_fs_linkage" -> ((s, dir) =>
+      graft.ops.Dedup.fsLinkage(
+        table(s, dir, "part").withColumn("p_initial",
+          substring(col("p_name"), 1, 1)),
+        "p_partkey", "p_name",
+        fieldCols = Seq("p_brand", "p_type"),
+        blockCols = Seq("p_initial", "p_size"),
+        candSim = 0.75, m = 0.9)),
+
+    // empirical-Bayes purchase-rate shrinkage per user: rate-MoM
+    // beta prior from exact ppm sums, floor-derived shrunk rates
+    "q_eb_shrinkage" -> ((s, dir) =>
+      graft.ops.Stats.ebShrinkage(
+        table(s, dir, "events"), "user_id",
+        lit(1L), when(col("event_type") === "purchase", 1L).otherwise(0L))),
+
+    // bounded-hop BFS over the co-purchase graph from the %997 seed
+    // parts: per-round frontier relaxation, oracle unrolls 3 rounds
+    "q_bfs_hops" -> ((s, dir) =>
+      graft.ops.Graph.bfsHops(
+        graft.ops.Graph.cooccurrenceDigraph(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L),
+        "src", "dst",
+        table(s, dir, "part").filter(pmod(col("p_partkey"), lit(997)) === 0),
+        "p_partkey", maxHops = 3)),
+
     // encoding-damage audit per source over the mojibake-planted docs
     "q_mojibake" -> ((s, dir) =>
       graft.ops.TextAnalysis.encodingAudit(
@@ -4126,6 +4155,44 @@ object SparkEntry {
       s"""$permTestSql
          |SELECT * FROM pt""".stripMargin,
 
+    // EB shrinkage: exact ppm rate sums -> one double prior tree;
+    // v = 0 decided on exact ints (k·Σr² = (Σr)²); floor'd shrunk rates
+    "q_eb_shrinkage" ->
+      """WITH per AS (
+        |  SELECT user_id AS key, COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT *, x * 1000000 // n AS raw_ppm FROM per
+        |  WHERE n > 0 AND x >= 0 AND x <= n
+        |), pr AS (
+        |  SELECT COUNT(*)::BIGINT AS k, SUM(raw_ppm::HUGEINT) AS sr,
+        |         SUM((raw_ppm * raw_ppm)::HUGEINT) AS sr2
+        |  FROM r
+        |), ms AS (
+        |  SELECT k,
+        |    sr::DOUBLE / k::DOUBLE / 1e6 AS m,
+        |    (sr2::DOUBLE / k::DOUBLE
+        |       - (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE)) / 1e12 AS v,
+        |    (k < 2 OR k::HUGEINT * sr2 = sr * sr) AS degen
+        |  FROM pr
+        |), pp AS (
+        |  SELECT CASE WHEN degen THEN NULL
+        |              ELSE (m * (1.0 - m) - v) / v END AS s, m
+        |  FROM ms
+        |), p2 AS (
+        |  SELECT CASE WHEN s <= 0.0 THEN NULL ELSE s END AS s,
+        |         CASE WHEN s <= 0.0 THEN NULL ELSE m END AS m
+        |  FROM pp
+        |)
+        |SELECT key, n, x, raw_ppm,
+        |  CASE WHEN p2.s IS NULL THEN NULL
+        |       ELSE CAST(floor((x::DOUBLE + p2.m * p2.s)
+        |                       / (n::DOUBLE + p2.s) * 1e6) AS BIGINT)
+        |  END AS shrunk_ppm
+        |FROM r, p2""".stripMargin,
+
     // BH over the permutation family: rank by (p, id), reverse-running
     // min for q, step-up k* for rejections — all on the tiny test frame
     "q_fdr_bh" ->
@@ -4456,6 +4523,61 @@ object SparkEntry {
         |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
         |  AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
+
+    // Fellegi–Sunter: same JW kernel twin, exact Σn_v² u-probabilities;
+    // 1−m is spelled (1.0 − 0.9) so the double matches Spark's lit(1.0−m)
+    "q_fs_linkage" ->
+      """WITH bp AS (
+        |  SELECT p_partkey, p_name, p_size, substr(p_name, 1, 1) AS p_initial
+        |  FROM part
+        |  WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+        |    AND p_size IS NOT NULL AND substr(p_name, 1, 1) IS NOT NULL
+        |), proj AS (
+        |  SELECT p_partkey AS id,
+        |    COALESCE(p_brand::VARCHAR, '') AS f0,
+        |    COALESCE(p_type::VARCHAR, '') AS f1,
+        |    COALESCE(p_name::VARCHAR, '') AS f2
+        |  FROM part WHERE p_partkey IS NOT NULL
+        |), nn AS (SELECT COUNT(*)::BIGINT AS n FROM proj),
+        |u0 AS (SELECT SUM((c * c)::HUGEINT) AS u FROM
+        |       (SELECT COUNT(*)::BIGINT AS c FROM proj GROUP BY f0)),
+        |u1 AS (SELECT SUM((c * c)::HUGEINT) AS u FROM
+        |       (SELECT COUNT(*)::BIGINT AS c FROM proj GROUP BY f1)),
+        |u2 AS (SELECT SUM((c * c)::HUGEINT) AS u FROM
+        |       (SELECT COUNT(*)::BIGINT AS c FROM proj GROUP BY f2)),
+        |cand AS (
+        |  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |    jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |  FROM bp a JOIN bp b
+        |    ON a.p_initial = b.p_initial AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.75
+        |), j AS (
+        |  SELECT c.a_id, c.b_id, c.jw,
+        |    pa.f0 = pb.f0 AS g0, pa.f1 = pb.f1 AS g1, pa.f2 = pb.f2 AS g2
+        |  FROM cand c
+        |  JOIN proj pa ON pa.id = c.a_id
+        |  JOIN proj pb ON pb.id = c.b_id
+        |)
+        |SELECT a_id, b_id, jw,
+        |  (CASE WHEN g0 THEN '1' ELSE '0' END ||
+        |   CASE WHEN g1 THEN '1' ELSE '0' END ||
+        |   CASE WHEN g2 THEN '1' ELSE '0' END) AS pattern,
+        |  CAST((CASE WHEN g0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN g1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  ROUND(
+        |    (CASE WHEN g0
+        |       THEN ln(0.9 / (u0.u::DOUBLE / (nn.n::DOUBLE * nn.n::DOUBLE))) / ln(2.0)
+        |       ELSE ln((1.0 - 0.9) / (1.0 - u0.u::DOUBLE / (nn.n::DOUBLE * nn.n::DOUBLE))) / ln(2.0) END)
+        |    + (CASE WHEN g1
+        |       THEN ln(0.9 / (u1.u::DOUBLE / (nn.n::DOUBLE * nn.n::DOUBLE))) / ln(2.0)
+        |       ELSE ln((1.0 - 0.9) / (1.0 - u1.u::DOUBLE / (nn.n::DOUBLE * nn.n::DOUBLE))) / ln(2.0) END)
+        |    + (CASE WHEN g2
+        |       THEN ln(0.9 / (u2.u::DOUBLE / (nn.n::DOUBLE * nn.n::DOUBLE))) / ln(2.0)
+        |       ELSE ln((1.0 - 0.9) / (1.0 - u2.u::DOUBLE / (nn.n::DOUBLE * nn.n::DOUBLE))) / ln(2.0) END),
+        |    6) AS weight
+        |FROM j, nn, u0, u1, u2""".stripMargin,
 
     // mojibake twin: identical residue plants via chr(), identical
     // codepoint-class patterns
@@ -7614,6 +7736,57 @@ object SparkEntry {
         |FROM edges e1
         |JOIN edges e2 ON e1.b = e2.a
         |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    // bounded-hop BFS over the co-purchase graph: the oracle unrolls the
+    // same 3 frontier-relaxation rounds (per-node MIN — never paths)
+    "q_bfs_hops" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), und AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM und
+        |), d0 AS (
+        |  SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM part WHERE p_partkey IS NOT NULL AND p_partkey % 997 = 0
+        |), r1 AS (
+        |  SELECT e.dst AS node, MIN(d0.dist) + 1 AS d2
+        |  FROM d0 JOIN e ON e.src = d0.node GROUP BY 1
+        |), d1 AS (
+        |  SELECT COALESCE(d0.node, r1.node) AS node,
+        |    least(COALESCE(d0.dist, 9223372036854775807),
+        |          COALESCE(r1.d2, 9223372036854775807)) AS dist
+        |  FROM d0 FULL JOIN r1 ON d0.node = r1.node
+        |), r2 AS (
+        |  SELECT e.dst AS node, MIN(d1.dist) + 1 AS d2
+        |  FROM d1 JOIN e ON e.src = d1.node GROUP BY 1
+        |), d2 AS (
+        |  SELECT COALESCE(d1.node, r2.node) AS node,
+        |    least(COALESCE(d1.dist, 9223372036854775807),
+        |          COALESCE(r2.d2, 9223372036854775807)) AS dist
+        |  FROM d1 FULL JOIN r2 ON d1.node = r2.node
+        |), r3 AS (
+        |  SELECT e.dst AS node, MIN(d2.dist) + 1 AS d2
+        |  FROM d2 JOIN e ON e.src = d2.node GROUP BY 1
+        |), d3 AS (
+        |  SELECT COALESCE(d2.node, r3.node) AS node,
+        |    least(COALESCE(d2.dist, 9223372036854775807),
+        |          COALESCE(r3.d2, 9223372036854775807)) AS dist
+        |  FROM d2 FULL JOIN r3 ON d2.node = r3.node
+        |)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
 
     "q_pagerank" ->
       """WITH inc AS (

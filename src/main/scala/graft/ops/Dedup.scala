@@ -1164,6 +1164,83 @@ object Dedup {
       .filter(col("jw") >= minSim)
   }
 
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969)
+    * over blocked candidate pairs — the probabilistic layer above
+    * [[fuzzyMatchPairs]]'s single-field gate: each comparison field
+    * contributes an agreement weight log₂(m/u) or a disagreement
+    * weight log₂((1−m)/(1−u)), and the summed weight ranks candidates
+    * by match evidence. u is FIELD-level (the base Fellegi–Sunter
+    * form): agreement on a high-cardinality field (name) earns more
+    * than on a 25-value brand code, because two random records agree
+    * on the former far less often — that is exactly what u encodes.
+    * (The per-VALUE frequency refinement — rare names counting more
+    * than common ones — is the documented extension, not this op.)
+    *
+    * u-probabilities (chance agreement between two RANDOM records) are
+    * computed EXACTLY from value frequencies: u_f = Σ_v n_v² / N² —
+    * the numerator an exact DECIMAL(38) sum of squared counts, one
+    * tiny agg per field. m (agreement probability among true matches)
+    * is a fixed caller parameter — estimating it needs labeled matches
+    * or EM; the standard deployment starts at m ≈ 0.9 and calibrates.
+    * Comparison fields are the `fieldCols` plus exact `valCol`
+    * equality ("name"); NULL field values compare as the empty string
+    * (synthetic sentinel, documented). Candidates come from
+    * [[fuzzyMatchPairs]] at `candSim` — the blocking discipline and
+    * its scale lever are unchanged.
+    *
+    * Output: (a_id, b_id, jw, pattern, n_agree, weight) — `pattern` is
+    * the 0/1 agreement string in (fieldCols :+ name) order, `weight`
+    * the ROUND(…, 6) summed log₂ weight (ln-fed → rounded, the
+    * rank-metrics discipline).
+    *
+    * Scale posture: the pair generator is the blocked equi-join; field
+    * attachment is two id-keyed equi-joins of a narrow projection; the
+    * u frame is ONE row (per-field scalars) broadcast onto the pairs.
+    */
+  def fsLinkage(df: DataFrame, idCol: String, valCol: String,
+                fieldCols: Seq[String], blockCols: Seq[String],
+                candSim: Double = 0.75, m: Double = 0.9): DataFrame = {
+    require(fieldCols.nonEmpty, "comparison fields required")
+    require(m > 0.0 && m < 1.0, "0 < m < 1")
+    val cands = fuzzyMatchPairs(df, idCol, valCol, blockCols, candSim)
+      .select(col("a_id"), col("b_id"), col("jw"))
+    val allFields = fieldCols :+ valCol
+    val proj = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id") +:
+        allFields.zipWithIndex.map { case (f, i) =>
+          coalesce(col(f).cast("string"), lit("")).as(s"_f$i")
+        }: _*)
+      .cache() // narrow |records| frame; feeds the u aggs AND both sides
+    val n = proj.count()
+    // exact per-field chance-agreement numerators: Σ_v n_v²
+    val uNums = allFields.indices.map { i =>
+      proj.groupBy(col(s"_f$i")).agg(count(lit(1)).as("_c"))
+        .agg(sum((col("_c") * col("_c")).cast("decimal(38,0)")).as(s"_u$i"))
+    }
+    val u = uNums.reduce(_ crossJoin _)
+    val a = proj.select(col("_id").as("a_id") +:
+      allFields.indices.map(i => col(s"_f$i").as(s"_a$i")): _*)
+    val b = proj.select(col("_id").as("b_id") +:
+      allFields.indices.map(i => col(s"_f$i").as(s"_b$i")): _*)
+    val ln2 = lit(math.log(2.0))
+    val withFields = cands.join(a, "a_id").join(b, "b_id")
+      .crossJoin(broadcast(u))
+    val agrees = allFields.indices.map(i => col(s"_a$i") === col(s"_b$i"))
+    def uF(i: Int) = col(s"_u$i").cast("double") /
+      (lit(n.toDouble) * lit(n.toDouble))
+    val weight = allFields.indices.map { i =>
+      when(agrees(i), log(lit(m) / uF(i)) / ln2)
+        .otherwise(log(lit(1.0 - m) / (lit(1.0) - uF(i))) / ln2)
+    }.reduce(_ + _)
+    val pattern = concat(allFields.indices.map(i =>
+      when(agrees(i), lit("1")).otherwise(lit("0"))): _*)
+    val nAgree = allFields.indices.map(i =>
+      when(agrees(i), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    withFields.select(col("a_id"), col("b_id"), col("jw"),
+      pattern.as("pattern"), nAgree.as("n_agree"),
+      round(weight, 6).as("weight"))
+  }
+
   /** Shared-opening duplicate groups: documents whose first `k`
     * tokens are identical — the crawl signature of templated page
     * openings, licence headers, and syndication lead-ins that

@@ -416,4 +416,50 @@ object Graph {
     Checkpoints.free(e)
     out
   }
+
+  /** Bounded-hop multi-source BFS: the minimum hop distance from any
+    * `sources` node, explored to `maxHops` rounds — the blast-radius /
+    * related-items primitive ("everything within 3 co-purchase hops of
+    * the recalled SKUs") that an unbounded shortest-path would answer
+    * at unbounded cost. Frontier-relaxation form: one round is ONE
+    * equi-join of the current distance frame against the edge list +
+    * one min-agg — dist_{k+1}(v) = min(dist_k(v), 1 + min_{u→v}
+    * dist_k(u)) — so round cost is |reached|·deg, never paths (a naive
+    * path-enumerating recursion is exponential on a dense co-purchase
+    * graph; the per-node min IS the algorithm). All distances are
+    * exact integers; the oracle unrolls the same rounds
+    * ([[pageRank]]'s discipline).
+    *
+    * Output: (node, dist) for every node within `maxHops` of a source
+    * (sources themselves at 0). Unreached nodes are absent.
+    *
+    * Scale posture: `maxHops` joins co-partitioned on the node key,
+    * each frame ≤ |V| rows, eager-checkpointed per round with
+    * superseded frames freed — the [[hits]]/[[pageRank]] loop shape.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, sourceCol: String,
+              maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, "1 <= maxHops <= 16")
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    var dist = sources.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("dist")) + 1L).as("_d2"))
+      val next = dist.join(relaxed, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("_d2"), lit(Long.MaxValue))).as("dist"))
+        .localCheckpoint(true)
+      Checkpoints.free(dist)
+      dist = next
+    }
+    Checkpoints.free(e)
+    dist
+  }
 }

@@ -1130,6 +1130,65 @@ object Stats {
         .otherwise(att).as("att"))
   }
 
+  /** Empirical-Bayes beta-binomial rate shrinkage — the CTR/conversion
+    * smoothing every per-key rate ranking needs: a key with 1/1
+    * successes must not outrank one with 90/100, so each raw rate is
+    * shrunk toward the corpus prior with strength proportional to the
+    * prior's confidence. The prior (α, β) comes from the standard
+    * equal-weight rate method of moments (Morris 1983 lineage):
+    *
+    *   m = mean(rᵢ),  v = popvar(rᵢ)   over per-key rates rᵢ = xᵢ/nᵢ
+    *   s = (m(1−m) − v)/v,  α = m·s, β = (1−m)·s
+    *   shrunk_i = (xᵢ + α) / (nᵢ + s)
+    *
+    * Determinism: rates are integer ppm (xᵢ·10⁶ div nᵢ); Σr and Σr²
+    * are exact DECIMAL(38) sums, so m and v flow through one fixed
+    * double tree — no data-sized double accumulation. `shrunk_ppm` is
+    * floor((x+α)/(n+s)·10⁶) — floor, not round, so the integer is
+    * identically derived on both engines. Degenerates mask shrunk_ppm
+    * to NULL: fewer than 2 keys, all rates tied (v = 0 — decided on
+    * exact ints: k·Σr² = (Σr)²), or over-dispersion m(1−m) ≤ v (the
+    * beta MoM has no valid prior; shrinking with a fabricated one
+    * would be worse than reporting none).
+    *
+    * Output: (key, n, x, raw_ppm, shrunk_ppm).
+    *
+    * Scale posture: one map-side-combinable per-key agg, a 1-row prior
+    * frame broadcast back onto the |keys| frame. Nothing data-sized
+    * after the first exchange.
+    */
+  def ebShrinkage(df: DataFrame, keyCol: String, trials: Column,
+                  successes: Column): DataFrame = {
+    val per = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(trials).cast("long").as("n"),
+        sum(successes).cast("long").as("x"))
+      .filter(col("n") > 0 && col("x") >= 0 && col("x") <= col("n"))
+      .withColumn("raw_ppm", expr("x * 1000000L div n"))
+      .cache() // |keys| rows; feeds the prior agg AND the output
+    val prior = per.agg(count(lit(1)).as("_k"),
+      sum(col("raw_ppm").cast("decimal(38,0)")).as("_sr"),
+      sum((col("raw_ppm") * col("raw_ppm")).cast("decimal(38,0)")).as("_sr2"))
+    val kD = col("_k").cast("double")
+    val mRate = col("_sr").cast("double") / kD / lit(1e6)
+    val vRate = (col("_sr2").cast("double") / kD -
+      (col("_sr").cast("double") / kD) * (col("_sr").cast("double") / kD)) /
+      lit(1e12)
+    val degenerate = col("_k") < 2 ||
+      col("_k").cast("decimal(38,0)") * col("_sr2") === col("_sr") * col("_sr")
+    val s = when(degenerate, lit(null).cast("double"))
+      .otherwise((mRate * (lit(1.0) - mRate) - vRate) / vRate)
+    val priorRow = prior.select(
+      when(s <= 0.0, lit(null).cast("double")).otherwise(s).as("_s"),
+      when(s <= 0.0, lit(null).cast("double")).otherwise(mRate).as("_m"))
+    per.crossJoin(broadcast(priorRow))
+      .select(col("key"), col("n"), col("x"), col("raw_ppm"),
+        when(col("_s").isNull, lit(null).cast("long"))
+          .otherwise(floor((col("x").cast("double") + col("_m") * col("_s")) /
+            (col("n").cast("double") + col("_s")) * lit(1e6)).cast("long"))
+          .as("shrunk_ppm"))
+  }
+
   /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995) over a
     * family of tests — the multiple-testing gate a metrics sweep needs:
     * run one test per segment/metric and the expected share of false

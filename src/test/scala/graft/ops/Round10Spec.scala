@@ -343,4 +343,106 @@ class Round10Spec extends SparkSpec {
     assert(got("t5").isNullAt(got("t5").fieldIndex("rank")))
     assert(got("t5").isNullAt(got("t5").fieldIndex("rejected")))
   }
+
+  // ---- Fellegi–Sunter linkage -----------------------------------------
+
+  test("fsLinkage: name disagreement costs more than code agreements earn") {
+    // 8 records, block = initial; names pair up inside one block.
+    val df = Seq(
+      (1L, "alpha part one", "X", "T1"), (2L, "alpha part one", "X", "T2"),
+      (3L, "alpha part two", "Y", "T1"), (4L, "alpha part twq", "Y", "T1"),
+      (5L, "beta thing", "X", "T2"), (6L, "beta thing", "X", "T2"),
+      (7L, "gamma item", "X", "T1"), (8L, "delta item", "X", "T2")
+    ).toDF("id", "name", "brand", "ptype")
+      .withColumn("ini", substring(col("name"), 1, 1))
+    val got = Dedup.fsLinkage(df, "id", "name",
+        fieldCols = Seq("brand", "ptype"), blockCols = Seq("ini"),
+        candSim = 0.85, m = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // (3,4): brand + type agree, name differs by one char (jw ~0.97)
+    // (5,6): brand + type agree + name exact
+    val r34 = got((3L, 4L)); val r56 = got((5L, 6L))
+    assert(r34.getAs[String]("pattern") == "110")
+    assert(r56.getAs[String]("pattern") == "111")
+    assert(r56.getAs[Long]("n_agree") == 3L)
+    // field-level u: brand Σn²=40/64, type 32/64, name 12/64 — the
+    // high-cardinality name term dominates both code fields
+    val ln2 = math.log(2.0)
+    val w34 = math.log(0.9 / (40.0 / 64.0)) / ln2 +
+      math.log(0.9 / (32.0 / 64.0)) / ln2 +
+      math.log((1.0 - 0.9) / (1.0 - 12.0 / 64.0)) / ln2
+    assert(math.abs(r34.getAs[Double]("weight") - w34) < 1e-6)
+    assert(r34.getAs[Double]("weight") < 0.0) // one name miss sinks it
+    assert(r56.getAs[Double]("weight") > r34.getAs[Double]("weight"))
+  }
+
+  test("fsLinkage: hand-checked weight for a full-agreement pair") {
+    val df = Seq(
+      (1L, "aa bb", "B1", "T1"), (2L, "aa bb", "B1", "T1"),
+      (3L, "ax yz", "B2", "T2"), (4L, "az qr", "B1", "T2")
+    ).toDF("id", "name", "brand", "ptype")
+      .withColumn("ini", substring(col("name"), 1, 1))
+    val r = Dedup.fsLinkage(df, "id", "name",
+        fieldCols = Seq("brand", "ptype"), blockCols = Seq("ini"),
+        candSim = 0.0, m = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    val p12 = r((1L, 2L))
+    // u_brand = (3^2+1)/16, u_type = (2^2+2^2)/16, u_name = (2^2+1+1)/16
+    val ln2 = math.log(2.0)
+    val w = math.log(0.9 / (10.0 / 16.0)) / ln2 +
+      math.log(0.9 / (8.0 / 16.0)) / ln2 +
+      math.log(0.9 / (6.0 / 16.0)) / ln2
+    assert(p12.getAs[String]("pattern") == "111")
+    assert(math.abs(p12.getAs[Double]("weight") - w) < 1e-6)
+  }
+
+  // ---- EB beta-binomial shrinkage --------------------------------------
+
+  test("ebShrinkage: pulls extreme small-n rates toward the prior mean") {
+    // many keys at ~50% with n=20; one 1/1 key and one 0/1 key
+    val steady = (1 to 20).flatMap(k =>
+      (1 to 20).map(i => (s"k$k", 1L, if (i <= 10) 1L else 0L)))
+    val rows = steady ++ Seq(("hot", 1L, 1L), ("cold", 1L, 0L))
+    val df = rows.toDF("key", "t", "s")
+    val got = Stats.ebShrinkage(df, "key", col("t"), col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hot = got("hot"); val cold = got("cold")
+    assert(hot.getAs[Long]("raw_ppm") == 1000000L)
+    assert(cold.getAs[Long]("raw_ppm") == 0L)
+    // both shrink toward ~500000, and stay ordered
+    val hs = hot.getAs[Long]("shrunk_ppm"); val cs = cold.getAs[Long]("shrunk_ppm")
+    assert(hs < 1000000L && hs > 500000L)
+    assert(cs > 0L && cs < 500000L)
+    val k1 = got("k1").getAs[Long]("shrunk_ppm")
+    assert(math.abs(k1 - 500000L) < math.abs(hs - 500000L))
+  }
+
+  test("ebShrinkage: tied rates (v = 0) mask shrunk_ppm to NULL") {
+    val df = (1 to 5).map(k => (s"k$k", 2L, 1L)).toDF("key", "t", "s")
+    val got = Stats.ebShrinkage(df, "key", col("t"), col("s")).collect()
+    assert(got.forall(_.isNullAt(got.head.fieldIndex("shrunk_ppm"))))
+    assert(got.forall(_.getAs[Long]("raw_ppm") == 500000L))
+  }
+
+  // ---- bounded-hop BFS --------------------------------------------------
+
+  test("bfsHops: hop distances on a hand path graph") {
+    // path 1-2-3-4-5 plus island 9; sources {1}; maxHops 3
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 9L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.bfsHops(edges, "src", "dst", src, "node", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multi-source takes the minimum distance") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L)).toDF("src", "dst")
+    val src = Seq(Tuple1(1L), Tuple1(4L)).toDF("node")
+    val got = Graph.bfsHops(edges, "src", "dst", src, "node", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }
