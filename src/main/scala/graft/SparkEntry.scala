@@ -2141,6 +2141,60 @@ object SparkEntry {
         table(s, dir, "part").filter(pmod(col("p_partkey"), lit(997)) === 0),
         "p_partkey", maxHops = 3)),
 
+    // rank-based k-group location test (non-parametric ANOVA) of
+    // quantity across return flags: global midranks from the
+    // distinct-value cum frame, tie-corrected H
+    "q_kruskal" -> ((s, dir) =>
+      graft.ops.Stats.kruskalWallis(
+        table(s, dir, "lineitem"), "l_returnflag", col("l_quantity"))),
+
+    // variance-equality screen across event types on value cents:
+    // Brown–Forsythe (median-centered Levene), doubled-median integers
+    "q_brown_forsythe" -> ((s, dir) =>
+      graft.ops.Stats.brownForsythe(
+        table(s, dir, "events"), "event_type",
+        round(col("value") * 100).cast("long"))),
+
+    // paired-binary flip test per user: purchased on even vs odd
+    // days-of-month — only discordant users carry signal
+    "q_mcnemar" -> ((s, dir) =>
+      graft.ops.Stats.mcnemar(
+        table(s, dir, "events"), "user_id",
+        col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) % 2 === 0,
+        col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) % 2 === 1)),
+
+    // single-outlier screen per return flag: Grubbs G plus the
+    // suspect value itself (exact-integer deviation argmax)
+    "q_grubbs" -> ((s, dir) =>
+      graft.ops.Stats.grubbs(
+        table(s, dir, "lineitem"), "l_returnflag",
+        round(col("l_extendedprice")).cast("long"))),
+
+    // per-node clustering coefficient over the co-purchase graph:
+    // triangle counts per member node / degree pairs, exact ppm
+    "q_local_clustering" -> ((s, dir) =>
+      graft.ops.Graph.localClustering(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
+
+    // hub-vs-clique one-number summary: Pearson r of (deg src, deg dst)
+    // over the directed edge view — Newman's degree assortativity
+    "q_assortativity" -> ((s, dir) =>
+      graft.ops.Graph.degreeAssortativity(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
+
+    // 2-round synchronous label-propagation communities with the
+    // deterministic (count desc, label asc) tie-break
+    "q_label_prop" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(
+        graft.ops.Graph.cooccurrenceDigraph(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L),
+        "src", "dst", rounds = 2)),
+
     // encoding-damage audit per source over the mojibake-planted docs
     "q_mojibake" -> ((s, dir) =>
       graft.ops.TextAnalysis.encodingAudit(
@@ -7737,6 +7791,138 @@ object SparkEntry {
         |JOIN edges e2 ON e1.b = e2.a
         |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
+    // per-node LCC: triangles exploded to member nodes vs degrees,
+    // integral ppm division — all exact integers
+    "q_local_clustering" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.b = e2.a
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tn AS (
+        |  SELECT node, COUNT(*)::BIGINT AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1
+        |), deg AS (
+        |  SELECT node, COUNT(*)::BIGINT AS degree FROM (
+        |    SELECT a AS node FROM edges
+        |    UNION ALL SELECT b FROM edges)
+        |  GROUP BY 1
+        |)
+        |SELECT deg.node, degree, COALESCE(n_tri, 0)::BIGINT AS n_tri,
+        |  CASE WHEN degree < 2 THEN NULL
+        |       ELSE (2000000 * COALESCE(n_tri, 0)) // (degree * (degree - 1))
+        |  END AS lcc_ppm
+        |FROM deg LEFT JOIN tn USING (node)""".stripMargin,
+
+    // assortativity: exact HUGEINT correlation sums over the directed
+    // edge view; zero-variance decided on exact ints
+    "q_assortativity" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), dg AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM edges
+        |), deg AS (
+        |  SELECT src AS n, COUNT(*)::BIGINT AS d FROM dg GROUP BY 1
+        |), xy AS (
+        |  SELECT dx.d AS x, dy.d AS y
+        |  FROM dg JOIN deg dx ON dg.src = dx.n JOIN deg dy ON dg.dst = dy.n
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n_edges,
+        |    SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+        |    SUM((x * y)::HUGEINT) AS sxy, SUM((x * x)::HUGEINT) AS sxx,
+        |    SUM((y * y)::HUGEINT) AS syy
+        |  FROM xy
+        |)
+        |SELECT n_edges,
+        |  CASE WHEN n_edges < 2 OR n_edges::HUGEINT * sxx = sx * sx
+        |         OR n_edges::HUGEINT * syy = sy * sy THEN NULL
+        |       ELSE ROUND(
+        |         (n_edges::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |         / (sqrt(n_edges::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |            * sqrt(n_edges::DOUBLE * syy::DOUBLE
+        |                   - sy::DOUBLE * sy::DOUBLE)), 6)
+        |  END AS assortativity
+        |FROM f""".stripMargin,
+
+    // 2-round synchronous LPA, oracle unrolls the rounds with the same
+    // (count DESC, label ASC) argmax
+    "q_label_prop" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM edges
+        |), l0 AS (
+        |  SELECT DISTINCT src AS node, src AS lab FROM e
+        |), c1 AS (
+        |  SELECT e.dst AS node, l.lab AS lab, COUNT(*)::BIGINT AS c
+        |  FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2
+        |), p1 AS (
+        |  SELECT node, lab FROM (
+        |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY c DESC, lab ASC) AS rn
+        |    FROM c1)
+        |  WHERE rn = 1
+        |), l1 AS (
+        |  SELECT l0.node, COALESCE(p1.lab, l0.lab) AS lab
+        |  FROM l0 LEFT JOIN p1 USING (node)
+        |), c2 AS (
+        |  SELECT e.dst AS node, l.lab AS lab, COUNT(*)::BIGINT AS c
+        |  FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2
+        |), p2 AS (
+        |  SELECT node, lab FROM (
+        |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY c DESC, lab ASC) AS rn
+        |    FROM c2)
+        |  WHERE rn = 1
+        |)
+        |SELECT l1.node, COALESCE(p2.lab, l1.lab) AS lab
+        |FROM l1 LEFT JOIN p2 USING (node)""".stripMargin,
+
     // bounded-hop BFS over the co-purchase graph: the oracle unrolls the
     // same 3 frontier-relaxation rounds (per-node MIN — never paths)
     "q_bfs_hops" ->
@@ -7787,6 +7973,153 @@ object SparkEntry {
         |  FROM d2 FULL JOIN r3 ON d2.node = r3.node
         |)
         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
+    // Kruskal–Wallis: doubled global midranks from the distinct-value
+    // cum frame; exact-integer rank sums, one sorted k-group fold
+    "q_kruskal" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |), vals AS (
+        |  SELECT x, COUNT(*)::BIGINT AS t FROM v GROUP BY 1
+        |), ranked AS (
+        |  SELECT x, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS BIGINT) AS u
+        |  FROM vals
+        |), gv AS (
+        |  SELECT g, x, COUNT(*)::BIGINT AS c FROM v GROUP BY 1, 2
+        |), per AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n, SUM((c * u)::HUGEINT) AS su
+        |  FROM gv JOIN ranked USING (x) GROUP BY 1
+        |), ties AS (
+        |  SELECT SUM((t * t * t - t)::HUGEINT) AS tt, COUNT(*)::BIGINT AS nv
+        |  FROM vals
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    list_sort(list(struct_pack(g := g::VARCHAR, n := n, su := su))) AS a
+        |  FROM per
+        |)
+        |SELECT k, n_total,
+        |  CASE WHEN k < 2 OR n_total < 2 OR nv < 2 THEN NULL
+        |       ELSE ROUND(
+        |         (12.0 / (n_total::DOUBLE * (n_total::DOUBLE + 1.0))
+        |            * list_sum(list_transform(a, s ->
+        |                s.su::DOUBLE * s.su::DOUBLE / (4.0 * s.n::DOUBLE)))
+        |          - 3.0 * (n_total::DOUBLE + 1.0))
+        |         / (1.0 - tt::DOUBLE /
+        |            (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+        |             - n_total::DOUBLE)), 6)
+        |  END AS h_stat,
+        |  CAST(k - 1 AS BIGINT) AS df
+        |FROM f, ties""".stripMargin,
+
+    // Brown–Forsythe: doubled per-group median order statistics keep
+    // 2z integer; within-group zero variance decided on exact ints
+    "q_brown_forsythe" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT g, x,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM v
+        |), med AS (
+        |  SELECT g, CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN x END)
+        |       + SUM(CASE WHEN rn = (n + 2) // 2 THEN x END) AS BIGINT) AS med2
+        |  FROM r GROUP BY 1
+        |), z AS (
+        |  SELECT g, CAST(ABS(2 * x - med2) AS BIGINT) AS z
+        |  FROM v JOIN med USING (g)
+        |), per AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n, SUM(z::HUGEINT) AS s,
+        |         SUM((z * z)::HUGEINT) AS s2
+        |  FROM z GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    MAX(CASE WHEN n < 2 THEN 1 END) AS tiny,
+        |    SUM(n::HUGEINT * s2 - s * s) AS wss,
+        |    list_sort(list(struct_pack(g := g::VARCHAR, n := n,
+        |      s := s, s2 := s2))) AS a
+        |  FROM per
+        |), x1 AS (
+        |  SELECT *, list_sum(list_transform(a, t -> t.s::DOUBLE))
+        |    / n_total::DOUBLE AS grand
+        |  FROM f
+        |)
+        |SELECT k, n_total,
+        |  CASE WHEN k < 2 OR n_total <= k OR tiny IS NOT NULL OR wss = 0
+        |       THEN NULL
+        |       ELSE ROUND((n_total::DOUBLE - k::DOUBLE) / (k::DOUBLE - 1.0)
+        |         * list_sum(list_transform(a, t -> t.n::DOUBLE
+        |             * (t.s::DOUBLE / t.n::DOUBLE - grand)
+        |             * (t.s::DOUBLE / t.n::DOUBLE - grand)))
+        |         / list_sum(list_transform(a, t -> t.s2::DOUBLE
+        |             - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)), 6)
+        |  END AS f_stat,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  CAST(n_total - k AS BIGINT) AS df2
+        |FROM x1""".stripMargin,
+
+    // McNemar: per-unit indicator collapse, discordant-pair χ² with
+    // the Edwards continuity-corrected twin
+    "q_mcnemar" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n_units,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b10,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b01
+        |  FROM per
+        |)
+        |SELECT n_units, b10, b01,
+        |  CASE WHEN b10 + b01 = 0 THEN NULL
+        |       ELSE ROUND((b10 - b01)::DOUBLE * (b10 - b01)::DOUBLE
+        |         / (b10 + b01)::DOUBLE, 6) END AS chi2,
+        |  CASE WHEN b10 + b01 = 0 THEN NULL
+        |       ELSE ROUND(
+        |         GREATEST(ABS((b10 - b01)::DOUBLE) - 1.0, 0.0)
+        |         * GREATEST(ABS((b10 - b01)::DOUBLE) - 1.0, 0.0)
+        |         / (b10 + b01)::DOUBLE, 6) END AS chi2_cc
+        |FROM f""".stripMargin,
+
+    // Grubbs: exact-integer deviation argmax (|n·x − Σx|, value
+    // tie-break), doubles only in the final G ratio
+    "q_grubbs" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice) AS BIGINT) AS x
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), sums AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS s,
+        |         SUM((x * x)::HUGEINT) AS s2
+        |  FROM v GROUP BY 1
+        |), dev AS (
+        |  SELECT g, x, ABS(x::HUGEINT * n - s) AS dev, n, s, s2
+        |  FROM v JOIN sums USING (g)
+        |), top AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY dev DESC, x DESC) AS rn
+        |  FROM dev
+        |)
+        |SELECT g AS l_returnflag, n, x AS suspect_value,
+        |  CASE WHEN n < 3 OR n::HUGEINT * s2 = s * s THEN NULL
+        |       ELSE ROUND(dev::DOUBLE / n::DOUBLE
+        |         / sqrt((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |                / (n::DOUBLE - 1.0)), 6)
+        |  END AS g_stat
+        |FROM top WHERE rn = 1""".stripMargin,
 
     "q_pagerank" ->
       """WITH inc AS (

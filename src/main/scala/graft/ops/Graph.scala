@@ -462,4 +462,136 @@ object Graph {
     Checkpoints.free(e)
     dist
   }
+
+  /** Per-node local clustering coefficient over the co-occurrence
+    * graph: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where T(v) counts
+    * triangles through v — the node-level cohesion profile (global
+    * [[triangles]] says how clustered the graph is; THIS says which
+    * nodes sit in cliques vs stars, the standard bot/bridge screen).
+    *
+    * One cached support-filtered edge set feeds both the triangle
+    * enumeration (the [[triangles]] wedge join, each triangle once as
+    * a<b<c, exploded to its three member nodes) and the degree agg —
+    * the r9 q_triangles lesson: never re-derive the pair join per
+    * reference. The coefficient integerizes exactly as
+    * `(2·10⁶·T) div (d·(d−1))` ppm; deg<2 masks to NULL. Output:
+    * (node, degree, n_tri, lcc_ppm).
+    */
+  def localClustering(df: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long = 2L,
+                      maxBasketSize: Int = 1000): DataFrame = {
+    val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select("a", "b").cache()
+    val e2 = e.select(col("a").as("b"), col("b").as("c"))
+    val e3 = e.select(col("a"), col("b").as("c"))
+    val tri = e.join(e2, Seq("b"))
+      .join(e3, Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    // explode, never unionAll: three unionAll branches over `tri` would
+    // re-plan (and re-EXECUTE) the wedge join once per branch — the
+    // q_triangles triple-lineage lesson one level up
+    val triCnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_t"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triCnt, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("_t"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_ppm",
+        when(col("degree") < 2, lit(null).cast("long"))
+          .otherwise(expr("(2000000 * n_tri) div (degree * (degree - 1))")))
+  }
+
+  /** Degree assortativity of the co-occurrence graph: the Pearson
+    * correlation of (deg(src), deg(dst)) over the DIRECTED edge view
+    * (both orientations of each undirected edge — Newman's r).
+    * Positive = hubs attach to hubs (social shape), negative = hubs
+    * attach to leaves (star/broadcast shape) — the one-number summary
+    * of whether co-purchase structure is clique-like or hub-and-spoke.
+    *
+    * Degrees are one agg on the cached edge set; the edge frame joins
+    * the |V|-row degree frame twice (src then dst — broadcast-sized
+    * for support-filtered graphs); all five correlation sufficient
+    * statistics are exact decimal(38,0) sums, with zero-variance
+    * degenerates decided on exact integers before the double ratio.
+    * Output: ONE row (n_edges, assortativity).
+    */
+  def degreeAssortativity(df: DataFrame, basketCol: String, itemCol: String,
+                          minSupport: Long = 2L,
+                          maxBasketSize: Int = 1000): DataFrame = {
+    val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select("a", "b").cache()
+    val directed = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val deg = directed.groupBy(col("src").as("_n"))
+      .agg(count(lit(1)).as("_d"))
+    val xy = directed
+      .join(deg.select(col("_n").as("src"), col("_d").as("_x")), Seq("src"))
+      .join(deg.select(col("_n").as("dst"), col("_d").as("_y")), Seq("dst"))
+    val agg0 = xy.agg(count(lit(1)).as("n_edges"),
+      sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+      sum(col("_y").cast("decimal(38,0)")).as("_sy"),
+      sum((col("_x") * col("_y")).cast("decimal(38,0)")).as("_sxy"),
+      sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+      sum((col("_y") * col("_y")).cast("decimal(38,0)")).as("_syy"))
+    val n = col("n_edges").cast("double")
+    val cov = n * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val vx = n * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vy = n * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    val degen = col("n_edges") < 2 ||
+      col("n_edges").cast("decimal(38,0)") * col("_sxx") ===
+        col("_sx") * col("_sx") ||
+      col("n_edges").cast("decimal(38,0)") * col("_syy") ===
+        col("_sy") * col("_sy")
+    agg0.select(col("n_edges"),
+      when(degen, lit(null).cast("double"))
+        .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 6))
+        .as("assortativity"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al.) with the
+    * deterministic tie-break (highest neighbor-label count, then
+    * SMALLEST label) for a fixed round budget — the cheap community
+    * sketch when connected components are too coarse (CC merges
+    * everything touching; LPA respects local density).
+    *
+    * Every node starts as its own label; each round relabels to the
+    * argmax neighbor label. Fixed synchronous rounds + exact argmax =
+    * engine-reproducible (asynchronous/random-order LPA is not). Each
+    * round is one (node,label) count agg + one per-node struct-min
+    * argmax — the [[pageRank]] eager-checkpoint discipline keeps
+    * lineage flat and frees superseded label frames. The oracle
+    * unrolls the same rounds (never materializing communities as
+    * paths). Output: (node, lab).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "1 <= rounds <= 8")
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    var lab = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = lab.join(e, lab("node") === e("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("_c"))
+      val picked = nbr
+        .groupBy("node")
+        .agg(min(struct((-col("_c")).as("_nc"), col("lab").as("_l"))).as("_m"))
+        .select(col("node"), col("_m").getField("_l").as("_nl"))
+      val next = lab.join(picked, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_nl"), col("lab")).as("lab"))
+        .localCheckpoint(true)
+      Checkpoints.free(lab)
+      lab = next
+    }
+    Checkpoints.free(e)
+    lab
+  }
 }

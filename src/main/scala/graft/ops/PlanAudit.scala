@@ -120,6 +120,12 @@ object PlanAudit {
     "q_collocations" -> "1-row token-total crossJoins (PMI normalizers)",
     "q_composition" -> "1-row corpus-total crossJoin for share-of-corpus",
     "q_chi2"       -> "1-row global-total crossJoin (contingency normalizer)",
+    "q_kruskal"    -> "1-row tie-correction crossJoin (Σt³−t over the value frame)",
+    "q_avg_precision" -> "1-row per-query relevant-total crossJoin (the AP denominator)",
+    "q_eb_shrinkage" -> "1-row beta-prior frame (m, s from the rate MoM) crossJoined onto per-key rates",
+    "q_fdr_bh" -> "1-row test-count crossJoin (the BH step-up denominator m)",
+    "q_fs_linkage" -> "three 1-row u-probability frames (per-field agreement priors) broadcast onto the blocked candidate pairs",
+    "q_logrank" -> "1-row totals + at-risk normalizer frames crossJoined onto the |event-times|-bounded hazard table",
     "q_keyness"    -> "1-row corpus-totals crossJoin (log-odds prior normalizers)",
     "q_filter_funnel" -> "1-row corpus-total crossJoin over a 6-row stage frame",
     "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
@@ -223,6 +229,19 @@ object PlanAudit {
     // er_clusters' CC rounds are checkpoint leaves
     "q_spearman" -> 1, "q_dow_profile" -> 2, "q_conformal" -> 5,
     "q_er_clusters" -> 0,
+    // r10 rank/robust tests: kruskal's 7 are all collapsed-frame aggs
+    // (value frame, its single-partition cum window, (g,v) frame, k-row
+    // folds); brown–forsythe = group sort + z agg + 1-row fold; the
+    // paired/argmax tests are two-agg map-side chains
+    "q_kruskal" -> 7, "q_brown_forsythe" -> 3, "q_mcnemar" -> 2,
+    "q_grubbs" -> 2,
+    // r10 graph batch: lcc = cached-edge wedge join + ONE exploded
+    // member agg + degree agg (explode, never unionAll — 14→6 when the
+    // tri frame stopped being planned per branch); assortativity = deg
+    // agg + two deg joins + 1-row fold; LPA's visible plan is
+    // checkpoint leaves (er_clusters precedent)
+    "q_local_clustering" -> 6, "q_assortativity" -> 5,
+    "q_label_prop" -> 0,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

@@ -1321,4 +1321,206 @@ object Stats {
         guarded(round((kD * kD - lit(1.0)) / (lit(3.0) * col("_C")), 6))
           .as("df2"))
   }
+
+  /** Kruskal–Wallis H test — the rank-based k-group location test
+    * (non-parametric one-way ANOVA). The standard "did the metric
+    * distribution differ across variants?" test when normality can't
+    * be assumed — the k-group generalization of Mann–Whitney, with
+    * the tie-corrected statistic
+    *
+    *   H = [ 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1) ] / (1 − ΣT/(N³−N))
+    *
+    * where R_g is the group's midrank sum and T = Σ_v (t_v³ − t_v)
+    * over tied values.
+    *
+    * GLOBAL midranks never sort the data: the distinct-VALUE frame
+    * carries tie counts, a cumulative window over that collapsed frame
+    * yields each value's doubled midrank `2·below + t + 1` exactly
+    * (the q_ks_test distinct-value-cum-frame idiom — |V| rows, not N),
+    * and group rank sums come from the (group,value) count frame
+    * joined against it. All sufficient statistics are exact integers
+    * (doubled ranks; decimal(38,0) squares); the only doubles are the
+    * final one-row fold over the array_sort'd k-group array, stated
+    * identically in the oracle. Degenerates (k<2, N<2, single distinct
+    * value → tie correction 0) mask to NULL before any division.
+    * Output: ONE row (k, n_total, h_stat, df).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    metric: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .select(col(groupCol).as("_g"), metric.cast("long").as("_x"))
+    import org.apache.spark.sql.expressions.Window
+    val vals = base.groupBy("_x").agg(count(lit(1)).as("_t"))
+    val below = Window.orderBy("_x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("_u",
+        (lit(2) * coalesce(sum(col("_t")).over(below), lit(0L)) +
+          col("_t") + 1).cast("long"))
+    val gv = base.groupBy("_g", "_x").agg(count(lit(1)).as("_c"))
+    val per = gv.join(ranked, "_x")
+      .groupBy("_g")
+      .agg(sum(col("_c")).cast("long").as("_n"),
+        sum((col("_c") * col("_u")).cast("decimal(38,0)")).as("_su"))
+    val ties = vals.agg(
+      sum((col("_t") * col("_t") * col("_t") - col("_t"))
+        .cast("decimal(38,0)")).as("_tt"),
+      count(lit(1)).as("_nv"))
+    val folded = per.agg(count(lit(1)).as("k"),
+        sum(col("_n")).cast("long").as("n_total"),
+        array_sort(collect_list(struct(col("_g").cast("string").as("_g"),
+          col("_n"), col("_su")))).as("_a"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n_total").cast("double")
+    val sr = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + s.getField("_su").cast("double") * s.getField("_su").cast("double") /
+        (lit(4.0) * s.getField("_n").cast("double")))
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * sr -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("_tt").cast("double") / (nD * nD * nD - nD)
+    val deg = col("k") < 2 || col("n_total") < 2 || col("_nv") < 2
+    folded.select(col("k"), col("n_total"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round(h / corr, 6)).as("h_stat"),
+      (col("k") - 1).cast("long").as("df"))
+  }
+
+  /** Brown–Forsythe test (Levene's test with the median center) —
+    * equality of VARIANCES across k groups, the robust pre-check
+    * before pooling or before trusting an equal-variance ANOVA:
+    * one-way ANOVA F on z_ij = |x_ij − median_g|.
+    *
+    * Exact-integer spine: the per-group median is the DOUBLED order
+    * statistic x_(⌊(n+1)/2⌋) + x_(⌈(n+1)/2⌉) (two row_number picks on
+    * the group-partitioned sort — no percentile_approx), so
+    * 2z = |2x − med2| stays a LONG; group sums of 2z and (2z)² are
+    * decimal(38,0); the F ratio's factor-of-4 scale cancels between
+    * numerator and denominator. The within-group zero-variance
+    * degenerate is decided on exact integers (Σ_g n_g·S2_g − S1_g² = 0)
+    * before the double fold evaluates. Output: ONE row
+    * (k, n_total, f_stat, df1, df2).
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    metric: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .select(col(groupCol).as("_g"), metric.cast("long").as("_x"))
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy("_g").orderBy("_x")
+    val med = base
+      .withColumn("_rn", row_number().over(wg))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
+      .groupBy("_g")
+      .agg((sum(when(col("_rn") === expr("(_n + 1) div 2"), col("_x"))) +
+            sum(when(col("_rn") === expr("(_n + 2) div 2"), col("_x"))))
+        .cast("long").as("_med2"))
+    val per = base.join(broadcast(med), "_g")
+      .withColumn("_z", abs(lit(2) * col("_x") - col("_med2")).cast("long"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_z").cast("decimal(38,0)")).as("_s"),
+        sum((col("_z") * col("_z")).cast("decimal(38,0)")).as("_s2"))
+    val folded = per.agg(count(lit(1)).as("k"),
+      sum(col("_n")).cast("long").as("n_total"),
+      max(when(col("_n") < 2, 1)).as("_tiny"),
+      sum(col("_n").cast("decimal(38,0)") * col("_s2") - col("_s") * col("_s"))
+        .as("_wss"),
+      array_sort(collect_list(struct(col("_g").cast("string").as("_g"),
+        col("_n"), col("_s"), col("_s2")))).as("_a"))
+    val nD = col("n_total").cast("double")
+    val kD = col("k").cast("double")
+    val deg = col("k") < 2 || col("n_total") <= col("k") ||
+      col("_tiny").isNotNull || col("_wss") === lit(0).cast("decimal(38,0)")
+    def guarded(c: Column) = when(deg, lit(null).cast("double")).otherwise(c)
+    val grand = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + s.getField("_s").cast("double")) / nD
+    val withG = folded.withColumn("_grand", guarded(grand))
+    val num = aggregate(col("_a"), lit(0.0), (a, s) => {
+      val m = s.getField("_s").cast("double") / s.getField("_n").cast("double")
+      val d = m - col("_grand")
+      a + s.getField("_n").cast("double") * d * d
+    })
+    val den = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + s.getField("_s2").cast("double") -
+        s.getField("_s").cast("double") * s.getField("_s").cast("double") /
+          s.getField("_n").cast("double"))
+    withG.select(col("k"), col("n_total"),
+      guarded(round((nD - kD) / (kD - lit(1.0)) * num / den, 6)).as("f_stat"),
+      (col("k") - 1).cast("long").as("df1"),
+      (col("n_total") - col("k")).cast("long").as("df2"))
+  }
+
+  /** McNemar's test for paired binary outcomes — "did the same units
+    * flip between condition A and condition B?" (pre/post feature
+    * launch conversion, two model versions' per-example pass/fail).
+    * Only the DISCORDANT pairs carry signal:
+    *
+    *   χ² = (b₁₀ − b₀₁)² / (b₁₀ + b₀₁)
+    *
+    * plus the Edwards continuity-corrected variant
+    * (|b₁₀−b₀₁| − 1)² / (b₁₀+b₀₁), floored at 0. One per-unit agg
+    * (max-of-indicator collapses each unit's events to its two binary
+    * flags) + one 1-row count agg — fully map-side-combinable, no
+    * window, no join. Zero discordant pairs masks both statistics to
+    * NULL. Output: ONE row (n_units, b10, b01, chi2, chi2_cc).
+    */
+  def mcnemar(df: DataFrame, unitCol: String, aCond: Column,
+              bCond: Column): DataFrame = {
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(max(when(aCond, 1L).otherwise(0L)).as("_a"),
+        max(when(bCond, 1L).otherwise(0L)).as("_b"))
+    val agg0 = per.agg(count(lit(1)).as("n_units"),
+      sum(when(col("_a") === 1 && col("_b") === 0, 1L).otherwise(0L))
+        .cast("long").as("b10"),
+      sum(when(col("_a") === 0 && col("_b") === 1, 1L).otherwise(0L))
+        .cast("long").as("b01"))
+    val disc = (col("b10") + col("b01")).cast("double")
+    val d = (col("b10") - col("b01")).cast("double")
+    val dc = greatest(abs(d) - lit(1.0), lit(0.0))
+    val deg = col("b10") + col("b01") === 0
+    agg0.select(col("n_units"), col("b10"), col("b01"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round(d * d / disc, 6)).as("chi2"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round(dc * dc / disc, 6)).as("chi2_cc"))
+  }
+
+  /** Grubbs' test statistic per group — the classic single-outlier
+    * screen G = max|x − x̄| / s, with the suspect value itself, so a
+    * metrics-quality audit can both rank series by outlier severity
+    * and name the offending observation.
+    *
+    * Two passes over the data (group sums, then the deviation argmax
+    * against the broadcast k-row sums frame) — no window over the raw
+    * rows. The argmax is exact-integer: |n·x − Σx| as decimal, struct
+    * max tie-broken by the larger value. G's doubles divide exact
+    * sums only at the end; n<3 or exact zero variance (n·Σx² = (Σx)²)
+    * masks to NULL. Output: one row per group
+    * (group, n, suspect_value, g_stat).
+    */
+  def grubbs(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .select(col(groupCol).as("_g"), metric.cast("long").as("_x"))
+    val sums = base.groupBy("_g").agg(count(lit(1)).as("_n"),
+      sum(col("_x").cast("decimal(38,0)")).as("_s"),
+      sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_s2"))
+    val top = base.join(broadcast(sums), "_g")
+      .withColumn("_dev",
+        abs(col("_x").cast("decimal(38,0)") * col("_n") - col("_s")))
+      .groupBy("_g")
+      .agg(max(struct(col("_dev"), col("_x"))).as("_m"),
+        first(col("_n")).as("n"), first(col("_s")).as("_s"),
+        first(col("_s2")).as("_s2"))
+    val nD = col("n").cast("double")
+    val sd = sqrt((col("_s2").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) /
+      (nD - lit(1.0)))
+    val deg = col("n") < 3 ||
+      col("n").cast("decimal(38,0)") * col("_s2") === col("_s") * col("_s")
+    top.select(col("_g").as(groupCol), col("n"),
+      col("_m").getField("_x").as("suspect_value"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round(col("_m").getField("_dev").cast("double") / nD / sd,
+          6)).as("g_stat"))
+  }
 }

@@ -445,4 +445,127 @@ class Round10Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("kruskalWallis: tie-corrected H on a hand case") {
+    // a: [1,2], b: [3,3] -> midranks 1, 2, 3.5, 3.5; R_a=3, R_b=7
+    // H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4; T = 2^3-2 = 6
+    // corr = 1 - 6/60 = 0.9 -> H' = 2.4/0.9 = 2.666667
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 3L)).toDF("g", "x")
+    val r = Stats.kruskalWallis(df, "g", col("x")).collect().head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("n_total") == 4L)
+    assert(r.getAs[Long]("df") == 1L)
+    assert(math.abs(r.getAs[Double]("h_stat") - 2.666667) < 1e-9)
+  }
+
+  test("kruskalWallis: single distinct value masks H to NULL") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "x")
+    val r = Stats.kruskalWallis(df, "g", col("x")).collect().head
+    assert(r.isNullAt(r.fieldIndex("h_stat")))
+  }
+
+  test("brownForsythe: median-centered F on a hand case") {
+    // a: [1,2,3] (med2=4, 2z: 2,0,2); b: [1,5,9] (med2=10, 2z: 8,0,8)
+    // grand=20/6; num=24, den=136/3 -> F = 4*24/(136/3) = 36/17
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 5L), ("b", 9L)).toDF("g", "x")
+    val r = Stats.brownForsythe(df, "g", col("x")).collect().head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Long]("df1") == 1L)
+    assert(r.getAs[Long]("df2") == 4L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 2.117647) < 1e-9)
+  }
+
+  test("brownForsythe: zero within-group deviation variance masks to NULL") {
+    // both groups symmetric around their median -> all z equal per group
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 6L)).toDF("g", "x")
+    val r = Stats.brownForsythe(df, "g", col("x")).collect().head
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  test("mcnemar: discordant-pair chi2 with continuity correction") {
+    // u1 (1,0), u2 (0,1), u3 (1,0), u4 (1,1), u5 (0,0)
+    // b10=2, b01=1 -> chi2 = 1/3; cc = (1-1)^2/3 = 0
+    val df = Seq(("u1", 1, 0), ("u2", 0, 1), ("u3", 1, 0), ("u4", 1, 1),
+      ("u5", 0, 0)).toDF("u", "a", "b")
+    val r = Stats.mcnemar(df, "u", col("a") === 1, col("b") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 5L)
+    assert(r.getAs[Long]("b10") == 2L)
+    assert(r.getAs[Long]("b01") == 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 1.0 / 3.0) < 1e-6)
+    assert(r.getAs[Double]("chi2_cc") == 0.0)
+  }
+
+  test("mcnemar: zero discordant pairs masks to NULL") {
+    val df = Seq(("u1", 1, 1), ("u2", 0, 0)).toDF("u", "a", "b")
+    val r = Stats.mcnemar(df, "u", col("a") === 1, col("b") === 1)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("grubbs: names the suspect value with the exact-integer argmax") {
+    // [1,2,3,10]: mean 4, sd = sqrt(50/3); dev 24 at x=10
+    // G = 6 / 4.0824829 = 1.469694
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 10L)).toDF("s", "x")
+    val r = Stats.grubbs(df, "s", col("x")).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("suspect_value") == 10L)
+    assert(math.abs(r.getAs[Double]("g_stat") - 6.0 / math.sqrt(50.0 / 3.0)) < 1e-6)
+  }
+
+  test("grubbs: zero variance and tiny groups mask to NULL") {
+    val df = Seq(("c", 5L), ("c", 5L), ("c", 5L), ("t", 1L), ("t", 2L))
+      .toDF("s", "x")
+    val got = Stats.grubbs(df, "s", col("x")).collect()
+      .map(r => r.getString(0) -> r.isNullAt(r.fieldIndex("g_stat"))).toMap
+    assert(got == Map("c" -> true, "t" -> true))
+  }
+
+  // triangle 1-2-3 plus pendant edge 3-4, via baskets at minSupport=1
+  private def lccBaskets = Seq(
+    ("b1", 1L), ("b1", 2L), ("b1", 3L), ("b2", 3L), ("b2", 4L))
+    .toDF("basket", "item")
+
+  test("localClustering: triangle members vs the pendant node") {
+    val got = Graph.localClustering(lccBaskets, "basket", "item",
+        minSupport = 1L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)),
+      4L -> ((1L, 0L, -1L))))
+  }
+
+  test("degreeAssortativity: hand-computed Newman r on the tadpole") {
+    val r = Graph.degreeAssortativity(lccBaskets, "basket", "item",
+      minSupport = 1L).collect().head
+    assert(r.getAs[Long]("n_edges") == 8L)
+    // cov=-20, vx=vy=28 -> r = -20/28
+    assert(math.abs(r.getAs[Double]("assortativity") - (-20.0 / 28.0)) < 1e-6)
+  }
+
+  test("degreeAssortativity: regular graph masks to NULL (zero variance)") {
+    // single edge -> both endpoints degree 1
+    val df = Seq(("b1", 1L), ("b1", 2L)).toDF("basket", "item")
+    val r = Graph.degreeAssortativity(df, "basket", "item", minSupport = 1L)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
+
+  test("labelPropagation: synchronous rounds with the min tie-break") {
+    // path 1-2-3-4, both orientations
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val r1 = Graph.labelPropagation(e, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    val r2 = Graph.labelPropagation(e, "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
 }
