@@ -2172,6 +2172,24 @@ object SparkEntry {
         table(s, dir, "lineitem"), "l_returnflag",
         round(col("l_extendedprice")).cast("long"))),
 
+    // always-valid sequential monitoring of the purchase-rate A/B:
+    // mixture-SPRT log-likelihood per day + running neg-log-p
+    "q_msprt" -> ((s, dir) =>
+      graft.ops.Stats.alwaysValidP(
+        table(s, dir, "events"), "user_id", "ts",
+        col("event_type") === "purchase")),
+
+    // k-treatment matched-binary test: did the same users purchase in
+    // early/mid/late month? exact-integer Cochran Q
+    "q_cochran_q" -> ((s, dir) =>
+      graft.ops.Stats.cochranQ(
+        table(s, dir, "events"), "user_id", Seq(
+          col("event_type") === "purchase" && dayofmonth(col("ts")) <= 10,
+          col("event_type") === "purchase" &&
+            dayofmonth(col("ts")).between(11, 20),
+          col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) >= 21))),
+
     // per-node clustering coefficient over the co-purchase graph:
     // triangle counts per member node / degree pairs, exact ppm
     "q_local_clustering" -> ((s, dir) =>
@@ -2870,6 +2888,19 @@ object SparkEntry {
       |    END AS url_canon
       |  FROM pieces
       |)""".stripMargin
+
+  /** q_msprt oracle fragments: the pooled-variance / z expression trees
+    * inlined everywhere `v`/`z` appear (Spark's Column reuse duplicates
+    * the tree per reference — inlining reproduces it exactly).
+    */
+  private val msprtP = "((s_t + s_c)::DOUBLE / (n_t + n_c)::DOUBLE)"
+  private val msprtV =
+    s"($msprtP * (1.0 - $msprtP) * (1.0 / n_t::DOUBLE + 1.0 / n_c::DOUBLE))"
+  private val msprtZ =
+    "(s_t::DOUBLE / n_t::DOUBLE - s_c::DOUBLE / n_c::DOUBLE)"
+  private val msprtLl =
+    s"0.5 * ln($msprtV / ($msprtV + 0.01)) + " +
+      s"$msprtZ * $msprtZ * 0.01 / (2.0 * $msprtV * ($msprtV + 0.01))"
 
   /** Shared q_perm_test / q_fdr_bh prefix: the md5-derandomized
     * permutation test as CTEs ending in `pt` =
@@ -7790,6 +7821,79 @@ object SparkEntry {
         |FROM edges e1
         |JOIN edges e2 ON e1.b = e2.a
         |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    // mSPRT: exact-integer daily cumulative arm counts; the Gaussian-
+    // mixture log-ratio in ln-domain; running max = neg-log-p
+    "q_msprt" ->
+      s"""WITH base AS (
+         |  SELECT date_trunc('day', ts) AS day,
+         |    (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 = 1)
+         |      AS t,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |), daily AS (
+         |  SELECT day,
+         |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |    CAST(SUM(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS st,
+         |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |    CAST(SUM(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT) AS sc
+         |  FROM base GROUP BY 1
+         |), cum AS (
+         |  SELECT day,
+         |    CAST(SUM(nt) OVER w AS BIGINT) AS n_t,
+         |    CAST(SUM(st) OVER w AS BIGINT) AS s_t,
+         |    CAST(SUM(nc) OVER w AS BIGINT) AS n_c,
+         |    CAST(SUM(sc) OVER w AS BIGINT) AS s_c
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), m AS (
+         |  SELECT day, n_t, s_t, n_c, s_c,
+         |    CASE WHEN n_t = 0 OR n_c = 0 OR s_t + s_c = 0
+         |           OR s_t + s_c = n_t + n_c THEN NULL
+         |         ELSE $msprtLl END AS ll
+         |  FROM cum
+         |)
+         |SELECT day, n_t, s_t, n_c, s_c, ROUND(ll, 6) AS log_lambda,
+         |  CASE WHEN MAX(ll) OVER w IS NULL THEN NULL
+         |       ELSE ROUND(GREATEST(0.0, MAX(ll) OVER w), 6)
+         |  END AS neg_log_p
+         |FROM m
+         |WINDOW w AS (ORDER BY day
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Cochran Q: exact-integer numerator/denominator, one double div
+    "q_cochran_q" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) <= 10 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x0,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) BETWEEN 11 AND 20 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) >= 21 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT *, x0 + x1 + x2 AS rr FROM per
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n_units,
+        |    SUM(x0)::HUGEINT AS c0, SUM(x1)::HUGEINT AS c1,
+        |    SUM(x2)::HUGEINT AS c2,
+        |    SUM(rr)::HUGEINT AS n, SUM((rr * rr)::HUGEINT) AS r2
+        |  FROM r
+        |)
+        |SELECT CAST(3 AS BIGINT) AS k, n_units,
+        |  CASE WHEN 3 * n - r2 = 0 THEN NULL
+        |       ELSE ROUND(
+        |         CAST(2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - n * n)
+        |              AS DOUBLE)
+        |         / CAST(3 * n - r2 AS DOUBLE), 6)
+        |  END AS q_stat,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM f""".stripMargin,
 
     // per-node LCC: triangles exploded to member nodes vs degrees,
     // integral ppm division — all exact integers

@@ -242,6 +242,9 @@ object PlanAudit {
     // checkpoint leaves (er_clusters precedent)
     "q_local_clustering" -> 6, "q_assortativity" -> 5,
     "q_label_prop" -> 0,
+    // sequential/matched tests: daily agg + |days|-frame window;
+    // per-unit indicator agg + 1-row fold
+    "q_msprt" -> 2, "q_cochran_q" -> 2,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

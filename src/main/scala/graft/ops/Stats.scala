@@ -1485,6 +1485,115 @@ object Stats {
         .otherwise(round(dc * dc / disc, 6)).as("chi2_cc"))
   }
 
+  /** Mixture-SPRT always-valid p-value over a daily A/B stream
+    * (Johari et al., "Peeking at A/B tests") — the sequential-testing
+    * answer to "can I look at the dashboard every day?": a mixture
+    * likelihood ratio Λ_d that is a supermartingale under H₀, so
+    * p_d = min(1, 1/max Λ) is valid at EVERY stopping time, unlike the
+    * fixed-horizon z-test peeking destroys.
+    *
+    * Arms are md5-parity deterministic ([[Sampling.hashBucket]]);
+    * per-day arm counts are exact integers, cumulated by one ordered
+    * window over the |days|-row frame. The Gaussian-mixture ratio is
+    * reported in LOG domain (`ln` has cross-engine parity precedent;
+    * `exp` does not):
+    *
+    *   ln Λ_d = ½·ln(V/(V+τ²)) + Z²τ² / (2V(V+τ²))
+    *
+    * with Z the proportion difference and V the pooled binomial
+    * variance — per-row doubles from exact integer sums, so the
+    * running max (order-independent) is engine-identical. neg_log_p =
+    * max(0, running max ln Λ); p = exp(−neg_log_p) client-side. Days
+    * where either arm is empty or pooled variance is exactly zero
+    * (decided on integers) mask to NULL and are skipped by the running
+    * max. Output per day: (day, n_t, s_t, n_c, s_c, log_lambda,
+    * neg_log_p).
+    */
+  def alwaysValidP(df: DataFrame, unitCol: String, tsCol: String,
+                   success: Column, tauSq: Double = 0.01): DataFrame = {
+    val base = df.filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
+      .select(date_trunc("day", col(tsCol)).as("day"),
+        (Sampling.hashBucket(col(unitCol), 2) === 1).as("_t"),
+        when(success, 1L).otherwise(0L).as("_x"))
+    val daily = base.groupBy("day").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).cast("long").as("_nt"),
+      sum(when(col("_t"), col("_x")).otherwise(0L)).cast("long").as("_st"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).cast("long").as("_nc"),
+      sum(when(!col("_t"), col("_x")).otherwise(0L)).cast("long").as("_sc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"),
+      sum("_nt").over(w).cast("long").as("n_t"),
+      sum("_st").over(w).cast("long").as("s_t"),
+      sum("_nc").over(w).cast("long").as("n_c"),
+      sum("_sc").over(w).cast("long").as("s_c"))
+    val nt = col("n_t").cast("double"); val nc = col("n_c").cast("double")
+    val s = (col("s_t") + col("s_c")).cast("double")
+    val n = (col("n_t") + col("n_c")).cast("double")
+    val pPool = s / n
+    val z = col("s_t").cast("double") / nt - col("s_c").cast("double") / nc
+    val v = pPool * (lit(1.0) - pPool) * (lit(1.0) / nt + lit(1.0) / nc)
+    val tau = lit(tauSq)
+    val logLam = lit(0.5) * log(v / (v + tau)) +
+      z * z * tau / (lit(2.0) * v * (v + tau))
+    // degenerate days decided on exact integers BEFORE any division
+    val deg = col("n_t") === 0 || col("n_c") === 0 ||
+      col("s_t") + col("s_c") === 0 ||
+      col("s_t") + col("s_c") === col("n_t") + col("n_c")
+    val staged = cum.withColumn("_ll", when(deg, lit(null).cast("double"))
+      .otherwise(logLam))
+    staged.select(col("day"), col("n_t"), col("s_t"), col("n_c"), col("s_c"),
+      round(col("_ll"), 6).as("log_lambda"),
+      when(max(col("_ll")).over(w).isNull, lit(null).cast("double"))
+        .otherwise(round(greatest(lit(0.0), max(col("_ll")).over(w)), 6))
+        .as("neg_log_p"))
+  }
+
+  /** Cochran's Q test — the k-treatment generalization of [[mcnemar]]
+    * for matched binary outcomes ("did the same users convert under
+    * all k exposures?"). With row totals R_i per unit and column
+    * totals C_j per treatment:
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * — BOTH numerator and denominator are exact integers (one per-unit
+    * indicator agg, one 1-row fold; k is a compile-time constant), so
+    * the only double is the final division. All-concordant data
+    * (denominator exactly 0) masks to NULL. Output: ONE row
+    * (k, n_units, q_stat, df).
+    */
+  def cochranQ(df: DataFrame, unitCol: String,
+               treatments: Seq[Column]): DataFrame = {
+    val k = treatments.size
+    require(k >= 2, "need at least 2 treatments")
+    val inds = treatments.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1L).otherwise(0L)).as(s"_x$i")
+    }
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(inds.head, inds.tail: _*)
+      .withColumn("_r",
+        treatments.indices.map(i => col(s"_x$i")).reduce(_ + _))
+    val aggs =
+      treatments.indices.map(i =>
+        sum(col(s"_x$i")).cast("decimal(38,0)").as(s"_c$i")) ++
+      Seq(count(lit(1)).as("n_units"),
+        sum(col("_r")).cast("decimal(38,0)").as("_n"),
+        sum((col("_r") * col("_r")).cast("decimal(38,0)")).as("_r2"))
+    val agg0 = per.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = treatments.indices
+      .map(i => col(s"_c$i") * col(s"_c$i"))
+      .reduce(_ + _)
+    val num = lit(k - 1) * (lit(k) * sumC2 - col("_n") * col("_n"))
+    val den = lit(k) * col("_n") - col("_r2")
+    agg0.select(lit(k.toLong).as("k"), col("n_units"),
+      when(den === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("q_stat"),
+      lit((k - 1).toLong).as("df"))
+  }
+
   /** Grubbs' test statistic per group — the classic single-outlier
     * screen G = max|x − x̄| / s, with the suspect value itself, so a
     * metrics-quality audit can both rank series by outlier severity

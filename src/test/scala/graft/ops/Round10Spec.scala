@@ -556,6 +556,61 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("cochranQ: hand-computed Q on the 4x3 matrix") {
+    // rows: (1,1,0) (1,0,0) (1,1,1) (0,0,0) -> C=(3,2,1) N=6 sumR2=14
+    // Q = 2*(3*14 - 36)/(3*6 - 14) = 12/4 = 3
+    val df = Seq(("u1", 1, 1, 0), ("u2", 1, 0, 0), ("u3", 1, 1, 1),
+      ("u4", 0, 0, 0)).toDF("u", "t0", "t1", "t2")
+    val r = Stats.cochranQ(df, "u",
+      Seq(col("t0") === 1, col("t1") === 1, col("t2") === 1)).collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_units") == 4L)
+    assert(r.getAs[Double]("q_stat") == 3.0)
+    assert(r.getAs[Long]("df") == 2L)
+  }
+
+  test("cochranQ: all-concordant rows mask to NULL") {
+    // R_i in {k, 0} for every unit -> denominator exactly 0
+    val df = Seq(("u1", 1, 1, 1), ("u2", 0, 0, 0)).toDF("u", "t0", "t1", "t2")
+    val r = Stats.cochranQ(df, "u",
+      Seq(col("t0") === 1, col("t1") === 1, col("t2") === 1)).collect().head
+    assert(r.isNullAt(r.fieldIndex("q_stat")))
+  }
+
+  test("alwaysValidP: mixture log-ratio matches the closed form; " +
+      "degenerate days mask") {
+    val parities = (1L to 20L).toDF("id")
+      .select(col("id"), Sampling.hashBucket(col("id"), 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val treat = (1L to 20L).filter(parities(_) == 1L).take(2)
+    val ctrl = (1L to 20L).filter(parities(_) == 0L).take(2)
+    // day 1: all clicks (zero conversions -> NULL ll); day 2: one
+    // treated purchase; day 3: one control purchase
+    val rows =
+      (treat ++ ctrl).map(u => (u, ts(1), "click")) ++
+      Seq((treat(0), ts(2), "purchase"), (ctrl(0), ts(2), "click")) ++
+      Seq((ctrl(1), ts(3), "purchase"))
+    val got = Stats.alwaysValidP(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", col("event_type") === "purchase")
+      .collect().sortBy(_.getTimestamp(0).getTime)
+    def ll(nt: Long, st: Long, nc: Long, sc: Long): Double = {
+      val p = (st + sc).toDouble / (nt + nc).toDouble
+      val z = st.toDouble / nt - sc.toDouble / nc
+      val v = p * (1 - p) * (1.0 / nt + 1.0 / nc)
+      0.5 * math.log(v / (v + 0.01)) + z * z * 0.01 / (2 * v * (v + 0.01))
+    }
+    assert(got.length == 3)
+    assert(got(0).isNullAt(got(0).fieldIndex("log_lambda")))
+    assert(got(0).isNullAt(got(0).fieldIndex("neg_log_p")))
+    val l2 = ll(3, 1, 3, 0); val l3 = ll(3, 1, 4, 1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1).getAs[Double]("log_lambda") - r6(l2)) < 1e-9)
+    assert(math.abs(got(2).getAs[Double]("log_lambda") - r6(l3)) < 1e-9)
+    assert(math.abs(got(2).getAs[Double]("neg_log_p") -
+      r6(math.max(0.0, math.max(l2, l3)))) < 1e-9)
+  }
+
   test("labelPropagation: synchronous rounds with the min tie-break") {
     // path 1-2-3-4, both orientations
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
