@@ -2190,6 +2190,28 @@ object SparkEntry {
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
 
+    // symmetric bounded corpus divergence: English vs rest unigram JSD
+    "q_js_div" -> ((s, dir) =>
+      graft.ops.TextAnalysis.jsDivergence(
+        table(s, dir, "documents"), "text", col("lang") === "en")),
+
+    // matched-blocks rank test: per-user purchase counts across
+    // early/mid/late month, doubled-midrank integer Friedman χ²
+    "q_friedman" -> ((s, dir) =>
+      graft.ops.Stats.friedman(
+        table(s, dir, "events"), "user_id", Seq(
+          col("event_type") === "purchase" && dayofmonth(col("ts")) <= 10,
+          col("event_type") === "purchase" &&
+            dayofmonth(col("ts")).between(11, 20),
+          col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) >= 21))),
+
+    // classic equal-variance one-way ANOVA F across return flags
+    "q_anova_f" -> ((s, dir) =>
+      graft.ops.Stats.anovaF(
+        table(s, dir, "lineitem"), "l_returnflag",
+        round(col("l_extendedprice")).cast("long"))),
+
     // per-node clustering coefficient over the co-purchase graph:
     // triangle counts per member node / degree pairs, exact ppm
     "q_local_clustering" -> ((s, dir) =>
@@ -7861,6 +7883,123 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // JSD: per-term conditional counts, one sorted |V|-row fold with a
+    // single addition per element (fold tree stated identically)
+    "q_js_div" ->
+      s"""$docToks, t AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS side,
+         |         unnest(toks) AS term
+         |  FROM d
+         |), tf AS (
+         |  SELECT term,
+         |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM t GROUP BY 1
+         |), f AS (
+         |  SELECT COUNT(*)::BIGINT AS n_terms,
+         |    CAST(SUM(a) AS BIGINT) AS n_tokens_a,
+         |    CAST(SUM(b) AS BIGINT) AS n_tokens_b,
+         |    list_sort(list(struct_pack(term := term, a := a, b := b))) AS arr
+         |  FROM tf
+         |)
+         |SELECT n_tokens_a, n_tokens_b, n_terms,
+         |  CASE WHEN n_tokens_a = 0 OR n_tokens_b = 0 THEN NULL
+         |       ELSE ROUND(list_sum(list_transform(arr, s ->
+         |         CASE WHEN s.a > 0 THEN
+         |           0.5 * (s.a::DOUBLE / n_tokens_a::DOUBLE)
+         |           * ln((s.a::DOUBLE / n_tokens_a::DOUBLE)
+         |             / (0.5 * (s.a::DOUBLE / n_tokens_a::DOUBLE
+         |                       + s.b::DOUBLE / n_tokens_b::DOUBLE)))
+         |         ELSE 0.0 END
+         |         + CASE WHEN s.b > 0 THEN
+         |           0.5 * (s.b::DOUBLE / n_tokens_b::DOUBLE)
+         |           * ln((s.b::DOUBLE / n_tokens_b::DOUBLE)
+         |             / (0.5 * (s.a::DOUBLE / n_tokens_a::DOUBLE
+         |                       + s.b::DOUBLE / n_tokens_b::DOUBLE)))
+         |         ELSE 0.0 END)), 6)
+         |  END AS jsd_nats
+         |FROM f""".stripMargin,
+
+    // Friedman: doubled block midranks keep every sufficient stat an
+    // exact integer; the ×4 scale cancels in the ratio
+    "q_friedman" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) <= 10 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v0,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) BETWEEN 11 AND 20 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |          AND date_part('day', ts) >= 21 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v2
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), lg AS (
+        |  SELECT user_id AS u, CAST(0 AS BIGINT) AS j, v0 AS v FROM per
+        |  UNION ALL
+        |  SELECT user_id, CAST(1 AS BIGINT), v1 FROM per
+        |  UNION ALL
+        |  SELECT user_id, CAST(2 AS BIGINT), v2 FROM per
+        |), ranked AS (
+        |  SELECT u, j, v,
+        |    CAST(2 * RANK() OVER (PARTITION BY u ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY u, v) - 1 AS BIGINT) AS r
+        |  FROM lg
+        |), perj AS (
+        |  SELECT j, SUM(r::HUGEINT) AS uj, SUM((r * r)::HUGEINT) AS u2,
+        |         COUNT(*)::BIGINT AS n
+        |  FROM ranked GROUP BY 1
+        |), f AS (
+        |  SELECT ANY_VALUE(n) AS n_blocks, SUM(uj * uj) AS su2,
+        |         SUM(u2) AS uu
+        |  FROM perj
+        |)
+        |SELECT CAST(3 AS BIGINT) AS k, n_blocks,
+        |  CASE WHEN uu - n_blocks::HUGEINT * 3 * 16 = 0 THEN NULL
+        |       ELSE ROUND(
+        |         CAST(2 * (su2 - n_blocks::HUGEINT * n_blocks * 3 * 16)
+        |              AS DOUBLE)
+        |         / CAST(uu - n_blocks::HUGEINT * 3 * 16 AS DOUBLE), 6)
+        |  END AS chi2_f,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM f""".stripMargin,
+
+    // classic one-way ANOVA F: brown_forsythe's spine minus the median
+    // centering; degenerates on exact ints
+    "q_anova_f" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice) AS BIGINT) AS x
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), per AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS s,
+        |         SUM((x * x)::HUGEINT) AS s2
+        |  FROM v GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    SUM(n::HUGEINT * s2 - s * s) AS wss,
+        |    list_sort(list(struct_pack(g := g::VARCHAR, n := n,
+        |      s := s, s2 := s2))) AS a
+        |  FROM per
+        |), x1 AS (
+        |  SELECT *, list_sum(list_transform(a, t -> t.s::DOUBLE))
+        |    / n_total::DOUBLE AS grand
+        |  FROM f
+        |)
+        |SELECT k, n_total,
+        |  CASE WHEN k < 2 OR n_total <= k OR wss = 0 THEN NULL
+        |       ELSE ROUND((n_total::DOUBLE - k::DOUBLE) / (k::DOUBLE - 1.0)
+        |         * list_sum(list_transform(a, t -> t.n::DOUBLE
+        |             * (t.s::DOUBLE / t.n::DOUBLE - grand)
+        |             * (t.s::DOUBLE / t.n::DOUBLE - grand)))
+        |         / list_sum(list_transform(a, t -> t.s2::DOUBLE
+        |             - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)), 6)
+        |  END AS f_stat,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  CAST(n_total - k AS BIGINT) AS df2
+        |FROM x1""".stripMargin,
 
     // Cochran Q: exact-integer numerator/denominator, one double div
     "q_cochran_q" ->

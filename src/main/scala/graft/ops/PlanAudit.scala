@@ -245,6 +245,9 @@ object PlanAudit {
     // sequential/matched tests: daily agg + |days|-frame window;
     // per-unit indicator agg + 1-row fold
     "q_msprt" -> 2, "q_cochran_q" -> 2,
+    // jsd = term agg + 1-row fold; friedman = per-unit agg + block
+    // rank window + k-row fold; anova_f = group agg + 1-row fold
+    "q_js_div" -> 2, "q_friedman" -> 3, "q_anova_f" -> 2,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

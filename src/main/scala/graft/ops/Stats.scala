@@ -1594,6 +1594,109 @@ object Stats {
       lit((k - 1).toLong).as("df"))
   }
 
+  /** Friedman test — the rank-based k-treatment test over MATCHED
+    * blocks ([[kruskalWallis]] is unmatched groups; [[cochranQ]] is
+    * matched BINARY): rank the k per-treatment values WITHIN each
+    * block, then test whether treatment rank sums diverge. The
+    * general tie-handling form, stated in DOUBLED midranks u = 2r so
+    * every sufficient statistic is an exact integer (the ×4 scale
+    * cancels between numerator and denominator):
+    *
+    *   χ²_F = (k−1)·(Σ_j U_j² − n²k(k+1)²) / (Σ_ij u_ij² − nk(k+1)²)
+    *
+    * Blocks are COMPLETE by construction: each unit's k treatment
+    * values come from one conditional-count agg (a missing exposure is
+    * a 0 count — the matched-design contract), exploded to long form
+    * and midranked by a block-partitioned window. All-tied-everywhere
+    * data (denominator exactly 0) masks to NULL. Output: ONE row
+    * (k, n_blocks, chi2_f, df).
+    */
+  def friedman(df: DataFrame, unitCol: String,
+               treatments: Seq[Column]): DataFrame = {
+    val k = treatments.size
+    require(k >= 2, "need at least 2 treatments")
+    val cnts = treatments.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).cast("long").as(s"_v$i")
+    }
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(cnts.head, cnts.tail: _*)
+    val long = per.select(col("_u"),
+      explode(array(treatments.indices.map(i =>
+        struct(lit(i.toLong).as("_j"), col(s"_v$i").as("_v"))): _*)).as("_s"))
+      .select(col("_u"), col("_s").getField("_j").as("_j"),
+        col("_s").getField("_v").as("_v"))
+    import org.apache.spark.sql.expressions.Window
+    val u = (lit(2) * rank().over(Window.partitionBy("_u").orderBy("_v")) +
+      count(lit(1)).over(Window.partitionBy("_u", "_v")) - 1).cast("long")
+    val ranked = long.withColumn("_r", u)
+    val perJ = ranked.groupBy("_j")
+      .agg(sum(col("_r")).cast("decimal(38,0)").as("_uj"),
+        sum((col("_r") * col("_r")).cast("decimal(38,0)")).as("_u2"),
+        count(lit(1)).as("_n"))
+    val folded = perJ.agg(
+      first(col("_n")).as("n_blocks"),
+      sum(col("_uj") * col("_uj")).as("_su2"),
+      sum(col("_u2")).as("_uu"))
+    val kL = lit(k.toLong).cast("decimal(38,0)")
+    val nDec = col("n_blocks").cast("decimal(38,0)")
+    val kp1sq = lit((k + 1).toLong * (k + 1)).cast("decimal(38,0)")
+    val num = lit(k - 1) * (col("_su2") - nDec * nDec * kL * kp1sq)
+    val den = col("_uu") - nDec * kL * kp1sq
+    folded.select(lit(k.toLong).as("k"), col("n_blocks"),
+      when(den === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("chi2_f"),
+      lit((k - 1).toLong).as("df"))
+  }
+
+  /** Classic one-way ANOVA F (equal-variance pooling) — the textbook
+    * k-group mean test completing the family: [[welchAnova]] drops the
+    * equal-variance assumption, [[brownForsythe]] TESTS that
+    * assumption, [[kruskalWallis]] drops normality; this is the
+    * baseline the others are judged against (and the right test when
+    * variances genuinely pool).
+    *
+    * Same spine as [[brownForsythe]] without the median centering:
+    * exact decimal(38,0) per-group sums, integer-decided degenerates,
+    * one sorted k-group fold for the double ratio. Output: ONE row
+    * (k, n_total, f_stat, df1, df2).
+    */
+  def anovaF(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(metric.cast("decimal(38,0)")).as("_s"),
+        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+    val folded = per.agg(count(lit(1)).as("k"),
+      sum(col("_n")).cast("long").as("n_total"),
+      sum(col("_n").cast("decimal(38,0)") * col("_s2") - col("_s") * col("_s"))
+        .as("_wss"),
+      array_sort(collect_list(struct(col("_g").cast("string").as("_g"),
+        col("_n"), col("_s"), col("_s2")))).as("_a"))
+    val nD = col("n_total").cast("double")
+    val kD = col("k").cast("double")
+    val deg = col("k") < 2 || col("n_total") <= col("k") ||
+      col("_wss") === lit(0).cast("decimal(38,0)")
+    def guarded(c: Column) = when(deg, lit(null).cast("double")).otherwise(c)
+    val grand = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + s.getField("_s").cast("double")) / nD
+    val withG = folded.withColumn("_grand", guarded(grand))
+    val num = aggregate(col("_a"), lit(0.0), (a, s) => {
+      val m = s.getField("_s").cast("double") / s.getField("_n").cast("double")
+      val d = m - col("_grand")
+      a + s.getField("_n").cast("double") * d * d
+    })
+    val den = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + s.getField("_s2").cast("double") -
+        s.getField("_s").cast("double") * s.getField("_s").cast("double") /
+          s.getField("_n").cast("double"))
+    withG.select(col("k"), col("n_total"),
+      guarded(round((nD - kD) / (kD - lit(1.0)) * num / den, 6)).as("f_stat"),
+      (col("k") - 1).cast("long").as("df1"),
+      (col("n_total") - col("k")).cast("long").as("df2"))
+  }
+
   /** Grubbs' test statistic per group — the classic single-outlier
     * screen G = max|x − x̄| / s, with the suspect value itself, so a
     * metrics-quality audit can both rank series by outlier severity

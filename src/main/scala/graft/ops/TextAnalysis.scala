@@ -1989,4 +1989,51 @@ object TextAnalysis {
       when(degenerate, lit(null).cast("double"))
         .otherwise(round((sy - slope * sx) / nD, 6)).as("heaps_lnk"))
   }
+
+  /** Jensen–Shannon divergence between two corpus slices' unigram
+    * distributions — the SYMMETRIC, bounded (≤ ln 2) cousin of
+    * [[tokenDistributionShift]]'s KL: the standard "how far apart are
+    * these two corpora?" number for mixture design and drift gates
+    * (KL is asymmetric and blows up on unshared vocabulary; JSD's
+    * midpoint M = ½(P+Q) absorbs both).
+    *
+    *   JSD = ½·Σ_t p_t·ln(p_t/m_t) + ½·Σ_t q_t·ln(q_t/m_t)
+    *
+    * One token explode → one per-term conditional-count agg → one
+    * sorted |V|-row fold (the tokenDistributionShift collect
+    * discipline — vocabulary-bounded, never corpus-bounded). Per-term
+    * contributions are summed as ONE addition per element so the fold
+    * tree matches the oracle's `list_sum` exactly. Either side empty
+    * masks to NULL. Output: ONE row
+    * (n_tokens_a, n_tokens_b, n_terms, jsd_nats).
+    */
+  def jsDivergence(docs: DataFrame, textCol: String, cond: Column): DataFrame = {
+    val toks = docs
+      .select(when(cond, lit(1)).otherwise(lit(0)).as("_side"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("term").agg(
+      sum(when(col("_side") === 1, 1L).otherwise(0L)).cast("long").as("_a"),
+      sum(when(col("_side") === 0, 1L).otherwise(0L)).cast("long").as("_b"))
+    val folded = tf.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("_a")).cast("long").as("n_tokens_a"),
+      sum(col("_b")).cast("long").as("n_tokens_b"),
+      array_sort(collect_list(struct(col("term"), col("_a"), col("_b"))))
+        .as("_arr"))
+    def pa(s: Column) =
+      s.getField("_a").cast("double") / col("n_tokens_a").cast("double")
+    def pb(s: Column) =
+      s.getField("_b").cast("double") / col("n_tokens_b").cast("double")
+    val jsd = aggregate(col("_arr"), lit(0.0), (acc, s) => {
+      val p = pa(s); val q = pb(s); val m = lit(0.5) * (p + q)
+      acc + (when(s.getField("_a") > 0, lit(0.5) * p * log(p / m))
+          .otherwise(lit(0.0)) +
+        when(s.getField("_b") > 0, lit(0.5) * q * log(q / m))
+          .otherwise(lit(0.0)))
+    })
+    val deg = col("n_tokens_a") === 0 || col("n_tokens_b") === 0
+    folded.select(col("n_tokens_a"), col("n_tokens_b"), col("n_terms"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round(jsd, 6)).as("jsd_nats"))
+  }
 }

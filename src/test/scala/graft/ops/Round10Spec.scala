@@ -556,6 +556,73 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("jsDivergence: hand-computed symmetric divergence") {
+    // A: "a a b" (a:2,b:1, n=3); B: "a b b b" (a:1,b:3, n=4)
+    val df = Seq(("en", "a a b"), ("de", "a b b b")).toDF("lang", "text")
+    val r = TextAnalysis.jsDivergence(df, "text", col("lang") === "en")
+      .collect().head
+    assert(r.getAs[Long]("n_tokens_a") == 3L)
+    assert(r.getAs[Long]("n_tokens_b") == 4L)
+    assert(r.getAs[Long]("n_terms") == 2L)
+    def h(p: Double, q: Double) = {
+      val m = 0.5 * (p + q)
+      0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    }
+    val want = h(2.0 / 3, 1.0 / 4) + h(1.0 / 3, 3.0 / 4)
+    assert(math.abs(r.getAs[Double]("jsd_nats") - want) < 1e-6)
+  }
+
+  test("jsDivergence: one empty side masks to NULL") {
+    val df = Seq(("en", "a b")).toDF("lang", "text")
+    val r = TextAnalysis.jsDivergence(df, "text", col("lang") === "en")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("jsd_nats")))
+  }
+
+  test("friedman: tie-corrected chi2 on a hand case") {
+    // values: u1 (0,1,2), u2 (2,1,0), u3 (0,0,5)
+    // doubled ranks: (2,4,6), (6,4,2), (3,3,6)
+    // U=(11,11,14), sumU2=438, uu=166 -> chi2 = 2*(438-432)/(166-144)=12/22
+    val rows =
+      Seq.fill(1)(("u1", 1)) ++ Seq.fill(2)(("u1", 2)) ++
+      Seq.fill(2)(("u2", 0)) ++ Seq.fill(1)(("u2", 1)) ++
+      Seq.fill(5)(("u3", 2))
+    val df = rows.toDF("u", "t")
+    val r = Stats.friedman(df, "u",
+      Seq(col("t") === 0, col("t") === 1, col("t") === 2)).collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(math.abs(r.getAs[Double]("chi2_f") - 12.0 / 22.0) < 1e-6)
+    assert(r.getAs[Long]("df") == 2L)
+  }
+
+  test("friedman: all-tied blocks mask to NULL") {
+    // every unit has equal counts across treatments -> uu = nk(k+1)^2
+    val df = Seq(("u1", 0), ("u1", 1), ("u2", 0), ("u2", 1))
+      .toDF("u", "t")
+    val r = Stats.friedman(df, "u", Seq(col("t") === 0, col("t") === 1))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("chi2_f")))
+  }
+
+  test("anovaF: hand-computed equal-variance F") {
+    // a [1,2,3], b [5,7,9]: num=37.5, den=10, F = 4*3.75 = 15
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 7L), ("b", 9L)).toDF("g", "x")
+    val r = Stats.anovaF(df, "g", col("x")).collect().head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Double]("f_stat") == 15.0)
+    assert(r.getAs[Long]("df1") == 1L)
+    assert(r.getAs[Long]("df2") == 4L)
+  }
+
+  test("anovaF: zero within-group variance masks to NULL") {
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("g", "x")
+    val r = Stats.anovaF(df, "g", col("x")).collect().head
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
   test("cochranQ: hand-computed Q on the 4x3 matrix") {
     // rows: (1,1,0) (1,0,0) (1,1,1) (0,0,0) -> C=(3,2,1) N=6 sumR2=14
     // Q = 2*(3*14 - 36)/(3*6 - 14) = 12/4 = 3
