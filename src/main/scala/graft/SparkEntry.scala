@@ -125,6 +125,17 @@ object SparkEntry {
     * the DuckDB gate exercises every detector — the round-9 chat
     * fixture's planted-corruption discipline.
     */
+  /** Deterministic code-planting fixture: every 13th doc gets a 3-line
+    * code snippet appended so the detector's positive path is exercised
+    * by the oracle gate (the mojibakeDocs planted-corruption
+    * discipline).
+    */
+  private def codeDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        lit("\n  val x = f(1);\n  if (x) { g(x); }\n\treturn x;"))
+        .otherwise(lit(""))))
+
   private def mojibakeDocs(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(col("text"),
       when(col("doc_id") % 23 === 0, lit(" caf\uFFFDe")).otherwise(lit("")),
@@ -2189,6 +2200,26 @@ object SparkEntry {
             dayofmonth(col("ts")).between(11, 20),
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
+
+    // code-vs-prose router signals over code-planted docs: symbol
+    // density, brace/semicolon count, indent regularity — all map-side
+    "q_code_detect" -> ((s, dir) =>
+      graft.ops.TextAnalysis.codeSignals(
+        codeDocs(table(s, dir, "documents")), "doc_id", "text")),
+
+    // parametric variance-homogeneity screen (Bartlett) across event
+    // types on value cents — brown_forsythe's normal-theory sibling
+    "q_bartlett" -> ((s, dir) =>
+      graft.ops.Stats.bartlett(
+        table(s, dir, "events"), "event_type",
+        round(col("value") * 100).cast("long"))),
+
+    // post-hoc pairwise contrasts across return flags (Fisher LSD t's
+    // over the k-row exact-sum frame)
+    "q_pairwise_contrasts" -> ((s, dir) =>
+      graft.ops.Stats.pairwiseContrasts(
+        table(s, dir, "lineitem"), "l_returnflag",
+        round(col("l_extendedprice")).cast("long"))),
 
     // symmetric bounded corpus divergence: English vs rest unigram JSD
     "q_js_div" -> ((s, dir) =>
@@ -7883,6 +7914,109 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // code detection: char-class regexp_replace subtraction counting
+    // (identical Java-regex/RE2 semantics), integral ppm divisions
+    "q_code_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || '  val x = f(1);' || chr(10) ||
+        |              '  if (x) { g(x); }' || chr(10) || chr(9) || 'return x;'
+        |         ELSE '' END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM m
+        |)
+        |SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (1000000 * (length(t)
+        |         - length(regexp_replace(t, '[{}();=<>\[\]]', '', 'g'))))
+        |         // length(t) END AS sym_ppm,
+        |  CAST(length(t) - length(regexp_replace(t, '[{};]', '', 'g'))
+        |    AS BIGINT) AS brace_semi_cnt,
+        |  (1000000 * len(list_filter(lines, l ->
+        |     starts_with(l, '  ') OR starts_with(l, chr(9)))))
+        |    // len(lines) AS indent_line_ppm,
+        |  (length(t) - length(regexp_replace(t, '[{};]', '', 'g')) >= 3
+        |   AND (1000000 * len(list_filter(lines, l ->
+        |          starts_with(l, '  ') OR starts_with(l, chr(9)))))
+        |       // len(lines) >= 300000) AS is_code
+        |FROM s""".stripMargin,
+
+    // Bartlett: exact-integer variance spine, ln-domain fold (the
+    // fs_linkage/dist_shift ln-parity precedent)
+    "q_bartlett" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), per AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS s,
+        |         SUM((x * x)::HUGEINT) AS s2
+        |  FROM v GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    MAX(CASE WHEN n < 2 THEN 1 END) AS tiny,
+        |    MAX(CASE WHEN n >= 2 AND n::HUGEINT * s2 = s * s THEN 1 END)
+        |      AS zerovar,
+        |    list_sort(list(struct_pack(g := g::VARCHAR, n := n,
+        |      s := s, s2 := s2))) AS a
+        |  FROM per
+        |), w AS (
+        |  SELECT *,
+        |    list_sum(list_transform(a, t -> (t.n::DOUBLE - 1.0) *
+        |      ((t.s2::DOUBLE - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE)
+        |       / (t.n::DOUBLE - 1.0))))
+        |      / (n_total::DOUBLE - k::DOUBLE) AS sp2
+        |  FROM f
+        |)
+        |SELECT k, n_total,
+        |  CASE WHEN k < 2 OR tiny IS NOT NULL OR zerovar IS NOT NULL
+        |       THEN NULL
+        |       ELSE ROUND(
+        |         ((n_total::DOUBLE - k::DOUBLE) * ln(sp2)
+        |          - list_sum(list_transform(a, t -> (t.n::DOUBLE - 1.0) *
+        |              ln((t.s2::DOUBLE - t.s::DOUBLE * t.s::DOUBLE
+        |                  / t.n::DOUBLE) / (t.n::DOUBLE - 1.0)))))
+        |         / (1.0 + (list_sum(list_transform(a, t ->
+        |                     1.0 / (t.n::DOUBLE - 1.0)))
+        |                   - 1.0 / (n_total::DOUBLE - k::DOUBLE))
+        |              / (3.0 * (k::DOUBLE - 1.0))), 6)
+        |  END AS chi2,
+        |  CAST(k - 1 AS BIGINT) AS df
+        |FROM w""".stripMargin,
+
+    // pairwise contrasts: k-row exact-sum frame self-joined on g1<g2
+    "q_pairwise_contrasts" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice) AS BIGINT) AS x
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), per AS (
+        |  SELECT g::VARCHAR AS g, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS s,
+        |         SUM((x * x)::HUGEINT) AS s2
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT l.g AS g1, r.g AS g2, l.n AS n1, r.n AS n2,
+        |  ROUND(l.s::DOUBLE / l.n::DOUBLE - r.s::DOUBLE / r.n::DOUBLE, 6)
+        |    AS mean_diff,
+        |  CASE WHEN l.n < 2 OR r.n < 2
+        |         OR (l.n::HUGEINT * l.s2 = l.s * l.s
+        |             AND r.n::HUGEINT * r.s2 = r.s * r.s)
+        |       THEN NULL
+        |       ELSE ROUND(
+        |         (l.s::DOUBLE / l.n::DOUBLE - r.s::DOUBLE / r.n::DOUBLE)
+        |         / sqrt(((l.s2::DOUBLE - l.s::DOUBLE * l.s::DOUBLE
+        |                  / l.n::DOUBLE)
+        |                 + (r.s2::DOUBLE - r.s::DOUBLE * r.s::DOUBLE
+        |                    / r.n::DOUBLE))
+        |                / (l.n::DOUBLE + r.n::DOUBLE - 2.0)
+        |                * (1.0 / l.n::DOUBLE + 1.0 / r.n::DOUBLE)), 6)
+        |  END AS t_stat,
+        |  CAST(l.n + r.n - 2 AS BIGINT) AS df
+        |FROM per l JOIN per r ON l.g < r.g""".stripMargin,
 
     // JSD: per-term conditional counts, one sorted |V|-row fold with a
     // single addition per element (fold tree stated identically)

@@ -126,6 +126,7 @@ object PlanAudit {
     "q_fdr_bh" -> "1-row test-count crossJoin (the BH step-up denominator m)",
     "q_fs_linkage" -> "three 1-row u-probability frames (per-field agreement priors) broadcast onto the blocked candidate pairs",
     "q_logrank" -> "1-row totals + at-risk normalizer frames crossJoined onto the |event-times|-bounded hazard table",
+    "q_pairwise_contrasts" -> "k-row group-summary self-join on g1<g2 (the k(k-1)/2 contrast grid; k = distinct groups, single digits)",
     "q_keyness"    -> "1-row corpus-totals crossJoin (log-odds prior normalizers)",
     "q_filter_funnel" -> "1-row corpus-total crossJoin over a 6-row stage frame",
     "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
@@ -248,6 +249,9 @@ object PlanAudit {
     // jsd = term agg + 1-row fold; friedman = per-unit agg + block
     // rank window + k-row fold; anova_f = group agg + 1-row fold
     "q_js_div" -> 2, "q_friedman" -> 3, "q_anova_f" -> 2,
+    // code detection is the map-side contract (0 — like q_html_strip);
+    // bartlett/contrasts are group agg + k-row folds/self-join
+    "q_code_detect" -> 0, "q_bartlett" -> 2, "q_pairwise_contrasts" -> 2,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

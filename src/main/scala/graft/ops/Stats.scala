@@ -1697,6 +1697,106 @@ object Stats {
       (col("n_total") - col("k")).cast("long").as("df2"))
   }
 
+  /** Bartlett's test for variance homogeneity — the parametric,
+    * more-powerful-under-normality sibling of [[brownForsythe]]
+    * (Bartlett is the right screen when the data IS near-normal; BF
+    * when robustness matters — shipping both mirrors the classic
+    * toolbox):
+    *
+    *   χ² = [(N−k)·ln Sp² − Σ(nᵢ−1)·ln Sᵢ²] / C,
+    *   C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))
+    *
+    * Variances flow from exact decimal sums; `ln` has cross-engine
+    * parity precedent (the fs_linkage/dist_shift discipline). One
+    * group agg → one sorted k-row fold. Degenerates (k<2, any n<2,
+    * any exact-integer zero variance) mask before any log evaluates.
+    * Output: ONE row (k, n_total, chi2, df).
+    */
+  def bartlett(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(metric.cast("decimal(38,0)")).as("_s"),
+        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+    val folded = per.agg(count(lit(1)).as("k"),
+      sum(col("_n")).cast("long").as("n_total"),
+      max(when(col("_n") < 2, 1)).as("_tiny"),
+      max(when(col("_n") >= 2 &&
+        col("_n").cast("decimal(38,0)") * col("_s2") === col("_s") * col("_s"),
+        1)).as("_zerovar"),
+      array_sort(collect_list(struct(col("_g").cast("string").as("_g"),
+        col("_n"), col("_s"), col("_s2")))).as("_a"))
+    val nD = col("n_total").cast("double")
+    val kD = col("k").cast("double")
+    val deg = col("k") < 2 || col("_tiny").isNotNull ||
+      col("_zerovar").isNotNull
+    def guarded(c: Column) = when(deg, lit(null).cast("double")).otherwise(c)
+    def nI(s: Column) = s.getField("_n").cast("double")
+    def varI(s: Column) =
+      (s.getField("_s2").cast("double") -
+        s.getField("_s").cast("double") * s.getField("_s").cast("double") /
+          nI(s)) / (nI(s) - lit(1.0))
+    val pooledNum = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + (nI(s) - lit(1.0)) * varI(s))
+    val lnSum = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + (nI(s) - lit(1.0)) * log(varI(s)))
+    val invSum = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + lit(1.0) / (nI(s) - lit(1.0)))
+    val withP = folded.withColumn("_sp2", guarded(pooledNum / (nD - kD)))
+    val num = (nD - kD) * log(col("_sp2")) - lnSum
+    val c = lit(1.0) + (invSum - lit(1.0) / (nD - kD)) /
+      (lit(3.0) * (kD - lit(1.0)))
+    withP.select(col("k"), col("n_total"),
+      guarded(round(num / c, 6)).as("chi2"),
+      (col("k") - 1).cast("long").as("df"))
+  }
+
+  /** Pairwise post-hoc contrasts — after a k-group test rejects, WHICH
+    * pairs differ? One row per unordered group pair with the pooled-SE
+    * two-sample t (the Fisher-LSD contrast; feed the t's into
+    * [[bhFdr]] for multiplicity control — the composable-building-
+    * block discipline). The k-row exact-sum frame self-joins on
+    * g1 < g2 — k(k−1)/2 rows, never touching the data again.
+    * Degenerate pairs (either n<2, pooled variance exactly 0) mask to
+    * NULL. Output: (g1, g2, n1, n2, mean_diff, t_stat, df).
+    */
+  def pairwiseContrasts(df: DataFrame, groupCol: String,
+                        metric: Column): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(metric.cast("decimal(38,0)")).as("_s"),
+        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+    val l = per.select(col("_g").as("g1"), col("_n").as("_n1"),
+      col("_s").as("_s1"), col("_s2").as("_s21"))
+    val r = per.select(col("_g").as("g2"), col("_n").as("_n2"),
+      col("_s").as("_s2b"), col("_s2").as("_s22"))
+    val pairs = l.join(broadcast(r), col("g1") < col("g2"))
+    val n1 = col("_n1").cast("double"); val n2 = col("_n2").cast("double")
+    val m1 = col("_s1").cast("double") / n1
+    val m2 = col("_s2b").cast("double") / n2
+    val ss1 = col("_s21").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double") / n1
+    val ss2 = col("_s22").cast("double") -
+      col("_s2b").cast("double") * col("_s2b").cast("double") / n2
+    val sp2 = (ss1 + ss2) / (n1 + n2 - lit(2.0))
+    // pooled variance exactly zero ⇔ both groups' integer sums are
+    // degenerate: n·Σx² == (Σx)² on each side
+    val zerovar =
+      col("_n1").cast("decimal(38,0)") * col("_s21") ===
+        col("_s1") * col("_s1") &&
+      col("_n2").cast("decimal(38,0)") * col("_s22") ===
+        col("_s2b") * col("_s2b")
+    val deg = col("_n1") < 2 || col("_n2") < 2 || zerovar
+    pairs.select(col("g1"), col("g2"),
+      col("_n1").as("n1"), col("_n2").as("n2"),
+      round(m1 - m2, 6).as("mean_diff"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round((m1 - m2) /
+          sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2)), 6)).as("t_stat"),
+      (col("_n1") + col("_n2") - 2).cast("long").as("df"))
+  }
+
   /** Grubbs' test statistic per group — the classic single-outlier
     * screen G = max|x − x̄| / s, with the suspect value itself, so a
     * metrics-quality audit can both rank series by outlier severity

@@ -1990,6 +1990,47 @@ object TextAnalysis {
         .otherwise(round((sy - slope * sx) / nD, 6)).as("heaps_lnk"))
   }
 
+  /** Code-vs-prose detection signals — the curation router's "is this
+    * document source code?" screen (code wants different dedup,
+    * tokenization, and quality rules than prose; C4 dropped brace
+    * lines for exactly this reason). Three cheap, language-agnostic
+    * signals, all map-side and all exact integers:
+    *
+    *   - `sym_ppm`: code-symbol density ({}();=<>[] chars per char)
+    *   - `brace_semi_cnt`: absolute brace/semicolon count
+    *   - `indent_line_ppm`: share of lines starting with 2+ spaces or
+    *     a tab (the indentation-regularity signal)
+    *
+    * `is_code` = brace_semi_cnt ≥ 3 AND indent_line_ppm ≥ 300000 — the
+    * conjunction keeps bureaucratic prose (semicolon lists) and poetry
+    * (indented, symbol-free) out. Counting is subtraction-after-
+    * regexp_replace with pure character classes (identical semantics
+    * in Java regex and RE2). Output per doc: (doc_id, n_chars,
+    * n_lines, sym_ppm, brace_semi_cnt, indent_line_ppm, is_code).
+    */
+  def codeSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+    base
+      .withColumn("_lines", split(col("_t"), "\n", -1))
+      .withColumn("n_chars", length(col("_t")).cast("long"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("_sym", (length(col("_t")) -
+        length(regexp_replace(col("_t"), "[{}();=<>\\[\\]]", "")))
+        .cast("long"))
+      .withColumn("brace_semi_cnt", (length(col("_t")) -
+        length(regexp_replace(col("_t"), "[{};]", ""))).cast("long"))
+      .withColumn("_ind", size(filter(col("_lines"), l =>
+        l.startsWith("  ") || l.startsWith("\t"))).cast("long"))
+      .withColumn("sym_ppm", when(col("n_chars") === 0, lit(0L))
+        .otherwise(expr("(1000000 * _sym) div n_chars")))
+      .withColumn("indent_line_ppm", expr("(1000000 * _ind) div n_lines"))
+      .withColumn("is_code",
+        col("brace_semi_cnt") >= 3 && col("indent_line_ppm") >= 300000)
+      .select("doc_id", "n_chars", "n_lines", "sym_ppm", "brace_semi_cnt",
+        "indent_line_ppm", "is_code")
+  }
+
   /** Jensen–Shannon divergence between two corpus slices' unigram
     * distributions — the SYMMETRIC, bounded (≤ ln 2) cousin of
     * [[tokenDistributionShift]]'s KL: the standard "how far apart are

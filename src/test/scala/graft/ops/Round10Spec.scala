@@ -556,6 +556,51 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("codeSignals: planted snippet flags, prose does not") {
+    val code = "a\n  x = 1;\n  if (x) { y(); }\n\tz;"
+    val df = Seq((1L, "hello world"), (2L, code)).toDF("doc_id", "text")
+    val got = TextAnalysis.codeSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got(1L).getAs[Boolean]("is_code"))
+    assert(got(1L).getAs[Long]("brace_semi_cnt") == 0L)
+    val c = got(2L)
+    assert(c.getAs[Long]("n_lines") == 4L)
+    assert(c.getAs[Long]("brace_semi_cnt") == 5L)
+    assert(c.getAs[Long]("indent_line_ppm") == 750000L)
+    assert(c.getAs[Boolean]("is_code"))
+  }
+
+  test("bartlett: hand-computed chi2; zero-variance group masks") {
+    // a [1,2,3] var 1; b [2,4,6] var 4 -> sp2 2.5, C 1.25
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 4L), ("b", 6L)).toDF("g", "x")
+    val r = Stats.bartlett(df, "g", col("x")).collect().head
+    val want = (4 * math.log(2.5) - 2 * math.log(4.0)) / 1.25
+    assert(math.abs(r.getAs[Double]("chi2") - want) < 1e-6)
+    assert(r.getAs[Long]("df") == 1L)
+    val z = Stats.bartlett(Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 3L))
+      .toDF("g", "x"), "g", col("x")).collect().head
+    assert(z.isNullAt(z.fieldIndex("chi2")))
+  }
+
+  test("pairwiseContrasts: pooled t; both-zero-variance pair masks") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 7L), ("b", 9L),
+      ("c", 4L), ("c", 4L), ("d", 6L), ("d", 6L)).toDF("g", "x")
+    val got = Stats.pairwiseContrasts(df, "g", col("x")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 6)
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Double]("mean_diff") == -5.0)
+    assert(math.abs(ab.getAs[Double]("t_stat") -
+      (-5.0 / math.sqrt(2.5 * (2.0 / 3)))) < 1e-6)
+    assert(ab.getAs[Long]("df") == 4L)
+    val cd = got(("c", "d"))
+    assert(cd.isNullAt(cd.fieldIndex("t_stat")))
+    // one-sided zero variance still pools: (a, c) has t
+    assert(!got(("a", "c")).isNullAt(got(("a", "c")).fieldIndex("t_stat")))
+  }
+
   test("jsDivergence: hand-computed symmetric divergence") {
     // A: "a a b" (a:2,b:1, n=3); B: "a b b b" (a:1,b:3, n=4)
     val df = Seq(("en", "a a b"), ("de", "a b b b")).toDF("lang", "text")
