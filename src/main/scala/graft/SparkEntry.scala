@@ -2201,6 +2201,14 @@ object SparkEntry {
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
 
+    // lag-1 Granger-style nested-model F: does yesterday's click count
+    // predict today's purchases beyond yesterday's purchases?
+    "q_granger" -> ((s, dir) =>
+      graft.ops.TimeSeries.grangerLag(
+        table(s, dir, "events"), "ts",
+        col("event_type") === "purchase",
+        col("event_type") === "click")),
+
     // code-vs-prose router signals over code-planted docs: symbol
     // density, brace/semicolon count, indent regularity — all map-side
     "q_code_detect" -> ((s, dir) =>
@@ -7914,6 +7922,65 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Granger lag-1: ten exact integer sums -> closed-form nested OLS;
+    // each named quantity one expression from the sums (equal doubles)
+    "q_granger" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+        |), lagged AS (
+        |  SELECT y, LAG(y) OVER (ORDER BY day) AS u,
+        |         LAG(x) OVER (ORDER BY day) AS v
+        |  FROM daily
+        |), lf AS (
+        |  SELECT * FROM lagged WHERE u IS NOT NULL AND v IS NOT NULL
+        |), s AS (
+        |  SELECT COUNT(*)::BIGINT AS m,
+        |    SUM(y::HUGEINT) AS sy, SUM(u::HUGEINT) AS su,
+        |    SUM(v::HUGEINT) AS sv,
+        |    SUM((y * y)::HUGEINT) AS syy, SUM((u * u)::HUGEINT) AS suu,
+        |    SUM((v * v)::HUGEINT) AS svv, SUM((u * v)::HUGEINT) AS suv,
+        |    SUM((u * y)::HUGEINT) AS suy, SUM((v * y)::HUGEINT) AS svy
+        |  FROM lf
+        |), c AS (
+        |  SELECT *,
+        |    suu::DOUBLE - su::DOUBLE * su::DOUBLE / m::DOUBLE AS a11,
+        |    svv::DOUBLE - sv::DOUBLE * sv::DOUBLE / m::DOUBLE AS a22,
+        |    suv::DOUBLE - su::DOUBLE * sv::DOUBLE / m::DOUBLE AS a12,
+        |    suy::DOUBLE - su::DOUBLE * sy::DOUBLE / m::DOUBLE AS b1,
+        |    svy::DOUBLE - sv::DOUBLE * sy::DOUBLE / m::DOUBLE AS b2,
+        |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / m::DOUBLE AS syc
+        |  FROM s
+        |), c2 AS (
+        |  SELECT *, a11 * a22 - a12 * a12 AS det FROM c
+        |), c3 AS (
+        |  SELECT *,
+        |    CASE WHEN det = 0.0 THEN NULL
+        |         ELSE (a22 * b1 - a12 * b2) / det END AS bhat,
+        |    CASE WHEN det = 0.0 THEN NULL
+        |         ELSE (a11 * b2 - a12 * b1) / det END AS chat
+        |  FROM c2
+        |), c4 AS (
+        |  SELECT *, syc - bhat * b1 - chat * b2 AS rss1,
+        |    CASE WHEN a11 = 0.0 THEN NULL
+        |         ELSE syc - b1 * b1 / a11 END AS rss0
+        |  FROM c3
+        |)
+        |SELECT m,
+        |  CASE WHEN m < 4 OR a11 = 0.0 OR det = 0.0 OR rss1 <= 0.0 THEN NULL
+        |       ELSE ROUND(bhat, 6) END AS b_lag,
+        |  CASE WHEN m < 4 OR a11 = 0.0 OR det = 0.0 OR rss1 <= 0.0 THEN NULL
+        |       ELSE ROUND(chat, 6) END AS c_cross,
+        |  CASE WHEN m < 4 OR a11 = 0.0 OR det = 0.0 OR rss1 <= 0.0 THEN NULL
+        |       ELSE ROUND((rss0 - rss1) / (rss1 / (m::DOUBLE - 3.0)), 6)
+        |  END AS f_stat,
+        |  CAST(1 AS BIGINT) AS df1, CAST(m - 3 AS BIGINT) AS df2
+        |FROM c4""".stripMargin,
 
     // code detection: char-class regexp_replace subtraction counting
     // (identical Java-regex/RE2 semantics), integral ppm divisions

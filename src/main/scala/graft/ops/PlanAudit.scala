@@ -252,6 +252,8 @@ object PlanAudit {
     // code detection is the map-side contract (0 — like q_html_strip);
     // bartlett/contrasts are group agg + k-row folds/self-join
     "q_code_detect" -> 0, "q_bartlett" -> 2, "q_pairwise_contrasts" -> 2,
+    // granger = daily agg + |days|-frame lag window/1-row fold
+    "q_granger" -> 2,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

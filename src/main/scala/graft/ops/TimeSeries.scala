@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -840,5 +840,71 @@ object TimeSeries {
         when(col("_xmin") === col("_xmax"), lit(null).cast("double"))
           .otherwise(col("_num").cast("double") / col("_den").cast("double"))
           .as("r1"))
+  }
+
+  /** Granger-style lag-1 predictive test over two daily event series:
+    * does yesterday's X count improve the prediction of today's Y
+    * count beyond yesterday's Y alone? The standard "does clicks lead
+    * purchases?" diagnostic — compare the restricted AR(1) fit
+    * (y_t ~ y_{t−1}) against the full fit (y_t ~ y_{t−1} + x_{t−1})
+    * with the nested-model F:
+    *
+    *   F = (RSS₀ − RSS₁) / (RSS₁ / (m − 3))
+    *
+    * Both OLS fits are CLOSED FORM from ten exact integer sums (counts
+    * and their products over the |days|-row lagged frame): centered
+    * normal equations, 2×2 determinant, no iteration. Lag is
+    * previous-OBSERVED-day (row lag on the daily frame — gap semantics
+    * are the caller's resample choice, [[gapFill]] upstream if needed).
+    * Degenerates (m<4, constant y-lag, singular determinant,
+    * non-positive RSS₁ — all decided on the same doubles both engines
+    * derive from the exact sums) mask to NULL. Output: ONE row
+    * (m, b_lag, c_cross, f_stat, df1, df2).
+    */
+  def grangerLag(df: DataFrame, tsCol: String, yCond: Column,
+                 xCond: Column): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("day", col(tsCol)).as("_day"))
+      .agg(sum(when(yCond, 1L).otherwise(0L)).cast("long").as("_y"),
+        sum(when(xCond, 1L).otherwise(0L)).cast("long").as("_x"))
+    val w = Window.orderBy("_day")
+    val lagged = daily
+      .withColumn("_u", lag(col("_y"), 1).over(w))
+      .withColumn("_v", lag(col("_x"), 1).over(w))
+      .filter(col("_u").isNotNull && col("_v").isNotNull)
+    val agg0 = lagged.agg(
+      count(lit(1)).as("m"),
+      sum(col("_y").cast("decimal(38,0)")).as("_sy"),
+      sum(col("_u").cast("decimal(38,0)")).as("_su"),
+      sum(col("_v").cast("decimal(38,0)")).as("_sv"),
+      sum((col("_y") * col("_y")).cast("decimal(38,0)")).as("_syy"),
+      sum((col("_u") * col("_u")).cast("decimal(38,0)")).as("_suu"),
+      sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_svv"),
+      sum((col("_u") * col("_v")).cast("decimal(38,0)")).as("_suv"),
+      sum((col("_u") * col("_y")).cast("decimal(38,0)")).as("_suy"),
+      sum((col("_v") * col("_y")).cast("decimal(38,0)")).as("_svy"))
+    val mD = col("m").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val a11 = d("_suu") - d("_su") * d("_su") / mD
+    val a22 = d("_svv") - d("_sv") * d("_sv") / mD
+    val a12 = d("_suv") - d("_su") * d("_sv") / mD
+    val b1 = d("_suy") - d("_su") * d("_sy") / mD
+    val b2 = d("_svy") - d("_sv") * d("_sy") / mD
+    val syc = d("_syy") - d("_sy") * d("_sy") / mD
+    val det = a11 * a22 - a12 * a12
+    val bhat = (a22 * b1 - a12 * b2) / det
+    val chat = (a11 * b2 - a12 * b1) / det
+    val rss1 = syc - bhat * b1 - chat * b2
+    val rss0 = syc - b1 * b1 / a11
+    val f = (rss0 - rss1) / (rss1 / (mD - lit(3.0)))
+    val deg = col("m") < 4 || a11 === lit(0.0) || det === lit(0.0) ||
+      rss1 <= lit(0.0)
+    def guarded(c: Column) = when(deg, lit(null).cast("double")).otherwise(c)
+    agg0.select(col("m"),
+      guarded(round(bhat, 6)).as("b_lag"),
+      guarded(round(chat, 6)).as("c_cross"),
+      guarded(round(f, 6)).as("f_stat"),
+      lit(1L).as("df1"),
+      (col("m") - 3).cast("long").as("df2"))
   }
 }

@@ -556,6 +556,42 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("grangerLag: closed-form nested OLS on a hand series") {
+    // daily y = [1,2,3,5,4], x = [2,1,4,1,3] -> lagged m = 4
+    val days = Seq((1, 1, 2), (2, 2, 1), (3, 3, 4), (4, 5, 1), (5, 4, 3))
+    val rows = days.flatMap { case (d, p, c) =>
+      Seq.fill(p)((ts(d), "purchase")) ++ Seq.fill(c)((ts(d), "click"))
+    }
+    val r = TimeSeries.grangerLag(rows.toDF("ts", "event_type"), "ts",
+      col("event_type") === "purchase", col("event_type") === "click")
+      .collect().head
+    assert(r.getAs[Long]("m") == 4L)
+    // sums: sy 14 su 11 sv 8 syy 54 suu 39 svv 22 suv 21 suy 43 svy 31
+    val (m, a11, a22, a12, b1, b2, syc) =
+      (4.0, 39 - 11.0 * 11 / 4, 22 - 8.0 * 8 / 4, 21 - 11.0 * 8 / 4,
+        43 - 11.0 * 14 / 4, 31 - 8.0 * 14 / 4, 54 - 14.0 * 14 / 4)
+    val det = a11 * a22 - a12 * a12
+    val bhat = (a22 * b1 - a12 * b2) / det
+    val chat = (a11 * b2 - a12 * b1) / det
+    val rss1 = syc - bhat * b1 - chat * b2
+    val rss0 = syc - b1 * b1 / a11
+    val f = (rss0 - rss1) / (rss1 / (m - 3.0))
+    assert(math.abs(r.getAs[Double]("b_lag") - bhat) < 1e-6)
+    assert(math.abs(r.getAs[Double]("c_cross") - chat) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-6)
+    assert(r.getAs[Long]("df2") == 1L)
+  }
+
+  test("grangerLag: constant lagged-y masks to NULL (singular fit)") {
+    val rows = (1 to 5).flatMap { d =>
+      Seq.fill(2)((ts(d), "purchase")) ++ Seq.fill(d)((ts(d), "click"))
+    }
+    val r = TimeSeries.grangerLag(rows.toDF("ts", "event_type"), "ts",
+      col("event_type") === "purchase", col("event_type") === "click")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
   test("codeSignals: planted snippet flags, prose does not") {
     val code = "a\n  x = 1;\n  if (x) { y(); }\n\tz;"
     val df = Seq((1L, "hello world"), (2L, code)).toDF("doc_id", "text")
