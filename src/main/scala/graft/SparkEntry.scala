@@ -2201,6 +2201,21 @@ object SparkEntry {
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
 
+    // autocorrelation profile, lags 1..7 per event type: the weekly-
+    // cycle detector (exact-integer centered products)
+    "q_acf" -> ((s, dir) =>
+      graft.ops.TimeSeries.acfProfile(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // two-group rank-sum test: purchase vs click value cents, U + the
+    // tie-corrected z from global distinct-value midranks
+    "q_mann_whitney" -> ((s, dir) =>
+      graft.ops.Stats.mannWhitney(
+        table(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))),
+
     // lag-1 Granger-style nested-model F: does yesterday's click count
     // predict today's purchases beyond yesterday's purchases?
     "q_granger" -> ((s, dir) =>
@@ -7922,6 +7937,96 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // ACF profile: centered-integer products (u = n·x − Σx), one lead
+    // window per lag sharing a single sort, unpivot via UNION arms
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |         COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, COUNT(*)::BIGINT AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |         MIN(x) AS xmin, MAX(x) AS xmax
+        |  FROM daily GROUP BY 1
+        |), b AS (
+        |  SELECT daily.g, day, nd, sx, xmin, xmax, nd * x - sx AS u
+        |  FROM daily JOIN tot USING (g)
+        |), led AS (
+        |  SELECT *, LEAD(u, 1) OVER w AS u1, LEAD(u, 2) OVER w AS u2,
+        |    LEAD(u, 3) OVER w AS u3, LEAD(u, 4) OVER w AS u4,
+        |    LEAD(u, 5) OVER w AS u5, LEAD(u, 6) OVER w AS u6,
+        |    LEAD(u, 7) OVER w AS u7
+        |  FROM b WINDOW w AS (PARTITION BY g ORDER BY day)
+        |), per AS (
+        |  SELECT g, ANY_VALUE(nd) AS n_days, ANY_VALUE(xmin) AS xmin,
+        |    ANY_VALUE(xmax) AS xmax,
+        |    SUM(u::HUGEINT * u::HUGEINT) AS den,
+        |    SUM(u::HUGEINT * u1::HUGEINT) AS m1,
+        |    SUM(u::HUGEINT * u2::HUGEINT) AS m2,
+        |    SUM(u::HUGEINT * u3::HUGEINT) AS m3,
+        |    SUM(u::HUGEINT * u4::HUGEINT) AS m4,
+        |    SUM(u::HUGEINT * u5::HUGEINT) AS m5,
+        |    SUM(u::HUGEINT * u6::HUGEINT) AS m6,
+        |    SUM(u::HUGEINT * u7::HUGEINT) AS m7
+        |  FROM led GROUP BY 1
+        |), lg AS (
+        |  SELECT g, n_days, xmin, xmax, den, CAST(1 AS BIGINT) AS lag,
+        |         m1 AS num FROM per
+        |  UNION ALL SELECT g, n_days, xmin, xmax, den, 2, m2 FROM per
+        |  UNION ALL SELECT g, n_days, xmin, xmax, den, 3, m3 FROM per
+        |  UNION ALL SELECT g, n_days, xmin, xmax, den, 4, m4 FROM per
+        |  UNION ALL SELECT g, n_days, xmin, xmax, den, 5, m5 FROM per
+        |  UNION ALL SELECT g, n_days, xmin, xmax, den, 6, m6 FROM per
+        |  UNION ALL SELECT g, n_days, xmin, xmax, den, 7, m7 FROM per
+        |)
+        |SELECT g AS event_type, n_days, lag,
+        |  CASE WHEN xmin = xmax OR num IS NULL THEN NULL
+        |       ELSE num::DOUBLE / den::DOUBLE END AS r
+        |FROM lg""".stripMargin,
+
+    // Mann–Whitney: kruskal's distinct-value midrank frame at k=2,
+    // half-integer U exact until the final two divisions
+    "q_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |), vals AS (
+        |  SELECT x, COUNT(*)::BIGINT AS t FROM v GROUP BY 1
+        |), ranked AS (
+        |  SELECT x, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS BIGINT) AS u
+        |  FROM vals
+        |), gv AS (
+        |  SELECT g, x, COUNT(*)::BIGINT AS c FROM v GROUP BY 1, 2
+        |), per AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT) AS n2,
+        |         SUM(CASE WHEN g = 1 THEN (c * u)::HUGEINT
+        |                  ELSE 0::HUGEINT END) AS su1
+        |  FROM gv JOIN ranked USING (x)
+        |), ties AS (
+        |  SELECT SUM((t * t * t - t)::HUGEINT) AS tt, COUNT(*)::BIGINT AS nv
+        |  FROM vals
+        |)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR nv < 2 THEN NULL
+        |       ELSE ROUND((su1::DOUBLE - n1::DOUBLE * (n1::DOUBLE + 1.0))
+        |         / 2.0, 6) END AS u_stat,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR nv < 2 THEN NULL
+        |       ELSE ROUND(
+        |         ((su1::DOUBLE - n1::DOUBLE * (n1::DOUBLE + 1.0)) / 2.0
+        |          - n1::DOUBLE * n2::DOUBLE / 2.0)
+        |         / sqrt(n1::DOUBLE * n2::DOUBLE / 12.0
+        |             * ((n1::DOUBLE + n2::DOUBLE + 1.0)
+        |                - tt::DOUBLE / ((n1::DOUBLE + n2::DOUBLE)
+        |                    * (n1::DOUBLE + n2::DOUBLE - 1.0)))), 6)
+        |  END AS z
+        |FROM per, ties""".stripMargin,
 
     // Granger lag-1: ten exact integer sums -> closed-form nested OLS;
     // each named quantity one expression from the sums (equal doubles)

@@ -121,6 +121,7 @@ object PlanAudit {
     "q_composition" -> "1-row corpus-total crossJoin for share-of-corpus",
     "q_chi2"       -> "1-row global-total crossJoin (contingency normalizer)",
     "q_kruskal"    -> "1-row tie-correction crossJoin (Σt³−t over the value frame)",
+    "q_mann_whitney" -> "1-row tie-correction crossJoin (kruskal's Σt³−t frame at k=2)",
     "q_avg_precision" -> "1-row per-query relevant-total crossJoin (the AP denominator)",
     "q_eb_shrinkage" -> "1-row beta-prior frame (m, s from the rate MoM) crossJoined onto per-key rates",
     "q_fdr_bh" -> "1-row test-count crossJoin (the BH step-up denominator m)",
@@ -254,6 +255,9 @@ object PlanAudit {
     "q_code_detect" -> 0, "q_bartlett" -> 2, "q_pairwise_contrasts" -> 2,
     // granger = daily agg + |days|-frame lag window/1-row fold
     "q_granger" -> 2,
+    // acf = (series,day) agg + shared lead-window sort + per-series agg;
+    // mann-whitney inherits kruskal's collapsed-frame chain at k=2
+    "q_acf" -> 3, "q_mann_whitney" -> 6,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

@@ -1697,6 +1697,60 @@ object Stats {
       (col("n_total") - col("k")).cast("long").as("df2"))
   }
 
+  /** Mann–Whitney U test (Wilcoxon rank-sum) with the tie-corrected
+    * normal approximation — the TWO-group member of the rank family
+    * ([[kruskalWallis]] generalizes it to k; [[aucExact]] reports the
+    * same U as a probability). Reported as both the U statistic and
+    * the z-score so callers can gate on either:
+    *
+    *   U = R₁ − n₁(n₁+1)/2,  z = (U − n₁n₂/2) / σ,
+    *   σ² = n₁n₂/12 · [(n+1) − ΣT/(n(n−1))]
+    *
+    * Global midranks from the distinct-value cum frame (the
+    * kruskalWallis |V|-row idiom, never a data sort); U's half-integer
+    * arithmetic stays exact in doubled-rank LONGs until the final two
+    * divisions. Empty side or all-tied input masks to NULL. Output:
+    * ONE row (n1, n2, u_stat, z).
+    */
+  def mannWhitney(df: DataFrame, cond: Column, metric: Column): DataFrame = {
+    val base = df.filter(metric.isNotNull)
+      .select(when(cond, lit(1)).otherwise(lit(0)).as("_g"),
+        metric.cast("long").as("_x"))
+    import org.apache.spark.sql.expressions.Window
+    val vals = base.groupBy("_x").agg(count(lit(1)).as("_t"))
+    val below = Window.orderBy("_x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals.withColumn("_u",
+      (lit(2) * coalesce(sum(col("_t")).over(below), lit(0L)) +
+        col("_t") + 1).cast("long"))
+    val gv = base.groupBy("_g", "_x").agg(count(lit(1)).as("_c"))
+    val per = gv.join(ranked, "_x").agg(
+      sum(when(col("_g") === 1, col("_c")).otherwise(0L)).cast("long")
+        .as("n1"),
+      sum(when(col("_g") === 0, col("_c")).otherwise(0L)).cast("long")
+        .as("n2"),
+      sum(when(col("_g") === 1, col("_c") * col("_u")).otherwise(0L)
+        .cast("decimal(38,0)")).as("_su1"))
+    val ties = vals.agg(
+      sum((col("_t") * col("_t") * col("_t") - col("_t"))
+        .cast("decimal(38,0)")).as("_tt"),
+      count(lit(1)).as("_nv"))
+    val j = per.crossJoin(broadcast(ties))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val nD = n1D + n2D
+    // doubled ranks: R1 = su1/2, so U = (su1 − 2·n1(n1+1)/2) / 2
+    val u = (col("_su1").cast("double") -
+      n1D * (n1D + lit(1.0))) / lit(2.0)
+    val mu = n1D * n2D / lit(2.0)
+    val sig2 = n1D * n2D / lit(12.0) *
+      ((nD + lit(1.0)) - col("_tt").cast("double") / (nD * (nD - lit(1.0))))
+    val deg = col("n1") === 0 || col("n2") === 0 || col("_nv") < 2
+    j.select(col("n1"), col("n2"),
+      when(deg, lit(null).cast("double")).otherwise(round(u, 6)).as("u_stat"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round((u - mu) / sqrt(sig2), 6)).as("z"))
+  }
+
   /** Bartlett's test for variance homogeneity — the parametric,
     * more-powerful-under-normality sibling of [[brownForsythe]]
     * (Bartlett is the right screen when the data IS near-normal; BF

@@ -842,6 +842,58 @@ object TimeSeries {
           .as("r1"))
   }
 
+  /** Autocorrelation profile at lags 1..maxLag per series — the
+    * seasonality diagnostic [[lag1Autocorr]] is the first point of
+    * (lag 7 on daily data IS the weekly-cycle detector; a spike at 7
+    * with decay elsewhere says "day-of-week effect", flat says "no
+    * calendar structure" — which decides whether [[dowAnomalies]] or
+    * plain [[dailyAnomalies]] is the right monitor).
+    *
+    * Same exact-integer spine as lag1Autocorr: center as u = n·x − Σx
+    * (integer), numerators Σ u·u₊ℓ and denominator Σu² as exact
+    * decimals, one double division per (series, lag). All maxLag lead
+    * columns share ONE window sort; the per-series frame unpivots via
+    * explode (never unionAll — the single-lineage discipline). Lags ≥
+    * the series length emit NULL r (empty numerator), constant series
+    * mask entirely. Output: (series, n_days, lag, r).
+    */
+  def acfProfile(df: DataFrame, seriesCol: String, tsCol: String,
+                 maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, "1 <= maxLag <= 30")
+    val daily = df.filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("_g"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_x"))
+    val tot = daily.groupBy("_g")
+      .agg(count(lit(1)).as("_nd"), sum(col("_x")).cast("long").as("_sx"),
+        min(col("_x")).as("_xmin"), max(col("_x")).as("_xmax"))
+    val w = Window.partitionBy("_g").orderBy("day")
+    val base = daily.join(tot, Seq("_g"))
+      .withColumn("_u", col("_nd") * col("_x") - col("_sx"))
+    val withLeads = (1 to maxLag).foldLeft(base) { (d, l) =>
+      d.withColumn(s"_un$l", lead(col("_u"), l).over(w))
+    }
+    val aggs = Seq(
+      first(col("_nd")).as("n_days"),
+      first(col("_xmin")).as("_xmin"), first(col("_xmax")).as("_xmax"),
+      sum(col("_u").cast("decimal(19,0)") * col("_u").cast("decimal(19,0)"))
+        .as("_den")) ++
+      (1 to maxLag).map(l =>
+        sum(col("_u").cast("decimal(19,0)") *
+          col(s"_un$l").cast("decimal(19,0)")).as(s"_num$l"))
+    val per = withLeads.groupBy("_g").agg(aggs.head, aggs.tail: _*)
+    per.select(col("_g"), col("n_days"), col("_xmin"), col("_xmax"),
+        col("_den"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l.toLong).as("_l"), col(s"_num$l").as("_n"))): _*))
+          .as("_s"))
+      .select(col("_g").as(seriesCol), col("n_days"),
+        col("_s").getField("_l").as("lag"),
+        when(col("_xmin") === col("_xmax") ||
+            col("_s").getField("_n").isNull, lit(null).cast("double"))
+          .otherwise(col("_s").getField("_n").cast("double") /
+            col("_den").cast("double")).as("r"))
+  }
+
   /** Granger-style lag-1 predictive test over two daily event series:
     * does yesterday's X count improve the prediction of today's Y
     * count beyond yesterday's Y alone? The standard "does clicks lead

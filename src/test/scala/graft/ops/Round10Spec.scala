@@ -556,6 +556,43 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("acfProfile: centered-integer autocorrelations on a hand series") {
+    // daily counts [1,2,1,2] -> u = [-2,2,-2,2], den 16
+    // r1 = -12/16, r2 = 8/16, r3 = -4/16, r4..7 NULL
+    val rows = (1 to 4).flatMap(d =>
+      Seq.fill(if (d % 2 == 1) 1 else 2)(("a", ts(d)))) ++
+      Seq(("c", ts(1)), ("c", ts(2)))
+    val got = TimeSeries.acfProfile(rows.toDF("series", "ts"), "series", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got.size == 14)
+    assert(got(("a", 1L)) == -0.75)
+    assert(got(("a", 2L)) == 0.5)
+    assert(got(("a", 3L)) == -0.25)
+    assert(got(("a", 4L)).isNaN)
+    // constant series masks every lag
+    assert((1L to 7L).forall(l => got(("c", l)).isNaN))
+  }
+
+  test("mannWhitney: U and tie-corrected z on a hand case") {
+    // treat [3,4] vs control [1,2]: U = 4, z = 2/sqrt(5/3)
+    val df = Seq(("t", 3L), ("t", 4L), ("c", 1L), ("c", 2L)).toDF("grp", "x")
+    val r = Stats.mannWhitney(df, col("grp") === "t", col("x"))
+      .collect().head
+    assert(r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("u_stat") == 4.0)
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(5.0 / 3)) < 1e-6)
+  }
+
+  test("mannWhitney: all-tied input masks to NULL") {
+    val df = Seq(("t", 5L), ("c", 5L), ("c", 5L)).toDF("grp", "x")
+    val r = Stats.mannWhitney(df, col("grp") === "t", col("x"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("grangerLag: closed-form nested OLS on a hand series") {
     // daily y = [1,2,3,5,4], x = [2,1,4,1,3] -> lagged m = 4
     val days = Seq((1, 1, 2), (2, 2, 1), (3, 3, 4), (4, 5, 1), (5, 4, 3))
