@@ -111,12 +111,18 @@ object SparkEntry {
       .select(col("doc_id"),
         graft.ops.TextAnalysis.tokens(lower(col("text"))).as("ref"))
       .filter(size(col("ref")) >= 8)
-    d.withColumn("cand", expr(
-      """filter(transform(sequence(1, size(ref)),
-        |  i -> CASE WHEN (i - 1) % 7 = 3 THEN CAST(NULL AS STRING)
-        |            WHEN (i - 1) % 11 = 5 THEN reverse(ref[i - 1])
-        |            ELSE ref[i - 1] END),
-        |  x -> x IS NOT NULL)""".stripMargin))
+    // Generate barrier: the cand lambda below reads `ref[i-1]` PER
+    // ELEMENT — without the barrier CollapseProject substitutes the
+    // full tokens(lower(text)) split into the lambda body and the doc
+    // is re-split once per token (the WordShingles lesson; measured as
+    // the whole eval family's dominant cost, q_chrf 10.6 → 2.2 s)
+    d.select(col("doc_id"), explode(array(col("ref"))).as("ref"))
+      .withColumn("cand", expr(
+        """filter(transform(sequence(1, size(ref)),
+          |  i -> CASE WHEN (i - 1) % 7 = 3 THEN CAST(NULL AS STRING)
+          |            WHEN (i - 1) % 11 = 5 THEN reverse(ref[i - 1])
+          |            ELSE ref[i - 1] END),
+          |  x -> x IS NOT NULL)""".stripMargin))
   }
 
   /** Deterministic mojibake plant: the synthetic docs are clean, so an
@@ -2200,6 +2206,29 @@ object SparkEntry {
             dayofmonth(col("ts")).between(11, 20),
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
+
+    // whole-distribution two-sample test: CvM T over purchase-vs-click
+    // value cents — KS's integral companion, one exact-decimal numerator
+    "q_cvm" -> ((s, dir) =>
+      graft.ops.Stats.cramerVonMises(
+        table(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))),
+
+    // RFM user-value segmentation: exact cumulative quintile scoring
+    // on distinct-value frames (never ntile — row-order under ties)
+    "q_rfm" -> ((s, dir) =>
+      graft.ops.Rfm.rfm(
+        table(s, dir, "events"), "user_id", "ts",
+        round(col("value") * 100).cast("long"))),
+
+    // Jaccard link prediction over the co-purchase graph (RA's
+    // normalized sibling, same wedge plan)
+    "q_jaccard_link" -> ((s, dir) =>
+      graft.ops.Graph.jaccardLinks(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
 
     // autocorrelation profile, lags 1..7 per event type: the weekly-
     // cycle detector (exact-integer centered products)
@@ -7937,6 +7966,128 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // CvM: cross-multiplied integer CDF gaps on the distinct-value cum
+    // frame; the whole numerator is ONE exact HUGEINT sum
+    "q_cvm" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |), vals AS (
+        |  SELECT x,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM v GROUP BY 1
+        |), cum AS (
+        |  SELECT *, CAST(SUM(c1) OVER w AS BIGINT) AS f1,
+        |            CAST(SUM(c2) OVER w AS BIGINT) AS f2
+        |  FROM vals
+        |  WINDOW w AS (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), tot AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM vals
+        |), s AS (
+        |  SELECT n1, n2,
+        |    SUM((c1 + c2)::HUGEINT
+        |        * (f1::HUGEINT * n2 - f2::HUGEINT * n1)
+        |        * (f1::HUGEINT * n2 - f2::HUGEINT * n1)) AS num
+        |  FROM cum, tot GROUP BY 1, 2
+        |)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |       ELSE ROUND(num::DOUBLE
+        |         / ((n1::DOUBLE + n2::DOUBLE) * (n1::DOUBLE + n2::DOUBLE)
+        |            * n1::DOUBLE * n2::DOUBLE), 6) END AS t_stat
+        |FROM s""".stripMargin,
+
+    // RFM: exact cumulative quintile rule 1 + (5·below) div n on each
+    // dimension's distinct-value frame; recency scored descending
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, ts,
+        |    COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), per AS (
+        |  SELECT u, MAX(date_trunc('day', ts)) AS last_day,
+        |         COUNT(*)::BIGINT AS frequency,
+        |         CAST(SUM(v) AS BIGINT) AS monetary_cents
+        |  FROM base GROUP BY 1
+        |), anc AS (SELECT MAX(last_day) AS anchor FROM per),
+        |wr AS (
+        |  SELECT per.*,
+        |    CAST(date_diff('day', last_day, anchor) AS BIGINT) AS recency_days
+        |  FROM per, anc
+        |), rv AS (
+        |  SELECT -recency_days AS x, COUNT(*)::BIGINT AS t FROM wr GROUP BY 1
+        |), rs AS (
+        |  SELECT x, CAST(1 + (5 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |    // (SUM(t) OVER ()) AS BIGINT) AS r_score
+        |  FROM rv
+        |), fv AS (
+        |  SELECT frequency AS x, COUNT(*)::BIGINT AS t FROM wr GROUP BY 1
+        |), fs AS (
+        |  SELECT x, CAST(1 + (5 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |    // (SUM(t) OVER ()) AS BIGINT) AS f_score
+        |  FROM fv
+        |), mv AS (
+        |  SELECT monetary_cents AS x, COUNT(*)::BIGINT AS t
+        |  FROM wr GROUP BY 1
+        |), ms AS (
+        |  SELECT x, CAST(1 + (5 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |    // (SUM(t) OVER ()) AS BIGINT) AS m_score
+        |  FROM mv
+        |)
+        |SELECT u AS user_id, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM wr
+        |JOIN rs ON -wr.recency_days = rs.x
+        |JOIN fs ON wr.frequency = fs.x
+        |JOIN ms ON wr.monetary_cents = ms.x""".stripMargin,
+
+    // Jaccard link prediction: RA's wedge plan, endpoint degrees
+    "q_jaccard_link" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), directed AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges
+        |), deg AS (
+        |  SELECT src AS n, COUNT(*)::BIGINT AS d FROM directed GROUP BY 1
+        |), scored AS (
+        |  SELECT za.dst AS a, zb.dst AS b, COUNT(*)::BIGINT AS n_common
+        |  FROM directed za JOIN directed zb ON za.src = zb.src
+        |  WHERE za.dst < zb.dst
+        |  GROUP BY 1, 2
+        |), newlinks AS (
+        |  SELECT s.a, s.b, s.n_common FROM scored s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges e WHERE e.a = s.a AND e.b = s.b)
+        |)
+        |SELECT nl.a, nl.b, nl.n_common,
+        |  (1000000 * nl.n_common) // (da.d + db.d - nl.n_common)
+        |    AS jaccard_ppm
+        |FROM newlinks nl
+        |JOIN deg da ON da.n = nl.a
+        |JOIN deg db ON db.n = nl.b""".stripMargin,
 
     // ACF profile: centered-integer products (u = n·x − Σx), one lead
     // window per lag sharing a single sort, unpivot via UNION arms

@@ -57,4 +57,92 @@ object TextExpressions {
 
   def wordShingles(toks: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(toks), n))
+
+  /** Clipped char-n-gram overlap m_n = Σ_g min(cf_g, rf_g) for
+    * n = 1..maxN, computed per ROW — the chrF primitive done where the
+    * data already lives. The cand/ref pair is colocated on one row by
+    * construction, so exploding both sides into an (id, n, gram)
+    * shuffle-agg (the token-BLEU plan, right for CORPUS rollups)
+    * multiplies 6 gram slots per char into ~18M exploded rows at
+    * sf0.1 and paid ~18 s in two hash aggs; this node streams the
+    * ref grams into a reused hash map and clips the cand grams
+    * against it — one pass per order, zero shuffles.
+    * Output: struct<len_cand, len_ref, m: array<long>> — the lengths
+    * ride along so the caller references the (stripped) input strings
+    * exactly once; consume through a Generate barrier
+    * (`explode(array(...))`) so CollapseProject can never inline the
+    * kernel once per downstream field reference (measured: the inlined
+    * rendering re-evaluated it 6× — 11.5 s vs ~2 s behind the barrier).
+    */
+  case class ClippedCharGramCounts(left: Expression, right: Expression,
+                                   maxN: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    require(maxN >= 1, "maxN must be positive")
+
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("len_cand", LongType, nullable = false),
+      StructField("len_ref", LongType, nullable = false),
+      StructField("m", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "clipped_char_gram_counts"
+
+    // code-point start offsets of s, plus the end sentinel — grams are
+    // then O(1)-indexed String.substring slices. (UTF8String.substringSQL
+    // re-walks the byte array from position 0 on EVERY call — O(L²) per
+    // row per order, measured as 10 of q_chrf's 21 s.)
+    private def cpOffsets(s: String): Array[Int] = {
+      val out = new Array[Int](s.codePointCount(0, s.length) + 1)
+      var idx = 0
+      var i = 0
+      while (i < s.length) {
+        out(idx) = i
+        idx += 1
+        i = Character.offsetByCodePoints(s, i, 1)
+      }
+      out(idx) = s.length
+      out
+    }
+
+    override protected def nullSafeEval(cand: Any, ref: Any): Any = {
+      val c = cand.asInstanceOf[UTF8String].toString
+      val r = ref.asInstanceOf[UTF8String].toString
+      val cOff = cpOffsets(c); val rOff = cpOffsets(r)
+      val cLen = cOff.length - 1; val rLen = rOff.length - 1
+      val out = new Array[Any](maxN)
+      val counts = new java.util.HashMap[String, Array[Int]]()
+      var n = 1
+      while (n <= maxN) {
+        counts.clear()
+        var i = 0
+        while (i <= rLen - n) {
+          val g = r.substring(rOff(i), rOff(i + n))
+          val slot = counts.get(g)
+          if (slot == null) counts.put(g, Array(1)) else slot(0) += 1
+          i += 1
+        }
+        var m = 0L
+        i = 0
+        while (i <= cLen - n) {
+          val slot = counts.get(c.substring(cOff(i), cOff(i + n)))
+          if (slot != null && slot(0) > 0) { slot(0) -= 1; m += 1L }
+          i += 1
+        }
+        out(n - 1) = m
+        n += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cLen.toLong, rLen.toLong, new GenericArrayData(out)))
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def clippedCharGramCounts(cand: Column, ref: Column, maxN: Int): Column =
+    GraftBridge.column(ClippedCharGramCounts(
+      GraftBridge.expression(cand), GraftBridge.expression(ref), maxN))
 }

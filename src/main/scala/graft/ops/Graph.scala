@@ -227,6 +227,39 @@ object Graph {
       .join(e, Seq("a", "b"), "left_anti") // predict NEW links only
   }
 
+  /** Jaccard-coefficient link prediction over the co-occurrence graph —
+    * [[resourceAllocation]]'s normalized sibling: for every
+    * non-adjacent pair (a < b) with a common neighbor,
+    * `jaccard = |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|`, integerized exactly as
+    * `10⁶·common div (deg(a)+deg(b)−common)` (RA weights rare hubs,
+    * Jaccard normalizes by combined neighborhoods — ship both, the
+    * standard link-prediction panel). Same wedge-join plan as RA with
+    * degrees joined per ENDPOINT instead of per witness.
+    * Output: (a, b, n_common, jaccard_ppm).
+    */
+  def jaccardLinks(df: DataFrame, basketCol: String, itemCol: String,
+                   minSupport: Long = 2L,
+                   maxBasketSize: Int = 1000): DataFrame = {
+    val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select("a", "b").cache()
+    val directed = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val deg = directed.groupBy(col("src").as("_n"))
+      .agg(count(lit(1)).as("_d"))
+    val za = directed.select(col("src").as("_z"), col("dst").as("a"))
+    val zb = directed.select(col("src").as("_z"), col("dst").as("b"))
+    za.join(zb, Seq("_z"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("_n").as("a"), col("_d").as("_da")), Seq("a"))
+      .join(deg.select(col("_n").as("b"), col("_d").as("_db")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"),
+        expr("(1000000 * n_common) div (_da + _db - n_common)")
+          .as("jaccard_ppm"))
+  }
+
   /** Undirected co-occurrence edge set rendered as a DIRECTED edge list
     * (both orientations), the input shape [[pageRank]] wants. */
   def cooccurrenceDigraph(df: DataFrame, basketCol: String, itemCol: String,

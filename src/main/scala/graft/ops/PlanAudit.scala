@@ -128,6 +128,7 @@ object PlanAudit {
     "q_fs_linkage" -> "three 1-row u-probability frames (per-field agreement priors) broadcast onto the blocked candidate pairs",
     "q_logrank" -> "1-row totals + at-risk normalizer frames crossJoined onto the |event-times|-bounded hazard table",
     "q_pairwise_contrasts" -> "k-row group-summary self-join on g1<g2 (the k(k-1)/2 contrast grid; k = distinct groups, single digits)",
+    "q_cvm" -> "1-row arm-totals crossJoin onto the distinct-value cum frame",
     "q_keyness"    -> "1-row corpus-totals crossJoin (log-odds prior normalizers)",
     "q_filter_funnel" -> "1-row corpus-total crossJoin over a 6-row stage frame",
     "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
@@ -258,6 +259,11 @@ object PlanAudit {
     // acf = (series,day) agg + shared lead-window sort + per-series agg;
     // mann-whitney inherits kruskal's collapsed-frame chain at k=2
     "q_acf" -> 3, "q_mann_whitney" -> 6,
+    // cvm = value frame + cum window + totals; rfm = per-unit agg +
+    // three cached quintile branches; jaccard_link = RA's wedge chain;
+    // chrf is the per-row-kernel MAP-SIDE contract (0 — was 21 s as an
+    // 18M-row exploded lattice)
+    "q_cvm" -> 4, "q_rfm" -> 6, "q_jaccard_link" -> 8, "q_chrf" -> 0,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

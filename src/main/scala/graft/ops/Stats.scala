@@ -1751,6 +1751,57 @@ object Stats {
         .otherwise(round((u - mu) / sqrt(sig2), 6)).as("z"))
   }
 
+  /** Two-sample Cramér–von Mises statistic — the whole-distribution
+    * companion to [[ksTest]]: KS reacts to the single largest CDF gap,
+    * CvM integrates EVERY gap, so it catches broad mild shifts KS
+    * misses (the classic pairing on a drift dashboard). On the
+    * distinct-value cum frame with tie weights t_k:
+    *
+    *   T = Σ_k t_k·(n₂·F̂₁ₖ − n₁·F̂₂ₖ)² / (N²·n₁·n₂)
+    *
+    * where the inner difference is the CROSS-MULTIPLIED integer
+    * (c1cum·n₂ − c2cum·n₁) — the whole sum is ONE exact decimal, and
+    * the only double is the final division. Same |V|-row frame as
+    * [[mannWhitney]], never a data sort. Empty side masks to NULL.
+    * Output: ONE row (n1, n2, t_stat).
+    *
+    * Scale note: the integer numerator grows as N⁴·|V| — beyond ~10⁹
+    * rows shard the metric domain upstream and combine the per-shard
+    * sums (decimal(38) holds to ~10⁹ comfortably).
+    */
+  def cramerVonMises(df: DataFrame, cond: Column, metric: Column): DataFrame = {
+    val base = df.filter(metric.isNotNull)
+      .select(when(cond, lit(1)).otherwise(lit(0)).as("_g"),
+        metric.cast("long").as("_x"))
+    import org.apache.spark.sql.expressions.Window
+    val vals = base.groupBy("_x").agg(
+      sum(when(col("_g") === 1, 1L).otherwise(0L)).cast("long").as("_c1"),
+      sum(when(col("_g") === 0, 1L).otherwise(0L)).cast("long").as("_c2"))
+    val w = Window.orderBy("_x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("_f1", sum(col("_c1")).over(w).cast("long"))
+      .withColumn("_f2", sum(col("_c2")).over(w).cast("long"))
+    val tot = vals.agg(sum(col("_c1")).cast("long").as("n1"),
+      sum(col("_c2")).cast("long").as("n2"))
+    val num = cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        ((col("_c1") + col("_c2")).cast("decimal(38,0)") *
+          (col("_f1").cast("decimal(38,0)") * col("n2") -
+           col("_f2").cast("decimal(38,0)") * col("n1")) *
+          (col("_f1").cast("decimal(38,0)") * col("n2") -
+           col("_f2").cast("decimal(38,0)") * col("n1"))).as("_term"))
+      .groupBy("n1", "n2")
+      .agg(sum(col("_term")).as("_num"))
+    val nD = (col("n1") + col("n2")).cast("double")
+    val deg = col("n1") === 0 || col("n2") === 0
+    num.select(col("n1"), col("n2"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round(col("_num").cast("double") /
+          (nD * nD * col("n1").cast("double") * col("n2").cast("double")),
+          6)).as("t_stat"))
+  }
+
   /** Bartlett's test for variance homogeneity — the parametric,
     * more-powerful-under-normality sibling of [[brownForsythe]]
     * (Bartlett is the right screen when the data IS near-normal; BF

@@ -556,6 +556,45 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("cramerVonMises: hand-computed T; empty side masks") {
+    // g1 [1,3], g0 [2,4]: gaps (2,0,2,0) squared -> num 8; T = 8/64
+    val df = Seq(("t", 1L), ("t", 3L), ("c", 2L), ("c", 4L)).toDF("grp", "x")
+    val r = Stats.cramerVonMises(df, col("grp") === "t", col("x"))
+      .collect().head
+    assert(r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("t_stat") == 0.125)
+    val e = Stats.cramerVonMises(Seq(("t", 1L)).toDF("grp", "x"),
+      col("grp") === "t", col("x")).collect().head
+    assert(e.isNullAt(e.fieldIndex("t_stat")))
+  }
+
+  test("rfm: exact quintile scores on distinct dimensions") {
+    // user k: k events on day k, 10k value each -> monetary 1000k^2
+    val rows = (1 to 5).flatMap(k =>
+      Seq.fill(k)((k.toLong, ts(k), (k * 10).toDouble)))
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = Rfm.rfm(df, "user_id", "ts",
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("recency_days") == 4L)
+    assert(got(1L).getAs[Long]("rfm") == 111L)
+    assert(got(5L).getAs[Long]("recency_days") == 0L)
+    assert(got(5L).getAs[Long]("frequency") == 5L)
+    assert(got(5L).getAs[Long]("rfm") == 555L)
+    assert(got(3L).getAs[Long]("rfm") == 333L)
+  }
+
+  test("jaccardLinks: normalized common-neighbor score, new links only") {
+    val got = Graph.jaccardLinks(lccBaskets, "basket", "item",
+        minSupport = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // non-adjacent pairs through witness 3: (1,4) and (2,4)
+    assert(got == Map((1L, 4L) -> ((1L, 500000L)),
+      (2L, 4L) -> ((1L, 500000L))))
+  }
+
   test("acfProfile: centered-integer autocorrelations on a hand series") {
     // daily counts [1,2,1,2] -> u = [-2,2,-2,2], den 16
     // r1 = -12/16, r2 = 8/16, r3 = -4/16, r4..7 NULL
