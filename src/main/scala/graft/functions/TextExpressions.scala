@@ -145,4 +145,85 @@ object TextExpressions {
   def clippedCharGramCounts(cand: Column, ref: Column, maxN: Int): Column =
     GraftBridge.column(ClippedCharGramCounts(
       GraftBridge.expression(cand), GraftBridge.expression(ref), maxN))
+
+  /** [[ClippedCharGramCounts]] for TOKEN-array pairs — the BLEU/ROUGE
+    * primitive m_n = Σ_g min(cf_g, rf_g) per order, computed on the
+    * row where the pair already lives. Replaces the side-tagged
+    * explode→(id,n,gram)-agg lattice for the PER-PAIR metrics: that
+    * plan shuffled ~8 gram slots per token through two hash aggs
+    * (right only when a corpus-pooled rollup needs the grams
+    * distributed — and even the pooled BLEU only needs the per-pair
+    * m/t SUMS, one 1-row agg over this node's output). Gram keys join
+    * tokens with a space (unambiguous for whitespace-split tokens —
+    * the oracle's own key form); only defined for non-null token
+    * elements, the [[WordShingles]] caveat.
+    * Output: struct<len_cand, len_ref, m: array<long>> — consume via a
+    * Generate barrier like the char twin.
+    */
+  case class ClippedTokenGramCounts(left: Expression, right: Expression,
+                                    maxN: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    require(maxN >= 1, "maxN must be positive")
+
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("len_cand", LongType, nullable = false),
+      StructField("len_ref", LongType, nullable = false),
+      StructField("m", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "clipped_token_gram_counts"
+
+    private def gram(toks: Array[String], i: Int, n: Int): String = {
+      if (n == 1) return toks(i)
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+
+    override protected def nullSafeEval(cand: Any, ref: Any): Any = {
+      def strs(a: Any): Array[String] = {
+        val arr = a.asInstanceOf[ArrayData]
+        val out = new Array[String](arr.numElements())
+        var i = 0
+        while (i < out.length) { out(i) = arr.getUTF8String(i).toString; i += 1 }
+        out
+      }
+      val c = strs(cand); val r = strs(ref)
+      val out = new Array[Any](maxN)
+      val counts = new java.util.HashMap[String, Array[Int]]()
+      var n = 1
+      while (n <= maxN) {
+        counts.clear()
+        var i = 0
+        while (i <= r.length - n) {
+          val g = gram(r, i, n)
+          val slot = counts.get(g)
+          if (slot == null) counts.put(g, Array(1)) else slot(0) += 1
+          i += 1
+        }
+        var m = 0L
+        i = 0
+        while (i <= c.length - n) {
+          val slot = counts.get(gram(c, i, n))
+          if (slot != null && slot(0) > 0) { slot(0) -= 1; m += 1L }
+          i += 1
+        }
+        out(n - 1) = m
+        n += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](c.length.toLong, r.length.toLong, new GenericArrayData(out)))
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def clippedTokenGramCounts(cand: Column, ref: Column, maxN: Int): Column =
+    GraftBridge.column(ClippedTokenGramCounts(
+      GraftBridge.expression(cand), GraftBridge.expression(ref), maxN))
 }

@@ -10,12 +10,11 @@ import org.apache.spark.sql.functions._
   * corpus against their sources.
   *
   * Both metrics ride ONE shared primitive: clipped n-gram multiset
-  * overlap (`matched_n = Σ_g min(cf(g), rf(g))`), computed as a
-  * per-(doc, n, gram) equi-join of two map-side-combined hash
-  * aggregations over codegen'd `transform`+`explode` gram slots.
-  * Nothing is quadratic, nothing broadcasts but literals, and per-doc
-  * reduce state is the doc's own distinct-gram set — the same scale
-  * posture as [[TextAnalysis.bigramLmScore]].
+  * overlap (`matched_n = Σ_g min(cf(g), rf(g))`), computed per ROW by
+  * a native kernel — the cand/ref pair is colocated on its row, so
+  * nothing shuffles until a corpus rollup pools the per-pair sums
+  * (one 1-row agg). Nothing is quadratic, nothing broadcasts but
+  * literals, and per-row state is the pair's own gram map.
   *
   * Determinism: every count is an exact long; ratios and logs are one
   * fixed double tree per output (engine-bit-identical); only the
@@ -29,61 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object EvalMetrics {
 
-  /** All (n, gram, side) slots of one token-array column, for every n
-    * in `ns`, as ONE codegen'd nested transform — the whole gram
-    * lattice materializes in a single pass over the pair row. Grams
-    * are space-joined token runs (the cross-engine-stable key); `n`
-    * values longer than the doc are filtered out BEFORE the inner
-    * `sequence` so it never runs descending.
-    */
-  private def gramSlots(arrCol: String, side: Int, ns: Seq[Int]): String =
-    s"""flatten(transform(
-       |  filter(array(${ns.mkString(", ")}), n -> size($arrCol) >= n),
-       |  n -> transform(sequence(1, size($arrCol) - n + 1),
-       |    i -> struct(cast(n AS bigint) AS n,
-       |                array_join(slice($arrCol, i, n), ' ') AS gram,
-       |                $side AS side))))""".stripMargin
-
-  /** Clipped n-gram overlap per (id, n): `m_clip = Σ_g min(cf, rf)`.
-    * Both sides explode from the SAME pass (side-tagged), so the
-    * whole primitive costs one (id, n, gram) hash agg plus one
-    * (id, n) roll-up — no per-n unions, no cand/ref join.
-    */
-  def clippedOverlap(pairs: DataFrame, idCol: String, candCol: String,
-                     refCol: String, ns: Seq[Int]): DataFrame =
-    pairs.select(col(idCol), explode(expr(
-        s"concat(${gramSlots(candCol, 1, ns)}, ${gramSlots(refCol, 0, ns)})"))
-        .as("_s"))
-      .select(col(idCol), col("_s.n").as("n"), col("_s.gram").as("gram"),
-        col("_s.side").as("side"))
-      .groupBy(col(idCol), col("n"), col("gram"))
-      .agg(sum(when(col("side") === 1, lit(1L)).otherwise(lit(0L))).as("cf"),
-           sum(when(col("side") === 0, lit(1L)).otherwise(lit(0L))).as("rf"))
-      .filter(col("cf") > 0 && col("rf") > 0)
-      .groupBy(col(idCol), col("n"))
-      .agg(sum(least(col("cf"), col("rf"))).as("m_clip"))
-
   /** Per-pair lengths + per-n clipped matches, pivoted wide:
-    * (id, len_cand, len_ref, m_1..m_maxN). The scaffold is the pair
-    * frame itself so zero-overlap docs keep a row (m=0).
+    * (id, len_cand, len_ref, m_1..m_maxN, t_1..t_maxN) — computed
+    * entirely MAP-SIDE by the
+    * [[graft.functions.TextExpressions.ClippedTokenGramCounts]] kernel
+    * (the pair is colocated on its row; the former side-tagged
+    * explode→(id,n,gram)-agg lattice shuffled ~8 gram slots per token
+    * through two hash aggs to arrive at the same per-pair counts).
+    * The kernel is consumed through a Generate barrier so
+    * CollapseProject can never re-inline it per field reference.
     */
   private def overlapWide(pairs: DataFrame, idCol: String, candCol: String,
-                          refCol: String, maxN: Int): DataFrame = {
-    val mAggs = (1 to maxN).map(n =>
-      sum(when(col("n") === n, col("m_clip"))).as(s"_m$n"))
-    val m = clippedOverlap(pairs, idCol, candCol, refCol, 1 to maxN)
-      .groupBy(col(idCol))
-      .agg(mAggs.head, mAggs.tail: _*)
+                          refCol: String, maxN: Int): DataFrame =
     pairs.select(col(idCol),
-        size(col(candCol)).cast("long").as("len_cand"),
-        size(col(refCol)).cast("long").as("len_ref"))
-      .join(m, Seq(idCol), "left")
+        explode(array(graft.functions.TextExpressions.clippedTokenGramCounts(
+          col(candCol), col(refCol), maxN))).as("_st"))
+      .select(col(idCol),
+        col("_st").getField("len_cand").as("len_cand"),
+        col("_st").getField("len_ref").as("len_ref"),
+        col("_st").getField("m").as("_m"))
       .select(col(idCol) +: col("len_cand") +: col("len_ref") +:
-        ((1 to maxN).map(n =>
-          coalesce(col(s"_m$n"), lit(0L)).as(s"m$n")) ++
+        ((1 to maxN).map(n => element_at(col("_m"), n).as(s"m$n")) ++
          (1 to maxN).map(n =>
            greatest(col("len_cand") - lit(n - 1L), lit(0L)).as(s"t$n"))): _*)
-  }
 
   /** Log-space brevity penalty + geometric-mean precision term over
     * exact longs: `min(0, 1 - len_r/len_c) + (1/N) Σ_n ln((m_n+1)/(t_n+1))`

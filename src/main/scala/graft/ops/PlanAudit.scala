@@ -337,7 +337,10 @@ object PlanAudit {
     // explodes in ONE pass — one (id,n,gram) agg, one (id,n) roll-up,
     // one scaffold join; corpus BLEU adds the 1-row pooled agg.
     // decay trend is the daily agg + per-key series fold, window-free
-    "q_bleu" -> 3, "q_bleu_corpus" -> 4, "q_rouge" -> 3,
+    // r10: the eval family went map-side (ClippedTokenGramCounts kernel
+    // — the pair lives on one row; the old exploded lattice shuffled
+    // ~8 gram slots/token): bleu/rouge 0, corpus-pooled bleu 1
+    "q_bleu" -> 0, "q_bleu_corpus" -> 1, "q_rouge" -> 0,
     "q_kneser_ney" -> 9, "q_decay_trend" -> 2,
     // hll = 2 key-kinds × (register agg + bucket-sorted estimate agg +
     // 2-phase exact countDistinct leg); pca/abtt AUDITED plans are
