@@ -2207,6 +2207,27 @@ object SparkEntry {
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
 
+    // OLS outlier diagnostics: top-5 studentized residuals + leverage
+    // per return flag — which rows drive the q_linreg trend?
+    "q_reg_diag" -> ((s, dir) =>
+      graft.ops.Agg.regressionDiagnostics(
+        table(s, dir, "lineitem"), "l_returnflag",
+        col("l_quantity"), round(col("l_extendedprice")), k = 5)),
+
+    // DP noisy-SUM release with per-user contribution clipping — the
+    // sensitivity-bounding half q_dp_counts lacks
+    "q_dp_sum" -> ((s, dir) =>
+      graft.ops.Privacy.noisySum(
+        table(s, dir, "events"), Seq("event_type"), "user_id",
+        round(col("value") * 100).cast("long"), clip = 10000L,
+        epsilon = 0.5, seed = 7L)),
+
+    // embedding L2-norm histogram: the encoder-health screen (norm
+    // collapse / bimodal mixes / unnormalized tails)
+    "q_embed_norms" -> ((s, dir) =>
+      graft.ops.Similarity.embedNorms(
+        table(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // whole-distribution two-sample test: CvM T over purchase-vs-click
     // value cents — KS's integral companion, one exact-decimal numerator
     "q_cvm" -> ((s, dir) =>
@@ -7966,6 +7987,91 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // regression diagnostics: named quantities (slope, a, s2) are each
+    // one division from exact sums — equal doubles however referenced
+    "q_reg_diag" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), s AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM((x * x)::HUGEINT) AS sxx, SUM((x * y)::HUGEINT) AS sxy,
+        |    SUM((y * y)::HUGEINT) AS syy
+        |  FROM v GROUP BY 1
+        |), c AS (
+        |  SELECT *,
+        |    sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE AS sxxc,
+        |    sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE AS sxyc,
+        |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS syyc
+        |  FROM s
+        |), f0 AS (
+        |  SELECT g, n, sx::DOUBLE AS sxd, sxxc, sxyc / sxxc AS b,
+        |    sy::DOUBLE / n::DOUBLE
+        |      - (sxyc / sxxc) * (sx::DOUBLE / n::DOUBLE) AS a,
+        |    (syyc - (sxyc / sxxc) * sxyc) / (n::DOUBLE - 2.0) AS s2
+        |  FROM c WHERE n >= 3 AND sxxc > 0.0
+        |), f AS (SELECT * FROM f0 WHERE s2 > 0.0),
+        |sc AS (
+        |  SELECT v.g, v.x, v.y,
+        |    v.y::DOUBLE - (f.a + f.b * v.x::DOUBLE) AS resid,
+        |    1.0 / f.n::DOUBLE + (v.x::DOUBLE - f.sxd / f.n::DOUBLE)
+        |      * (v.x::DOUBLE - f.sxd / f.n::DOUBLE) / f.sxxc AS h,
+        |    f.s2
+        |  FROM v JOIN f USING (g)
+        |), t AS (
+        |  SELECT *, resid / sqrt(s2 * (1.0 - h)) AS tt,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY abs(resid / sqrt(s2 * (1.0 - h))) DESC, x, y) AS rnk
+        |  FROM sc
+        |)
+        |SELECT g AS l_returnflag, x, y, ROUND(h, 6) AS leverage,
+        |  ROUND(resid, 6) AS residual, ROUND(tt, 6) AS studentized,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM t WHERE rnk <= 5""".stripMargin,
+
+    // DP noisy sum: exact per-unit clip, q_dp_counts' seeded Laplace
+    // with clip/epsilon scale
+    "q_dp_sum" ->
+      """WITH pu AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0))
+        |      AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        |), cl AS (
+        |  SELECT event_type, GREATEST(LEAST(v, 10000), -10000) AS c FROM pu
+        |), g AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_units,
+        |         CAST(SUM(c) AS BIGINT) AS clipped_sum
+        |  FROM cl GROUP BY 1
+        |), hx AS (
+        |  SELECT *, ('0x' || substr(md5(concat_ws(chr(1),
+        |      COALESCE(event_type, chr(2)), '7')), 1, 13))::BIGINT AS hv
+        |  FROM g
+        |)
+        |SELECT event_type, n_units, clipped_sum,
+        |  ROUND(clipped_sum + (-10000.0 / 0.5)
+        |    * sign((hv + 0.5) / 4503599627370496.0 - 0.5)
+        |    * ln(1.0 - 2.0 * abs((hv + 0.5) / 4503599627370496.0 - 0.5)), 6)
+        |    AS noisy_sum
+        |FROM hx""".stripMargin,
+
+    // embed norms: per-row fold over micro-quantized integers (the
+    // anisotropy discipline), 0.1-bucket histogram
+    "q_embed_norms" ->
+      """WITH v AS (
+        |  SELECT list_sum(list_transform(embedding,
+        |    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)
+        |         * CAST(round(x::DOUBLE * 1000000) AS BIGINT))) AS ss
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |)
+        |SELECT ROUND(sqrt(ss::DOUBLE) / 1000000.0, 1) AS norm_bucket,
+        |       COUNT(*)::BIGINT AS n_vecs
+        |FROM v GROUP BY 1""".stripMargin,
 
     // CvM: cross-multiplied integer CDF gaps on the distinct-value cum
     // frame; the whole numerator is ONE exact HUGEINT sum

@@ -167,6 +167,70 @@ object Agg {
       round(when(denom =!= 0.0, intercept), 6).as("intercept"))
   }
 
+  /** OLS regression diagnostics — the top-k most anomalous points per
+    * group under the [[linearFit]] model, by INTERNALLY STUDENTIZED
+    * residual (residual / s√(1−h)), with the leverage h that separates
+    * "far from the line" from "far from the x-mass". The audit answer
+    * to "which rows drive this trend?" before trusting a fit.
+    *
+    * One exact-sum agg per group (adds Σy² to linearFit's five), the
+    * ≤|groups|-row fit frame broadcast back onto the rows, all
+    * per-row doubles one fixed tree from exact longs, the top-k picked
+    * by a group-partitioned window ordered (|t| desc, x, y) — wholly
+    * deterministic tie-break. Degenerate groups (n<3, zero x-variance,
+    * zero residual variance — decided on the same doubles both engines
+    * derive) are dropped. Output per kept row:
+    * (group, x, y, leverage, residual, studentized, rank).
+    */
+  def regressionDiagnostics(df: DataFrame, groupCol: String, xCol: Column,
+                            yCol: Column, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val base = df.filter(col(groupCol).isNotNull &&
+        xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol).as("_g"), xCol.cast("long").as("_x"),
+        yCol.cast("long").as("_y"))
+    val stats = base.groupBy("_g")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x")).cast("long").as("_sx"),
+        sum(col("_y")).cast("long").as("_sy"),
+        sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+        sum((col("_x") * col("_y")).cast("decimal(38,0)")).as("_sxy"),
+        sum((col("_y") * col("_y")).cast("decimal(38,0)")).as("_syy"))
+    val nD = col("_n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val sxxC = d("_sxx") - d("_sx") * d("_sx") / nD
+    val sxyC = d("_sxy") - d("_sx") * d("_sy") / nD
+    val syyC = d("_syy") - d("_sy") * d("_sy") / nD
+    val slope = sxyC / sxxC
+    val rss = syyC - slope * sxyC
+    val fit = stats
+      .filter(col("_n") >= 3 && sxxC > lit(0.0))
+      .select(col("_g"), col("_n"), d("_sx").as("_sxd"),
+        sxxC.as("_sxxc"), slope.as("_b"),
+        (d("_sy") / nD - slope * (d("_sx") / nD)).as("_a"),
+        (rss / (nD - lit(2.0))).as("_s2"))
+      .filter(col("_s2") > 0.0)
+    val scored = base.join(broadcast(fit), Seq("_g"))
+      .withColumn("_resid", col("_y").cast("double") -
+        (col("_a") + col("_b") * col("_x").cast("double")))
+      .withColumn("_h", lit(1.0) / col("_n").cast("double") +
+        (col("_x").cast("double") - col("_sxd") / col("_n").cast("double")) *
+        (col("_x").cast("double") - col("_sxd") / col("_n").cast("double")) /
+        col("_sxxc"))
+      .withColumn("_t", col("_resid") /
+        sqrt(col("_s2") * (lit(1.0) - col("_h"))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("_g")
+      .orderBy(abs(col("_t")).desc, col("_x"), col("_y"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_g").as(groupCol), col("_x").as("x"), col("_y").as("y"),
+        round(col("_h"), 6).as("leverage"),
+        round(col("_resid"), 6).as("residual"),
+        round(col("_t"), 6).as("studentized"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Per-group z-score standardization — the feature-scaling prep step
     * (normalize a metric within its cohort before thresholding,
     * ranking, or model input). `valueInt` must render the value as an

@@ -264,6 +264,10 @@ object PlanAudit {
     // chrf is the per-row-kernel MAP-SIDE contract (0 — was 21 s as an
     // 18M-row exploded lattice)
     "q_cvm" -> 4, "q_rfm" -> 6, "q_jaccard_link" -> 8, "q_chrf" -> 0,
+    // reg_diag = group-sums agg + broadcast-back + top-k window;
+    // dp_sum = per-unit clip agg + cohort agg; embed_norms = per-row
+    // fold + bucket agg
+    "q_reg_diag" -> 2, "q_dp_sum" -> 2, "q_embed_norms" -> 1,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

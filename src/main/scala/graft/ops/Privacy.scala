@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,41 @@ object Privacy {
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("noisy_count", round(col("n_rows") + lap, 6))
+  }
+
+  /** DP-style noisy SUM release with per-unit contribution clipping —
+    * the mechanism half [[noisyCounts]] lacks: a sum's sensitivity is
+    * unbounded until each unit's total contribution is clipped to
+    * ±`clip`, after which Laplace(clip/ε) calibrates to the clipped
+    * sensitivity (the DP-SQL aggregation-release primitive).
+    *
+    * Per-unit totals are exact longs, the clip is an integer
+    * least/greatest, and the noise is the same md5-seeded inverse-CDF
+    * Laplace as [[noisyCounts]] (derandomized — engine-reproducible by
+    * design; a production release swaps the seed for entropy, same
+    * plan). Output: (qiCols..., n_units, clipped_sum, noisy_sum).
+    */
+  def noisySum(df: DataFrame, qiCols: Seq[String], unitCol: String,
+               value: Column, clip: Long, epsilon: Double,
+               seed: Long = 7L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(clip > 0L, "clip must be positive")
+    require(epsilon > 0.0, "epsilon must be positive")
+    val perUnit = df.filter(col(unitCol).isNotNull)
+      .groupBy((col(unitCol).as("_u") +: qiCols.map(col)): _*)
+      .agg(sum(coalesce(value, lit(0L)).cast("long")).as("_v"))
+      .withColumn("_c", greatest(least(col("_v"), lit(clip)), lit(-clip)))
+    val key = concat_ws("\u0001",
+      (qiCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))) :+
+        lit(seed.toString)): _*)
+    val h = conv(substring(md5(key.cast("binary")), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0)
+    val lap = (lit(-clip.toDouble) / lit(epsilon)) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    perUnit.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_c")).cast("long").as("clipped_sum"))
+      .withColumn("noisy_sum", round(col("clipped_sum") + lap, 6))
   }
 
   /** l-diversity audit: k-anonymity's complement against ATTRIBUTE

@@ -1055,6 +1055,28 @@ object Similarity {
           .as("cos_centroid"))
   }
 
+  /** Per-vector L2-norm histogram — the embedding-health screen run
+    * before any cosine machinery is trusted: norm collapse (a spike at
+    * ~0) means dead vectors, a bimodal profile means two incompatible
+    * encoder versions in one table, heavy right tail means un-normalized
+    * rows that will dominate dot products. One map-side per-row fold
+    * (each vector's own array — order fixed, engine-deterministic) over
+    * the [[anisotropy]] micro-quantized integers, then a tiny
+    * 0.1-bucket count agg. Output: (norm_bucket, n_vecs).
+    */
+  def embedNorms(embeddings: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
+    def q(x: Column) = round(x.cast("double") * 1000000).cast("long")
+    embeddings
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(aggregate(col(vecCol), lit(0L), (a, x) => a + q(x) * q(x))
+        .as("_ss"))
+      .withColumn("norm_bucket",
+        round(sqrt(col("_ss").cast("double")) / lit(1000000.0), 1))
+      .groupBy("norm_bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   def labelCentroids(embeddings: DataFrame, labelCol: String,
                      vecCol: String): DataFrame = {
     embeddings

@@ -556,6 +556,47 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("regressionDiagnostics: studentized ranking on a hand fit") {
+    // (1,1) (2,2) (3,3) (4,10): b=2.8, a=-3, s2=5.4; residuals
+    // 1.2, -0.6, -2.4, 1.8; h = .7/.3/.3/.7
+    // |t| = 0.9428, 0.3086, 1.2345, 1.4142 -> rank 1 x=4, rank 4 x=2
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 10L))
+      .toDF("g", "x", "y")
+    val got = Agg.regressionDiagnostics(df, "g", col("x"), col("y"), k = 5)
+      .collect().map(r => r.getAs[Long]("rank") -> r).toMap
+    assert(got.size == 4)
+    assert(got(1L).getAs[Long]("x") == 4L)
+    assert(math.abs(got(1L).getAs[Double]("studentized") -
+      1.8 / math.sqrt(5.4 * 0.3)) < 1e-6)
+    assert(math.abs(got(1L).getAs[Double]("leverage") - 0.7) < 1e-9)
+    assert(got(4L).getAs[Long]("x") == 2L)
+    assert(got(4L).getAs[Double]("residual") == -0.6)
+  }
+
+  test("regressionDiagnostics: zero x-variance group is dropped") {
+    val df = Seq(("g", 2L, 1L), ("g", 2L, 5L), ("g", 2L, 9L)).toDF("g", "x", "y")
+    assert(Agg.regressionDiagnostics(df, "g", col("x"), col("y")).count() == 0)
+  }
+
+  test("noisySum: per-unit contribution clipping bounds the release") {
+    val df = Seq(("u1", "a", 50L), ("u2", "a", 120L), ("u2", "a", 80L),
+      ("u3", "a", -300L)).toDF("u", "seg", "v")
+    val r = Privacy.noisySum(df, Seq("seg"), "u", col("v"),
+      clip = 100L, epsilon = 0.5).collect().head
+    assert(r.getAs[Long]("n_units") == 3L)
+    // u1 50, u2 200 -> 100, u3 -300 -> -100
+    assert(r.getAs[Long]("clipped_sum") == 50L)
+    assert(!r.isNullAt(r.fieldIndex("noisy_sum")))
+  }
+
+  test("embedNorms: micro-quantized L2 buckets") {
+    val df = Seq((1L, Array(0.3f, 0.4f)), (2L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedNorms(df, "vec_id", "embedding").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.5 -> 1L, 1.0 -> 1L))
+  }
+
   test("cramerVonMises: hand-computed T; empty side masks") {
     // g1 [1,3], g0 [2,4]: gaps (2,0,2,0) squared -> num 8; T = 8/64
     val df = Seq(("t", 1L), ("t", 3L), ("c", 2L), ("c", 4L)).toDF("grp", "x")
