@@ -2207,6 +2207,30 @@ object SparkEntry {
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
 
+    // named clusters: top-5 distinctive terms per kmeans cluster
+    // (cluster-df²/corpus-df lift over the embedding↔doc id join)
+    "q_cluster_terms" -> ((s, dir) =>
+      graft.ops.Similarity.clusterTopTerms(
+        graft.ops.Similarity.assignToCentroids(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          kmeansCentroids),
+        "vec_id", "cluster",
+        table(s, dir, "documents"), "doc_id", "text", k = 5)),
+
+    // variance decomposition: between-user vs within-user value
+    // variance + ICC — is per-user baseline modeling warranted?
+    "q_var_components" -> ((s, dir) =>
+      graft.ops.Stats.varianceComponents(
+        table(s, dir, "events"), "user_id",
+        round(col("value") * 100).cast("long"))),
+
+    // Newman modularity of the 2-round LPA communities on the
+    // co-purchase graph: is the community structure real?
+    "q_modularity" -> ((s, dir) =>
+      graft.ops.Graph.communityModularity(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L, rounds = 2)),
+
     // OLS outlier diagnostics: top-5 studentized residuals + leverage
     // per return flag — which rows drive the q_linreg trend?
     "q_reg_diag" -> ((s, dir) =>
@@ -7987,6 +8011,166 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // cluster labeling: kmeans-assign CTE + per-doc-distinct term lift
+    "q_cluster_terms" -> {
+      val cents = kmeansCentroids.map(_.map(x => java.lang.Double.toString(x)))
+      val norms = kmeansCentroids.map(c =>
+        java.lang.Double.toString(math.sqrt(c.map(x => x * x).sum)))
+      val sims = cents.zip(norms).map { case (c, cn) =>
+        val l = c.mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ($l)[i])) / (vn * $cn)"
+      }.mkString("[", ",\n       ", "]")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |), s AS (
+         |  SELECT vec_id, $sims AS sims FROM v
+         |), asg AS (
+         |  SELECT vec_id AS id,
+         |    CAST(list_position(sims, list_max(sims)) - 1 AS BIGINT) AS cluster
+         |  FROM s
+         |), terms AS (
+         |  SELECT cluster, unnest(list_distinct(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS term
+         |  FROM asg JOIN documents ON documents.doc_id = asg.id
+         |  WHERE text IS NOT NULL
+         |), cdf AS (
+         |  SELECT cluster, term, COUNT(*)::BIGINT AS cdf FROM terms
+         |  GROUP BY 1, 2
+         |), dfg AS (
+         |  SELECT term, CAST(SUM(cdf) AS BIGINT) AS df FROM cdf GROUP BY 1
+         |), sc AS (
+         |  SELECT cluster, term, cdf, df,
+         |    cdf::DOUBLE * cdf::DOUBLE / df::DOUBLE AS score
+         |  FROM cdf JOIN dfg USING (term)
+         |), rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, term) AS rank
+         |  FROM sc
+         |)
+         |SELECT cluster, term, cdf, df, ROUND(score, 6) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 5""".stripMargin
+    },
+
+    // variance components: anova_f's fold + Σn²; every named quantity
+    // one double tree from exact sums
+    "q_var_components" ->
+      """WITH v AS (
+        |  SELECT user_id AS g, CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), per AS (
+        |  SELECT g, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS s,
+        |         SUM((x * x)::HUGEINT) AS s2
+        |  FROM v GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    SUM((n * n)::HUGEINT) AS nn,
+        |    SUM(n::HUGEINT * s2 - s * s) AS wss,
+        |    list_sort(list(struct_pack(g := g::VARCHAR, n := n,
+        |      s := s, s2 := s2))) AS a
+        |  FROM per
+        |), x1 AS (
+        |  SELECT *, list_sum(list_transform(a, t -> t.s::DOUBLE))
+        |    / n_total::DOUBLE AS grand
+        |  FROM f
+        |), x2 AS (
+        |  SELECT *,
+        |    list_sum(list_transform(a, t -> t.n::DOUBLE
+        |      * (t.s::DOUBLE / t.n::DOUBLE - grand)
+        |      * (t.s::DOUBLE / t.n::DOUBLE - grand))) / (k::DOUBLE - 1.0)
+        |      AS msb,
+        |    list_sum(list_transform(a, t -> t.s2::DOUBLE
+        |      - t.s::DOUBLE * t.s::DOUBLE / t.n::DOUBLE))
+        |      / (n_total::DOUBLE - k::DOUBLE) AS msw,
+        |    (n_total::DOUBLE - nn::DOUBLE / n_total::DOUBLE)
+        |      / (k::DOUBLE - 1.0) AS k0
+        |  FROM x1
+        |), x3 AS (
+        |  SELECT *, GREATEST(0.0, (msb - msw) / k0) AS s2b FROM x2
+        |)
+        |SELECT k, n_total,
+        |  CASE WHEN k < 2 OR n_total <= k OR wss = 0 THEN NULL
+        |       ELSE ROUND(msb, 6) END AS ms_between,
+        |  CASE WHEN k < 2 OR n_total <= k OR wss = 0 THEN NULL
+        |       ELSE ROUND(msw, 6) END AS ms_within,
+        |  CASE WHEN k < 2 OR n_total <= k OR wss = 0 THEN NULL
+        |       ELSE ROUND(s2b, 6) END AS sigma2_between,
+        |  CASE WHEN k < 2 OR n_total <= k OR wss = 0 THEN NULL
+        |       ELSE ROUND(s2b / (s2b + msw), 6) END AS icc
+        |FROM x3""".stripMargin,
+
+    // modularity: q_label_prop's unrolled LPA + exact-integer
+    // numerator (4·m·e_c − d_c²), one double division
+    "q_modularity" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), edges AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM edges
+        |), l0 AS (
+        |  SELECT DISTINCT src AS node, src AS lab FROM e
+        |), c1 AS (
+        |  SELECT e.dst AS node, l.lab AS lab, COUNT(*)::BIGINT AS c
+        |  FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2
+        |), p1 AS (
+        |  SELECT node, lab FROM (
+        |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY c DESC, lab ASC) AS rn
+        |    FROM c1)
+        |  WHERE rn = 1
+        |), l1 AS (
+        |  SELECT l0.node, COALESCE(p1.lab, l0.lab) AS lab
+        |  FROM l0 LEFT JOIN p1 USING (node)
+        |), c2 AS (
+        |  SELECT e.dst AS node, l.lab AS lab, COUNT(*)::BIGINT AS c
+        |  FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2
+        |), p2 AS (
+        |  SELECT node, lab FROM (
+        |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY c DESC, lab ASC) AS rn
+        |    FROM c2)
+        |  WHERE rn = 1
+        |), labs AS (
+        |  SELECT l1.node, COALESCE(p2.lab, l1.lab) AS lab
+        |  FROM l1 LEFT JOIN p2 USING (node)
+        |), m AS (SELECT COUNT(*)::BIGINT AS m FROM edges),
+        |ein AS (
+        |  SELECT la.lab AS lab, COUNT(*)::BIGINT AS e_in
+        |  FROM edges
+        |  JOIN labs la ON la.node = edges.a
+        |  JOIN labs lb ON lb.node = edges.b
+        |  WHERE la.lab = lb.lab GROUP BY 1
+        |), deg AS (
+        |  SELECT node, COUNT(*)::BIGINT AS d FROM (
+        |    SELECT a AS node FROM edges
+        |    UNION ALL SELECT b FROM edges)
+        |  GROUP BY 1
+        |), dt AS (
+        |  SELECT labs.lab, CAST(SUM(d) AS BIGINT) AS d_tot,
+        |         COUNT(*)::BIGINT AS n_nodes
+        |  FROM deg JOIN labs USING (node) GROUP BY 1
+        |)
+        |SELECT dt.lab, n_nodes, COALESCE(e_in, 0)::BIGINT AS e_in, d_tot,
+        |  ROUND((4.0 * m::DOUBLE * COALESCE(e_in, 0)::DOUBLE
+        |         - d_tot::DOUBLE * d_tot::DOUBLE)
+        |        / (4.0 * m::DOUBLE * m::DOUBLE), 6) AS q_contrib
+        |FROM dt LEFT JOIN ein USING (lab) CROSS JOIN m""".stripMargin,
 
     // regression diagnostics: named quantities (slope, a, s2) are each
     // one division from exact sums — equal doubles however referenced

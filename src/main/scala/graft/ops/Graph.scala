@@ -260,6 +260,49 @@ object Graph {
           .as("jaccard_ppm"))
   }
 
+  /** Newman modularity of the [[labelPropagation]] communities over the
+    * co-occurrence graph — the quality number for a community
+    * partition: Q = Σ_c [ e_c/m − (d_c/2m)² ]. Reported per community
+    * (which clusters are real vs degree-artifact) with the exact
+    * integer numerator (4·m·e_c − d_c²) divided once in doubles —
+    * engine-deterministic, no integral division on a possibly-negative
+    * numerator (Spark `div` truncates, DuckDB `//` floors).
+    *
+    * One cached edge set feeds LPA's rounds, the intra-community edge
+    * count, and the degree sums — the single-lineage discipline.
+    * Output: (lab, n_nodes, e_in, d_tot, q_contrib).
+    */
+  def communityModularity(df: DataFrame, basketCol: String, itemCol: String,
+                          minSupport: Long = 2L, rounds: Int = 2,
+                          maxBasketSize: Int = 1000): DataFrame = {
+    val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select("a", "b").cache()
+    val digraph = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val labs = labelPropagation(digraph, "src", "dst", rounds)
+    val m = e.agg(count(lit(1)).as("_m"))
+    val la = labs.select(col("node").as("a"), col("lab").as("_la"))
+    val lb = labs.select(col("node").as("b"), col("lab").as("_lb"))
+    val eIn = e.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("lab"))
+      .agg(count(lit(1)).as("e_in"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_d"))
+    val dTot = deg.join(labs, Seq("node"))
+      .groupBy("lab")
+      .agg(sum(col("_d")).cast("long").as("d_tot"), count(lit(1)).as("n_nodes"))
+    val mD = col("_m").cast("double")
+    dTot.join(eIn, Seq("lab"), "left")
+      .select(col("lab"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .crossJoin(broadcast(m))
+      .select(col("lab"), col("n_nodes"), col("e_in"), col("d_tot"),
+        round((lit(4.0) * mD * col("e_in").cast("double") -
+          col("d_tot").cast("double") * col("d_tot").cast("double")) /
+          (lit(4.0) * mD * mD), 6).as("q_contrib"))
+  }
+
   /** Undirected co-occurrence edge set rendered as a DIRECTED edge list
     * (both orientations), the input shape [[pageRank]] wants. */
   def cooccurrenceDigraph(df: DataFrame, basketCol: String, itemCol: String,

@@ -129,6 +129,7 @@ object PlanAudit {
     "q_logrank" -> "1-row totals + at-risk normalizer frames crossJoined onto the |event-times|-bounded hazard table",
     "q_pairwise_contrasts" -> "k-row group-summary self-join on g1<g2 (the k(k-1)/2 contrast grid; k = distinct groups, single digits)",
     "q_cvm" -> "1-row arm-totals crossJoin onto the distinct-value cum frame",
+    "q_modularity" -> "1-row edge-count crossJoin (the 2m normalizer) onto the per-community frame",
     "q_keyness"    -> "1-row corpus-totals crossJoin (log-odds prior normalizers)",
     "q_filter_funnel" -> "1-row corpus-total crossJoin over a 6-row stage frame",
     "q_mutual_info" -> "1-row global-total crossJoin (MI normalizer)",
@@ -268,6 +269,10 @@ object PlanAudit {
     // dp_sum = per-unit clip agg + cohort agg; embed_norms = per-row
     // fold + bucket agg
     "q_reg_diag" -> 2, "q_dp_sum" -> 2, "q_embed_norms" -> 1,
+    // cluster_terms = id join + (cluster,term) agg + term agg + top-k
+    // window; var_components = group agg + 1-row fold; modularity =
+    // cached-edge LPA leaves + e_in/deg/d_tot aggs
+    "q_cluster_terms" -> 5, "q_var_components" -> 2, "q_modularity" -> 6,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

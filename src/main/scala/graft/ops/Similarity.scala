@@ -1055,6 +1055,43 @@ object Similarity {
           .as("cos_centroid"))
   }
 
+  /** Cluster labeling: the top-k most DISTINCTIVE terms per embedding
+    * cluster — the human-readable answer to "what did the clustering
+    * find?" (cluster-balanced curation and mixture design both need
+    * named clusters, not ids). Distinctiveness is cluster-df² / corpus-
+    * df (a χ²-flavored lift: frequent-in-cluster AND concentrated —
+    * plain cluster-df surfaces stopwords, plain lift surfaces
+    * singletons). Per-doc DISTINCT terms (df semantics, not tf), exact
+    * integer counts, the score one double division, top-k by the
+    * deterministic (score desc, term) window.
+    * Output: (cluster, term, cdf, df, score, rank).
+    */
+  def clusterTopTerms(assign: DataFrame, idCol: String, clusterCol: String,
+                      docs: DataFrame, docIdCol: String, textCol: String,
+                      k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val a = assign.filter(col(idCol).isNotNull && col(clusterCol).isNotNull)
+      .select(col(idCol).as("_id"), col(clusterCol).as("cluster"))
+    val d = docs.filter(col(docIdCol).isNotNull && col(textCol).isNotNull)
+      .select(col(docIdCol).as("_id"), col(textCol).as("_text"))
+    val terms = a.join(d, "_id")
+      .select(col("cluster"),
+        explode(array_distinct(TextAnalysis.tokens(lower(col("_text")))))
+          .as("term"))
+    val cdf = terms.groupBy("cluster", "term").agg(count(lit(1)).as("cdf"))
+    val dfG = cdf.groupBy("term").agg(sum(col("cdf")).cast("long").as("df"))
+    val scored = cdf.join(dfG, "term")
+      .withColumn("score", col("cdf").cast("double") *
+        col("cdf").cast("double") / col("df").cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cluster"), col("term"), col("cdf"), col("df"),
+        round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-vector L2-norm histogram — the embedding-health screen run
     * before any cosine machinery is trusted: norm collapse (a spike at
     * ~0) means dead vectors, a bimodal profile means two incompatible

@@ -1697,6 +1697,64 @@ object Stats {
       (col("n_total") - col("k")).cast("long").as("df2"))
   }
 
+  /** One-way random-effects variance components + intraclass
+    * correlation — "how much of this metric's variance is BETWEEN
+    * groups vs within?" (the ANOVA estimates σ̂²_b, σ̂²_w; ICC is the
+    * reliability / clustering-strength number that decides whether
+    * group-level modeling, clustered standard errors, or per-group
+    * baselines are warranted):
+    *
+    *   MSW = SSW/(N−k),  MSB = SSB/(k−1),
+    *   k₀ = (N − Σn_g²/N)/(k−1),  σ̂²_b = max(0, (MSB−MSW)/k₀),
+    *   ICC = σ̂²_b / (σ̂²_b + MSW)
+    *
+    * [[anovaF]]'s exact-sum spine plus one Σn² column; every named
+    * quantity is one fixed double tree from the integers. Degenerates
+    * (k<2, N≤k, all-zero within variance) mask to NULL. Output: ONE
+    * row (k, n_total, ms_between, ms_within, sigma2_between, icc).
+    */
+  def varianceComponents(df: DataFrame, groupCol: String,
+                         metric: Column): DataFrame = {
+    val per = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(metric.cast("decimal(38,0)")).as("_s"),
+        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+    val folded = per.agg(count(lit(1)).as("k"),
+      sum(col("_n")).cast("long").as("n_total"),
+      sum((col("_n") * col("_n")).cast("decimal(38,0)")).as("_nn"),
+      sum(col("_n").cast("decimal(38,0)") * col("_s2") - col("_s") * col("_s"))
+        .as("_wss"),
+      array_sort(collect_list(struct(col("_g").cast("string").as("_g"),
+        col("_n"), col("_s"), col("_s2")))).as("_a"))
+    val nD = col("n_total").cast("double")
+    val kD = col("k").cast("double")
+    val deg = col("k") < 2 || col("n_total") <= col("k") ||
+      col("_wss") === lit(0).cast("decimal(38,0)")
+    def guarded(c: Column) = when(deg, lit(null).cast("double")).otherwise(c)
+    val grand = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + s.getField("_s").cast("double")) / nD
+    val withG = folded.withColumn("_grand", guarded(grand))
+    val ssb = aggregate(col("_a"), lit(0.0), (a, s) => {
+      val m = s.getField("_s").cast("double") / s.getField("_n").cast("double")
+      val d = m - col("_grand")
+      a + s.getField("_n").cast("double") * d * d
+    })
+    val ssw = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + s.getField("_s2").cast("double") -
+        s.getField("_s").cast("double") * s.getField("_s").cast("double") /
+          s.getField("_n").cast("double"))
+    val msb = ssb / (kD - lit(1.0))
+    val msw = ssw / (nD - kD)
+    val k0 = (nD - col("_nn").cast("double") / nD) / (kD - lit(1.0))
+    val s2b = greatest(lit(0.0), (msb - msw) / k0)
+    withG.select(col("k"), col("n_total"),
+      guarded(round(msb, 6)).as("ms_between"),
+      guarded(round(msw, 6)).as("ms_within"),
+      guarded(round(s2b, 6)).as("sigma2_between"),
+      guarded(round(s2b / (s2b + msw), 6)).as("icc"))
+  }
+
   /** Mann–Whitney U test (Wilcoxon rank-sum) with the tie-corrected
     * normal approximation — the TWO-group member of the rank family
     * ([[kruskalWallis]] generalizes it to k; [[aucExact]] reports the

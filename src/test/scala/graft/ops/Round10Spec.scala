@@ -556,6 +556,43 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("varianceComponents: hand-computed ICC") {
+    // a [1,3], b [5,7]: msb=16, msw=2, k0=2 -> s2b=7, icc=7/9
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L)).toDF("g", "x")
+    val r = Stats.varianceComponents(df, "g", col("x")).collect().head
+    assert(r.getAs[Double]("ms_between") == 16.0)
+    assert(r.getAs[Double]("ms_within") == 2.0)
+    assert(r.getAs[Double]("sigma2_between") == 7.0)
+    assert(math.abs(r.getAs[Double]("icc") - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("clusterTopTerms: df-squared-over-df lift ranking") {
+    val assign = Seq((1L, "c0"), (2L, "c0"), (3L, "c1")).toDF("id", "cl")
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x y")).toDF("doc_id", "text")
+    val got = Similarity.clusterTopTerms(assign, "id", "cl",
+        docs, "doc_id", "text", k = 5).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank")) ->
+        (r.getString(1), r.getAs[Double]("score"))).toMap
+    // c0: x 4/3, z 1.0, y 0.5; c1: y 0.5, x 1/3
+    assert(got(("c0", 1L))._1 == "x")
+    assert(math.abs(got(("c0", 1L))._2 - 1.333333) < 1e-6)
+    assert(got(("c0", 2L)) == (("z", 1.0)))
+    assert(got(("c0", 3L)) == (("y", 0.5)))
+    assert(got(("c1", 1L)) == (("y", 0.5)))
+    assert(math.abs(got(("c1", 2L))._2 - 0.333333) < 1e-6)
+  }
+
+  test("communityModularity: two clean triangles score 0.25 each") {
+    val baskets = Seq(("b1", 1L), ("b1", 2L), ("b1", 3L),
+      ("b2", 4L), ("b2", 5L), ("b2", 6L)).toDF("basket", "item")
+    val got = Graph.communityModularity(baskets, "basket", "item",
+        minSupport = 1L, rounds = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == Map(1L -> ((3L, 3L, 6L, 0.25)),
+      4L -> ((3L, 3L, 6L, 0.25))))
+  }
+
   test("regressionDiagnostics: studentized ranking on a hand fit") {
     // (1,1) (2,2) (3,3) (4,10): b=2.8, a=-3, s2=5.4; residuals
     // 1.2, -0.6, -2.4, 1.8; h = .7/.3/.3/.7
