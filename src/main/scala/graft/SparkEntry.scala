@@ -2207,6 +2207,28 @@ object SparkEntry {
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
 
+    // vocabulary-richness estimators: Chao1 lower bound + Good–Turing
+    // unseen mass off the term-frequency spectrum
+    "q_vocab_richness" -> ((s, dir) =>
+      graft.ops.TextAnalysis.vocabRichness(
+        table(s, dir, "documents"), "text")),
+
+    // 2×2 effect size: md5-parity exposure × purchase outcome,
+    // ln-domain Woolf CI
+    "q_odds_ratio" -> ((s, dir) =>
+      graft.ops.Stats.oddsRatio(
+        table(s, dir, "events"), "user_id",
+        graft.ops.Sampling.hashBucket(col("user_id"), 2) === 1,
+        col("event_type") === "purchase")),
+
+    // cumulative gains: per-user click-count score vs purchase outcome,
+    // exact decile rule, capture from the top decile down
+    "q_gains" -> ((s, dir) =>
+      graft.ops.Stats.gainsTable(
+        table(s, dir, "events"), "user_id",
+        when(col("event_type") === "click", 1L).otherwise(0L),
+        col("event_type") === "purchase")),
+
     // named clusters: top-5 distinctive terms per kmeans cluster
     // (cluster-df²/corpus-df lift over the embedding↔doc id join)
     "q_cluster_terms" -> ((s, dir) =>
@@ -8011,6 +8033,102 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // richness: |V|-row spectrum agg; Chao1's one division is the only
+    // double, unseen mass integral ppm
+    "q_vocab_richness" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), tf AS (
+        |  SELECT term, COUNT(*)::BIGINT AS f FROM t GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(SUM(f) AS BIGINT) AS n_tokens, COUNT(*)::BIGINT AS vocab,
+        |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tf
+        |)
+        |SELECT n_tokens, vocab, f1, f2,
+        |  CASE WHEN f2 = 0 THEN NULL
+        |       ELSE ROUND(vocab::DOUBLE + f1::DOUBLE * f1::DOUBLE
+        |         / (2.0 * f2::DOUBLE), 6) END AS chao1,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |       ELSE (1000000 * f1) // n_tokens END AS unseen_ppm
+        |FROM s""".stripMargin,
+
+    // odds ratio: per-unit indicator agg + 1-row cells; ln-domain CI
+    "q_odds_ratio" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+        |          ::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS o
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT COUNT(*)::BIGINT AS n_units,
+        |    CAST(SUM(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per
+        |)
+        |SELECT n_units, a, b, c, d,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |       ELSE ROUND(ln(a::DOUBLE * d::DOUBLE
+        |         / (b::DOUBLE * c::DOUBLE)), 6) END AS ln_or,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |       ELSE ROUND(sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+        |         + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE), 6) END AS se,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |       ELSE ROUND(ln(a::DOUBLE * d::DOUBLE
+        |           / (b::DOUBLE * c::DOUBLE))
+        |         - 1.96 * sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+        |             + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE), 6) END AS ci_lo,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |       ELSE ROUND(ln(a::DOUBLE * d::DOUBLE
+        |           / (b::DOUBLE * c::DOUBLE))
+        |         + 1.96 * sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+        |             + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE), 6) END AS ci_hi
+        |FROM c""".stripMargin,
+
+    // gains: RFM's exact decile rule on the score frame, top-down
+    // cumulative capture in integral ppm
+    "q_gains" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), vals AS (
+        |  SELECT s, COUNT(*)::BIGINT AS t FROM per GROUP BY 1
+        |), dec AS (
+        |  SELECT s, CAST((10 * COALESCE(SUM(t) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |    // (SUM(t) OVER ()) AS BIGINT) AS decile
+        |  FROM vals
+        |), byd AS (
+        |  SELECT decile, COUNT(*)::BIGINT AS n_units,
+        |         CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM per JOIN dec USING (s) GROUP BY 1
+        |)
+        |SELECT decile, n_units, n_pos,
+        |  CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pos,
+        |  CASE WHEN CAST(SUM(n_pos) OVER () AS BIGINT) = 0 THEN NULL
+        |       ELSE (1000000 * CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT))
+        |         // CAST(SUM(n_pos) OVER () AS BIGINT) END AS capture_ppm
+        |FROM byd""".stripMargin,
 
     // cluster labeling: kmeans-assign CTE + per-doc-distinct term lift
     "q_cluster_terms" -> {

@@ -273,6 +273,9 @@ object PlanAudit {
     // window; var_components = group agg + 1-row fold; modularity =
     // cached-edge LPA leaves + e_in/deg/d_tot aggs
     "q_cluster_terms" -> 5, "q_var_components" -> 2, "q_modularity" -> 6,
+    // richness/odds = two-agg map-side chains; gains = per-unit agg +
+    // score frame windows + decile rollup windows
+    "q_vocab_richness" -> 2, "q_odds_ratio" -> 2, "q_gains" -> 6,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

@@ -1697,6 +1697,95 @@ object Stats {
       (col("n_total") - col("k")).cast("long").as("df2"))
   }
 
+  /** Odds ratio with the Woolf (log-scale) confidence interval — the
+    * effect-size report for a 2×2 exposure/outcome table ([[chiSquare]]
+    * says WHETHER they associate; this says HOW STRONGLY, in the units
+    * clinicians and growth teams quote). Kept entirely in LN domain
+    * (ln has cross-engine parity precedent; exp does not):
+    *
+    *   ln OR = ln(ad/bc),  SE = √(1/a+1/b+1/c+1/d),
+    *   CI = ln OR ± 1.96·SE
+    *
+    * One per-unit indicator agg + one 1-row cell count — both
+    * map-side. Any zero cell masks the ratio outputs (the Haldane
+    * +0.5 correction is a documented caller-side variant, not a
+    * silent default). Output: ONE row
+    * (n_units, a, b, c, d, ln_or, se, ci_lo, ci_hi).
+    */
+  def oddsRatio(df: DataFrame, unitCol: String, exposed: Column,
+                outcome: Column): DataFrame = {
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(max(when(exposed, 1L).otherwise(0L)).as("_e"),
+        max(when(outcome, 1L).otherwise(0L)).as("_o"))
+    val cells = per.agg(count(lit(1)).as("n_units"),
+      sum(when(col("_e") === 1 && col("_o") === 1, 1L).otherwise(0L))
+        .cast("long").as("a"),
+      sum(when(col("_e") === 1 && col("_o") === 0, 1L).otherwise(0L))
+        .cast("long").as("b"),
+      sum(when(col("_e") === 0 && col("_o") === 1, 1L).otherwise(0L))
+        .cast("long").as("c"),
+      sum(when(col("_e") === 0 && col("_o") === 0, 1L).otherwise(0L))
+        .cast("long").as("d"))
+    val lnOr = log(col("a").cast("double") * col("d").cast("double") /
+      (col("b").cast("double") * col("c").cast("double")))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    val deg = col("a") === 0 || col("b") === 0 || col("c") === 0 ||
+      col("d") === 0
+    def guarded(x: Column) = when(deg, lit(null).cast("double")).otherwise(x)
+    cells.select(col("n_units"), col("a"), col("b"), col("c"), col("d"),
+      guarded(round(lnOr, 6)).as("ln_or"),
+      guarded(round(se, 6)).as("se"),
+      guarded(round(lnOr - lit(1.96) * se, 6)).as("ci_lo"),
+      guarded(round(lnOr + lit(1.96) * se, 6)).as("ci_hi"))
+  }
+
+  /** Cumulative gains table — the model-eval staple "if we target the
+    * top d deciles by score, what share of all positives do we
+    * capture?" (the discrete Lorenz/lift view product teams read).
+    * Deciles come from the exact cumulative rule on the score's
+    * DISTINCT-VALUE frame (`10·below div n` — the RFM discipline:
+    * ties share a decile, no row-order `ntile`), cumulation runs from
+    * the TOP decile down, and capture is exact integer ppm. Output:
+    * one row per non-empty decile
+    * (decile, n_units, n_pos, cum_pos, capture_ppm).
+    */
+  def gainsTable(df: DataFrame, unitCol: String, score: Column,
+                 outcome: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"))
+      .agg(sum(when(score.isNotNull, score).otherwise(lit(0L)))
+        .cast("long").as("_s"),
+        max(when(outcome, 1L).otherwise(0L)).as("_y"))
+    val vals = per.groupBy("_s").agg(count(lit(1)).as("_t"))
+    val below = Window.orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dec = vals
+      .withColumn("_below", coalesce(sum(col("_t")).over(below), lit(0L)))
+      .withColumn("_n", sum(col("_t")).over(tot))
+      .select(col("_s"), expr("(10 * _below) div _n").cast("long").as("decile"))
+    val byDec = per.join(broadcast(dec), Seq("_s"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_y")).cast("long").as("n_pos"))
+    val wTop = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDec
+      .withColumn("cum_pos", sum(col("n_pos")).over(wTop).cast("long"))
+      .withColumn("_tp", sum(col("n_pos")).over(wAll).cast("long"))
+      .select(col("decile"), col("n_units"), col("n_pos"), col("cum_pos"),
+        when(col("_tp") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * cum_pos) div _tp")).as("capture_ppm"))
+  }
+
   /** One-way random-effects variance components + intraclass
     * correlation — "how much of this metric's variance is BETWEEN
     * groups vs within?" (the ANOVA estimates σ̂²_b, σ̂²_w; ICC is the

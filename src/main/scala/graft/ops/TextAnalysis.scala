@@ -2031,6 +2031,38 @@ object TextAnalysis {
         "indent_line_ppm", "is_code")
   }
 
+  /** Vocabulary-richness estimators off the term-frequency spectrum —
+    * the "how much vocabulary haven't we seen yet?" pair that sizes
+    * tokenizer vocab and corpus-coverage decisions:
+    *
+    *   Chao1 = V + F₁²/(2·F₂)       (lower bound on true vocabulary)
+    *   Good–Turing P₀ = F₁/N        (probability mass of unseen terms)
+    *
+    * with F₁/F₂ the hapax/dis-legomena counts. One token agg to the
+    * |V|-row frequency frame, one 1-row spectrum agg; Chao1's single
+    * division is the only double, P₀ is exact integer ppm. F₂ = 0
+    * masks Chao1 (the classic estimator is undefined; the
+    * bias-corrected variant is a caller-side swap). Output: ONE row
+    * (n_tokens, vocab, f1, f2, chao1, unseen_ppm).
+    */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("_f"))
+    val spec = tf.agg(
+      sum(col("_f")).cast("long").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("_f") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+      sum(when(col("_f") === 2, 1L).otherwise(0L)).cast("long").as("f2"))
+    spec.select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+      when(col("f2") === 0, lit(null).cast("double"))
+        .otherwise(round(col("vocab").cast("double") +
+          col("f1").cast("double") * col("f1").cast("double") /
+          (lit(2.0) * col("f2").cast("double")), 6)).as("chao1"),
+      when(col("n_tokens") === 0, lit(null).cast("long"))
+        .otherwise(expr("(1000000 * f1) div n_tokens")).as("unseen_ppm"))
+  }
+
   /** Jensen–Shannon divergence between two corpus slices' unigram
     * distributions — the SYMMETRIC, bounded (≤ ln 2) cousin of
     * [[tokenDistributionShift]]'s KL: the standard "how far apart are

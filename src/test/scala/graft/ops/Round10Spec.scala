@@ -556,6 +556,47 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("vocabRichness: Chao1 and unseen mass; F2=0 masks Chao1") {
+    val df = Seq(Tuple1("a b a"), Tuple1("c c d")).toDF("text")
+    val r = TextAnalysis.vocabRichness(df, "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("f1") == 2L)
+    assert(r.getAs[Long]("f2") == 2L)
+    assert(r.getAs[Double]("chao1") == 5.0)
+    assert(r.getAs[Long]("unseen_ppm") == 333333L)
+    val z = TextAnalysis.vocabRichness(Seq(Tuple1("x y")).toDF("text"), "text")
+      .collect().head
+    assert(z.isNullAt(z.fieldIndex("chao1")))
+  }
+
+  test("oddsRatio: ln-domain Woolf interval on a hand 2x2") {
+    val df = Seq(("u1", 1, 1), ("u2", 1, 0), ("u3", 0, 1), ("u4", 0, 0),
+      ("u5", 1, 1)).toDF("u", "e", "o")
+    val r = Stats.oddsRatio(df, "u", col("e") === 1, col("o") === 1)
+      .collect().head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")) == ((2L, 1L, 1L, 1L)))
+    assert(math.abs(r.getAs[Double]("ln_or") - math.log(2.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(3.5)) < 1e-6)
+  }
+
+  test("gainsTable: exact deciles, top-down capture") {
+    val rows = Seq(("u1", "view"), ("u2", "click"),
+      ("u3", "click"), ("u3", "click"), ("u3", "purchase"),
+      ("u4", "click"), ("u4", "click"), ("u4", "click"), ("u4", "purchase"))
+    val df = rows.toDF("u", "t")
+    val got = Stats.gainsTable(df, "u",
+        when(col("t") === "click", 1L).otherwise(0L),
+        col("t") === "purchase").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // deciles 0,2,5,7; cum from top: 7->1 (500000), 5->2, 2->2, 0->2
+    assert(got == Map(
+      7L -> ((1L, 1L, 500000L)), 5L -> ((1L, 2L, 1000000L)),
+      2L -> ((0L, 2L, 1000000L)), 0L -> ((0L, 2L, 1000000L))))
+  }
+
   test("varianceComponents: hand-computed ICC") {
     // a [1,3], b [5,7]: msb=16, msw=2, k0=2 -> s2b=7, icc=7/9
     val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L)).toDF("g", "x")
