@@ -2207,6 +2207,19 @@ object SparkEntry {
           col("event_type") === "purchase" &&
             dayofmonth(col("ts")) >= 21))),
 
+    // AR-order diagnostic: Yule–Walker lag-2 partial autocorrelation
+    // per event type (is AR(1) enough, or is there 2nd-order memory?)
+    "q_pacf" -> ((s, dir) =>
+      graft.ops.TimeSeries.pacfLag2(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // 10% two-sided exact trimmed mean of price per return flag:
+    // boundary ties split on the distinct-value frame, never a row sort
+    "q_trimmed_mean" -> ((s, dir) =>
+      graft.ops.Outliers.trimmedMean(
+        table(s, dir, "lineitem"), "l_returnflag",
+        round(col("l_extendedprice")).cast("long"))),
+
     // vocabulary-richness estimators: Chao1 lower bound + Good–Turing
     // unseen mass off the term-frequency spectrum
     "q_vocab_richness" -> ((s, dir) =>
@@ -8033,6 +8046,75 @@ object SparkEntry {
          |FROM m
          |WINDOW w AS (ORDER BY day
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // pacf2: q_acf's centered-integer machinery at lags 1-2, one
+    // closed-form Yule–Walker tree
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |         COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, COUNT(*)::BIGINT AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |         MIN(x) AS xmin, MAX(x) AS xmax
+        |  FROM daily GROUP BY 1
+        |), b AS (
+        |  SELECT daily.g, day, nd, sx, xmin, xmax, nd * x - sx AS u
+        |  FROM daily JOIN tot USING (g)
+        |), led AS (
+        |  SELECT *, LEAD(u, 1) OVER w AS u1, LEAD(u, 2) OVER w AS u2
+        |  FROM b WINDOW w AS (PARTITION BY g ORDER BY day)
+        |), per AS (
+        |  SELECT g, ANY_VALUE(nd) AS n_days, ANY_VALUE(xmin) AS xmin,
+        |    ANY_VALUE(xmax) AS xmax,
+        |    SUM(u::HUGEINT * u::HUGEINT) AS den,
+        |    SUM(u::HUGEINT * u1::HUGEINT) AS m1,
+        |    SUM(u::HUGEINT * u2::HUGEINT) AS m2
+        |  FROM led GROUP BY 1
+        |), rr AS (
+        |  SELECT g, n_days,
+        |    CASE WHEN xmin = xmax OR m1 IS NULL THEN NULL
+        |         ELSE m1::DOUBLE / den::DOUBLE END AS r1,
+        |    CASE WHEN xmin = xmax OR m2 IS NULL THEN NULL
+        |         ELSE m2::DOUBLE / den::DOUBLE END AS r2
+        |  FROM per
+        |)
+        |SELECT g AS event_type, n_days, r1, r2,
+        |  CASE WHEN r1 IS NULL OR r2 IS NULL OR r1 * r1 = 1.0 THEN NULL
+        |       ELSE ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6)
+        |  END AS pacf2
+        |FROM rr""".stripMargin,
+
+    // trimmed mean: per-value boundary clipping on the distinct-value
+    // cum frame — exact-integer kept mass, one division
+    "q_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice) AS BIGINT) AS x
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), vals AS (
+        |  SELECT g, x, COUNT(*)::BIGINT AS t FROM v GROUP BY 1, 2
+        |), st AS (
+        |  SELECT g, x, t,
+        |    COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    SUM(t) OVER (PARTITION BY g) AS n
+        |  FROM vals
+        |), tk AS (
+        |  SELECT *, (n * 100000) // 1000000 AS k FROM st
+        |), tw AS (
+        |  SELECT g, n, n - 2 * k AS n_trimmed,
+        |    GREATEST(0, LEAST(below + t, n - k) - GREATEST(below, k)) * x
+        |      AS contrib
+        |  FROM tk
+        |)
+        |SELECT g AS l_returnflag, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+        |  CAST(ANY_VALUE(n_trimmed) AS BIGINT) AS n_trimmed,
+        |  CASE WHEN ANY_VALUE(n_trimmed) <= 0 THEN NULL
+        |       ELSE ROUND(SUM(contrib::HUGEINT)::DOUBLE
+        |         / ANY_VALUE(n_trimmed)::DOUBLE, 6) END AS trimmed_mean
+        |FROM tw GROUP BY 1""".stripMargin,
 
     // richness: |V|-row spectrum agg; Chao1's one division is the only
     // double, unseen mass integral ppm

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,5 +144,46 @@ object Outliers {
     ranked.join(broadcast(fences), Seq(groupCol))
       .select(g, col(idCol), v,
         least(greatest(v, col("_lo")), col("_hi")).as("clipped"))
+  }
+
+  /** Exact trimmed mean per group — the robust location estimate that
+    * DROPS the tails instead of clamping them ([[winsorize]]'s
+    * complement; the metric of record when a mean must survive fat
+    * tails but a median wastes too much data). `k = (n·trimPpm) div
+    * 10⁶` rows leave each end; the kept mass is computed on the
+    * group's DISTINCT-VALUE cum frame with per-value clipping
+    *
+    *   take_v = max(0, min(below+t, n−k) − max(below, k))
+    *
+    * so boundary TIES split exactly (a row-sort would pick arbitrary
+    * tied rows; this is order-free). All sums are exact integers; the
+    * single division is the output. Trimming past the middle
+    * (n − 2k ≤ 0) masks to NULL. Output: ONE row per group
+    * (group, n, n_trimmed, trimmed_mean).
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, metric: Column,
+                  trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0L && trimPpm < 500000L, "0 <= trimPpm < 500000")
+    val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .select(col(groupCol).as("_g"), metric.cast("long").as("_x"))
+    val vals = base.groupBy("_g", "_x").agg(count(lit(1)).as("_t"))
+    val below = Window.partitionBy("_g").orderBy("_x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy("_g")
+    val staged = vals
+      .withColumn("_below", coalesce(sum(col("_t")).over(below), lit(0L)))
+      .withColumn("_n", sum(col("_t")).over(whole))
+      .withColumn("_k", expr(s"(_n * ${trimPpm}L) div 1000000L"))
+      .withColumn("_take", greatest(lit(0L),
+        least(col("_below") + col("_t"), col("_n") - col("_k")) -
+          greatest(col("_below"), col("_k"))))
+    staged.groupBy("_g")
+      .agg(first(col("_n")).as("n"),
+        first(col("_n") - lit(2) * col("_k")).as("n_trimmed"),
+        sum((col("_take") * col("_x")).cast("decimal(38,0)")).as("_s"))
+      .select(col("_g").as(groupCol), col("n"), col("n_trimmed"),
+        when(col("n_trimmed") <= 0, lit(null).cast("double"))
+          .otherwise(round(col("_s").cast("double") /
+            col("n_trimmed").cast("double"), 6)).as("trimmed_mean"))
   }
 }

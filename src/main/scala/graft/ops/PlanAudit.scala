@@ -276,6 +276,9 @@ object PlanAudit {
     // richness/odds = two-agg map-side chains; gains = per-unit agg +
     // score frame windows + decile rollup windows
     "q_vocab_richness" -> 2, "q_odds_ratio" -> 2, "q_gains" -> 6,
+    // pacf rides the acf chain; trimmed mean = value frame + cum
+    // windows + per-group rollup
+    "q_pacf" -> 3, "q_trimmed_mean" -> 2,
     // autocorr = (series,day) agg + per-series tot agg/join + lag
     // window; tail_index is a distributed TakeOrdered (0 exchanges);
     // markov = per-user lag window + cell agg + cell-frame window + agg

@@ -894,6 +894,29 @@ object TimeSeries {
             col("_den").cast("double")).as("r"))
   }
 
+  /** Partial autocorrelation at lag 2, closed form from the Yule–Walker
+    * equations: φ₂₂ = (r₂ − r₁²)/(1 − r₁²) — the AR-order diagnostic
+    * that separates "yesterday echoes through" (r₂ ≈ r₁², φ₂₂ ≈ 0 →
+    * AR(1) suffices) from genuine second-order structure. No
+    * Durbin–Levinson recursion needed at lag 2; both r's come from the
+    * [[acfProfile]] centered-integer machinery, the closed form is one
+    * double tree. |r₁| = 1 (the degenerate two-point series) masks to
+    * NULL. Output: (series, n_days, r1, r2, pacf2).
+    */
+  def pacfLag2(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val acf = acfProfile(df, seriesCol, tsCol, maxLag = 2)
+    val wide = acf.groupBy(col(seriesCol))
+      .agg(first(col("n_days")).as("n_days"),
+        max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"))
+    val deg = col("r1").isNull || col("r2").isNull ||
+      col("r1") * col("r1") === lit(1.0)
+    wide.select(col(seriesCol), col("n_days"), col("r1"), col("r2"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round((col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")), 6)).as("pacf2"))
+  }
+
   /** Granger-style lag-1 predictive test over two daily event series:
     * does yesterday's X count improve the prediction of today's Y
     * count beyond yesterday's Y alone? The standard "does clicks lead

@@ -556,6 +556,34 @@ class Round10Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("pacfLag2: Yule-Walker closed form; constant series masks") {
+    // counts [1,2,1,2]: r1=-0.75, r2=0.5
+    // pacf2 = (0.5 - 0.5625)/(1 - 0.5625) = -1/7
+    val rows = (1 to 4).flatMap(d =>
+      Seq.fill(if (d % 2 == 1) 1 else 2)(("a", ts(d)))) ++
+      Seq(("c", ts(1)), ("c", ts(2)))
+    val got = TimeSeries.pacfLag2(rows.toDF("series", "ts"), "series", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(2) == -0.75)
+    assert(got("a").getDouble(3) == 0.5)
+    assert(math.abs(got("a").getAs[Double]("pacf2") - (-1.0 / 7.0)) < 1e-6)
+    assert(got("c").isNullAt(got("c").fieldIndex("pacf2")))
+  }
+
+  test("trimmedMean: boundary ties split exactly on the value frame") {
+    // [1,1,2..7,8,8] n=10 k=1: one 1 and one 8 leave -> mean 36/8
+    val df = (Seq(1L, 1L) ++ (2L to 7L) ++ Seq(8L, 8L)).map(("g", _))
+      .toDF("g", "x")
+    val r = Outliers.trimmedMean(df, "g", col("x")).collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_trimmed") == 8L)
+    assert(r.getAs[Double]("trimmed_mean") == 4.5)
+    // trim past the middle masks
+    val z = Outliers.trimmedMean(Seq(("g", 1L)).toDF("g", "x"), "g",
+      col("x"), trimPpm = 499999L).collect().head
+    assert(z.getAs[Double]("trimmed_mean") == 1.0) // k=0 at n=1
+  }
+
   test("vocabRichness: Chao1 and unseen mass; F2=0 masks Chao1") {
     val df = Seq(Tuple1("a b a"), Tuple1("c c d")).toDF("text")
     val r = TextAnalysis.vocabRichness(df, "text").collect().head
