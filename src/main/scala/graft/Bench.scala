@@ -128,7 +128,14 @@ object Bench {
       // Heavy all-pairs entries churn GBs of array garbage per pass;
       // reset (incl. forced GC) before EVERY timed run so a collection
       // triggered by pass N's garbage never lands inside pass N+1.
-      val resetEachRun = cachesInternally || SparkEntry.heavyOracleBaselines(name)
+      // The kpi_* family gets the same treatment (r10 verdict #4):
+      // kpi_trending read 4.3 s in-suite vs 2.35 s isolated — a GC pause
+      // inherited from earlier queries' garbage landing inside the timed
+      // pass of the parity flagship. resetCaches re-materializes the
+      // shared enrichment UN-TIMED, so the timed pass still reads the
+      // warm cache — only the inherited heap debt is paid outside it.
+      val resetEachRun = cachesInternally ||
+        SparkEntry.heavyOracleBaselines(name) || kpiNames(name)
       val runs = (1 to 3).map { _ =>
         if (resetEachRun) resetCaches()
         time(fn) match {

@@ -4,10 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dev scratch bench: stage-by-stage probes for whichever query family is
-  * under the profiler this round. Round 10: decompose q_chrf (the
-  * mid-round bench's slowest entry at 21 s) — eval-pair construction,
-  * join/strip projection, the char-gram kernel, and the score tree —
-  * to find which stage owns the cost.
+  * under the profiler this round. Round 11: decompose q_semdedup_prod
+  * (drifted 1.5 → 2.4 s between r9 and r10 with no code change to its
+  * chain) — twin-corpus construction, banded pair generation, the edge
+  * set, and the CC rounds — to find which stage owns the cost.
   */
 object ScratchPerf {
   def main(args: Array[String]): Unit = {
@@ -21,40 +21,24 @@ object ScratchPerf {
       }
       println(f"[scratch] $name%-28s ${times.sorted.apply(1)}%.2f s (median of 3)")
     }
-    val docs = TestTables.table(spark, sfDir, "documents")
 
-    val refs = docs
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      .select(col("doc_id"),
-        graft.ops.TextAnalysis.tokens(lower(col("text"))).as("ref"))
-      .filter(size(col("ref")) >= 8)
-    t("tokens-only")(refs)
+    val e = TestTables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    def corpus = {
+      val twins = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      e.unionAll(twins)
+    }
 
-    val barrier = refs.select(col("doc_id"), explode(array(col("ref"))).as("ref"))
-    val cand = barrier.withColumn("cand", expr(
-      """filter(transform(sequence(1, size(ref)),
-        |  i -> CASE WHEN (i - 1) % 7 = 3 THEN CAST(NULL AS STRING)
-        |            WHEN (i - 1) % 11 = 5 THEN reverse(ref[i - 1])
-        |            ELSE ref[i - 1] END),
-        |  x -> x IS NOT NULL)""".stripMargin))
-    t("evalPairs(barrier)")(cand)
-
-    val joined = cand.select(col("doc_id"),
-      array_join(col("cand"), " ").as("cand"),
-      array_join(col("ref"), " ").as("ref"))
-    t("+array_join")(joined)
-
-    val stripped = joined.select(col("doc_id"),
-      regexp_replace(col("cand"), "\\s+", "").as("_cs"),
-      regexp_replace(col("ref"), "\\s+", "").as("_rs"))
-    t("+strip")(stripped)
-
-    val kernel = stripped.select(col("doc_id"),
-      explode(array(graft.functions.TextExpressions.clippedCharGramCounts(
-        col("_cs"), col("_rs"), 6))).as("_st"))
-    t("+kernel")(kernel)
-
-    t("chrF(full)")(graft.ops.EvalMetrics.chrF(joined, "doc_id", "cand", "ref"))
+    t("corpus-scan")(corpus)
+    t("pairs-banded-tau0.9")(
+      graft.ops.Similarity.nearDupCosine(corpus, "vec_id", "embedding",
+        tau = 0.9, nPlanes = 64, bandBits = 8))
+    t("full-semdedup-prod")(
+      graft.ops.Similarity.semDedupDrops(corpus, "vec_id", "embedding",
+        tau = 0.9, nPlanes = 64, bandBits = 8))
     spark.stop()
   }
 }

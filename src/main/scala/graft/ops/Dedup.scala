@@ -889,8 +889,14 @@ object Dedup {
     * O(component diameter) rounds (near-dup components are shallow:
     * duplicates of a page link through it, not through chains). Labels
     * are `localCheckpoint`ed each round so the plan doesn't accumulate
-    * `maxIter` joins of lineage, and convergence is detected by a
-    * changed-label count riding the checkpoint action. This is the
+    * `maxIter` joins of lineage. Convergence detection costs NO extra
+    * job: the round's aggregation carries the previous label alongside
+    * the new minimum (the self branch of the union is tagged, so
+    * `first(label where self)` recovers it), and an `observe()` metric
+    * counts changed labels on the SAME action that materializes the
+    * checkpoint — r11 change; the previous rendering re-joined next
+    * against prev for a count() every round, a |V|-row join per round
+    * that existed only for the driver's loop condition. This is the
     * DataFrame rendering of the classic MapReduce CC approach
     * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
     * label propagation variant); no driver-side graph state.
@@ -908,8 +914,17 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Both orientations via ONE explode, not a self-unionAll: the pair
+    // frame is typically an unpersisted candidate-generation lineage
+    // (banded LSH join + exact verify), and a unionAll of two selects
+    // over it PLANS THE PAIR GENERATION TWICE — at sf0.1 that doubled
+    // q_semdedup_prod's cost (the r10→r11 drift); at corpus scale it
+    // doubles the dominant stage of every CC consumer.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .persist()
     var labels = edges.groupBy("src")
@@ -926,23 +941,34 @@ object Dedup {
     // caller owns those blocks).
     try {
       while (!converged && iter < maxIter) {
-        // neighbor minimum in one join+agg; keep own label via the union
+        // neighbor minimum in one join+agg; keep own label via the union.
+        // The self branch is tagged so the agg recovers the PREVIOUS
+        // label (exactly one self row per vertex) next to the new min —
+        // the convergence signal rides the checkpoint's own job as an
+        // observe() metric instead of a separate next-vs-prev count join.
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-          .select(col("src").as("doc_id"), col("cluster_id"))
-        val next = viaNeighbors.unionAll(labels)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-          .localCheckpoint()
+          .select(col("src").as("doc_id"), col("cluster_id"),
+            lit(false).as("_self"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = viaNeighbors
+          .unionAll(labels.withColumn("_self", lit(true)))
+          .groupBy("doc_id")
+          .agg(min("cluster_id").as("cluster_id"),
+            min(when(col("_self"), col("cluster_id"))).as("_prev"))
+          .observe(obs,
+            sum(when(col("cluster_id") =!= col("_prev"), 1L)
+              .otherwise(0L)).as("changed"))
+          .select(col("doc_id"), col("cluster_id"))
+          .localCheckpoint() // eager: materializes AND collects `changed`
         // hand the new checkpoint to the cleanup path BEFORE any further
-        // job: if the convergence count throws, the outer catch frees
-        // `next`'s fresh blocks (via `labels`) and the inner finally frees
-        // the superseded `prev` — nothing leaks on either path
+        // job: if the metric read throws, the outer catch frees `next`'s
+        // fresh blocks (via `labels`) and the inner finally frees the
+        // superseded `prev` — nothing leaks on either path
         val prev = labels
         labels = next
         try {
-          val changed = next.join(prev.withColumnRenamed("cluster_id", "prev"), "doc_id")
-            .filter(col("cluster_id") =!= col("prev")).count()
-          converged = changed == 0
+          converged = obs.get("changed").asInstanceOf[Long] == 0L
         } finally Checkpoints.free(prev)
         iter += 1
       }

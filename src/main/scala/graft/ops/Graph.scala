@@ -298,9 +298,12 @@ object Graph {
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
       .crossJoin(broadcast(m))
       .select(col("lab"), col("n_nodes"), col("e_in"), col("d_tot"),
-        round((lit(4.0) * mD * col("e_in").cast("double") -
+        // `+ 0.0` normalizes IEEE negative zero (ROUND of a negative tiny
+        // value is -0.0 in some engines, +0.0 in others; -0.0 + 0.0 = +0.0)
+        // so the per-row hash matches the DuckDB oracle bit-for-bit.
+        (round((lit(4.0) * mD * col("e_in").cast("double") -
           col("d_tot").cast("double") * col("d_tot").cast("double")) /
-          (lit(4.0) * mD * mD), 6).as("q_contrib"))
+          (lit(4.0) * mD * mD), 6) + lit(0.0)).as("q_contrib"))
   }
 
   /** Undirected co-occurrence edge set rendered as a DIRECTED edge list

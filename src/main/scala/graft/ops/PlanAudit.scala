@@ -368,6 +368,19 @@ object PlanAudit {
     // per-doc token agg + source roll-up + cum-window on the bounded
     // per-source frame. All three re-measured isolated (PERF.md r10) —
     // the r9 drift was whole-bench jitter, not plan growth.
-    "q_winsorize" -> 1, "q_trending_exact" -> 2, "q_token_budget" -> 3)
+    "q_winsorize" -> 1, "q_trending_exact" -> 2, "q_token_budget" -> 3,
+    // r11 pins (r10 verdict #6 — everything >1.5 s in-suite now fails
+    // PlanAuditSpec on plan growth instead of surfacing as bench drift):
+    // prefix-filter dedup = df-order agg + prefix-posting agg + pair agg
+    // + verify join; editdist_seg rides the blocked pair join; fdr_bh =
+    // per-test p-value chain + the tiny BH frame; pagerank/bfs/semdedup/
+    // embed-dup plans are checkpoint/cache-truncated leaves (the rounds
+    // and CC iteration run at frame-construction time — er_clusters
+    // precedent); IVF twins = codebook-broadcast assign + probe-cell
+    // equi-join (+ per-side margin frames for bitext)
+    "q_dedup_pairs_prefix" -> 4, "q_pagerank" -> 0, "q_editdist_seg" -> 2,
+    "q_fdr_bh" -> 5, "q_semdedup_prod" -> 0, "q_embed_dup_prod" -> 0,
+    "q_embed_dup_lsh" -> 0, "q_knn_label_noise_ivf" -> 3,
+    "q_bitext_mine_ivf" -> 17, "q_knn_ivf" -> 1, "q_bfs_hops" -> 0)
 
 }

@@ -73,6 +73,13 @@ object Privacy {
     * Laplace as [[noisyCounts]] (derandomized — engine-reproducible by
     * design; a production release swaps the seed for entropy, same
     * plan). Output: (qiCols..., n_units, clipped_sum, noisy_sum).
+    *
+    * RELEASE CONTRACT: only `noisy_sum` may leave the trust boundary.
+    * `clipped_sum` and `n_units` are the exact un-noised answers —
+    * AUDIT columns for the pipeline operator to validate calibration;
+    * publishing the full row grants zero privacy. A production release
+    * selects `(qiCols..., noisy_sum)` (and, if unit counts are needed,
+    * a separately-noised [[noisyCounts]] over the same cohorts).
     */
   def noisySum(df: DataFrame, qiCols: Seq[String], unitCol: String,
                value: Column, clip: Long, epsilon: Double,

@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Integral view of a caller-supplied metric column, agreeing with
+    * the DuckDB oracle's `CAST(x AS BIGINT)` for ANY input: Spark's
+    * bare `cast("long")` TRUNCATES fractional doubles toward zero while
+    * DuckDB rounds to nearest, so a fractional metric silently diverges
+    * cross-engine (and mis-buckets values). `round()` is the identity
+    * on integral types and HALF_UP (= DuckDB's half-away-from-zero) on
+    * doubles, so both engines land on the same long. Callers SHOULD
+    * still pre-round to their unit of account (e.g. cents); this guard
+    * makes an un-rounded metric match the oracle instead of drifting.
+    */
+  private[ops] def metricLong(metric: Column): Column =
+    round(metric).cast("long")
+
+  /** Exact product of two integral columns in DECIMAL space: operands
+    * widen to decimal(19,0) (every long fits) BEFORE the multiply, so
+    * the product — up to 38 digits; max-long² ≈ 8.5e37 < 10³⁸ — cannot
+    * wrap the way `(a * b).cast("decimal(38,0)")` silently does in
+    * LongType for |a·b| > 2⁶³ (|operand| ≳ 3e9). Matches the oracles'
+    * HUGEINT products bit-for-bit over the full long range.
+    */
+  private[ops] def decMul(a: Column, b: Column): Column =
+    a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
+
   /** Pearson χ² test of independence between two categorical columns,
     * plus Cramér's V effect size. Output is ONE row:
     * (n, n_rows_cat, n_cols_cat, dof, chi2, cramers_v).
@@ -709,8 +732,8 @@ object Stats {
                  yCol: Column): DataFrame = {
     val base = df.filter(col(groupCol).isNotNull &&
         xCol.isNotNull && yCol.isNotNull)
-      .select(col(groupCol).as("_g"), xCol.cast("long").as("_x"),
-        yCol.cast("long").as("_y"))
+      .select(col(groupCol).as("_g"), metricLong(xCol).as("_x"),
+        metricLong(yCol).as("_y"))
       .localCheckpoint()
     val l = base.select(col("_g"), col("_x").as("_x1"), col("_y").as("_y1"))
     val r = base.select(col("_g"), col("_x").as("_x2"), col("_y").as("_y2"))
@@ -748,8 +771,8 @@ object Stats {
                yCol: Column): DataFrame = {
     val base = df.filter(col(groupCol).isNotNull &&
         xCol.isNotNull && yCol.isNotNull)
-      .select(col(groupCol).as("_g"), xCol.cast("long").as("_x"),
-        yCol.cast("long").as("_y"))
+      .select(col(groupCol).as("_g"), metricLong(xCol).as("_x"),
+        metricLong(yCol).as("_y"))
     import org.apache.spark.sql.expressions.Window
     def doubledRank(c: String) =
       lit(2) * rank().over(Window.partitionBy("_g").orderBy(c)) +
@@ -763,9 +786,9 @@ object Stats {
       min(col("_y")).as("_ymin"), max(col("_y")).as("_ymax"),
       sum(col("_u")).cast("long").as("_su"),
       sum(col("_v")).cast("long").as("_sv"),
-      sum((col("_u") * col("_v")).cast("decimal(38,0)")).as("_suv"),
-      sum((col("_u") * col("_u")).cast("decimal(38,0)")).as("_suu"),
-      sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_svv"))
+      sum(decMul(col("_u"), col("_v"))).as("_suv"),
+      sum(decMul(col("_u"), col("_u"))).as("_suu"),
+      sum(decMul(col("_v"), col("_v"))).as("_svv"))
     val n = col("n").cast("double")
     val su = col("_su").cast("double"); val sv = col("_sv").cast("double")
     val covN = n * col("_suv").cast("double") - su * sv
@@ -807,8 +830,8 @@ object Stats {
   def conformalInterval(df: DataFrame, idCol: Column, xCol: Column,
                         yCol: Column): DataFrame = {
     val base = df.filter(idCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
-      .select(idCol.cast("string").as("_id"), xCol.cast("long").as("_x"),
-        yCol.cast("long").as("_y"))
+      .select(idCol.cast("string").as("_id"), metricLong(xCol).as("_x"),
+        metricLong(yCol).as("_y"))
       .withColumn("_b", Sampling.hashBucket(col("_id"), 100))
     val train = base.filter(col("_b") < 90)
     val fit = train.agg(count(lit(1)).as("n_train"),
@@ -873,7 +896,7 @@ object Stats {
     */
   def hillTailIndex(df: DataFrame, metric: Column, k: Int = 200): DataFrame = {
     require(k >= 10 && k <= 10000, "10 <= k <= 10000")
-    val v = df.select(metric.cast("long").as("_v")).filter(col("_v") > 0)
+    val v = df.select(metricLong(metric).as("_v")).filter(col("_v") > 0)
     val top = v.orderBy(col("_v").desc).limit(k + 1)
     val folded = top.agg(array_sort(collect_list(col("_v"))).as("_a"),
       count(lit(1)).as("_n"))
@@ -961,7 +984,7 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val cells = df.filter(col(unitCol).isNotNull)
       .select(Sampling.hashBucket(col(unitCol).cast("string"), 2)
-        .cast("int").as("_arm"), metric.cast("long").as("_v"))
+        .cast("int").as("_arm"), metricLong(metric).as("_v"))
       .filter(col("_v").isNotNull)
       .groupBy("_v")
       .agg(sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("_c0"),
@@ -1042,7 +1065,7 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val per = df.filter(col(unitCol).isNotNull)
       .groupBy(col(unitCol).as("_u"))
-      .agg(sum(coalesce(metric.cast("long"), lit(0L))).cast("long").as("_v"))
+      .agg(sum(coalesce(metricLong(metric), lit(0L))).cast("long").as("_v"))
     val cells = per.groupBy("_v")
       .agg(count(lit(1)).as("_c"), sum(col("_v")).cast("long").as("_sv"))
     val cum = cells
@@ -1168,7 +1191,7 @@ object Stats {
       .cache() // |keys| rows; feeds the prior agg AND the output
     val prior = per.agg(count(lit(1)).as("_k"),
       sum(col("raw_ppm").cast("decimal(38,0)")).as("_sr"),
-      sum((col("raw_ppm") * col("raw_ppm")).cast("decimal(38,0)")).as("_sr2"))
+      sum(decMul(col("raw_ppm"), col("raw_ppm"))).as("_sr2"))
     val kD = col("_k").cast("double")
     val mRate = col("_sr").cast("double") / kD / lit(1e6)
     val vRate = (col("_sr2").cast("double") / kD -
@@ -1274,7 +1297,7 @@ object Stats {
       .groupBy(col(groupCol).as("_g"))
       .agg(count(lit(1)).as("_n"),
         sum(metric.cast("decimal(38,0)")).as("_s"),
-        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+        sum(decMul(metric, metric)).as("_s2"))
     val folded = per
       .agg(count(lit(1)).as("k"), sum(col("_n")).cast("long").as("n_total"),
         max(when(col("_n") < 2, 1)).as("_tiny"),
@@ -1348,7 +1371,7 @@ object Stats {
   def kruskalWallis(df: DataFrame, groupCol: String,
                     metric: Column): DataFrame = {
     val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
-      .select(col(groupCol).as("_g"), metric.cast("long").as("_x"))
+      .select(col(groupCol).as("_g"), metricLong(metric).as("_x"))
     import org.apache.spark.sql.expressions.Window
     val vals = base.groupBy("_x").agg(count(lit(1)).as("_t"))
     val below = Window.orderBy("_x")
@@ -1361,10 +1384,10 @@ object Stats {
     val per = gv.join(ranked, "_x")
       .groupBy("_g")
       .agg(sum(col("_c")).cast("long").as("_n"),
-        sum((col("_c") * col("_u")).cast("decimal(38,0)")).as("_su"))
+        sum(decMul(col("_c"), col("_u"))).as("_su"))
     val ties = vals.agg(
-      sum((col("_t") * col("_t") * col("_t") - col("_t"))
-        .cast("decimal(38,0)")).as("_tt"),
+      sum((decMul(col("_t"), col("_t")) * col("_t").cast("decimal(19,0)") -
+          col("_t").cast("decimal(19,0)")).cast("decimal(38,0)")).as("_tt"),
       count(lit(1)).as("_nv"))
     val folded = per.agg(count(lit(1)).as("k"),
         sum(col("_n")).cast("long").as("n_total"),
@@ -1403,7 +1426,7 @@ object Stats {
   def brownForsythe(df: DataFrame, groupCol: String,
                     metric: Column): DataFrame = {
     val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
-      .select(col(groupCol).as("_g"), metric.cast("long").as("_x"))
+      .select(col(groupCol).as("_g"), metricLong(metric).as("_x"))
     import org.apache.spark.sql.expressions.Window
     val wg = Window.partitionBy("_g").orderBy("_x")
     val med = base
@@ -1418,7 +1441,7 @@ object Stats {
       .groupBy("_g")
       .agg(count(lit(1)).as("_n"),
         sum(col("_z").cast("decimal(38,0)")).as("_s"),
-        sum((col("_z") * col("_z")).cast("decimal(38,0)")).as("_s2"))
+        sum(decMul(col("_z"), col("_z"))).as("_s2"))
     val folded = per.agg(count(lit(1)).as("k"),
       sum(col("_n")).cast("long").as("n_total"),
       max(when(col("_n") < 2, 1)).as("_tiny"),
@@ -1580,7 +1603,7 @@ object Stats {
         sum(col(s"_x$i")).cast("decimal(38,0)").as(s"_c$i")) ++
       Seq(count(lit(1)).as("n_units"),
         sum(col("_r")).cast("decimal(38,0)").as("_n"),
-        sum((col("_r") * col("_r")).cast("decimal(38,0)")).as("_r2"))
+        sum(decMul(col("_r"), col("_r"))).as("_r2"))
     val agg0 = per.agg(aggs.head, aggs.tail: _*)
     val sumC2 = treatments.indices
       .map(i => col(s"_c$i") * col(s"_c$i"))
@@ -1632,7 +1655,7 @@ object Stats {
     val ranked = long.withColumn("_r", u)
     val perJ = ranked.groupBy("_j")
       .agg(sum(col("_r")).cast("decimal(38,0)").as("_uj"),
-        sum((col("_r") * col("_r")).cast("decimal(38,0)")).as("_u2"),
+        sum(decMul(col("_r"), col("_r"))).as("_u2"),
         count(lit(1)).as("_n"))
     val folded = perJ.agg(
       first(col("_n")).as("n_blocks"),
@@ -1667,7 +1690,7 @@ object Stats {
       .groupBy(col(groupCol).as("_g"))
       .agg(count(lit(1)).as("_n"),
         sum(metric.cast("decimal(38,0)")).as("_s"),
-        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+        sum(decMul(metric, metric)).as("_s2"))
     val folded = per.agg(count(lit(1)).as("k"),
       sum(col("_n")).cast("long").as("n_total"),
       sum(col("_n").cast("decimal(38,0)") * col("_s2") - col("_s") * col("_s"))
@@ -1808,10 +1831,10 @@ object Stats {
       .groupBy(col(groupCol).as("_g"))
       .agg(count(lit(1)).as("_n"),
         sum(metric.cast("decimal(38,0)")).as("_s"),
-        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+        sum(decMul(metric, metric)).as("_s2"))
     val folded = per.agg(count(lit(1)).as("k"),
       sum(col("_n")).cast("long").as("n_total"),
-      sum((col("_n") * col("_n")).cast("decimal(38,0)")).as("_nn"),
+      sum(decMul(col("_n"), col("_n"))).as("_nn"),
       sum(col("_n").cast("decimal(38,0)") * col("_s2") - col("_s") * col("_s"))
         .as("_wss"),
       array_sort(collect_list(struct(col("_g").cast("string").as("_g"),
@@ -1862,7 +1885,7 @@ object Stats {
   def mannWhitney(df: DataFrame, cond: Column, metric: Column): DataFrame = {
     val base = df.filter(metric.isNotNull)
       .select(when(cond, lit(1)).otherwise(lit(0)).as("_g"),
-        metric.cast("long").as("_x"))
+        metricLong(metric).as("_x"))
     import org.apache.spark.sql.expressions.Window
     val vals = base.groupBy("_x").agg(count(lit(1)).as("_t"))
     val below = Window.orderBy("_x")
@@ -1876,11 +1899,11 @@ object Stats {
         .as("n1"),
       sum(when(col("_g") === 0, col("_c")).otherwise(0L)).cast("long")
         .as("n2"),
-      sum(when(col("_g") === 1, col("_c") * col("_u")).otherwise(0L)
-        .cast("decimal(38,0)")).as("_su1"))
+      sum(when(col("_g") === 1, decMul(col("_c"), col("_u")))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("_su1"))
     val ties = vals.agg(
-      sum((col("_t") * col("_t") * col("_t") - col("_t"))
-        .cast("decimal(38,0)")).as("_tt"),
+      sum((decMul(col("_t"), col("_t")) * col("_t").cast("decimal(19,0)") -
+          col("_t").cast("decimal(19,0)")).cast("decimal(38,0)")).as("_tt"),
       count(lit(1)).as("_nv"))
     val j = per.crossJoin(broadcast(ties))
     val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
@@ -1919,7 +1942,7 @@ object Stats {
   def cramerVonMises(df: DataFrame, cond: Column, metric: Column): DataFrame = {
     val base = df.filter(metric.isNotNull)
       .select(when(cond, lit(1)).otherwise(lit(0)).as("_g"),
-        metric.cast("long").as("_x"))
+        metricLong(metric).as("_x"))
     import org.apache.spark.sql.expressions.Window
     val vals = base.groupBy("_x").agg(
       sum(when(col("_g") === 1, 1L).otherwise(0L)).cast("long").as("_c1"),
@@ -1969,7 +1992,7 @@ object Stats {
       .groupBy(col(groupCol).as("_g"))
       .agg(count(lit(1)).as("_n"),
         sum(metric.cast("decimal(38,0)")).as("_s"),
-        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+        sum(decMul(metric, metric)).as("_s2"))
     val folded = per.agg(count(lit(1)).as("k"),
       sum(col("_n")).cast("long").as("n_total"),
       max(when(col("_n") < 2, 1)).as("_tiny"),
@@ -2018,7 +2041,7 @@ object Stats {
       .groupBy(col(groupCol).cast("string").as("_g"))
       .agg(count(lit(1)).as("_n"),
         sum(metric.cast("decimal(38,0)")).as("_s"),
-        sum((metric * metric).cast("decimal(38,0)")).as("_s2"))
+        sum(decMul(metric, metric)).as("_s2"))
     val l = per.select(col("_g").as("g1"), col("_n").as("_n1"),
       col("_s").as("_s1"), col("_s2").as("_s21"))
     val r = per.select(col("_g").as("g2"), col("_n").as("_n2"),
@@ -2064,10 +2087,10 @@ object Stats {
     */
   def grubbs(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
     val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
-      .select(col(groupCol).as("_g"), metric.cast("long").as("_x"))
+      .select(col(groupCol).as("_g"), metricLong(metric).as("_x"))
     val sums = base.groupBy("_g").agg(count(lit(1)).as("_n"),
       sum(col("_x").cast("decimal(38,0)")).as("_s"),
-      sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_s2"))
+      sum(decMul(col("_x"), col("_x"))).as("_s2"))
     val top = base.join(broadcast(sums), "_g")
       .withColumn("_dev",
         abs(col("_x").cast("decimal(38,0)") * col("_n") - col("_s")))

@@ -68,7 +68,21 @@ def main(sf_dir, out_dir):
             n_bad += 1; continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            print(f"OK   {name}: {len(g)} rows"); n_ok += 1
+            # the driver's hash is IEEE sign-bit sensitive: -0.0 != +0.0
+            # there even though assert_frame_equal treats them as equal
+            import numpy as np
+            sgn = []
+            for c in g.columns:
+                if pd.api.types.is_float_dtype(g[c]):
+                    gz = g[c].to_numpy(dtype="float64")
+                    ez = e[c].to_numpy(dtype="float64")
+                    bad = (gz == 0.0) & (ez == 0.0) & \
+                          (np.signbit(gz) != np.signbit(ez))
+                    if bad.any(): sgn.append((c, int(bad.sum())))
+            if sgn:
+                print(f"FAIL {name}: zero sign-bit mismatch {sgn}"); n_bad += 1
+            else:
+                print(f"OK   {name}: {len(g)} rows"); n_ok += 1
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}"); n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
