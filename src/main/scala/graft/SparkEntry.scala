@@ -1843,6 +1843,17 @@ object SparkEntry {
         table(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"),
         epsilon = 0.5, seed = 7L)),
 
+    // DP stability histogram over the data-derived (event_type@hour)
+    // domain: per-user L0 bound (≤4 categories, one vote each), seeded
+    // Laplace, noisy-threshold suppression — only (category,
+    // noisy_count) is released
+    "q_stable_histogram" -> ((s, dir) =>
+      graft.ops.Privacy.stableHistogram(
+        table(s, dir, "events")
+          .withColumn("cat", concat(col("event_type"), lit("@"),
+            hour(col("ts")).cast("string"))),
+        "user_id", "cat", maxCatsPerUnit = 4, epsilon = 1.0, tau = 12.0)),
+
     // l-diversity audit: does any (status, priority) cohort expose its
     // customers through too few distinct values
     "q_l_diversity" -> ((s, dir) =>
@@ -2339,10 +2350,27 @@ object SparkEntry {
       graft.ops.TimeSeries.acfProfile(
         table(s, dir, "events"), "event_type", "ts")),
 
+    // dominant-period detection: the ACF-peak lag (1..14) per event
+    // type with a noise floor — NULL lag when no cycle clears r ≥ 0.1
+    "q_dominant_period" -> ((s, dir) =>
+      graft.ops.TimeSeries.dominantPeriod(
+        table(s, dir, "events"), "event_type", "ts",
+        maxLag = 14, minR = 0.1)),
+
     // two-group rank-sum test: purchase vs click value cents, U + the
     // tie-corrected z from global distinct-value midranks
     "q_mann_whitney" -> ((s, dir) =>
       graft.ops.Stats.mannWhitney(
+        table(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))),
+
+    // Cliff's delta: the ordinal dominance effect size for the same
+    // purchase-vs-click contrast — 2U1 − n1·n2 exact from doubled
+    // midranks, no pair enumeration
+    "q_cliffs_delta" -> ((s, dir) =>
+      graft.ops.Stats.cliffsDelta(
         table(s, dir, "events")
           .filter(col("event_type").isin("purchase", "click")),
         col("event_type") === "purchase",
@@ -2853,6 +2881,14 @@ object SparkEntry {
     "q_kappa" -> ((s, dir) =>
       graft.ops.Stats.cohensKappa(
         syntheticRaters(table(s, dir, "events")), "event_type", "rater2")),
+
+    // Fleiss' kappa: each user's first 8 events (by event_id) act as an
+    // 8-rater panel categorizing the user by event_type — multi-rater
+    // agreement beyond chance over the full panel set
+    "q_fleiss_kappa" -> ((s, dir) =>
+      graft.ops.Stats.fleissKappa(
+        table(s, dir, "events"), "user_id", "event_type",
+        col("event_id"), nRaters = 8)),
 
     // per-class confusion matrix + integer-ppm precision/recall/F1 over
     // the same synthetic (label, pred) frame
@@ -8670,6 +8706,61 @@ object SparkEntry {
         |       ELSE num::DOUBLE / den::DOUBLE END AS r
         |FROM lg""".stripMargin,
 
+    // dominant period: q_acf's spine unrolled to 14 lags + the
+    // (r DESC NULLS LAST, lag) argmax and the r >= 0.1 noise floor
+    "q_dominant_period" -> {
+      val leads = (1 to 14).map(l => s"LEAD(u, $l) OVER w AS u$l")
+        .mkString(",\n        |    ")
+      val nums = (1 to 14)
+        .map(l => s"SUM(u::HUGEINT * u$l::HUGEINT) AS m$l")
+        .mkString(",\n        |    ")
+      val lgs = (1 to 14).map { l =>
+        if (l == 1)
+          "SELECT g, n_days, xmin, xmax, den, CAST(1 AS BIGINT) AS lag,\n" +
+            "        |         m1 AS num FROM per"
+        else s"UNION ALL SELECT g, n_days, xmin, xmax, den, $l, m$l FROM per"
+      }.mkString("\n        |  ")
+      s"""WITH daily AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS day,
+        |         COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, COUNT(*)::BIGINT AS nd, CAST(SUM(x) AS BIGINT) AS sx,
+        |         MIN(x) AS xmin, MAX(x) AS xmax
+        |  FROM daily GROUP BY 1
+        |), b AS (
+        |  SELECT daily.g, day, nd, sx, xmin, xmax, nd * x - sx AS u
+        |  FROM daily JOIN tot USING (g)
+        |), led AS (
+        |  SELECT *,
+        |    $leads
+        |  FROM b WINDOW w AS (PARTITION BY g ORDER BY day)
+        |), per AS (
+        |  SELECT g, ANY_VALUE(nd) AS n_days, ANY_VALUE(xmin) AS xmin,
+        |    ANY_VALUE(xmax) AS xmax,
+        |    SUM(u::HUGEINT * u::HUGEINT) AS den,
+        |    $nums
+        |  FROM led GROUP BY 1
+        |), lg AS (
+        |  $lgs
+        |), acf AS (
+        |  SELECT g, n_days, lag,
+        |    CASE WHEN xmin = xmax OR num IS NULL THEN NULL
+        |         ELSE num::DOUBLE / den::DOUBLE END AS r
+        |  FROM lg
+        |), pick AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY r DESC NULLS LAST, lag) AS rn
+        |  FROM acf
+        |)
+        |SELECT g AS event_type, n_days,
+        |  CASE WHEN r IS NULL OR r < 0.1 THEN NULL ELSE lag END
+        |    AS dominant_lag,
+        |  CASE WHEN r IS NULL THEN NULL ELSE ROUND(r, 6) END AS r_peak
+        |FROM pick WHERE rn = 1""".stripMargin
+    },
+
     // Mann–Whitney: kruskal's distinct-value midrank frame at k=2,
     // half-integer U exact until the final two divisions
     "q_mann_whitney" ->
@@ -8711,6 +8802,38 @@ object SparkEntry {
         |                    * (n1::DOUBLE + n2::DOUBLE - 1.0)))), 6)
         |  END AS z
         |FROM per, ties""".stripMargin,
+
+    // Cliff's delta: the SAME midrank spine as q_mann_whitney; delta is
+    // one division of exact integers (2U1 = su1 - n1(n1+1))
+    "q_cliffs_delta" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |), vals AS (
+        |  SELECT x, COUNT(*)::BIGINT AS t FROM v GROUP BY 1
+        |), ranked AS (
+        |  SELECT x, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS BIGINT) AS u
+        |  FROM vals
+        |), gv AS (
+        |  SELECT g, x, COUNT(*)::BIGINT AS c FROM v GROUP BY 1, 2
+        |), per AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT) AS n2,
+        |         SUM(CASE WHEN g = 1 THEN (c * u)::HUGEINT
+        |                  ELSE 0::HUGEINT END) AS su1
+        |  FROM gv JOIN ranked USING (x)
+        |)
+        |SELECT n1, n2, CAST(n1 * n2 AS BIGINT) AS n_pairs,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |       ELSE ROUND((su1::DOUBLE - n1::DOUBLE * (n1::DOUBLE + 1.0)
+        |                   - n1::DOUBLE * n2::DOUBLE)
+        |                  / (n1::DOUBLE * n2::DOUBLE), 6)
+        |  END AS delta
+        |FROM per""".stripMargin,
 
     // Granger lag-1: ten exact integer sums -> closed-form nested OLS;
     // each named quantity one expression from the sums (equal doubles)
@@ -9464,6 +9587,38 @@ object SparkEntry {
         |        * ln(1.0 - 2.0 * abs((hv + 0.5) / 4503599627370496.0 - 0.5)), 6)
         |    AS noisy_count
         |FROM hx""".stripMargin,
+
+    // stability histogram: per-user distinct + md5-order L0 cap, then
+    // the q_dp_counts inverse-CDF noise tree at scale 4/eps, thresholded
+    // on the ROUNDED noisy count (6 dp) so the ln() ulp gap between
+    // libm and the JDK cannot flip a borderline suppression
+    "q_stable_histogram" ->
+      """WITH uc AS (
+        |  SELECT DISTINCT user_id::VARCHAR AS u,
+        |         event_type || '@' || date_part('hour', ts)::VARCHAR AS cat
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL
+        |), capped AS (
+        |  SELECT u, cat FROM (
+        |    SELECT u, cat, ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY md5(u || chr(1) || cat || chr(1) || '7'), cat) AS rn
+        |    FROM uc)
+        |  WHERE rn <= 4
+        |), c AS (
+        |  SELECT cat, COUNT(*)::BIGINT AS n FROM capped GROUP BY 1
+        |), hx AS (
+        |  SELECT *, ('0x' || substr(md5(cat || chr(1) || '7'), 1, 13))::BIGINT
+        |    AS hv
+        |  FROM c
+        |), rel AS (
+        |  SELECT cat,
+        |    ROUND(n + (-4.0 / 1.0) * sign((hv + 0.5) / 4503599627370496.0 - 0.5)
+        |      * ln(1.0 - 2.0 * abs((hv + 0.5) / 4503599627370496.0 - 0.5)), 6)
+        |      AS noisy_count
+        |  FROM hx
+        |)
+        |SELECT cat, noisy_count FROM rel WHERE noisy_count >= 12.0""".stripMargin,
 
     "q_l_diversity" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -10505,6 +10660,51 @@ object SparkEntry {
         |  FROM a JOIN pool ON pl <> al
         |)
         |SELECT anchor, pk AS negative, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // Fleiss' kappa: same panel-cap + exact-integer cell spine; the P_e
+    // fold runs over the category-sorted totals list on both engines
+    "q_fleiss_kappa" ->
+      """WITH e AS (
+        |  SELECT user_id AS i, event_type AS cat, event_id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT i, cat, ROW_NUMBER() OVER (PARTITION BY i
+        |    ORDER BY event_id, cat) AS rn
+        |  FROM e
+        |), cap AS (
+        |  SELECT i, cat FROM r WHERE rn <= 8
+        |), pin AS (
+        |  SELECT i, COUNT(*)::BIGINT AS n FROM cap GROUP BY 1
+        |), panel AS (
+        |  SELECT i FROM pin WHERE n = 8
+        |), cells AS (
+        |  SELECT cap.i, cat, COUNT(*)::BIGINT AS nij
+        |  FROM cap JOIN panel USING (i) GROUP BY 1, 2
+        |), ia AS (
+        |  SELECT COUNT(*)::BIGINT AS n_items, SUM(s2) AS ss2 FROM (
+        |    SELECT i, SUM((nij * nij)::HUGEINT) AS s2 FROM cells GROUP BY 1)
+        |), ct AS (
+        |  SELECT cat, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1
+        |), f AS (
+        |  SELECT list_sort(list(struct_pack(cat := cat, cj := cj))) AS arr,
+        |         COUNT(*)::BIGINT AS n_categories
+        |  FROM ct
+        |), raw AS (
+        |  SELECT n_items, n_categories,
+        |    (ss2::DOUBLE - n_items::DOUBLE * 8.0)
+        |      / (n_items::DOUBLE * 8.0 * 7.0) AS pb,
+        |    list_sum(list_transform(arr, s ->
+        |      (s.cj::DOUBLE / (n_items::DOUBLE * 8.0)) *
+        |      (s.cj::DOUBLE / (n_items::DOUBLE * 8.0)))) AS pe
+        |  FROM f CROSS JOIN ia
+        |)
+        |SELECT n_items, CAST(8 AS BIGINT) AS n_raters, n_categories,
+        |  CASE WHEN n_items = 0 THEN NULL ELSE ROUND(pb, 6) END AS p_bar,
+        |  CASE WHEN n_items = 0 THEN NULL ELSE ROUND(pe, 6) END AS p_e,
+        |  CASE WHEN n_items = 0 OR pe = 1.0 THEN NULL
+        |       ELSE ROUND((pb - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM raw""".stripMargin,
 
     "q_kappa" ->
       s"""$syntheticRatersSql, c AS (

@@ -162,7 +162,9 @@ object PlanAudit {
     // r10 additions, all the same 1-row-normalizer shape
     "q_anisotropy" -> "1-row centroid-norm (ΣS²) crossJoin onto the per-vector agg",
     "q_burstiness" -> "1-row corpus doc-count (the Fano N) crossJoin onto the term agg",
-    "q_neyman" -> "1-row Σweights crossJoin onto the |strata|-row quota frame (the temperatureMix shape)"
+    "q_neyman" -> "1-row Σweights crossJoin onto the |strata|-row quota frame (the temperatureMix shape)",
+    // r11 addition, same 1-row-normalizer shape
+    "q_fleiss_kappa" -> "1-row item-panel totals (N, Σs²) crossJoin onto the 1-row category fold"
   )
 
 
@@ -381,6 +383,13 @@ object PlanAudit {
     "q_dedup_pairs_prefix" -> 4, "q_pagerank" -> 0, "q_editdist_seg" -> 2,
     "q_fdr_bh" -> 5, "q_semdedup_prod" -> 0, "q_embed_dup_prod" -> 0,
     "q_embed_dup_lsh" -> 0, "q_knn_label_noise_ivf" -> 3,
-    "q_bitext_mine_ivf" -> 17, "q_knn_ivf" -> 1, "q_bfs_hops" -> 0)
+    "q_bitext_mine_ivf" -> 17, "q_knn_ivf" -> 1, "q_bfs_hops" -> 0,
+    // r11 operator batch: fleiss = panel window + cell agg + squares/
+    // totals aggs off the cached cell frame; cliffs rides the
+    // mann-whitney collapsed-value spine; dominant period = acf chain +
+    // the bounded-frame argmax window; stable histogram = unit distinct
+    // + per-unit cap window + category agg
+    "q_fleiss_kappa" -> 4, "q_cliffs_delta" -> 4,
+    "q_dominant_period" -> 3, "q_stable_histogram" -> 3)
 
 }

@@ -104,6 +104,62 @@ object Privacy {
       .withColumn("noisy_sum", round(col("clipped_sum") + lap, 6))
   }
 
+  /** DP "stability histogram" release over an UNBOUNDED category domain
+    * (the third DP-SQL primitive next to [[noisyCounts]] — known-domain
+    * counts — and [[noisySum]]): release per-category unit counts where
+    * the domain itself is data-derived (URL domains, free-text tags,
+    * n-grams), so even the PRESENCE of a category leaks. The standard
+    * mechanism (Korolova et al. / Wilson et al., "Differentially
+    * Private SQL"): bound each unit's contribution, add Laplace noise,
+    * and suppress every category whose NOISY count falls below a
+    * threshold `tau` — rare categories (possibly one user's secret)
+    * never appear in the release.
+    *
+    * Contribution bounding (the L0 sensitivity bound): each unit votes
+    * at most once per category (distinct) and for at most
+    * `maxCatsPerUnit` categories — the deterministic md5-order cap, so
+    * re-runs release the identical histogram. Noise is
+    * Laplace(maxCatsPerUnit/ε) via the same seeded inverse-CDF tree as
+    * [[noisyCounts]] (derandomized for engine parity; production swaps
+    * the seed for entropy, same plan).
+    *
+    * RELEASE CONTRACT (the [[noisySum]] lesson): the output carries
+    * ONLY (category, noisy_count) — the exact count never leaves this
+    * function. The threshold compares the ROUNDED noisy count (6 dp)
+    * so the ln() ulp gap between libm and the JDK cannot flip a
+    * borderline suppression decision across engines.
+    *
+    * Scale posture: distinct + one window on the unit axis + one
+    * category agg — shuffles on unit then category, both map-side
+    * combinable; no driver state.
+    */
+  def stableHistogram(df: DataFrame, unitCol: String, catCol: String,
+                      maxCatsPerUnit: Int, epsilon: Double, tau: Double,
+                      seed: Long = 7L): DataFrame = {
+    require(maxCatsPerUnit >= 1, "maxCatsPerUnit must be positive")
+    require(epsilon > 0.0, "epsilon must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val uc = df.filter(col(unitCol).isNotNull && col(catCol).isNotNull)
+      .select(col(unitCol).cast("string").as("_u"),
+        col(catCol).cast("string").as("_cat"))
+      .distinct()
+    val capKey = md5(concat_ws("\u0001", col("_u"), col("_cat"),
+      lit(seed.toString)).cast("binary"))
+    val w = Window.partitionBy("_u").orderBy(capKey, col("_cat"))
+    val capped = uc.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxCatsPerUnit)
+    val counts = capped.groupBy("_cat").agg(count(lit(1)).as("_n"))
+    val nKey = concat_ws("\u0001", col("_cat"), lit(seed.toString))
+    val h = conv(substring(md5(nKey.cast("binary")), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0)
+    val lap = (lit(-maxCatsPerUnit.toDouble) / lit(epsilon)) *
+      signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    counts.withColumn("noisy_count", round(col("_n") + lap, 6))
+      .filter(col("noisy_count") >= tau)
+      .select(col("_cat").as(catCol), col("noisy_count"))
+  }
+
   /** l-diversity audit: k-anonymity's complement against ATTRIBUTE
     * disclosure — a cohort whose sensitive attribute takes fewer than
     * `l` distinct values leaks that attribute even when the cohort is

@@ -232,6 +232,110 @@ object Stats {
         .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
+  /** Fleiss' κ — chance-corrected agreement for MULTI-rater categorical
+    * annotation (Cohen's κ covers exactly two raters;
+    * [[krippendorffAlpha]] handles missingness — Fleiss is the standard
+    * panel statistic when every item gets the same number of ratings).
+    * The label-QA gate for n-way redundant annotation: "do the n
+    * annotation passes agree beyond what the label marginals predict?"
+    *
+    * Contract: each row is one rating (item, category) with a
+    * deterministic arrival order; items keep their `nRaters` FIRST
+    * ratings by `(orderCol, category)` and items with fewer than
+    * `nRaters` ratings are excluded (Fleiss requires a full panel).
+    *
+    *   P̄  = Σ_i (Σ_j n_ij² − n) / (N·n·(n−1)),  p_j = Σ_i n_ij / (N·n),
+    *   P_e = Σ_j p_j²,  κ = (P̄ − P_e)/(1 − P_e)
+    *
+    * All sufficient statistics are exact integers (decimal squares via
+    * [[decMul]]); the P_e fold runs over the CATEGORY-SORTED totals
+    * array; P_e = 1 (every rating one category) masks to NULL. The
+    * (item, category) cell frame is cached — it feeds the per-item
+    * squares, the category totals, and is ≤ |items|·|categories| rows.
+    * Output: ONE row (n_items, n_raters, n_categories, p_bar, p_e,
+    * kappa).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  orderCol: Column, nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "Fleiss' kappa needs at least 2 raters per item")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .select(col(itemCol).as("_i"), col(categoryCol).cast("string").as("_cat"),
+        orderCol.as("_o"))
+    val w = Window.partitionBy("_i").orderBy(col("_o"), col("_cat"))
+    val capped = base.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nRaters)
+    val perItemN = capped.groupBy("_i").agg(count(lit(1)).as("_n"))
+    val panel = perItemN.filter(col("_n") === nRaters).select("_i")
+    val cells = capped.join(panel, "_i")
+      .groupBy("_i", "_cat").agg(count(lit(1)).as("_nij"))
+      .cache() // ≤ |items|·|categories| rows; feeds squares AND totals
+    val itemAgg = cells.groupBy("_i")
+      .agg(sum(decMul(col("_nij"), col("_nij"))).as("_s2"))
+      .agg(count(lit(1)).as("n_items"), sum(col("_s2")).as("_ss2"))
+    val catTot = cells.groupBy("_cat")
+      .agg(sum(col("_nij")).cast("long").as("_cj"))
+    val folded = catTot
+      .agg(array_sort(collect_list(struct(col("_cat"), col("_cj")))).as("_a"),
+        count(lit(1)).as("n_categories"))
+      .crossJoin(broadcast(itemAgg))
+    val nI = col("n_items").cast("double")
+    val nR = lit(nRaters.toDouble)
+    val pBar = (col("_ss2").cast("double") - nI * nR) /
+      (nI * nR * (nR - lit(1.0)))
+    val pE = aggregate(col("_a"), lit(0.0), (a, s) => {
+      val p = s.getField("_cj").cast("double") / (nI * nR)
+      a + p * p
+    })
+    val deg = col("n_items") === 0
+    folded.select(col("n_items"), lit(nRaters.toLong).as("n_raters"),
+      col("n_categories"),
+      when(deg, lit(null).cast("double")).otherwise(round(pBar, 6)).as("p_bar"),
+      when(deg, lit(null).cast("double")).otherwise(round(pE, 6)).as("p_e"),
+      when(deg || pE === lit(1.0), lit(null).cast("double"))
+        .otherwise(round((pBar - pE) / (lit(1.0) - pE), 6)).as("kappa"))
+  }
+
+  /** Cliff's delta — the ordinal dominance EFFECT SIZE that should
+    * accompany every Mann–Whitney verdict (a significant U on a huge
+    * sample can be a trivial effect): δ = (#{x>y} − #{x<y}) / (n₁·n₂)
+    * over all cross-arm pairs, in [−1, 1], 0 = stochastic equality.
+    *
+    * No pair enumeration: from the SAME global distinct-value midrank
+    * spine as [[mannWhitney]], 2·U₁ = su₁ − n₁(n₁+1) exactly (doubled
+    * midranks), and #{>} − #{<} = 2·U₁ − n₁·n₂ — so δ is one division
+    * of exact integers. Output: ONE row (n1, n2, n_pairs, delta).
+    */
+  def cliffsDelta(df: DataFrame, cond: Column, metric: Column): DataFrame = {
+    val base = df.filter(metric.isNotNull)
+      .select(when(cond, lit(1)).otherwise(lit(0)).as("_g"),
+        metricLong(metric).as("_x"))
+    import org.apache.spark.sql.expressions.Window
+    val vals = base.groupBy("_x").agg(count(lit(1)).as("_t"))
+    val below = Window.orderBy("_x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals.withColumn("_u",
+      (lit(2) * coalesce(sum(col("_t")).over(below), lit(0L)) +
+        col("_t") + 1).cast("long"))
+    val gv = base.groupBy("_g", "_x").agg(count(lit(1)).as("_c"))
+    val per = gv.join(ranked, "_x").agg(
+      sum(when(col("_g") === 1, col("_c")).otherwise(0L)).cast("long")
+        .as("n1"),
+      sum(when(col("_g") === 0, col("_c")).otherwise(0L)).cast("long")
+        .as("n2"),
+      sum(when(col("_g") === 1, decMul(col("_c"), col("_u")))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("_su1"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    // 2U1 = su1 − n1(n1+1); δ = (2U1 − n1·n2) / (n1·n2)
+    val delta = (col("_su1").cast("double") - n1D * (n1D + lit(1.0)) -
+      n1D * n2D) / (n1D * n2D)
+    val deg = col("n1") === 0 || col("n2") === 0
+    per.select(col("n1"), col("n2"),
+      (col("n1") * col("n2")).as("n_pairs"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round(delta, 6)).as("delta"))
+  }
+
   /** Per-class confusion statistics for a (label, prediction) frame —
     * the evaluation table for every classifier a data pipeline runs
     * (quality filters, language ID, toxicity gates): true/false

@@ -894,6 +894,39 @@ object TimeSeries {
             col("_den").cast("double")).as("r"))
   }
 
+  /** Dominant-period detection per series: the lag (1..`maxLag`) whose
+    * autocorrelation peaks — the seasonality detector that turns
+    * [[acfProfile]]'s full profile into one actionable number per
+    * series ("this metric cycles weekly: lag 7"). A peak below
+    * `minR` means no meaningful cycle at the probed lags and reports a
+    * NULL lag — an ACF argmax alone would name a "period" for white
+    * noise.
+    *
+    * Determinism: the ACF values are the exact-integer-derived doubles
+    * of [[acfProfile]] (identical division trees on both engines), and
+    * the argmax is a row_number over (r DESC NULLS LAST, lag ASC) — the
+    * tie rule is part of the contract. Output: one row per series
+    * (series, n_days, dominant_lag, r_peak).
+    *
+    * Scale posture: inherits acfProfile's shape (data collapses to a
+    * per-(series, day) frame before any window); the argmax adds one
+    * window over the ≤ |series|·maxLag ACF frame.
+    */
+  def dominantPeriod(df: DataFrame, seriesCol: String, tsCol: String,
+                     maxLag: Int = 14, minR: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acf = acfProfile(df, seriesCol, tsCol, maxLag)
+    val w = Window.partitionBy(seriesCol)
+      .orderBy(col("r").desc_nulls_last, col("lag"))
+    acf.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(seriesCol), col("n_days"),
+        when(col("r").isNull || col("r") < minR,
+          lit(null).cast("long")).otherwise(col("lag")).as("dominant_lag"),
+        when(col("r").isNull, lit(null).cast("double"))
+          .otherwise(round(col("r"), 6)).as("r_peak"))
+  }
+
   /** Partial autocorrelation at lag 2, closed form from the Yule–Walker
     * equations: φ₂₂ = (r₂ − r₁²)/(1 − r₁²) — the AR-order diagnostic
     * that separates "yesterday echoes through" (r₂ ≈ r₁², φ₂₂ ≈ 0 →
