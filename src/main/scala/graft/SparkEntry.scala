@@ -2199,6 +2199,13 @@ object SparkEntry {
       graft.ops.Stats.kruskalWallis(
         table(s, dir, "lineitem"), "l_returnflag", col("l_quantity"))),
 
+    // Dunn's post-hoc pairwise z on the SAME global midranks as
+    // q_kruskal (the "which groups differ" follow-up; never re-ranked
+    // per pair)
+    "q_dunn" -> ((s, dir) =>
+      graft.ops.Stats.dunnPosthoc(
+        table(s, dir, "lineitem"), "l_returnflag", col("l_quantity"))),
+
     // variance-equality screen across event types on value cents:
     // Brown–Forsythe (median-centered Levene), doubled-median integers
     "q_brown_forsythe" -> ((s, dir) =>
@@ -2819,6 +2826,33 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25(
         table(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "window", "dup"), topN = 50)),
+
+    // Dirichlet query-likelihood: the LM ranking family next to BM25's
+    // probabilistic one, same query set — matched-term folds + the
+    // per-doc length normalizer, every doc scored
+    "q_query_likelihood" -> ((s, dir) =>
+      graft.ops.TextAnalysis.queryLikelihood(
+        table(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "window", "dup"), mu = 2000.0, topN = 50)),
+
+    // rank-biased overlap between two top-20 user rankings (by event
+    // count vs by spend cents) — top-weighted ranking agreement; the
+    // global rank windows run on the collapsed |users|-row frame
+    "q_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events").filter(col("user_id").isNotNull)
+      val byCount = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("_v"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("_v").desc, col("user_id"))))
+      val bySpend = ev.filter(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("_v"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("_v").desc, col("user_id"))))
+      graft.ops.Retrieval.rbo(byCount, bySpend, "user_id", "rank",
+        p = 0.9, k = 20)
+    }),
 
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
@@ -9332,6 +9366,40 @@ object SparkEntry {
 
     // Kruskal–Wallis: doubled global midranks from the distinct-value
     // cum frame; exact-integer rank sums, one sorted k-group fold
+    // Dunn's post-hoc: q_kruskal's global-midrank spine + the k-row
+    // pair self-join; tie-corrected sigma^2 stated identically
+    "q_dunn" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |), vals AS (
+        |  SELECT x, COUNT(*)::BIGINT AS t FROM v GROUP BY 1
+        |), ranked AS (
+        |  SELECT x, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS BIGINT) AS u
+        |  FROM vals
+        |), gv AS (
+        |  SELECT g, x, COUNT(*)::BIGINT AS c FROM v GROUP BY 1, 2
+        |), per AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n, SUM((c * u)::HUGEINT) AS su
+        |  FROM gv JOIN ranked USING (x) GROUP BY 1
+        |), ties AS (
+        |  SELECT SUM((t * t * t - t)::HUGEINT) AS tt, COUNT(*)::BIGINT AS nv,
+        |         CAST(SUM(t) AS BIGINT) AS nn
+        |  FROM vals
+        |)
+        |SELECT l.g AS g1, r.g AS g2, l.n AS n1, r.n AS n2,
+        |  CASE WHEN nn < 2 OR nv < 2 THEN NULL
+        |       ELSE ROUND((l.su::DOUBLE / (2.0 * l.n::DOUBLE)
+        |                   - r.su::DOUBLE / (2.0 * r.n::DOUBLE))
+        |         / sqrt((nn::DOUBLE * (nn::DOUBLE + 1.0) / 12.0
+        |                 - tt::DOUBLE / (12.0 * (nn::DOUBLE - 1.0)))
+        |                * (1.0 / l.n::DOUBLE + 1.0 / r.n::DOUBLE)), 6)
+        |  END AS z_stat
+        |FROM per l JOIN per r ON l.g < r.g CROSS JOIN ties""".stripMargin,
+
     "q_kruskal" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
@@ -10401,6 +10469,65 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_terms_matched,
          |  ROUND(list_sum(list_transform(arr, s -> s.part)), 6) AS score
          |FROM p ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // Dirichlet query likelihood: matched-term folds in term order +
+    // the per-doc length normalizer; every doc scored (LEFT JOIN)
+    "q_query_likelihood" ->
+      s"""$docToks, t AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM d
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), st AS (
+         |  SELECT COUNT(*)::BIGINT AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM t
+         |), mt AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM t)
+         |  WHERE term IN ('spark', 'window', 'dup')
+         |), ctf AS (
+         |  SELECT term, COUNT(*)::BIGINT AS ctf FROM mt GROUP BY 1
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM mt GROUP BY 1, 2
+         |), m AS (
+         |  SELECT doc_id, list_sort(list(struct_pack(term := tf.term, part :=
+         |    ln(1.0 + tf / (2000.0 * (ctf::DOUBLE / total_dl::DOUBLE)))
+         |  ))) AS arr
+         |  FROM tf JOIN ctf USING (term) CROSS JOIN st GROUP BY 1
+         |)
+         |SELECT t.doc_id,
+         |  COALESCE(CAST(len(arr) AS BIGINT), 0) AS n_terms_matched,
+         |  ROUND(COALESCE(list_sum(list_transform(arr, s -> s.part)), 0.0)
+         |    + 3.0 * ln(2000.0 / (dl::DOUBLE + 2000.0)), 6) AS score
+         |FROM t LEFT JOIN m USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // rank-biased overlap: per-common-item tail-weight folds over the
+    // id-sorted array; inner fold ascending in depth on both engines
+    "q_rbo" ->
+      """WITH bycount AS (
+        |  SELECT user_id, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+        |      user_id) AS rank
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), byspend AS (
+        |  SELECT user_id, ROW_NUMBER() OVER (
+        |      ORDER BY CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+        |        AS BIGINT) DESC, user_id) AS rank
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id
+        |), j AS (
+        |  SELECT a.user_id::VARCHAR AS id,
+        |         GREATEST(a.rank, b.rank)::BIGINT AS m
+        |  FROM bycount a JOIN byspend b USING (user_id)
+        |  WHERE a.rank <= 20 AND b.rank <= 20
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n_common,
+        |    list_sort(list(struct_pack(id := id, m := m))) AS arr
+        |  FROM j
+        |)
+        |SELECT CAST(20 AS BIGINT) AS k, n_common,
+        |  ROUND(((1.0 - 0.9) / 0.9) *
+        |    COALESCE(list_sum(list_transform(arr, s ->
+        |      list_sum(list_transform(range(s.m, 21),
+        |        d -> pow(0.9, d) / d)))), 0.0), 6) AS rbo_min
+        |FROM f""".stripMargin,
 
     // same BM25 chain as q_bm25 (ranked on the ROUNDED score) fused
     // with a single-query cosine ranking via integer-ppm RRF

@@ -163,8 +163,10 @@ object PlanAudit {
     "q_anisotropy" -> "1-row centroid-norm (ΣS²) crossJoin onto the per-vector agg",
     "q_burstiness" -> "1-row corpus doc-count (the Fano N) crossJoin onto the term agg",
     "q_neyman" -> "1-row Σweights crossJoin onto the |strata|-row quota frame (the temperatureMix shape)",
-    // r11 addition, same 1-row-normalizer shape
-    "q_fleiss_kappa" -> "1-row item-panel totals (N, Σs²) crossJoin onto the 1-row category fold"
+    // r11 additions, same 1-row-normalizer / k-row-grid shapes
+    "q_fleiss_kappa" -> "1-row item-panel totals (N, Σs²) crossJoin onto the 1-row category fold",
+    "q_query_likelihood" -> "1-row corpus-total (Σdl) crossJoin for the Dirichlet prior (the q_bm25 shape)",
+    "q_dunn" -> "k-row group-summary self-join on g1<g2 + 1-row tie-frame crossJoin (the q_pairwise_contrasts shape)"
   )
 
 
@@ -390,6 +392,10 @@ object PlanAudit {
     // the bounded-frame argmax window; stable histogram = unit distinct
     // + per-unit cap window + category agg
     "q_fleiss_kappa" -> 4, "q_cliffs_delta" -> 4,
-    "q_dominant_period" -> 3, "q_stable_histogram" -> 3)
+    "q_dominant_period" -> 3, "q_stable_histogram" -> 3,
+    // QL = tf/ctf aggs + matched fold + the all-docs left join; rbo =
+    // two collapsed rank frames; dunn = kruskal's 7-exchange spine +
+    // the k-row pair grid
+    "q_query_likelihood" -> 4, "q_rbo" -> 2, "q_dunn" -> 10)
 
 }

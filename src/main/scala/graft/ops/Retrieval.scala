@@ -192,6 +192,48 @@ object Retrieval {
     * corpus-sized frame — ranking a corpus is the producer's job, with
     * its own partitioned/heap plan.
     */
+  /** Rank-biased overlap, min form (Webber, Moffat & Zobel, "A
+    * Similarity Measure for Indefinite Rankings", TOIS 2010) — the
+    * top-weighted agreement between two RANKINGS of the same item
+    * space, the right metric when comparing retrieval systems or
+    * monitoring ranking drift: unlike Kendall/Spearman it handles
+    * lists that only partially overlap and discounts disagreement
+    * deep in the tail by `p^d`.
+    *
+    *   RBO_min = (1−p)/p · Σ_{d=1..k} p^d · X_d / d,
+    *   X_d = |A_{1..d} ∩ B_{1..d}|
+    *
+    * Rewritten per common item: an id at ranks (ra, rb) contributes
+    * Σ_{d=max(ra,rb)..k} p^d/d — so the computation is one equi-join
+    * of the two (≤ k)-row rank frames, no depth loop over data. The
+    * double fold runs over the ID-SORTED common-item array, each
+    * item's weight an ascending-d sequence fold — partial-sum order is
+    * pinned on both engines. Output: ONE row (k, n_common, rbo_min).
+    *
+    * Scale posture: both inputs are top-k frames (bounded by contract —
+    * the output of a ranking cut, not a corpus); everything here is
+    * ≤ k rows.
+    */
+  def rbo(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+          p: Double, k: Int): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    require(k >= 1, "k must be positive")
+    def side(df: DataFrame, out: String) =
+      df.filter(col(rankCol) <= k && col(idCol).isNotNull)
+        .select(col(idCol).cast("string").as("_id"),
+          col(rankCol).cast("long").as(out))
+    val j = side(a, "_ra").join(side(b, "_rb"), "_id")
+      .withColumn("_m", greatest(col("_ra"), col("_rb")))
+    val folded = j.agg(
+      count(lit(1)).as("n_common"),
+      array_sort(collect_list(struct(col("_id"), col("_m")))).as("_arr"))
+    val sumW = aggregate(col("_arr"), lit(0.0), (acc, s) =>
+      acc + aggregate(sequence(s.getField("_m"), lit(k.toLong)), lit(0.0),
+        (a2, d) => a2 + pow(lit(p), d) / d))
+    folded.select(lit(k.toLong).as("k"), col("n_common"),
+      round(lit(1.0 - p) / lit(p) * sumW, 6).as("rbo_min"))
+  }
+
   def rankByScore(scored: DataFrame, idCol: String, scoreCol: String): DataFrame =
     scored.withColumn("rank",
       row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))

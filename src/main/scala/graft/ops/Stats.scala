@@ -1512,6 +1512,65 @@ object Stats {
       (col("k") - 1).cast("long").as("df"))
   }
 
+  /** Dunn's post-hoc test — the pairwise follow-up a significant
+    * [[kruskalWallis]] H demands ("WHICH groups differ?"): for every
+    * group pair, z_ij = (R̄_i − R̄_j) / √(σ²·(1/n_i + 1/n_j)) on the
+    * GLOBAL midranks, with the tie-corrected variance
+    * σ² = N(N+1)/12 − ΣT/(12(N−1)). Running pairwise Mann–Whitney
+    * instead (each pair re-ranked on its own subset) is the classic
+    * post-hoc mistake — Dunn keeps the joint ranking. (Multiplicity
+    * control composes downstream: feed |z| through [[bhFdr]] or a
+    * Bonferroni cut; this emits the raw statistics.)
+    *
+    * Same exact-integer spine as kruskalWallis (doubled global
+    * midranks from the distinct-value cum frame; decimal rank sums);
+    * the pair grid is the k-row group-summary self-join on g1 < g2
+    * ([[pairwiseContrasts]] shape). Degenerates (N < 2, a single
+    * distinct value → σ² = 0) mask z to NULL.
+    * Output: one row per pair (g1, g2, n1, n2, z_stat).
+    */
+  def dunnPosthoc(df: DataFrame, groupCol: String,
+                  metric: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && metric.isNotNull)
+      .select(col(groupCol).cast("string").as("_g"), metricLong(metric).as("_x"))
+    import org.apache.spark.sql.expressions.Window
+    val vals = base.groupBy("_x").agg(count(lit(1)).as("_t"))
+    val below = Window.orderBy("_x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals.withColumn("_u",
+      (lit(2) * coalesce(sum(col("_t")).over(below), lit(0L)) +
+        col("_t") + 1).cast("long"))
+    val gv = base.groupBy("_g", "_x").agg(count(lit(1)).as("_c"))
+    val per = gv.join(ranked, "_x")
+      .groupBy("_g")
+      .agg(sum(col("_c")).cast("long").as("_n"),
+        sum(decMul(col("_c"), col("_u"))).as("_su"))
+    val ties = vals.agg(
+      sum((decMul(col("_t"), col("_t")) * col("_t").cast("decimal(19,0)") -
+          col("_t").cast("decimal(19,0)")).cast("decimal(38,0)")).as("_tt"),
+      count(lit(1)).as("_nv"),
+      sum(col("_t")).cast("long").as("_nn"))
+    val l = per.select(col("_g").as("g1"), col("_n").as("_n1"),
+      col("_su").as("_su1"))
+    val r = per.select(col("_g").as("g2"), col("_n").as("_n2"),
+      col("_su").as("_su2"))
+    val pairs = l.join(r, col("g1") < col("g2"))
+      .crossJoin(broadcast(ties))
+    val nD = col("_nn").cast("double")
+    val n1D = col("_n1").cast("double"); val n2D = col("_n2").cast("double")
+    // doubled midranks: R̄ = su/(2n)
+    val r1 = col("_su1").cast("double") / (lit(2.0) * n1D)
+    val r2 = col("_su2").cast("double") / (lit(2.0) * n2D)
+    val s2 = nD * (nD + lit(1.0)) / lit(12.0) -
+      col("_tt").cast("double") / (lit(12.0) * (nD - lit(1.0)))
+    val deg = col("_nn") < 2 || col("_nv") < 2
+    pairs.select(col("g1"), col("g2"),
+      col("_n1").as("n1"), col("_n2").as("n2"),
+      when(deg, lit(null).cast("double"))
+        .otherwise(round((r1 - r2) /
+          sqrt(s2 * (lit(1.0) / n1D + lit(1.0) / n2D)), 6)).as("z_stat"))
+  }
+
   /** Brown–Forsythe test (Levene's test with the median center) —
     * equality of VARIANCES across k groups, the robust pre-check
     * before pooling or before trusting an equal-variance ANOVA:

@@ -700,6 +700,71 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty,
+    * "A Study of Smoothing Methods for Language Models Applied to
+    * Ad Hoc Information Retrieval", SIGIR 2001) — the language-model
+    * ranking family next to [[bm25]]'s probabilistic one; the two
+    * disagree exactly where retrieval-based data selection needs a
+    * second opinion (long docs, rare terms). Decomposed form, so
+    * unmatched terms cost one per-doc length normalizer instead of a
+    * |query|×|corpus| expansion:
+    *
+    *   score(q,d) = Σ_{t∈q, tf>0} ln(1 + tf_td/(μ·p(t|C)))
+    *              + |q| · ln(μ/(dl_d + μ)),   p(t|C) = ctf_t / Σdl
+    *
+    * Determinism: tf/ctf/dl/Σdl are exact longs; the matched-term
+    * partials fold in TERM ORDER per doc ([[bm25]] discipline); the
+    * top-N cut orders by the ROUNDED score with a doc-id tiebreak.
+    * Every doc scores (an unmatched doc carries just the length term),
+    * so the ranking is total. Output: top `topN` rows of
+    * (doc_id, n_terms_matched, score).
+    *
+    * Scale posture: mirrors [[bm25]] — the isin prune bounds per-doc
+    * agg state by |query|; ctf and corpus stats are |query|-row /
+    * 1-row broadcast frames; the cut is `TakeOrderedAndProject`.
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], mu: Double = 2000.0,
+                      topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
+      "query terms must be distinct (duplicates double-count)")
+    require(mu > 0.0, "mu must be positive")
+    val toks = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("total_dl"))
+    val matchedToks = toks
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms.map(_.toLowerCase): _*))
+    val ctf = matchedToks.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val tf = matchedToks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // mirrored verbatim by the oracle SQL — keep every paren
+    val part = log(lit(1.0) + col("tf") /
+      (lit(mu) * (col("ctf").cast("double") / col("total_dl").cast("double"))))
+    val matched = tf
+      .join(broadcast(ctf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("part", part)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("part")))).as("_arr"))
+      .select(col("doc_id"),
+        size(col("_arr")).cast("long").as("n_terms_matched"),
+        aggregate(col("_arr"), lit(0.0), (a, s) => a + s.getField("part"))
+          .as("_m"))
+    toks.select(col("doc_id"), col("dl"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_terms_matched"), lit(0L)).as("n_terms_matched"),
+        round(coalesce(col("_m"), lit(0.0)) +
+          lit(queryTerms.size.toDouble) *
+            log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Per-document unigram entropy — the smooth lexical-diversity
     * signal that complements [[repetitionStats]]' hard shares: a doc
     * whose probability mass spreads evenly over its vocabulary scores

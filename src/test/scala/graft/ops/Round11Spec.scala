@@ -149,6 +149,74 @@ class Round11Spec extends SparkSpec {
     else got.contains("rare") shouldBe false
   }
 
+  // --------------------------------------------------- query likelihood
+
+  test("queryLikelihood matches the hand-computed Dirichlet scores and ranks") {
+    val docs = Seq(
+      (1L, "spark spark window"),
+      (2L, "window other other other"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = TextAnalysis.queryLikelihood(docs, "doc_id", "text",
+      Seq("spark", "window"), mu = 2.0, topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // total_dl = 9, ctf(spark) = ctf(window) = 2, p = 2/9
+    val s1 = math.log(1 + 2 / (2.0 * (2.0 / 9))) +
+      math.log(1 + 1 / (2.0 * (2.0 / 9))) + 2 * math.log(2.0 / (3 + 2))
+    val s2 = math.log(1 + 1 / (2.0 * (2.0 / 9))) + 2 * math.log(2.0 / (4 + 2))
+    val s3 = 2 * math.log(2.0 / (2 + 2))
+    got shouldBe Array((1L, 2L, r6(s1)), (2L, 1L, r6(s2)), (3L, 0L, r6(s3)))
+  }
+
+  // ----------------------------------------------------------------- rbo
+
+  private def rankDf(ids: Seq[String]) =
+    ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+      .toDF("id", "rank")
+
+  test("rbo is 1 - p^k on identical lists and 0 on disjoint lists") {
+    val a = rankDf(Seq("x", "y", "z"))
+    val got = Retrieval.rbo(a, a, "id", "rank", p = 0.5, k = 3).collect().head
+    got.getLong(0) shouldBe 3L
+    got.getLong(1) shouldBe 3L
+    got.getDouble(2) shouldBe 0.875 // 1 - 0.5^3
+    val d = Retrieval.rbo(a, rankDf(Seq("q", "r", "s")), "id", "rank", 0.5, 3)
+      .collect().head
+    d.getLong(1) shouldBe 0L
+    d.getDouble(2) shouldBe 0.0
+  }
+
+  test("rbo weights top-rank disagreement: swapped top-2 at p=0.5 gives 0.25") {
+    // X_1 = 0, X_2 = 2 -> (1-p)/p * p^2 * 2/2 = 0.25
+    val got = Retrieval.rbo(rankDf(Seq("x", "y")), rankDf(Seq("y", "x")),
+      "id", "rank", p = 0.5, k = 2).collect().head
+    got.getLong(1) shouldBe 2L
+    got.getDouble(2) shouldBe 0.25
+  }
+
+  // ---------------------------------------------------------------- dunn
+
+  test("dunnPosthoc matches the hand-computed untied 2-group z") {
+    // A = [1,2], B = [3,4]: midranks 1..4, Rbar 1.5 vs 3.5,
+    // sigma^2 = 4*5/12, z = -2 / sqrt(5/3)
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "x")
+    val got = Stats.dunnPosthoc(rows, "g", col("x")).collect().head
+    got.getString(0) shouldBe "A"
+    got.getString(1) shouldBe "B"
+    got.getLong(2) shouldBe 2L
+    got.getLong(3) shouldBe 2L
+    got.getDouble(4) shouldBe -1.549193
+  }
+
+  test("dunnPosthoc emits every pair of a 3-group design once, g1 < g2") {
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("g", "x")
+    val got = Stats.dunnPosthoc(rows, "g", col("x"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set(("A", "B"), ("A", "C"), ("B", "C"))
+  }
+
   test("stableHistogram bounds each unit to maxCatsPerUnit md5-ordered categories") {
     // one unit voting for 6 categories, cap 4: exactly the 4 lowest by
     // md5(u \x01 cat \x01 seed) survive; with tau below any noise floor
