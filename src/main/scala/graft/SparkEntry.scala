@@ -933,6 +933,20 @@ object SparkEntry {
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
     }),
 
+    // MMR diverse top-4 over each query's brute top-8 candidates
+    // (λ=0.7): relevance minus max-sim-to-selected, greedy unrolled —
+    // diversity-aware example selection
+    "q_mmr_select" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val knn = graft.ops.Similarity.knnBruteForce(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 8)
+      val cands = knn.join(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      graft.ops.Similarity.mmrSelect(cands, "query_id", "neighbor_id",
+        "sim", "embedding", k = 4, lambda = 0.7)
+    }),
+
     // int8 scalar-quantization audit: per-vector scale, exact squared
     // error and orig<->recon cosine ppm — wholly map-side
     "q_quant_int8" -> ((s, dir) =>
@@ -2915,6 +2929,22 @@ object SparkEntry {
     "q_kappa" -> ((s, dir) =>
       graft.ops.Stats.cohensKappa(
         syntheticRaters(table(s, dir, "events")), "event_type", "rater2")),
+
+    // unbiased pass@k over per-user event "attempts" (success =
+    // purchase): the sampled-eval estimator, exact ascending product
+    "q_pass_at_k" -> ((s, dir) =>
+      graft.ops.EvalMetrics.passAtK(
+        table(s, dir, "events"), "user_id",
+        col("event_type") === "purchase", k = 5)),
+
+    // one DoReMi-style exponentiated-gradient mixture update over the
+    // per-source token-count signal (integral loss units; eta = 0.001)
+    "q_mixture_reweight" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureReweight(
+        table(s, dir, "documents")
+          .filter(col("text").isNotNull),
+        "source", graft.ops.TextAnalysis.tokenCount(col("text")),
+        eta = 0.001)),
 
     // Fleiss' kappa: each user's first 8 events (by event_id) act as an
     // 8-rater panel categorizing the user by event_type — multi-rater
@@ -6225,6 +6255,79 @@ object SparkEntry {
          |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""".stripMargin,
 
     "q_knn"          -> knnSql,
+
+    // MMR: the same brute top-8 spine, then the 4 greedy selection
+    // steps unrolled — argmax over (score, -id) structs, in-order dot
+    // folds with pre-materialized norms, (1.0 - 0.7) stated as the
+    // expression so both engines land on the identical double
+    "q_mmr_select" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"
+      def chosenField(f: String) =
+        s"list_filter(cands, c -> c.id = -best.negid)[1].$f"
+      val steps = (2 to 4).map { t =>
+        s"""b$t AS (
+           |  SELECT q, cands, sel,
+           |    list_sort(list_transform(
+           |      list_filter(cands, c -> NOT list_contains(
+           |        list_transform(sel, s -> s.id), c.id)),
+           |      c -> struct_pack(
+           |        score := 0.7 * c.rel - (1.0 - 0.7) *
+           |          list_max(list_transform(sel, s ->
+           |            ${dot("c.v", "s.v")} / (c.n * s.n))),
+           |        negid := -c.id)))[-1] AS best
+           |  FROM s${t - 1}
+           |), s$t AS (
+           |  SELECT q, cands, list_concat(sel, [struct_pack(
+           |      id := ${chosenField("id")},
+           |      rel := ${chosenField("rel")},
+           |      v := ${chosenField("v")},
+           |      n := ${chosenField("n")},
+           |      score := best.score)]) AS sel
+           |  FROM b$t
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH qs AS (
+         |  SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
+         |  FROM embeddings WHERE vec_id < 10
+         |), cs AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS cn
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT qid, cid, cv, cn, ${dot("qv", "cv")} / (qn * cn) AS sim
+         |  FROM qs, cs WHERE qid <> cid
+         |), r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, cid) AS BIGINT) AS rn
+         |  FROM p
+         |), knn AS (
+         |  SELECT qid, cid, ROUND(sim, 6) AS rel, cv, cn FROM r WHERE rn <= 8
+         |), packed AS (
+         |  SELECT qid AS q, list(struct_pack(id := cid, rel := rel,
+         |    v := cv, n := cn)) AS cands
+         |  FROM knn GROUP BY 1 HAVING COUNT(*) >= 4
+         |), b1 AS (
+         |  SELECT q, cands,
+         |    list_sort(list_transform(cands, c ->
+         |      struct_pack(score := c.rel, negid := -c.id)))[-1] AS best
+         |  FROM packed
+         |), s1 AS (
+         |  SELECT q, cands, [struct_pack(
+         |      id := ${chosenField("id")},
+         |      rel := ${chosenField("rel")},
+         |      v := ${chosenField("v")},
+         |      n := ${chosenField("n")},
+         |      score := best.score)] AS sel
+         |  FROM b1
+         |), $steps, ix AS (
+         |  SELECT unnest(range(1, 5)) AS i
+         |)
+         |SELECT q AS query_id, CAST(i AS BIGINT) AS rn,
+         |  sel[i].id AS neighbor_id, ROUND(sel[i].score, 6) AS mmr_score
+         |FROM s4 CROSS JOIN ix""".stripMargin
+    },
 
     // same quantize->reconstruct trees: round() on integral halves is
     // away-from-zero in both engines, fold sums ride list order, sqrt
@@ -10787,6 +10890,53 @@ object SparkEntry {
         |  FROM a JOIN pool ON pl <> al
         |)
         |SELECT anchor, pk AS negative, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // pass@k: the exact ascending product 1 - prod (n-c-i)/(n-i);
+    // list_product folds the same ascending range both engines
+    "q_pass_at_k" ->
+      """WITH per AS (
+        |  SELECT user_id AS task, COUNT(*)::BIGINT AS n_attempts,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT task, n_attempts, n_correct,
+        |  CASE WHEN n_attempts - n_correct < 5 THEN 1.0
+        |       ELSE ROUND(1.0 - list_product(list_transform(range(0, 5),
+        |         i -> (n_attempts::DOUBLE - n_correct::DOUBLE - i)
+        |              / (n_attempts::DOUBLE - i))), 6)
+        |  END AS pass_at_k
+        |FROM per WHERE n_attempts >= 5""".stripMargin,
+
+    // mixture reweight: exact per-domain token sums; raw terms fold in
+    // domain-sorted order, weights rounded 6 dp (the exp ulp guard)
+    "q_mixture_reweight" ->
+      """WITH per AS (
+        |  SELECT source AS domain, COUNT(*)::BIGINT AS n_rows,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT) AS sl
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT CAST(SUM(n_rows) AS BIGINT) AS nn,
+        |    list_sort(list(struct_pack(domain := domain, n_rows := n_rows,
+        |      mean := sl::DOUBLE / n_rows::DOUBLE))) AS a
+        |  FROM per
+        |), zf AS (
+        |  SELECT nn, a,
+        |    list_sum(list_transform(a, s ->
+        |      s.n_rows::DOUBLE / nn::DOUBLE * exp(0.001 * s.mean))) AS z
+        |  FROM f
+        |)
+        |, ex AS (
+        |  SELECT nn, z, unnest(a) AS s FROM zf
+        |)
+        |SELECT s.domain AS domain, s.n_rows AS n_rows,
+        |  ROUND(s.mean, 6) AS mean_loss,
+        |  ROUND(s.n_rows::DOUBLE / nn::DOUBLE, 6) AS w_old,
+        |  ROUND(s.n_rows::DOUBLE / nn::DOUBLE * exp(0.001 * s.mean) / z, 6)
+        |    AS w_new
+        |FROM ex""".stripMargin,
 
     // Fleiss' kappa: same panel-cap + exact-integer cell spine; the P_e
     // fold runs over the category-sorted totals list on both engines

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Reference-based text generation metrics (BLEU, ROUGE-N) over
@@ -160,6 +160,44 @@ object EvalMetrics {
     * unrounded. Output: (id, len_cand, len_ref,
     * r1_p, r1_r, r1_f, r2_p, r2_r, r2_f).
     */
+  /** Unbiased pass@k estimator (Chen et al., "Evaluating Large
+    * Language Models Trained on Code", 2021) — THE sampled-eval
+    * metric for generation benchmarks: from n attempts per task with
+    * c successes, the probability that at least one of k random
+    * attempts passes,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+    *
+    * computed as the finite ASCENDING-i product (never the naive
+    * 1 − (1 − c/n)^k, which is biased high, and never factorials —
+    * the product form is exact and overflow-free). Tasks with fewer
+    * than k attempts are excluded (the estimator is undefined);
+    * n − c < k short-circuits to exactly 1.0 before any division.
+    * Sufficient statistics (n, c) are exact longs; the product fold
+    * order is pinned on both engines. Output: one row per task
+    * (task, n_attempts, n_correct, pass_at_k).
+    *
+    * Scale posture: one map-side-combinable hash agg to (task, n, c);
+    * the k-term fold is per-row arithmetic.
+    */
+  def passAtK(df: DataFrame, taskCol: String, successCol: Column,
+              k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val per = df.filter(col(taskCol).isNotNull)
+      .groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n_attempts"),
+        sum(when(successCol, 1L).otherwise(0L)).cast("long").as("n_correct"))
+      .filter(col("n_attempts") >= k)
+    val nD = col("n_attempts").cast("double")
+    val cD = col("n_correct").cast("double")
+    val prod = aggregate(sequence(lit(0L), lit((k - 1).toLong)), lit(1.0),
+      (acc, i) => acc * ((nD - cD - i) / (nD - i)))
+    per.select(col("task"), col("n_attempts"), col("n_correct"),
+      when(col("n_attempts") - col("n_correct") < k, lit(1.0))
+        .otherwise(round(lit(1.0) - prod, 6)).as("pass_at_k"))
+  }
+
   def rouge(pairs: DataFrame, idCol: String, candCol: String,
             refCol: String): DataFrame = {
     val wide = overlapWide(pairs, idCol, candCol, refCol, 2)

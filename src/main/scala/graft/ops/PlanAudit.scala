@@ -166,6 +166,7 @@ object PlanAudit {
     // r11 additions, same 1-row-normalizer / k-row-grid shapes
     "q_fleiss_kappa" -> "1-row item-panel totals (N, Σs²) crossJoin onto the 1-row category fold",
     "q_query_likelihood" -> "1-row corpus-total (Σdl) crossJoin for the Dirichlet prior (the q_bm25 shape)",
+    "q_mmr_select" -> "brute-force kNN candidate generation (broadcast 10-query side — the q_knn baseline); the MMR steps themselves are per-row array math",
     "q_dunn" -> "k-row group-summary self-join on g1<g2 + 1-row tie-frame crossJoin (the q_pairwise_contrasts shape)"
   )
 
@@ -396,6 +397,11 @@ object PlanAudit {
     // QL = tf/ctf aggs + matched fold + the all-docs left join; rbo =
     // two collapsed rank frames; dunn = kruskal's 7-exchange spine +
     // the k-row pair grid
-    "q_query_likelihood" -> 4, "q_rbo" -> 2, "q_dunn" -> 10)
+    "q_query_likelihood" -> 4, "q_rbo" -> 2, "q_dunn" -> 10,
+    // pass@k = one (task) hash agg; reweight = domain agg + 1-row fold
+    "q_pass_at_k" -> 1, "q_mixture_reweight" -> 2,
+    // mmr = the brute-kNN candidate frame + one per-query pack agg;
+    // the k greedy steps are per-row array expressions (barriered)
+    "q_mmr_select" -> 1)
 
 }

@@ -580,6 +580,59 @@ object Sampling {
     * data-sized shuffles except the per-source rank, which is the
     * operator's contract.
     */
+  /** One multiplicative-weights update of a domain-mixture
+    * distribution — the exponentiated-gradient step at the core of
+    * DoReMi-style mixture tuning (Xie et al., "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining", 2023): domains
+    * where the per-row loss signal runs high get up-weighted,
+    *
+    *   w'_d ∝ w_d · exp(η · mean_loss_d),   w_d = n_d / N,
+    *
+    * renormalized to sum 1. This emits the UPDATED REFERENCE
+    * DISTRIBUTION; materializing a corpus at those weights is
+    * [[temperatureMix]]/[[epochRepeat]]'s job — the two compose into
+    * the reweight-then-resample loop.
+    *
+    * Determinism contract: `loss` must be integral per row (token
+    * counts, ppm-scaled scores — the [[graft.ops.Stats.metricLong]]
+    * convention), so n_d and Σloss_d are exact longs and mean_loss is
+    * one division. exp() is engine-ulp-sensitive, so the normalizer
+    * folds the raw terms in DOMAIN-SORTED order and the weights round
+    * to 6 dp — the ln() discipline applied to its inverse. Output:
+    * one row per domain (domain, n_rows, mean_loss, w_old, w_new).
+    *
+    * Scale posture: one map-side-combined hash agg to |domains| rows;
+    * the fold and update are a tiny-frame computation.
+    */
+  def mixtureReweight(df: DataFrame, domainCol: String, loss: Column,
+                      eta: Double): DataFrame = {
+    require(eta > 0.0, "eta must be positive")
+    val per = df.filter(col(domainCol).isNotNull && loss.isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(loss.cast("long")).cast("long").as("_sl"))
+    val meanLoss = col("_sl").cast("double") / col("n_rows").cast("double")
+    val folded = per
+      .withColumn("_mean", meanLoss)
+      .agg(sum(col("n_rows")).cast("long").as("_nn"),
+        array_sort(collect_list(struct(col("domain"), col("n_rows"),
+          col("_mean")))).as("_a"))
+    def raw(n: Column, m: Column) =
+      n.cast("double") / col("_nn").cast("double") * exp(lit(eta) * m)
+    val z = aggregate(col("_a"), lit(0.0), (a, s) =>
+      a + raw(s.getField("n_rows"), s.getField("_mean")))
+    folded
+      .select(col("_nn"), col("_a"), z.as("_z"))
+      .select(col("_nn"), col("_z"), explode(col("_a")).as("_s"))
+      .select(col("_s").getField("domain").as("domain"),
+        col("_s").getField("n_rows").as("n_rows"),
+        round(col("_s").getField("_mean"), 6).as("mean_loss"),
+        round(col("_s").getField("n_rows").cast("double") /
+          col("_nn").cast("double"), 6).as("w_old"),
+        round(raw(col("_s").getField("n_rows"),
+          col("_s").getField("_mean")) / col("_z"), 6).as("w_new"))
+  }
+
   def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
                      budget: Long, alphaQuarters: Int = 2): DataFrame = {
     require(budget >= 1, "budget must be positive")

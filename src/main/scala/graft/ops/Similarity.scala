@@ -712,6 +712,95 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — diversity-aware top-k selection over a bounded
+    * per-query candidate set: greedily pick the candidate maximizing
+    *
+    *   λ·rel(c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+    *
+    * (pure-relevance argmax seeds the set). The training-data use is
+    * example selection: pulling k demonstrations / hard cases per
+    * query that are relevant WITHOUT being near-duplicates of each
+    * other — plain top-k by similarity returns k copies of the same
+    * neighborhood.
+    *
+    * Input contract: `candidates` is ALREADY a bounded per-query
+    * frame (the output of [[knnBruteForce]]/[[knnIvf]] joined back to
+    * its vectors — tens of rows per query, never a corpus). Queries
+    * with fewer than `k` candidates are excluded (the greedy is
+    * undefined short).
+    *
+    * Determinism: candidates pack into an ID-SORTED array per query;
+    * every selection step is an argmax over a struct array ordered by
+    * (score, −id) — ties break to the smaller id by construction, and
+    * the score trees (in-order dot folds, pre-materialized norms,
+    * λ-constants) are stated identically in the oracle, so the argmax
+    * compares bit-identical doubles on both engines.
+    *
+    * Scale posture: one hash agg packs candidates per query;
+    * the k unrolled selection steps are per-row array expressions over
+    * the bounded candidate array — nothing data-sized shuffles beyond
+    * the per-query agg. Output: (queryCol, rn, idCol, mmr_score).
+    */
+  def mmrSelect(candidates: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val cand = candidates
+      .filter(col(queryCol).isNotNull && col(idCol).isNotNull &&
+        col(relCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(queryCol).as("_q"),
+        struct(col(idCol).cast("long").as("id"),
+          col(relCol).cast("double").as("rel"),
+          transform(col(vecCol), _.cast("double")).as("v"),
+          norm(col(vecCol)).as("n")).as("_c"))
+    val packed = cand.groupBy("_q")
+      .agg(array_sort(collect_list(col("_c"))).as("_cands"))
+      .filter(size(col("_cands")) >= k)
+    def dotF(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    def simC(c: Column, s: Column) =
+      dotF(c.getField("v"), s.getField("v")) /
+        (c.getField("n") * s.getField("n"))
+    val lam = lit(lambda); val oneMinus = lit(1.0 - lambda)
+    // argmax by (score, −id): the struct max picks the highest score,
+    // ties to the SMALLEST id; the chosen candidate is rebuilt from the
+    // id-sorted base array with its selection score attached
+    def pick(scored: Column, cands: Column): Column = {
+      val best = array_max(scored)
+      val base = element_at(
+        filter(cands, c => c.getField("id") === -best.getField("negid")), 1)
+      struct(base.getField("id").as("id"), base.getField("rel").as("rel"),
+        base.getField("v").as("v"), base.getField("n").as("n"),
+        best.getField("score").as("score"))
+    }
+    // Each step goes through a Generate barrier (explode(array(expr))):
+    // the selected-set array is referenced several times by the next
+    // step, and without the barrier CollapseProject re-inlines the
+    // whole prior step PER REFERENCE — the plan grows ~3^k and the
+    // optimizer chokes (the ClippedGramCounts lesson, EvalMetrics).
+    val seedScored = transform(col("_cands"), c =>
+      struct(c.getField("rel").as("score"), (-c.getField("id")).as("negid")))
+    var df = packed.select(col("_q"), col("_cands"),
+      explode(array(array(pick(seedScored, col("_cands"))))).as("_sel"))
+    for (t <- 2 to k) {
+      val prev = col("_sel")
+      val rem = filter(col("_cands"), c =>
+        !exists(prev, s => s.getField("id") === c.getField("id")))
+      val scored = transform(rem, c =>
+        struct((lam * c.getField("rel") - oneMinus *
+          array_max(transform(prev, s => simC(c, s)))).as("score"),
+          (-c.getField("id")).as("negid")))
+      df = df.select(col("_q"), col("_cands"),
+        explode(array(concat(prev, array(pick(scored, col("_cands"))))))
+          .as("_sel"))
+    }
+    df.select(col("_q").as(queryCol), posexplode(col("_sel")))
+      .select(col(queryCol), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as(idCol), round(col("col.score"), 6).as("mmr_score"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ tau, (a_id, b_id, sim).
     *
     * Default path (`exact = false`): sign-LSH banded candidate

@@ -118,6 +118,89 @@ class Round11Spec extends SparkSpec {
     g2.getDouble(3) shouldBe 0.833333
   }
 
+  // ------------------------------------------------------------------ mmr
+
+  test("mmrSelect greedily trades relevance against similarity to the selected set") {
+    // a: top rel; b: near-dup of a (must be deferred); c: orthogonal
+    val rows = Seq(
+      (1L, 10L, 0.90, Seq(1.0, 0.0)),
+      (1L, 11L, 0.85, Seq(1.0, 0.01)),
+      (1L, 12L, 0.50, Seq(0.0, 1.0)),
+      (1L, 13L, 0.40, Seq(0.6, 0.8))).toDF("q", "id", "rel", "vec")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.mmrSelect(rows, "q", "id", "rel", "vec",
+      k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val cosBA = 1.0 / math.sqrt(1.0 + 0.01 * 0.01)
+    got shouldBe Array(
+      (1L, 10L, 0.9),                         // seed: pure relevance
+      (2L, 12L, r6(0.5 * 0.5 - 0.5 * 0.0)),   // orthogonal c beats near-dup b
+      (3L, 11L, r6(0.5 * 0.85 - 0.5 * cosBA)))
+  }
+
+  test("mmrSelect breaks score ties to the smaller id and excludes short queries") {
+    val rows = Seq(
+      (1L, 21L, 0.7, Seq(1.0, 0.0)),
+      (1L, 20L, 0.7, Seq(0.0, 1.0)),
+      (2L, 30L, 0.9, Seq(1.0, 0.0))).toDF("q", "id", "rel", "vec")
+    val got = Similarity.mmrSelect(rows, "q", "id", "rel", "vec",
+      k = 2, lambda = 1.0).collect()
+    got.map(_.getLong(0)).distinct shouldBe Array(1L) // query 2 too short
+    // λ=1: pure relevance both steps; tie at 0.7 -> id 20 first
+    got.map(_.getLong(2)) shouldBe Array(20L, 21L)
+  }
+
+  // ------------------------------------------------------------- pass@k
+
+  test("passAtK matches the exact combinatorial estimator") {
+    // task A: n=5, c=2 -> pass@3 = 1 - C(3,3)/C(5,3) = 0.9
+    // task B: n=5, c=4 -> n-c < k -> exactly 1.0
+    // task C: n=2 < k -> excluded
+    val rows =
+      Seq(("A", true), ("A", true), ("A", false), ("A", false), ("A", false),
+        ("B", true), ("B", true), ("B", true), ("B", true), ("B", false),
+        ("C", true), ("C", false)).toDF("task", "ok")
+    val got = EvalMetrics.passAtK(rows, "task", col("ok"), k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got.keySet shouldBe Set("A", "B")
+    got("A") shouldBe ((5L, 2L, 0.9))
+    got("B") shouldBe ((5L, 4L, 1.0))
+  }
+
+  test("passAtK at k=1 equals the plain success rate") {
+    val rows = Seq(("A", true), ("A", false), ("A", false), ("A", false))
+      .toDF("task", "ok")
+    EvalMetrics.passAtK(rows, "task", col("ok"), k = 1)
+      .collect().head.getDouble(3) shouldBe 0.25
+  }
+
+  // --------------------------------------------------- mixture reweight
+
+  test("mixtureReweight applies the exponentiated-gradient update") {
+    // two equal-size domains, mean losses 10 vs 20, eta = 0.1:
+    // w' = (e^1, e^2) / (e^1 + e^2) -> (1/(1+e), e/(1+e))
+    val rows = Seq(("d1", 10L), ("d1", 10L), ("d2", 20L), ("d2", 20L))
+      .toDF("domain", "l")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Sampling.mixtureReweight(rows, "domain", col("l"), eta = 0.1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    got("d1") shouldBe ((2L, 10.0, 0.5, r6(1.0 / (1.0 + math.exp(1.0)))))
+    got("d2") shouldBe ((2L, 20.0, 0.5, r6(math.exp(1.0) / (1.0 + math.exp(1.0)))))
+  }
+
+  test("mixtureReweight is the identity on equal losses and sums to 1") {
+    val rows = Seq(("a", 5L), ("b", 5L), ("b", 5L)).toDF("domain", "l")
+    val got = Sampling.mixtureReweight(rows, "domain", col("l"), eta = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    got("a")._1 shouldBe got("a")._2 // equal losses: w_new = w_old
+    got("b")._1 shouldBe got("b")._2
+    (got("a")._2 + got("b")._2) shouldBe 1.0 +- 1e-6
+  }
+
   // ---------------------------------------------------- stability histogram
 
   /** Independent JVM re-derivation of the seeded Laplace noise. */
