@@ -2930,6 +2930,24 @@ object SparkEntry {
       graft.ops.Stats.cohensKappa(
         syntheticRaters(table(s, dir, "events")), "event_type", "rater2")),
 
+    // sample-ratio-mismatch canary: chi-square GoF of the md5-split
+    // arm UNIT counts against the declared 50/50
+    "q_srm" -> ((s, dir) => {
+      val units = table(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .withColumn("arm",
+          graft.ops.Sampling.hashBucket(col("user_id"), 2).cast("string"))
+      graft.ops.Stats.chiSquareGof(units, "arm",
+        Map("0" -> 0.5, "1" -> 0.5))
+    }),
+
+    // straggler audit over the event shard manifest: exact per-shard
+    // extremes + integer skew_ppm (max vs doubled median)
+    "q_shard_balance" -> ((s, dir) =>
+      graft.ops.Sampling.shardBalance(
+        graft.ops.Sampling.shardManifest(
+          table(s, dir, "events"), "event_id", shards = 16), "shard")),
+
     // unbiased pass@k over per-user event "attempts" (success =
     // purchase): the sampled-eval estimator, exact ascending product
     "q_pass_at_k" -> ((s, dir) =>
@@ -10890,6 +10908,58 @@ object SparkEntry {
         |  FROM a JOIN pool ON pl <> al
         |)
         |SELECT anchor, pk AS negative, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // SRM: per-arm unit counts via the md5 parity mirror, chi2 as the
+    // same static two-term expression
+    "q_srm" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+        |), a AS (
+        |  SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+        |          % 2)::VARCHAR AS arm
+        |  FROM u
+        |), g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+        |    CAST(SUM(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |    CAST(SUM(CASE WHEN arm NOT IN ('0', '1') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS oth
+        |  FROM a
+        |)
+        |SELECT (o0 + o1) AS n, oth AS n_other, CAST(1 AS BIGINT) AS dof,
+        |  CASE WHEN o0 + o1 = 0 THEN NULL
+        |       ELSE ROUND(
+        |    (o0::DOUBLE - (o0 + o1)::DOUBLE * 0.5)
+        |      * (o0::DOUBLE - (o0 + o1)::DOUBLE * 0.5)
+        |      / ((o0 + o1)::DOUBLE * 0.5)
+        |    + (o1::DOUBLE - (o0 + o1)::DOUBLE * 0.5)
+        |      * (o1::DOUBLE - (o0 + o1)::DOUBLE * 0.5)
+        |      / ((o0 + o1)::DOUBLE * 0.5), 6)
+        |  END AS chi2
+        |FROM g""".stripMargin,
+
+    // shard balance: md5-bucket counts, exact integer extremes and the
+    // doubled-median skew ratio (// floors = Spark div on positives)
+    "q_shard_balance" ->
+      """WITH d AS (
+        |  SELECT event_id FROM events WHERE event_id IS NOT NULL
+        |), b AS (
+        |  SELECT ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 16
+        |    AS shard
+        |  FROM d
+        |), per AS (
+        |  SELECT shard, COUNT(*)::BIGINT AS n FROM b GROUP BY 1
+        |), f AS (
+        |  SELECT COUNT(*)::BIGINT AS n_shards,
+        |    CAST(SUM(n) AS BIGINT) AS rows_total,
+        |    MIN(n) AS rows_min, MAX(n) AS rows_max, list_sort(list(n)) AS a
+        |  FROM per
+        |)
+        |SELECT n_shards, rows_total, rows_min, rows_max,
+        |  CAST((2 * rows_max * 1000000)
+        |    // (a[((n_shards + 1) // 2)::INT] + a[((n_shards + 2) // 2)::INT])
+        |    AS BIGINT) AS skew_ppm
+        |FROM f""".stripMargin,
 
     // pass@k: the exact ascending product 1 - prod (n-c-i)/(n-i);
     // list_product folds the same ascending range both engines

@@ -402,6 +402,9 @@ object PlanAudit {
     "q_pass_at_k" -> 1, "q_mixture_reweight" -> 2,
     // mmr = the brute-kNN candidate frame + one per-query pack agg;
     // the k greedy steps are per-row array expressions (barriered)
-    "q_mmr_select" -> 1)
+    "q_mmr_select" -> 1,
+    // srm = unit distinct + the 1-row conditional agg; shard balance =
+    // per-shard agg + 1-row fold
+    "q_srm" -> 2, "q_shard_balance" -> 2)
 
 }

@@ -752,6 +752,38 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(h, col(keyCol))).cast("long"))
   }
 
+  /** Shard-balance audit over a manifest — the straggler check a
+    * training-data layout passes before a run: with W workers each
+    * reading one shard, epoch time is the MAX shard, so a manifest
+    * whose largest shard is 2× its median wastes half the fleet at
+    * the epoch barrier. Reports exact per-shard extremes plus
+    * `skew_ppm` = 10⁶ · max / median (median carried as the DOUBLED
+    * order-statistic sum, so everything stays integer — no float in
+    * the audit at all; 1 000 000 = perfectly balanced-by-median).
+    * Missing shard ids (a bucket no key hashed into) count as zero
+    * only in `n_shards` being below the configured count — a gap is
+    * itself a finding for the caller to compare against its `shards`
+    * parameter. Output: ONE row
+    * (n_shards, rows_total, rows_min, rows_max, skew_ppm).
+    *
+    * Scale posture: one hash agg to |shards| rows; the fold is a
+    * bounded sorted-array pick.
+    */
+  def shardBalance(manifest: DataFrame, shardCol: String): DataFrame = {
+    val per = manifest.filter(col(shardCol).isNotNull)
+      .groupBy(col(shardCol)).agg(count(lit(1)).as("_n"))
+    per.agg(count(lit(1)).as("n_shards"),
+        sum(col("_n")).cast("long").as("rows_total"),
+        min(col("_n")).as("rows_min"), max(col("_n")).as("rows_max"),
+        array_sort(collect_list(col("_n"))).as("_a"))
+      .withColumn("_med2",
+        element_at(col("_a"), expr("cast((n_shards + 1) div 2 as int)")) +
+          element_at(col("_a"), expr("cast((n_shards + 2) div 2 as int)")))
+      .select(col("n_shards"), col("rows_total"), col("rows_min"),
+        col("rows_max"),
+        expr("(2 * rows_max * 1000000) div _med2").as("skew_ppm"))
+  }
+
   /** Per-epoch reshuffle of the training order — [[shardManifest]]'s
     * twin with the hash salted by the epoch number: each epoch sees a
     * DIFFERENT permutation (SGD wants fresh order every pass) that is

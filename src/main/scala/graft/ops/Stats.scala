@@ -232,6 +232,51 @@ object Stats {
         .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
+  /** χ² goodness-of-fit against a DECLARED category distribution — the
+    * one-sample sibling of [[chiSquare]]'s independence test, and the
+    * statistic behind the SAMPLE-RATIO-MISMATCH check every experiment
+    * readout must pass first: if the randomizer promised 50/50 and the
+    * arms came out 50.8/49.2 on a million units, every downstream
+    * metric is suspect (SRM is the canary for broken assignment,
+    * bot filtering applied per-arm, or logging loss).
+    *
+    *   χ² = Σ_c (o_c − n·p_c)² / (n·p_c)   over the declared categories
+    *
+    * Rows in UNDECLARED categories are counted separately (`n_other`,
+    * excluded from χ² — a nonzero value is itself a finding). The
+    * per-category counts are one conditional hash agg (k static
+    * columns, no join); the χ² sum is a static expression in sorted
+    * category order, stated identically in the oracle. n = 0 masks to
+    * NULL. Output: ONE row (n, n_other, dof, chi2).
+    */
+  def chiSquareGof(df: DataFrame, catCol: String,
+                   expectedShares: Map[String, Double]): DataFrame = {
+    require(expectedShares.nonEmpty, "need at least one declared category")
+    require(expectedShares.values.forall(_ > 0.0),
+      "every declared share must be positive")
+    require(math.abs(expectedShares.values.sum - 1.0) < 1e-9,
+      "declared shares must sum to 1")
+    val cats = expectedShares.keys.toSeq.sorted
+    val obs = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("_cat"))
+    val aggs = cats.zipWithIndex.map { case (c, i) =>
+      sum(when(col("_cat") === c, 1L).otherwise(0L)).cast("long").as(s"_o$i")
+    } :+ sum(when(!col("_cat").isin(cats: _*), 1L).otherwise(0L))
+      .cast("long").as("_other")
+    val g = obs.agg(aggs.head, aggs.tail: _*)
+    val nIn = cats.indices.map(i => col(s"_o$i")).reduce(_ + _)
+    val nInD = nIn.cast("double")
+    val chi2 = cats.zipWithIndex.map { case (c, i) =>
+      val e = nInD * lit(expectedShares(c))
+      (col(s"_o$i").cast("double") - e) *
+        (col(s"_o$i").cast("double") - e) / e
+    }.reduce(_ + _)
+    g.select(nIn.as("n"), col("_other").as("n_other"),
+      lit((cats.size - 1).toLong).as("dof"),
+      when(nIn === 0, lit(null).cast("double"))
+        .otherwise(round(chi2, 6)).as("chi2"))
+  }
+
   /** Fleiss' κ — chance-corrected agreement for MULTI-rater categorical
     * annotation (Cohen's κ covers exactly two raters;
     * [[krippendorffAlpha]] handles missingness — Fleiss is the standard

@@ -118,6 +118,49 @@ class Round11Spec extends SparkSpec {
     g2.getDouble(3) shouldBe 0.833333
   }
 
+  // ---------------------------------------------------------- gof / srm
+
+  test("chiSquareGof matches the hand-computed SRM chi-square") {
+    // 60/40 observed vs declared 50/50 on n=100: chi2 = 2*(10^2/50) = 4
+    val rows = (Seq.fill(60)("a") ++ Seq.fill(40)("b") ++ Seq.fill(3)("zz"))
+      .toDF("arm")
+    val got = Stats.chiSquareGof(rows, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .collect().head
+    got.getLong(0) shouldBe 100L
+    got.getLong(1) shouldBe 3L // undeclared category counted separately
+    got.getLong(2) shouldBe 1L
+    got.getDouble(3) shouldBe 4.0
+  }
+
+  test("chiSquareGof is zero on a perfect match and null on empty input") {
+    val rows = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("arm")
+    Stats.chiSquareGof(rows, "arm", Map("a" -> 0.75, "b" -> 0.25))
+      .collect().head.getDouble(3) shouldBe 0.0
+    val empty = Seq.empty[String].toDF("arm")
+    Stats.chiSquareGof(empty, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .collect().head.isNullAt(3) shouldBe true
+  }
+
+  // -------------------------------------------------------- shard balance
+
+  test("shardBalance reports exact extremes and the doubled-median skew") {
+    // shards sized 2,4,6,100: median2 = 4+6, skew = 2*100e6/10 = 20e6
+    val rows = (Seq.fill(2)(0) ++ Seq.fill(4)(1) ++ Seq.fill(6)(2) ++
+      Seq.fill(100)(3)).toDF("shard")
+    val got = Sampling.shardBalance(rows, "shard").collect().head
+    got.getLong(0) shouldBe 4L
+    got.getLong(1) shouldBe 112L
+    got.getLong(2) shouldBe 2L
+    got.getLong(3) shouldBe 100L
+    got.getLong(4) shouldBe 20000000L
+  }
+
+  test("shardBalance is 1e6 ppm on a perfectly balanced manifest") {
+    val rows = (0 until 40).map(i => i % 4).toDF("shard")
+    Sampling.shardBalance(rows, "shard")
+      .collect().head.getLong(4) shouldBe 1000000L
+  }
+
   // ------------------------------------------------------------------ mmr
 
   test("mmrSelect greedily trades relevance against similarity to the selected set") {
