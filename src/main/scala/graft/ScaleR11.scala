@@ -36,8 +36,11 @@ object ScaleR11 {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
 
+    // schema-adaptive reader: make_bigdata re-emits events.ts as BIGINT
+    // nanos, which TestTables normalizes (raw spark.read would fail on
+    // hour(ts)); identical for the driver-generated dirs
     def table(name: String): DataFrame =
-      spark.read.parquet(s"$dir/$name.parquet")
+      TestTables.table(spark, dir, name)
 
     run("modularity")(graft.ops.Graph.communityModularity(
       table("lineitem"), "l_orderkey", "l_partkey", minSupport = 2L))
@@ -70,6 +73,44 @@ object ScaleR11 {
         .select(concat(lit("C"), col("o_custkey")).as("src"),
           concat(lit("P"), col("l_partkey")).as("dst"))
       graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
+    }
+
+    // ---- r11 operator-batch probes (sf0.1 vs make_bigdata 10×).
+    // EXPLICIT-PICK ONLY: the fair-100× graph corpus has no events/
+    // documents/embeddings tables, so the no-args default sweep stays
+    // graph-only.
+    if (picked.nonEmpty) {
+
+    run("fleiss")(graft.ops.Stats.fleissKappa(
+      table("events"), "user_id", "event_type", col("event_id"), 8))
+
+    run("stable_hist")(graft.ops.Privacy.stableHistogram(
+      table("events").withColumn("cat", concat(col("event_type"),
+        lit("@"), hour(col("ts")).cast("string"))),
+      "user_id", "cat", maxCatsPerUnit = 4, epsilon = 1.0, tau = 12.0))
+
+    run("query_likelihood")(graft.ops.TextAnalysis.queryLikelihood(
+      table("documents"), "doc_id", "text",
+      Seq("spark", "window", "dup"), mu = 2000.0, topN = 50))
+
+    run("pass_at_k")(graft.ops.EvalMetrics.passAtK(
+      table("events"), "user_id", col("event_type") === "purchase", 5))
+
+    run("cliffs")(graft.ops.Stats.cliffsDelta(
+      table("events").filter(col("event_type").isin("purchase", "click")),
+      col("event_type") === "purchase",
+      round(col("value") * 100).cast("long")))
+
+    run("mmr") {
+      val e = table("embeddings")
+      val knn = graft.ops.Similarity.knnBruteForce(
+        e, e.filter(col("vec_id") % 1000 === 0), "vec_id", "embedding", 8)
+      graft.ops.Similarity.mmrSelect(
+        knn.join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id"),
+        "query_id", "neighbor_id", "sim", "embedding", k = 4, lambda = 0.7)
+    }
+
     }
 
     spark.stop()
