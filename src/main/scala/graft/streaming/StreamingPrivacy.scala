@@ -64,4 +64,58 @@ object StreamingPrivacy {
       }
       .toDF("qi_key", "payload")
   }
+
+  /** Streaming release of the DP stability histogram —
+    * [[graft.ops.Privacy.stableHistogram]]'s continuous-ingest tense
+    * over a data-derived category domain: each unit votes AT MOST ONCE
+    * per category within the WATERMARK horizon
+    * (`dropDuplicatesWithinWatermark` on (unit, category) — the
+    * sensitivity-1 contribution bound enforced in stream state; set
+    * `watermark` ≥ `windowDur` when the bound must hold strictly per
+    * window), counts get the seeded inverse-CDF Laplace(1/ε), and
+    * categories whose noisy count misses `tau` are suppressed. Append mode: a
+    * window's rows emit only after the watermark closes it, so every
+    * released row is final — no retraction channel for a privacy
+    * release.
+    *
+    * Split of responsibilities (the IncrementalIngest discipline —
+    * discovery online, compaction in batch): the stream enforces the
+    * per-(unit, category, window) vote-once bound; the CROSS-category
+    * per-unit cap (the L0 bound `maxCatsPerUnit`) needs the whole
+    * unit's history and stays with the batch compactor. The noise key
+    * is (category, seed) — the batch tree exactly, so a one-window
+    * fixture converges to the batch release bit-for-bit; a production
+    * deployment salts the seed per release period.
+    *
+    * Output (append): (window_start, category, noisy_count) — the
+    * release schema carries no exact counts.
+    */
+  def stableHistogramStream(stream: DataFrame, unitCol: String,
+                            catCol: String, tsCol: String, epsilon: Double,
+                            tau: Double, windowDur: String = "1 day",
+                            watermark: String = "1 hour",
+                            seed: Long = 7L): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be positive")
+    val uc = stream
+      .filter(col(unitCol).isNotNull && col(catCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(tsCol).as("_ts"), col(unitCol).cast("string").as("_u"),
+        col(catCol).cast("string").as("_cat"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("_u", "_cat")
+    val counts = uc
+      .groupBy(window(col("_ts"), windowDur), col("_cat"))
+      .agg(count(lit(1)).as("_n"))
+    val nKey = concat_ws("\u0001", col("_cat"), lit(seed.toString))
+    val h = conv(substring(md5(nKey.cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0)
+    val lap = (lit(-1.0) / lit(epsilon)) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    counts
+      .withColumn("noisy_count", round(col("_n") + lap, 6))
+      .filter(col("noisy_count") >= tau)
+      .select(col("window.start").as("window_start"),
+        col("_cat").as(catCol), col("noisy_count"))
+  }
 }
