@@ -1241,7 +1241,7 @@ object Dedup {
     // exact per-field chance-agreement numerators: Σ_v n_v²
     val uNums = allFields.indices.map { i =>
       proj.groupBy(col(s"_f$i")).agg(count(lit(1)).as("_c"))
-        .agg(sum((col("_c") * col("_c")).cast("decimal(38,0)")).as(s"_u$i"))
+        .agg(sum(Stats.decMul(col("_c"), col("_c"))).as(s"_u$i"))
     }
     val u = uNums.reduce(_ crossJoin _)
     val a = proj.select(col("_id").as("a_id") +:

@@ -410,25 +410,32 @@ object Graph {
     require(k >= 1, "k must be positive")
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst"))
+    // edge-count fixed point rides each round's checkpoint action as an
+    // observe() metric — no separate count() job per round (the
+    // nearDupClusters convergence discipline, r11)
+    val obs0 = org.apache.spark.sql.Observation()
     var cur = und
       .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    var n = cur.count()
+    var n = obs0.get("n").asInstanceOf[Long]
     var converged = false
     var iter = 0
     try {
       while (!converged && iter < maxIter) {
         val keep = cur.groupBy("src").agg(count(lit(1)).as("_d"))
           .filter(col("_d") >= k).select("src")
+        val obs = org.apache.spark.sql.Observation()
         val next = cur
           .join(keep, Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .observe(obs, count(lit(1)).as("n"))
           .localCheckpoint(true)
         val prev = cur
         cur = next
         Checkpoints.free(prev)
-        val m = cur.count()
+        val m = obs.get("n").asInstanceOf[Long]
         converged = m == n
         n = m
         iter += 1
