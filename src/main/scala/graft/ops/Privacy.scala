@@ -129,13 +129,22 @@ object Privacy {
     * so the ln() ulp gap between libm and the JDK cannot flip a
     * borderline suppression decision across engines.
     *
+    * `releaseSalt` disambiguates REPEATED releases over evolving data
+    * (r11 advice): two releases of the same category under one seed
+    * draw the identical noise value, so their difference is the exact
+    * count delta — folding a per-release salt (a date, a window start)
+    * into the noise key restores fresh noise per release.
+    * [[graft.streaming.StreamingPrivacy.stableHistogramStream]] salts
+    * with the window start; pass the same value here for bit-for-bit
+    * convergence. Empty (the default) preserves the single-release key.
+    *
     * Scale posture: distinct + one window on the unit axis + one
     * category agg — shuffles on unit then category, both map-side
     * combinable; no driver state.
     */
   def stableHistogram(df: DataFrame, unitCol: String, catCol: String,
                       maxCatsPerUnit: Int, epsilon: Double, tau: Double,
-                      seed: Long = 7L): DataFrame = {
+                      seed: Long = 7L, releaseSalt: String = ""): DataFrame = {
     require(maxCatsPerUnit >= 1, "maxCatsPerUnit must be positive")
     require(epsilon > 0.0, "epsilon must be positive")
     import org.apache.spark.sql.expressions.Window
@@ -149,7 +158,9 @@ object Privacy {
     val capped = uc.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxCatsPerUnit)
     val counts = capped.groupBy("_cat").agg(count(lit(1)).as("_n"))
-    val nKey = concat_ws("\u0001", col("_cat"), lit(seed.toString))
+    val saltCols = if (releaseSalt.isEmpty) Seq.empty else Seq(lit(releaseSalt))
+    val nKey = concat_ws("\u0001",
+      (Seq(col("_cat"), lit(seed.toString)) ++ saltCols): _*)
     val h = conv(substring(md5(nKey.cast("binary")), 1, 13), 16, 10).cast("long")
     val u = (h + lit(0.5)) / lit(4503599627370496.0)
     val lap = (lit(-maxCatsPerUnit.toDouble) / lit(epsilon)) *

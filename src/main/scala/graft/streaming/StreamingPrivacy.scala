@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout,
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Streaming k-anonymity — [[graft.ops.Privacy.kAnonymity]]'s
   * continuous-ingest tense: rows are WITHHELD until their
@@ -14,13 +16,18 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *
   * State discipline: a cohort buffers AT MOST `k - 1` serialized rows;
   * the moment it reaches `k` the buffer flushes and collapses to a
-  * 1-bit released flag, so long-run state is `O(#below-k cohorts × k)`
-  * plus one flag per released cohort — bounded by the QI domain, not
-  * the stream. Cohorts that never reach `k` hold their rows forever
-  * under `NoTimeout`; a production deployment sets an event-time
-  * timeout so stale sub-`k` cohorts expire and their rows are DROPPED
-  * — which is exactly k-anonymity's suppression semantics, made
-  * explicit as a retention horizon.
+  * 1-bit released flag, so per-cohort state is bounded. The NUMBER of
+  * cohorts is bounded only when a retention horizon is set (the
+  * 4-argument overload): a cohort idle past `horizon` (event time,
+  * enforced via `EventTimeTimeout` against the watermark) expires —
+  * its buffered sub-`k` rows are DROPPED, which is exactly
+  * k-anonymity's suppression semantics made explicit, and the cohort
+  * returns to the withheld regime (a released cohort that expires must
+  * re-accumulate `k`; re-buffering is the conservative direction).
+  * Long-run state is then `O(cohorts active within the horizon × k)`
+  * instead of `O(|QI domain| × k)` — on a high-cardinality QI at
+  * 100 TB the NoTimeout overload is a state leak, so production
+  * deployments use the retention overload (r11 verdict item 4).
   *
   * Rows travel as `to_json(struct(*))` payloads so the gate stays
   * schema-agnostic; the caller re-projects with `from_json` on the
@@ -31,87 +38,263 @@ object StreamingPrivacy {
 
   final case class CohortState(buffered: Seq[String], released: Boolean)
 
-  def kAnonymityGate(rows: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+  /** Parse a duration like "30 days" / "2 hours" to milliseconds —
+    * the same unit grammar watermarks use, without reaching into
+    * Catalyst's internal interval parser.
+    */
+  private[streaming] def durationMs(s: String): Long = {
+    val m = """(?i)^\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*$""".r
+    s match {
+      case m(n, unit) =>
+        val base = unit.toLowerCase match {
+          case "millisecond" => 1L
+          case "second"      => 1000L
+          case "minute"      => 60000L
+          case "hour"        => 3600000L
+          case "day"         => 86400000L
+        }
+        n.toLong * base
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse duration '$s' (want e.g. '30 days', '2 hours')")
+    }
+  }
+
+  /** Unbounded-retention gate: cohorts never expire. Correct when the
+    * QI domain is known-small (the batch audit's cohort count bounds
+    * the state); for high-cardinality QIs use the retention overload.
+    */
+  def kAnonymityGate(rows: DataFrame, qiCols: Seq[String], k: Int): DataFrame =
+    gateImpl(rows, qiCols, k, None)
+
+  /** Retention-bounded gate: `tsCol` is the event-time column,
+    * `lateness` the watermark delay (how late a row may arrive),
+    * `horizon` how long an idle cohort's state survives past its last
+    * arrival (event time). When the watermark passes
+    * `last arrival + horizon`, the cohort's state is freed and any
+    * buffered sub-`k` rows are dropped (suppression).
+    */
+  def kAnonymityGate(rows: DataFrame, qiCols: Seq[String], k: Int,
+                     tsCol: String, lateness: String,
+                     horizon: String): DataFrame =
+    gateImpl(rows, qiCols, k, Some((tsCol, lateness, durationMs(horizon))))
+
+  private def gateImpl(rows: DataFrame, qiCols: Seq[String], k: Int,
+                       retention: Option[(String, String, Long)]): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 2, "k < 2 releases everything immediately")
     val spark = rows.sparkSession
     import spark.implicits._
-    rows
+    val keyed0 = rows
       .select(
         concat_ws("\u0001", qiCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
           .as("_qi"),
-        to_json(struct(rows.columns.map(col): _*)).as("_payload"))
-      .as[(String, String)]
+        to_json(struct(rows.columns.map(col): _*)).as("_payload"),
+        retention.map { case (ts, _, _) => col(ts).cast("timestamp").as("_ts") }
+          .getOrElse(lit(null).cast("timestamp").as("_ts")))
+    val keyed = retention match {
+      case Some((_, lateness, _)) => keyed0.withWatermark("_ts", lateness)
+      case None                   => keyed0
+    }
+    val timeoutConf = if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    val horizonMs = retention.map(_._3).getOrElse(0L)
+    keyed
+      .as[(String, String, Option[java.sql.Timestamp])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[CohortState, (String, String)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[(String, String)],
+        OutputMode.Append(), timeoutConf) {
+        (key: String, it: Iterator[(String, String, Option[java.sql.Timestamp])],
          state: org.apache.spark.sql.streaming.GroupState[CohortState]) =>
-          var st = state.getOption.getOrElse(CohortState(Seq.empty, released = false))
-          val out = Vector.newBuilder[(String, String)]
-          it.foreach { case (_, payload) =>
-            if (st.released) out += ((key, payload))
-            else {
-              val buf = st.buffered :+ payload
-              if (buf.size >= k) {
-                buf.foreach(p => out += ((key, p)))
-                st = CohortState(Seq.empty, released = true)
-              } else st = CohortState(buf, released = false)
+          if (state.hasTimedOut) {
+            // horizon passed with no new members: drop the buffered
+            // sub-k rows (suppression) and free ALL cohort state —
+            // a later arrival re-enters the withheld regime.
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(CohortState(Seq.empty, released = false))
+            val out = Vector.newBuilder[(String, String)]
+            var maxTs = Long.MinValue
+            it.foreach { case (_, payload, ts) =>
+              ts.foreach(t => maxTs = math.max(maxTs, t.getTime))
+              if (st.released) out += ((key, payload))
+              else {
+                val buf = st.buffered :+ payload
+                if (buf.size >= k) {
+                  buf.foreach(p => out += ((key, p)))
+                  st = CohortState(Seq.empty, released = true)
+                } else st = CohortState(buf, released = false)
+              }
             }
+            state.update(st)
+            if (horizonMs > 0L && maxTs != Long.MinValue) {
+              // expire when the WATERMARK passes last-arrival + horizon;
+              // a timeout target already behind the watermark (very late
+              // batch) is clamped just past it so expiry fires next batch.
+              val target = math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1L)
+              state.setTimeoutTimestamp(target)
+            }
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
       .toDF("qi_key", "payload")
   }
 
+  /** Typed rows crossing the vote gate: raw (ts, unit, category) in,
+    * accepted (ts, category) out — `_ts` stays the event-time column.
+    */
+  final case class RawVote(_ts: java.sql.Timestamp, _u: String, _cat: String)
+  final case class AcceptedVote(_ts: java.sql.Timestamp, _cat: String)
+
+  /** Per-unit vote gate for [[stableHistogramStream]], as a Spark 4
+    * `StatefulProcessor` (`transformWithState`) rather than
+    * `flatMapGroupsWithState`: the gate must sit UPSTREAM of the
+    * windowed count, and only `transformWithState`'s
+    * event-time-column variant may legally chain into a downstream
+    * stateful aggregation (chaining fMGWS there fails the global-
+    * watermark correctness check, because fMGWS may emit rows the
+    * downstream agg would silently discard as late). Here late votes —
+    * event time behind the watermark, i.e. votes for a window that has
+    * already been RELEASED — are dropped explicitly inside the gate:
+    * a privacy release is final, so a late vote must never re-open it.
+    *
+    * State per unit: the ≤ `maxCats` accepted categories (a
+    * `ListState`, appended never rewritten) + the last-activity event
+    * time; an event-time timer clears both once the watermark passes
+    * last activity + `horizonMs` (a superseded timer from an earlier
+    * batch is deleted on re-arm and, as a belt-and-braces, re-checked
+    * against last activity when it fires).
+    */
+  final class VoteGateProcessor(maxCats: Int, horizonMs: Long)
+      extends StatefulProcessor[String, RawVote, AcceptedVote] {
+    @transient private var voted: ListState[String] = _
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      voted = getHandle.getListState[String]("voted", Encoders.STRING, TTLConfig.NONE)
+      lastSeen = getHandle.getValueState[Long]("lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(unit: String, rows: Iterator[RawVote],
+                                 tv: TimerValues): Iterator[AcceptedVote] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      voted.get().foreach(seen += _)
+      val out = Vector.newBuilder[AcceptedVote]
+      val prevLast = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      var maxTs = Long.MinValue
+      rows.foreach { r =>
+        val t = r._ts.getTime
+        if (t >= wm) { // late vote: its window is released — drop, never re-open
+          maxTs = math.max(maxTs, t)
+          // vote-once per category AND the cross-category L0 cap
+          if (!seen.contains(r._cat) && seen.size < maxCats) {
+            seen += r._cat
+            voted.appendValue(r._cat)
+            out += AcceptedVote(r._ts, r._cat)
+          }
+        }
+      }
+      if (maxTs > prevLast) {
+        if (prevLast != Long.MinValue) getHandle.deleteTimer(prevLast + horizonMs)
+        lastSeen.update(maxTs)
+        getHandle.registerTimer(maxTs + horizonMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(unit: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AcceptedVote] = {
+      // stale-timer guard: only the timer matching the LAST activity frees state
+      if (lastSeen.exists() && lastSeen.get() + horizonMs <= info.getExpiryTimeInMs()) {
+        voted.clear()
+        lastSeen.clear()
+      }
+      Iterator.empty
+    }
+  }
+
   /** Streaming release of the DP stability histogram —
     * [[graft.ops.Privacy.stableHistogram]]'s continuous-ingest tense
-    * over a data-derived category domain: each unit votes AT MOST ONCE
-    * per category within the WATERMARK horizon
-    * (`dropDuplicatesWithinWatermark` on (unit, category) — the
-    * sensitivity-1 contribution bound enforced in stream state; set
-    * `watermark` ≥ `windowDur` when the bound must hold strictly per
-    * window), counts get the seeded inverse-CDF Laplace(1/ε), and
-    * categories whose noisy count misses `tau` are suppressed. Append mode: a
-    * window's rows emit only after the watermark closes it, so every
-    * released row is final — no retraction channel for a privacy
-    * release.
+    * over a data-derived category domain, enforcing BOTH contribution
+    * bounds in stream state (r11 advice): [[VoteGateProcessor]] keyed
+    * on the unit holds the set of categories the unit has voted
+    * (vote-once per category — the per-coordinate sensitivity bound)
+    * AND caps that set at `maxCatsPerUnit` (the cross-category L0
+    * bound): a unit's votes past the cap are dropped at ingest, so a
+    * single unit can shift at most `maxCatsPerUnit` released counts by
+    * at most 1 each, and the Laplace scale `maxCatsPerUnit / ε` —
+    * identical to the batch compactor's — yields a true per-unit ε.
+    * Unit state expires via an event-time timer once the watermark
+    * passes the unit's last vote + the watermark delay (the same
+    * horizon `dropDuplicatesWithinWatermark` would use): the bounds
+    * hold strictly within the watermark horizon, so set `watermark` ≥
+    * `windowDur` when they must hold strictly per window; state is
+    * `O(active units × maxCatsPerUnit)`, never corpus-sized.
     *
-    * Split of responsibilities (the IncrementalIngest discipline —
-    * discovery online, compaction in batch): the stream enforces the
-    * per-(unit, category, window) vote-once bound; the CROSS-category
-    * per-unit cap (the L0 bound `maxCatsPerUnit`) needs the whole
-    * unit's history and stays with the batch compactor. The noise key
-    * is (category, seed) — the batch tree exactly, so a one-window
-    * fixture converges to the batch release bit-for-bit; a production
-    * deployment salts the seed per release period.
+    * DEPLOYMENT: `transformWithState` requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`)
+    * — set it on the session running this stream (the right provider
+    * for large keyed state anyway).
+    *
+    * Noise is the seeded inverse-CDF Laplace keyed on
+    * (category, seed, window-start) — the window start is the
+    * per-release salt (r11 advice: keyed on (category, seed) alone,
+    * every window of a category drew the IDENTICAL noise value, so the
+    * difference of two released windows was the exact count
+    * difference). The batch twin takes the same salt via its
+    * `releaseSalt` parameter, so an N-window stream converges to N
+    * batch releases bit-for-bit. Categories whose noisy count misses
+    * `tau` are suppressed. Append mode: a window's rows emit only
+    * after the watermark closes it, so every released row is final —
+    * no retraction channel for a privacy release.
+    *
+    * Which categories survive a unit's cap when it over-votes within
+    * one micro-batch follows arrival order (inherent to streaming); the
+    * batch compactor re-derives the cap with its seeded hash order over
+    * the full history — the COUNT bound (≤ maxCatsPerUnit accepted) is
+    * what privacy needs, and both engines enforce it exactly.
     *
     * Output (append): (window_start, category, noisy_count) — the
     * release schema carries no exact counts.
     */
   def stableHistogramStream(stream: DataFrame, unitCol: String,
-                            catCol: String, tsCol: String, epsilon: Double,
+                            catCol: String, tsCol: String,
+                            maxCatsPerUnit: Int, epsilon: Double,
                             tau: Double, windowDur: String = "1 day",
                             watermark: String = "1 hour",
                             seed: Long = 7L): DataFrame = {
+    require(maxCatsPerUnit >= 1, "maxCatsPerUnit must be positive")
     require(epsilon > 0.0, "epsilon must be positive")
-    val uc = stream
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val horizonMs = durationMs(watermark)
+    val accepted = stream
       .filter(col(unitCol).isNotNull && col(catCol).isNotNull &&
         col(tsCol).isNotNull)
-      .select(col(tsCol).as("_ts"), col(unitCol).cast("string").as("_u"),
+      .select(col(tsCol).cast("timestamp").as("_ts"),
+        col(unitCol).cast("string").as("_u"),
         col(catCol).cast("string").as("_cat"))
       .withWatermark("_ts", watermark)
-      .dropDuplicatesWithinWatermark("_u", "_cat")
-    val counts = uc
+      .as[RawVote]
+      .groupByKey(_._u)
+      .transformWithState(new VoteGateProcessor(maxCatsPerUnit, horizonMs),
+        "_ts", OutputMode.Append())
+      .toDF()
+    val counts = accepted
       .groupBy(window(col("_ts"), windowDur), col("_cat"))
       .agg(count(lit(1)).as("_n"))
-    val nKey = concat_ws("\u0001", col("_cat"), lit(seed.toString))
+    // per-release salt = window start (epoch seconds, UTC session):
+    // every window draws fresh noise; the batch twin folds the same
+    // salt via releaseSalt for bit-for-bit convergence.
+    val salt = col("window.start").cast("long").cast("string")
+    val nKey = concat_ws("\u0001", col("_cat"), lit(seed.toString), salt)
     val h = conv(substring(md5(nKey.cast("binary")), 1, 13), 16, 10)
       .cast("long")
     val u = (h + lit(0.5)) / lit(4503599627370496.0)
-    val lap = (lit(-1.0) / lit(epsilon)) * signum(u - lit(0.5)) *
-      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    val lap = (lit(-maxCatsPerUnit.toDouble) / lit(epsilon)) *
+      signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
     counts
       .withColumn("noisy_count", round(col("_n") + lap, 6))
       .filter(col("noisy_count") >= tau)
