@@ -10644,10 +10644,13 @@ object SparkEntry {
         |  FROM j
         |)
         |SELECT CAST(20 AS BIGINT) AS k, n_common,
-        |  ROUND(((1.0 - 0.9) / 0.9) *
+        |  ROUND(((1.0 - 0.9) / 0.9) * (
         |    COALESCE(list_sum(list_transform(arr, s ->
         |      list_sum(list_transform(range(s.m, 21),
-        |        d -> pow(0.9, d) / d)))), 0.0), 6) AS rbo_min
+        |        d -> pow(0.9, d) / d)))), 0.0)
+        |    + n_common * (-ln(1.0 - 0.9) -
+        |        COALESCE(list_sum(list_transform(range(1, 21),
+        |          d -> pow(0.9, d) / d)), 0.0))), 6) AS rbo_min
         |FROM f""".stripMargin,
 
     // same BM25 chain as q_bm25 (ranked on the ROUNDED score) fused

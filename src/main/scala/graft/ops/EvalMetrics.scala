@@ -160,6 +160,23 @@ object EvalMetrics {
     * unrounded. Output: (id, len_cand, len_ref,
     * r1_p, r1_r, r1_f, r2_p, r2_r, r2_f).
     */
+  def rouge(pairs: DataFrame, idCol: String, candCol: String,
+            refCol: String): DataFrame = {
+    val wide = overlapWide(pairs, idCol, candCol, refCol, 2)
+    def pr(n: Int) = {
+      val m = col(s"m$n").cast("double")
+      val tc = greatest(col("len_cand") - lit(n - 1L), lit(0L)).cast("double")
+      val tr = greatest(col("len_ref") - lit(n - 1L), lit(0L)).cast("double")
+      val p = when(col(s"m$n") === 0, lit(0.0)).otherwise(m / tc)
+      val r = when(col(s"m$n") === 0, lit(0.0)).otherwise(m / tr)
+      val f = when(col(s"m$n") === 0, lit(0.0))
+        .otherwise(lit(2.0) * (m / tc) * (m / tr) / (m / tc + m / tr))
+      Seq(p.as(s"r${n}_p"), r.as(s"r${n}_r"), f.as(s"r${n}_f"))
+    }
+    wide.select(col(idCol) +: col("len_cand") +: col("len_ref") +:
+      (pr(1) ++ pr(2)): _*)
+  }
+
   /** Unbiased pass@k estimator (Chen et al., "Evaluating Large
     * Language Models Trained on Code", 2021) — THE sampled-eval
     * metric for generation benchmarks: from n attempts per task with
@@ -196,22 +213,5 @@ object EvalMetrics {
     per.select(col("task"), col("n_attempts"), col("n_correct"),
       when(col("n_attempts") - col("n_correct") < k, lit(1.0))
         .otherwise(round(lit(1.0) - prod, 6)).as("pass_at_k"))
-  }
-
-  def rouge(pairs: DataFrame, idCol: String, candCol: String,
-            refCol: String): DataFrame = {
-    val wide = overlapWide(pairs, idCol, candCol, refCol, 2)
-    def pr(n: Int) = {
-      val m = col(s"m$n").cast("double")
-      val tc = greatest(col("len_cand") - lit(n - 1L), lit(0L)).cast("double")
-      val tr = greatest(col("len_ref") - lit(n - 1L), lit(0L)).cast("double")
-      val p = when(col(s"m$n") === 0, lit(0.0)).otherwise(m / tc)
-      val r = when(col(s"m$n") === 0, lit(0.0)).otherwise(m / tr)
-      val f = when(col(s"m$n") === 0, lit(0.0))
-        .otherwise(lit(2.0) * (m / tc) * (m / tr) / (m / tc + m / tr))
-      Seq(p.as(s"r${n}_p"), r.as(s"r${n}_r"), f.as(s"r${n}_f"))
-    }
-    wide.select(col(idCol) +: col("len_cand") +: col("len_ref") +:
-      (pr(1) ++ pr(2)): _*)
   }
 }

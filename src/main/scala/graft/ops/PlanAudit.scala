@@ -405,6 +405,23 @@ object PlanAudit {
     "q_mmr_select" -> 1,
     // srm = unit distinct + the 1-row conditional agg; shard balance =
     // per-shard agg + 1-row fold
-    "q_srm" -> 2, "q_shard_balance" -> 2)
+    "q_srm" -> 2, "q_shard_balance" -> 2,
+    // r12 sweep (r11 verdict #3): every remaining >2 s-in-suite entry
+    // now carries a pin. kcore's visible plan is the checkpoint-
+    // truncated final peel (the convergence rounds run at frame-
+    // construction time — q_pagerank precedent); resource_alloc =
+    // degree agg + two neighbor joins + pair agg; the dedup/span/
+    // containment family plans are cache-truncated at their shared
+    // shingle/pair stores (the cold cost is IN the store build, audited
+    // via q_dedup_pairs_maxdf's un-truncated 8); ppl_select's 19 and
+    // assoc_rules' 26 ride documented bounded-frame chains (bigram-LM
+    // thresholds / itemset lattice): wide but every frame is
+    // vocabulary- or lattice-bounded, never corpus-row-scale
+    "q_kcore" -> 1, "q_resource_alloc" -> 5,
+    "q_editdist_pairs" -> 0, "q_dedup_clusters" -> 0,
+    "q_span_dedup" -> 4, "q_containment" -> 1, "q_dup_spans" -> 3,
+    "q_dedup_pairs" -> 1, "q_ppl_select" -> 19, "q_dup_ngrams" -> 4,
+    "q_assoc_rules" -> 26, "q_bpe_budget" -> 3,
+    "q_semdedup_lsh" -> 0, "q_knn_label_noise" -> 2)
 
 }

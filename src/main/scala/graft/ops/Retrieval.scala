@@ -193,21 +193,30 @@ object Retrieval {
     * its own partitioned/heap plan.
     */
   /** Rank-biased overlap, min form (Webber, Moffat & Zobel, "A
-    * Similarity Measure for Indefinite Rankings", TOIS 2010) — the
-    * top-weighted agreement between two RANKINGS of the same item
+    * Similarity Measure for Indefinite Rankings", TOIS 2010, eq. 11) —
+    * the top-weighted agreement between two RANKINGS of the same item
     * space, the right metric when comparing retrieval systems or
     * monitoring ranking drift: unlike Kendall/Spearman it handles
     * lists that only partially overlap and discounts disagreement
     * deep in the tail by `p^d`.
     *
-    *   RBO_min = (1−p)/p · Σ_{d=1..k} p^d · X_d / d,
+    *   RBO_min = (1−p)/p · [ Σ_{d=1..k} p^d · X_d / d
+    *                         + X_k · (−ln(1−p) − Σ_{d=1..k} p^d/d) ],
     *   X_d = |A_{1..d} ∩ B_{1..d}|
+    *
+    * The second summand is eq. 11's tail term — agreement assumed to
+    * persist at X_k beyond the evaluated depth (Σ_{d>k} p^d/d =
+    * −ln(1−p) − Σ_{d≤k} p^d/d), which makes the value comparable with
+    * standard RBO implementations: identical lists score
+    * 1 − p^k + k·(1−p)/p·(−ln(1−p) − Σ p^d/d), not the truncated
+    * 1 − p^k (the r11-advice definition gap).
     *
     * Rewritten per common item: an id at ranks (ra, rb) contributes
     * Σ_{d=max(ra,rb)..k} p^d/d — so the computation is one equi-join
     * of the two (≤ k)-row rank frames, no depth loop over data. The
     * double fold runs over the ID-SORTED common-item array, each
-    * item's weight an ascending-d sequence fold — partial-sum order is
+    * item's weight an ascending-d sequence fold, and the tail constant
+    * is the same ascending fold from d=1 — partial-sum order is
     * pinned on both engines. Output: ONE row (k, n_common, rbo_min).
     *
     * Scale posture: both inputs are top-k frames (bounded by contract —
@@ -230,8 +239,13 @@ object Retrieval {
     val sumW = aggregate(col("_arr"), lit(0.0), (acc, s) =>
       acc + aggregate(sequence(s.getField("_m"), lit(k.toLong)), lit(0.0),
         (a2, d) => a2 + pow(lit(p), d) / d))
+    // eq. 11 tail: X_k * (sum_{d>k} p^d/d), with the constant inner sum
+    // folded ascending exactly like the per-item weights
+    val sumK = aggregate(sequence(lit(1L), lit(k.toLong)), lit(0.0),
+      (a2, d) => a2 + pow(lit(p), d) / d)
+    val tail = col("n_common").cast("double") * (-log(lit(1.0 - p)) - sumK)
     folded.select(lit(k.toLong).as("k"), col("n_common"),
-      round(lit(1.0 - p) / lit(p) * sumW, 6).as("rbo_min"))
+      round(lit(1.0 - p) / lit(p) * (sumW + tail), 6).as("rbo_min"))
   }
 
   def rankByScore(scored: DataFrame, idCol: String, scoreCol: String): DataFrame =

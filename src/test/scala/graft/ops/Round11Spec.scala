@@ -301,24 +301,27 @@ class Round11Spec extends SparkSpec {
     ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
       .toDF("id", "rank")
 
-  test("rbo is 1 - p^k on identical lists and 0 on disjoint lists") {
+  test("rbo (min form, eq. 11 incl. tail) on identical and disjoint lists") {
     val a = rankDf(Seq("x", "y", "z"))
     val got = Retrieval.rbo(a, a, "id", "rank", p = 0.5, k = 3).collect().head
     got.getLong(0) shouldBe 3L
     got.getLong(1) shouldBe 3L
-    got.getDouble(2) shouldBe 0.875 // 1 - 0.5^3
+    // (1-p)/p * [ sum p^d (=0.875) + 3*(-ln(0.5) - sum p^d/d) ] — the
+    // tail assumes agreement persists at X_k=3 beyond depth 3
+    got.getDouble(2) shouldBe 0.954442
     val d = Retrieval.rbo(a, rankDf(Seq("q", "r", "s")), "id", "rank", 0.5, 3)
       .collect().head
     d.getLong(1) shouldBe 0L
-    d.getDouble(2) shouldBe 0.0
+    d.getDouble(2) shouldBe 0.0 // X_k = 0: no overlap, no tail either
   }
 
-  test("rbo weights top-rank disagreement: swapped top-2 at p=0.5 gives 0.25") {
-    // X_1 = 0, X_2 = 2 -> (1-p)/p * p^2 * 2/2 = 0.25
+  test("rbo weights top-rank disagreement: swapped top-2 at p=0.5") {
+    // X_1 = 0, X_2 = 2 -> depth term (1-p)/p * p^2 * 2/2 = 0.25, plus
+    // the X_k=2 tail: 2*(-ln(0.5) - (0.5 + 0.125)) = 0.136294
     val got = Retrieval.rbo(rankDf(Seq("x", "y")), rankDf(Seq("y", "x")),
       "id", "rank", p = 0.5, k = 2).collect().head
     got.getLong(1) shouldBe 2L
-    got.getDouble(2) shouldBe 0.25
+    got.getDouble(2) shouldBe 0.386294
   }
 
   // ---------------------------------------------------------------- dunn
