@@ -230,7 +230,7 @@ object PlanAudit {
     // jw-match's block self-join broadcasts (part is dim-sized);
     // mojibake is one map-side agg; ref-integrity is 6 independent
     // agg→anti→agg relations; hits' rounds are checkpoint leaves
-    "q_jw_match" -> 0, "q_mojibake" -> 1, "q_ref_integrity" -> 18,
+    "q_jw_match" -> 1, "q_mojibake" -> 1, "q_ref_integrity" -> 18,
     "q_hits" -> 2,
     // spearman's two per-group rank windows share one exchange (AQE
     // reuse); dow-profile = (series,dow) agg + per-series window;
@@ -383,7 +383,7 @@ object PlanAudit {
     // and CC iteration run at frame-construction time — er_clusters
     // precedent); IVF twins = codebook-broadcast assign + probe-cell
     // equi-join (+ per-side margin frames for bitext)
-    "q_dedup_pairs_prefix" -> 4, "q_pagerank" -> 0, "q_editdist_seg" -> 2,
+    "q_dedup_pairs_prefix" -> 4, "q_pagerank" -> 0, "q_editdist_seg" -> 5,
     "q_fdr_bh" -> 5, "q_semdedup_prod" -> 0, "q_embed_dup_prod" -> 0,
     "q_embed_dup_lsh" -> 0, "q_knn_label_noise_ivf" -> 3,
     "q_bitext_mine_ivf" -> 17, "q_knn_ivf" -> 1, "q_bfs_hops" -> 0,
@@ -418,10 +418,15 @@ object PlanAudit {
     // thresholds / itemset lattice): wide but every frame is
     // vocabulary- or lattice-bounded, never corpus-row-scale
     "q_kcore" -> 1, "q_resource_alloc" -> 5,
-    "q_editdist_pairs" -> 0, "q_dedup_clusters" -> 0,
+    "q_editdist_pairs" -> 1, "q_dedup_clusters" -> 0,
     "q_span_dedup" -> 4, "q_containment" -> 1, "q_dup_spans" -> 3,
     "q_dedup_pairs" -> 1, "q_ppl_select" -> 19, "q_dup_ngrams" -> 4,
     "q_assoc_rules" -> 26, "q_bpe_budget" -> 3,
-    "q_semdedup_lsh" -> 0, "q_knn_label_noise" -> 2)
+    "q_semdedup_lsh" -> 0, "q_knn_label_noise" -> 2,
+    // r12 verify-parallelism guard: the editdist/jw probe sides gain
+    // one round-robin exchange each when the scan under-partitions
+    // (editdist_seg: probes + the short branch planned twice = +3);
+    // fs_linkage newly pinned with its blocked-join spread included
+    "q_fs_linkage" -> 7)
 
 }
