@@ -22,23 +22,11 @@ object Dedup {
   /** Verify-stage parallelism guard (r12 sf1-probe finding): the
     * blocked/segmented candidate joins broadcast their index side, so
     * the expensive per-pair verification (banded levenshtein, Jaro–
-    * Winkler) runs at the PROBE side's partitioning — which is the
-    * scan's. A corpus that fits a handful of parquet row-groups scans
-    * as that many partitions, and the explode→join fanout behind it
-    * (millions of DP verifications) is invisible to AQE, which sizes
-    * partitions by scan BYTES, not post-join rows: measured on the
-    * fair 10× corpus, one core ground levenshtein for 15+ minutes
-    * while 31 idled. Spreading the probe frame round-robin to the
-    * session's shuffle width costs one exchange of the bounded probe
-    * rows; when the input already scans at or above that width (any
-    * real-scale corpus) the guard is a no-op and no exchange is added.
-    * `repartition(n)` with an explicit n is preserved by AQE (never
-    * coalesced back down by byte size).
+    * Winkler) runs at the PROBE side's partitioning — the scan's.
+    * See [[Par.spreadToShuffleWidth]] for the full mechanism.
     */
-  private def spreadToShuffleWidth(probe: DataFrame, input: DataFrame): DataFrame = {
-    val width = probe.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (input.rdd.getNumPartitions >= width) probe else probe.repartition(width)
-  }
+  private def spreadToShuffleWidth(probe: DataFrame, input: DataFrame): DataFrame =
+    Par.spreadToShuffleWidth(probe, input)
 
   /** Exact duplicate groups by canonical fingerprint (md5 of the sorted
     * distinct token set — catches reorderings/repetitions; use

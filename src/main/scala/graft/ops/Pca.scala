@@ -61,7 +61,9 @@ object Pca {
                cells: Int = 256, ordered: Boolean = true): (Array[Double], Long) = {
     val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     val n = base.count()
-    val slots = base.select(col(idCol).as("_id"),
+    // cells key on pmod(_id) and folds sort by id: partitioning-safe
+    val slots = Par.spreadToShuffleWidth(base, df)
+      .select(col(idCol).as("_id"),
         posexplode(col(vecCol)).as(Seq("_j", "_x")))
       .select(col("_id"), col("_j"), col("_x").cast("double").as("_t"))
     val sums = dimSums(slots, cells, ordered).orderBy("_j").collect()
@@ -73,7 +75,8 @@ object Pca {
     */
   private def centered(df: DataFrame, idCol: String, vecCol: String,
                        means: Array[Double]): DataFrame =
-    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    Par.spreadToShuffleWidth( // d-wide per-row math feeds every consumer
+      df.filter(col(idCol).isNotNull && col(vecCol).isNotNull), df)
       .select(col(idCol).as("_id"),
         zip_with(col(vecCol), typedlit(means.toSeq),
           (x, mu) => x.cast("double") - mu).as("_cv"))

@@ -197,9 +197,9 @@ object PlanAudit {
     // tiny-frame (≤|sources|-row / ≤|lists|-row) exchanges
     "q_url_canon" -> 0, "q_domain_cap" -> 1, "q_shard_manifest" -> 1,
     "q_epoch_shuffle" -> 1,
-    "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 7,
+    "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 8,
     "q_html_strip" -> 0, "q_sentences" -> 0, "q_standardize" -> 1,
-    "q_bigram_lm" -> 6, "q_rank_metrics" -> 2, "q_http_parse" -> 0,
+    "q_bigram_lm" -> 6, "q_rank_metrics" -> 3, "q_http_parse" -> 0,
     // r9 pins (the r8 verdict's drift watchlist): triangles is 4 AFTER
     // the edge-set cache (was 24 — the whole co-occurrence derivation
     // planned three times); the maxdf pair is the count-prune tier
@@ -366,7 +366,7 @@ object PlanAudit {
     // 2-phase exact countDistinct leg); pca/abtt AUDITED plans are
     // map-side — the bounded power-iteration prep runs at construction
     // (codebook precedent), driver state is d doubles per round
-    "q_hll" -> 8, "q_pca_top" -> 0, "q_abtt" -> 0,
+    "q_hll" -> 8, "q_pca_top" -> 0, "q_abtt" -> 1,
     // r10 pins (the r9 verdict's drift watchlist): winsorize is the
     // percentile agg + map-side clamp; trending_exact is the daily agg +
     // the shared range-frame window exchange; token_budget is the
@@ -384,9 +384,9 @@ object PlanAudit {
     // precedent); IVF twins = codebook-broadcast assign + probe-cell
     // equi-join (+ per-side margin frames for bitext)
     "q_dedup_pairs_prefix" -> 4, "q_pagerank" -> 0, "q_editdist_seg" -> 5,
-    "q_fdr_bh" -> 5, "q_semdedup_prod" -> 0, "q_embed_dup_prod" -> 0,
-    "q_embed_dup_lsh" -> 0, "q_knn_label_noise_ivf" -> 3,
-    "q_bitext_mine_ivf" -> 17, "q_knn_ivf" -> 1, "q_bfs_hops" -> 0,
+    "q_fdr_bh" -> 5, "q_semdedup_prod" -> 0, "q_embed_dup_prod" -> 2,
+    "q_embed_dup_lsh" -> 2, "q_knn_label_noise_ivf" -> 4,
+    "q_bitext_mine_ivf" -> 25, "q_knn_ivf" -> 2, "q_bfs_hops" -> 0,
     // r11 operator batch: fleiss = panel window + cell agg + squares/
     // totals aggs off the cached cell frame; cliffs rides the
     // mann-whitney collapsed-value spine; dominant period = acf chain +
@@ -402,7 +402,7 @@ object PlanAudit {
     "q_pass_at_k" -> 1, "q_mixture_reweight" -> 2,
     // mmr = the brute-kNN candidate frame + one per-query pack agg;
     // the k greedy steps are per-row array expressions (barriered)
-    "q_mmr_select" -> 1,
+    "q_mmr_select" -> 2,
     // srm = unit distinct + the 1-row conditional agg; shard balance =
     // per-shard agg + 1-row fold
     "q_srm" -> 2, "q_shard_balance" -> 2,
@@ -422,11 +422,17 @@ object PlanAudit {
     "q_span_dedup" -> 4, "q_containment" -> 1, "q_dup_spans" -> 3,
     "q_dedup_pairs" -> 1, "q_ppl_select" -> 19, "q_dup_ngrams" -> 4,
     "q_assoc_rules" -> 26, "q_bpe_budget" -> 3,
-    "q_semdedup_lsh" -> 0, "q_knn_label_noise" -> 2,
+    "q_semdedup_lsh" -> 0, "q_knn_label_noise" -> 3,
     // r12 verify-parallelism guard: the editdist/jw probe sides gain
     // one round-robin exchange each when the scan under-partitions
     // (editdist_seg: probes + the short branch planned twice = +3);
     // fs_linkage newly pinned with its blocked-join spread included
     "q_fs_linkage" -> 7)
+    // (r12) the vector-family pins above include the Par
+    // spreadToShuffleWidth round-robin exchanges — one per dense
+    // per-row stage (centroid assign, signature fold, projection,
+    // all-pairs verify) when the scan under-partitions; bitext's +8 is
+    // its fwd/bwd ivfTopK lineages re-planned by the margin tail
+    // (identical exchanges dedupe at execution via ReuseExchange)
 
 }

@@ -50,8 +50,9 @@ object Similarity {
                     vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
       norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    val c = Par.spreadToShuffleWidth( // dense per-pair math below (Par scaladoc)
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+        norm(col(vecCol)).as("cn")), corpus)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -130,8 +131,9 @@ object Similarity {
       col(vecCol).isNotNull)
     val q = v.select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"),
       asDouble(col(vecCol)).as("qv"), norm(col(vecCol)).as("qn"))
-    val c = v.select(col(idCol).as("_nid"), asDouble(col(vecCol)).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    val c = Par.spreadToShuffleWidth( // dense per-pair math below (Par scaladoc)
+      v.select(col(idCol).as("_nid"), asDouble(col(vecCol)).as("cv"),
+        norm(col(vecCol)).as("cn")), v)
     val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[(Double, Long)])
     val top = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("_nid"))
@@ -237,7 +239,7 @@ object Similarity {
       norm(col(vecCol)).as("an"))
     val b = right.select(col(idCol).as("right_id"), asDouble(col(vecCol)).as("bv"),
       norm(col(vecCol)).as("bn"))
-    val scored = a.crossJoin(b)
+    val scored = Par.spreadToShuffleWidth(a, left).crossJoin(b)
       .select(col("left_id"), col("right_id"),
         (graft.functions.VectorExpressions.dotD(col("av"), col("bv")) /
           (col("an") * col("bn"))).as("sim"))
@@ -355,7 +357,8 @@ object Similarity {
     val bandsN = nPlanes / bandBits
     val keys = graft.functions.VectorExpressions
       .signBandKeys(asDouble(col(vecCol)), ps, bandBits)
-    df.withColumn("_keys_sig", keys)
+    // nPlanes dot folds per row: dense enough to warrant the spread
+    Par.spreadToShuffleWidth(df, df).withColumn("_keys_sig", keys)
       .withColumn("_bands",
         transform(sequence(lit(0), lit(bandsN - 1)),
           i => struct(i.as("band"),
@@ -581,8 +584,10 @@ object Similarity {
     require(nlist <= 256, "coarse quantizer is an inline expression; keep nlist <= 256")
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
-        norm(col(vecCol)).as("cn"))
+    // O(nlist·d) assignment per row: spread before the dense stage
+    val c = Par.spreadToShuffleWidth(
+        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+          norm(col(vecCol)).as("cn")), corpus)
       .withColumn("list_id", nearestCentroid(col("cv"), col("cn"), cents))
 
     // per-query probe set: rank centroids by cosine, keep nprobe —
@@ -849,7 +854,8 @@ object Similarity {
       if (exact) {
         val a = withN.select(col(idCol).as("a_id"), col("_v").as("av"), col("_n").as("an"))
         val b = withN.select(col(idCol).as("b_id"), col("_v").as("bv"), col("_n").as("bn"))
-        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        Par.spreadToShuffleWidth(a, embeddings).crossJoin(b)
+          .filter(col("a_id") < col("b_id"))
       } else {
         // candidates carry ids + the full signature PACKED INTO ONE
         // BIGINT (bands × bandBits ≤ 64 bits) — never the vectors;
@@ -972,7 +978,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neg_id"), col(labelCol).as("_cl"),
       asDouble(col(vecCol)).as("cv"), norm(col(vecCol)).as("cn"))
     val topk = udaf(new TopKAgg(k), org.apache.spark.sql.Encoders.product[(Double, Long)])
-    c.crossJoin(broadcast(q))
+    Par.spreadToShuffleWidth(c, corpus).crossJoin(broadcast(q))
       .filter(col("_cl") =!= col("_al"))
       .select(col("anchor_id"),
         (graft.functions.VectorExpressions.dotD(col("qv"), col("cv")) /
@@ -1014,7 +1020,7 @@ object Similarity {
     val e = evals.select(col(idCol).as("eval_id"), asDouble(col(vecCol)).as("ev"),
       norm(col(vecCol)).as("en"))
     val pairs =
-      if (exact) c.crossJoin(broadcast(e))
+      if (exact) Par.spreadToShuffleWidth(c, corpus).crossJoin(broadcast(e))
       else {
         val cb = signBuckets(corpus, vecCol, dim, nPlanes, bandBits, seed)
           .select(col(idCol).as("doc_id"), explode(col("_bands")).as("b"))
@@ -1125,8 +1131,8 @@ object Similarity {
     */
   def anisotropy(embeddings: DataFrame, idCol: String,
                  vecCol: String): DataFrame = {
-    val dims = embeddings
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val dims = Par.spreadToShuffleWidth(embeddings
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull), embeddings)
       .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
       .withColumn("_q", round(col("_x").cast("double") * 1000000).cast("long"))
     val centroid = dims.groupBy("_d")
