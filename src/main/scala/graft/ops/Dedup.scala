@@ -116,7 +116,8 @@ object Dedup {
     * pushed filter alone was ~30 s over 4,500 docs at n = 8).
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    Par.spreadToShuffleWidth(docs, docs) // whole-doc tokenize+shingle per row
+      .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) >= n)
       .select(col("doc_id"),
@@ -653,9 +654,10 @@ object Dedup {
     * so no ANSI overflow.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      graft.functions.VectorExpressions.simhashSig(tokenHashes(col(textCol)))
-        .as("simhash"))
+    Par.spreadToShuffleWidth(docs, docs) // whole-doc hash fold per row
+      .select(col(idCol).as("doc_id"),
+        graft.functions.VectorExpressions.simhashSig(tokenHashes(col(textCol)))
+          .as("simhash"))
 
   /** 64-bit md5-derived hash per token (two 32-bit hex halves packed) —
     * the same engine-portable hash the SQL oracle reproduces.

@@ -199,7 +199,7 @@ object PlanAudit {
     "q_epoch_shuffle" -> 1,
     "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 8,
     "q_html_strip" -> 0, "q_sentences" -> 0, "q_standardize" -> 1,
-    "q_bigram_lm" -> 6, "q_rank_metrics" -> 3, "q_http_parse" -> 0,
+    "q_bigram_lm" -> 10, "q_rank_metrics" -> 3, "q_http_parse" -> 0,
     // r9 pins (the r8 verdict's drift watchlist): triangles is 4 AFTER
     // the edge-set cache (was 24 — the whole co-occurrence derivation
     // planned three times); the maxdf pair is the count-prune tier
@@ -397,7 +397,7 @@ object PlanAudit {
     // QL = tf/ctf aggs + matched fold + the all-docs left join; rbo =
     // two collapsed rank frames; dunn = kruskal's 7-exchange spine +
     // the k-row pair grid
-    "q_query_likelihood" -> 4, "q_rbo" -> 2, "q_dunn" -> 10,
+    "q_query_likelihood" -> 8, "q_rbo" -> 2, "q_dunn" -> 10,
     // pass@k = one (task) hash agg; reweight = domain agg + 1-row fold
     "q_pass_at_k" -> 1, "q_mixture_reweight" -> 2,
     // mmr = the brute-kNN candidate frame + one per-query pack agg;
@@ -419,8 +419,8 @@ object PlanAudit {
     // vocabulary- or lattice-bounded, never corpus-row-scale
     "q_kcore" -> 1, "q_resource_alloc" -> 5,
     "q_editdist_pairs" -> 1, "q_dedup_clusters" -> 0,
-    "q_span_dedup" -> 4, "q_containment" -> 1, "q_dup_spans" -> 3,
-    "q_dedup_pairs" -> 1, "q_ppl_select" -> 19, "q_dup_ngrams" -> 4,
+    "q_span_dedup" -> 8, "q_containment" -> 1, "q_dup_spans" -> 5,
+    "q_dedup_pairs" -> 1, "q_ppl_select" -> 31, "q_dup_ngrams" -> 6,
     "q_assoc_rules" -> 26, "q_bpe_budget" -> 3,
     "q_semdedup_lsh" -> 0, "q_knn_label_noise" -> 3,
     // r12 verify-parallelism guard: the editdist/jw probe sides gain

@@ -450,7 +450,7 @@ object TextAnalysis {
     */
   def winnowed(docs: DataFrame, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, "winnowing needs k >= 2, w >= 1")
-    docs
+    Par.spreadToShuffleWidth(docs, docs) // per-doc gram hash + window mins
       .withColumn("_wt", lower(col(textCol)))
       .withColumn("_wg", winnowGrams(col("_wt"), k))
       .withColumn("winnow_fps", winnowMins(col("_wg"), w))
@@ -730,7 +730,7 @@ object TextAnalysis {
     require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
       "query terms must be distinct (duplicates double-count)")
     require(mu > 0.0, "mu must be positive")
-    val toks = docs
+    val toks = Par.spreadToShuffleWidth(docs, docs) // whole-corpus tokenize
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
@@ -867,7 +867,7 @@ object TextAnalysis {
   def duplicatedNgramShare(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 5): DataFrame = {
     require(n >= 2, s"duplicatedNgramShare: n must be >= 2, got $n")
-    val base = docs
+    val base = Par.spreadToShuffleWidth(docs, docs)
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) >= n)
@@ -1055,7 +1055,7 @@ object TextAnalysis {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minRun: Int = 2): DataFrame =
-    dupSpanIslands(docs
+    dupSpanIslands(Par.spreadToShuffleWidth(docs, docs)
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks")),
       n, minRun)
@@ -1116,7 +1116,7 @@ object TextAnalysis {
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 5, minRun: Int = 2): DataFrame = {
-    val base = docs
+    val base = Par.spreadToShuffleWidth(docs, docs)
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         tokens(lower(coalesce(col(textCol), lit("")))).as("_toks"))
@@ -1370,7 +1370,7 @@ object TextAnalysis {
     * Per-doc state is the doc's own distinct-bigram set.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs
+    val base = Par.spreadToShuffleWidth(docs, docs) // per-doc bigram explode
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("_toks"))
     val slots = base.filter(size(col("_toks")) >= 2)
