@@ -2868,6 +2868,13 @@ object SparkEntry {
         p = 0.9, k = 20)
     }),
 
+    // probability-proportional-to-size Poisson sample over documents
+    // sized by chars — token-mass-representative curation sampling;
+    // the 1-row size-total crossJoin is the broadcast normalizer shape
+    "q_pps_sample" -> ((s, dir) =>
+      graft.ops.Sampling.ppsSample(
+        table(s, dir, "documents"), "doc_id", "n_chars", nTarget = 100)),
+
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
     "q_kfold" -> ((s, dir) =>
@@ -10619,6 +10626,22 @@ object SparkEntry {
          |    + 3.0 * ln(2000.0 / (dl::DOUBLE + 2000.0)), 6) AS score
          |FROM t LEFT JOIN m USING (doc_id)
          |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // PPS Poisson sample: same (n*s)/S tree and seeded md5 uniform on
+    // both engines; u compares UNROUNDED, pi rounds at the edge only
+    "q_pps_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id AS unit_id, CAST(n_chars AS BIGINT) AS size
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        |), t AS (SELECT CAST(SUM(size) AS BIGINT) AS tot FROM b),
+        |x AS (
+        |  SELECT unit_id, size,
+        |    LEAST(1.0, 100.0 * CAST(size AS DOUBLE) / CAST(tot AS DOUBLE)) AS pi,
+        |    (('0x' || substr(md5(unit_id::VARCHAR || chr(1) || '7'), 1, 13))::BIGINT
+        |      + 0.5) / 4503599627370496.0 AS u
+        |  FROM b CROSS JOIN t)
+        |SELECT unit_id, size, ROUND(pi, 6) AS pi FROM x WHERE u < pi""".stripMargin,
 
     // rank-biased overlap: per-common-item tail-weight folds over the
     // id-sorted array; inner fold ascending in depth on both engines

@@ -161,6 +161,7 @@ object PlanAudit {
     "q_term_drift" -> "1-row per-half doc-count frame broadcast onto the term-df agg (bounded-broadcast category)",
     // r10 additions, all the same 1-row-normalizer shape
     "q_anisotropy" -> "1-row centroid-norm (ΣS²) crossJoin onto the per-vector agg",
+    "q_pps_sample" -> "1-row size-total (the PPS denominator S) crossJoin onto the map-side draw",
     "q_burstiness" -> "1-row corpus doc-count (the Fano N) crossJoin onto the term agg",
     "q_neyman" -> "1-row Σweights crossJoin onto the |strata|-row quota frame (the temperatureMix shape)",
     // r11 additions, same 1-row-normalizer / k-row-grid shapes
@@ -427,7 +428,9 @@ object PlanAudit {
     // one round-robin exchange each when the scan under-partitions
     // (editdist_seg: probes + the short branch planned twice = +3);
     // fs_linkage newly pinned with its blocked-join spread included
-    "q_fs_linkage" -> 7)
+    "q_fs_linkage" -> 7,
+    // r12: PPS sampler = the one exact-long size agg; draw is map-side
+    "q_pps_sample" -> 1)
     // (r12) the vector-family pins above include the Par
     // spreadToShuffleWidth round-robin exchanges — one per dense
     // per-row stage (centroid assign, signature fold, projection,

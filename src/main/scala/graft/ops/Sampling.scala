@@ -836,4 +836,42 @@ object Sampling {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(lead, h, col(keyCol))).cast("long"))
   }
+
+  /** Probability-proportional-to-size (PPS) Poisson sampling — the
+    * curation sampler that keeps token/char MASS representative rather
+    * than document count: unit i enters the sample independently with
+    * inclusion probability pi_i = min(1, n·s_i/S) (Poisson PPS
+    * sampling; downstream estimators reweight by 1/pi_i — Horvitz–
+    * Thompson), so a 100-row sample of a corpus dominated by a few
+    * huge documents still covers them with pi = 1 while the long tail
+    * enters proportionally. The inclusion draw is the seeded md5
+    * inverse-CDF uniform shared with the DP family
+    * ([[Privacy.noisyCounts]]): bit-reproducible run to run and engine
+    * to engine (a production deployment swaps the seed for entropy,
+    * same plan). `pi` is emitted alongside each sampled row for HT
+    * reweighting; null/non-positive sizes are excluded (they carry no
+    * mass and an inclusion probability of 0).
+    * Output: (unit_id, size, pi).
+    *
+    * Scale posture: one exact-long size aggregate broadcast back as a
+    * 1-row frame; the draw + filter is map-side — the sampler never
+    * shuffles the corpus.
+    */
+  def ppsSample(df: DataFrame, idCol: String, sizeCol: String,
+                nTarget: Int, seed: Long = 7L): DataFrame = {
+    require(nTarget >= 1, "nTarget must be positive")
+    val base = df.filter(col(idCol).isNotNull && col(sizeCol).isNotNull &&
+        col(sizeCol).cast("long") > 0)
+      .select(col(idCol).as("unit_id"), col(sizeCol).cast("long").as("size"))
+    val tot = base.agg(sum(col("size")).cast("long").as("_tot"))
+    val key = concat_ws("\u0001", col("unit_id").cast("string"), lit(seed.toString))
+    val h = conv(substring(md5(key.cast("binary")), 1, 13), 16, 10).cast("long")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0)
+    val pi = least(lit(1.0), lit(nTarget.toDouble) * col("size").cast("double") /
+      col("_tot").cast("double"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("_pi", pi)
+      .filter(u < col("_pi"))
+      .select(col("unit_id"), col("size"), round(col("_pi"), 6).as("pi"))
+  }
 }
