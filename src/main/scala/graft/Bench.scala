@@ -40,6 +40,12 @@ import graft.kpi.KpiQueries
   *     (GC included) before EVERY timed pass — their passes churn GBs;
   *   - a periodic GC every [[gcEvery]] fast entries caps accumulation
   *     between the per-entry collections.
+  *
+  * Round-13 sentinel (r12 verdict #3): the run's WALL clock is emitted in
+  * the JSON (`wall`, `wall_budget`) and the process exits rc=3 with the
+  * top-10 per-entry wall eaters on stderr when it exceeds the soft budget
+  * (default 2200 s, override `SPARK_GRAFT_BENCH_BUDGET`) — the warning
+  * fires a round before the driver's hard window (rc=124) would.
   */
 object Bench {
 
@@ -142,7 +148,15 @@ object Bench {
       }
     }
 
+    val runStart = System.nanoTime()
+    // per-entry WALL cost (warm-up + resets + timed passes): what the
+    // budget sentinel reports when the suite outgrows its window — the
+    // medians alone hide harness overhead, and it was harness overhead
+    // that breached the r11 window
+    val entryWall = scala.collection.mutable.LinkedHashMap[String, Double]()
+
     val medians: Seq[(String, Double)] = plans.map { case (name, fn) =>
+      val entryStart = System.nanoTime()
       val isKpi = kpiNames(name)
       clearState()
       sinceGc += 1
@@ -159,7 +173,7 @@ object Bench {
         System.err.println(s"[bench] warmup $name FAILED: $msg")
         errors(name) = msg
       }
-      if (warm.isLeft) {
+      val res = if (warm.isLeft) {
         name -> -1.0 // a failed plan fails identically 3 more times — skip
       } else {
         val warmSecs = warm.toOption.get
@@ -188,6 +202,8 @@ object Bench {
         }
         name -> (if (runs.contains(-1.0)) -1.0 else median(runs))
       }
+      entryWall(name) = (System.nanoTime() - entryStart) / 1e9
+      res
     }
 
     // Two-tier reporting (round-9 verdict item 1): the gated exact
@@ -208,10 +224,21 @@ object Bench {
     // must never read as a clean total at a glance — `status` flips to
     // "partial" and `n_err` is in BOTH the full line and the tail summary.
     val nErr = medians.size - ok.size - heavyOk.size
-    val status = if (nErr == 0) "ok" else "partial"
+    // Wall-clock budget sentinel (r12 verdict #3): the r11 window breach
+    // (rc=124) was detected only by the driver's hard timeout. The
+    // registry grows ~+14 entries/round; warn — loudly, via rc — the
+    // round BEFORE the window is re-breached. `wall` is the whole-run
+    // harness wall (warm-ups + resets + passes), which is what the
+    // driver's timeout sees, NOT the sum of medians.
+    val wallSecs = (System.nanoTime() - runStart) / 1e9
+    val wallBudget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(2200.0)
+    val overBudget = wallSecs > wallBudget
+    val status = if (overBudget) "over_budget"
+                 else if (nErr == 0) "ok" else "partial"
     val commit = gitCommit()
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"commit":"$commit","queries":$qs,"heavy_oracle":$heavyQs,"heavy_total":${"%.3f".format(heavyTotal)},"errors":$errJson,"n_ok":${ok.size},"n_heavy":${heavy.size},"n":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"wall":${"%.1f".format(wallSecs)},"wall_budget":${"%.0f".format(wallBudget)},"commit":"$commit","queries":$qs,"heavy_oracle":$heavyQs,"heavy_total":${"%.3f".format(heavyTotal)},"errors":$errJson,"n_ok":${ok.size},"n_heavy":${heavy.size},"n":${medians.size},"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's tail-keeping capture
     // window in round 5 ("parsed": null — head of the line was cut, so the
     // JSON never parsed). Emit the full line first, then a SHORT summary as
@@ -219,7 +246,7 @@ object Bench {
     // last-line / tail-window parsers get a compact valid object with the
     // headline total.
     val summary =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"commit":"$commit","n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","status":"$status","n_err":$nErr,"wall":${"%.1f".format(wallSecs)},"commit":"$commit","n_ok":${ok.size},"n":${medians.size},"sf":"$sfDir"}"""
     println(line)
     println(summary)
     if (nErr > 0)
@@ -229,5 +256,14 @@ object Bench {
     // two-line form is stdout-only, for head- vs tail-window capture
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
+    if (overBudget) {
+      val eaters = entryWall.toSeq.sortBy(-_._2).take(10)
+        .map { case (n, w) => s"$n=${"%.1f".format(w)}s" }.mkString(", ")
+      System.err.println(s"[bench] WALL BUDGET EXCEEDED: " +
+        s"${"%.1f".format(wallSecs)} s > ${"%.0f".format(wallBudget)} s soft " +
+        s"budget — trim or re-tier before the driver window (rc=124) is " +
+        s"breached. Top-10 wall eaters (incl. harness overhead): $eaters")
+      sys.exit(3)
+    }
   }
 }

@@ -295,7 +295,13 @@ object SparkEntry {
     */
   val heavyOracleBaselines: Set[String] = Set(
     "q_knn_label_noise", "q_bitext_mine", "q_embed_dup", "q_semdedup",
-    "q_semdedup_lsh", "q_embed_dup_lsh")
+    "q_semdedup_lsh", "q_embed_dup_lsh",
+    // r12 verdict #2: length-bucket-only candidate generation is
+    // Σ n_b² — the board's one super-linear plan (28× wall at 10× data,
+    // fair-probe measured). It exists as the regime-comparison baseline
+    // for the PassJoin segment index; the headline path is
+    // q_editdist_seg, which verifies the same oracle.
+    "q_editdist_pairs")
 
   /** Deterministic CDC changeset for q_merge_upsert, derived from the
     * base snapshot itself so both engines construct the identical set:
@@ -2870,10 +2876,13 @@ object SparkEntry {
 
     // probability-proportional-to-size Poisson sample over documents
     // sized by chars — token-mass-representative curation sampling;
-    // the 1-row size-total crossJoin is the broadcast normalizer shape
+    // the 1-row size-total crossJoin is the broadcast normalizer shape.
+    // The op emits pi UNROUNDED (it is an HT weight); rounding happens
+    // here at the oracle-comparison edge only, matching the SQL twin.
     "q_pps_sample" -> ((s, dir) =>
       graft.ops.Sampling.ppsSample(
-        table(s, dir, "documents"), "doc_id", "n_chars", nTarget = 100)),
+          table(s, dir, "documents"), "doc_id", "n_chars", nTarget = 100)
+        .withColumn("pi", round(col("pi"), 6))),
 
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)

@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * delimiter-separated line and the frequency is counted across DISTINCT
   * documents corpus-wide.
   *
-  * Reference behavior: the reference pipeline's transform stage cleans
-  * raw text before KPI extraction (music-streaming-etl-glue
-  * `scripts/transform.py` quality gates); this is the corpus-frequency
-  * generalization an LLM-data pipeline needs.
+  * Reference behavior: the reference pipeline's validation stage cleans
+  * raw input before KPI extraction (music-streaming-etl-glue
+  * `scripts/validate_data.py` `process_streams` select/cast gates); this
+  * is the corpus-frequency generalization an LLM-data pipeline needs.
   *
   * Scale posture (100 TB): the corpus is exploded once into (doc, pos,
   * line) rows; line frequency is a two-phase hash-agg keyed by the line

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * (which stays as the fast path for budget ops that only need a stable
   * proxy).
   *
-  * Reference context: the reference pipeline's transform stage normalizes
-  * text before aggregation (music-streaming-etl-glue `scripts/transform.py`);
+  * Reference context: the reference pipeline's validation stage normalizes
+  * raw input before aggregation (music-streaming-etl-glue
+  * `scripts/validate_data.py`);
   * token accounting with a real merge table is the LLM-data-pipeline
   * generalization (token-budget sampling, contract-exact corpus stats).
   *

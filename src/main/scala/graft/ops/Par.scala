@@ -36,9 +36,57 @@ object Par {
     * gives fewer partitions; identity otherwise. `input` is the frame
     * whose SCAN sets the inherited parallelism (usually the operator's
     * raw input), `dense` the derived frame about to do per-row work.
+    *
+    * Streaming frames pass through unchanged: probing `input.rdd`
+    * throws at plan-construction time on a streaming DataFrame, and a
+    * micro-batch's partitioning is the stream source's to set (each
+    * batch is re-planned; the narrow-scan shape this guard exists for
+    * is a batch parquet artifact).
     */
   def spreadToShuffleWidth(dense: DataFrame, input: DataFrame): DataFrame = {
+    if (dense.isStreaming || input.isStreaming) return dense
     val width = dense.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (input.rdd.getNumPartitions >= width) dense else dense.repartition(width)
+    val inParts = input.rdd.getNumPartitions
+    val spread = inParts < width
+    audit.foreach(_ += AuditRec(inParts, width, spread, callSite()))
+    if (spread) dense.repartition(width) else dense
+  }
+
+  /** One recorded guard decision: the input's scan partitions, the
+    * session shuffle width, whether a round-robin spread was inserted,
+    * and the library call site that asked (test diagnostics).
+    */
+  final case class AuditRec(inputParts: Int, width: Int, spread: Boolean,
+                            site: String)
+
+  // Test-only invocation recorder behind the width audit
+  // (WidthAuditSpec): None in production, so the guard's hot path pays
+  // nothing. Enabled per-thread is unnecessary — the audit runs entries
+  // serially inside one suite.
+  @volatile private var audit: Option[scala.collection.mutable.ListBuffer[AuditRec]] = None
+
+  private def callSite(): String =
+    Thread.currentThread.getStackTrace
+      .drop(1) // getStackTrace itself
+      .find { e =>
+        val c = e.getClassName
+        // skip Par's own frames AND private forwarding wrappers named
+        // like the guard (Dedup has one), so the recorded site is the
+        // operator that asked, not the shim
+        c.startsWith("graft.") && !c.startsWith("graft.ops.Par") &&
+          e.getMethodName != "spreadToShuffleWidth"
+      }
+      .map(e => s"${e.getFileName}:${e.getLineNumber}")
+      .getOrElse("<unknown>")
+
+  /** Start recording guard decisions (clears any previous capture). */
+  def auditStart(): Unit =
+    audit = Some(scala.collection.mutable.ListBuffer.empty[AuditRec])
+
+  /** Stop recording and return everything captured since [[auditStart]]. */
+  def auditStop(): Seq[AuditRec] = {
+    val out = audit.map(_.toList).getOrElse(Nil)
+    audit = None
+    out
   }
 }

@@ -175,6 +175,44 @@ object PlanAudit {
   /** query -> why a small-estimate shuffle join is acceptable there. */
   val allowMissedBroadcast: Map[String, String] = Map.empty
 
+  /** Dense-stage width pins (r12 verdict #1, enforced by
+    * `WidthAuditSpec`): for each registry entry whose construction
+    * against a SINGLE-row-group fixture fires `Par.spreadToShuffleWidth`
+    * round-robin spreads, the exact number it must fire. Dropping a
+    * guard wrap from any operator on the entry's path lowers the count
+    * and fails the audit; a new dense stage raises it and needs an
+    * explicit pin raise. Generated by `runMain graft.WidthCounts`
+    * (run it with SPARK_GRAFT_CPUS=4 to match the test session).
+    */
+  val widthGuardPins: Map[String, Int] = Map(
+    "q_abtt" -> 3, "q_anisotropy" -> 1, "q_avg_precision" -> 1,
+    "q_bigram_lm" -> 1, "q_bitext_mine" -> 1, "q_bitext_mine_ivf" -> 2,
+    "q_containment" -> 1, "q_containment_maxdf" -> 1, "q_contamination" -> 2,
+    "q_dedup_canonical" -> 1, "q_dedup_cluster_sizes" -> 1, "q_dedup_clusters" -> 1,
+    "q_dedup_incremental" -> 1, "q_dedup_minhash" -> 1, "q_dedup_pairs" -> 1,
+    "q_dedup_pairs_maxdf" -> 1, "q_dedup_pairs_prefix" -> 1, "q_dup_ngrams" -> 1,
+    "q_dup_spans" -> 1, "q_editdist_pairs" -> 1, "q_editdist_seg" -> 2,
+    "q_embed_dup" -> 1, "q_embed_dup_lsh" -> 1, "q_embed_dup_prod" -> 1,
+    "q_er_clusters" -> 1, "q_fs_linkage" -> 1, "q_hard_negatives" -> 1,
+    "q_hybrid_rrf" -> 1, "q_jw_match" -> 1, "q_knn" -> 1,
+    "q_knn_ivf" -> 1, "q_knn_label_noise" -> 1, "q_knn_label_noise_ivf" -> 1,
+    "q_mmr_select" -> 1, "q_overlap_matrix" -> 1, "q_pca_top" -> 2,
+    "q_ppl_select" -> 1, "q_query_likelihood" -> 1, "q_rank_metrics" -> 1,
+    "q_sem_contamination" -> 1, "q_semdedup" -> 1, "q_semdedup_lsh" -> 1,
+    "q_semdedup_prod" -> 1, "q_simhash_pairs" -> 1, "q_span_dedup" -> 1,
+    "q_split_leakage" -> 1)
+
+  /** file -> distinct guarded call sites that must fire across the
+    * whole pinned-entry sweep (coarser companion to [[widthGuardPins]]:
+    * catches a dropped wrap even when entry counts could compensate).
+    * `TextAnalysis.winnowed`'s guard is the one site no registry entry
+    * routes through (q_winnow uses `Dedup.winnowFingerprints`); it is
+    * covered by the spec's direct family-representative runtime test.
+    */
+  val widthGuardSites: Map[String, Int] = Map(
+    "Dedup.scala" -> 5, "Pca.scala" -> 2, "Similarity.scala" -> 9,
+    "TextAnalysis.scala" -> 5)
+
   /** Pinned shuffle budgets for headline queries (measured by
     * `graft.ShuffleCounts`): a NEW Exchange in one of these plans is a
     * regression a human signs off on by raising the pin, never a silent

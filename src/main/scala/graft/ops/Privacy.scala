@@ -245,4 +245,126 @@ object Privacy {
           .as("emd_ppm")): _*)
       .withColumn("at_risk", col("emd_ppm") > tPpm)
   }
+
+  /** The repo's engine-portable seeded uniform: md5 of the key,
+    * first 13 hex chars as a 52-bit integer, `(h + 0.5) / 2^52` —
+    * exact division, identical symbolic derivation in DuckDB.
+    */
+  private def seededUniform(key: Column): Column = {
+    val h = conv(substring(md5(key.cast("binary")), 1, 13), 16, 10).cast("long")
+    (h + lit(0.5)) / lit(4503599627370496.0)
+  }
+
+  /** k-ary randomized response (Warner 1965 generalized) — the LOCAL-DP
+    * mechanism the central-DP family ([[noisyCounts]]) lacks: each row
+    * reports its TRUE category with probability `pKeep` and otherwise a
+    * uniform draw over the k-category domain (which may repeat the
+    * truth — the standard "uniform including self" variant, so
+    * P(report = truth) = pKeep + (1−pKeep)/k). The collector sees only
+    * perturbed labels; the unbiased frequency estimator inverts the
+    * known channel: `n̂_c = (n_obs_c − n·(1−pKeep)/k) / pKeep`.
+    *
+    * Both the channel and the estimator are emitted so the operator is
+    * self-auditing: (category, n_true, n_obs, n_est) — at corpus scale
+    * n_est ≈ n_true with O(√n) LDP noise, and a red diff between them
+    * is the privacy/utility cost made measurable. The perturbation
+    * coins are the seeded md5 uniforms keyed on the row id
+    * (derandomized — engine-reproducible; production swaps the seed
+    * for entropy, same plan).
+    *
+    * Scale posture: the domain frame (k rows, k = |categories|) is
+    * collected into TWO bounded broadcasts (index→category and the
+    * 1-row (k, n) totals); the perturbation is map-side; then ONE hash
+    * agg on the reported category. The corpus never shuffles on
+    * anything but the k-bounded report key.
+    */
+  def randomizedResponse(df: DataFrame, idCol: String, catCol: String,
+                         pKeep: Double, seed: Long = 7L): DataFrame = {
+    require(pKeep > 0.0 && pKeep <= 1.0, "pKeep in (0, 1]")
+    val base = df.filter(col(idCol).isNotNull && col(catCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        col(catCol).cast("string").as("category"))
+    // k-row domain with a dense 0-based index (deterministic: sorted)
+    val dom = base.select(col("category")).distinct()
+      .withColumn("_j", row_number().over(Window.orderBy(col("category"))) - 1L)
+    val totals = base.agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(dom.agg(count(lit(1)).as("_k"))))
+    val u1 = seededUniform(concat_ws("", col("_id"), lit(seed.toString), lit("keep")))
+    val u2 = seededUniform(concat_ws("", col("_id"), lit(seed.toString), lit("draw")))
+    val reported = base
+      .join(broadcast(dom), "category") // true category -> its index
+      .crossJoin(broadcast(totals.select(col("_k"))))
+      .select(when(u1 < pKeep, col("_j"))
+        .otherwise(floor(u2 * col("_k").cast("double")).cast("long")).as("_rj"))
+      .groupBy("_rj").agg(count(lit(1)).as("n_obs"))
+    val trueCounts = base.groupBy("category").agg(count(lit(1)).as("n_true"))
+    dom.join(trueCounts, Seq("category"), "left")
+      .join(reported, dom("_j") === reported("_rj"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("category"), coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round((coalesce(col("n_obs"), lit(0L)).cast("double") -
+          col("_n").cast("double") * (lit(1.0) - pKeep) / col("_k").cast("double"))
+          / lit(pKeep), 6).as("n_est"))
+  }
+
+  /** DP quantile via the exponential mechanism over a bounded-bin
+    * histogram (Smith 2011's rank-utility instance): bins partition
+    * `[lo, hi)` evenly, each bin scores `u(b) = −|cum(b) − q·n|` (how
+    * far its upper edge's rank sits from the target rank; sensitivity
+    * 1), and the released bin is the Gumbel-max draw over
+    * `ε·u(b)/2 + g_b` — exactly equivalent to exponential-mechanism
+    * sampling, but expressible as a deterministic argmax over the
+    * bin frame. Values outside `[lo, hi)` clamp to the edge bins
+    * (contribution bounding, not data loss — the textbook
+    * bounded-domain requirement of the mechanism).
+    *
+    * The Gumbel draws ride the seeded md5 uniforms keyed on (bin,
+    * seed): derandomized, engine-reproducible. Output one row:
+    * (n, bin, lo_edge, hi_edge, true_bin) — `bin`'s `[lo_edge,
+    * hi_edge)` is the DP release; `true_bin` (the exact-quantile bin)
+    * is emitted so the utility loss is auditable at small scale and
+    * dropped from real releases.
+    *
+    * Scale posture: one map-side clamp + hash agg to ≤`bins` rows;
+    * everything after runs on the bounded bin frame (cum window +
+    * argmax) — never corpus-scale.
+    */
+  def dpQuantile(df: DataFrame, valueCol: String, q: Double,
+                 lo: Double, hi: Double, bins: Int, epsilon: Double,
+                 seed: Long = 7L): DataFrame = {
+    require(q > 0.0 && q < 1.0, "q in (0, 1)")
+    require(hi > lo, "need hi > lo")
+    require(bins >= 2, "need at least two bins")
+    require(epsilon > 0.0, "epsilon must be positive")
+    val width = (hi - lo) / bins
+    val v = col(valueCol).cast("double")
+    val bin = least(greatest(floor((v - lo) / width), lit(0L)), lit(bins - 1L))
+    val counts = df.filter(v.isNotNull)
+      .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("_c"))
+    // dense bin scaffold so empty bins still compete (the mechanism's
+    // domain is the bin set, not the observed bins)
+    val scaffold = counts.sparkSession.range(bins).select(col("id").as("bin"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = scaffold.join(counts, Seq("bin"), "left")
+      .withColumn("_cum", sum(coalesce(col("_c"), lit(0L))).over(wCum))
+    val totals = grid.agg(max(col("_cum")).as("n"))
+    val u = seededUniform(concat_ws("", col("bin").cast("string"),
+      lit(seed.toString)))
+    val gumbel = -log(-log(u))
+    val scored = grid.crossJoin(broadcast(totals))
+      .withColumn("_u", -abs(col("_cum").cast("double") - lit(q) * col("n")))
+      .withColumn("_s", lit(epsilon / 2.0) * col("_u") + gumbel)
+      .withColumn("_true_u", col("_u"))
+    val picked = scored.orderBy(col("_s").desc, col("bin")).limit(1)
+      .select(col("n"), col("bin"))
+    val trueBin = scored.orderBy(col("_true_u").desc, col("bin")).limit(1)
+      .select(col("bin").as("true_bin"))
+    picked.crossJoin(broadcast(trueBin))
+      .select(col("n"), col("bin"),
+        round(lit(lo) + col("bin") * width, 6).as("lo_edge"),
+        round(lit(lo) + (col("bin") + 1) * width, 6).as("hi_edge"),
+        col("true_bin"))
+  }
 }

@@ -872,6 +872,11 @@ object Sampling {
     base.crossJoin(broadcast(tot))
       .withColumn("_pi", pi)
       .filter(u < col("_pi"))
-      .select(col("unit_id"), col("size"), round(col("_pi"), 6).as("pi"))
+      // pi is a WEIGHT (downstream HT reweight divides by it), never a
+      // display column: emit it unrounded — at production scale
+      // (huge S, small nTarget) pi falls below 5e-7, where 6-decimal
+      // rounding would return 0.0 and 1/pi would blow up (r12 advice).
+      // Parity oracles round at the comparison edge instead.
+      .select(col("unit_id"), col("size"), col("_pi").as("pi"))
   }
 }

@@ -1225,4 +1225,59 @@ object Similarity {
         (col("_s") / 1000000.0 / col("n_vectors")).as("centroid"),
         col("n_vectors"))
   }
+
+  /** Matryoshka (MRL) truncation-fidelity audit: how much cosine
+    * similarity drifts when vectors are cut to a prefix of their
+    * dimensions — the measurement behind serving a 1/4-width embedding
+    * index (Kusupati et al. 2022: MRL-trained models pack meaning into
+    * prefixes; this audit tells you whether YOURS did). Over a
+    * deterministic pair frame (each vector vs its id-successor — a
+    * corpus-wide unbiased pair sample with no sampling state), emit
+    * per (pair, prefix): the truncated-prefix cosine, the full cosine,
+    * and the absolute error.
+    *
+    * Determinism: prefix dots/norms are in-order folds over
+    * `slice(vec, 1, p)` (same left-to-right order both engines — the
+    * [[graft.ops.Projection.jlProject]] discipline), zero-norm
+    * prefixes emit null (0/0 disagreement), doubles rounded at the
+    * edge.
+    * Output: (vec_id, prefix, cos_trunc, cos_full, abs_err).
+    *
+    * Scale posture: ONE id-successor equi-join (shuffle on id), then
+    * map-side per-pair math; prefixes multiply per-row cost, not rows
+    * shuffled. No corpus-scale state.
+    */
+  def matryoshkaAudit(embeddings: DataFrame, idCol: String, vecCol: String,
+                      prefixes: Seq[Int]): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1), "prefixes >= 1")
+    val base = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"), asDouble(col(vecCol)).as("_v"))
+    val pairs = base.alias("a")
+      .join(base.select((col("vec_id") - 1L).as("vec_id"), col("_v").as("_w")), "vec_id")
+    def dotP(a: Column, b: Column, p: Int) =
+      aggregate(zip_with(slice(a, 1, p), slice(b, 1, p), (x, y) => x * y),
+        lit(0.0), (acc, t) => acc + t)
+    def cosP(p: Int) = {
+      val d = dotP(col("_v"), col("_w"), p)
+      val na = sqrt(dotP(col("_v"), col("_v"), p))
+      val nb = sqrt(dotP(col("_w"), col("_w"), p))
+      when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+        .otherwise(d / (na * nb))
+    }
+    val full = graft.functions.VectorExpressions.dotD(col("_v"), col("_w")) /
+      (sqrt(graft.functions.VectorExpressions.dotD(col("_v"), col("_v"))) *
+        sqrt(graft.functions.VectorExpressions.dotD(col("_w"), col("_w"))))
+    val fullSafe = when(
+      graft.functions.VectorExpressions.dotD(col("_v"), col("_v")) === 0.0 ||
+        graft.functions.VectorExpressions.dotD(col("_w"), col("_w")) === 0.0,
+      lit(null).cast("double")).otherwise(full)
+    pairs
+      .withColumn("_cf", fullSafe)
+      .select(col("vec_id"), col("_cf"), explode(array(prefixes.map(p =>
+        struct(lit(p).as("prefix"), cosP(p).as("ct"))): _*)).as("_e"))
+      .select(col("vec_id"), col("_e.prefix").as("prefix"),
+        round(col("_e.ct"), 6).as("cos_trunc"),
+        round(col("_cf"), 6).as("cos_full"),
+        round(abs(col("_e.ct") - col("_cf")), 6).as("abs_err"))
+  }
 }

@@ -456,6 +456,69 @@ object Stats {
       .withColumn("pos_rate_ppm", expr("(n_pos * 1000000L) div n"))
   }
 
+  /** Murphy decomposition of the Brier score — the single-number
+    * companion to [[calibrationBins]]: `BS_binned = REL − RES + UNC`,
+    * where reliability (REL) is how far each bin's mean forecast sits
+    * from its observed rate (lower = better calibrated), resolution
+    * (RES) how much the bins' observed rates spread around the base
+    * rate (higher = the score actually separates), and uncertainty
+    * (UNC = ō(1−ō)) the irreducible base-rate term. The RAW Brier
+    * score `(1/n)Σ(s−y)²` is emitted alongside — it differs from the
+    * binned identity exactly by the within-bin forecast variance, so
+    * `brier ≥ reliability − resolution + uncertainty` is a built-in
+    * sanity invariant.
+    *
+    * Determinism / 100 TB posture: scores are 6-decimal probabilities
+    * ([[graft.ops.TextAnalysis.linearQualityScore]] contract), so each
+    * converts EXACTLY to integer micro-units; every per-bin aggregate
+    * (Σs, Σs², Σs·y, Σy, n) is then an integer sum carried in
+    * decimal(38,0) (no long overflow at petabyte row counts), and the
+    * decomposition is a fold over the ≤`bins`-row frame in bin order —
+    * the same collapsed-frame discipline as [[aucExact]]: one hash agg
+    * over the scored rows, then driver-free tiny-frame math.
+    *
+    * Output one row: (n, brier, reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 1, "need at least one bin")
+    val su = round(col(scoreCol) * 1e6).cast("long")
+    val b = least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perBin = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(b.as("bin"), su.as("_su"), col(labelCol).cast("long").as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sy"),
+        sum(dec(col("_su"))).as("ssu"),
+        sum(dec(col("_su")) * dec(col("_su"))).as("ssu2"),
+        sum(dec(col("_su")) * dec(col("_y"))).as("ssuy"))
+    perBin
+      .agg(array_sort(collect_list(struct(col("bin"), col("n"), col("sy"),
+        col("ssu"), col("ssu2"), col("ssuy")))).as("_a"))
+      .select(
+        expr("aggregate(_a, 0L, (a, s) -> a + s.n)").as("n"),
+        expr("aggregate(_a, 0L, (a, s) -> a + s.sy)").as("_ty"),
+        expr("""aggregate(_a, cast(0.0 as double), (a, s) ->
+          a + (cast(s.ssu2 as double) - 2e6 * cast(s.ssuy as double)
+               + 1e12 * cast(s.sy as double)))""").as("_bsnum"),
+        col("_a"))
+      .select(col("n"),
+        round(col("_bsnum") / (col("n").cast("double") * 1e12), 6).as("brier"),
+        round(expr("""aggregate(_a, cast(0.0 as double), (a, s) ->
+            a + cast(s.n as double) *
+              pow(cast(s.ssu as double) / (cast(s.n as double) * 1e6)
+                  - cast(s.sy as double) / cast(s.n as double), 2))""")
+          / col("n").cast("double"), 6).as("reliability"),
+        round(expr(s"""aggregate(_a, cast(0.0 as double), (a, s) ->
+            a + cast(s.n as double) *
+              pow(cast(s.sy as double) / cast(s.n as double)
+                  - cast(_ty as double) / cast(n as double), 2))""")
+          / col("n").cast("double"), 6).as("resolution"),
+        round((col("_ty").cast("double") / col("n").cast("double")) *
+          (lit(1.0) - col("_ty").cast("double") / col("n").cast("double")), 6)
+          .as("uncertainty"))
+  }
+
   /** EXACT ROC-AUC via the rank-sum (Mann–Whitney) identity with
     * midrank tie handling, in pure integer arithmetic: for a score
     * value whose tie group ends at cumulative count c with k members,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * every downstream rolling aggregate.
   *
   * Reference behavior: the KPI pipeline's daily rollups
-  * (`scripts/compute_genre_kpis.py`) group by event date and simply
+  * (`scripts/compute_kpis.py`) group by event date and simply
   * omit silent days; gap filling is the resample step a consumer needs
   * before trend/retention math over those rollups is sound.
   */
@@ -290,6 +290,70 @@ object TimeSeries {
            |  AS trend))""".stripMargin)).as("_e"))
       .select(col(keyCol), col("_e.day").as("day"),
         col("_e.n").as("n"), col("_e.trend").as("trend"))
+  }
+
+  /** EWMA control chart over per-key daily counts — [[decayTrend]]'s
+    * anomaly-gate tense: each day is compared against the EWMA of the
+    * days BEFORE it (`ewma_prev`, a λ=1/2 decayed MEAN: ratio of the
+    * decayed count sum to the decayed weight sum, both exact
+    * power-of-two folds in day order — [[decayTrend]]'s shift
+    * discipline, so no libm `pow` noise enters the weights), and
+    * flagged when it sits more than `sigmas` series standard
+    * deviations away. σ per key comes from exact integer Σn/Σn² over
+    * the key's whole daily series; a key with < 2 observed days (or
+    * zero variance) never flags — a constant series deviating from
+    * itself is a data bug, not an anomaly.
+    *
+    * Output: (key, day, n, ewma_prev, z, flagged); the first day per
+    * key emits null ewma_prev/z (nothing to compare against).
+    *
+    * Scale posture: identical to [[decayTrend]] — one hash agg to
+    * daily counts, then a per-key fold whose state is the key's
+    * OBSERVED-day series (span-bounded), window-function-free.
+    */
+  def ewmaChart(df: DataFrame, keyCol: String, tsCol: String,
+                window: Int = 32, sigmas: Double = 3.0): DataFrame = {
+    require(window >= 1 && window <= 62, "shift exponent must fit a long")
+    require(sigmas > 0.0, "sigmas must be positive")
+    val daily = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val perKey = daily.groupBy(keyCol)
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("_arr"),
+        count(lit(1)).as("_d"), sum(col("n")).as("_sn"),
+        sum(col("n") * col("n")).as("_sn2"))
+      .withColumn("_ix", expr(
+        "transform(_arr, (x, i) -> struct(i AS i, x.day AS day, x.n AS n))"))
+      // population σ of the key's daily series from exact integer sums
+      .withColumn("_sigma", when(col("_d") >= 2,
+        sqrt(greatest(col("_sn2").cast("double") / col("_d").cast("double") -
+          pow(col("_sn").cast("double") / col("_d").cast("double"), 2),
+          lit(0.0)))))
+    perKey
+      .select(col(keyCol), col("_sigma"), explode(expr(
+        s"""transform(_ix, e -> struct(e.day AS day, e.n AS n,
+           |  CASE WHEN e.i = 0 THEN cast(null AS double) ELSE
+           |    aggregate(
+           |      filter(_ix, x -> x.i >= e.i - $window AND x.i <= e.i - 1),
+           |      cast(0.0 AS double),
+           |      (a, x) -> a + cast(x.n AS double) /
+           |        cast(shiftleft(cast(1 AS bigint), e.i - x.i) AS double))
+           |    /
+           |    aggregate(
+           |      filter(_ix, x -> x.i >= e.i - $window AND x.i <= e.i - 1),
+           |      cast(0.0 AS double),
+           |      (a, x) -> a + cast(1.0 AS double) /
+           |        cast(shiftleft(cast(1 AS bigint), e.i - x.i) AS double))
+           |  END AS prev))""".stripMargin)).as("_e"))
+      .select(col(keyCol), col("_e.day").as("day"), col("_e.n").as("n"),
+        round(col("_e.prev"), 6).as("ewma_prev"),
+        round(when(col("_sigma") > 0.0,
+          (col("_e.n").cast("double") - col("_e.prev")) / col("_sigma")), 6)
+          .as("z"),
+        coalesce(abs(when(col("_sigma") > 0.0,
+          (col("_e.n").cast("double") - col("_e.prev")) / col("_sigma")))
+          > sigmas, lit(false)).as("flagged"))
   }
 
   /** Inter-event-time regularity per actor — the classic bot/scripted

@@ -59,19 +59,29 @@ object StreamingPrivacy {
     }
   }
 
-  /** Unbounded-retention gate: cohorts never expire. Correct when the
-    * QI domain is known-small (the batch audit's cohort count bounds
-    * the state); for high-cardinality QIs use the retention overload.
+  /** Unbounded-retention gate: cohorts never expire — the EXPLICIT
+    * opt-in, deliberately not the shortest call (r12 verdict #5: the
+    * convenience overload must not steer a caller into the state-leak
+    * shape). Correct only when the QI domain is known-small (the batch
+    * audit's cohort count bounds the state); for high-cardinality QIs
+    * use [[kAnonymityGate]] with a retention horizon.
     */
-  def kAnonymityGate(rows: DataFrame, qiCols: Seq[String], k: Int): DataFrame =
+  def kAnonymityGateUnbounded(rows: DataFrame, qiCols: Seq[String],
+                              k: Int): DataFrame =
     gateImpl(rows, qiCols, k, None)
 
-  /** Retention-bounded gate: `tsCol` is the event-time column,
-    * `lateness` the watermark delay (how late a row may arrive),
-    * `horizon` how long an idle cohort's state survives past its last
-    * arrival (event time). When the watermark passes
+  /** Retention-bounded gate — the default call shape: `tsCol` is the
+    * event-time column, `lateness` the watermark delay (how late a row
+    * may arrive), `horizon` how long an idle cohort's state survives
+    * past its last arrival (event time). When the watermark passes
     * `last arrival + horizon`, the cohort's state is freed and any
     * buffered sub-`k` rows are dropped (suppression).
+    *
+    * Rows with a NULL event time are dropped up front: a cohort fed
+    * only null-ts rows would never register a timeout and its buffered
+    * sub-`k` rows would live forever — the exact leak this overload
+    * exists to close (r12 advice). A pipeline whose rows genuinely
+    * carry no event time belongs on [[kAnonymityGateUnbounded]].
     */
   def kAnonymityGate(rows: DataFrame, qiCols: Seq[String], k: Int,
                      tsCol: String, lateness: String,
@@ -92,8 +102,12 @@ object StreamingPrivacy {
         retention.map { case (ts, _, _) => col(ts).cast("timestamp").as("_ts") }
           .getOrElse(lit(null).cast("timestamp").as("_ts")))
     val keyed = retention match {
-      case Some((_, lateness, _)) => keyed0.withWatermark("_ts", lateness)
-      case None                   => keyed0
+      // null event times are filtered in the retention regime: they can
+      // never advance maxTs, so a cohort of only-null-ts rows would hold
+      // buffered state with no timeout registered — an unbounded leak.
+      case Some((_, lateness, _)) =>
+        keyed0.filter(col("_ts").isNotNull).withWatermark("_ts", lateness)
+      case None => keyed0
     }
     val timeoutConf = if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
                       else GroupStateTimeout.NoTimeout
@@ -245,8 +259,15 @@ object StreamingPrivacy {
     * difference of two released windows was the exact count
     * difference). The batch twin takes the same salt via its
     * `releaseSalt` parameter, so an N-window stream converges to N
-    * batch releases bit-for-bit. Categories whose noisy count misses
-    * `tau` are suppressed. Append mode: a window's rows emit only
+    * batch releases bit-for-bit PROVIDED no unit repeats a category
+    * across windows within the watermark horizon: the vote-once/L0
+    * state is per-unit, not per-(unit, window), so a repeat vote in a
+    * later window is dropped here but counted by a per-window batch
+    * run — the conservative direction (fewer accepted votes, the same
+    * per-unit ε bound), and the deliberate one: per-unit caps that
+    * reset each window would multiply a unit's total influence by the
+    * number of windows it appears in. Categories whose noisy count
+    * misses `tau` are suppressed. Append mode: a window's rows emit only
     * after the watermark closes it, so every released row is final —
     * no retraction channel for a privacy release.
     *

@@ -169,7 +169,7 @@ class StreamingPrivacySpec extends SparkSpec {
   test("kAnonymityGate withholds sub-k cohorts, flushes at k, then passes through") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PiiRow]
-    val q = StreamingPrivacy.kAnonymityGate(mem.toDF(), Seq("city", "age_band"), k = 3)
+    val q = StreamingPrivacy.kAnonymityGateUnbounded(mem.toDF(), Seq("city", "age_band"), k = 3)
       .writeStream.format("memory").queryName("kanon")
       .outputMode(OutputMode.Append()).start()
 
@@ -246,10 +246,44 @@ class StreamingPrivacySpec extends SparkSpec {
     q.stop()
   }
 
+  test("kAnonymityGate retention: null event-time rows are dropped up front, " +
+    "never buffered into timeout-less state (r12 advice leak)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PiiTsRow]
+    val q = StreamingPrivacy.kAnonymityGate(mem.toDF(),
+        Seq("city", "age_band"), k = 2,
+        tsCol = "ts", lateness = "1 hour", horizon = "1 day")
+      .writeStream.format("memory").queryName("kanon_nullts")
+      .outputMode(OutputMode.Append()).start()
+
+    def released(): Set[Long] = spark.table("kanon_nullts")
+      .select(get_json_object(col("payload"), "$.person_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+
+    // k null-ts rows of one cohort: with the old behavior these would
+    // buffer (and at k release) in state that can NEVER time out; the
+    // fixed gate drops them before grouping, so nothing releases and
+    // nothing is retained for them
+    mem.addData(PiiTsRow(null, "NYC", "20s", 1L),
+      PiiTsRow(null, "NYC", "20s", 2L))
+    q.processAllAvailable()
+    released() shouldBe Set.empty
+
+    // timestamped rows of the same cohort accumulate from ZERO — the
+    // null-ts rows contributed nothing to the count
+    mem.addData(PiiTsRow(utc("2024-06-25T09:00:00Z"), "NYC", "20s", 3L))
+    q.processAllAvailable()
+    released() shouldBe Set.empty
+    mem.addData(PiiTsRow(utc("2024-06-25T09:05:00Z"), "NYC", "20s", 4L))
+    q.processAllAvailable()
+    released() shouldBe Set(3L, 4L)
+    q.stop()
+  }
+
   test("kAnonymityGate: distinct cohorts never merge via separator or null tricks") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PiiRow]
-    val q = StreamingPrivacy.kAnonymityGate(mem.toDF(), Seq("city", "age_band"), k = 2)
+    val q = StreamingPrivacy.kAnonymityGateUnbounded(mem.toDF(), Seq("city", "age_band"), k = 2)
       .writeStream.format("memory").queryName("kanon2")
       .outputMode(OutputMode.Append()).start()
     // ("ab","c") vs ("a","bc") and null vs literal-null string: four
