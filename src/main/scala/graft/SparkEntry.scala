@@ -2884,6 +2884,48 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "n_chars", nTarget = 100)
         .withColumn("pi", round(col("pi"), 6))),
 
+    // Murphy decomposition of the Brier score over the quality
+    // classifier vs the en-label — the 1-row companion to
+    // q_calibration (same scored frame)
+    "q_brier" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = graft.ops.TextAnalysis.linearQualityScore(
+        docs, "doc_id", "text", qualityWeightsPpm, biasPpm = 250000L)
+      val labeled = scored.join(
+        docs.filter(col("lang").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("label")),
+        "doc_id")
+      graft.ops.Stats.brierDecomposition(labeled, "score", "label", bins = 10)
+    }),
+
+    // k-ary randomized response over event types — local-DP frequency
+    // release with the unbiased channel-inversion estimator alongside
+    // the true counts (self-auditing utility cost)
+    "q_rr_freq" -> ((s, dir) =>
+      graft.ops.Privacy.randomizedResponse(
+        table(s, dir, "events"), "event_id", "event_type", pKeep = 0.7)),
+
+    // exponential-mechanism DP median of document lengths over a
+    // 64-bin bounded domain (Gumbel-max argmax release + true bin)
+    "q_dp_quantile" -> ((s, dir) =>
+      graft.ops.Privacy.dpQuantile(
+        table(s, dir, "documents"), "n_chars", q = 0.5,
+        lo = 0.0, hi = 640.0, bins = 64, epsilon = 1.0)),
+
+    // EWMA control chart over per-type daily event counts: each day vs
+    // the λ=1/2 decayed mean of its predecessors, flagged past 3σ
+    "q_ewma_chart" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaChart(
+        table(s, dir, "events"), "event_type", "ts")),
+
+    // Matryoshka truncation-fidelity audit: cosine drift at dim
+    // prefixes 8/16/32 vs the full 64-dim vectors over the
+    // id-successor pair frame (prefix 64 pins abs_err = 0)
+    "q_matryoshka" -> ((s, dir) =>
+      graft.ops.Similarity.matryoshkaAudit(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        prefixes = Seq(8, 16, 32, 64))),
+
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
     "q_kfold" -> ((s, dir) =>
@@ -10651,6 +10693,185 @@ object SparkEntry {
         |      + 0.5) / 4503599627370496.0 AS u
         |  FROM b CROSS JOIN t)
         |SELECT unit_id, size, ROUND(pi, 6) AS pi FROM x WHERE u < pi""".stripMargin,
+
+    // Brier decomposition: q_calibration's scoring CTEs, then integer
+    // micro-unit per-bin aggregates and a bin-ordered list fold —
+    // squared terms are explicit products (pow parity), HUGEINT carries
+    "q_brier" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, len(toks) AS n,
+        |    coalesce(list_sum(list_transform(toks, t ->
+        |      ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) * 2654435761)
+        |        % 2000001 - 1000000)), 0) AS sp
+        |  FROM d
+        |), sc AS (
+        |  SELECT doc_id,
+        |    ROUND(1.0 / (1.0 + exp(-(0.25 +
+        |      CASE WHEN n > 0 THEN sp / (n * 1000000.0) ELSE 0.0 END))), 6) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM s WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+        |), su AS (
+        |  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+        |         CAST(round(score * 1000000) AS BIGINT) AS su, y
+        |  FROM sc
+        |), pb AS (
+        |  SELECT bin, COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(su) AS HUGEINT) AS ssu,
+        |         CAST(SUM(su::HUGEINT * su) AS HUGEINT) AS ssu2,
+        |         CAST(SUM(su::HUGEINT * y) AS HUGEINT) AS ssuy
+        |  FROM su GROUP BY 1
+        |), arr AS (
+        |  SELECT list(struct_pack(bin := bin, n := n, sy := sy, ssu := ssu,
+        |                          ssu2 := ssu2, ssuy := ssuy) ORDER BY bin) AS a,
+        |         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS ty
+        |  FROM pb
+        |)
+        |SELECT n,
+        |  ROUND(list_sum(list_transform(a, s ->
+        |      s.ssu2::DOUBLE - 2e6 * s.ssuy::DOUBLE + 1e12 * s.sy::DOUBLE))
+        |    / (n::DOUBLE * 1e12), 6) AS brier,
+        |  ROUND(list_sum(list_transform(a, s -> s.n::DOUBLE *
+        |      (s.ssu::DOUBLE / (s.n::DOUBLE * 1e6) - s.sy::DOUBLE / s.n::DOUBLE) *
+        |      (s.ssu::DOUBLE / (s.n::DOUBLE * 1e6) - s.sy::DOUBLE / s.n::DOUBLE)))
+        |    / n::DOUBLE, 6) AS reliability,
+        |  ROUND(list_sum(list_transform(a, s -> s.n::DOUBLE *
+        |      (s.sy::DOUBLE / s.n::DOUBLE - ty::DOUBLE / n::DOUBLE) *
+        |      (s.sy::DOUBLE / s.n::DOUBLE - ty::DOUBLE / n::DOUBLE)))
+        |    / n::DOUBLE, 6) AS resolution,
+        |  ROUND((ty::DOUBLE / n::DOUBLE) * (1.0 - ty::DOUBLE / n::DOUBLE), 6)
+        |    AS uncertainty
+        |FROM arr""".stripMargin,
+
+    // k-ary randomized response: same md5 keep/draw coins keyed on the
+    // row id, same sorted-domain index, same channel-inversion estimator
+    "q_rr_freq" ->
+      """WITH b AS (
+        |  SELECT event_id::VARCHAR AS id, event_type AS category
+        |  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |), dom AS (
+        |  SELECT category, ROW_NUMBER() OVER (ORDER BY category) - 1 AS j
+        |  FROM (SELECT DISTINCT category FROM b)
+        |), tot AS (SELECT COUNT(*)::BIGINT AS n FROM b),
+        |kk AS (SELECT COUNT(*)::BIGINT AS k FROM dom),
+        |rep AS (
+        |  SELECT CASE WHEN (('0x' || substr(md5(id || chr(1) || '7' || chr(1) || 'keep'),
+        |                      1, 13))::BIGINT + 0.5) / 4503599627370496.0 < 0.7
+        |         THEN d.j
+        |         ELSE CAST(floor(((('0x' || substr(md5(id || chr(1) || '7' || chr(1) || 'draw'),
+        |                      1, 13))::BIGINT + 0.5) / 4503599627370496.0) * k::DOUBLE) AS BIGINT)
+        |         END AS rj
+        |  FROM b JOIN dom d USING (category) CROSS JOIN kk
+        |), obs AS (SELECT rj, COUNT(*)::BIGINT AS n_obs FROM rep GROUP BY 1),
+        |tc AS (SELECT category, COUNT(*)::BIGINT AS n_true FROM b GROUP BY 1)
+        |SELECT d.category, coalesce(t.n_true, 0::BIGINT) AS n_true,
+        |  coalesce(o.n_obs, 0::BIGINT) AS n_obs,
+        |  ROUND((coalesce(o.n_obs, 0::BIGINT)::DOUBLE
+        |         - n::DOUBLE * (1.0 - 0.7) / k::DOUBLE) / 0.7, 6) AS n_est
+        |FROM dom d LEFT JOIN tc t USING (category)
+        |LEFT JOIN obs o ON o.rj = d.j
+        |CROSS JOIN tot CROSS JOIN kk""".stripMargin,
+
+    // exponential-mechanism DP median: dense 64-bin scaffold, rank
+    // utility, seeded Gumbel draws, deterministic argmax + true bin
+    "q_dp_quantile" ->
+      """WITH c AS (
+        |  SELECT CAST(least(greatest(floor((n_chars::DOUBLE - 0.0) / 10.0), 0), 63)
+        |           AS BIGINT) AS bin,
+        |         COUNT(*)::BIGINT AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        |), s AS (SELECT i AS bin FROM range(64) t(i)),
+        |g AS (
+        |  SELECT s.bin,
+        |    CAST(SUM(coalesce(c.c, 0)) OVER (ORDER BY s.bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM s LEFT JOIN c USING (bin)
+        |), tot AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM g),
+        |sc AS (
+        |  SELECT bin, n, -abs(cum::DOUBLE - 0.5 * n) AS u,
+        |    0.5 * (-abs(cum::DOUBLE - 0.5 * n)) +
+        |      (-ln(-ln((('0x' || substr(md5(bin::VARCHAR || chr(1) || '7'), 1, 13))::BIGINT
+        |        + 0.5) / 4503599627370496.0))) AS score
+        |  FROM g CROSS JOIN tot
+        |), pick AS (SELECT n, bin FROM sc ORDER BY score DESC, bin LIMIT 1),
+        |tr AS (SELECT bin AS true_bin FROM sc ORDER BY u DESC, bin LIMIT 1)
+        |SELECT n, bin, ROUND(0.0 + bin * 10.0, 6) AS lo_edge,
+        |  ROUND(0.0 + (bin + 1) * 10.0, 6) AS hi_edge, true_bin
+        |FROM pick CROSS JOIN tr""".stripMargin,
+
+    // EWMA chart: power-of-two decayed-mean terms are exact binary
+    // rationals over a 2^32 common denominator, so the joined SUM is
+    // order-independent and matches Spark's in-order fold bit-for-bit
+    "q_ewma_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), kx AS (
+        |  SELECT event_type, day, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+        |  FROM daily
+        |), st AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS d, CAST(SUM(n) AS BIGINT) AS sn,
+        |         CAST(SUM(n * n) AS HUGEINT) AS sn2
+        |  FROM daily GROUP BY 1
+        |), sg AS (
+        |  SELECT event_type, CASE WHEN d >= 2 THEN
+        |    sqrt(greatest(sn2::DOUBLE / d::DOUBLE -
+        |      (sn::DOUBLE / d::DOUBLE) * (sn::DOUBLE / d::DOUBLE), 0.0)) END AS sigma
+        |  FROM st
+        |), prev AS (
+        |  SELECT a.event_type, a.i,
+        |    SUM(b.n::DOUBLE / (1::BIGINT << (a.i - b.i))::DOUBLE) AS pn,
+        |    SUM(1.0 / (1::BIGINT << (a.i - b.i))::DOUBLE) AS pw
+        |  FROM kx a JOIN kx b ON a.event_type = b.event_type
+        |    AND b.i >= a.i - 32 AND b.i <= a.i - 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT k.event_type, k.day, k.n,
+        |  ROUND(p.pn / p.pw, 6) AS ewma_prev,
+        |  ROUND(CASE WHEN s.sigma > 0.0
+        |    THEN (k.n::DOUBLE - p.pn / p.pw) / s.sigma END, 6) AS z,
+        |  coalesce(abs(CASE WHEN s.sigma > 0.0
+        |    THEN (k.n::DOUBLE - p.pn / p.pw) / s.sigma END) > 3.0, false) AS flagged
+        |FROM kx k
+        |LEFT JOIN prev p ON p.event_type = k.event_type AND p.i = k.i
+        |LEFT JOIN sg s ON s.event_type = k.event_type""".stripMargin,
+
+    // Matryoshka audit: id-successor pairs, list-slice prefix cosines
+    // with the in-order list_sum dot folds
+    "q_matryoshka" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_id, a.embedding AS va, b.embedding AS vb
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id IS NOT NULL AND a.embedding IS NOT NULL
+        |    AND b.embedding IS NOT NULL
+        |), e AS (
+        |  SELECT vec_id, va, vb, pfx,
+        |    list_sum(list_transform(va, x -> x::DOUBLE * x::DOUBLE)) AS naf,
+        |    list_sum(list_transform(vb, x -> x::DOUBLE * x::DOUBLE)) AS nbf,
+        |    list_sum(list_transform(va[1:pfx], x -> x::DOUBLE * x::DOUBLE)) AS nat,
+        |    list_sum(list_transform(vb[1:pfx], x -> x::DOUBLE * x::DOUBLE)) AS nbt
+        |  FROM p, (VALUES (8), (16), (32), (64)) t(pfx)
+        |), cosd AS (
+        |  SELECT vec_id, CAST(pfx AS BIGINT) AS prefix,
+        |    CASE WHEN sqrt(nat) = 0.0 OR sqrt(nbt) = 0.0 THEN NULL ELSE
+        |      list_sum(list_transform(range(1, pfx + 1),
+        |        i -> va[1:pfx][i]::DOUBLE * vb[1:pfx][i]::DOUBLE))
+        |      / (sqrt(nat) * sqrt(nbt)) END AS ct,
+        |    CASE WHEN naf = 0.0 OR nbf = 0.0 THEN NULL ELSE
+        |      list_sum(list_transform(range(1, len(va) + 1),
+        |        i -> va[i]::DOUBLE * vb[i]::DOUBLE))
+        |      / (sqrt(naf) * sqrt(nbf)) END AS cf
+        |  FROM e
+        |)
+        |SELECT vec_id, prefix, ROUND(ct, 6) AS cos_trunc, ROUND(cf, 6) AS cos_full,
+        |  ROUND(abs(ct - cf), 6) AS abs_err
+        |FROM cosd""".stripMargin,
 
     // rank-biased overlap: per-common-item tail-weight folds over the
     // id-sorted array; inner fold ascending in depth on both engines

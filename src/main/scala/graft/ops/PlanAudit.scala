@@ -168,7 +168,10 @@ object PlanAudit {
     "q_fleiss_kappa" -> "1-row item-panel totals (N, Σs²) crossJoin onto the 1-row category fold",
     "q_query_likelihood" -> "1-row corpus-total (Σdl) crossJoin for the Dirichlet prior (the q_bm25 shape)",
     "q_mmr_select" -> "brute-force kNN candidate generation (broadcast 10-query side — the q_knn baseline); the MMR steps themselves are per-row array math",
-    "q_dunn" -> "k-row group-summary self-join on g1<g2 + 1-row tie-frame crossJoin (the q_pairwise_contrasts shape)"
+    "q_dunn" -> "k-row group-summary self-join on g1<g2 + 1-row tie-frame crossJoin (the q_pairwise_contrasts shape)",
+    // r13 additions, the same bounded-broadcast shapes
+    "q_rr_freq" -> "k-row domain-size + 1-row corpus-total crossJoins (the LDP channel normalizers; k = |categories|, single digits)",
+    "q_dp_quantile" -> "1-row total-count crossJoin onto the 64-row bin frame + 1-row true-bin crossJoin into the single output row"
   )
 
 
@@ -468,7 +471,15 @@ object PlanAudit {
     // fs_linkage newly pinned with its blocked-join spread included
     "q_fs_linkage" -> 7,
     // r12: PPS sampler = the one exact-long size agg; draw is map-side
-    "q_pps_sample" -> 1)
+    "q_pps_sample" -> 1,
+    // r13 batch: brier = the bin agg + 1-row collapse; rr_freq's 12 are
+    // all k-/1-row domain-frame aggs and the report agg (corpus shuffles
+    // only on the k-bounded report key); dp_quantile's 8 ride the ≤64-row
+    // bin scaffold (cum window + two TakeOrdered legs); ewma = daily agg
+    // + the per-key series collapse; matryoshka's successor join
+    // broadcasts at audit SF (0 exchanges — map-side pair math)
+    "q_brier" -> 2, "q_rr_freq" -> 12, "q_dp_quantile" -> 8,
+    "q_ewma_chart" -> 2, "q_matryoshka" -> 0)
     // (r12) the vector-family pins above include the Par
     // spreadToShuffleWidth round-robin exchanges — one per dense
     // per-row stage (centroid assign, signature fold, projection,

@@ -289,8 +289,8 @@ object Privacy {
       .withColumn("_j", row_number().over(Window.orderBy(col("category"))) - 1L)
     val totals = base.agg(count(lit(1)).as("_n"))
       .crossJoin(broadcast(dom.agg(count(lit(1)).as("_k"))))
-    val u1 = seededUniform(concat_ws("", col("_id"), lit(seed.toString), lit("keep")))
-    val u2 = seededUniform(concat_ws("", col("_id"), lit(seed.toString), lit("draw")))
+    val u1 = seededUniform(concat_ws("\u0001", col("_id"), lit(seed.toString), lit("keep")))
+    val u2 = seededUniform(concat_ws("\u0001", col("_id"), lit(seed.toString), lit("draw")))
     val reported = base
       .join(broadcast(dom), "category") // true category -> its index
       .crossJoin(broadcast(totals.select(col("_k"))))
@@ -350,7 +350,7 @@ object Privacy {
     val grid = scaffold.join(counts, Seq("bin"), "left")
       .withColumn("_cum", sum(coalesce(col("_c"), lit(0L))).over(wCum))
     val totals = grid.agg(max(col("_cum")).as("n"))
-    val u = seededUniform(concat_ws("", col("bin").cast("string"),
+    val u = seededUniform(concat_ws("\u0001", col("bin").cast("string"),
       lit(seed.toString)))
     val gumbel = -log(-log(u))
     val scored = grid.crossJoin(broadcast(totals))

@@ -1274,7 +1274,7 @@ object Similarity {
     pairs
       .withColumn("_cf", fullSafe)
       .select(col("vec_id"), col("_cf"), explode(array(prefixes.map(p =>
-        struct(lit(p).as("prefix"), cosP(p).as("ct"))): _*)).as("_e"))
+        struct(lit(p.toLong).as("prefix"), cosP(p).as("ct"))): _*)).as("_e"))
       .select(col("vec_id"), col("_e.prefix").as("prefix"),
         round(col("_e.ct"), 6).as("cos_trunc"),
         round(col("_cf"), 6).as("cos_full"),

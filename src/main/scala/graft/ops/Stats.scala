@@ -504,15 +504,21 @@ object Stats {
         col("_a"))
       .select(col("n"),
         round(col("_bsnum") / (col("n").cast("double") * 1e12), 6).as("brier"),
+        // squared terms are explicit products, never pow(x, 2): libm pow
+        // is not guaranteed bit-equal to x*x across engines
         round(expr("""aggregate(_a, cast(0.0 as double), (a, s) ->
             a + cast(s.n as double) *
-              pow(cast(s.ssu as double) / (cast(s.n as double) * 1e6)
-                  - cast(s.sy as double) / cast(s.n as double), 2))""")
+              (cast(s.ssu as double) / (cast(s.n as double) * 1e6)
+                  - cast(s.sy as double) / cast(s.n as double)) *
+              (cast(s.ssu as double) / (cast(s.n as double) * 1e6)
+                  - cast(s.sy as double) / cast(s.n as double)))""")
           / col("n").cast("double"), 6).as("reliability"),
         round(expr(s"""aggregate(_a, cast(0.0 as double), (a, s) ->
             a + cast(s.n as double) *
-              pow(cast(s.sy as double) / cast(s.n as double)
-                  - cast(_ty as double) / cast(n as double), 2))""")
+              (cast(s.sy as double) / cast(s.n as double)
+                  - cast(_ty as double) / cast(n as double)) *
+              (cast(s.sy as double) / cast(s.n as double)
+                  - cast(_ty as double) / cast(n as double)))""")
           / col("n").cast("double"), 6).as("resolution"),
         round((col("_ty").cast("double") / col("n").cast("double")) *
           (lit(1.0) - col("_ty").cast("double") / col("n").cast("double")), 6)

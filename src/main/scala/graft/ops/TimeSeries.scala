@@ -328,7 +328,8 @@ object TimeSeries {
       // population σ of the key's daily series from exact integer sums
       .withColumn("_sigma", when(col("_d") >= 2,
         sqrt(greatest(col("_sn2").cast("double") / col("_d").cast("double") -
-          pow(col("_sn").cast("double") / col("_d").cast("double"), 2),
+          (col("_sn").cast("double") / col("_d").cast("double")) *
+            (col("_sn").cast("double") / col("_d").cast("double")),
           lit(0.0)))))
     perKey
       .select(col(keyCol), col("_sigma"), explode(expr(

@@ -26,6 +26,88 @@ class Round13Spec extends SparkSpec {
     assert(out.queryExecution.logical eq s.queryExecution.logical)
   }
 
+  test("brierDecomposition: hand-computed fixture + Murphy identity direction") {
+    import spark.implicits._
+    // two bins: scores 0.05 (y: 0,0,1) and 0.95 (y: 1,1,0)
+    val df = Seq((0.05, 0L), (0.05, 0L), (0.05, 1L),
+      (0.95, 1L), (0.95, 1L), (0.95, 0L)).toDF("score", "label")
+    val r = Stats.brierDecomposition(df, "score", "label", bins = 10).collect()(0)
+    r.getAs[Long]("n") shouldBe 6L
+    // raw BS = (2*.0025 + .9025 + 2*.0025 + .9025)/6 = 1.815/6 = 0.3025
+    r.getAs[Double]("brier") shouldBe 0.3025 +- 1e-9
+    // bin means ARE the scores here, so binned identity is exact:
+    // rel - res + unc must equal raw brier
+    val id = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    id shouldBe 0.3025 +- 1e-6
+    // unc = 0.5*0.5 with base rate 3/6
+    r.getAs[Double]("uncertainty") shouldBe 0.25 +- 1e-9
+  }
+
+  test("randomizedResponse: mass conservation and the pKeep=1 identity channel") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"c${i % 3}")).toDF("id", "cat")
+    val out = Privacy.randomizedResponse(df, "id", "cat", pKeep = 0.6).collect()
+    out.map(_.getAs[Long]("n_obs")).sum shouldBe 300L
+    out.map(_.getAs[Long]("n_true")).sum shouldBe 300L
+    // estimator mass: sum of n_est = n exactly by channel inversion
+    out.map(_.getAs[Double]("n_est")).sum shouldBe 300.0 +- 1e-6
+    // identity channel: every report is the truth
+    val id = Privacy.randomizedResponse(df, "id", "cat", pKeep = 1.0).collect()
+    id.foreach { r =>
+      r.getAs[Long]("n_obs") shouldBe r.getAs[Long]("n_true")
+      r.getAs[Double]("n_est") shouldBe r.getAs[Long]("n_true").toDouble +- 1e-6
+    }
+  }
+
+  test("dpQuantile: huge epsilon recovers the exact-quantile bin") {
+    import spark.implicits._
+    // 100 values uniform over [0, 100): true median bin at q=0.5
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val r = Privacy.dpQuantile(df, "v", q = 0.5, lo = 0.0, hi = 100.0,
+      bins = 10, epsilon = 1e6).collect()(0)
+    r.getAs[Long]("n") shouldBe 100L
+    // rank utility peaks where cum crosses 50: bin 4 (cum=50) ties best
+    r.getAs[Long]("bin") shouldBe r.getAs[Long]("true_bin")
+    r.getAs[Double]("hi_edge") - r.getAs[Double]("lo_edge") shouldBe 10.0 +- 1e-9
+  }
+
+  test("ewmaChart: exact decayed mean, 3-sigma flag, null first day") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-06-01T12:00:00Z")
+    val rows = ((0 until 9).flatMap(d => Seq.fill(2)(d)) ++ Seq.fill(20)(9))
+      .map(d => ("A", java.sql.Timestamp.from(base.plusSeconds(d * 86400L))))
+    val out = TimeSeries.ewmaChart(rows.toDF("k", "ts"), "k", "ts")
+      .orderBy("day").collect()
+    out.length shouldBe 10
+    out(0).isNullAt(out(0).fieldIndex("ewma_prev")) shouldBe true
+    out(0).getAs[Boolean]("flagged") shouldBe false
+    // days 1..9 before the spike: ewma_prev of a constant-2 series is 2
+    out(5).getAs[Double]("ewma_prev") shouldBe 2.0 +- 1e-9
+    // spike day: series [2x9, 20] -> sigma = sqrt(43.6 - 3.8^2) = 5.4,
+    // z = (20 - 2)/5.4 = 3.333 > 3 -> flagged
+    out(9).getAs[Long]("n") shouldBe 20L
+    out(9).getAs[Double]("z") shouldBe 3.333333 +- 1e-4
+    out(9).getAs[Boolean]("flagged") shouldBe true
+    out(5).getAs[Boolean]("flagged") shouldBe false
+  }
+
+  test("matryoshkaAudit: full-width prefix has zero error; row fanout = pairs x prefixes") {
+    import spark.implicits._
+    val emb = (0L to 9L).map(i =>
+      (i, Array.tabulate(8)(d => (0.1f * ((i + d) % 5 + 1))))).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaAudit(emb, "vec_id", "embedding", Seq(2, 4, 8))
+    val rows = out.collect()
+    rows.length shouldBe 9 * 3 // 9 successor pairs x 3 prefixes
+    rows.filter(_.getAs[Long]("prefix") == 8L)
+      .foreach(_.getAs[Double]("abs_err") shouldBe 0.0)
+    // truncation error is bounded by construction on unit-positive vecs
+    rows.foreach { r =>
+      val e = r.getAs[Double]("abs_err")
+      (e >= 0.0 && e <= 2.0) shouldBe true
+    }
+  }
+
   test("guarded ops still plan on streaming frames (simHash, shingleSets, winnowed)") {
     // before the fix each of these threw AnalysisException at
     // CONSTRUCTION time on a streaming input — no query start needed
