@@ -2926,6 +2926,43 @@ object SparkEntry {
         table(s, dir, "embeddings"), "vec_id", "embedding",
         prefixes = Seq(8, 16, 32, 64))),
 
+    // Euclidean near-dup via E2LSH sign-projection cells over the
+    // twin-planted union corpus (the q_embed_dup_prod recall
+    // discipline: banding sets recall ~1 at d<=r=w/5, verify is exact;
+    // the oracle is exact all-pairs at the same r)
+    "q_e2lsh" -> ((s, dir) => {
+      val base = table(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val twins = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * lit(0.99))
+            .as("embedding"))
+      val corpus = base.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .unionByName(twins)
+      graft.ops.Similarity.e2lshPairs(corpus, "vec_id", "embedding",
+        dim = 64, r = 0.1)
+    }),
+
+    // hop-capped harmonic centrality from the %97 landmark parts over
+    // the co-purchase digraph — exact-integer lcm-scaled 1/d sums
+    "q_harmonic" -> ((s, dir) =>
+      graft.ops.Graph.harmonicCentrality(
+        graft.ops.Graph.cooccurrenceDigraph(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L),
+        "src", "dst",
+        table(s, dir, "part").filter(pmod(col("p_partkey"), lit(97)) === 0),
+        "p_partkey", maxHops = 3)),
+
+    // MAUVE-lite: JS divergence between even- and odd-label slices'
+    // histograms through the pinned 4-cell codebook quantizer
+    "q_mauve_js" -> ((s, dir) =>
+      graft.ops.Similarity.quantizedJsDivergence(
+        table(s, dir, "embeddings").filter(col("label").isNotNull),
+        "vec_id", "embedding", pmod(col("label"), lit(2)) === 0,
+        kmeansCentroids)),
+
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
     "q_kfold" -> ((s, dir) =>
@@ -6789,6 +6826,54 @@ object SparkEntry {
          |  CAST(list_position(sims, list_max(sims)) - 1 AS BIGINT) AS cluster,
          |  ROUND(list_max(sims), 6) AS sim
          |FROM s""".stripMargin
+    },
+
+    // MAUVE-lite: the q_kmeans_assign scaffold (same pinned codebook,
+    // same argmax tie rule), per-parity cell histograms, JS divergence
+    // folded over the cluster-ordered cell list on both engines
+    "q_mauve_js" -> {
+      val cents = kmeansCentroids.map(_.map(x => java.lang.Double.toString(x)))
+      val norms = kmeansCentroids.map(c =>
+        java.lang.Double.toString(math.sqrt(c.map(x => x * x).sum)))
+      val sims = cents.zip(norms).map { case (c, cn) =>
+        val lit = c.mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ($lit)[i])) / (vn * $cn)"
+      }.mkString("[", ",\n       ", "]")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, label,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS vn
+         |  FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
+         |), s AS (
+         |  SELECT vec_id, label, $sims AS sims FROM v
+         |), asg AS (
+         |  SELECT vec_id, (label % 2 = 0) AS sl,
+         |    CAST(list_position(sims, list_max(sims)) - 1 AS BIGINT) AS cluster
+         |  FROM s
+         |), cc AS (
+         |  SELECT cluster,
+         |    CAST(SUM(CASE WHEN sl THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN sl THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM asg GROUP BY 1
+         |), arr AS (
+         |  SELECT list(struct_pack(cluster := cluster, ca := ca, cb := cb)
+         |           ORDER BY cluster) AS c,
+         |    CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+         |  FROM cc
+         |)
+         |SELECT n_a, n_b,
+         |  ROUND(list_sum(list_transform(c, s ->
+         |    (CASE WHEN s.ca = 0 THEN 0.0 ELSE
+         |       0.5 * (s.ca::DOUBLE / n_a::DOUBLE) *
+         |       ln(2.0 * (s.ca::DOUBLE / n_a::DOUBLE) /
+         |          (s.ca::DOUBLE / n_a::DOUBLE + s.cb::DOUBLE / n_b::DOUBLE)) END)
+         |    +
+         |    (CASE WHEN s.cb = 0 THEN 0.0 ELSE
+         |       0.5 * (s.cb::DOUBLE / n_b::DOUBLE) *
+         |       ln(2.0 * (s.cb::DOUBLE / n_b::DOUBLE) /
+         |          (s.ca::DOUBLE / n_a::DOUBLE + s.cb::DOUBLE / n_b::DOUBLE)) END)
+         |  )), 6) AS js_div
+         |FROM arr""".stripMargin
     },
 
     "q_semdedup_lsh" ->
@@ -10872,6 +10957,82 @@ object SparkEntry {
         |SELECT vec_id, prefix, ROUND(ct, 6) AS cos_trunc, ROUND(cf, 6) AS cos_full,
         |  ROUND(abs(ct - cf), 6) AS abs_err
         |FROM cosd""".stripMargin,
+
+    // E2LSH: the oracle is EXACT all-pairs L2 <= r over the same
+    // twin-planted union corpus — banding only sets recall (~1 - 1e-13
+    // per pair at w = 5r, L = 8), the verify is exact on both engines
+    "q_e2lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+        |  FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * 0.99)
+        |  FROM base WHERE vec_id % 10 = 0
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> (a.embedding[i] - b.embedding[i]) *
+        |           (a.embedding[i] - b.embedding[i])))) AS d
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |)
+        |SELECT a_id, b_id, ROUND(d, 6) AS dist FROM p WHERE d <= 0.1""".stripMargin,
+
+    // harmonic centrality: the q_bfs_hops relaxation unrolled 3 rounds
+    // with the landmark key carried through; 1/d sums are lcm-scaled
+    // integer division (6 // d exact for d in 1..3) on both engines
+    "q_harmonic" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), und AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM und
+        |), d0 AS (
+        |  SELECT DISTINCT p_partkey AS lm, p_partkey AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM part WHERE p_partkey IS NOT NULL AND p_partkey % 97 = 0
+        |), r1 AS (
+        |  SELECT d0.lm, e.dst AS node, MIN(d0.dist) + 1 AS d2
+        |  FROM d0 JOIN e ON e.src = d0.node GROUP BY 1, 2
+        |), d1 AS (
+        |  SELECT COALESCE(d0.lm, r1.lm) AS lm, COALESCE(d0.node, r1.node) AS node,
+        |    least(COALESCE(d0.dist, 9223372036854775807),
+        |          COALESCE(r1.d2, 9223372036854775807)) AS dist
+        |  FROM d0 FULL JOIN r1 ON d0.lm = r1.lm AND d0.node = r1.node
+        |), r2 AS (
+        |  SELECT d1.lm, e.dst AS node, MIN(d1.dist) + 1 AS d2
+        |  FROM d1 JOIN e ON e.src = d1.node GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT COALESCE(d1.lm, r2.lm) AS lm, COALESCE(d1.node, r2.node) AS node,
+        |    least(COALESCE(d1.dist, 9223372036854775807),
+        |          COALESCE(r2.d2, 9223372036854775807)) AS dist
+        |  FROM d1 FULL JOIN r2 ON d1.lm = r2.lm AND d1.node = r2.node
+        |), r3 AS (
+        |  SELECT d2.lm, e.dst AS node, MIN(d2.dist) + 1 AS d2
+        |  FROM d2 JOIN e ON e.src = d2.node GROUP BY 1, 2
+        |), d3 AS (
+        |  SELECT COALESCE(d2.lm, r3.lm) AS lm, COALESCE(d2.node, r3.node) AS node,
+        |    least(COALESCE(d2.dist, 9223372036854775807),
+        |          COALESCE(r3.d2, 9223372036854775807)) AS dist
+        |  FROM d2 FULL JOIN r3 ON d2.lm = r3.lm AND d2.node = r3.node
+        |)
+        |SELECT node, COUNT(*)::BIGINT AS n_reached_from,
+        |  ROUND(CAST(SUM(6 // dist) AS BIGINT)::DOUBLE / 6.0, 6) AS harmonic
+        |FROM d3 WHERE dist >= 1 GROUP BY 1""".stripMargin,
 
     // rank-biased overlap: per-common-item tail-weight folds over the
     // id-sorted array; inner fold ascending in depth on both engines

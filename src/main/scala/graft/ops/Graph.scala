@@ -549,6 +549,60 @@ object Graph {
     dist
   }
 
+  /** Hop-capped harmonic centrality from a landmark set — the
+    * practical distributed stand-in for closeness centrality (exact
+    * closeness needs all-pairs shortest paths; the standard estimator
+    * runs BFS from k landmarks and harmonic weighting handles
+    * disconnection gracefully where classic closeness diverges):
+    * `H(v) = Σ_landmarks 1/d(l, v)` over landmarks within `maxHops`.
+    *
+    * Same per-round frontier relaxation as [[bfsHops]], but the state
+    * carries the LANDMARK key so distances stay per-source:
+    * (landmark, node, dist) — state is `O(landmarks × reachable)`,
+    * landmark count is the caller's budget knob. The harmonic sum is
+    * EXACT integer arithmetic: each 1/d term is scaled by
+    * lcm(1..maxHops) (`maxHops ≤ 4` → lcm ≤ 12), summed as longs, and
+    * divided once at the edge — no order-dependent double
+    * accumulation, engine-bit-identical. Landmarks do not count
+    * themselves (d = 0 excluded).
+    * Output: (node, n_reached_from, harmonic) — `n_reached_from` =
+    * landmarks reaching the node within the cap.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         landmarks: DataFrame, landmarkCol: String,
+                         maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 4, "1 <= maxHops <= 4 (lcm stays tiny)")
+    val lcm = Seq(1L, 1L, 2L, 6L, 12L)(maxHops)
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    var dist = landmarks.filter(col(landmarkCol).isNotNull)
+      .select(col(landmarkCol).as("lm")).distinct()
+      .select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .groupBy(col("lm"), col("dst").as("node"))
+        .agg((min(col("dist")) + 1L).as("_d2"))
+      val next = dist.join(relaxed, Seq("lm", "node"), "full")
+        .select(col("lm"), col("node"),
+          least(coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("_d2"), lit(Long.MaxValue))).as("dist"))
+        .localCheckpoint(true)
+      Checkpoints.free(dist)
+      dist = next
+    }
+    Checkpoints.free(e)
+    dist.filter(col("dist") >= 1L)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached_from"),
+        // `div`, not `/`: Spark's Divide widens longs to double — the
+        // lcm scaling exists precisely to keep this an integer sum
+        sum(expr(s"$lcm div dist")).as("_h"))
+      .select(col("node"), col("n_reached_from"),
+        round(col("_h").cast("double") / lcm.toDouble, 6).as("harmonic"))
+  }
+
   /** Per-node local clustering coefficient over the co-occurrence
     * graph: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where T(v) counts
     * triangles through v — the node-level cohesion profile (global

@@ -171,7 +171,8 @@ object PlanAudit {
     "q_dunn" -> "k-row group-summary self-join on g1<g2 + 1-row tie-frame crossJoin (the q_pairwise_contrasts shape)",
     // r13 additions, the same bounded-broadcast shapes
     "q_rr_freq" -> "k-row domain-size + 1-row corpus-total crossJoins (the LDP channel normalizers; k = |categories|, single digits)",
-    "q_dp_quantile" -> "1-row total-count crossJoin onto the 64-row bin frame + 1-row true-bin crossJoin into the single output row"
+    "q_dp_quantile" -> "1-row total-count crossJoin onto the 64-row bin frame + 1-row true-bin crossJoin into the single output row",
+    "q_e2lsh" -> "nTables-row (8) sign-matrix broadcast crossJoin — the q_jl_project shape, planned once per self-join side; the corpus join itself is the audited (table, cell) equi-join"
   )
 
 
@@ -194,7 +195,8 @@ object PlanAudit {
     "q_dedup_canonical" -> 1, "q_dedup_cluster_sizes" -> 1, "q_dedup_clusters" -> 1,
     "q_dedup_incremental" -> 1, "q_dedup_minhash" -> 1, "q_dedup_pairs" -> 1,
     "q_dedup_pairs_maxdf" -> 1, "q_dedup_pairs_prefix" -> 1, "q_dup_ngrams" -> 1,
-    "q_dup_spans" -> 1, "q_editdist_pairs" -> 1, "q_editdist_seg" -> 2,
+    "q_dup_spans" -> 1, "q_e2lsh" -> 1, "q_editdist_pairs" -> 1,
+    "q_editdist_seg" -> 2,
     "q_embed_dup" -> 1, "q_embed_dup_lsh" -> 1, "q_embed_dup_prod" -> 1,
     "q_er_clusters" -> 1, "q_fs_linkage" -> 1, "q_hard_negatives" -> 1,
     "q_hybrid_rrf" -> 1, "q_jw_match" -> 1, "q_knn" -> 1,
@@ -213,7 +215,7 @@ object PlanAudit {
     * covered by the spec's direct family-representative runtime test.
     */
   val widthGuardSites: Map[String, Int] = Map(
-    "Dedup.scala" -> 5, "Pca.scala" -> 2, "Similarity.scala" -> 9,
+    "Dedup.scala" -> 5, "Pca.scala" -> 2, "Similarity.scala" -> 10,
     "TextAnalysis.scala" -> 5)
 
   /** Pinned shuffle budgets for headline queries (measured by
@@ -479,7 +481,12 @@ object PlanAudit {
     // + the per-key series collapse; matryoshka's successor join
     // broadcasts at audit SF (0 exchanges — map-side pair math)
     "q_brier" -> 2, "q_rr_freq" -> 12, "q_dp_quantile" -> 8,
-    "q_ewma_chart" -> 2, "q_matryoshka" -> 0)
+    "q_ewma_chart" -> 2, "q_matryoshka" -> 0,
+    // e2lsh = cell equi-join + pair distinct (+ the width spread at
+    // narrow scan); harmonic's rounds are checkpoint leaves (bfs
+    // precedent) leaving the final per-node agg; mauve = cell-slice
+    // agg + the 1-row collapse (assignment is map-side)
+    "q_e2lsh" -> 5, "q_harmonic" -> 1, "q_mauve_js" -> 2)
     // (r12) the vector-family pins above include the Par
     // spreadToShuffleWidth round-robin exchanges — one per dense
     // per-row stage (centroid assign, signature fold, projection,

@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Projection {
 
-  /** (j, sign array of length d): +1.0/−1.0 from md5 parity. */
-  private def signFrame(spark: SparkSession, k: Int, d: Int): DataFrame =
+  /** (j, sign array of length d): +1.0/−1.0 from md5 parity. Shared
+    * with [[Similarity.e2lshPairs]] (its hash tables are one sign
+    * projection each — the same engine-portable matrix).
+    */
+  private[graft] def signFrame(spark: SparkSession, k: Int, d: Int): DataFrame =
     spark.range(k).select(col("id").as("comp"))
       .withColumn("_s", expr(
         s"""transform(sequence(0, ${d - 1}), i ->

@@ -1226,6 +1226,122 @@ object Similarity {
         col("n_vectors"))
   }
 
+  /** Euclidean near-dup pairs via E2LSH-style bucketing (Datar et al.
+    * 2004's p-stable scheme with the repo's engine-portable twist): each
+    * of `nTables` hash tables is ONE sign projection
+    * ([[graft.ops.Projection.signFrame]]'s md5-±1 matrix — regenerable
+    * symbolically by any engine, where a Gaussian matrix would need
+    * shipped state) quantized to width-`w` cells with a seeded offset,
+    * `h_l(v) = ⌊(v·s_l + w·u_l) / w⌋`; candidates share a (table, cell)
+    * key, then verify EXACT L2 ≤ `r`. Sign projections are the JL
+    * variant of p-stable: for unit-scale data the projected gap of a
+    * distance-`d` pair concentrates at `±d`, so a pair at `d ≪ w`
+    * splits across a cell boundary in one table with probability
+    * ≈ `d/w` and survives all `nTables` independent offsets with
+    * probability ≈ `(d/w)^L` — at the shipped config (`d ≤ r = w/5`,
+    * L = 8) below 1e-5 per pair, which is what lets the exact all-pairs
+    * oracle gate the banded plan (the `q_embed_dup_prod` precedent:
+    * banding sets recall, the verify sets precision).
+    *
+    * Determinism: projections fold in dim order (raw-parity doubles →
+    * identical cells on both engines), offsets are the seeded md5
+    * uniforms, the verify distance is one in-order fold + sqrt.
+    * Output: (a_id, b_id, dist), dist rounded 6.
+    *
+    * Scale posture: the sign matrix is `nTables` broadcast rows; the
+    * projection+cell stage is map-side (dense per-row — width-guarded);
+    * the only corpus shuffle is the (table, cell) equi-join, bucket-
+    * bounded, never all-pairs.
+    */
+  def e2lshPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 r: Double, w: Double = 0.5, nTables: Int = 8,
+                 seed: Long = 7L): DataFrame = {
+    require(r > 0.0 && w > 0.0, "r, w must be positive")
+    require(nTables >= 1 && nTables <= 64, "1 <= nTables <= 64")
+    val spark = emb.sparkSession
+    val base = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"), asDouble(col(vecCol)).as("_v"))
+    val uL = { // per-table offset: the seeded md5 uniform on (table, seed)
+      val key = concat_ws("", col("comp").cast("string"), lit(seed.toString))
+      val h = conv(substring(md5(key.cast("binary")), 1, 13), 16, 10).cast("long")
+      (h + lit(0.5)) / lit(4503599627370496.0)
+    }
+    val signs = graft.ops.Projection.signFrame(spark, nTables, dim)
+      .withColumn("_b", uL * w)
+    // nTables d-wide folds per row: dense — spread when the scan is narrow
+    val cells = Par.spreadToShuffleWidth(base, emb)
+      .crossJoin(broadcast(signs))
+      .select(col("vec_id"), col("_v"), col("comp").as("_l"),
+        floor((aggregate(zip_with(col("_v"), col("_s"), (x, s) => x * s),
+          lit(0.0), (a, t) => a + t) + col("_b")) / lit(w)).as("_cell"))
+    val cand = cells.alias("a")
+      .join(cells.select(col("vec_id").as("b_id"), col("_v").as("_w"),
+        col("_l"), col("_cell")), Seq("_l", "_cell"))
+      .filter(col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("a_id"), col("b_id"), col("_v"), col("_w"))
+      .distinct()
+    val dist = sqrt(aggregate(zip_with(col("_v"), col("_w"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, t) => a + t))
+    cand.withColumn("_d", dist)
+      .filter(col("_d") <= r)
+      .select(col("a_id"), col("b_id"), round(col("_d"), 6).as("dist"))
+  }
+
+  /** Quantized-distribution divergence between two corpus slices — a
+    * MAUVE-flavored eval primitive: assign every vector to its nearest
+    * pinned centroid ([[assignToCentroids]]'s map-side argmax), build
+    * the two slices' cell histograms, and release the Jensen–Shannon
+    * divergence between them (0 = indistinguishable through the
+    * quantizer, ln 2 = disjoint support). The practical question it
+    * answers at 100 TB: did generation/filtering shift WHERE the
+    * embedding mass sits, summarized through a k-cell codebook instead
+    * of an intractable density.
+    *
+    * Determinism: cell counts are exact longs; the JS fold runs over
+    * the ≤k-row cell frame in cell order (collapsed-frame discipline),
+    * `0·ln 0 = 0` handled explicitly. Output one row:
+    * (n_a, n_b, js_div).
+    *
+    * Scale posture: map-side assignment (0 shuffles), one hash agg to
+    * (cell, slice) counts, then tiny-frame math — corpus never
+    * shuffles on anything wider than the k-bounded cell key.
+    */
+  def quantizedJsDivergence(emb: DataFrame, idCol: String, vecCol: String,
+                            sliceCol: Column,
+                            centroids: Seq[Seq[Double]]): DataFrame = {
+    val assigned = assignToCentroids(emb, idCol, vecCol, centroids)
+      .select(col("vec_id"), col("cluster"))
+      .join(emb.select(col(idCol).as("vec_id"), sliceCol.as("_slice")), "vec_id")
+    val cellCounts = assigned.groupBy("cluster")
+      .agg(sum(when(col("_slice"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_slice"), 0L).otherwise(1L)).as("cb"))
+    cellCounts
+      .agg(array_sort(collect_list(struct(col("cluster"), col("ca"), col("cb"))))
+        .as("_c"))
+      .select(expr("aggregate(_c, 0L, (a, s) -> a + s.ca)").as("n_a"),
+        expr("aggregate(_c, 0L, (a, s) -> a + s.cb)").as("n_b"), col("_c"))
+      // JS = 0.5*KL(P||M) + 0.5*KL(Q||M), folded per cell in cluster
+      // order; p or q = 0 contributes its x*ln(2x/(x+y)) term as 0
+      .select(col("n_a"), col("n_b"),
+        // per-cell term = (P-leg + Q-leg) grouped BEFORE joining the
+        // accumulator, mirroring DuckDB's list_sum over per-element
+        // sums — addition grouping is part of the parity contract
+        round(expr("""aggregate(_c, cast(0.0 as double), (acc, s) ->
+            acc + (
+              (CASE WHEN s.ca = 0 THEN cast(0.0 as double) ELSE
+                0.5 * (cast(s.ca as double) / cast(n_a as double)) *
+                ln(2.0 * (cast(s.ca as double) / cast(n_a as double)) /
+                   (cast(s.ca as double) / cast(n_a as double)
+                    + cast(s.cb as double) / cast(n_b as double))) END)
+              +
+              (CASE WHEN s.cb = 0 THEN cast(0.0 as double) ELSE
+                0.5 * (cast(s.cb as double) / cast(n_b as double)) *
+                ln(2.0 * (cast(s.cb as double) / cast(n_b as double)) /
+                   (cast(s.ca as double) / cast(n_a as double)
+                    + cast(s.cb as double) / cast(n_b as double))) END)))"""), 6)
+          .as("js_div"))
+  }
+
   /** Matryoshka (MRL) truncation-fidelity audit: how much cosine
     * similarity drifts when vectors are cut to a prefix of their
     * dimensions — the measurement behind serving a 1/4-width embedding

@@ -108,6 +108,64 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("e2lshPairs: planted twin found, far pairs verified away") {
+    import spark.implicits._
+    val base = (0L to 19L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 64 + d + 1).toFloat))
+    }
+    val emb = base.toDF("vec_id", "embedding")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    // plant one twin of vector 3 at distance 0.01 * |v3|
+    val twin = emb.filter(col("vec_id") === 3L)
+      .select(lit(1003L).as("vec_id"),
+        expr("transform(embedding, x -> x * 0.99)").as("embedding"))
+    val out = Similarity.e2lshPairs(emb.unionByName(twin),
+      "vec_id", "embedding", dim = 64, r = 0.2)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((3L, 1003L))
+    // sin-vectors of distinct seeds sit far apart: only the twin survives
+    pairs.size shouldBe 1
+    out.collect()(0).getAs[Double]("dist") should be < 0.2
+  }
+
+  test("harmonicCentrality: exact lcm-scaled 1/d sums on a hand path graph") {
+    import spark.implicits._
+    // undirected path 1-2-3-4 (edges both ways), landmarks {1, 4}
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lms = Seq(1L, 4L).toDF("lm")
+    val out = Graph.harmonicCentrality(edges, "src", "dst", lms, "lm", maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_reached_from"), r.getAs[Double]("harmonic"))).toMap
+    // node 2: d(1,2)=1, d(4,2)=2 -> 1 + 1/2 = 1.5 ; node 3 symmetric
+    out(2L) shouldBe ((2L, 1.5))
+    out(3L) shouldBe ((2L, 1.5))
+    // landmarks see each other at distance 3 -> 1/3 exactly via 6 div 3
+    out(1L) shouldBe ((1L, 0.333333))
+    out(4L) shouldBe ((1L, 0.333333))
+  }
+
+  test("quantizedJsDivergence: 0 for identical slices, ln 2 for disjoint cells") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // identical composition in both slices -> JS = 0
+    val same = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.quantizedJsDivergence(same, "vec_id", "embedding",
+      col("label") % 2 === 0, cents).collect()(0)
+      .getAs[Double]("js_div") shouldBe 0.0
+    // slices land in disjoint cells -> JS = ln 2
+    val split = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.quantizedJsDivergence(split, "vec_id", "embedding",
+      col("label") % 2 === 0, cents).collect()(0)
+      .getAs[Double]("js_div") shouldBe (math.log(2.0) +- 1e-5)
+  }
+
   test("guarded ops still plan on streaming frames (simHash, shingleSets, winnowed)") {
     // before the fix each of these threw AnalysisException at
     // CONSTRUCTION time on a streaming input — no query start needed
