@@ -486,7 +486,10 @@ object PlanAudit {
     // narrow scan); harmonic's rounds are checkpoint leaves (bfs
     // precedent) leaving the final per-node agg; mauve = cell-slice
     // agg + the 1-row collapse (assignment is map-side)
-    "q_e2lsh" -> 5, "q_harmonic" -> 1, "q_mauve_js" -> 2)
+    // e2lsh raised 5 -> 7 with the narrow candidates-then-fetch shape:
+    // the two id-keyed vector re-fetch joins replace carrying 64-dim
+    // arrays through the bucket join + distinct (warm 7.8 -> 1.8 s)
+    "q_e2lsh" -> 7, "q_harmonic" -> 1, "q_mauve_js" -> 2)
     // (r12) the vector-family pins above include the Par
     // spreadToShuffleWidth round-robin exchanges — one per dense
     // per-row stage (centroid assign, signature fold, projection,

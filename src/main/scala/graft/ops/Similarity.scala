@@ -1226,63 +1226,83 @@ object Similarity {
         col("n_vectors"))
   }
 
-  /** Euclidean near-dup pairs via E2LSH-style bucketing (Datar et al.
-    * 2004's p-stable scheme with the repo's engine-portable twist): each
-    * of `nTables` hash tables is ONE sign projection
+  /** Euclidean near-dup pairs via E2LSH bucketing (Datar et al. 2004
+    * with the repo's engine-portable twist): each of `nTables` hash
+    * tables is `projPerTable` (m) CONCATENATED sign projections
     * ([[graft.ops.Projection.signFrame]]'s md5-±1 matrix — regenerable
     * symbolically by any engine, where a Gaussian matrix would need
-    * shipped state) quantized to width-`w` cells with a seeded offset,
-    * `h_l(v) = ⌊(v·s_l + w·u_l) / w⌋`; candidates share a (table, cell)
-    * key, then verify EXACT L2 ≤ `r`. Sign projections are the JL
-    * variant of p-stable: for unit-scale data the projected gap of a
-    * distance-`d` pair concentrates at `±d`, so a pair at `d ≪ w`
-    * splits across a cell boundary in one table with probability
-    * ≈ `d/w` and survives all `nTables` independent offsets with
-    * probability ≈ `(d/w)^L` — at the shipped config (`d ≤ r = w/5`,
-    * L = 8) below 1e-5 per pair, which is what lets the exact all-pairs
-    * oracle gate the banded plan (the `q_embed_dup_prod` precedent:
-    * banding sets recall, the verify sets precision).
+    * shipped state), each quantized to width-`w` cells with a seeded
+    * offset: `g_l(v) = (⌊(v·s_{l,1} + b_{l,1})/w⌋, …, ⌊…_{l,m}⌋)`.
+    * Candidates share a whole (table, m-cell key); then verify EXACT
+    * L2 ≤ `r`. Sign projections are the JL variant of p-stable: a
+    * distance-`d` pair's projected gap concentrates at `±d`, so a far
+    * pair (d ≫ w) matches all m slots of one table with probability
+    * ~`(w/d)^m` (the knob that keeps candidate volume near-linear),
+    * while a twin at `d ≪ w` splits somewhere in a table with
+    * probability ≈ `m·d/w` and misses ALL `nTables` independent
+    * offset sets with probability ≈ `(m·d/w)^L` — at the shipped
+    * config (`d ≤ r = w/5`, m = 4, L = 8) below 1e-3·…·≈1e-9 per
+    * pair, which is what lets the exact all-pairs oracle gate the
+    * banded plan (the `q_embed_dup_prod` precedent: banding sets
+    * recall, the verify sets precision).
     *
     * Determinism: projections fold in dim order (raw-parity doubles →
     * identical cells on both engines), offsets are the seeded md5
     * uniforms, the verify distance is one in-order fold + sqrt.
     * Output: (a_id, b_id, dist), dist rounded 6.
     *
-    * Scale posture: the sign matrix is `nTables` broadcast rows; the
-    * projection+cell stage is map-side (dense per-row — width-guarded);
-    * the only corpus shuffle is the (table, cell) equi-join, bucket-
-    * bounded, never all-pairs.
+    * Scale posture: the sign matrix is `nTables·m` broadcast rows,
+    * regrouped to `nTables`; the projection+cell stage is map-side
+    * (dense per-row — width-guarded) and emits a NARROW (id, table,
+    * key) frame, so the bucket equi-join never shuffles vectors; the
+    * verify stage re-fetches the two vectors by id (the standard
+    * candidates-then-fetch shape). No all-pairs anywhere.
     */
   def e2lshPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                  r: Double, w: Double = 0.5, nTables: Int = 8,
-                 seed: Long = 7L): DataFrame = {
+                 projPerTable: Int = 4, seed: Long = 7L): DataFrame = {
     require(r > 0.0 && w > 0.0, "r, w must be positive")
     require(nTables >= 1 && nTables <= 64, "1 <= nTables <= 64")
+    require(projPerTable >= 1 && projPerTable <= 16, "1 <= projPerTable <= 16")
     val spark = emb.sparkSession
     val base = emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("vec_id"), asDouble(col(vecCol)).as("_v"))
-    val uL = { // per-table offset: the seeded md5 uniform on (table, seed)
-      val key = concat_ws("", col("comp").cast("string"), lit(seed.toString))
+    val uL = { // per-projection offset: the seeded md5 uniform on (slot, seed)
+      val key = concat_ws("", col("comp").cast("string"), lit(seed.toString))
       val h = conv(substring(md5(key.cast("binary")), 1, 13), 16, 10).cast("long")
       (h + lit(0.5)) / lit(4503599627370496.0)
     }
-    val signs = graft.ops.Projection.signFrame(spark, nTables, dim)
+    // m cell coordinates CONCATENATED per table (classic E2LSH g =
+    // (h_1..h_m)): random collisions fall as ~(w/d)^m while a d << w
+    // twin still matches all m slots of some table
+    val signs = graft.ops.Projection.signFrame(spark, nTables * projPerTable, dim)
       .withColumn("_b", uL * w)
-    // nTables d-wide folds per row: dense — spread when the scan is narrow
+      .withColumn("_tbl", (col("comp") / projPerTable).cast("long"))
+      .groupBy("_tbl")
+      .agg(array_sort(collect_list(struct(col("comp"), col("_s"), col("_b"))))
+        .as("_ps"))
+    // nTables*m d-wide folds per row: dense — spread on a narrow scan.
+    // The cell frame is NARROW (id, table, m-long key): vectors never
+    // travel through the bucket join; the verify stage re-fetches them.
     val cells = Par.spreadToShuffleWidth(base, emb)
       .crossJoin(broadcast(signs))
-      .select(col("vec_id"), col("_v"), col("comp").as("_l"),
-        floor((aggregate(zip_with(col("_v"), col("_s"), (x, s) => x * s),
-          lit(0.0), (a, t) => a + t) + col("_b")) / lit(w)).as("_cell"))
+      .select(col("vec_id"), col("_tbl"),
+        transform(col("_ps"), p =>
+          floor((aggregate(zip_with(col("_v"), p.getField("_s"), (x, s) => x * s),
+            lit(0.0), (a, t) => a + t) + p.getField("_b")) / lit(w)))
+          .as("_cell"))
     val cand = cells.alias("a")
-      .join(cells.select(col("vec_id").as("b_id"), col("_v").as("_w"),
-        col("_l"), col("_cell")), Seq("_l", "_cell"))
+      .join(cells.select(col("vec_id").as("b_id"), col("_tbl"), col("_cell")),
+        Seq("_tbl", "_cell"))
       .filter(col("vec_id") < col("b_id"))
-      .select(col("vec_id").as("a_id"), col("b_id"), col("_v"), col("_w"))
+      .select(col("vec_id").as("a_id"), col("b_id"))
       .distinct()
     val dist = sqrt(aggregate(zip_with(col("_v"), col("_w"),
       (x, y) => (x - y) * (x - y)), lit(0.0), (a, t) => a + t))
-    cand.withColumn("_d", dist)
+    cand
+      .join(base.select(col("vec_id").as("a_id"), col("_v")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("_v").as("_w")), "b_id")
+      .withColumn("_d", dist)
       .filter(col("_d") <= r)
       .select(col("a_id"), col("b_id"), round(col("_d"), 6).as("dist"))
   }
