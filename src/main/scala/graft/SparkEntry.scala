@@ -2963,6 +2963,22 @@ object SparkEntry {
         "vec_id", "embedding", pmod(col("label"), lit(2)) === 0,
         kmeansCentroids)),
 
+    // character-bigram entropy — the sub-token gibberish screen
+    // (docEntropy's char-level sibling)
+    "q_char_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.charNgramEntropy(
+        table(s, dir, "documents"), "doc_id", "text", n = 2)),
+
+    // Cochran–Armitage trend: does the purchase rate drift
+    // monotonically across the hour-of-day exposure levels?
+    "q_trend_test" -> ((s, dir) =>
+      graft.ops.Stats.cochranArmitage(
+        table(s, dir, "events")
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .select(hour(col("ts")).as("hour_score"),
+            (col("event_type") === "purchase").cast("long").as("purchase")),
+        "hour_score", "purchase")),
+
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
     "q_kfold" -> ((s, dir) =>
@@ -11033,6 +11049,63 @@ object SparkEntry {
         |SELECT node, COUNT(*)::BIGINT AS n_reached_from,
         |  ROUND(CAST(SUM(6 // dist) AS BIGINT)::DOUBLE / 6.0, 6) AS harmonic
         |FROM d3 WHERE dist >= 1 GROUP BY 1""".stripMargin,
+
+    // char-bigram entropy: the q_doc_entropy fold idiom over substr
+    // grams (range end-exclusive = sequence inclusive end - 1)
+    "q_char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) >= 2
+        |), ix AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i FROM d
+        |), g AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS gram FROM ix
+        |), tf AS (
+        |  SELECT doc_id, gram, COUNT(*)::BIGINT AS tf FROM g GROUP BY 1, 2
+        |), p AS (
+        |  SELECT doc_id, list_sort(list(struct_pack(gram := gram, tf := tf))) AS arr
+        |  FROM tf GROUP BY 1
+        |), gg AS (
+        |  SELECT doc_id, arr,
+        |    CAST(list_sum(list_transform(arr, s -> s.tf)) AS BIGINT) AS n_grams,
+        |    CAST(len(arr) AS BIGINT) AS n_distinct
+        |  FROM p
+        |)
+        |SELECT doc_id, n_grams, n_distinct,
+        |  ROUND(list_sum(list_transform(arr, s ->
+        |    -(s.tf / n_grams) * ln(s.tf / n_grams))), 6) AS entropy,
+        |  ROUND(CASE WHEN n_distinct > 1 THEN
+        |    list_sum(list_transform(arr, s ->
+        |      -(s.tf / n_grams) * ln(s.tf / n_grams))) / ln(n_distinct)
+        |    END, 6) AS entropy_ratio
+        |FROM gg""".stripMargin,
+
+    // Cochran–Armitage: per-level integer sums, HUGEINT score moments,
+    // one double z tree — degenerate (all-pos / all-neg / <2 levels)
+    // masks to NULL on both engines
+    "q_trend_test" ->
+      """WITH b AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), pl AS (
+        |  SELECT s, COUNT(*)::BIGINT AS ni, CAST(SUM(y) AS BIGINT) AS n1i
+        |  FROM b GROUP BY 1
+        |), agg AS (
+        |  SELECT CAST(SUM(ni) AS BIGINT) AS n, CAST(SUM(n1i) AS BIGINT) AS n_pos,
+        |    COUNT(*)::BIGINT AS n_levels,
+        |    CAST(SUM(s::HUGEINT * ni) AS HUGEINT) AS sn,
+        |    CAST(SUM(s::HUGEINT * s * ni) AS HUGEINT) AS s2n,
+        |    CAST(SUM(s::HUGEINT * n1i) AS HUGEINT) AS sy
+        |  FROM pl
+        |)
+        |SELECT n, n_pos, n_levels,
+        |  ROUND(CASE WHEN n_pos = 0 OR n_pos = n OR n_levels < 2 THEN NULL ELSE
+        |    (sy::DOUBLE - (n_pos::DOUBLE / n::DOUBLE) * sn::DOUBLE) /
+        |    sqrt((n_pos::DOUBLE / n::DOUBLE) * (1.0 - n_pos::DOUBLE / n::DOUBLE) *
+        |         (s2n::DOUBLE - sn::DOUBLE * sn::DOUBLE / n::DOUBLE))
+        |  END, 6) AS z_trend
+        |FROM agg""".stripMargin,
 
     // rank-biased overlap: per-common-item tail-weight folds over the
     // id-sorted array; inner fold ascending in depth on both engines

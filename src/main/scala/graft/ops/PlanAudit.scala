@@ -195,6 +195,7 @@ object PlanAudit {
     "q_dedup_canonical" -> 1, "q_dedup_cluster_sizes" -> 1, "q_dedup_clusters" -> 1,
     "q_dedup_incremental" -> 1, "q_dedup_minhash" -> 1, "q_dedup_pairs" -> 1,
     "q_dedup_pairs_maxdf" -> 1, "q_dedup_pairs_prefix" -> 1, "q_dup_ngrams" -> 1,
+    "q_char_entropy" -> 1,
     "q_dup_spans" -> 1, "q_e2lsh" -> 1, "q_editdist_pairs" -> 1,
     "q_editdist_seg" -> 2,
     "q_embed_dup" -> 1, "q_embed_dup_lsh" -> 1, "q_embed_dup_prod" -> 1,
@@ -216,7 +217,7 @@ object PlanAudit {
     */
   val widthGuardSites: Map[String, Int] = Map(
     "Dedup.scala" -> 5, "Pca.scala" -> 2, "Similarity.scala" -> 10,
-    "TextAnalysis.scala" -> 5)
+    "TextAnalysis.scala" -> 6)
 
   /** Pinned shuffle budgets for headline queries (measured by
     * `graft.ShuffleCounts`): a NEW Exchange in one of these plans is a
@@ -489,7 +490,10 @@ object PlanAudit {
     // e2lsh raised 5 -> 7 with the narrow candidates-then-fetch shape:
     // the two id-keyed vector re-fetch joins replace carrying 64-dim
     // arrays through the bucket join + distinct (warm 7.8 -> 1.8 s)
-    "q_e2lsh" -> 7, "q_harmonic" -> 1, "q_mauve_js" -> 2)
+    "q_e2lsh" -> 7, "q_harmonic" -> 1, "q_mauve_js" -> 2,
+    // char-entropy = gram agg + per-doc collapse (+ the width spread
+    // at narrow scan); trend test = level agg + 1-row collapse
+    "q_char_entropy" -> 3, "q_trend_test" -> 2)
     // (r12) the vector-family pins above include the Par
     // spreadToShuffleWidth round-robin exchanges — one per dense
     // per-row stage (centroid assign, signature fold, projection,

@@ -525,6 +525,52 @@ object Stats {
           .as("uncertainty"))
   }
 
+  /** Cochran–Armitage trend test: is a binary rate MONOTONICALLY
+    * drifting across ordered exposure levels? The k-group χ² says only
+    * "rates differ somewhere"; this weights each level by its ordinal
+    * score and tests the linear trend — the dose-response screen
+    * (funnel-position conversion drift, quality-score-band acceptance
+    * drift) with far more power against ordered alternatives.
+    * `T = Σ sᵢ(n₁ᵢ − nᵢ·p̄)`, `Var(T) = p̄(1−p̄)·(Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²/N)`,
+    * `z = T/√Var`.
+    *
+    * Determinism: every aggregate (per-level nᵢ, n₁ᵢ and the score
+    * moments) is an exact integer sum — scores are cast to long, so the
+    * moments carry in decimal(38,0) at petabyte counts — and z is one
+    * fixed double tree over them, rounded 6. Output one row:
+    * (n, n_pos, n_levels, z_trend).
+    *
+    * Scale posture: ONE hash agg to ≤|levels| rows, then a collapse —
+    * the [[aucExact]] collapsed-frame discipline.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perLevel = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("_s"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy("_s")
+      .agg(count(lit(1)).as("ni"), sum(col("_y")).as("n1i"))
+    perLevel
+      .agg(sum(col("ni")).as("n"), sum(col("n1i")).as("n_pos"),
+        count(lit(1)).as("n_levels"),
+        sum(dec(col("_s")) * dec(col("ni"))).as("_sn"),
+        sum(dec(col("_s")) * dec(col("_s")) * dec(col("ni"))).as("_s2n"),
+        sum(dec(col("_s")) * dec(col("n1i"))).as("_sy"))
+      .select(col("n"), col("n_pos"), col("n_levels"),
+        round(when(col("n_pos") === 0 || col("n_pos") === col("n") ||
+            col("n_levels") < 2, lit(null).cast("double"))
+          .otherwise {
+            val pbar = col("n_pos").cast("double") / col("n").cast("double")
+            val t = col("_sy").cast("double") - pbar * col("_sn").cast("double")
+            val v = pbar * (lit(1.0) - pbar) *
+              (col("_s2n").cast("double") -
+                col("_sn").cast("double") * col("_sn").cast("double") /
+                  col("n").cast("double"))
+            t / sqrt(v)
+          }, 6).as("z_trend"))
+  }
+
   /** EXACT ROC-AUC via the rank-sum (Mann–Whitney) identity with
     * midrank tie handling, in pure integer arithmetic: for a score
     * value whose tie group ends at cumulative count c with k members,

@@ -800,6 +800,46 @@ object TextAnalysis {
         entropy / log(col("n_distinct").cast("double"))), 6).as("entropy_ratio"))
   }
 
+  /** Character-n-gram entropy per document — [[docEntropy]]'s
+    * sub-token sibling and the classic gibberish screen: token-level
+    * entropy cannot see inside the tokens, so base64 blobs, key dumps
+    * and mojibake runs (few REPEATED tokens, but near-uniform character
+    * transitions) score HIGH char-bigram entropy against natural
+    * language's skewed bigram law, while single-character floods score
+    * near 0 — both ends of `entropy_ratio` are filterable. Same
+    * determinism contract as [[docEntropy]]: exact long counts, the
+    * entropy fold over the GRAM-SORTED per-doc histogram, ratio one
+    * double division, rounded 6. Docs shorter than `n` chars drop.
+    * Output: (doc_id, n_grams, n_distinct, entropy, entropy_ratio).
+    *
+    * Scale posture: one map-side gram explode into a (doc, gram) hash
+    * agg, then the per-doc collapse — state bounded by the doc's gram
+    * vocabulary (≤ alphabet^n), never the corpus.
+    */
+  def charNgramEntropy(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 4, "1 <= n <= 4")
+    val tf = Par.spreadToShuffleWidth(docs, docs) // whole-doc gram build per row
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("_t"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(_t) - ${n - 1}), i -> substr(_t, i, $n))"))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val perDoc = tf.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("gram"), col("tf")))).as("arr"))
+      .withColumn("n_grams",
+        aggregate(col("arr"), lit(0L), (a, s) => a + s.getField("tf")))
+      .withColumn("n_distinct", size(col("arr")).cast("long"))
+    def p(s: Column) = s.getField("tf").cast("double") / col("n_grams").cast("double")
+    val entropy = aggregate(col("arr"), lit(0.0), (a, s) => a - p(s) * log(p(s)))
+    perDoc.select(col("doc_id"), col("n_grams"), col("n_distinct"),
+      round(entropy, 6).as("entropy"),
+      round(when(col("n_distinct") > 1,
+        entropy / log(col("n_distinct").cast("double"))), 6).as("entropy_ratio"))
+  }
+
   /** Intra-document repetition signals — the Gopher/MassiveText-style
     * filters that catch boilerplate, keyword stuffing, and degenerate
     * generations that length/stopword heuristics miss:

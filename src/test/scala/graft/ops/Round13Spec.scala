@@ -166,6 +166,42 @@ class Round13Spec extends SparkSpec {
       .getAs[Double]("js_div") shouldBe (math.log(2.0) +- 1e-5)
   }
 
+  test("charNgramEntropy: uniform grams score 1.0 ratio, floods score 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("flood", "aaaaaaaa"),         // one distinct bigram -> ratio null/0-entropy
+      ("gibberish", "abcdefgh"),     // all 7 bigrams distinct -> ratio 1.0
+      ("short", "x")                 // < n chars -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charNgramEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out.keySet shouldBe Set("flood", "gibberish")
+    out("flood").getAs[Double]("entropy") shouldBe 0.0
+    out("flood").isNullAt(out("flood").fieldIndex("entropy_ratio")) shouldBe true
+    out("gibberish").getAs[Long]("n_grams") shouldBe 7L
+    out("gibberish").getAs[Long]("n_distinct") shouldBe 7L
+    out("gibberish").getAs[Double]("entropy_ratio") shouldBe 1.0
+  }
+
+  test("cochranArmitage: positive trend detected, constant rate z ~ 0, degenerate null") {
+    import spark.implicits._
+    // rate rises with score: 10% at s=0, 50% at s=1, 90% at s=2
+    val up = (0 to 2).flatMap(sc => (1 to 100).map(i =>
+      (sc.toLong, if (i <= 10 + 40 * sc) 1L else 0L))).toDF("s", "y")
+    val zUp = Stats.cochranArmitage(up, "s", "y").collect()(0)
+    zUp.getAs[Long]("n") shouldBe 300L
+    zUp.getAs[Double]("z_trend") should be > 5.0
+    // constant rate: z near 0
+    val flat = (0 to 2).flatMap(sc => (1 to 100).map(i =>
+      (sc.toLong, if (i <= 50) 1L else 0L))).toDF("s", "y")
+    math.abs(Stats.cochranArmitage(flat, "s", "y").collect()(0)
+      .getAs[Double]("z_trend")) should be < 1e-6
+    // all-positive labels: variance degenerate -> null
+    val deg = Seq((0L, 1L), (1L, 1L), (2L, 1L)).toDF("s", "y")
+    val r = Stats.cochranArmitage(deg, "s", "y").collect()(0)
+    r.isNullAt(r.fieldIndex("z_trend")) shouldBe true
+  }
+
   test("guarded ops still plan on streaming frames (simHash, shingleSets, winnowed)") {
     // before the fix each of these threw AnalysisException at
     // CONSTRUCTION time on a streaming input — no query start needed
