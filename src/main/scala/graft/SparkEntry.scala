@@ -1106,6 +1106,22 @@ object SparkEntry {
         tau = 0.9, nPlanes = 64, bandBits = 8)
     }),
 
+    // the CORPUS-SCALE near-dup twin (r13 fair-100x finding: fixed
+    // banding's random-collision rate is corpus-size-independent, so
+    // candidates grow n^2 x const; IVF cells give Σ|cell|^2 ~ n^2/nlist
+    // with nlist scaling) — same corpus, same exact all-pairs oracle
+    "q_embed_dup_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val twins = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      graft.ops.Similarity.nearDupIvf(
+        e.unionAll(twins), "vec_id", "embedding",
+        tau = 0.9, nlist = 16, nprobe = 2)
+    }),
+
     // PII scrubbing parity: the corpus has no natural PII, so each doc
     // gets a deterministic contact block appended (id-derived email /
     // URL / IP / phone), then masked — both engines run the SAME
@@ -2978,6 +2994,29 @@ object SparkEntry {
           .select(hour(col("ts")).as("hour_score"),
             (col("event_type") === "purchase").cast("long").as("purchase")),
         "hour_score", "purchase")),
+
+    // personalized PageRank from the %997 seed parts: restart mass
+    // pinned to the seeds, exact-ppm integer rounds (q_pagerank's
+    // arithmetic, seed-restart variant)
+    "q_ppr" -> ((s, dir) =>
+      graft.ops.Graph.personalizedPageRank(
+        graft.ops.Graph.cooccurrenceDigraph(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L),
+        "src", "dst",
+        table(s, dir, "part").filter(pmod(col("p_partkey"), lit(997)) === 0),
+        "p_partkey", iters = 3)),
+
+    // upper-tail dependence of per-order quantity vs spend at q=0.9 —
+    // do the biggest orders by volume also sit in the spend tail?
+    "q_tail_dep" -> ((s, dir) =>
+      graft.ops.Stats.upperTailDependence(
+        table(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty"),
+            sum(round(col("l_extendedprice")).cast("long")).as("spend")),
+        "qty", "spend", qPpm = 900000L)),
 
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
@@ -6917,6 +6956,26 @@ object SparkEntry {
     // the same twin-planted corpus the Spark entry builds; banding only
     // sets recall (≥1−1e-7 per pair at this config), so the answers match
     "q_embed_dup_prod" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |), corpus AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+         |  FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * 0.5)
+         |  FROM base WHERE vec_id % 10 = 0
+         |), p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9""".stripMargin,
+
+    // IVF-routed twin: identical exact all-pairs oracle — cell routing
+    // only sets recall (scale-invariant twins share cells by
+    // construction; multi-probe covers borderline natural pairs)
+    "q_embed_dup_ivf" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
@@ -11105,6 +11164,105 @@ object SparkEntry {
         |    sqrt((n_pos::DOUBLE / n::DOUBLE) * (1.0 - n_pos::DOUBLE / n::DOUBLE) *
         |         (s2n::DOUBLE - sn::DOUBLE * sn::DOUBLE / n::DOUBLE))
         |  END, 6) AS z_trend
+        |FROM agg""".stripMargin,
+
+    // personalized PageRank: the q_pagerank unroll with the restart
+    // term gated on seed membership (is_seed * 150000)
+    "q_ppr" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), ok AS (
+        |  SELECT basket FROM inc GROUP BY 1 HAVING COUNT(*) <= 1000
+        |), inc2 AS (
+        |  SELECT inc.* FROM inc JOIN ok USING (basket)
+        |), und AS (
+        |  SELECT l.item AS a, r.item AS b
+        |  FROM inc2 l JOIN inc2 r USING (basket)
+        |  WHERE l.item < r.item
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM und
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1
+        |), sd AS (
+        |  SELECT DISTINCT p_partkey AS node FROM part
+        |  WHERE p_partkey IS NOT NULL AND p_partkey % 997 = 0
+        |), ns AS (
+        |  SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+        |  LEFT JOIN sd s USING (node)
+        |), r0 AS (
+        |  SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS r FROM ns
+        |), s1 AS (
+        |  SELECT e.dst AS node, CAST(SUM(r0.r // deg.out_deg) AS BIGINT) AS c
+        |  FROM r0 JOIN e ON r0.node = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY 1
+        |), r1 AS (
+        |  SELECT n.node,
+        |    CAST(n.is_seed * 150000 + (COALESCE(s1.c, 0) * 850000) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM ns n LEFT JOIN s1 USING (node)
+        |), s2 AS (
+        |  SELECT e.dst AS node, CAST(SUM(r1.r // deg.out_deg) AS BIGINT) AS c
+        |  FROM r1 JOIN e ON r1.node = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT n.node,
+        |    CAST(n.is_seed * 150000 + (COALESCE(s2.c, 0) * 850000) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM ns n LEFT JOIN s2 USING (node)
+        |), s3 AS (
+        |  SELECT e.dst AS node, CAST(SUM(r2.r // deg.out_deg) AS BIGINT) AS c
+        |  FROM r2 JOIN e ON r2.node = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY 1
+        |), r3 AS (
+        |  SELECT n.node,
+        |    CAST(n.is_seed * 150000 + (COALESCE(s3.c, 0) * 850000) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM ns n LEFT JOIN s3 USING (node)
+        |)
+        |SELECT node, r AS rank_ppm FROM r3""".stripMargin,
+
+    // upper-tail dependence: rank-integer thresholds off the
+    // distinct-value cum frames, strict-exceedance counts, ppm ratio
+    "q_tail_dep" ->
+      """WITH b AS (
+        |  SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |  GROUP BY l_orderkey
+        |), nn AS (SELECT COUNT(*)::BIGINT AS n FROM b),
+        |xc AS (
+        |  SELECT v, CAST(SUM(k) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT x AS v, COUNT(*)::BIGINT AS k FROM b GROUP BY 1)
+        |), xt AS (
+        |  SELECT MIN(v) AS x_thr FROM xc CROSS JOIN nn
+        |  WHERE cum >= (900000 * n + 999999) // 1000000
+        |), yc AS (
+        |  SELECT v, CAST(SUM(k) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT y AS v, COUNT(*)::BIGINT AS k FROM b GROUP BY 1)
+        |), yt AS (
+        |  SELECT MIN(v) AS y_thr FROM yc CROSS JOIN nn
+        |  WHERE cum >= (900000 * n + 999999) // 1000000
+        |), agg AS (
+        |  SELECT nn.n, xt.x_thr, yt.y_thr,
+        |    CAST(SUM(CASE WHEN b.x > xt.x_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+        |    CAST(SUM(CASE WHEN b.y > yt.y_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_y,
+        |    CAST(SUM(CASE WHEN b.x > xt.x_thr AND b.y > yt.y_thr THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_joint
+        |  FROM b CROSS JOIN nn CROSS JOIN xt CROSS JOIN yt
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT n, x_thr, y_thr, n_x, n_y, n_joint,
+        |  CASE WHEN n_x > 0 THEN CAST((n_joint * 1000000) // n_x AS BIGINT) END
+        |    AS lambda_u_ppm
         |FROM agg""".stripMargin,
 
     // rank-biased overlap: per-common-item tail-weight folds over the

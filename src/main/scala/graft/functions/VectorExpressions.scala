@@ -263,6 +263,100 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Top-`nprobe` IVF cells for an array<double> vector: indices of the
+    * `nprobe` centroids with the highest cosine (score `dot/|c|` — the
+    * vector's own norm is a common factor and cannot change the
+    * ranking), ties to the lower index. One kernel node with the
+    * centroid matrix as a REFERENCE OBJECT — the [[SignBandKeys]]
+    * lesson: per-centroid literal arrays put nlist·dim literals into
+    * the plan and analysis+codegen dominates, which is exactly what
+    * stops `nlist` from scaling with the corpus. Selection is
+    * `nprobe` repeated argmax scans (nprobe ≪ nlist), deterministic.
+    */
+  case class IvfCells(child: Expression, cents: Array[Array[Double]],
+                      norms: Array[Double], nprobe: Int)
+      extends UnaryExpression {
+
+    require(cents.nonEmpty && cents.length == norms.length, "centroid/norm shape")
+    require(nprobe >= 1 && nprobe <= cents.length, "1 <= nprobe <= nlist")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "ivf_cells"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val nlist = cents.length
+      val sims = new Array[Double](nlist)
+      var j = 0
+      while (j < nlist) {
+        val c = cents(j)
+        val n = math.min(v.numElements(), c.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * c(i); i += 1 }
+        sims(j) = if (norms(j) == 0.0) Double.NegativeInfinity else s / norms(j)
+        j += 1
+      }
+      val out = new Array[Long](nprobe)
+      var p = 0
+      while (p < nprobe) {
+        var best = -1
+        var bs = Double.NegativeInfinity
+        var k = 0
+        while (k < nlist) {
+          if (sims(k) > bs) { bs = sims(k); best = k }
+          k += 1
+        }
+        out(p) = best.toLong
+        sims(best) = Double.NegativeInfinity
+        p += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+      val normsRef = ctx.addReferenceObj("ivfNorms", norms, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val sims = ctx.freshName("sims")
+        val outA = ctx.freshName("outA")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        val p = ctx.freshName("p")
+        val best = ctx.freshName("best")
+        val bs = ctx.freshName("bs")
+        val k = ctx.freshName("k")
+        s"""
+           |double[] $sims = new double[${cents.length}];
+           |for (int $j = 0; $j < ${cents.length}; $j++) {
+           |  double[] $c = $centsRef[$j];
+           |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) { $s += $v.getDouble($i) * $c[$i]; }
+           |  $sims[$j] = $normsRef[$j] == 0.0
+           |    ? java.lang.Double.NEGATIVE_INFINITY : $s / $normsRef[$j];
+           |}
+           |long[] $outA = new long[$nprobe];
+           |for (int $p = 0; $p < $nprobe; $p++) {
+           |  int $best = -1;
+           |  double $bs = java.lang.Double.NEGATIVE_INFINITY;
+           |  for (int $k = 0; $k < ${cents.length}; $k++) {
+           |    if ($sims[$k] > $bs) { $bs = $sims[$k]; $best = $k; }
+           |  }
+           |  $outA[$p] = (long) $best;
+           |  $sims[$best] = java.lang.Double.NEGATIVE_INFINITY;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($outA);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def dotD(a: Column, b: Column): Column =
     GraftBridge.column(DotProductDouble(
       GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -275,4 +369,8 @@ object VectorExpressions {
 
   def signBandKeys(v: Column, planes: Array[Array[Double]], bandBits: Int): Column =
     GraftBridge.column(SignBandKeys(GraftBridge.expression(v), planes, bandBits))
+
+  def ivfCells(v: Column, cents: Array[Array[Double]], norms: Array[Double],
+               nprobe: Int): Column =
+    GraftBridge.column(IvfCells(GraftBridge.expression(v), cents, norms, nprobe))
 }

@@ -391,6 +391,58 @@ object Graph {
     r
   }
 
+  /** Personalized PageRank — [[pageRank]] with the restart mass pinned
+    * to a SEED set instead of the uniform vector: the random surfer
+    * teleports only to seeds, so stationary mass measures proximity to
+    * the seed set (the recommendation/expansion primitive: "what else
+    * is structurally close to THESE nodes"). Same exact-ppm integer
+    * arithmetic and per-iteration checkpoint discipline as
+    * [[pageRank]]; seeds start at 1e6 ppm and receive the
+    * `1 − damping` restart each round, non-seeds accumulate only
+    * propagated mass (total mass ≈ |seeds|·1e6 — ranks are relative,
+    * as PPR's are). Output: (node, rank_ppm), every node.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 3,
+                           dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 100, "1 <= iters <= 100")
+    require(dampingPpm >= 0L && dampingPpm <= 1000000L, "dampingPpm in [0, 1e6]")
+    val basePpm = 1000000L - dampingPpm
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val seedSet = seeds.filter(col(seedCol).isNotNull)
+      .select(col(seedCol).as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val eDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    var r = nodes.select(col("node"),
+      (col("is_seed") * 1000000L).as("rank_ppm")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = r.join(eDeg, r("node") === eDeg("src"))
+        .select(col("dst").as("node"),
+          expr("rank_ppm div out_deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_ppm"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * basePpm +
+            expr(s"(coalesce(in_ppm, 0L) * ${dampingPpm}L) div 1000000L"))
+            .as("rank_ppm"))
+        .localCheckpoint(true)
+      Checkpoints.free(r)
+      r = next
+    }
+    Checkpoints.free(nodes)
+    Checkpoints.free(eDeg)
+    r
+  }
+
   /** k-core decomposition membership: iteratively peel nodes of degree
     * < `k` (and their edges) until a fixed point — the standard
     * densest-region extractor (2-core strips pendant tails before

@@ -172,7 +172,8 @@ object PlanAudit {
     // r13 additions, the same bounded-broadcast shapes
     "q_rr_freq" -> "k-row domain-size + 1-row corpus-total crossJoins (the LDP channel normalizers; k = |categories|, single digits)",
     "q_dp_quantile" -> "1-row total-count crossJoin onto the 64-row bin frame + 1-row true-bin crossJoin into the single output row",
-    "q_e2lsh" -> "nTables-row (8) sign-matrix broadcast crossJoin — the q_jl_project shape, planned once per self-join side; the corpus join itself is the audited (table, cell) equi-join"
+    "q_e2lsh" -> "nTables-row (8) sign-matrix broadcast crossJoin — the q_jl_project shape, planned once per self-join side; the corpus join itself is the audited (table, cell) equi-join",
+    "q_tail_dep" -> "two 1-row rank-threshold frames + the 1-row total broadcast onto the per-order frame (the bounded-broadcast category)"
   )
 
 
@@ -197,6 +198,7 @@ object PlanAudit {
     "q_dedup_pairs_maxdf" -> 1, "q_dedup_pairs_prefix" -> 1, "q_dup_ngrams" -> 1,
     "q_char_entropy" -> 1,
     "q_dup_spans" -> 1, "q_e2lsh" -> 1, "q_editdist_pairs" -> 1,
+    "q_embed_dup_ivf" -> 1,
     "q_editdist_seg" -> 2,
     "q_embed_dup" -> 1, "q_embed_dup_lsh" -> 1, "q_embed_dup_prod" -> 1,
     "q_er_clusters" -> 1, "q_fs_linkage" -> 1, "q_hard_negatives" -> 1,
@@ -216,7 +218,7 @@ object PlanAudit {
     * covered by the spec's direct family-representative runtime test.
     */
   val widthGuardSites: Map[String, Int] = Map(
-    "Dedup.scala" -> 5, "Pca.scala" -> 2, "Similarity.scala" -> 10,
+    "Dedup.scala" -> 5, "Pca.scala" -> 2, "Similarity.scala" -> 11,
     "TextAnalysis.scala" -> 6)
 
   /** Pinned shuffle budgets for headline queries (measured by
@@ -493,7 +495,12 @@ object PlanAudit {
     "q_e2lsh" -> 7, "q_harmonic" -> 1, "q_mauve_js" -> 2,
     // char-entropy = gram agg + per-doc collapse (+ the width spread
     // at narrow scan); trend test = level agg + 1-row collapse
-    "q_char_entropy" -> 3, "q_trend_test" -> 2)
+    "q_char_entropy" -> 3, "q_trend_test" -> 2,
+    // embed_dup_ivf = cell equi-join + pair distinct + the two vector
+    // fetch joins (assignment is one map-side kernel); ppr's rounds
+    // are checkpoint leaves (q_pagerank precedent); tail_dep's 12 are
+    // all collapsed value-frame aggs + cum windows + 1-row thresholds
+    "q_embed_dup_ivf" -> 3, "q_ppr" -> 0, "q_tail_dep" -> 12)
     // (r12) the vector-family pins above include the Par
     // spreadToShuffleWidth round-robin exchanges — one per dense
     // per-row stage (centroid assign, signature fold, projection,

@@ -915,6 +915,61 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding near-duplicate pairs via IVF cell routing — the
+    * CORPUS-SCALE twin of [[nearDupCosine]]'s banded path: vectors
+    * bucket under their `nprobe` nearest coarse-quantizer cells (one
+    * map-side [[graft.functions.VectorExpressions.ivfCells]] kernel —
+    * the centroid matrix is a reference object, so `nlist` scales with
+    * the corpus without plan bloat), candidates share a cell, and
+    * every candidate re-verifies by exact cosine ≥ `tau` — false
+    * positives impossible, cell routing only sets recall.
+    *
+    * WHY this exists (the r13 fair-100× finding): sign-banded LSH at a
+    * FIXED (bands × bandBits) config has a corpus-size-independent
+    * random-collision rate (≈ bands·2^−bandBits), so candidate volume
+    * grows as n² times a constant — at 200k random vectors the 8×8
+    * config emits ~6·10⁸ candidates and the verify join spills the
+    * disk. Recall at τ=0.9 caps how far bandBits can stretch, so the
+    * published fix is not wider bands but CELL ROUTING: per-cell pair
+    * volume is Σ|cell|² ≈ n²/nlist, and `nlist` scales with n (keep
+    * `n/nlist` ≈ a few hundred). Scale-invariant twins (same direction)
+    * land in identical cells by construction; borderline-τ pairs are
+    * covered by multi-probe (`nprobe` ≥ 2).
+    * Output: (a_id, b_id, sim) — [[nearDupCosine]]'s contract, same
+    * exact all-pairs oracle.
+    */
+  def nearDupIvf(embeddings: DataFrame, idCol: String, vecCol: String,
+                 tau: Double, nlist: Int, nprobe: Int = 2,
+                 iters: Int = 5, samplePerList: Int = 8): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
+    val cents = trainCentroids(embeddings, idCol, vecCol, nlist, iters, samplePerList)
+    val centArr = cents.map(_._1)
+    val centNorm = cents.map(_._2)
+    val base = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("_v"),
+        norm(col(vecCol)).as("_n"))
+    // nlist d-wide dots per row: dense — spread on a narrow scan; the
+    // cell frame is NARROW (id, cell), vectors never ride the join
+    val cells = Par.spreadToShuffleWidth(base, embeddings)
+      .select(col("vec_id"), explode(graft.functions.VectorExpressions
+        .ivfCells(col("_v"), centArr, centNorm, nprobe)).as("_cell"))
+    val cand = cells
+      .join(cells.select(col("vec_id").as("b_id"), col("_cell")), Seq("_cell"))
+      .filter(col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("a_id"), col("_v").as("av"),
+        col("_n").as("an")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("_v").as("bv"),
+        col("_n").as("bn")), "b_id")
+      .withColumn("sim",
+        graft.functions.VectorExpressions.dotD(col("av"), col("bv")) /
+          (col("an") * col("bn")))
+      .filter(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** SemDeDup-style semantic dedup drop list (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): documents whose embedding sits within cosine

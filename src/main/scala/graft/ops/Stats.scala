@@ -525,6 +525,56 @@ object Stats {
           .as("uncertainty"))
   }
 
+  /** Upper-tail dependence audit between two per-row metrics: when X
+    * is extreme, how often is Y extreme TOO? `λ_U ≈ P(Y > y_q | X >
+    * x_q)` at quantile `qPpm` — the copula-tail question correlation
+    * cannot answer (two metrics can be 0.9-correlated in the bulk and
+    * independent in the tail, or vice versa; risk concentration and
+    * abuse bursts live in the tail). Under independence λ_U ≈ 1−q, so
+    * the emitted ratio is directly interpretable against that floor.
+    *
+    * Thresholds are RANK-defined in exact integer arithmetic: the
+    * smallest value whose cumulative count reaches
+    * `ceil(qPpm·n/1e6)` over the value-sorted distinct frame (the
+    * [[aucExact]] collapsed-frame discipline — no interpolation, no
+    * float quantiles), exceedance is a strict `>` count, and λ_U is
+    * one integer-ppm division. Output one row:
+    * (n, x_thr, y_thr, n_x, n_y, n_joint, lambda_u_ppm).
+    *
+    * Scale posture: one pass to per-row (x, y) longs; each threshold
+    * comes from a distinct-value cum window (bounded by distinct
+    * values); the exceedance count is a map-side conditional agg
+    * against the two 1-row broadcast thresholds.
+    */
+  def upperTailDependence(df: DataFrame, xCol: String, yCol: String,
+                          qPpm: Long = 900000L): DataFrame = {
+    require(qPpm > 0L && qPpm < 1000000L, "qPpm in (0, 1e6)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+    def threshold(c: String, out: String) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum(col("k")).over(w))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("_n"))))
+        // rank target = ceil(qPpm * n / 1e6), all-integer
+        .filter(col("cum") >= expr(s"(${qPpm}L * _n + 999999L) div 1000000L"))
+        .agg(min(col("v")).as(out))
+    }
+    val xt = threshold("_x", "x_thr")
+    val yt = threshold("_y", "y_thr")
+    base.crossJoin(broadcast(xt)).crossJoin(broadcast(yt))
+      .agg(count(lit(1)).as("n"), first(col("x_thr")).as("x_thr"),
+        first(col("y_thr")).as("y_thr"),
+        sum(when(col("_x") > col("x_thr"), 1L).otherwise(0L)).as("n_x"),
+        sum(when(col("_y") > col("y_thr"), 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("_x") > col("x_thr") && col("_y") > col("y_thr"), 1L)
+          .otherwise(0L)).as("n_joint"))
+      .withColumn("lambda_u_ppm",
+        when(col("n_x") > 0, expr("(n_joint * 1000000L) div n_x")))
+  }
+
   /** Cochran–Armitage trend test: is a binary rate MONOTONICALLY
     * drifting across ordered exposure levels? The k-group χ² says only
     * "rates differ somewhere"; this weights each level by its ordinal

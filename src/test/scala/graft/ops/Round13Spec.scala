@@ -202,6 +202,67 @@ class Round13Spec extends SparkSpec {
     r.isNullAt(r.fieldIndex("z_trend")) shouldBe true
   }
 
+  test("nearDupIvf: scale-invariant twins found through cell routing, exact verify") {
+    import spark.implicits._
+    val base = (0L to 39L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 16 + d + 1)))
+    }
+    val twins = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ * 0.5)) // same direction -> cosine 1.0
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Similarity.nearDupIvf(emb, "vec_id", "embedding",
+      tau = 0.9, nlist = 4, nprobe = 2, iters = 2, samplePerList = 4)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Set((0L, 1000L), (10L, 1010L), (20L, 1020L), (30L, 1030L))
+      .subsetOf(pairs) shouldBe true
+    // every emitted pair is exact-verified >= tau
+    out.collect().foreach(_.getAs[Double]("sim") should be >= 0.9)
+  }
+
+  test("IvfCells kernel: nprobe nearest cells, deterministic tie to lower index") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val df = Seq((1L, Array(0.9, 0.1)), (2L, Array(0.1, 0.9)))
+      .toDF("id", "v")
+    val got = df.select(col("id"), graft.functions.VectorExpressions
+        .ivfCells(col("v"), cents, norms, 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got(1L) shouldBe Seq(0L, 1L) // x-axis first, then y
+    got(2L) shouldBe Seq(1L, 0L)
+  }
+
+  test("personalizedPageRank: mass concentrates at seeds, non-seeds only inherit") {
+    import spark.implicits._
+    // star: seed 1 <-> {2, 3}; isolated pair 4 <-> 5 gets NO seed mass
+    val und = Seq((1L, 2L), (1L, 3L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(1L).toDF("s"), "s", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rank_ppm")).toMap
+    out(1L) should be > out(2L) // the seed holds the restart mass
+    out(2L) shouldBe out(3L)    // symmetric non-seeds
+    out(2L) should be > 0L      // propagated mass arrived
+    out(4L) shouldBe 0L         // disconnected from the seed: nothing
+    out(5L) shouldBe 0L
+  }
+
+  test("upperTailDependence: dependent tails -> high lambda, anti-dependent -> 0") {
+    import spark.implicits._
+    // y = x: joint exceedance = marginal exceedance -> lambda = 1e6 ppm
+    val dep = (1L to 100L).map(i => (i, i)).toDF("x", "y")
+    val d = Stats.upperTailDependence(dep, "x", "y", qPpm = 900000L).collect()(0)
+    d.getAs[Long]("n") shouldBe 100L
+    d.getAs[Long]("x_thr") shouldBe 90L // cum >= 90 first at v=90
+    d.getAs[Long]("n_x") shouldBe 10L
+    d.getAs[Long]("lambda_u_ppm") shouldBe 1000000L
+    // y = -x: top-x rows sit in y's bottom -> no joint exceedance
+    val anti = (1L to 100L).map(i => (i, -i)).toDF("x", "y")
+    Stats.upperTailDependence(anti, "x", "y", qPpm = 900000L).collect()(0)
+      .getAs[Long]("lambda_u_ppm") shouldBe 0L
+  }
+
   test("guarded ops still plan on streaming frames (simHash, shingleSets, winnowed)") {
     // before the fix each of these threw AnalysisException at
     // CONSTRUCTION time on a streaming input — no query start needed
