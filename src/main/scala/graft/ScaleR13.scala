@@ -18,19 +18,33 @@ import org.apache.spark.sql.functions._
 object ScaleR13 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nlist = if (args.length > 1) args(1).toInt else 16
+    val mode = if (args.length > 1) args(1) else "ivf"
+    val knob = if (args.length > 2) args(2).toInt else (if (mode == "ivf") 16 else 4)
     val spark = GraftSession.get("graft-scale-r13")
     val emb = TestTables.table(spark, dir, "embeddings")
-    val t0 = System.nanoTime()
-    val pairs = graft.ops.Similarity.nearDupIvf(
-      emb, "vec_id", "embedding", tau = 0.9, nlist = nlist, nprobe = 2,
-      iters = 3, samplePerList = 4)
-    val n = pairs.count()
-    val cold = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    pairs.write.format("noop").mode("overwrite").save()
-    val warm = (System.nanoTime() - t1) / 1e9
-    println(f"[scale-r13] nearDupIvf nlist=$nlist cold $cold%8.2f s  warm $warm%8.2f s  pairs $n%d")
+    def run(tag: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = df
+      val n = pairs.count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      pairs.write.format("noop").mode("overwrite").save()
+      val warm = (System.nanoTime() - t1) / 1e9
+      println(f"[scale-r13] $tag cold $cold%8.2f s  warm $warm%8.2f s  pairs $n%d")
+    }
+    mode match {
+      case "ivf" =>
+        run(s"nearDupIvf nlist=$knob", graft.ops.Similarity.nearDupIvf(
+          emb, "vec_id", "embedding", tau = 0.9, nlist = knob, nprobe = 2,
+          iters = 3, samplePerList = 4))
+      case "e2lsh" =>
+        // m (projPerTable) is the corpus-scale knob: random collisions
+        // per table fall as (w/d)^m, so m grows with log(n)
+        run(s"e2lshPairs m=$knob", graft.ops.Similarity.e2lshPairs(
+          emb.select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("embedding")),
+          "vec_id", "embedding", dim = 64, r = 0.1, projPerTable = knob))
+    }
     spark.stop()
   }
 }
