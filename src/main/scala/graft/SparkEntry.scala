@@ -3018,6 +3018,18 @@ object SparkEntry {
             sum(round(col("l_extendedprice")).cast("long")).as("spend")),
         "qty", "spend", qPpm = 900000L)),
 
+    // detector-agreement audit: how much do shingle-Jaccard (tau=0.5)
+    // and SimHash-Hamming (<=3) near-dup PAIR SETS agree on this
+    // corpus — the calibration read before picking a dedup detector
+    "q_dedup_agreement" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.pairSetAgreement(
+        graft.ops.Dedup.nearDupPairsExact(docs, "doc_id", "text", n = 3, tau = 0.5),
+        "a_id", "b_id",
+        graft.ops.Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3),
+        "a_id", "b_id")
+    }),
+
     // stratified exactly-balanced k-fold assignment (fold sizes within
     // a stratum differ by ≤ 1; plain kfoldAssign is the map-side path)
     "q_kfold" -> ((s, dir) =>
@@ -3510,6 +3522,27 @@ object SparkEntry {
          |  FROM qs LEFT JOIN rs ON qs.doc_id = rs.doc_id
          |)
 |""".stripMargin
+
+  /** SimHash-pair oracle, shared by q_simhash_pairs and the
+    * q_dedup_agreement composition. */
+  private val simhashPairsSql =
+    s"""$docToks, hs AS (
+         |  SELECT doc_id, list_transform(toks, t -> struct_pack(
+         |    hi := ('0x' || substr(md5(t), 1, 8))::BIGINT,
+         |    lo := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS hh
+         |  FROM d
+         |), sh AS (
+         |  SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+         |    CASE WHEN list_sum(list_transform(hh, h ->
+         |      CASE WHEN (CASE WHEN j < 32 THEN (h.lo >> j) ELSE (h.hi >> (j - 32)) END) & 1 = 1
+         |           THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '')::BIT AS simhash
+         |  FROM hs
+         |), p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""".stripMargin
 
   private val dedupPairsSql =
     s"""$docToks, s AS (
@@ -6403,24 +6436,35 @@ object SparkEntry {
     // candidates, which must agree exactly for maxHamming <= 3.
     // (BIGINT << 32 overflow-checks in DuckDB, so bits are read from the
     // hi/lo halves directly and the signature lives in a BIT string.)
-    "q_simhash_pairs" ->
-      s"""$docToks, hs AS (
-         |  SELECT doc_id, list_transform(toks, t -> struct_pack(
-         |    hi := ('0x' || substr(md5(t), 1, 8))::BIGINT,
-         |    lo := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS hh
-         |  FROM d
-         |), sh AS (
-         |  SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
-         |    CASE WHEN list_sum(list_transform(hh, h ->
-         |      CASE WHEN (CASE WHEN j < 32 THEN (h.lo >> j) ELSE (h.hi >> (j - 32)) END) & 1 = 1
-         |           THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '')::BIT AS simhash
-         |  FROM hs
-         |), p AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    "q_simhash_pairs" -> simhashPairsSql,
+
+    // detector agreement: BOTH pair oracles nested as scoped CTE
+    // subqueries (their internal WITH chains don't leak), unordered
+    // pair keys, full-outer overlap bookkeeping, pair-set Jaccard ppm
+    "q_dedup_agreement" ->
+      s"""WITH mh AS ($dedupPairsSql),
+         |smh AS ($simhashPairsSql),
+         |mhp AS (
+         |  SELECT least(a_id, b_id) AS x, greatest(a_id, b_id) AS y
+         |  FROM mh GROUP BY 1, 2
+         |), shp AS (
+         |  SELECT least(a_id, b_id) AS x, greatest(a_id, b_id) AS y
+         |  FROM smh GROUP BY 1, 2
+         |), j AS (
+         |  SELECT CASE WHEN m.x IS NULL THEN 0 ELSE 1 END AS inm,
+         |         CASE WHEN s.x IS NULL THEN 0 ELSE 1 END AS ins
+         |  FROM mhp m FULL JOIN shp s ON m.x = s.x AND m.y = s.y
+         |), agg AS (
+         |  SELECT CAST(SUM(inm) AS BIGINT) AS n_left,
+         |         CAST(SUM(ins) AS BIGINT) AS n_right,
+         |         CAST(SUM(inm * ins) AS BIGINT) AS n_both
+         |  FROM j
          |)
-         |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""".stripMargin,
+         |SELECT n_left, n_right, n_both,
+         |  CASE WHEN n_left + n_right - n_both > 0
+         |    THEN CAST((n_both * 1000000) // (n_left + n_right - n_both) AS BIGINT)
+         |  END AS jaccard_ppm
+         |FROM agg""".stripMargin,
 
     "q_knn"          -> knnSql,
 

@@ -1317,4 +1317,37 @@ object Dedup {
       .select(col("cluster_size").cast("long").as("cluster_size"),
         col("n_clusters"))
   }
+
+  /** Agreement audit between two near-duplicate PAIR definitions —
+    * the calibration read every dedup deployment needs before picking
+    * a detector: how much do (say) shingle-Jaccard pairs and
+    * SimHash-Hamming pairs agree on THIS corpus? Pairs normalize to
+    * unordered (least, greatest) keys, the two sets full-outer join,
+    * and the release is the overlap bookkeeping plus the pair-set
+    * Jaccard in integer ppm. A low number is not "a bug in one
+    * detector" — it localizes WHERE the definitions diverge (length
+    * regime, token distribution) and is the denominator for choosing
+    * thresholds that make them converge.
+    * Output one row: (n_left, n_right, n_both, jaccard_ppm).
+    *
+    * Scale posture: two pair-frame distincts + one full-outer
+    * equi-join on the pair key + a 1-row collapse — pair-set-sized,
+    * never corpus-sized; inherits each generator's own scale path.
+    */
+  def pairSetAgreement(left: DataFrame, la: String, lb: String,
+                       right: DataFrame, ra: String, rb: String): DataFrame = {
+    def norm(df: DataFrame, a: String, b: String, tag: String) =
+      df.filter(col(a).isNotNull && col(b).isNotNull)
+        .select(least(col(a), col(b)).as("x"), greatest(col(a), col(b)).as("y"))
+        .distinct().withColumn(tag, lit(1L))
+    norm(left, la, lb, "_l")
+      .join(norm(right, ra, rb, "_r"), Seq("x", "y"), "full")
+      .agg(sum(coalesce(col("_l"), lit(0L))).as("n_left"),
+        sum(coalesce(col("_r"), lit(0L))).as("n_right"),
+        sum(coalesce(col("_l"), lit(0L)) * coalesce(col("_r"), lit(0L)))
+          .as("n_both"))
+      .withColumn("jaccard_ppm",
+        when(col("n_left") + col("n_right") - col("n_both") > 0,
+          expr("(n_both * 1000000L) div (n_left + n_right - n_both)")))
+  }
 }

@@ -193,6 +193,7 @@ object PlanAudit {
     "q_abtt" -> 3, "q_anisotropy" -> 1, "q_avg_precision" -> 1,
     "q_bigram_lm" -> 1, "q_bitext_mine" -> 1, "q_bitext_mine_ivf" -> 2,
     "q_containment" -> 1, "q_containment_maxdf" -> 1, "q_contamination" -> 2,
+    "q_dedup_agreement" -> 2,
     "q_dedup_canonical" -> 1, "q_dedup_cluster_sizes" -> 1, "q_dedup_clusters" -> 1,
     "q_dedup_incremental" -> 1, "q_dedup_minhash" -> 1, "q_dedup_pairs" -> 1,
     "q_dedup_pairs_maxdf" -> 1, "q_dedup_pairs_prefix" -> 1, "q_dup_ngrams" -> 1,
@@ -500,7 +501,10 @@ object PlanAudit {
     // fetch joins (assignment is one map-side kernel); ppr's rounds
     // are checkpoint leaves (q_pagerank precedent); tail_dep's 12 are
     // all collapsed value-frame aggs + cum windows + 1-row thresholds
-    "q_embed_dup_ivf" -> 3, "q_ppr" -> 0, "q_tail_dep" -> 12)
+    "q_embed_dup_ivf" -> 3, "q_ppr" -> 0, "q_tail_dep" -> 12,
+    // agreement = the two pair generators' aggs + the pair-key full
+    // outer + 1-row collapse
+    "q_dedup_agreement" -> 4)
     // (r12) the vector-family pins above include the Par
     // spreadToShuffleWidth round-robin exchanges — one per dense
     // per-row stage (centroid assign, signature fold, projection,

@@ -263,6 +263,18 @@ class Round13Spec extends SparkSpec {
       .getAs[Long]("lambda_u_ppm") shouldBe 0L
   }
 
+  test("pairSetAgreement: overlap bookkeeping, order-normalization, set Jaccard") {
+    import spark.implicits._
+    // left = {(1,2),(3,4),(5,6)}; right = {(2,1),(3,4),(7,8)} -> both=2
+    val l = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val r = Seq((2L, 1L), (3L, 4L), (7L, 8L)).toDF("p", "q")
+    val out = Dedup.pairSetAgreement(l, "a", "b", r, "p", "q").collect()(0)
+    out.getAs[Long]("n_left") shouldBe 3L
+    out.getAs[Long]("n_right") shouldBe 3L
+    out.getAs[Long]("n_both") shouldBe 2L // (1,2)~(2,1) normalized + (3,4)
+    out.getAs[Long]("jaccard_ppm") shouldBe 500000L // 2 / (3+3-2)
+  }
+
   test("guarded ops still plan on streaming frames (simHash, shingleSets, winnowed)") {
     // before the fix each of these threw AnalysisException at
     // CONSTRUCTION time on a streaming input — no query start needed
