@@ -484,7 +484,7 @@ object Dedup {
     // id keeps its source type — a string id casts to null under "long"
     // and would silently empty the joins below; min(struct) orders any
     // orderable id type, so "smallest id" means the column's natural order
-    val canon = docs
+    val canon0 = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
         TextAnalysis.fingerprint(col(textCol)).as("_fp"))
@@ -495,6 +495,13 @@ object Dedup {
         min(struct(col("doc_id"), col("_text"))).as("_c"))
       .select(col("_c.doc_id").as("doc_id"), col("_c._text").as("text"),
         col("n_dups"))
+    // Materialize the collapse ONCE (eager localCheckpoint): it is
+    // consumed three ways (the shingle-set cache fill plus both
+    // multiplicity joins), and each extra consumer re-ran the final
+    // text-carrying min(struct) aggregation over the fingerprint
+    // exchange (~3x; r13 measurement). The checkpointed frame IS the
+    // exact-deduped corpus — the collapse-first contract's working set.
+    val canon = if (canon0.isStreaming) canon0 else canon0.localCheckpoint(true)
     val sizes = canon.select(col("doc_id"), col("n_dups"))
     nearDupPairsExact(canon, "doc_id", "text", n, tau, maxDf)
       .join(sizes.select(col("doc_id").as("a_id"), col("n_dups").as("a_dups")), "a_id")

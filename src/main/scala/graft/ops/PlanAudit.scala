@@ -247,7 +247,11 @@ object PlanAudit {
     "q_epoch_shuffle" -> 1,
     "q_domain_block" -> 2, "q_temperature_mix" -> 4, "q_hybrid_rrf" -> 8,
     "q_html_strip" -> 0, "q_sentences" -> 0, "q_standardize" -> 1,
-    "q_bigram_lm" -> 10, "q_rank_metrics" -> 3, "q_http_parse" -> 0,
+    // bigram_lm 10 → 11 (r13): histCnt now derives from the distinct-
+    // bigram frame instead of a third corpus pass — one more STATIC
+    // exchange reference (bgCnt feeds histCnt AND the per-doc join) that
+    // ReuseExchange shares at runtime; corpus passes 4 → 3
+    "q_bigram_lm" -> 11, "q_rank_metrics" -> 3, "q_http_parse" -> 0,
     // r9 pins (the r8 verdict's drift watchlist): triangles is 4 AFTER
     // the edge-set cache (was 24 — the whole co-occurrence derivation
     // planned three times); the maxdf pair is the count-prune tier

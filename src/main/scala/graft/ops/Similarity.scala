@@ -287,8 +287,20 @@ object Similarity {
     * dot fold is index-ordered, so a·b ≡ b·a), so the max-collapse is
     * exact.
     */
-  private def marginMutualTail(fwd: DataFrame, bwd: DataFrame,
+  private def marginMutualTail(fwd0: DataFrame, bwd0: DataFrame,
                                minMarginPpm: Long): DataFrame = {
+    // Materialize each direction's top-k edge frame ONCE (eager
+    // localCheckpoint): the tail consumes each side twice (merge +
+    // neighborhood-mean denominator) and the margin frame twice more
+    // (both mutual-best windows), and every extra consumer re-planned and
+    // re-executed the whole candidate generator upstream (brute/IVF
+    // scoring + window — no exchange reuse fires across the diverging
+    // group keys; q_bitext_mine_ivf's static plan carried the generator
+    // 4x). The checkpointed frames are k rows per query — the
+    // lightweight-proxy shape of guide §8; generators now run exactly
+    // once per direction.
+    val fwd = if (fwd0.isStreaming) fwd0 else fwd0.localCheckpoint(true)
+    val bwd = if (bwd0.isStreaming) bwd0 else bwd0.localCheckpoint(true)
     def denom(df: DataFrame, key: String, out: String) = df.groupBy(key)
       .agg(array_sort(collect_list(col("sim"))).as("_ss"))
       .select(col(key),

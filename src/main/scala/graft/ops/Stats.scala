@@ -1143,10 +1143,18 @@ object Stats {
     */
   def conformalInterval(df: DataFrame, idCol: Column, xCol: Column,
                         yCol: Column): DataFrame = {
-    val base = df.filter(idCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
+    val base0 = df.filter(idCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
       .select(idCol.cast("string").as("_id"), metricLong(xCol).as("_x"),
         metricLong(yCol).as("_y"))
       .withColumn("_b", Sampling.hashBucket(col("_id"), 100))
+    // Materialize the bucketed base ONCE (eager localCheckpoint): the
+    // split-conformal recipe consumes it ~6 ways (fit, the calibration
+    // residuals twice — count + rank —, the test pass, and `fit`/`q`
+    // re-nested under crossJoin broadcasts), and the chain has NO
+    // exchange, so nothing is reused — every consumer re-scanned the
+    // input and re-hashed every id (md5 per row x6; q_conformal ~2.5 s
+    // isolated for a ~0.4 s pass). The frame is 4 narrow columns.
+    val base = if (base0.isStreaming) base0 else base0.localCheckpoint(true)
     val train = base.filter(col("_b") < 90)
     val fit = train.agg(count(lit(1)).as("n_train"),
         sum(col("_x")).cast("long").as("_sx"),
@@ -1551,8 +1559,21 @@ object Stats {
             alpha: Double = 0.05): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "0 < alpha < 1")
     import org.apache.spark.sql.expressions.Window
-    val base = tests.select(col(idCol).as("test_id"),
+    // Materialize the (bounded-by-design: one row per test) input ONCE.
+    // The BH step-up needs the family four ways — the m count, the ranked
+    // frame, the k* scan and the null-p branch — and neither ReuseExchange
+    // nor AQE stage reuse dedupes a subtree consumed under different
+    // broadcast parents, so a data-sized p-producer (q_fdr_bh's
+    // permutation test) was executed ~4x per run (measured: q_fdr_bh
+    // exec 8-12 s vs q_perm_test ~1 s). An eager localCheckpoint runs the
+    // producer once and gives every consumer an m-row leaf; it also
+    // truncates the 4x-duplicated plan the optimizer was re-walking.
+    // (Streaming frames can't checkpoint; p-values-per-test is a batch
+    // surface, and the bounded contract makes the materialization ≤ the
+    // experiment design size.)
+    val base0 = tests.select(col(idCol).as("test_id"),
       col(pCol).cast("double").as("p"))
+    val base = if (base0.isStreaming) base0 else base0.localCheckpoint(true)
     val withP = base.filter(col("p").isNotNull)
     val m = withP.agg(count(lit(1)).as("_m"))
     val wRank = Window.orderBy(col("p"), col("test_id"))
@@ -1566,8 +1587,15 @@ object Stats {
       .withColumn("_pass",
         col("p") <= lit(alpha) * col("rank").cast("double") /
           col("_m").cast("double"))
-      .cache() // tiny (m rows) but consumed by both k* and the output —
-               // without it an upstream data-sized p-producer plans twice
+    // NO cache here (r13 optimization): `ranked` IS consumed by both k*
+    // and the output, but caching it made the plan slower, not faster —
+    // the InMemoryRelation canonicalizes differently from the raw chain,
+    // so the broadcast-m subtree, the cache fill and the null-p branch
+    // each re-ran the (possibly data-sized) p-producer from scratch
+    // (~3x; q_fdr_bh cold 4.5-5.8 s). Uncached, all four consumers share
+    // the producer's exchanges via ReuseExchange/AQE stage reuse and only
+    // the m-row post-exchange tails re-run (measured: see
+    // OPTIMIZATION_r13.md "bhFdr").
     val kStar = ranked.agg(
       coalesce(max(when(col("_pass"), col("rank"))), lit(0L)).as("_k"))
     val scored = ranked.crossJoin(broadcast(kStar))

@@ -1421,7 +1421,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("_s.w1").as("w1"), col("_s.bg").as("bg"))
     val docBg = slots.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("tf"))
     val bgCnt = slots.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val histCnt = slots.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // The history count derives from the DISTINCT-BIGRAM frame, not from a
+    // third pass over `slots`: c(w₁·) = Σ_{bg starts w₁} c(bg), and w₁ is
+    // recoverable from the bigram key (tokens are whitespace-split, so the
+    // first space in `bg` is the w₁/w₂ boundary). Every consumer of
+    // `slots` re-runs scan+tokenize+explode (group keys differ — no
+    // exchange to reuse), so rooting this on bgCnt (≤ distinct corpus
+    // bigrams, already aggregated) removes one full corpus pass while
+    // producing identical longs.
+    val histCnt = bgCnt
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum("c12").as("c1"))
     val vocabV = base.select(explode(col("_toks")).as("_t"))
       .agg(countDistinct(col("_t")).as("v"))
     val perDoc = docBg
@@ -1478,11 +1488,26 @@ object TextAnalysis {
         col("_s.bg").as("bg"))
     val docBg = slots.groupBy("doc_id", "w1", "w2", "bg")
       .agg(count(lit(1)).as("tf"))
+    // Every corpus statistic beyond c(bg) derives from the DISTINCT-BIGRAM
+    // frame `bgCnt`, not from re-passes over the raw `slots` explode
+    // (consumers of `slots` share no exchange, so each one re-ran
+    // scan+tokenize+explode — 5 full corpus passes for this operator;
+    // now 2: docBg and bgCnt). w₁/w₂ are recoverable from the bigram key
+    // (whitespace-split tokens ⇒ the first space is the boundary), and:
+    //   c(w₁·)    = Σ_{bg starts w₁} c(bg)
+    //   N₁₊(w₁·)  = |{bg : bg starts w₁}|   (one bgCnt row per distinct bg)
+    //   N₁₊(·w₂)  = |{bg : bg ends w₂}|
+    //   B         = |bgCnt|
+    // — identical longs by construction.
     val bgCnt = slots.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val histCnt = slots.groupBy("w1")
-      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("f1"))
-    val precCnt = slots.groupBy("w2").agg(countDistinct(col("w1")).as("p2"))
-    val bTypes = slots.agg(countDistinct(col("bg")).as("b"))
+    val bgSplit = bgCnt.select(col("bg"), col("c12"),
+      substring_index(col("bg"), " ", 1).as("_w1"),
+      substring_index(col("bg"), " ", -1).as("_w2"))
+    val histCnt = bgSplit.groupBy(col("_w1").as("w1"))
+      .agg(sum("c12").as("c1"), count(lit(1)).as("f1"))
+    val precCnt = bgSplit.groupBy(col("_w2").as("w2"))
+      .agg(count(lit(1)).as("p2"))
+    val bTypes = bgCnt.agg(count(lit(1)).as("b"))
     val perDoc = docBg
       .join(bgCnt, "bg")
       .join(histCnt, "w1")
@@ -1522,7 +1547,17 @@ object TextAnalysis {
                       buckets: Int = 3, sampleMod: Int = 4): DataFrame = {
     require(buckets >= 2 && sampleMod >= 1, "need buckets >= 2, sampleMod >= 1")
     import org.apache.spark.sql.expressions.Window
-    val sc = bigramLmScore(docs, idCol, textCol)
+    // Materialize the per-doc scores ONCE (eager localCheckpoint). The
+    // bucketing consumes `sc` three ways — the sample-count broadcast, the
+    // threshold subtree and the full-corpus compare — and a subtree under
+    // different broadcast parents is re-executed per parent (no exchange
+    // reuse fires), so the whole bigram-LM chain ran ~3x per pass
+    // (q_ppl_select exec 15-21 s cold vs ~4-6 s for one chain). The
+    // checkpointed frame is (doc_id, n_bigrams, avg_logprob) — corpus
+    // CARDINALITY but ~24 B/row, the lightweight-proxy shape of guide §8:
+    // decisions move to a small frame, the heavy chain runs once.
+    val sc0 = bigramLmScore(docs, idCol, textCol)
+    val sc = if (sc0.isStreaming) sc0 else sc0.localCheckpoint(true)
     val hash = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
       1, 8), 16, 10).cast("long")
     val smp = sc.filter(hash % sampleMod === 0)
