@@ -190,13 +190,19 @@ object KpiQueries {
     val e = enriched
       .withColumn("unix_timestamp", unix_timestamp(col("timestamp")))
       .withColumn("bucket", floor(col("unix_timestamp") / 86400L))
-    val owners  = e.withColumn("part_bucket", col("bucket")).withColumn("is_owner", lit(true))
-    val context = e.withColumn("part_bucket", col("bucket") - 1).withColumn("is_owner", lit(false))
+    // owner + context copies via ONE explode — an owners/context
+    // self-unionAll plans (and, when `enriched` is not persisted, fully
+    // re-runs) the 3-table enrichment twice (the nearDupClusters lesson)
     val w = Window
       .partitionBy("track_id", "part_bucket")
       .orderBy(col("unix_timestamp").desc)
       .rangeBetween(-86400L, 0L)
-    owners.unionAll(context)
+    e.withColumn("_oc", explode(array(
+        struct(col("bucket").as("part_bucket"), lit(true).as("is_owner")),
+        struct((col("bucket") - 1).as("part_bucket"), lit(false).as("is_owner")))))
+      .withColumn("part_bucket", col("_oc.part_bucket"))
+      .withColumn("is_owner", col("_oc.is_owner"))
+      .drop("_oc")
       .withColumn("plays_in_window", count(col("track_id")).over(w))
       .filter(col("is_owner"))
       .groupBy("track_id", "track_genre")

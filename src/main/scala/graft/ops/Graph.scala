@@ -38,8 +38,22 @@ object Graph {
   private def incidence(df: DataFrame, basketCol: String, itemCol: String,
                         maxBasketSize: Int): DataFrame = {
     val b = col(basketCol); val i = col(itemCol)
+    // ONE full-data exchange (r13): cluster the raw rows by basket, then
+    // let every downstream operator satisfy its distribution from that
+    // single shuffle — the (basket, item) dedupe groups by a SUPERSET of
+    // the partitioning key, the size guard and its semi-join cluster by
+    // basket itself, and the pairing self-join in [[cooccurrenceEdges]]
+    // joins on basket (both sides read the same reused exchange). The
+    // previous shape shuffled the fact data twice: distinct() exchanged
+    // by (basket, item), then the semi-join re-exchanged everything by
+    // basket. Skew note: a pathological mega-basket now dedupes in one
+    // task instead of spreading by (basket, item) — bounded in practice
+    // by the same `maxBasketSize` contract that discards it, and the
+    // dedupe is a streaming hash-agg, not an array materialization.
     val inc = df.filter(b.isNotNull && i.isNotNull)
-      .select(b.as("basket"), i.as("item")).distinct()
+      .select(b.as("basket"), i.as("item"))
+      .repartition(col("basket"))
+      .distinct()
     val sizes = inc.groupBy("basket").agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBasketSize)
       .select("basket")
@@ -90,11 +104,16 @@ object Graph {
     val itemCnt = inc.groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
     val nBaskets = inc.select(countDistinct(col("basket")).as("n_baskets"))
     val edges = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
-    // both directions: (a→b) and (b→a) share support but not confidence
-    val directed = edges.select(col("a").as("antecedent"), col("b").as("consequent"),
-        col("pair_cnt").as("support"))
-      .unionAll(edges.select(col("b").as("antecedent"), col("a").as("consequent"),
-        col("pair_cnt").as("support")))
+    // both directions via ONE explode — (a→b) and (b→a) share support but
+    // not confidence; a self-unionAll would plan and re-run the pair
+    // generation twice (the nearDupClusters lesson)
+    val directed = edges.select(explode(array(
+        struct(col("a").as("antecedent"), col("b").as("consequent"),
+          col("pair_cnt").as("support")),
+        struct(col("b").as("antecedent"), col("a").as("consequent"),
+          col("pair_cnt").as("support")))).as("_d"))
+      .select(col("_d.antecedent").as("antecedent"),
+        col("_d.consequent").as("consequent"), col("_d.support").as("support"))
     directed
       .join(broadcast(itemCnt.withColumnRenamed("item", "antecedent")
         .withColumnRenamed("item_cnt", "cnt_ante")), Seq("antecedent"))
@@ -312,8 +331,14 @@ object Graph {
                           minSupport: Long = 2L,
                           maxBasketSize: Int = 1000): DataFrame = {
     val e = cooccurrenceEdges(df, basketCol, itemCol, minSupport, maxBasketSize)
-    e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    // both orientations via ONE explode, not a self-unionAll: two union
+    // arms over `e` plan (and post-exchange, re-run) the pair generation
+    // twice — the nearDupClusters lesson, applied to every digraph
+    // consumer (pagerank/ppr/hits/label_prop/harmonic)
+    e.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
   }
 
   /** PageRank in EXACT integer (ppm) arithmetic — every step is BIGINT
@@ -480,8 +505,14 @@ object Graph {
     // observe() metric — no separate count() job per round (the
     // nearDupClusters convergence discipline, r11)
     val obs0 = org.apache.spark.sql.Observation()
+    // both orientations via ONE explode (the nearDupClusters lesson): a
+    // self-unionAll would plan and post-exchange re-run the caller's
+    // (typically co-occurrence) pair generation twice
     var cur = und
-      .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)

@@ -35,10 +35,15 @@ object Intervals {
                           startCol: String, endCol: String): DataFrame = {
     val clean = intervals.filter(
       col(groupCol).isNotNull && col(startCol).isNotNull && col(endCol).isNotNull)
-    val starts = clean.select(col(groupCol), col(startCol).as("ts"), lit(1L).as("delta"))
-    val ends = clean.select(col(groupCol), col(endCol).as("ts"), lit(-1L).as("delta"))
+    // start (+1) and end (−1) events via ONE explode — a starts/ends
+    // self-unionAll scans the interval source twice (no upstream
+    // exchange to reuse; the nearDupClusters lesson)
     val w = Window.partitionBy(groupCol).orderBy(col("ts"), col("delta"))
-    starts.unionAll(ends)
+    clean
+      .select(col(groupCol), explode(array(
+        struct(col(startCol).as("ts"), lit(1L).as("delta")),
+        struct(col(endCol).as("ts"), lit(-1L).as("delta")))).as("_ev"))
+      .select(col(groupCol), col("_ev.ts").as("ts"), col("_ev.delta").as("delta"))
       .withColumn("concurrency", sum(col("delta")).over(w))
   }
 

@@ -672,9 +672,14 @@ object Stats {
                         valueCol: String, ratersPerUnit: Int): DataFrame = {
     require(ratersPerUnit >= 2, "alpha needs >= 2 raters per unit")
     val m = ratersPerUnit.toLong
-    val uc = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+    val uc0 = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(unitCol).as("u"), col(valueCol).as("v"))
       .agg(count(lit(1)).as("nuc"))
+    // materialize ONCE: uc feeds perUnit (twice, via the dropped-units
+    // broadcast) and the marginal join, so the rating synthesis below it
+    // ran ~3x per pass (broadcast subtrees share nothing with the main
+    // path). One narrow row per (unit, value).
+    val uc = if (uc0.isStreaming) uc0 else uc0.localCheckpoint(true)
     val perUnit = uc.groupBy("u").agg(sum(col("nuc")).as("mu"),
       sum(col("nuc") * col("nuc")).as("ss"))
     val complete = perUnit.filter(col("mu") === m).cache()
@@ -705,10 +710,15 @@ object Stats {
     */
   def selectionImpact(df: DataFrame, groupCol: String,
                       keepCol: String): DataFrame = {
-    val g = df.filter(col(groupCol).isNotNull)
+    val g0 = df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(keepCol).cast("long")).as("n_keep"))
+    // materialize the (one row per group) aggregate ONCE: `g` feeds both
+    // the broadcast total and the main join, and a broadcast subtree is
+    // not shared with the main path — with a heavy verdict producer
+    // (q_filter_impact's per-doc C4 chain) the whole chain ran twice
+    val g = if (g0.isStreaming) g0 else g0.localCheckpoint(true)
     val overall = g.agg(sum("n_docs").as("_nd"), sum("n_keep").as("_nk"))
     g.join(broadcast(overall))
       .withColumn("keep_ppm", expr("(n_keep * 1000000L) div n_docs"))

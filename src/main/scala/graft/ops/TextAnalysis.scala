@@ -1219,7 +1219,7 @@ object TextAnalysis {
     require(nBuckets >= 1 && nBuckets <= (1 << 20),
       s"dsirScores: need 1 <= nBuckets <= 2^20, got $nBuckets")
     val b = lit(nBuckets.toLong)
-    val perDocBucket = docs
+    val perDocBucket0 = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         coalesce(isTarget.cast("boolean"), lit(false)).as("_tgt"),
@@ -1227,6 +1227,14 @@ object TextAnalysis {
       .withColumn("_b", graft.ops.Sampling.hashBucket(col("_term"), nBuckets))
       .groupBy("doc_id", "_b")
       .agg(count(lit(1)).as("_tf"), first("_tgt").as("_tgt"))
+    // materialize ONCE (eager localCheckpoint): the hashed-bucket frame
+    // feeds four consumers (rc, tc, totals — all under broadcasts, which
+    // share nothing with the main path — plus the per-doc fold), so the
+    // tokenize+explode chain ran ~4x per pass. The frame is
+    // doc × min(nBuckets, distinct-terms) rows of narrow longs.
+    val perDocBucket =
+      if (perDocBucket0.isStreaming) perDocBucket0
+      else perDocBucket0.localCheckpoint(true)
     val rc = perDocBucket.groupBy("_b").agg(sum("_tf").as("_rc"))
     val tc = perDocBucket.filter(col("_tgt"))
       .groupBy("_b").agg(sum("_tf").as("_tc"))
