@@ -67,9 +67,12 @@ object Preference {
   def winRates(prefs: DataFrame, promptCol: String, chosenCol: String,
                rejectedCol: String): DataFrame = {
     val e = edges(prefs, promptCol, chosenCol, rejectedCol)
-    e.select(col("prompt_id"), col("winner").as("item"), lit(1L).as("_w"))
-      .unionAll(e.select(col("prompt_id"), col("loser").as("item"),
-        lit(0L).as("_w")))
+    // winner + loser rows via ONE explode — a self-unionAll plans and
+    // re-runs the vote-edge derivation twice (the nearDupClusters lesson)
+    e.select(col("prompt_id"), explode(array(
+        struct(col("winner").as("item"), lit(1L).as("_w")),
+        struct(col("loser").as("item"), lit(0L).as("_w")))).as("_wl"))
+      .select(col("prompt_id"), col("_wl.item").as("item"), col("_wl._w").as("_w"))
       .groupBy("prompt_id", "item")
       .agg(sum(col("_w")).as("n_wins"),
         sum(lit(1L) - col("_w")).as("n_losses"))
@@ -140,12 +143,17 @@ object Preference {
   def copeland(prefs: DataFrame, promptCol: String, chosenCol: String,
                rejectedCol: String): DataFrame = {
     val net = pairNet(prefs, promptCol, chosenCol, rejectedCol)
-    val perItem = net.select(col("prompt_id"), col("item_a").as("item"),
-        (col("n_ab") > col("n_ba")).cast("long").as("_w"),
-        (col("n_ab") < col("n_ba")).cast("long").as("_l"))
-      .unionAll(net.select(col("prompt_id"), col("item_b").as("item"),
-        (col("n_ba") > col("n_ab")).cast("long").as("_w"),
-        (col("n_ba") < col("n_ab")).cast("long").as("_l")))
+    // both sides of each game via ONE explode — a self-unionAll plans
+    // and re-runs the vote aggregation twice (the nearDupClusters lesson)
+    val perItem = net.select(col("prompt_id"), explode(array(
+        struct(col("item_a").as("item"),
+          (col("n_ab") > col("n_ba")).cast("long").as("_w"),
+          (col("n_ab") < col("n_ba")).cast("long").as("_l")),
+        struct(col("item_b").as("item"),
+          (col("n_ba") > col("n_ab")).cast("long").as("_w"),
+          (col("n_ba") < col("n_ab")).cast("long").as("_l")))).as("_s"))
+      .select(col("prompt_id"), col("_s.item").as("item"),
+        col("_s._w").as("_w"), col("_s._l").as("_l"))
     perItem.groupBy("prompt_id", "item")
       .agg(count(lit(1)).as("n_opp"), sum(col("_w")).as("wins"),
         sum(col("_l")).as("losses"))

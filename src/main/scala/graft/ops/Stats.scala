@@ -549,8 +549,13 @@ object Stats {
   def upperTailDependence(df: DataFrame, xCol: String, yCol: String,
                           qPpm: Long = 900000L): DataFrame = {
     require(qPpm > 0L && qPpm < 1000000L, "qPpm in (0, 1e6)")
-    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // materialize the two-long-column base ONCE: it feeds five consumers
+    // (both threshold chains, the count broadcast inside each, and the
+    // final tail-count agg) with no exchange below any of them — every
+    // consumer re-scanned the source (the conformalInterval pattern)
+    val base0 = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+    val base = if (base0.isStreaming) base0 else base0.localCheckpoint(true)
     def threshold(c: String, out: String) = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(col("v"))

@@ -915,11 +915,16 @@ object TextAnalysis {
       s"transform(sequence(0, size(_toks) - $n)," +
         s" i -> array_join(slice(_toks, i + 1, $n), ' '))")).as("_g"))
     val perDocGram = grams.groupBy("doc_id", "_g").agg(count(lit(1)).as("_c"))
-    val gramDocs = perDocGram.groupBy("_g").agg(count(lit(1)).as("_ndocs"))
-    perDocGram.join(gramDocs, "_g")
+    // "gram appears in >= 2 distinct docs" ⟺ min(doc) ≠ max(doc) over the
+    // gram's rows (perDocGram has one row per (doc, gram)) — one window
+    // over ONE gram-keyed exchange, instead of a second consumption of
+    // perDocGram (a gram-count agg + join re-ran the per-doc collapse)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_g")
+    perDocGram
+      .withColumn("_dup", min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
       .groupBy("doc_id")
       .agg(sum("_c").as("n_ngrams"),
-        sum(when(col("_ndocs") >= 2, col("_c")).otherwise(lit(0L))).as("dup_ngrams"))
+        sum(when(col("_dup"), col("_c")).otherwise(lit(0L))).as("dup_ngrams"))
       .select(col("doc_id"), col("n_ngrams"), col("dup_ngrams"),
         round(col("dup_ngrams") / col("n_ngrams"), 6).as("dup_share"))
   }
@@ -1111,12 +1116,17 @@ object TextAnalysis {
     val positioned = eligible.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, size(_toks) - $n)," +
         s" i -> array_join(slice(_toks, i + 1, $n), ' '))")).as(Seq("_pos", "_g")))
-    val gramDocs = positioned
-      .select(col("doc_id"), col("_g")).distinct()
-      .groupBy("_g").agg(count(lit(1)).as("_ndocs"))
-      .filter(col("_ndocs") >= 2)
-      .select("_g")
-    val dupPos = positioned.join(gramDocs, "_g")
+    // "gram appears in >= 2 distinct docs" ⟺ min(doc) ≠ max(doc) over the
+    // gram's rows — one window over ONE gram-keyed exchange of the
+    // positioned frame. The previous shape consumed `positioned` twice
+    // (a distinct+count+filter side plus the join back), re-running the
+    // tokenize+posexplode — which sits below no exchange — per consumer,
+    // and shuffling the positioned frame twice more (distinct, join).
+    val wg = Window.partitionBy(col("_g"))
+    val dupPos = positioned
+      .withColumn("_dup",
+        min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
+      .filter(col("_dup"))
       .select(col("doc_id"), col("_pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
     dupPos
